@@ -1,0 +1,309 @@
+"""Deduplication operators (SURVEY.md §2.11): exact, n-gram Jaccard,
+MinHash + LSH, SimHash.
+
+Design for 100 TB
+-----------------
+- Exact dedup is a hash aggregate on a fingerprint (md5 of normalized
+  text), never on the raw text: grouping keys stay 32 bytes, and the
+  aggregate combines map-side.
+- Pairwise similarity is NEVER all-pairs. The relational Jaccard joins on
+  shared shingles (only docs sharing a shingle ever meet); MinHash/LSH
+  joins on band buckets. Both are equi-joins Catalyst can shuffle-hash —
+  candidate generation is linear-ish in data size, not quadratic.
+- Hot keys: a stopword-only shingle is a skew bomb (every doc joins every
+  doc). ``max_shingle_freq`` drops shingles whose document frequency
+  exceeds a cap before the self-join — the standard df-cut from the
+  near-dup literature; AQE skew-join handles the residue.
+- All hashing is ``xxhash64`` (JVM built-in, codegen'd) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_md5
+
+
+def dedup_exact(
+    df: DataFrame, keys: list[str], tiebreaker: str, normalize_text_col: str | None = None
+) -> DataFrame:
+    """Keep exactly one row per key-tuple: the one with the smallest
+    ``tiebreaker`` (deterministic, unlike bare ``dropDuplicates``).
+
+    Implemented with ``min_by(struct(*), tiebreaker)`` — single hash
+    aggregate, map-side combine; no window sort.
+
+    If ``normalize_text_col`` is given, that column is replaced by its md5
+    fingerprint for grouping (case/whitespace-insensitive exact dedup).
+    """
+    work = df
+    group_cols = list(keys)
+    if normalize_text_col:
+        work = work.withColumn("_fp", fingerprint_md5(F.col(normalize_text_col)))
+        group_cols = [c for c in group_cols if c != normalize_text_col] + ["_fp"]
+    row = F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(tiebreaker)).alias("_row")
+    return work.groupBy(*group_cols).agg(row).select("_row.*")
+
+
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Array of word n-gram shingles (lowercased, whitespace-tokenized)."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+
+
+def shingle_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(doc_id, shingle) exploded distinct pairs, optionally df-cut."""
+    pairs = documents.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    ).distinct()
+    if max_shingle_freq is not None:
+        freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = freq.filter(F.col("df") <= max_shingle_freq).select("shingle")
+        pairs = pairs.join(keep, "shingle", "inner")  # AQE may broadcast `keep`
+    return pairs
+
+
+def jaccard_near_duplicates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share >=1 shingle.
+
+    Fully relational (explode -> self-equi-join on shingle -> count), so a
+    SQL oracle can replicate it verbatim. Returns
+    (doc_a, doc_b, common, size_a, size_b, jaccard) with doc_a < doc_b.
+    """
+    pairs = shingle_pairs(documents, id_col, text_col, n, max_shingle_freq)
+    sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = pairs.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = pairs.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """MinHash signature per document.
+
+    Permutation i is ``xxhash64(shingle, i)``; the signature element is the
+    min over the doc's shingles — one exploded aggregate computing all
+    ``num_perm`` mins in a single shuffle (map-side combined), not
+    ``num_perm`` passes.
+    """
+    exploded = documents.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    ).distinct()
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    sig = exploded.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_perm/bands`` rows, bucket-hash each band, self-join on
+    (band, bucket). Returns distinct candidate pairs (doc_a < doc_b).
+
+    The join key is (band_id, bucket_hash) — high cardinality, uniform, so
+    the shuffle is balanced; candidates ~ collisions, not |docs|^2.
+    """
+    rows = num_perm // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("signature")[b * rows + r] for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash/LSH candidate generation + exact Jaccard verification of the
+    candidates only. At scale this is THE near-dup path: candidate count is
+    tunable via (bands, rows) to target the threshold, and verification
+    touches only candidate pairs.
+    """
+    sigs = minhash_signatures(documents, id_col, text_col, n, num_perm)
+    cands = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
+    pairs = shingle_pairs(documents, id_col, text_col, n)
+    sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = pairs.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = pairs.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """63-bit SimHash per document (bit 63 left clear so the value stays a
+    non-negative BIGINT under ANSI arithmetic).
+
+    tokens -> xxhash64 -> per-bit +/-1 votes weighted by term frequency ->
+    sign -> packed bits. One explode + one aggregate; all built-ins.
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    counted = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    hashed = counted.withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"v{j}")
+        for j in range(63)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*votes)
+    packed = per_doc.select(
+        id_col,
+        F.aggregate(
+            F.array(
+                *[
+                    F.when(F.col(f"v{j}") >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                    for j in range(63)
+                ]
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(x),
+        ).alias("simhash"),
+    )
+    return packed
+
+
+def simhash_near_duplicates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= ``max_hamming``.
+
+    Blocking: candidates must share one of 4 16-bit chunks of the simhash
+    (pigeonhole: any pair within Hamming distance 3 shares at least one
+    exact chunk) — turns all-pairs into an equi-join, as in Manku et al.'s
+    simhash dedup of web corpora.
+    """
+    sh = simhash(documents, id_col, text_col)
+    chunks = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * prefix_bits).bitwiseAND(
+                        F.lit((1 << prefix_bits) - 1)
+                    )
+                    for i in range(64 // prefix_bits)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    a = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,150 @@
+"""Relational operators: joins (incl. as-of), top-k, latest-per-key, bands.
+
+The reference never performs a relational join — its "joins" are pandas
+positional index alignments (reference ``main.py:132``,
+``predict.py:145-149``; SURVEY.md §2.3). This module provides the explicit,
+distributed equivalents plus the join shapes the engine must support beyond
+the reference (broadcast/equi, semi/anti, as-of).
+
+Scale notes
+-----------
+- Small dimensions must be broadcast: ``join_dim`` wraps the dim side in
+  ``F.broadcast`` so a 100 TB fact scan never shuffles on the dim key.
+- ``latest_per_key`` uses ``max_by`` (a single hash aggregate with map-side
+  partial aggregation) rather than ``row_number()`` + filter (a full sort
+  within every partition of the window). At 100 TB the agg form shuffles
+  pre-combined partial state; the window form shuffles every row.
+- ``asof_join`` is the union + "last non-null over ordered window" trick:
+  one shuffle on the partition key, no range-explosion. The alternative
+  (range join + rank) explodes to |left| x |right-per-key| intermediate rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_dim(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Fact-to-dimension equi-join with an explicit broadcast hint.
+
+    AQE would usually discover the broadcast by itself, but at 100 TB the
+    cost of a mis-planned shuffle join on the fact table is high enough
+    that we pin the hint for known-small dims (region/nation-sized).
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """Global top-k (reference O1: sort + tail, ``main.py:130``).
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject: each task
+    keeps a k-element heap, the driver merges — no global sort at any scale.
+    Callers must include a unique tiebreaker column for determinism.
+    """
+    return df.orderBy(*order_by).limit(k)
+
+
+def latest_per_key(df: DataFrame, key: str | list[str], ts_col: str) -> DataFrame:
+    """Latest full row per key (reference ST3 `current_weather` snapshot,
+    ``load.py:52-61``).
+
+    Implemented as ``max_by(struct(*cols), ts)`` — one hash aggregate with
+    map-side combine. Ties on ``ts_col`` are broken deterministically by the
+    greatest full-row struct value.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = F.max_by(
+        F.struct(*[F.col(c) for c in df.columns]),
+        F.struct(F.col(ts_col), *[F.col(c) for c in df.columns if c not in keys]),
+    ).alias("_row")
+    return df.groupBy(*keys).agg(payload).select("_row.*")
+
+
+def ranked_in_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    n: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-n rows per group via ``row_number`` (needed to replace the
+    reference's positional concat J1 and for time-ordered CV splits)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_matched",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Natural for sensor streams (match an observation to the most recent
+    calibration/forecast). Implemented as union + last-ignore-nulls over an
+    ordered window: one shuffle on ``on``, linear state, no pair explosion.
+
+    Right rows sort before left rows at equal timestamps (side=0 < side=1),
+    so an exactly-simultaneous right row IS matched (<= semantics, same as
+    DuckDB ASOF JOIN).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.lit(1).alias("_side"),
+        F.col(left_ts).alias("_ts"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r = right.select(
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_ts"),
+        # the join key survives on both sides; every other left column is null
+        *[
+            (F.col(on) if c == on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l.unionByName(r)
+    matched = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return matched.filter(F.col("_side") == 1).select(
+        *lcols, *[f"{c}{suffix}" for c in right_cols]
+    )
+
+
+def banded_histogram(
+    df: DataFrame, col: str, bands: list[tuple[str, float | None, float | None]]
+) -> list[Column]:
+    """One-pass conditional-count aggregates for value bands (reference A8
+    temperature_distribution, ``load.py:105-112`` — 6 eager passes there,
+    one shuffle here).
+
+    ``bands`` entries are (name, lo, hi) half-open ``[lo, hi)``; None = open.
+    Returns aggregate Columns to splat into a single ``agg(...)``.
+    """
+    out = []
+    for name, lo, hi in bands:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) < F.lit(hi))
+        out.append(F.sum(F.when(cond, 1).otherwise(0)).alias(name))
+    return out

@@ -1,0 +1,199 @@
+"""Vector similarity search over ``array<float>`` embedding columns
+(SURVEY.md §2.11).
+
+Paths
+-----
+- ``cosine_topk``          : brute-force exact top-k for one query vector.
+  The dot product is a built-in ``zip_with`` + ``aggregate`` fold in DOUBLE
+  (JVM, codegen) — no Python in the loop. TakeOrdered top-k, no global sort.
+- ``knn_join``             : exact top-k for a (small) batch of query
+  vectors — broadcast the queries, one pass over the corpus.
+- ``lsh_topk``             : random-hyperplane (sign) LSH bucketing; probes
+  only the query's bucket (+ optional multi-probe neighbors). This is the
+  100 TB path: the corpus is bucketed once (write-time partitioning in a
+  real deployment), each query touches ~corpus/2^bits rows.
+- ``cosine_near_duplicates``: embedding-space near-dup pairs via LSH
+  bucket self-join, for the dedup suite.
+
+Brute force at 100 TB is a full scan per query — fine for one-off
+analytics, wrong for serving; LSH trades recall for a bounded probe set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector (the correctness baseline).
+
+    Returns (id, cosine) ordered desc with id tiebreak, ranked 1..k.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    ranked = scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+    return ranked
+
+
+def knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact k-NN for each query row: broadcast-nested-loop the (small)
+    query set against the corpus, then per-query top-k via window rank.
+
+    One corpus scan total regardless of |queries| — the scan cost is
+    amortized across all queries instead of one scan per query.
+    """
+    from pyspark.sql import Window
+
+    joined = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH (numpy RandomState)."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((bits, dim)).astype(float).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(vec . plane_i), packed to a long."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"b{i}")
+        for i, plane in enumerate(planes)
+    ]
+    packed = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        packed = packed.bitwiseOR(F.shiftleft(b, i))
+    return packed
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k: score only rows whose LSH bucket is within
+    ``multiprobe_hamming`` bit-flips of the query's bucket.
+
+    With 8 bits + 1-probe this touches ~(1+8)/256 ≈ 3.5% of the corpus. In
+    a persistent deployment the bucket column is computed at write time and
+    the table is partitioned by it → partition pruning makes the probe set
+    an index lookup, not a scan+filter.
+    """
+    planes = hyperplanes(len(query_vec), bits, seed)
+    bucketed = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    qbits = 0
+    for i, plane in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        qbits |= (1 if dot >= 0 else 0) << i
+    probes = {qbits}
+    if multiprobe_hamming >= 1:
+        for i in range(bits):
+            probes.add(qbits ^ (1 << i))
+    cand = bucketed.filter(F.col("_bucket").isin([int(p) for p in probes]))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col), F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-space near-dup pairs: LSH-bucket self-join (plus 1-bit
+    neighbor buckets) then exact cosine verify — mirror of the MinHash
+    candidates→verify pattern, in vector space."""
+    sample = embeddings.select(vec_col).first()
+    dim = len(sample[0])
+    planes = hyperplanes(dim, bits, seed)
+    bucketed = embeddings.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("_bucket")
+    )
+    # probe buckets: own bucket + each 1-bit flip → catches pairs straddling
+    # one hyperplane (the common false-negative mode of sign-LSH)
+    probed = bucketed.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                F.col("_bucket"),
+                *[F.col("_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
+            )
+        ).alias("_probe"),
+    )
+    a = probed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "_probe"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col("_bucket").alias("_probe"),
+    )
+    return (
+        a.join(b, "_probe")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine_similarity("vec_a", "vec_b"), 6).alias("cosine"))
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )

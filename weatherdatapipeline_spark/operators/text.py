@@ -1,0 +1,120 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.11).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs. Regex patterns stay inside the
+RE2/Java-regex common subset so the DuckDB oracle can run the literal same
+pattern.
+
+Scale notes: every operator here is a narrow per-row projection — no
+shuffle at all until a caller aggregates. At 100 TB these pipeline with the
+parquet scan and are bounded by I/O, which is the right bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword sets for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+}
+
+# GPT-2-ish pre-tokenizer shape: letter runs, digit runs, single other glyphs.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_CLASS = r"[^.,;:!?]"
+
+
+def n_words(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def n_tokens_bpe_ish(text: Column) -> Column:
+    """Token count under a BPE-style pre-tokenization regex."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of stopword occurrences for one language's list."""
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0, 1]:
+    0.4 * length factor + 0.4 * mean-word-length factor + 0.2 * (1 - punct ratio).
+
+    Mirrors the shape of published quality filters (length, symbol ratio,
+    word stats) without any model dependency.
+    """
+    nw = n_words(text).cast("double")
+    length_f = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    mean_wl = F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / nw
+    wl_f = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_f = F.lit(1.0) - F.least(
+        punct_count(text).cast("double") / F.greatest(nw, F.lit(1.0)), F.lit(1.0)
+    )
+    return F.round(0.4 * length_f + 0.4 * wl_f + 0.2 * punct_f, 4)
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-vote language ID: argmax over per-language hit counts,
+    deterministic tie-break by language code, 'und' when all zero."""
+    scored = F.array(
+        *[
+            F.struct(stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    # max over (hits, lang) structs orders by hits then lang; ties on hits
+    # therefore resolve to the lexicographically LAST lang — mirror in SQL.
+    best = F.array_max(scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase text.
+
+    The cheap exact-dup key — two docs differing only in case/whitespace
+    collide. 32-hex-char string, groupable/joinable at any scale.
+    """
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def fingerprint_rolling(text: Column, modulus: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash over characters (Rabin-Karp style), all
+    arithmetic mod ``modulus`` so it never overflows bigint under ANSI mode.
+
+    Built-in `aggregate` over the char array — JVM-side, no UDF.
+    """
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(base) + F.ascii(ch), F.lit(modulus)),
+    )
+
+
+def profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document text profile: counts, ratios, quality, language, print."""
+    t = F.col(text_col)
+    return documents.select(
+        "*",
+        n_words(t).alias("n_words"),
+        n_tokens_bpe_ish(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_recomputed"),
+        F.round(punct_count(t).cast("double") / F.greatest(F.length(t), F.lit(1)), 4).alias(
+            "punct_ratio"
+        ),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        fingerprint_md5(t).alias("fingerprint"),
+    )

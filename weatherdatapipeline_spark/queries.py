@@ -1,0 +1,836 @@
+"""Driver-contract queries: every implemented operator from SURVEY.md §2 as
+a (Spark callable, DuckDB oracle SQL) pair.
+
+Conventions for oracle-hash stability (the driver sorts columns by name and
+hashes values order-insensitively):
+- every computed column is aliased identically on both sides;
+- computed integers are cast to BIGINT on both sides (Spark `hour`/`size`/
+  `row_number` return INT, DuckDB returns BIGINT);
+- floating-point aggregates are rounded (2-6 dp) on both sides;
+- timestamps in results are converted to epoch microseconds (BIGINT) or
+  date strings — never raw timestamp values (parquet ns vs engine us
+  representations differ);
+- every ORDER BY under a LIMIT carries a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import relational as R
+from .operators import similarity as S
+from .operators import text as T
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
+        # reader rejects; read the raw int64 nanos and convert. The data is
+        # µs-granular so `div 1000` is lossless (integer div — a double
+        # division at epoch-nanos scale exceeds the 53-bit mantissa).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4) — scan → filter → grouped multi-aggregate
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the reference's A9 multi-metric summary as one
+    grouped aggregate (single scan, map-side partial agg). Filter is pushed
+    to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_extendedprice), 4)                              AS avg_price,
+       round(avg(l_discount), 4)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def events_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship batch-stats document (load.py:93-113, A1-A9)
+    re-shaped onto the events table: ONE aggregate pass computes count,
+    distinct, avg/min/max and the banded histogram (vs 10+ eager pandas
+    passes in the reference)."""
+    ev = _t(spark, sf_dir, "events")
+    bands = [
+        ("band_low", None, 10.0),
+        ("band_mid", 10.0, 25.0),
+        ("band_high", 25.0, 40.0),
+        ("band_extreme", 40.0, None),
+    ]
+    return ev.groupBy().agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.countDistinct("user_id").alias("users_count"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        *R.banded_histogram(ev, "value", bands),
+    )
+
+
+ORACLE_EVENTS_SUMMARY = """
+SELECT count(*)                                            AS total_records,
+       count(DISTINCT user_id)                             AS users_count,
+       round(avg(value), 4)                                AS avg_value,
+       round(max(value), 4)                                AS max_value,
+       round(min(value), 4)                                AS min_value,
+       CAST(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT)                     AS band_low,
+       CAST(sum(CASE WHEN value >= 10 AND value < 25 THEN 1 ELSE 0 END) AS BIGINT)     AS band_mid,
+       CAST(sum(CASE WHEN value >= 25 AND value < 40 THEN 1 ELSE 0 END) AS BIGINT)     AS band_high,
+       CAST(sum(CASE WHEN value >= 40 THEN 1 ELSE 0 END) AS BIGINT)                    AS band_extreme
+FROM events
+"""
+
+
+def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 value-counts histogram (reference load.py:103) + per-group avg."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = """
+SELECT event_type, count(*) AS cnt, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (free in Catalyst; absent in the
+    reference — SURVEY §2.4 'absent' list)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3) — broadcast dim, outer, semi, anti, as-of
+# --------------------------------------------------------------------------
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact scan joined through customer→nation→region dims.
+    nation/region are broadcast (see operators.relational.join_dim) so the
+    only shuffles are the fact-side equi-joins, which AQE right-sizes."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = li.withColumn("rev", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = (
+        rev.join(o, rev.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+    )
+    joined = R.join_dim(joined, n, joined.c_nationkey == n.n_nationkey)
+    joined = R.join_dim(joined, r, F.col("n_regionkey") == r.r_regionkey)
+    return joined.groupBy("r_name", "n_name").agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+ORACLE_REGION_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + grouped agg + global top-k (TakeOrdered, no full sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return R.top_k(rev, [F.desc("revenue"), F.col("c_custkey")], 10)
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join keeps zero-order customers, then a
+    histogram of order counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("num_orders"))
+    )
+    return per_cust.groupBy("num_orders").agg(F.count(F.lit(1)).alias("num_customers"))
+
+
+ORACLE_ORDER_COUNT_DIST = """
+SELECT num_orders, count(*) AS num_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS num_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY num_orders
+"""
+
+
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (reference J2's index-intersection, made explicit)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the dual of J2."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def asof_join_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent view at or
+    before it (operators.relational.asof_join — union + last-ignore-nulls,
+    one shuffle, no pair explosion)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("user_id"),
+        )
+    )
+    out = R.asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        right_cols=["view_event_id", "view_ts"],
+        suffix="",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("view_event_id").cast("long").alias("view_event_id"),
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    )
+
+
+ORACLE_ASOF = """
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS ts_us,
+       v.event_id     AS view_event_id,
+       epoch_us(v.ts) AS view_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions (SURVEY §2.5) — lag/lead, rolling with min_periods, rank
+# --------------------------------------------------------------------------
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: per-key ordered lag/lead (the reference's per-city shift
+    features, features.py:34-50) + inter-event gap."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))).alias("gap_us"),
+    )
+
+
+ORACLE_LAG_LEAD = """
+SELECT user_id, event_id, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def window_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4: rolling mean/std over 3 rows per key with pandas
+    min_periods=3 parity — the count-mask makes the first two rows of each
+    partition NULL exactly like pandas' default (features.py:44-46)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    cnt = F.count("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(cnt >= 3, F.round(F.avg("value").over(w), 4)).alias("roll_mean_3"),
+        F.when(cnt >= 3, F.round(F.stddev_samp("value").over(w), 4)).alias("roll_std_3"),
+    )
+
+
+ORACLE_ROLLING = """
+SELECT user_id, event_id, value,
+       CASE WHEN count(value) OVER w >= 3
+            THEN round(avg(value) OVER w, 4) END AS roll_mean_3,
+       CASE WHEN count(value) OVER w >= 3
+            THEN round(stddev_samp(value) OVER w, 4) END AS roll_std_3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 by value per user (row_number ≤ 3)."""
+    ev = _t(spark, sf_dir, "events")
+    out = R.ranked_in_group(
+        ev, ["user_id"], [F.desc("value"), F.col("event_id")], 3, rank_col="rn"
+    )
+    return out.select("user_id", "event_id", "value", F.col("rn").cast("long").alias("rn"))
+
+
+ORACLE_TOP_PER_USER = """
+SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 latest-per-key snapshot (reference current_weather,
+    load.py:52-61) via max_by single-pass aggregate — no window sort."""
+    ev = _t(spark, sf_dir, "events")
+    latest = R.latest_per_key(ev, "user_id", "ts")
+    return latest.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    )
+
+
+ORACLE_LATEST_PER_USER = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles over order value → per-quartile stats."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    q = o.select("o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile"))
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+ORACLE_QUARTILES = """
+SELECT quartile, count(*) AS cnt,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM (
+  SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+GROUP BY quartile
+"""
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+def topk_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: newest 100 events (reference sort+tail, main.py:130) —
+    TakeOrderedAndProject with a unique tiebreaker."""
+    ev = _t(spark, sf_dir, "events")
+    out = R.top_k(ev, [F.desc("ts"), F.desc("event_id")], 100)
+    return out.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
+    )
+
+
+ORACLE_TOPK_LATEST = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+
+def _segments(spark: SparkSession, sf_dir: str):
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 7500).select("c_custkey")
+    return building, rich
+
+
+def set_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building, rich = _segments(spark, sf_dir)
+    return building.union(rich).distinct()
+
+
+def set_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building, rich = _segments(spark, sf_dir)
+    return building.intersect(rich)
+
+
+def set_except_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building, rich = _segments(spark, sf_dir)
+    return building.exceptAll(rich).distinct()
+
+
+ORACLE_SET_UNION = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 7500
+"""
+ORACLE_SET_INTERSECT = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 7500
+"""
+ORACLE_SET_EXCEPT = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal > 7500
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8) — calendar (pandas weekday parity), strings
+# --------------------------------------------------------------------------
+
+
+def calendar_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/F4: calendar breakdown with pandas weekday convention
+    (Monday=0 — Spark `weekday`; the reference's features.py:30-31)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.weekday("ts").cast("long").alias("dow_monday0"),
+            F.hour("ts").cast("long").alias("hour"),
+            "value",
+        )
+        .groupBy("day", "dow_monday0", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+ORACLE_CALENDAR = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       isodow(ts) - 1           AS dow_monday0,
+       hour(ts)                 AS hour,
+       count(*)                 AS cnt,
+       round(sum(value), 2)     AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/F11 string functions: prefix test, LIKE, lower, concat."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.withColumn("label", F.concat_ws(":", F.lower("p_brand"), F.col("p_type")))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("p_type").like("%BRASS%").cast("long")).alias("brass_cnt"),
+            F.sum(F.col("p_name").startswith("a").cast("long")).alias("a_name_cnt"),
+            F.min("label").alias("min_label"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+ORACLE_PART_BRANDS = """
+SELECT p_brand, count(*) AS cnt,
+       CAST(sum(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS brass_cnt,
+       CAST(sum(CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END) AS BIGINT)      AS a_name_cnt,
+       min(lower(p_brand) || ':' || p_type) AS min_label,
+       max(p_size) AS max_size
+FROM part
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (SURVEY §2.11)
+# --------------------------------------------------------------------------
+
+
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    prof = T.profile(docs)
+    return prof.select(
+        "doc_id",
+        "lang",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars_recomputed").cast("long").alias("n_chars_recomputed"),
+        "punct_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+ORACLE_TEXT_PROFILE = r"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(text), '\s+'))                          AS n_words,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))    AS n_tokens,
+         length(text)                                                        AS n_chars_recomputed,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g'))                  AS n_punct,
+         length(regexp_replace(text, '\s+', '', 'g'))                        AS n_nonspace,
+         len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))   AS hits_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS hits_de,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un)\b'))     AS hits_fr,
+         len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|un)\b'))       AS hits_es
+  FROM documents
+)
+SELECT doc_id, lang, n_words, n_tokens, n_chars_recomputed,
+       round(n_punct / greatest(n_chars_recomputed, 1), 4) AS punct_ratio,
+       round(0.4 * least(n_chars_recomputed / 500.0, 1.0)
+           + 0.4 * (CASE WHEN n_nonspace / n_words >= 3.0 AND n_nonspace / n_words <= 10.0
+                         THEN 1.0 ELSE 0.5 END)
+           + 0.2 * (1.0 - least(n_punct / greatest(n_words, 1), 1.0)), 4) AS quality,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
+            WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+            WHEN hits_en >= hits_de THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM base
+"""
+
+
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.n_tokens_bpe_ish(t).cast("long")).alias("total_tokens"),
+        F.round(F.avg(T.n_words(t).cast("long")), 4).alias("avg_words"),
+        F.max(F.length(t)).cast("long").alias("max_chars"),
+    )
+
+
+ORACLE_TOKEN_STATS = r"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens,
+       round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_words,
+       CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication (SURVEY §2.11)
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint, keep-lowest-doc_id
+    (deterministic), via min_by hash aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.dedup_exact(docs, keys=["text"], tiebreaker="doc_id", normalize_text_col="text")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ORDER BY doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2) — fully
+    relational candidate generation via the shared-shingle self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.jaccard_near_duplicates(docs, threshold=0.2)
+
+
+ORACLE_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
+       round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.2
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) candidates, exact-Jaccard verified at
+    0.2. xxhash64 permutations aren't SQL-portable → rows-only check; the
+    pytest suite instead verifies candidates ⊆-recall against the exact
+    Jaccard operator."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(docs, threshold=0.2)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming ≤ 8 on 63-bit signatures (rows-only:
+    xxhash64 not SQL-portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(docs, max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# Similarity search (SURVEY §2.11)
+# --------------------------------------------------------------------------
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for the vec_id=0 query vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.cosine_topk(emb, [float(x) for x in qvec], k=10)
+
+
+ORACLE_SIM_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def knn_join_first5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN (k=5) for query set = first 5 vectors, one corpus pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.knn_join(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+ORACLE_KNN_JOIN = """
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) DESC,
+           e.vec_id) AS rank
+  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+) WHERE rank <= 5
+"""
+
+
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH top-10 for vec_id=0 (rows-only: hyperplanes come
+    from a seeded numpy generator, not SQL-portable; recall vs brute force
+    is asserted in the pytest suite)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.lsh_topk(emb, [float(x) for x in qvec], k=10)
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.9 via LSH buckets (rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_near_duplicates(emb, threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Query] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "events_summary_stats": events_summary_stats,
+    "value_histogram_by_type": value_histogram_by_type,
+    "rollup_returnflag_status": rollup_returnflag_status,
+    "region_revenue": region_revenue,
+    "top_customers_by_revenue": top_customers_by_revenue,
+    "customer_order_count_distribution": customer_order_count_distribution,
+    "customers_with_big_orders": customers_with_big_orders,
+    "customers_without_orders": customers_without_orders,
+    "asof_join_click_to_view": asof_join_click_to_view,
+    "window_lag_lead": window_lag_lead,
+    "window_rolling_stats": window_rolling_stats,
+    "top_events_per_user": top_events_per_user,
+    "latest_event_per_user": latest_event_per_user,
+    "order_price_quartiles": order_price_quartiles,
+    "topk_latest_events": topk_latest_events,
+    "set_union_segments": set_union_segments,
+    "set_intersect_segments": set_intersect_segments,
+    "set_except_segments": set_except_segments,
+    "calendar_activity": calendar_activity,
+    "part_brand_stats": part_brand_stats,
+    "text_profile": text_profile,
+    "token_stats_by_source": token_stats_by_source,
+    "dedup_exact_documents": dedup_exact_documents,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "similarity_topk": similarity_topk,
+    "knn_join_first5": knn_join_first5,
+    "similarity_lsh_topk": similarity_lsh_topk,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "events_summary_stats": ORACLE_EVENTS_SUMMARY,
+    "value_histogram_by_type": ORACLE_VALUE_HISTOGRAM,
+    "rollup_returnflag_status": ORACLE_ROLLUP,
+    "region_revenue": ORACLE_REGION_REVENUE,
+    "top_customers_by_revenue": ORACLE_TOP_CUSTOMERS,
+    "customer_order_count_distribution": ORACLE_ORDER_COUNT_DIST,
+    "customers_with_big_orders": ORACLE_SEMI,
+    "customers_without_orders": ORACLE_ANTI,
+    "asof_join_click_to_view": ORACLE_ASOF,
+    "window_lag_lead": ORACLE_LAG_LEAD,
+    "window_rolling_stats": ORACLE_ROLLING,
+    "top_events_per_user": ORACLE_TOP_PER_USER,
+    "latest_event_per_user": ORACLE_LATEST_PER_USER,
+    "order_price_quartiles": ORACLE_QUARTILES,
+    "topk_latest_events": ORACLE_TOPK_LATEST,
+    "set_union_segments": ORACLE_SET_UNION,
+    "set_intersect_segments": ORACLE_SET_INTERSECT,
+    "set_except_segments": ORACLE_SET_EXCEPT,
+    "calendar_activity": ORACLE_CALENDAR,
+    "part_brand_stats": ORACLE_PART_BRANDS,
+    "text_profile": ORACLE_TEXT_PROFILE,
+    "token_stats_by_source": ORACLE_TOKEN_STATS,
+    "dedup_exact_documents": ORACLE_DEDUP_EXACT,
+    "dedup_jaccard_pairs": ORACLE_JACCARD,
+    "similarity_topk": ORACLE_SIM_TOPK,
+    "knn_join_first5": ORACLE_KNN_JOIN,
+    # rows-only (non-SQL-portable hashing/LSH): dedup_minhash_pairs,
+    # dedup_simhash_pairs, similarity_lsh_topk, embedding_near_dup_pairs
+}
