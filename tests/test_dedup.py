@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import pytest
+
+from weatherdatapipeline_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_near_duplicates,
+    minhash_near_duplicates,
+    simhash,
+    simhash_near_duplicates,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "The  quick brown FOX jumps over the lazy dog"),  # case/ws variant of 0
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (3, "completely different text about spark engines here"),
+    (4, "completely different text about spark engines here today"),  # near-dup of 3
+    (5, "zzz yyy xxx www vvv uuu ttt sss"),  # unrelated
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact_normalized(docs):
+    out = dedup_exact(docs, keys=["text"], tiebreaker="doc_id", normalize_text_col="text")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3, 4, 5]  # 1 collapses into 0 (case/whitespace)
+
+
+def test_jaccard_finds_known_pairs(docs):
+    pairs = jaccard_near_duplicates(docs, threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # normalized-identical → jaccard 1.0
+    assert (0, 2) in got  # one-word change
+    assert (3, 4) in got
+    assert all(5 not in p for p in got)
+
+
+def test_jaccard_value_exact(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in jaccard_near_duplicates(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)]["jaccard"] == 1.0
+    # doc0/doc2: 9 words → 7 trigram shingles each, 6 shared
+    r = pairs[(0, 2)]
+    assert (r["size_a"], r["size_b"], r["common"]) == (7, 7, 6)
+    assert abs(r["jaccard"] - 6 / 8) < 1e-9
+
+
+def test_minhash_recall_of_strong_pairs(docs):
+    """LSH candidates must recover the high-similarity pairs (jaccard ≥ 0.75
+    with 16 bands × 4 rows: P(candidate) = 1-(1-s^4)^16 ≥ 0.996)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_near_duplicates(docs, threshold=0.75).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(docs, threshold=0.3).collect()
+    }
+    assert exact <= approx
+
+
+def test_minhash_jaccard_matches_exact_on_candidates(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_near_duplicates(docs, threshold=0.3).collect()
+    }
+    for r in minhash_near_duplicates(docs, threshold=0.3).collect():
+        key = (r["doc_a"], r["doc_b"])
+        assert key in exact
+        assert abs(r["jaccard"] - exact[key]) < 1e-9  # verify step is exact
+
+
+def test_simhash_identical_tokens_same_hash(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha  BETA gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert got[0] == got[1]  # case/whitespace-insensitive token multiset
+    assert got[0] != got[2]
+    assert all(v >= 0 for v in got.values())  # 63-bit: non-negative
+
+
+def test_simhash_near_duplicates_blocking(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+           simhash_near_duplicates(docs, max_hamming=16).collect()}
+    assert out[(0, 1)] == 0  # identical token multisets
+    assert (0, 2) in out

@@ -1,0 +1,107 @@
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdatapipeline_spark.operators.multimodal import (
+    decode_image_strict,
+    extract_features,
+    sample_frames,
+    synthetic_media,
+)
+from weatherdatapipeline_spark.schemas import WEATHER_RAW
+from weatherdatapipeline_spark.sources.catalog import TableCatalog
+from weatherdatapipeline_spark.sources.rest import ingest
+from weatherdatapipeline_spark.sources.synthetic import synthetic_weather
+
+
+def canned_payload(city: str) -> str | None:
+    if city == "Brokenville":
+        return "{not json"
+    if city == "Nowhere":
+        raise RuntimeError("connection refused")
+    return json.dumps(
+        {
+            "name": city,
+            "main": {"temp": 21.5, "feels_like": 22.0, "humidity": 55, "pressure": 1012},
+            "weather": [{"main": "Clear", "description": "clear sky"}],
+            "wind": {"speed": 3.2},
+            "sys": {"country": "XX"},
+            "dt": 1700000000,
+        }
+    )
+
+
+def test_rest_ingest_tolerates_failures(spark):
+    out = ingest(spark, ["Alpha", "Brokenville", "Nowhere", "Beta"], canned_payload)
+    rows = out.collect()
+    # Brokenville (bad JSON) and Nowhere (fetch error) are skipped, batch survives
+    assert sorted(r["city"] for r in rows) == ["Alpha", "Beta"]
+    r = rows[0]
+    assert r["temperature"] == 21.5 and r["weather"] == "Clear" and r["country"] == "XX"
+    assert r["timestamp"] == 1700000000
+
+
+def test_synthetic_weather_shape_and_determinism(spark):
+    a = synthetic_weather(spark, n_batches=3).collect()
+    b = synthetic_weather(spark, n_batches=3).collect()
+    assert len(a) == 30
+    assert a == b  # hash-derived, partition-stable
+    temps = [r["temperature"] for r in a]
+    assert all(5.0 <= t <= 50.0 for t in temps)
+    per_city = {}
+    for r in a:
+        per_city.setdefault(r["city"], []).append(r["timestamp"])
+    assert all(ts == sorted(ts) and len(set(ts)) == len(ts) for ts in per_city.values())
+
+
+def test_catalog_sinks_roundtrip(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path))
+    df = synthetic_weather(spark, n_batches=2)
+    cat.append_raw(df)
+    cat.append_raw(df)  # append log grows
+    assert cat.read("raw_weather").count() == 40
+    cat.overwrite_current(df)
+    cur = cat.read("current_weather")
+    assert cur.count() == 10  # latest row per city
+    assert cur.filter(F.col("is_current")).count() == 10
+    cat.append_batch_partition(df)
+    assert "batch_id" in cat.read("weather_batches").columns
+    assert sorted(cat.list_tables()) == ["current_weather", "raw_weather", "weather_batches"]
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path))
+    df = synthetic_weather(spark, n_batches=1)
+    cat.write_csv(df, "csv_out")
+    back = cat.read_csv("csv_out", WEATHER_RAW)
+    assert back.count() == 10
+    assert back.schema["humidity"].dataType.simpleString() == "int"
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, n=12)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["n_bytes"] == 64 for r in feats)  # sha2-256 hex → 64 bytes
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
+    first = {r["media_id"]: r["feature"] for r in feats}
+    assert again == first  # deterministic
+
+
+def test_multimodal_frame_sampling(spark):
+    media = synthetic_media(spark, n=12)
+    frames = sample_frames(media, every_ms=1000)
+    per_media = (
+        frames.groupBy("media_id").count().join(media, "media_id").collect()
+    )
+    for r in per_media:
+        assert r["count"] == (r["duration_ms"] + 999) // 1000
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image_strict(b"\x89PNG")

@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdatapipeline_spark.operators.stats import batch_statistics, condition_histogram
+from weatherdatapipeline_spark.operators.text import (
+    fingerprint_md5,
+    fingerprint_rolling,
+    language_id,
+    n_words,
+    quality_score,
+)
+
+WEATHER_ROWS = [
+    # city, temperature, humidity, weather — chosen to hit every band
+    ("A", -5.0, 40, "Clear"),
+    ("A", 5.0, 50, "Rain"),
+    ("B", 15.0, 60, "Rain"),
+    ("B", 25.0, 70, "Clouds"),
+    ("C", 35.0, 80, "Clear"),
+    ("C", 45.0, 90, "Clear"),
+]
+
+
+@pytest.fixture(scope="module")
+def weather(spark):
+    return spark.createDataFrame(
+        WEATHER_ROWS, "city string, temperature double, humidity int, weather string"
+    )
+
+
+def test_batch_statistics_golden(weather):
+    row = batch_statistics(weather).collect()[0]
+    assert row["total_records"] == 6
+    assert row["cities_count"] == 3
+    assert abs(row["avg_temperature"] - 20.0) < 1e-9
+    assert row["max_temperature"] == 45.0
+    assert row["min_temperature"] == -5.0
+    assert abs(row["avg_humidity"] - 65.0) < 1e-9
+    assert row["cities"] == ["A", "B", "C"]  # sorted collect_set
+    d = row["temperature_distribution"]
+    assert (d["very_cold"], d["cold"], d["cool"], d["moderate"], d["warm"], d["hot"]) == (
+        1, 1, 1, 1, 1, 1,
+    )
+
+
+def test_condition_histogram_map(weather):
+    row = condition_histogram(weather).collect()[0]
+    assert row["weather_conditions"] == {"Clear": 3, "Rain": 2, "Clouds": 1}
+
+
+def test_quality_and_words(spark):
+    df = spark.createDataFrame(
+        [(0, "a solid sentence with reasonable words here"), (1, "!!! ... ???")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        n_words(F.col("text")).alias("nw"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()}
+    assert rows[0]["nw"] == 7
+    assert rows[0]["q"] > rows[1]["q"]  # punctuation soup scores lower
+
+
+def test_language_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house"),
+            (1, "der Hund und die Katze ist ein Tier"),
+            (2, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lp"] for r in df.select("doc_id", language_id(F.col("text")).alias("lp")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "und"
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "hello worlds")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["f1"], r["f2"]) for r in df.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("f1"),
+        fingerprint_rolling(F.col("text")).alias("f2"),
+    ).collect()}
+    assert rows[0][0] == rows[1][0]  # md5 fingerprint is normalized
+    assert rows[0][0] != rows[2][0]
+    assert rows[1][1] != rows[2][1]  # rolling hash differs on different text
+    assert all(0 <= v[1] < 1_000_000_007 for v in rows.values())

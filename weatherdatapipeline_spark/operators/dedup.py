@@ -63,11 +63,27 @@ def shingle_pairs(
     text_col: str = "text",
     n: int = 3,
     max_shingle_freq: int | None = None,
+    hashed: bool = True,
 ) -> DataFrame:
-    """(doc_id, shingle) exploded distinct pairs, optionally df-cut."""
-    pairs = documents.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
-    ).distinct()
+    """(doc_id, shingle) exploded distinct pairs, optionally df-cut.
+
+    ``hashed=True`` replaces the shingle string by its xxhash64 — the
+    self-join then shuffles 8-byte keys instead of ~25-byte strings (the
+    dominant cost of the near-dup path at scale). A 64-bit collision would
+    merge two shingles; at any realistic shingle cardinality the birthday
+    probability is negligible (~1e-11 at 10^5 distinct shingles).
+    """
+    shingle = F.explode(word_shingles(text_col, n)).alias("shingle")
+    if hashed:
+        pairs = documents.select(F.col(id_col), shingle).select(
+            id_col, F.xxhash64("shingle").alias("shingle")
+        ).distinct()
+        if max_shingle_freq is not None:
+            freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            keep = freq.filter(F.col("df") <= max_shingle_freq).select("shingle")
+            pairs = pairs.join(keep, "shingle", "inner")
+        return pairs
+    pairs = documents.select(F.col(id_col), shingle).distinct()
     if max_shingle_freq is not None:
         freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         keep = freq.filter(F.col("df") <= max_shingle_freq).select("shingle")
@@ -89,7 +105,10 @@ def jaccard_near_duplicates(
     SQL oracle can replicate it verbatim. Returns
     (doc_a, doc_b, common, size_a, size_b, jaccard) with doc_a < doc_b.
     """
-    pairs = shingle_pairs(documents, id_col, text_col, n, max_shingle_freq)
+    # the shingle table feeds three plan branches (sizes, a-side, b-side);
+    # persist it so the explode+distinct runs once, not three times — the
+    # same reason a 100 TB run would materialize the shingle index first
+    pairs = shingle_pairs(documents, id_col, text_col, n, max_shingle_freq).persist()
     sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = pairs.select(F.col(id_col).alias("doc_a"), "shingle")
     b = pairs.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -193,9 +212,14 @@ def minhash_near_duplicates(
     tunable via (bands, rows) to target the threshold, and verification
     touches only candidate pairs.
     """
-    sigs = minhash_signatures(documents, id_col, text_col, n, num_perm)
+    pairs = shingle_pairs(documents, id_col, text_col, n).persist()
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    sigs = pairs.groupBy(id_col).agg(*mins).select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature")
+    )
     cands = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
-    pairs = shingle_pairs(documents, id_col, text_col, n)
     sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = pairs.select(F.col(id_col).alias("doc_a"), "shingle")
     b = pairs.select(F.col(id_col).alias("doc_b"), "shingle")

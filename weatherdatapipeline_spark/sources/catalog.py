@@ -1,0 +1,105 @@
+"""Table catalog: the Spark re-expression of the reference's four MongoDB
+collection shapes (reference load.py:22-127, operators S5-S12) on
+partitioned Parquet.
+
+| Reference collection      | Here                                        |
+|---------------------------|---------------------------------------------|
+| raw_weather_data (append) | append write to `raw_weather`               |
+| current_weather (replace) | overwrite write of latest-per-city snapshot |
+| weather_batch_<ts> (/run) | ONE table partitioned by batch_id           |
+| weather_statistics        | append to `weather_statistics`              |
+| predictions               | append to `predictions` with pred_type tag  |
+
+Per-batch *collections* become *partitions*: partition pruning turns
+"latest batch" queries into single-directory scans, and the catalog stays
+O(1) tables instead of O(runs) (SURVEY.md §1.1). At 100 TB, partitioning
+is by date + batch — bounded directory fan-out, prunable by time range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import latest_per_key
+
+
+def batch_id_col():
+    """The reference's batch-id format (load.py:32 strftime)."""
+    return F.date_format(F.current_timestamp(), "yyyyMMdd_HHmmss")
+
+
+class TableCatalog:
+    """Parquet-directory catalog rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    def path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def list_tables(self) -> list[str]:
+        """S11 catalog listing (reference load.py:162-176)."""
+        import os
+
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    # --- the four reference sinks -------------------------------------
+
+    def append_raw(self, df: DataFrame, name: str = "raw_weather") -> None:
+        """S5 append-only history log with ingestion metadata (P2)."""
+        (
+            df.withColumn("inserted_at", F.current_timestamp())
+            .withColumn("batch_id", batch_id_col())
+            .write.mode("append")
+            .parquet(self.path(name))
+        )
+
+    def overwrite_current(self, df: DataFrame, name: str = "current_weather") -> None:
+        """S6 replace-snapshot: latest row per city, full overwrite
+        (reference delete_many + insert_many, load.py:46-62)."""
+        snap = latest_per_key(df, "city", "timestamp").withColumn(
+            "updated_at", F.current_timestamp()
+        ).withColumn("is_current", F.lit(True))
+        snap.write.mode("overwrite").parquet(self.path(name))
+
+    def append_batch_partition(self, df: DataFrame, name: str = "weather_batches") -> None:
+        """S7 per-batch sink as a partitioned write — `weather_batch_<ts>`
+        collections become batch_id= partitions of one table."""
+        (
+            df.withColumn("batch_id", batch_id_col())
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(self.path(name))
+        )
+
+    def append_stats(self, stats_df: DataFrame, name: str = "weather_statistics") -> None:
+        """S8 one-summary-row sink."""
+        stats_df.write.mode("append").parquet(self.path(name))
+
+    def append_predictions(
+        self, preds: DataFrame, pred_type: str, name: str = "predictions"
+    ) -> None:
+        """S12 scored-rows sink with pred_type tag."""
+        (
+            preds.withColumn("pred_type", F.lit(pred_type))
+            .withColumn("inserted_at", F.current_timestamp())
+            .write.mode("append")
+            .parquet(self.path(name))
+        )
+
+    def write_csv(self, df: DataFrame, name: str) -> None:
+        """S3 CSV sink (reference save_to_csv, load.py:8-20)."""
+        df.write.option("header", True).mode("overwrite").csv(self.path(name))
+
+    def read_csv(self, name: str, schema) -> DataFrame:
+        """S4 CSV scan with declared schema (no inference pass)."""
+        return self.spark.read.schema(schema).option("header", True).csv(self.path(name))

@@ -1,0 +1,159 @@
+"""Structured Streaming re-expression of the reference's scheduler-driven
+micro-batching (SURVEY.md §2.9).
+
+The reference "streams" by re-running the whole ETL every 5 minutes from
+APScheduler (scheduler.py:20-49). Here the same cadence is a native
+``trigger(processingTime="5 minutes")`` micro-batch pipeline, plus the
+capabilities the reference lacks outright:
+
+- ST2 event-time semantics (`withWatermark` on the observation time)
+- ST3 latest-per-key state (update-mode agg or foreachBatch upsert)
+- ST4 per-window aggregate emission (tumbling windows)
+- ST5 late/duplicate handling (watermark + dropDuplicates) — the
+  reference appends unconditionally (load.py:42): re-polls duplicate rows
+- ST6 sliding and session windows
+
+State-at-scale notes: every stateful op here keys its state by a bounded
+domain (city / user_id) and carries a watermark so state is evicted —
+unbounded state is the streaming analogue of a cartesian join. foreachBatch
+upserts write through the same TableCatalog paths the batch engine reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def micro_batch_trigger(writer: DataStreamWriter, minutes: int = 5) -> DataStreamWriter:
+    """ST1: the reference's 5-minute cadence (scheduler.py:49)."""
+    return writer.trigger(processingTime=f"{minutes} minutes")
+
+
+def dedup_late_data(
+    stream: DataFrame,
+    event_time: str,
+    keys: list[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST5: watermarked exact dedup — the capability gap the reference has
+    (unconditional append). State holds one entry per key within the
+    watermark horizon, then is evicted."""
+    return stream.withWatermark(event_time, watermark).dropDuplicates(
+        [*keys, event_time]
+    )
+
+
+def latest_per_key_updates(stream: DataFrame, key: str, event_time: str) -> DataFrame:
+    """ST3 (agg form): latest full row per key as an update-mode stream —
+    ``max_by(struct(*), event_time)`` keeps ONE struct per key in state."""
+    return (
+        stream.groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(*[c for c in stream.columns if c != key]), F.col(event_time)
+            ).alias("_row")
+        )
+        .select(key, "_row.*")
+    )
+
+
+def upsert_snapshot_sink(batch_df: DataFrame, batch_id: int, path: str, key: str, ts: str):
+    """ST3 (foreachBatch form): per-micro-batch upsert of the snapshot
+    table — reduce the batch to latest-per-key, union with the stored
+    snapshot, keep the winner, overwrite. This is the reference's
+    current_weather replace semantics made incremental."""
+    from ..operators.relational import latest_per_key
+
+    spark = batch_df.sparkSession
+    incoming = latest_per_key(batch_df, key, ts)
+    try:
+        existing = spark.read.parquet(path)
+        merged = latest_per_key(existing.unionByName(incoming), key, ts)
+    except Exception:  # first batch: no snapshot yet
+        merged = incoming
+    # small state table: coalesce to avoid many tiny files, rewrite atomically
+    merged.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def tumbling_stats(
+    stream: DataFrame,
+    event_time: str,
+    value_col: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST4: per-window aggregate emission (the reference's per-batch stats
+    doc, load.py:93-115, with event-time windows instead of arrival
+    batches). Append-mode-compatible thanks to the watermark."""
+    return (
+        stream.withWatermark(event_time, watermark)
+        .groupBy(F.window(event_time, window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("total_records"),
+            F.round(F.avg(value_col), 4).alias("avg_value"),
+            F.round(F.min(value_col), 4).alias("min_value"),
+            F.round(F.max(value_col), 4).alias("max_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "total_records",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    event_time: str,
+    key: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST6: sliding-window counts per key."""
+    return (
+        stream.withWatermark(event_time, watermark)
+        .groupBy(F.window(event_time, window, slide).alias("win"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), key, "cnt")
+    )
+
+
+def session_counts(
+    stream: DataFrame,
+    event_time: str,
+    key: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST6: session windows (gap-based) per key."""
+    return (
+        stream.withWatermark(event_time, watermark)
+        .groupBy(F.session_window(event_time, gap).alias("win"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key,
+            "cnt",
+        )
+    )
+
+
+def run_available_now_to_memory(stream_out: DataFrame, name: str, output_mode: str):
+    """Test/driver helper: drain all available input through the streaming
+    plan into an in-memory sink and block until done."""
+    q = (
+        stream_out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
