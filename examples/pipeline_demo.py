@@ -53,6 +53,25 @@ def main() -> None:
         5, truncate=False
     )
 
+    # --- L/P-path: train → register → promote → predict (reference §3.2/3.3) ---
+    from weatherdatapipeline_spark.ml.pipeline import predict, train
+    from weatherdatapipeline_spark.ml.registry import LocalRegistry
+
+    models = train(weather, n_splits=3, n_trees=10)
+    print("cv metrics:", {k: round(v, 4) for k, v in models.metrics.items()})
+    reg = LocalRegistry(f"{root}/registry")
+    mv = reg.log("weather_models", models, params={"n_trees": 10, "n_splits": 3})
+    reg.promote("weather_models", mv.version, "Production")
+    prod = reg.load(spark, reg.get_stage("weather_models", "Production"))
+    preds = predict(prod, weather)
+    scored = preds.filter(F.col("pred_temperature").isNotNull())
+    print(f"predictions: {preds.count()} rows ({scored.count()} scored)")
+    cat.append_predictions(
+        scored.select("city", "timestamp", "pred_temperature", "pred_condition"),
+        pred_type="regression+classification",
+    )
+    print("predictions table rows:", cat.read("predictions").count())
+
     # --- streaming: windowed stats over the raw table as a file stream ---
     stream = spark.readStream.schema(cat.read("raw_weather").schema).parquet(
         cat.path("raw_weather")

@@ -766,6 +766,223 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Additional scalar/agg coverage: cube, JSON access, percentiles, A10 eval
+# --------------------------------------------------------------------------
+
+
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims (all grouping-set combinations — free in
+    Catalyst, absent in the reference)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 JSON path access: extract props.k (stringified JSON), bucket it."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k - F.pmod(k, F.lit(10))).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT k_bucket, count(*) AS cnt FROM (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 * 10 AS k_bucket
+  FROM events
+) GROUP BY k_bucket
+"""
+
+
+def percentile_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated percentiles per group (absent in reference; A10-adjacent)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4)  AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+def eval_persistence_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 error metrics (reference training.py:55-57, predict.py:168-171)
+    against a deterministic persistence 'model' (pred = previous value per
+    user): MAE and RMSE as single-pass aggregates — the monitoring/eval
+    path with a SQL-checkable model."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scored = ev.select("value", F.lag("value", 1).over(w).alias("pred")).filter(
+        F.col("pred").isNotNull()
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg(F.abs(F.col("value") - F.col("pred"))), 4).alias("mae"),
+        F.round(F.sqrt(F.avg(F.pow(F.col("value") - F.col("pred"), 2))), 4).alias("rmse"),
+    )
+
+
+ORACLE_EVAL_PERSISTENCE = """
+SELECT count(*) AS n_scored,
+       round(avg(abs(value - pred)), 4) AS mae,
+       round(sqrt(avg((value - pred) * (value - pred))), 4) AS rmse
+FROM (
+  SELECT value, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pred
+  FROM events
+) WHERE pred IS NOT NULL
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the at-scale variant of A2. Sketch
+    values are engine-specific → rows-only; the pytest suite bounds the
+    relative error against the exact count instead."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming queries (ST3/ST4/ST6) — run through Structured Streaming with
+# trigger(availableNow) and compared against relational oracles: on static
+# input the watermark semantics are deterministic (emit window/session iff
+# its end <= final watermark = max(ts) - delay).
+# --------------------------------------------------------------------------
+
+_SINK_COUNTER = [0]
+
+
+def _stage_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """readStream can't apply the nanos workaround, so stage the converted
+    events as µs-timestamp parquet under /tmp once per sf_dir."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/wdp_stream_stage_{tag}"
+    ev = _t(spark, sf_dir, "events")
+    import os
+
+    if not os.path.isdir(path):
+        ev.write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(ev.schema).parquet(path), path
+
+
+def _drain(stream_df: DataFrame, mode: str) -> DataFrame:
+    from .streaming.jobs import run_available_now_to_memory
+
+    _SINK_COUNTER[0] += 1
+    name = f"wdp_sink_{_SINK_COUNTER[0]}"
+    run_available_now_to_memory(stream_df, name, mode)
+    return stream_df.sparkSession.table(name)
+
+
+def streaming_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4: hourly event-time windows with a 2h watermark, drained with
+    availableNow. Emits exactly the windows whose end <= final watermark."""
+    from .streaming.jobs import tumbling_stats
+
+    stream, _ = _stage_events_stream(spark, sf_dir)
+    out = tumbling_stats(stream, "ts", "value", window="60 minutes", watermark="120 minutes")
+    res = _drain(out, "append")
+    return res.select(
+        F.unix_micros("window_start").alias("ws_us"),
+        "total_records",
+        "avg_value",
+        "min_value",
+        "max_value",
+    )
+
+
+ORACLE_STREAM_TUMBLING = """
+WITH m AS (SELECT max(ts) - INTERVAL 120 MINUTE AS wm FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS ws,
+         count(*)             AS total_records,
+         round(avg(value), 4) AS avg_value,
+         round(min(value), 4) AS min_value,
+         round(max(value), 4) AS max_value
+  FROM events GROUP BY 1
+)
+SELECT epoch_us(ws) AS ws_us, total_records, avg_value, min_value, max_value
+FROM w, m WHERE ws + INTERVAL 60 MINUTE <= wm
+"""
+
+
+def streaming_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: stateful latest-per-key over the stream (complete mode); after
+    draining all input this equals the batch latest-per-key snapshot."""
+    from .streaming.jobs import latest_per_key_updates
+
+    stream, _ = _stage_events_stream(spark, sf_dir)
+    out = latest_per_key_updates(stream, "user_id", "ts")
+    res = _drain(out, "complete")
+    return res.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    )
+
+
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: session windows (30-min gap) per user with a 60-min watermark —
+    the oracle is the gaps-and-islands rewrite with session_end =
+    last_event + gap, emitted iff session_end <= final watermark."""
+    from .streaming.jobs import session_counts
+
+    stream, _ = _stage_events_stream(spark, sf_dir)
+    out = session_counts(stream, "ts", "user_id", gap="30 minutes", watermark="60 minutes")
+    res = _drain(out, "append")
+    return res.select(
+        F.unix_micros("session_start").alias("ss_us"),
+        F.unix_micros("session_end").alias("se_us"),
+        "user_id",
+        "cnt",
+    )
+
+
+ORACLE_STREAM_SESSIONS = """
+WITH m AS (SELECT max(ts) - INTERVAL 60 MINUTE AS wm FROM events),
+x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+y AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+s AS (
+  SELECT user_id,
+         epoch_us(min(ts)) AS ss_us,
+         epoch_us(max(ts) + INTERVAL 30 MINUTE) AS se_us,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS cnt
+  FROM y GROUP BY user_id, sid
+)
+SELECT ss_us, se_us, user_id, cnt FROM s, m WHERE session_end <= wm
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -801,6 +1018,14 @@ QUERIES: dict[str, Query] = {
     "knn_join_first5": knn_join_first5,
     "similarity_lsh_topk": similarity_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "cube_order_status_priority": cube_order_status_priority,
+    "json_props_stats": json_props_stats,
+    "percentile_value_by_type": percentile_value_by_type,
+    "eval_persistence_forecast": eval_persistence_forecast,
+    "approx_distinct_users": approx_distinct_users,
+    "streaming_tumbling_stats": streaming_tumbling_stats,
+    "streaming_latest_per_user": streaming_latest_per_user,
+    "streaming_session_counts": streaming_session_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -831,6 +1056,14 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard_pairs": ORACLE_JACCARD,
     "similarity_topk": ORACLE_SIM_TOPK,
     "knn_join_first5": ORACLE_KNN_JOIN,
-    # rows-only (non-SQL-portable hashing/LSH): dedup_minhash_pairs,
-    # dedup_simhash_pairs, similarity_lsh_topk, embedding_near_dup_pairs
+    "cube_order_status_priority": ORACLE_CUBE,
+    "json_props_stats": ORACLE_JSON_PROPS,
+    "percentile_value_by_type": ORACLE_PERCENTILES,
+    "eval_persistence_forecast": ORACLE_EVAL_PERSISTENCE,
+    "streaming_tumbling_stats": ORACLE_STREAM_TUMBLING,
+    "streaming_latest_per_user": ORACLE_LATEST_PER_USER,
+    "streaming_session_counts": ORACLE_STREAM_SESSIONS,
+    # rows-only (non-SQL-portable hashing/LSH/sketches):
+    # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
+    # embedding_near_dup_pairs, approx_distinct_users
 }
