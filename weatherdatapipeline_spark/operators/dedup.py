@@ -31,8 +31,13 @@ def dedup_exact(
     """Keep exactly one row per key-tuple: the one with the smallest
     ``tiebreaker`` (deterministic, unlike bare ``dropDuplicates``).
 
-    Implemented with ``min_by(struct(*), tiebreaker)`` — single hash
-    aggregate, map-side combine; no window sort.
+    Implemented as hash-aggregate min(tiebreaker) per key + inner join back
+    on the (unique) tiebreaker. ``min_by(struct(*))`` would be one pass but
+    compiles to SortAggregate (struct payloads aren't hash-agg buffer
+    types) — a per-partition sort of FULL rows; the min+join form keeps
+    both sides HashAggregate/HashJoin and shuffles the narrow (key,
+    tiebreaker) projection for the aggregate. Requires ``tiebreaker`` to be
+    row-unique (a primary key).
 
     If ``normalize_text_col`` is given, that column is replaced by its md5
     fingerprint for grouping (case/whitespace-insensitive exact dedup).
@@ -42,8 +47,8 @@ def dedup_exact(
     if normalize_text_col:
         work = work.withColumn("_fp", fingerprint_md5(F.col(normalize_text_col)))
         group_cols = [c for c in group_cols if c != normalize_text_col] + ["_fp"]
-    row = F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(tiebreaker)).alias("_row")
-    return work.groupBy(*group_cols).agg(row).select("_row.*")
+    keep = work.groupBy(*group_cols).agg(F.min(tiebreaker).alias(tiebreaker))
+    return df.join(keep.select(tiebreaker), tiebreaker, "inner").select(*df.columns)
 
 
 def word_shingles(text_col: str, n: int = 3) -> F.Column:
