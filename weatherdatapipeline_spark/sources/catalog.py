@@ -96,6 +96,29 @@ class TableCatalog:
             .parquet(self.path(name))
         )
 
+    def write_bucketed(
+        self, df: DataFrame, name: str, bucket_col: str, n_buckets: int = 32
+    ) -> None:
+        """Bucketed managed table: pre-shuffles rows into ``n_buckets`` by
+        hash(bucket_col) at write time, with per-bucket sort. A join or
+        aggregation on ``bucket_col`` between two tables bucketed the same
+        way runs WITHOUT a shuffle — at 100 TB this deletes the recurring
+        exchange on a fact-fact join key (pay the shuffle once at ingest,
+        never per query). See tests/test_scale_paths.py for the
+        no-Exchange plan assertion."""
+        (
+            df.write.bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .mode("overwrite")
+            .option("path", self.path(name))
+            .saveAsTable(name)
+        )
+
+    def read_table(self, name: str) -> DataFrame:
+        """Read a managed (bucketed) table — bucket metadata lives in the
+        session catalog, so use the table name, not the path."""
+        return self.spark.table(name)
+
     def write_csv(self, df: DataFrame, name: str) -> None:
         """S3 CSV sink (reference save_to_csv, load.py:8-20)."""
         df.write.option("header", True).mode("overwrite").csv(self.path(name))
