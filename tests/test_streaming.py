@@ -6,6 +6,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from weatherdatapipeline_spark.streaming.jobs import (
     dedup_late_data,
@@ -79,6 +80,38 @@ def test_st6_session_windows(spark, stream_source):
     # 10:07 session closes when the watermark (12:00 - 10min) passes its gap
     # end, but u2's 12:00 session is still open at drain → held in state
     assert [(r["user_id"], r["cnt"]) for r in rows] == [("u1", 4), ("u2", 1)]
+
+
+def test_stream_static_join(spark, stream_source):
+    from weatherdatapipeline_spark.streaming.jobs import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [("u1", "alice"), ("u2", "bob")], "user_id string, user_name string"
+    )
+    out = stream_static_enrich(stream_source(), dim, "user_id")
+    run_available_now_to_memory(out, "enrich_sink", "append")
+    rows = spark.sql("SELECT DISTINCT user_id, user_name FROM enrich_sink").collect()
+    assert {(r["user_id"], r["user_name"]) for r in rows} == {("u1", "alice"), ("u2", "bob")}
+
+
+def test_stream_stream_join_time_bounded(spark, stream_source):
+    from weatherdatapipeline_spark.streaming.jobs import stream_stream_join
+
+    # left = the raw events; right = the same stream shifted: join each event
+    # to events of the same user within the preceding 5 minutes
+    left = stream_source().select("user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id"))
+    right = stream_source().select("user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id"))
+    out = stream_stream_join(left, right, "user_id", "l_ts", "r_ts", max_lag="5 minutes")
+    run_available_now_to_memory(
+        out.select("l_id", "r_id"), "ssjoin_sink", "append"
+    )
+    got = {(r["l_id"], r["r_id"]) for r in spark.sql("SELECT * FROM ssjoin_sink").collect()}
+    # u1 events at 10:00(x2 dup), 10:02, 10:11; u2 at 10:07, 12:00.
+    # pairs (l,r) with r in [l-5min, l]: self-pairs + (2,1)x2 + dup cross-pairs;
+    # 10:11 is >5min after 10:02 → only its self-pair
+    assert (2, 1) in got
+    assert (4, 2) not in got  # 9 min gap exceeds max_lag
+    assert all((l, l) in got for l in (1, 2, 3, 4, 5))  # self-joins at lag 0
 
 
 def test_st3_foreachbatch_upsert(spark, stream_source, tmp_path_factory):

@@ -407,6 +407,37 @@ SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM (
 """
 
 
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/value window coverage (SURVEY §2.5 absent-list):
+    first_value over the running frame, last_value over the full partition,
+    dense_rank and percent_rank by value (ties share ranks — deterministic
+    without a tiebreaker)."""
+    ev = _t(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = wt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wv = Window.partitionBy("user_id").orderBy("value")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first_value("value").over(wt).alias("first_val"),
+        F.last_value("value").over(wfull).alias("last_val"),
+        F.dense_rank().over(wv).cast("long").alias("value_dense_rank"),
+        F.round(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
+    )
+
+
+ORACLE_RANK_SUITE = """
+SELECT user_id, event_id,
+       first_value(value) OVER wt AS first_val,
+       last_value(value)  OVER (PARTITION BY user_id) AS last_val,
+       dense_rank()   OVER wv AS value_dense_rank,
+       round(percent_rank() OVER wv, 6) AS value_pct_rank
+FROM events
+WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wv AS (PARTITION BY user_id ORDER BY value)
+"""
+
+
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile quartiles over order value → per-quartile stats."""
     o = _t(spark, sf_dir, "orders")
@@ -1083,6 +1114,7 @@ QUERIES: dict[str, Query] = {
     "window_rolling_stats": window_rolling_stats,
     "top_events_per_user": top_events_per_user,
     "latest_event_per_user": latest_event_per_user,
+    "window_rank_suite": window_rank_suite,
     "order_price_quartiles": order_price_quartiles,
     "topk_latest_events": topk_latest_events,
     "set_union_segments": set_union_segments,
@@ -1128,6 +1160,7 @@ ORACLES: dict[str, str] = {
     "window_rolling_stats": ORACLE_ROLLING,
     "top_events_per_user": ORACLE_TOP_PER_USER,
     "latest_event_per_user": ORACLE_LATEST_PER_USER,
+    "window_rank_suite": ORACLE_RANK_SUITE,
     "order_price_quartiles": ORACLE_QUARTILES,
     "topk_latest_events": ORACLE_TOPK_LATEST,
     "set_union_segments": ORACLE_SET_UNION,

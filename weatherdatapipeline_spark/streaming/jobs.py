@@ -145,6 +145,37 @@ def session_counts(
     )
 
 
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich each micro-batch against a (slowly
+    changing) dimension table. The static side is re-read per micro-batch —
+    at scale keep it broadcastable or pre-bucketed; no state is kept."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with bounded state: both sides are
+    watermarked AND the join carries a time-range predicate
+    (right within [left - max_lag, left]), so each side's state buffer is
+    evicted once the other stream's watermark passes — without the range
+    condition, stream-stream state grows forever."""
+    l = left.withWatermark(left_time, watermark)
+    r = right.withWatermark(right_time, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (r[right_time] >= F.expr(f"{left_time} - interval {max_lag}"))
+        & (r[right_time] <= l[left_time])
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_available_now_to_memory(stream_out: DataFrame, name: str, output_mode: str):
     """Test/driver helper: drain all available input through the streaming
     plan into an in-memory sink and block until done."""
