@@ -63,17 +63,44 @@ def main() -> None:
         per_query[name] = round(min(run(name), run(name)), 3)
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf),
-            }
-        )
-    )
+
+    # single-node yardstick: the same oracle SQL on DuckDB (the reference
+    # publishes no benchmark — BASELINE.md — so the strongest available
+    # single-node engine serves as the comparison bar)
+    duck_total = None
+    try:
+        import time as _time
+
+        import duckdb
+
+        from weatherdatapipeline_spark.queries import ORACLES
+
+        con = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        duck = {}
+        for name in HEADLINE:
+            if name in ORACLES:
+                con.execute(ORACLES[name]).fetchall()  # warm
+                t0 = _time.perf_counter()
+                con.execute(ORACLES[name]).fetchall()
+                duck[name] = round(_time.perf_counter() - t0, 3)
+        duck_total = round(sum(duck.values()), 3)
+    except Exception:
+        duck = {}
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf),
+    }
+    if duck_total is not None:
+        out["duckdb_same_queries_total"] = duck_total
+        out["duckdb_queries"] = duck
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

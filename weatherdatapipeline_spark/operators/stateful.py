@@ -1,0 +1,84 @@
+"""Custom per-group operators that genuinely need imperative logic —
+the escape hatch tier of the operator hierarchy (SURVEY §2.10 U2:
+built-ins first, Arrow-batched applyInPandas only when the semantics
+can't be expressed relationally).
+
+EWMA is the canonical example: y_t = α·x_t + (1-α)·y_{t-1} is a
+sequential recurrence — no fixed window frame computes it. One
+``applyInPandas`` per key keeps the recurrence local to a partition
+while every key still processes in parallel.
+
+Scale: groups are hash-partitioned; each group must fit one task's
+memory (per-city/per-user series do). Arrow moves columnar batches —
+no per-row Python overhead. The streaming twin
+(`streaming.jobs.ewma_stateful`) carries the recurrence across
+micro-batches with applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, ordered by ts.
+
+    Matches pandas ``ewm(alpha=α, adjust=False)`` exactly (the recurrence
+    form) — the pytest oracle is hand-computed values.
+    """
+    out_schema = StructType(
+        [
+            df.schema[key],
+            df.schema[ts_col],
+            df.schema[value_col],
+            StructField("ewma", DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf[[key, ts_col, value_col, "ewma"]]
+
+    return df.select(key, ts_col, value_col).groupBy(key).applyInPandas(fn, out_schema)
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Online anomaly flags: |x_t - EWMA_{t-1}| > threshold · EW-std_{t-1}.
+    Uses the *previous* state so the anomaly itself doesn't mask its own
+    detection — again inherently sequential, hence applyInPandas."""
+    out_schema = StructType(
+        [
+            df.schema[key],
+            df.schema[ts_col],
+            df.schema[value_col],
+            StructField("expected", DoubleType()),
+            StructField("deviation", DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        m = pdf[value_col].ewm(alpha=alpha, adjust=False).mean().shift(1)
+        s = pdf[value_col].ewm(alpha=alpha, adjust=False).std().shift(1)
+        pdf["expected"] = m
+        pdf["deviation"] = (pdf[value_col] - m).abs() / s
+        out = pdf[[key, ts_col, value_col, "expected", "deviation"]]
+        return out[out["deviation"] > threshold]
+
+    return df.select(key, ts_col, value_col).groupBy(key).applyInPandas(fn, out_schema)

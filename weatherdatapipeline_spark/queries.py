@@ -893,6 +893,82 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL API (Catalyst
+    decorrelates it into an aggregate + join — SURVEY §4.2 'free' row).
+    Orders priced above 1.5x their customer's average order value."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM v_orders o
+        WHERE o_totalprice > 1.5 * (
+          SELECT avg(o_totalprice) FROM v_orders i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+ORACLE_ABOVE_AVG = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
+def suppliers_with_unshipped_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS subqueries (decorrelated to semi/anti joins):
+    suppliers shipping in the 2001-10 tail window but never with
+    quantity > 45 there."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM v_supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM v_lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate >= TIMESTAMP '2001-10-01'
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM v_lineitem l
+          WHERE l.l_suppkey = s.s_suppkey
+            AND l.l_shipdate >= TIMESTAMP '2001-10-01' AND l.l_quantity > 45
+        )
+        """
+    )
+
+
+ORACLE_EXISTS = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate >= TIMESTAMP '2001-10-01'
+)
+AND NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey
+    AND l.l_shipdate >= TIMESTAMP '2001-10-01' AND l.l_quantity > 45
+)
+"""
+
+
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sequential operator (U2 escape hatch): per-user EWMA via
+    Arrow-batched applyInPandas — a recurrence no window frame expresses.
+    Rows-only check (the pytest oracle is hand-computed pandas ewm)."""
+    from .operators.stateful import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma(ev, "user_id", "ts", "value", alpha=0.3)
+    return out.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value", F.round("ewma", 4).alias("ewma")
+    )
+
+
 def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/range join (SURVEY §2.3 'absent' list): events banded by a
     small interval dimension. The dim is broadcast so the non-equi
@@ -1137,6 +1213,9 @@ QUERIES: dict[str, Query] = {
     "percentile_value_by_type": percentile_value_by_type,
     "eval_persistence_forecast": eval_persistence_forecast,
     "approx_distinct_users": approx_distinct_users,
+    "orders_above_customer_avg": orders_above_customer_avg,
+    "suppliers_with_unshipped_parts": suppliers_with_unshipped_parts,
+    "ewma_user_values": ewma_user_values,
     "range_join_value_bands": range_join_value_bands,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "window_trailing_hour": window_trailing_hour,
@@ -1178,6 +1257,8 @@ ORACLES: dict[str, str] = {
     "json_props_stats": ORACLE_JSON_PROPS,
     "percentile_value_by_type": ORACLE_PERCENTILES,
     "eval_persistence_forecast": ORACLE_EVAL_PERSISTENCE,
+    "orders_above_customer_avg": ORACLE_ABOVE_AVG,
+    "suppliers_with_unshipped_parts": ORACLE_EXISTS,
     "range_join_value_bands": ORACLE_RANGE_JOIN,
     "unpivot_lineitem_measures": ORACLE_UNPIVOT,
     "window_trailing_hour": ORACLE_TRAILING_HOUR,
