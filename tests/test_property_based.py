@@ -1,0 +1,106 @@
+"""Property-based tests: operators vs independent brute-force Python
+implementations on hypothesis-generated inputs. Few examples (Spark
+round-trip per example), wide input space."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from weatherdatapipeline_spark.operators.dedup import jaccard_near_duplicates
+from weatherdatapipeline_spark.operators.relational import latest_per_key, top_k
+
+SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+WORDS = ["spark", "row", "table", "scan", "join", "agg", "batch", "fast"]
+
+
+def brute_jaccard(docs, n=3, threshold=0.2):
+    def shingles(text):
+        toks = text.lower().split()
+        if len(toks) <= n:
+            return {" ".join(toks[:n])}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    out = {}
+    sh = {i: shingles(t) for i, t in docs}
+    ids = sorted(sh)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sh[ids[i]], sh[ids[j]]
+            jac = len(a & b) / len(a | b)
+            if round(jac, 6) >= threshold:
+                out[(ids[i], ids[j])] = round(jac, 6)
+    return out
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_jaccard_matches_bruteforce(spark, docs):
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_near_duplicates(df, threshold=0.2).collect()
+    }
+    want = brute_jaccard(rows)
+    assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50), st.integers(0, 999)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_latest_per_key_matches_python_max(spark, rows):
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    got = {r["k"]: (r["t"], r["v"]) for r in latest_per_key(df, "k", "t").collect()}
+    want = {}
+    for k, t, v in rows:
+        # operator tie-breaks equal timestamps by greatest remaining struct
+        if k not in want or (t, v) > want[k]:
+            want[k] = (t, v)
+    assert got == want
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=50),
+    k=st.integers(1, 10),
+)
+def test_top_k_matches_sorted(spark, vals, k):
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    got = [(r["v"], r["id"]) for r in top_k(df, [F.desc("v"), F.col("id")], k).collect()]
+    want = sorted(rows, key=lambda r: (-r[0], r[1]))[:k]
+    assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.floats(-100, 100, width=32)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_groupcount_matches_counter(spark, rows):
+    df = spark.createDataFrame([(k, float(v)) for k, v in rows], "k string, v double")
+    got = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count("v").alias("cnt")).collect()}
+    want = Counter(k for k, _ in rows)
+    assert got == dict(want)

@@ -114,6 +114,39 @@ def test_stream_stream_join_time_bounded(spark, stream_source):
     assert all((l, l) in got for l in (1, 2, 3, 4, 5))  # self-joins at lag 0
 
 
+def test_stateful_ewma_across_batches(spark, tmp_path_factory):
+    """The EWMA recurrence must carry across micro-batches: two files
+    processed as separate batches (maxFilesPerTrigger=1) yield the same
+    smoothed series as one batch over all rows."""
+    import time as _time
+
+    from weatherdatapipeline_spark.streaming.jobs import ewma_stateful
+
+    path = str(tmp_path_factory.mktemp("ewma_in"))
+    batch1 = [(1, ts("2024-01-01T10:00:00"), "u1", 10.0), (2, ts("2024-01-01T10:01:00"), "u1", 20.0)]
+    batch2 = [(3, ts("2024-01-01T10:02:00"), "u1", 20.0), (4, ts("2024-01-01T10:03:00"), "u1", 0.0)]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)  # distinct mtimes → deterministic file order
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    out = ewma_stateful(stream.select("user_id", "ts", "value"), "user_id", "ts", "value", alpha=0.5)
+    q = (
+        out.writeStream.format("memory").queryName("ewma_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["ts"]: r["ewma"]
+        for r in spark.sql("SELECT * FROM ewma_sink WHERE user_id='u1'").collect()
+    }
+    # recurrence over ALL FOUR rows: 10, 15, 17.5, 8.75 — state crossed batches
+    assert got[ts("2024-01-01T10:00:00")] == 10.0
+    assert got[ts("2024-01-01T10:01:00")] == 15.0
+    assert got[ts("2024-01-01T10:02:00")] == 17.5
+    assert got[ts("2024-01-01T10:03:00")] == 8.75
+
+
 def test_st3_foreachbatch_upsert(spark, stream_source, tmp_path_factory):
     snap = str(tmp_path_factory.mktemp("snap")) + "/current"
     q = (

@@ -80,6 +80,9 @@ def shingle_pairs(
     """
     shingle = F.explode(word_shingles(text_col, n)).alias("shingle")
     if hashed:
+        # (measured: building the joined string then hashing it beats
+        # per-token try_element_at hashing ~2.5x — HOF lambdas with array
+        # index lookups evaluate interpreted)
         pairs = documents.select(F.col(id_col), shingle).select(
             id_col, F.xxhash64("shingle").alias("shingle")
         ).distinct()

@@ -176,6 +176,62 @@ def stream_stream_join(
     return l.join(r, cond, "inner")
 
 
+def ewma_stateful(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: the
+    EWMA recurrence carried ACROSS micro-batches — per-key state is one
+    float (the last smoothed value), updated each batch.
+
+    This is the template for any custom sequential operator Structured
+    Streaming lacks (SURVEY §2.9/§2.10): state is explicit, bounded (one
+    struct per key), and the per-batch work is an Arrow-batched pandas fold.
+    Assumes per-key event-time order across batches (true for replayed
+    logs and per-entity ordered sources); out-of-order input would need
+    event buffering in state until the watermark closes.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            stream.schema[key],
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("last", DoubleType())])
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        last = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            out = []
+            for v in pdf[value_col]:
+                last = float(v) if last is None else alpha * float(v) + (1 - alpha) * last
+                out.append(last)
+            pdf = pdf.copy()
+            pdf["ewma"] = out
+            yield pdf[[c.name for c in out_schema.fields[:-1]] + ["ewma"]].assign(
+                **{key: key_tuple[0]}
+            )
+        state.update((last,))
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_available_now_to_memory(stream_out: DataFrame, name: str, output_mode: str):
     """Test/driver helper: drain all available input through the streaming
     plan into an in-memory sink and block until done."""
