@@ -74,6 +74,19 @@ def test_predict_appends_columns_keeps_warmup_rows(trained):
     assert conditions <= {"Clear", "Clouds", "Rain", "Mist", "Thunderstorm"}
 
 
+def test_logistic_regression_alternative(spark, tmp_path):
+    from weatherdatapipeline_spark.ml.registry import LocalRegistry
+
+    weather = synthetic_weather(spark, n_batches=20)
+    models = train(weather, n_splits=2, n_trees=3, classifier_kind="lr")
+    assert models.metrics["accuracy"] >= 0
+    reg = LocalRegistry(str(tmp_path))
+    reg.log("lr_model", models, params={"classifier_kind": "lr"})
+    loaded = reg.load(spark, reg.latest("lr_model"))
+    preds = predict(loaded, weather)
+    assert preds.filter(F.col("pred_condition").isNotNull()).count() > 0
+
+
 def test_registry_lifecycle(tmp_path, spark, trained):
     models, weather = trained
     reg = LocalRegistry(str(tmp_path))

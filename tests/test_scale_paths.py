@@ -74,6 +74,24 @@ def test_ivf_topk_recall_on_clusters(spark):
     assert probed < 200
 
 
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """The reference's per-batch collections become partitions; a filter on
+    the partition column must become a PartitionFilter (directory pruning),
+    not a data filter — at 100 TB this is the difference between scanning
+    one day and scanning the archive."""
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.concat(F.lit("d"), (F.col("id") % 10)).alias("day"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    path = str(tmp_path / "by_day")
+    df.write.partitionBy("day").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("day") == "d3")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(back._jdf.queryExecution(), "formatted")
+    assert re.search(r"PartitionFilters: \[.*day.*d3", plan), plan
+    assert back.count() == 100
+
+
 def test_bucketed_join_eliminates_exchange(spark, tmp_path):
     cat = TableCatalog(spark, str(tmp_path))
     orders = spark.range(1000).select(

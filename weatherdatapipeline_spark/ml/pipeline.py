@@ -114,6 +114,7 @@ def train(
     n_splits: int = 5,
     n_trees: int = 50,
     min_rows: int = 20,
+    classifier_kind: str = "rf",
 ) -> TrainedModels:
     """L-path: feature plan → time-ordered CV metrics → refit on all rows
     (reference training.py:147-158 flow; hard floor of 20 rows mirrors
@@ -140,9 +141,15 @@ def train(
     reg = RandomForestRegressor(
         featuresCol="features", labelCol="target_temp_next", numTrees=n_trees, seed=42
     )
-    clf = RandomForestClassifier(
-        featuresCol="features", labelCol="label_idx", numTrees=n_trees, seed=42
-    )
+    if classifier_kind == "lr":
+        # the reference's LogisticRegression alternative (training.py:72-74)
+        from pyspark.ml.classification import LogisticRegression
+
+        clf = LogisticRegression(featuresCol="features", labelCol="label_idx", maxIter=50)
+    else:
+        clf = RandomForestClassifier(
+            featuresCol="features", labelCol="label_idx", numTrees=n_trees, seed=42
+        )
 
     fold_metrics: list[dict[str, float]] = []
     for train_end, val_end in time_series_splits(n, n_splits):

@@ -126,15 +126,23 @@ class LocalRegistry:
 
     def load(self, spark, mv: ModelVersion):
         """Rehydrate a TrainedModels bundle from a registry entry."""
-        from pyspark.ml.classification import RandomForestClassificationModel
+        from pyspark.ml.classification import (
+            LogisticRegressionModel,
+            RandomForestClassificationModel,
+        )
         from pyspark.ml.feature import StringIndexerModel
         from pyspark.ml.regression import RandomForestRegressionModel
 
         from .pipeline import TrainedModels
 
+        clf_cls = (
+            LogisticRegressionModel
+            if mv.params.get("classifier_kind") == "lr"
+            else RandomForestClassificationModel
+        )
         return TrainedModels(
             regressor=RandomForestRegressionModel.load(os.path.join(mv.path, "regressor")),
-            classifier=RandomForestClassificationModel.load(os.path.join(mv.path, "classifier")),
+            classifier=clf_cls.load(os.path.join(mv.path, "classifier")),
             label_indexer=StringIndexerModel.load(os.path.join(mv.path, "label_indexer")),
             feature_cols=list(mv.feature_cols),
             categories={k: list(v) for k, v in mv.categories.items()},
