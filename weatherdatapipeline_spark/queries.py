@@ -893,6 +893,32 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide one-hot counts — the relational form of F12's
+    get_dummies): per-user event-type count matrix. The value list is
+    explicit, so the output schema is static — at scale a dynamic pivot
+    would need a driver-side distinct first."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+ORACLE_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)    AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)    AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)   AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)     AS view
+FROM events GROUP BY user_id
+"""
+
+
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery through the SQL API (Catalyst
     decorrelates it into an aggregate + join — SURVEY §4.2 'free' row).
@@ -1128,6 +1154,37 @@ def streaming_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: sliding windows (60-min window, 30-min slide) per event_type —
+    each event lands in two overlapping windows; oracle enumerates both
+    window starts per event and applies the same watermark emission rule."""
+    from .streaming.jobs import sliding_counts
+
+    stream, _ = _stage_events_stream(spark, sf_dir)
+    out = sliding_counts(
+        stream, "ts", "event_type", window="60 minutes", slide="30 minutes",
+        watermark="120 minutes",
+    )
+    res = _drain(out, "append")
+    return res.select(
+        F.unix_micros("window_start").alias("ws_us"), "event_type", "cnt"
+    )
+
+
+ORACLE_STREAM_SLIDING = """
+WITH m AS (SELECT max(ts) - INTERVAL 120 MINUTE AS wm FROM events),
+w AS (
+  SELECT event_type, ws, count(*) AS cnt FROM (
+    SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS b, ts FROM events
+  ), LATERAL (SELECT unnest([b, b - INTERVAL 30 MINUTE]) AS ws)
+  WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
+  GROUP BY event_type, ws
+)
+SELECT epoch_us(ws) AS ws_us, event_type, cnt
+FROM w, m WHERE ws + INTERVAL 60 MINUTE <= wm
+"""
+
+
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6: session windows (30-min gap) per user with a 60-min watermark —
     the oracle is the gaps-and-islands rewrite with session_end =
@@ -1213,6 +1270,7 @@ QUERIES: dict[str, Query] = {
     "percentile_value_by_type": percentile_value_by_type,
     "eval_persistence_forecast": eval_persistence_forecast,
     "approx_distinct_users": approx_distinct_users,
+    "pivot_event_type_counts": pivot_event_type_counts,
     "orders_above_customer_avg": orders_above_customer_avg,
     "suppliers_with_unshipped_parts": suppliers_with_unshipped_parts,
     "ewma_user_values": ewma_user_values,
@@ -1222,6 +1280,7 @@ QUERIES: dict[str, Query] = {
     "streaming_tumbling_stats": streaming_tumbling_stats,
     "streaming_latest_per_user": streaming_latest_per_user,
     "streaming_session_counts": streaming_session_counts,
+    "streaming_sliding_counts": streaming_sliding_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -1257,6 +1316,7 @@ ORACLES: dict[str, str] = {
     "json_props_stats": ORACLE_JSON_PROPS,
     "percentile_value_by_type": ORACLE_PERCENTILES,
     "eval_persistence_forecast": ORACLE_EVAL_PERSISTENCE,
+    "pivot_event_type_counts": ORACLE_PIVOT,
     "orders_above_customer_avg": ORACLE_ABOVE_AVG,
     "suppliers_with_unshipped_parts": ORACLE_EXISTS,
     "range_join_value_bands": ORACLE_RANGE_JOIN,
@@ -1265,6 +1325,7 @@ ORACLES: dict[str, str] = {
     "streaming_tumbling_stats": ORACLE_STREAM_TUMBLING,
     "streaming_latest_per_user": ORACLE_LATEST_PER_USER,
     "streaming_session_counts": ORACLE_STREAM_SESSIONS,
+    "streaming_sliding_counts": ORACLE_STREAM_SLIDING,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
