@@ -660,6 +660,91 @@ GROUP BY source
 """
 
 
+def vocabulary_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: token -> total term frequency and
+    document frequency, top 50 by tf (a standard training-corpus audit).
+    explode + two-level count; at 100 TB this is the map-side-combined
+    wordcount, the canonical linear aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    stats = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    return stats.orderBy(F.desc("tf"), F.col("token")).limit(50)
+
+
+ORACLE_VOCAB = r"""
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents)
+GROUP BY token ORDER BY tf DESC, token LIMIT 50
+"""
+
+
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: 1 - distinct_trigrams/total_trigrams per
+    document (high = repeated boilerplate — a standard pretraining-quality
+    filter). Pure per-doc aggregate over the exploded shingle stream."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 3)),
+    )
+    per = docs.select("doc_id", F.explode(sh).alias("s")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_shingles"),
+        F.countDistinct("s").alias("distinct_shingles"),
+    )
+    return per.select(
+        "doc_id",
+        "total_shingles",
+        "distinct_shingles",
+        F.round(1 - F.col("distinct_shingles") / F.col("total_shingles"), 6).alias(
+            "repetition"
+        ),
+    )
+
+
+ORACLE_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+)
+SELECT doc_id, count(*) AS total_shingles,
+       count(DISTINCT s) AS distinct_shingles,
+       round(1 - count(DISTINCT s) / count(*), 6) AS repetition
+FROM sh GROUP BY doc_id
+"""
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, long form (label, dim, mean): the
+    class-prototype computation behind centroid dedup/classification.
+    posexplode keeps it fully relational — one shuffle on (label, dim) —
+    instead of driver-side vector math."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return comp.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.avg(F.col("x").cast("double")), 5).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_CENTROIDS = """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 5) AS mean, count(*) AS n
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, dim
+"""
+
+
 # --------------------------------------------------------------------------
 # Deduplication (SURVEY §2.11)
 # --------------------------------------------------------------------------
@@ -1257,6 +1342,9 @@ QUERIES: dict[str, Query] = {
     "part_brand_stats": part_brand_stats,
     "text_profile": text_profile,
     "token_stats_by_source": token_stats_by_source,
+    "vocabulary_top50": vocabulary_top50,
+    "doc_repetition_scores": doc_repetition_scores,
+    "label_centroids": label_centroids,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -1308,6 +1396,9 @@ ORACLES: dict[str, str] = {
     "part_brand_stats": ORACLE_PART_BRANDS,
     "text_profile": ORACLE_TEXT_PROFILE,
     "token_stats_by_source": ORACLE_TOKEN_STATS,
+    "vocabulary_top50": ORACLE_VOCAB,
+    "doc_repetition_scores": ORACLE_REPETITION,
+    "label_centroids": ORACLE_CENTROIDS,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
     "similarity_topk": ORACLE_SIM_TOPK,
