@@ -147,6 +147,49 @@ def test_stateful_ewma_across_batches(spark, tmp_path_factory):
     assert got[ts("2024-01-01T10:03:00")] == 8.75
 
 
+def test_stateful_checkpoint_recovery(spark, tmp_path_factory):
+    """Kill a stateful streaming query between batches and restart from its
+    checkpoint: state must resume (EWMA continues the recurrence), not
+    reset — the exactly-once story a 100 TB pipeline depends on."""
+    from weatherdatapipeline_spark.streaming.jobs import ewma_stateful
+
+    src = str(tmp_path_factory.mktemp("ckpt_in"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_state"))
+    out_dir = str(tmp_path_factory.mktemp("ckpt_out"))
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        out = ewma_stateful(
+            stream.select("user_id", "ts", "value"), "user_id", "ts", "value", alpha=0.5
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "u1", 10.0), (2, ts("2024-01-01T10:01:00"), "u1", 20.0)],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # first run: processes batch 1, checkpoints state, stops
+
+    spark.createDataFrame(
+        [(3, ts("2024-01-01T10:02:00"), "u1", 20.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint: must see ONLY the new file
+
+    got = {r["ts"]: r["ewma"] for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 3  # no reprocessing duplicates (exactly-once sink rows)
+    # recurrence continued across the restart: 10 -> 15 -> 17.5 (NOT 20.0,
+    # which is what a reset state would produce for the third row)
+    assert got[ts("2024-01-01T10:02:00")] == 17.5
+
+
 def test_st3_foreachbatch_upsert(spark, stream_source, tmp_path_factory):
     snap = str(tmp_path_factory.mktemp("snap")) + "/current"
     q = (

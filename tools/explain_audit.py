@@ -62,6 +62,18 @@ CHECKS = {
     "window_rolling_stats": [
         ("single window exchange", lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
     ],
+    "vocabulary_top50": [
+        ("wordcount is hash agg + TakeOrdered", r"TakeOrderedAndProject"),
+        ("partial agg before shuffle", r"HashAggregate"),
+    ],
+    "label_centroids": [
+        ("single shuffle for the centroid agg",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+    ],
+    "range_join_value_bands": [
+        ("broadcast nested loop, not cartesian",
+         r"BroadcastNestedLoopJoin"),
+    ],
 }
 
 

@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Full verification ladder (see README "Verification model"):
+#   1. pytest  2. DuckDB oracle differential  3. physical-plan audit  4. bench
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/4 pytest =="
+python -m pytest tests/ -q
+
+echo "== 2/4 oracle differential (sf0.01) =="
+python tools/check_oracle.py /root/testdata/sf0.01
+
+echo "== 3/4 physical-plan audit =="
+python tools/explain_audit.py
+
+echo "== 4/4 bench (sf0.1) =="
+python bench.py
