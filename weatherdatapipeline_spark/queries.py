@@ -1314,6 +1314,74 @@ SELECT ss_us, se_us, user_id, cnt FROM s, m WHERE session_end <= wm
 
 
 # --------------------------------------------------------------------------
+# Rows-only surface demos: multimodal plumbing + the weather-domain parity
+# pipeline (no testdata table to oracle against; pytest owns their semantics)
+# --------------------------------------------------------------------------
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow mapInPandas binary-column path (§2.11 multimodal): documents'
+    text bytes stand in as blobs; the deterministic fake extractor returns
+    a fixed-dim feature vector per blob. Rows-only — the mapInPandas batch
+    shape and schema contract are what is being exercised."""
+    from .operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("modality"),
+        F.col("text").cast("binary").alias("blob"),
+    )
+    out = extract_features(media, dim=4)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+    )
+
+
+def weather_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's L-path feature plan (ml/features.py:16-79) on the
+    deterministic synthetic weather source: per-city count of
+    training-valid rows + feature aggregates. Rows-only (weather tables
+    aren't in the oracle's view set); cell-level parity against pandas is
+    pytest-owned (tests/test_features_pandas_oracle.py)."""
+    from .operators.features import engineer_features
+    from .sources.synthetic import synthetic_weather
+
+    weather = synthetic_weather(spark, n_batches=20)
+    feats, cols = engineer_features(weather, inference=False)
+    return feats.groupBy("city").agg(
+        F.count(F.lit(1)).alias("n_train_rows"),
+        F.round(F.avg("temp_rollmean_3"), 4).alias("avg_rollmean"),
+        F.round(F.avg("target_temp_next"), 4).alias("avg_target"),
+        F.sum(F.col("temp_lag_3").isNotNull().cast("long")).alias("lag3_present"),
+    )
+
+
+def weather_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship A9 stats document (load.py:93-113) on the
+    weather shape itself — one aggregate pass, struct band histogram
+    flattened for a stable schema. Rows-only."""
+    from .operators.stats import batch_statistics
+    from .sources.synthetic import synthetic_weather
+
+    weather = synthetic_weather(spark, n_batches=20)
+    stats = batch_statistics(weather)
+    return stats.select(
+        "total_records",
+        "cities_count",
+        F.round("avg_temperature", 4).alias("avg_temperature"),
+        F.round("max_temperature", 4).alias("max_temperature"),
+        F.round("min_temperature", 4).alias("min_temperature"),
+        F.round("avg_humidity", 4).alias("avg_humidity"),
+        F.col("temperature_distribution.moderate").alias("band_moderate"),
+        F.col("temperature_distribution.warm").alias("band_warm"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1369,6 +1437,9 @@ QUERIES: dict[str, Query] = {
     "streaming_latest_per_user": streaming_latest_per_user,
     "streaming_session_counts": streaming_session_counts,
     "streaming_sliding_counts": streaming_sliding_counts,
+    "multimodal_feature_extract": multimodal_feature_extract,
+    "weather_feature_matrix": weather_feature_matrix,
+    "weather_batch_stats": weather_batch_stats,
 }
 
 ORACLES: dict[str, str] = {
