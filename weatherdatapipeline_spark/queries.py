@@ -29,6 +29,10 @@ Query = Callable[[SparkSession, str], DataFrame]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver runs these with ITS OWN session: pin the session timezone
+    # so hour()/date_format()/weekday() agree with DuckDB's naive-UTC
+    # timestamps regardless of the host session's default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
         # reader rejects; read the raw int64 nanos and convert. The data is
