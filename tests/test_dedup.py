@@ -74,6 +74,45 @@ def test_minhash_jaccard_matches_exact_on_candidates(docs):
         assert abs(r["jaccard"] - exact[key]) < 1e-9  # verify step is exact
 
 
+def test_dedup_incremental(spark):
+    from weatherdatapipeline_spark.operators.dedup import dedup_incremental
+
+    index0 = spark.createDataFrame([("a",)], "fingerprint string").limit(0)
+    batch1 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "ALPHA  beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    novel1, index1 = dedup_incremental(batch1, index0)
+    assert sorted(r["doc_id"] for r in novel1.collect()) == [0, 2]  # 1 dups 0 in-batch
+    index1 = index1.persist()
+    batch2 = spark.createDataFrame(
+        [(3, "alpha beta"), (4, "epsilon zeta")], "doc_id long, text string"
+    )
+    novel2, index2 = dedup_incremental(batch2, index1)
+    assert [r["doc_id"] for r in novel2.collect()] == [4]  # 3 dups the INDEX
+    assert index2.distinct().count() == 3
+
+
+def test_contamination_check(spark):
+    from weatherdatapipeline_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [(10, "one two three four five six seven")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven"),  # fully contained
+            (1, "zz yy xx ww vv uu tt"),  # disjoint
+            (2, "one two three four five nope nope"),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in contamination_check(corpus, ev, n=5).collect()}
+    assert got[0]["contamination"] == 1.0
+    assert got[1]["contamination"] == 0.0
+    # doc 2: 3 distinct 5-grams, one ("one two three four five") in corpus
+    assert got[2]["n_ngrams"] == 3 and got[2]["n_hits"] == 1
+
+
 def test_simhash_identical_tokens_same_hash(spark):
     df = spark.createDataFrame(
         [(0, "alpha beta gamma"), (1, "alpha  BETA gamma"), (2, "delta epsilon zeta")],

@@ -167,6 +167,73 @@ def jaccard_near_duplicates(
     return out
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup for an append-only corpus: returns
+    (novel_rows, updated_fingerprint_index). New docs are dropped if their
+    normalized fingerprint already exists in the index OR duplicates
+    another new doc (kept: the least full-row struct per fingerprint — a
+    sort-aggregate over the INCOMING BATCH only, which is small by
+    construction; the corpus-sized index is touched only by the anti join).
+
+    At scale the index is a bucketed table on `fingerprint`, so the anti
+    join is shuffle-free against each incoming batch.
+    """
+    fp = fingerprint_md5(F.col(text_col)).alias(fp_col)
+    tagged = new_docs.withColumn(fp_col, fp)
+    fresh = tagged.join(seen_fingerprints, fp_col, "left_anti")
+    first_ids = fresh.groupBy(fp_col).agg(
+        F.min(F.struct(*[F.col(c) for c in new_docs.columns])).alias("_row")
+    )
+    novel = first_ids.select("_row.*", F.col(fp_col))
+    updated = seen_fingerprints.select(fp_col).unionByName(novel.select(fp_col))
+    return novel.drop(fp_col), updated
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Train/eval contamination audit: for each eval document, how many of
+    its word n-grams appear anywhere in the training corpus (the standard
+    n-gram-collision membership test used before pretraining runs).
+
+    Relational: both sides explode to hashed n-grams; a semi-join-style
+    aggregate counts collisions — the corpus side is reduced to DISTINCT
+    n-grams first, so the join is |eval n-grams| x hit-rate, never
+    corpus-sized. Returns (doc_id, n_ngrams, n_hits, contamination).
+    """
+    corpus_grams = (
+        corpus.select(F.explode(word_shingles(text_col, n)).alias("g"))
+        .select(F.xxhash64("g").alias("g"))
+        .distinct()
+    )
+    eval_grams = eval_docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("g")
+    ).select(id_col, F.xxhash64("g").alias("g")).distinct()
+    hits = (
+        eval_grams.join(corpus_grams.withColumn("_hit", F.lit(1)), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    return hits.select(
+        id_col,
+        "n_ngrams",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_ngrams"), 6).alias("contamination"),
+    )
+
+
 def minhash_signatures(
     documents: DataFrame,
     id_col: str = "doc_id",

@@ -804,6 +804,35 @@ WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.2
 """
 
 
+def contamination_check_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit (§2.11): eval set = every 10th doc,
+    corpus = the rest; per eval doc, the share of its word 5-grams found
+    anywhere in the corpus (hashed-gram semi join against the DISTINCT
+    corpus gram set)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    return D.contamination_check(corpus, ev, n=5)
+
+
+ORACLE_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS t(i)
+),
+corpus AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 != 0),
+ev AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 = 0)
+SELECT ev.doc_id, count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN corpus.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN corpus.g IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS contamination
+FROM ev LEFT JOIN corpus ON ev.g = corpus.g
+GROUP BY ev.doc_id
+"""
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands) candidates, exact-Jaccard verified at
     0.2. xxhash64 permutations aren't SQL-portable → rows-only check; the
@@ -1419,6 +1448,7 @@ QUERIES: dict[str, Query] = {
     "label_centroids": label_centroids,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "contamination_check_5gram": contamination_check_5gram,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "similarity_topk": similarity_topk,
@@ -1476,6 +1506,7 @@ ORACLES: dict[str, str] = {
     "label_centroids": ORACLE_CENTROIDS,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
+    "contamination_check_5gram": ORACLE_CONTAMINATION,
     "similarity_topk": ORACLE_SIM_TOPK,
     "knn_join_first5": ORACLE_KNN_JOIN,
     "cube_order_status_priority": ORACLE_CUBE,
