@@ -1208,8 +1208,11 @@ _SINK_COUNTER = [0]
 def _stage_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     """readStream can't apply the nanos workaround, so stage the converted
     events as µs-timestamp parquet under /tmp once per sf_dir."""
+    import os as _os
+
     tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/wdp_stream_stage_{tag}"
+    base = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    path = f"{base}/.stream_stage/{tag}"
     ev = _t(spark, sf_dir, "events")
     import os
 
