@@ -219,6 +219,38 @@ LIMIT 10
 """
 
 
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional revenue sums over a
+    date-windowed lineitem x part join — the filter prunes the scan, the
+    part side carries only (p_partkey, p_type) through the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_PROMO = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
 def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: LEFT OUTER join keeps zero-order customers, then a
     histogram of order counts."""
@@ -1428,6 +1460,7 @@ QUERIES: dict[str, Query] = {
     "rollup_returnflag_status": rollup_returnflag_status,
     "region_revenue": region_revenue,
     "top_customers_by_revenue": top_customers_by_revenue,
+    "promo_revenue_ratio": promo_revenue_ratio,
     "customer_order_count_distribution": customer_order_count_distribution,
     "customers_with_big_orders": customers_with_big_orders,
     "customers_without_orders": customers_without_orders,
@@ -1486,6 +1519,7 @@ ORACLES: dict[str, str] = {
     "rollup_returnflag_status": ORACLE_ROLLUP,
     "region_revenue": ORACLE_REGION_REVENUE,
     "top_customers_by_revenue": ORACLE_TOP_CUSTOMERS,
+    "promo_revenue_ratio": ORACLE_PROMO,
     "customer_order_count_distribution": ORACLE_ORDER_COUNT_DIST,
     "customers_with_big_orders": ORACLE_SEMI,
     "customers_without_orders": ORACLE_ANTI,
