@@ -219,6 +219,53 @@ LIMIT 10
 """
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer x date-filtered orders x
+    lineitem, revenue per order, top 10. Both filters push to their scans
+    before any join."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    out = R.top_k(joined, [F.desc("revenue"), F.col("l_orderkey")], 10)
+    return out.select(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+        "revenue",
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority, revenue
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15'
+    AND l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+) ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: ratio of conditional revenue sums over a
     date-windowed lineitem x part join — the filter prunes the scan, the
@@ -1460,6 +1507,7 @@ QUERIES: dict[str, Query] = {
     "rollup_returnflag_status": rollup_returnflag_status,
     "region_revenue": region_revenue,
     "top_customers_by_revenue": top_customers_by_revenue,
+    "q3_shipping_priority": q3_shipping_priority,
     "promo_revenue_ratio": promo_revenue_ratio,
     "customer_order_count_distribution": customer_order_count_distribution,
     "customers_with_big_orders": customers_with_big_orders,
@@ -1519,6 +1567,7 @@ ORACLES: dict[str, str] = {
     "rollup_returnflag_status": ORACLE_ROLLUP,
     "region_revenue": ORACLE_REGION_REVENUE,
     "top_customers_by_revenue": ORACLE_TOP_CUSTOMERS,
+    "q3_shipping_priority": ORACLE_Q3,
     "promo_revenue_ratio": ORACLE_PROMO,
     "customer_order_count_distribution": ORACLE_ORDER_COUNT_DIST,
     "customers_with_big_orders": ORACLE_SEMI,
