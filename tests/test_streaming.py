@@ -147,6 +147,33 @@ def test_stateful_ewma_across_batches(spark, tmp_path_factory):
     assert got[ts("2024-01-01T10:03:00")] == 8.75
 
 
+def test_streaming_etl_four_sinks(spark, tmp_path_factory):
+    """ST1 end-to-end: the reference's whole per-interval ETL as a
+    foreachBatch job — all four sinks written per micro-batch."""
+    from weatherdatapipeline_spark.sources.catalog import TableCatalog
+    from weatherdatapipeline_spark.sources.synthetic import synthetic_weather
+    from weatherdatapipeline_spark.streaming.jobs import streaming_etl
+
+    src = str(tmp_path_factory.mktemp("etl_src"))
+    root = str(tmp_path_factory.mktemp("etl_cat"))
+    weather = synthetic_weather(spark, n_batches=4)
+    weather.write.mode("overwrite").parquet(src)
+
+    cat = TableCatalog(spark, root)
+    stream = spark.readStream.schema(weather.schema).parquet(src)
+    q = streaming_etl(stream, cat, available_now=True)
+    q.awaitTermination()
+
+    assert cat.read("raw_weather").count() == 40
+    assert cat.read("current_weather").count() == 10  # one row per city
+    assert cat.read("weather_batches").count() == 40
+    stats = cat.read("weather_statistics").collect()
+    assert sum(r["total_records"] for r in stats) == 40
+    assert set(cat.list_tables()) >= {
+        "raw_weather", "current_weather", "weather_batches", "weather_statistics",
+    }
+
+
 def test_stateful_checkpoint_recovery(spark, tmp_path_factory):
     """Kill a stateful streaming query between batches and restart from its
     checkpoint: state must resume (EWMA continues the recurrence), not

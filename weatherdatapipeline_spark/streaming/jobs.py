@@ -232,6 +232,47 @@ def ewma_stateful(
     )
 
 
+def streaming_etl(
+    stream: DataFrame,
+    catalog,
+    ts_col: str = "timestamp",
+    trigger_minutes: int | None = None,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+):
+    """The reference's whole scheduler-driven ETL (scheduler.py:20-49 →
+    extract→transform→load every 5 min) as ONE foreachBatch streaming job:
+    each micro-batch appends the raw log, upserts the latest-per-city
+    snapshot, appends the batch partition, and appends the single-row
+    stats document — the four sinks of SURVEY §3.1, incrementally.
+
+    Pass ``trigger_minutes=5`` for the reference cadence (ST1) or
+    ``available_now=True`` to drain a backlog and stop.
+    """
+    from ..operators.stats import batch_statistics
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.persist()
+        try:
+            catalog.append_raw(batch_df)
+            catalog.overwrite_current(batch_df)
+            catalog.append_batch_partition(batch_df)
+            catalog.append_stats(batch_statistics(batch_df))
+        finally:
+            batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_minutes:
+        writer = micro_batch_trigger(writer, trigger_minutes)
+    return writer.start()
+
+
 def run_available_now_to_memory(stream_out: DataFrame, name: str, output_mode: str):
     """Test/driver helper: drain all available input through the streaming
     plan into an in-memory sink and block until done."""
