@@ -1,0 +1,52 @@
+"""WeatherEngine facade: the reference's endpoint surface exercised as one
+lifecycle — etl → train → promote → predict → evaluate → health."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdatapipeline_spark.engine import WeatherEngine
+from weatherdatapipeline_spark.sources.synthetic import synthetic_weather
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("engine"))
+    eng = WeatherEngine(
+        spark, root, source=lambda s: synthetic_weather(s, n_batches=25)
+    )
+    return eng
+
+
+def test_full_lifecycle(engine):
+    out = engine.run_etl()
+    assert out == {"status": "success", "records": 250, "cities_count": 10}
+
+    trained = engine.train_models(n_splits=2, n_trees=5)
+    assert trained["version"] == 1 and trained["stage"] == "Staging"
+    assert "mae" in trained["metrics"]
+
+    promoted = engine.promote(1)
+    assert promoted == {"version": 1, "stage": "Production"}
+
+    preds = engine.predict_temperature(limit=100)
+    assert preds.count() == 100
+    assert preds.filter(F.col("pred_temperature").isNotNull()).count() > 0
+
+    wx = engine.predict_weather(limit=50)
+    assert wx.count() == 50
+
+    ev = engine.evaluate(limit=200)
+    assert ev["n"] > 0 and ev["mae"] >= 0 and 0 <= ev["accuracy"] <= 1
+
+    assert "predictions" in engine.collections()
+    h = engine.health()
+    assert h["status"] == "healthy" and h["model_versions"] == 1
+
+
+def test_predict_without_model_raises(spark, tmp_path_factory):
+    eng = WeatherEngine(spark, str(tmp_path_factory.mktemp("cold")))
+    eng.run_etl()
+    with pytest.raises(RuntimeError, match="no trained model"):
+        eng.predict_temperature()
