@@ -833,6 +833,92 @@ GROUP BY label, dim
 # --------------------------------------------------------------------------
 
 
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pretraining corpus-cleaning funnel as ONE declarative
+    plan: per-doc quality score + trigram repetition + language ID +
+    exact-dup removal (keep lowest doc_id per normalized fingerprint),
+    then the keep/drop decision. Composes the §2.11 text operators; a
+    single pass over the corpus plus the repetition aggregate and the
+    dedup hash-agg — no operator-per-stage rescans."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        T.quality_score(t).alias("quality"),
+        T.language_id(t).alias("lang_pred"),
+        T.fingerprint_md5(t).alias("fp"),
+    )
+    tokens = F.split(F.lower(F.trim(t)), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 3)),
+    )
+    rep = docs.select("doc_id", F.explode(sh).alias("s")).groupBy("doc_id").agg(
+        F.round(1 - F.countDistinct("s") / F.count(F.lit(1)), 6).alias("repetition")
+    )
+    first_per_fp = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    out = (
+        scored.join(rep, "doc_id")
+        .join(first_per_fp, "fp")
+        .select(
+            "doc_id",
+            "lang_pred",
+            "quality",
+            "repetition",
+            (
+                (F.col("doc_id") == F.col("keep_id"))
+                & (F.col("quality") >= 0.55)
+                & (F.col("repetition") <= 0.5)
+            ).alias("keep"),
+        )
+    )
+    return out
+
+
+ORACLE_CORPUS_CLEAN = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text)                                               AS n_chars,
+         len(string_split_regex(trim(text), '\s+'))                 AS n_words,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g'))         AS n_punct,
+         length(regexp_replace(text, '\s+', '', 'g'))               AS n_nonspace,
+         len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))   AS hits_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS hits_de,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un)\b'))     AS hits_fr,
+         len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|un)\b'))       AS hits_es,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))    AS fp
+  FROM documents
+),
+q AS (
+  SELECT doc_id, fp,
+         round(0.4 * least(n_chars / 500.0, 1.0)
+             + 0.4 * (CASE WHEN n_nonspace / n_words >= 3.0 AND n_nonspace / n_words <= 10.0
+                           THEN 1.0 ELSE 0.5 END)
+             + 0.2 * (1.0 - least(n_punct / greatest(n_words, 1), 1.0)), 4) AS quality,
+         CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+              WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
+              WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+              WHEN hits_en >= hits_de THEN 'en'
+              ELSE 'de' END AS lang_pred
+  FROM base
+),
+toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+),
+rep AS (
+  SELECT doc_id, round(1 - count(DISTINCT s) / count(*), 6) AS repetition
+  FROM sh GROUP BY doc_id
+),
+keepers AS (SELECT fp, min(doc_id) AS keep_id FROM q GROUP BY fp)
+SELECT q.doc_id, q.lang_pred, q.quality, rep.repetition,
+       (q.doc_id = k.keep_id AND q.quality >= 0.55 AND rep.repetition <= 0.5) AS keep
+FROM q JOIN rep ON q.doc_id = rep.doc_id JOIN keepers k ON q.fp = k.fp
+"""
+
+
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized-text fingerprint, keep-lowest-doc_id
     (deterministic), via min_by hash aggregate."""
@@ -1530,6 +1616,7 @@ QUERIES: dict[str, Query] = {
     "vocabulary_top50": vocabulary_top50,
     "doc_repetition_scores": doc_repetition_scores,
     "label_centroids": label_centroids,
+    "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "contamination_check_5gram": contamination_check_5gram,
@@ -1590,6 +1677,7 @@ ORACLES: dict[str, str] = {
     "vocabulary_top50": ORACLE_VOCAB,
     "doc_repetition_scores": ORACLE_REPETITION,
     "label_centroids": ORACLE_CENTROIDS,
+    "corpus_clean_pipeline": ORACLE_CORPUS_CLEAN,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
     "contamination_check_5gram": ORACLE_CONTAMINATION,
