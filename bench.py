@@ -40,6 +40,9 @@ HEADLINE = [
     "dedup_minhash_pairs",         # MinHash + LSH banding
     "similarity_topk",             # brute-force cosine top-k
     "knn_join_first5",             # broadcast knn join
+    "vocabulary_top50",            # corpus wordcount (tf/df)
+    "corpus_clean_pipeline",       # composed cleaning funnel
+    "contamination_check_5gram",   # n-gram membership audit
 ]
 
 
