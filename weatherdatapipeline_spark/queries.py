@@ -1265,6 +1265,255 @@ AND NOT EXISTS (
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship year.
+    The two nation dims are filtered to the pair BEFORE the broadcast join,
+    so the broadcast acts as the filter (no post-join predicate on the fact
+    side); lineitem->orders->customer are the only shuffle joins."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    nations = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_9", "NATION_10")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_Q7 = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  WHERE sn.n_name IN ('NATION_9', 'NATION_10')
+    AND cn.n_name IN ('NATION_9', 'NATION_10')
+    AND sn.n_name <> cn.n_name
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min subquery) without a partsupp table:
+    per part, the supplier(s) offering the minimum observed unit price in
+    lineitem. Decorrelated as a hash-aggregate min + join-back on the exact
+    min value (same-engine doubles, so equality is lossless) — the min_by/
+    SortAggregate trap documented in operators/relational.py is avoided."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    mins = (
+        li.groupBy("l_partkey")
+        .agg(F.min("unit_price").alias("min_price"))
+        .withColumnRenamed("l_partkey", "mp_partkey")
+    )
+    return (
+        li.join(
+            mins,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round("min_price", 4).alias("min_unit_price"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+ORACLE_Q2 = """
+SELECT DISTINCT l.l_partkey AS p_partkey, l.l_suppkey AS s_suppkey,
+       round(l.l_extendedprice / l.l_quantity, 4) AS min_unit_price
+FROM lineitem l
+WHERE l.l_extendedprice / l.l_quantity = (
+  SELECT min(i.l_extendedprice / i.l_quantity)
+  FROM lineitem i WHERE i.l_partkey = l.l_partkey
+)
+ORDER BY p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery (avg quantity per
+    part), decorrelated into a per-part hash aggregate joined back to the
+    fact — average weekly revenue from small-quantity orders of one brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    half_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(half_avg, li.l_partkey == half_avg.l_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly"))
+    )
+
+
+ORACLE_Q17 = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_weekly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.5 * avg(i.l_quantity) FROM lineitem i
+    WHERE i.l_partkey = l.l_partkey
+  )
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN (grouped HAVING subquery) — orders whose total
+    quantity exceeds 250, with their customers. The HAVING side aggregates
+    lineitem once (map-side partial sum) and is the join's build side."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 1).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_Q18 = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+       round(o.o_totalprice, 2) AS total_price, b.sum_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, round(sum(l_quantity), 1) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 1) > 250
+) b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY total_price DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+def q20_excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers who shipped more
+    than 2000 units of 'small%' parts, with their nation. The part subset is
+    broadcast into the lineitem scan (semi join), aggregated per supplier,
+    then the surviving keys drive the supplier lookup."""
+    part_keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    heavy = (
+        li.join(F.broadcast(part_keys), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 1).alias("total_qty"))
+        .filter(F.col("total_qty") > 2000)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "total_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q20 = """
+SELECT s.s_suppkey, s.s_name, n.n_name, h.total_qty
+FROM supplier s
+JOIN (
+  SELECT l_suppkey, round(sum(l_quantity), 1) AS total_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey HAVING round(sum(l_quantity), 1) > 2000
+) h ON s.s_suppkey = h.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY s.s_suppkey
+"""
+
+
+def acctbal_above_avg_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (uncorrelated scalar subquery feeding a grouped
+    aggregate): per market segment, the customers whose balance exceeds the
+    global average positive balance. The scalar is a 1-row broadcast cross
+    join, not a driver-side collect."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+ORACLE_Q22 = """
+SELECT c_mktsegment, count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+GROUP BY c_mktsegment
+"""
+
+
 def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom sequential operator (U2 escape hatch): per-user EWMA via
     Arrow-batched applyInPandas — a recurrence no window frame expresses.
@@ -1634,6 +1883,12 @@ QUERIES: dict[str, Query] = {
     "pivot_event_type_counts": pivot_event_type_counts,
     "orders_above_customer_avg": orders_above_customer_avg,
     "suppliers_with_unshipped_parts": suppliers_with_unshipped_parts,
+    "q7_volume_shipping": q7_volume_shipping,
+    "cheapest_supplier_per_part": cheapest_supplier_per_part,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q20_excess_shipment_suppliers": q20_excess_shipment_suppliers,
+    "acctbal_above_avg_by_segment": acctbal_above_avg_by_segment,
     "ewma_user_values": ewma_user_values,
     "range_join_value_bands": range_join_value_bands,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -1690,6 +1945,12 @@ ORACLES: dict[str, str] = {
     "pivot_event_type_counts": ORACLE_PIVOT,
     "orders_above_customer_avg": ORACLE_ABOVE_AVG,
     "suppliers_with_unshipped_parts": ORACLE_EXISTS,
+    "q7_volume_shipping": ORACLE_Q7,
+    "cheapest_supplier_per_part": ORACLE_Q2,
+    "q17_small_quantity_revenue": ORACLE_Q17,
+    "q18_large_volume_customers": ORACLE_Q18,
+    "q20_excess_shipment_suppliers": ORACLE_Q20,
+    "acctbal_above_avg_by_segment": ORACLE_Q22,
     "range_join_value_bands": ORACLE_RANGE_JOIN,
     "unpivot_lineitem_measures": ORACLE_UNPIVOT,
     "window_trailing_hour": ORACLE_TRAILING_HOUR,
