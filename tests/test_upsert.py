@@ -1,0 +1,99 @@
+"""Delta-style upsert table: MERGE / time travel / partition-scoped rewrite.
+
+The scalable claim under test: a merge touching partition A must NOT
+rewrite partition B's files — B is carried by manifest reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from weatherdatapipeline_spark.sources.upsert import UpsertTable, merge_sink
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select(*sorted(df.columns)).collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return UpsertTable(spark, str(tmp_path), "t", key="id", partition_col="day")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id INT, day STRING, val STRING")
+
+
+def test_merge_upsert_semantics(spark, table):
+    table.merge(_df(spark, [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")]))
+    # update id=2, insert id=4 (same partition), leave d2 alone
+    v = table.merge(_df(spark, [(2, "d1", "B"), (4, "d1", "d")]))
+    assert v == 1
+    assert _rows(table.read()) == {
+        ("d1", 1, "a"),
+        ("d1", 2, "B"),
+        ("d1", 4, "d"),
+        ("d2", 3, "c"),
+    }
+
+
+def test_untouched_partition_not_rewritten(spark, table):
+    table.merge(_df(spark, [(1, "d1", "a"), (3, "d2", "c")]))
+    table.merge(_df(spark, [(1, "d1", "A")]))
+    manifest = table._manifest()
+    assert manifest == {"d1": 1, "d2": 0}  # d2 still points at v0
+    assert not os.path.isdir(
+        os.path.join(table.data_root, "v=1", "day=d2")
+    ), "merge rewrote an untouched partition"
+
+
+def test_same_key_other_partition_is_distinct_row(spark, table):
+    table.merge(_df(spark, [(1, "d1", "a"), (1, "d2", "x")]))
+    table.merge(_df(spark, [(1, "d1", "A")]))
+    assert _rows(table.read()) == {("d1", 1, "A"), ("d2", 1, "x")}
+
+
+def test_time_travel_and_vacuum(spark, table):
+    table.merge(_df(spark, [(1, "d1", "a")]))
+    table.merge(_df(spark, [(1, "d1", "A"), (2, "d2", "b")]))
+    assert _rows(table.read(version=0)) == {("d1", 1, "a")}
+    assert _rows(table.read()) == {("d1", 1, "A"), ("d2", 2, "b")}
+    removed = table.vacuum(keep_last=1)
+    assert removed == [0]
+    assert _rows(table.read()) == {("d1", 1, "A"), ("d2", 2, "b")}
+    with pytest.raises(ValueError):
+        table.read(version=0)
+
+
+def test_vacuum_keeps_referenced_old_dirs(spark, table):
+    table.merge(_df(spark, [(1, "d1", "a"), (2, "d2", "b")]))
+    table.merge(_df(spark, [(1, "d1", "A")]))  # d2 still lives in v=0
+    assert table.vacuum(keep_last=1) == []
+    assert os.path.isdir(os.path.join(table.data_root, "v=0", "day=d2"))
+    assert _rows(table.read()) == {("d1", 1, "A"), ("d2", 2, "b")}
+
+
+def test_delete_where_scoped(spark, table):
+    table.merge(_df(spark, [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")]))
+    table.delete_where("val = 'a'", partitions=["d1"])
+    assert _rows(table.read()) == {("d1", 2, "b"), ("d2", 3, "c")}
+    assert table._manifest()["d2"] == 0  # d2 untouched
+
+
+def test_unpartitioned_merge(spark, tmp_path):
+    t = UpsertTable(spark, str(tmp_path), "u", key="id")
+    df = lambda rows: spark.createDataFrame(rows, "id INT, val STRING")
+    t.merge(df([(1, "a"), (2, "b")]))
+    t.merge(df([(2, "B"), (3, "c")]))
+    assert _rows(t.read()) == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_streaming_merge_sink(spark, tmp_path, sf_dir):
+    """foreachBatch MERGE: the stream's latest-per-key lands as an upsert."""
+    t = UpsertTable(spark, str(tmp_path), "s", key="id", partition_col="day")
+    t.merge(_df(spark, [(1, "d1", "stale")]))
+    sink = merge_sink(t)
+    sink(_df(spark, [(1, "d1", "fresh"), (1, "d1", "fresh"), (5, "d2", "new")]), 0)
+    assert _rows(t.read()) == {("d1", 1, "fresh"), ("d2", 5, "new")}

@@ -1,0 +1,253 @@
+"""Delta-style upsert table: MERGE semantics on plain Parquet.
+
+The reference replaces whole MongoDB collections to get upsert semantics
+(load.py:46-62 delete_many + insert_many). On a data lake that pattern is a
+full-table rewrite per merge — unusable at 100 TB. This module implements
+the standard lakehouse answer (Delta/Iceberg copy-on-write) with nothing
+but Parquet + an atomically-swapped JSON pointer:
+
+- Data lives in immutable version directories ``data/v=N/[pcol=V/]``.
+- A manifest maps each partition value -> the version directory holding its
+  CURRENT data. A merge rewrites ONLY the partitions the update batch
+  touches; every other partition keeps its old file — at 100 TB with daily
+  partitions, merging one day rewrites one day.
+- The manifest history is kept per version: old versions stay readable
+  (time travel) until ``vacuum`` drops them.
+- Metadata commits via write-temp + ``os.replace`` (atomic on POSIX), so a
+  reader sees either the old or the new manifest, never a torn one.
+  Single-writer, like Delta without a commit coordinator.
+
+Merge semantics (Delta ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED
+INSERT``): within each touched partition, existing rows whose ``key``
+matches an update row are replaced; unmatched existing rows are kept; new
+keys are inserted. Keys are unique per partition (the Delta convention —
+the same key in two partitions is two rows).
+
+Constraints (v1): single writer; schema of updates must equal the table
+schema; partition values must be path-safe scalars (ints, dates, simple
+strings).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class UpsertTable:
+    """A MERGE-able Parquet table rooted at ``root/name``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        key: str,
+        partition_col: str | None = None,
+    ):
+        self.spark = spark
+        self.key = key
+        self.partition_col = partition_col
+        self.table_root = os.path.join(root, name)
+        self.data_root = os.path.join(self.table_root, "data")
+        self.meta_path = os.path.join(self.table_root, "_meta.json")
+
+    # --- metadata ------------------------------------------------------
+
+    def _load_meta(self) -> dict | None:
+        if not os.path.exists(self.meta_path):
+            return None
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def _commit_meta(self, meta: dict) -> None:
+        os.makedirs(self.table_root, exist_ok=True)
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.meta_path)  # atomic pointer swap
+
+    @property
+    def current_version(self) -> int | None:
+        meta = self._load_meta()
+        return None if meta is None else meta["version"]
+
+    def _manifest(self, version: int | None = None) -> dict[str, int]:
+        """partition value (as string) -> version dir holding its data."""
+        meta = self._load_meta()
+        if meta is None:
+            return {}
+        v = meta["version"] if version is None else version
+        hist = {int(k): m for k, m in meta["history"].items()}
+        if v not in hist:
+            raise ValueError(f"version {v} not in history {sorted(hist)}")
+        return hist[v]
+
+    # --- read ----------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read of ``version`` (default: current). Partition
+        pruning still works: the manifest enumerates directories, and a
+        filter on the partition column prunes within them."""
+        manifest = self._manifest(version)
+        if not manifest:
+            raise FileNotFoundError(f"empty upsert table at {self.table_root}")
+        if self.partition_col is None:
+            v = manifest["__ALL__"]
+            return self.spark.read.parquet(os.path.join(self.data_root, f"v={v}"))
+        paths = [
+            os.path.join(self.data_root, f"v={v}", f"{self.partition_col}={p}")
+            for p, v in manifest.items()
+        ]
+        # basePath recovers v + partition col from dir names; v is internal
+        return (
+            self.spark.read.option("basePath", self.data_root)
+            .parquet(*paths)
+            .drop("v")
+        )
+
+    def _read_partitions(self, manifest: dict[str, int], parts: list[str]) -> DataFrame | None:
+        live = {p: manifest[p] for p in parts if p in manifest}
+        if not live:
+            return None
+        paths = [
+            os.path.join(self.data_root, f"v={v}", f"{self.partition_col}={p}")
+            for p, v in live.items()
+        ]
+        return (
+            self.spark.read.option("basePath", self.data_root)
+            .parquet(*paths)
+            .drop("v")
+        )
+
+    # --- write ---------------------------------------------------------
+
+    def _write_version(self, df: DataFrame, version: int) -> None:
+        path = os.path.join(self.data_root, f"v={version}")
+        w = df.write.mode("errorifexists")
+        if self.partition_col is not None:
+            w = w.partitionBy(self.partition_col)
+        w.parquet(path)
+
+    def _touched(self, updates: DataFrame) -> list[str]:
+        # one tiny distinct over the update batch; bounded by the number of
+        # partitions a batch touches (days, not rows)
+        rows = updates.select(self.partition_col).distinct().collect()
+        return [str(r[0]) for r in rows]
+
+    def merge(self, updates: DataFrame) -> int:
+        """Upsert ``updates``; returns the new version number.
+
+        Only the partitions present in ``updates`` are re-written; all
+        others are carried forward by manifest reference (zero I/O).
+        """
+        meta = self._load_meta()
+        if meta is None:
+            self._write_version(updates, 0)
+            manifest = (
+                {"__ALL__": 0}
+                if self.partition_col is None
+                else {p: 0 for p in self._touched(updates)}
+            )
+            self._commit_meta({"version": 0, "history": {"0": manifest}})
+            return 0
+
+        version = meta["version"] + 1
+        manifest = dict(self._manifest())
+        if self.partition_col is None:
+            current = self.read()
+            merged = current.join(updates, self.key, "left_anti").unionByName(updates)
+            self._write_version(merged, version)
+            new_manifest = {"__ALL__": version}
+        else:
+            touched = self._touched(updates)
+            current = self._read_partitions(manifest, touched)
+            if current is None:
+                merged = updates
+            else:
+                # dir-name partition values re-infer their type on read
+                # (pcol="1" comes back int); align to the update schema
+                current = current.withColumn(
+                    self.partition_col,
+                    F.col(self.partition_col).cast(
+                        updates.schema[self.partition_col].dataType
+                    ),
+                )
+                keep = current.join(
+                    updates.select(self.key, self.partition_col),
+                    [self.key, self.partition_col],
+                    "left_anti",
+                )
+                merged = keep.unionByName(updates)
+            self._write_version(merged, version)
+            new_manifest = {**manifest, **{p: version for p in touched}}
+        meta["version"] = version
+        meta["history"][str(version)] = new_manifest
+        self._commit_meta(meta)
+        return version
+
+    def delete_where(self, predicate: str, partitions: list[str] | None = None) -> int:
+        """Delta ``DELETE WHERE``: rewrite the affected partitions without
+        the matching rows. ``partitions`` scopes the rewrite (recommended —
+        an unscoped delete on a partitioned table rewrites every
+        partition)."""
+        meta = self._load_meta()
+        if meta is None:
+            raise FileNotFoundError(f"empty upsert table at {self.table_root}")
+        version = meta["version"] + 1
+        manifest = dict(self._manifest())
+        if self.partition_col is None:
+            merged = self.read().filter(f"NOT ({predicate})")
+            self._write_version(merged, version)
+            new_manifest = {"__ALL__": version}
+        else:
+            parts = list(manifest) if partitions is None else [str(p) for p in partitions]
+            current = self._read_partitions(manifest, parts)
+            if current is None:
+                return meta["version"]
+            merged = current.filter(f"NOT ({predicate})")
+            self._write_version(merged, version)
+            new_manifest = {**manifest, **{p: version for p in parts if p in manifest}}
+        meta["version"] = version
+        meta["history"][str(version)] = new_manifest
+        self._commit_meta(meta)
+        return version
+
+    # --- maintenance ---------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop version directories referenced only by manifests older than
+        the last ``keep_last`` versions. Returns removed version numbers."""
+        meta = self._load_meta()
+        if meta is None:
+            return []
+        versions = sorted(int(k) for k in meta["history"])
+        kept = versions[-keep_last:]
+        referenced = {v for k in kept for v in meta["history"][str(k)].values()}
+        removed = []
+        for v in versions:
+            dir_ = os.path.join(self.data_root, f"v={v}")
+            if v not in referenced and os.path.isdir(dir_):
+                shutil.rmtree(dir_)
+                removed.append(v)
+        meta["history"] = {str(k): meta["history"][str(k)] for k in kept}
+        self._commit_meta(meta)
+        return removed
+
+
+def merge_sink(table: UpsertTable):
+    """foreachBatch adapter: stream micro-batches MERGE into the table —
+    the Delta-style streaming upsert sink. Dedup the batch on (key[,
+    partition]) first if the source can repeat keys within one batch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [table.key] + (
+            [table.partition_col] if table.partition_col else []
+        )
+        table.merge(batch_df.dropDuplicates(cols))
+
+    return sink
