@@ -230,3 +230,30 @@ def test_st3_foreachbatch_upsert(spark, stream_source, tmp_path_factory):
     q.awaitTermination()
     got = {r["user_id"]: r["event_id"] for r in spark.read.parquet(snap).collect()}
     assert got == {"u1": 4, "u2": 5}
+
+
+def test_rocksdb_state_store_parity(spark, stream_source):
+    """Same stateful plan, RocksDB-backed state: identical emissions.
+
+    At 100 TB the HDFS-backed store's on-heap state is the scaling wall;
+    this pins that the provider swap is semantics-preserving."""
+    from weatherdatapipeline_spark.streaming.jobs import (
+        ROCKSDB_PROVIDER,
+        use_rocksdb_state,
+    )
+
+    use_rocksdb_state(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        out = session_counts(stream_source(), "ts", "user_id", gap="30 minutes")
+        run_available_now_to_memory(out, "rocksdb_session_sink", "append")
+        rows = spark.sql(
+            "SELECT user_id, cnt FROM rocksdb_session_sink ORDER BY user_id, cnt"
+        ).collect()
+        # matches test_st6_session_windows exactly (default-provider run)
+        assert [(r["user_id"], r["cnt"]) for r in rows] == [("u1", 4), ("u2", 1)]
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -31,6 +31,29 @@ def micro_batch_trigger(writer: DataStreamWriter, minutes: int = 5) -> DataStrea
     return writer.trigger(processingTime=f"{minutes} minutes")
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark, changelog: bool = True) -> None:
+    """Switch stateful streaming to the RocksDB state store.
+
+    The default HDFS-backed store keeps every key in executor heap — fine
+    for the test corpus, fatal at 100 TB where latest-per-key /
+    session-window state spans hundreds of millions of keys. RocksDB spills
+    state to local SSD (off-heap, bounded memory) and, with changelog
+    checkpointing, uploads only the per-batch delta instead of re-snapshot-
+    ting the full store. State semantics are identical — asserted by the
+    RocksDB/HDFS parity test in tests/test_streaming.py.
+    """
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if changelog else "false",
+    )
+
+
 def dedup_late_data(
     stream: DataFrame,
     event_time: str,
