@@ -1,0 +1,95 @@
+"""Sampling/split determinism and connected-components correctness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdatapipeline_spark.operators.dedup import (
+    connected_components,
+    dedup_keep_canonical,
+)
+from weatherdatapipeline_spark.operators.sampling import (
+    mixture_weighted_sample,
+    split_assign,
+    stratified_sample,
+    train_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _assignment(df):
+    return {r["doc_id"]: r["split"] for r in df.select("doc_id", "split").collect()}
+
+
+def test_split_partition_independent(spark, docs):
+    """The property randomSplit lacks: physical layout must not move rows."""
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    base = _assignment(split_assign(docs, "doc_id", fr))
+    shuffled = _assignment(split_assign(docs.repartition(7, "source"), "doc_id", fr))
+    assert base == shuffled
+    assert set(base.values()) == {"train", "val", "test"}
+
+
+def test_split_fractions_validated(docs):
+    with pytest.raises(ValueError):
+        split_assign(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_train_test_disjoint_and_complete(docs):
+    train, test = train_test_split(docs, "doc_id", test_frac=0.2)
+    n, nt, ns = docs.count(), train.count(), test.count()
+    assert nt + ns == n
+    assert train.join(test, "doc_id").count() == 0
+    # 32-bit md5 bucket is uniform: 20% +/- a loose binomial bound
+    assert 0.1 < ns / n < 0.3
+
+
+def test_mixture_sample_keeps_full_stratum(docs):
+    kept = mixture_weighted_sample(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.0}
+    )
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("src0") == docs.filter("source = 'src0'").count()
+    assert "src1" not in by_src  # keep=0 drops all
+    assert len(by_src) == 1  # default_fraction=0 drops the rest
+
+
+def test_stratified_sample_seed_deterministic(docs):
+    fr = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2}
+    a = stratified_sample(docs, "lang", fr, seed=11).select("doc_id").collect()
+    b = stratified_sample(docs, "lang", fr, seed=11).select("doc_id").collect()
+    assert sorted(r[0] for r in a) == sorted(r[0] for r in b)
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    return {
+        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+
+
+def test_cc_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_chain_converges(spark):
+    # a 6-node path needs several propagation rounds (diameter > 1)
+    got = _cc(spark, [(5, 6), (4, 5), (3, 4), (2, 3), (1, 2)])
+    assert got == {n: 1 for n in range(1, 7)}
+
+
+def test_dedup_keep_canonical_planted(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 8)], "doc_id BIGINT, text STRING"
+    )
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 7)], "doc_a BIGINT, doc_b BIGINT"
+    )  # {2,5,7} one cluster -> keep 2; 1,3,4,6 untouched
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [1, 2, 3, 4, 6]

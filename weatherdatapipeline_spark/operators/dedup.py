@@ -434,3 +434,79 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (node, cluster_id)
+    where cluster_id is the component's minimum node id.
+
+    Min-label propagation: each round every node takes the min label among
+    itself and its neighbors (one shuffle join + one hash aggregate), until
+    a fixpoint — rounds = graph diameter, and near-dup components are
+    shallow (a handful of rounds). Each round is localCheckpoint-ed: labels
+    are reused twice per round and feed the next, so without truncation the
+    lineage (and recomputation) doubles every round. At extreme scale the
+    same loop upgrades to the large-star/small-star formulation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which contracts long chains in O(log^2 n) rounds; the driver-side
+    convergence check (an empty-diff count) is identical.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-aware corpus reduction: keep one canonical doc (the min id)
+    per duplicate cluster plus every unpaired doc. The cluster map is tiny
+    relative to the corpus (only docs that appear in a pair), so the final
+    join broadcasts."""
+    cc = connected_components(pairs)
+    return (
+        documents.join(
+            F.broadcast(cc.withColumnRenamed("node", id_col)), id_col, "left"
+        )
+        .filter(
+            F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id"))
+        )
+        .drop("cluster_id")
+    )

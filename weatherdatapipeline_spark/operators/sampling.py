@@ -1,0 +1,100 @@
+"""Dataset sampling / splitting operators for training-data pipelines.
+
+The splits a training pipeline needs must be DETERMINISTIC (re-runs and
+backfills land every row in the same split), PORTABLE (any engine can
+recompute the assignment for audits), and PARTITION-INDEPENDENT (adding
+executors or resharding the input must not move rows between splits).
+Spark's ``randomSplit`` fails all three — it samples per-partition with a
+seeded RNG, so the assignment changes with the physical layout.
+
+The primitive here is an md5 hash bucket of the row's stable id: pure
+column expressions (JVM-side, whole-stage codegen), no RNG, no state, no
+shuffle — a 100 TB split is a metadata-free map-only pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: str | Column, buckets: int = BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from md5 of the id rendered as a
+    string. The first 8 hex chars (32 bits) are unbiased for any
+    ``buckets`` << 2^32. Portable: DuckDB spells the same expression
+    ``('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % buckets``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    buckets: int = BUCKETS,
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split label ('train'/'val'/'test'/...) chosen by
+    hash bucket against cumulative fraction thresholds. Fractions must sum
+    to 1 (the last split absorbs rounding)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_bucket(id_col, buckets)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_frac: float = 0.2
+) -> tuple[DataFrame, DataFrame]:
+    """Two-way deterministic split; returns (train, test)."""
+    tagged = split_assign(df, id_col, {"train": 1 - test_frac, "test": test_frac})
+    return (
+        tagged.filter(F.col("split") == "train").drop("split"),
+        tagged.filter(F.col("split") == "test").drop("split"),
+    )
+
+
+def mixture_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    keep_fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixture step of
+    a training pipeline ("keep 30% of crawl, 100% of wiki"). Same hash
+    primitive, so the kept set is stable across runs and engines; strata
+    not listed keep ``default_fraction``."""
+    bucket = hash_bucket(id_col, buckets)
+    frac = None
+    for value, keep in keep_fractions.items():
+        cond = F.col(strata_col) == value
+        frac = F.when(cond, keep) if frac is None else frac.when(cond, keep)
+    frac = F.lit(default_fraction) if frac is None else frac.otherwise(default_fraction)
+    return df.filter(bucket < (frac * buckets).cast("bigint"))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float], seed: int = 7
+) -> DataFrame:
+    """Seeded Bernoulli stratified sample (``DataFrame.sampleBy``) — the
+    quick-look variant when approximate per-stratum rates are fine and no
+    stable id exists. For pipeline splits prefer ``split_assign``
+    (deterministic; see module docstring)."""
+    return df.sampleBy(strata_col, fractions, seed)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup as D
 from .operators import relational as R
+from .operators import sampling as SA
 from .operators import similarity as S
 from .operators import text as T
 
@@ -1832,6 +1833,140 @@ def weather_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Training-pipeline sampling / splitting / clustering (§2.11 extensions)
+# --------------------------------------------------------------------------
+
+
+def split_sizes_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split (80/10/10) — per-split
+    size, char volume, and an id checksum. Engine-portable md5 assignment:
+    the oracle recomputes the exact same split in DuckDB, which is the
+    auditability property randomSplit can't give."""
+    docs = _t(spark, sf_dir, "documents")
+    tagged = SA.split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+ORACLE_SPLIT = """
+WITH b AS (
+  SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS sum_chars, sum(doc_id) AS id_checksum
+FROM b GROUP BY 1
+"""
+
+
+def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture downsampling: keep 100% of src0, 50% of src1, 25% of
+    src2, 10% of everything else — deterministic per-id hash gate, so the
+    kept set is reproducible across runs/engines (no RNG state)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = SA.mixture_weighted_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_checksum")
+    )
+
+
+ORACLE_MIXTURE = """
+WITH b AS (
+  SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket,
+         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.25 ELSE 0.1 END AS keep
+  FROM documents
+)
+SELECT source, count(*) AS n_kept, sum(doc_id) AS id_checksum
+FROM b WHERE bucket < CAST(keep * 10000 AS BIGINT) GROUP BY source
+"""
+
+
+def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the 3-gram Jaccard near-dup graph:
+    (doc_id, cluster_id=min id in component). Spark side is iterative
+    min-label propagation (shuffle join per round); the oracle is the same
+    fixpoint via DuckDB's recursive transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_near_duplicates(docs, threshold=0.2)
+    return D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+_JACCARD_PAIR_CTES = r"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+"""
+
+ORACLE_CC = (
+    "WITH RECURSIVE "
+    + _JACCARD_PAIR_CTES
+    + """
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+"""
+)
+
+
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dedup: the corpus with each near-dup cluster reduced
+    to its canonical (min-id) member; unpaired docs pass through."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_near_duplicates(docs, threshold=0.2)
+    return D.dedup_keep_canonical(docs, pairs).select("doc_id", "source")
+
+
+ORACLE_CANONICAL = (
+    "WITH RECURSIVE "
+    + _JACCARD_PAIR_CTES
+    + """,
+cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT d.doc_id, d.source FROM documents d
+LEFT JOIN cc ON d.doc_id = cc.doc_id
+WHERE cc.doc_id IS NULL OR d.doc_id = cc.cluster_id
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1889,6 +2024,10 @@ QUERIES: dict[str, Query] = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q20_excess_shipment_suppliers": q20_excess_shipment_suppliers,
     "acctbal_above_avg_by_segment": acctbal_above_avg_by_segment,
+    "split_sizes_3way": split_sizes_3way,
+    "mixture_sample_counts": mixture_sample_counts,
+    "dedup_cluster_assignments": dedup_cluster_assignments,
+    "dedup_canonical_corpus": dedup_canonical_corpus,
     "ewma_user_values": ewma_user_values,
     "range_join_value_bands": range_join_value_bands,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -1951,6 +2090,10 @@ ORACLES: dict[str, str] = {
     "q18_large_volume_customers": ORACLE_Q18,
     "q20_excess_shipment_suppliers": ORACLE_Q20,
     "acctbal_above_avg_by_segment": ORACLE_Q22,
+    "split_sizes_3way": ORACLE_SPLIT,
+    "mixture_sample_counts": ORACLE_MIXTURE,
+    "dedup_cluster_assignments": ORACLE_CC,
+    "dedup_canonical_corpus": ORACLE_CANONICAL,
     "range_join_value_bands": ORACLE_RANGE_JOIN,
     "unpivot_lineitem_measures": ORACLE_UNPIVOT,
     "window_trailing_hour": ORACLE_TRAILING_HOUR,
