@@ -74,6 +74,26 @@ CHECKS = {
         ("broadcast nested loop, not cartesian",
          r"BroadcastNestedLoopJoin"),
     ],
+    "q7_volume_shipping": [
+        ("shipdate range pushed to scan", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"),
+        ("dims broadcast, facts shuffle", r"BroadcastHashJoin"),
+        ("no sort-merge on the dim side", lambda p: p.count("SortMergeJoin") <= 2),
+    ],
+    "q18_large_volume_customers": [
+        ("HAVING side aggregated once", lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("orders+customer joins broadcast", lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("global top-100 is TakeOrdered", r"TakeOrderedAndProject"),
+    ],
+    "q20_excess_shipment_suppliers": [
+        ("part subset is a broadcast semi join", r"BroadcastHashJoin LeftSemi"),
+        ("one shuffle (per-supplier agg)",
+         lambda p: len(re.findall(r"\(\d+\) Exchange(?! hashpartitioning.*REPARTITION)", p)) <= 2),
+    ],
+    "split_sizes_3way": [
+        ("split assign is map-only (single agg exchange)",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("scan pruned to id+chars", lambda p: "text" not in re.search(r"ReadSchema:[^\n]*", p).group(0)),
+    ],
 }
 
 
