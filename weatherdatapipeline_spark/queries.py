@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators import chunking as C
 from .operators import dedup as D
 from .operators import relational as R
 from .operators import sampling as SA
@@ -1966,6 +1967,62 @@ WHERE cc.doc_id IS NULL OR d.doc_id = cc.cluster_id
 )
 
 
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window=50, stride=40) — map-only
+    array expressions, no shuffle (see operators/chunking.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.chunk_documents(docs, window=50, stride=40)
+
+
+ORACLE_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) / 40 AS BIGINT) AS chunk_id,
+       CAST(len(w[s:s+49]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(w[s:s+49], ' ') AS chunk_text
+FROM toks, unnest(range(1, greatest(len(w), 1) + 1, 40)) AS t(s)
+"""
+
+
+def pack_contiguous_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-sum sequence packing (budget 2048) — the relational,
+    oracle-able packing strategy; per-doc bin assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", F.size(C.tokens_col("text")).cast("bigint").alias("n_tokens")
+    )
+    return C.pack_contiguous(with_tokens, budget=2048)
+
+
+ORACLE_PACK = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+FROM c
+"""
+
+
+def pack_first_fit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-decreasing packing (applyInPandas per hash group) —
+    inherently sequential, so no SQL oracle; invariants are pytest-pinned
+    (tests/test_chunking.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", F.size(C.tokens_col("text")).cast("bigint").alias("n_tokens")
+    )
+    return C.pack_first_fit(with_tokens, budget=2048, n_groups=8)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2028,6 +2085,9 @@ QUERIES: dict[str, Query] = {
     "mixture_sample_counts": mixture_sample_counts,
     "dedup_cluster_assignments": dedup_cluster_assignments,
     "dedup_canonical_corpus": dedup_canonical_corpus,
+    "chunk_documents_windows": chunk_documents_windows,
+    "pack_contiguous_bins": pack_contiguous_bins,
+    "pack_first_fit_bins": pack_first_fit_bins,
     "ewma_user_values": ewma_user_values,
     "range_join_value_bands": range_join_value_bands,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -2094,6 +2154,8 @@ ORACLES: dict[str, str] = {
     "mixture_sample_counts": ORACLE_MIXTURE,
     "dedup_cluster_assignments": ORACLE_CC,
     "dedup_canonical_corpus": ORACLE_CANONICAL,
+    "chunk_documents_windows": ORACLE_CHUNKS,
+    "pack_contiguous_bins": ORACLE_PACK,
     "range_join_value_bands": ORACLE_RANGE_JOIN,
     "unpivot_lineitem_measures": ORACLE_UNPIVOT,
     "window_trailing_hour": ORACLE_TRAILING_HOUR,
