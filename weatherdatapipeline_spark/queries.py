@@ -1838,6 +1838,95 @@ def weather_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + scalar max over it — supplier(s)
+    whose Q1-1996 revenue equals the maximum. The max is a 1-row broadcast,
+    and revenues are rounded on BOTH sides before the equality so the
+    float-sum comparison is portable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q21_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (multi-correlated EXISTS, adapted to this schema's
+    columns): for multi-supplier orders, the supplier who alone shipped on
+    the order's final ship date — per-supplier count of such orders. One
+    lineitem aggregate builds the per-order profile; the join back is on
+    the already-shuffled order key."""
+    li = _t(spark, sf_dir, "lineitem")
+    profile = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+    last_shippers = (
+        li.join(profile, "l_orderkey")
+        .filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supps") >= 2))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    solo = (
+        last_shippers.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("l_suppkey"), F.count("*").alias("n_last"))
+        .filter(F.col("n_last") == 1)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        solo.join(F.broadcast(supp), solo.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_Q21 = """
+WITH profile AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship, count(DISTINCT l_suppkey) AS n_supps
+  FROM lineitem GROUP BY l_orderkey
+),
+last_shippers AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN profile p ON l.l_orderkey = p.l_orderkey
+  WHERE l.l_shipdate = p.max_ship AND p.n_supps >= 2
+),
+solo AS (
+  SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+  FROM last_shippers GROUP BY l_orderkey HAVING count(*) = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM solo JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
 def split_sizes_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bucket train/val/test split (80/10/10) — per-split
     size, char volume, and an id checksum. Engine-portable md5 assignment:
@@ -2081,6 +2170,8 @@ QUERIES: dict[str, Query] = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q20_excess_shipment_suppliers": q20_excess_shipment_suppliers,
     "acctbal_above_avg_by_segment": acctbal_above_avg_by_segment,
+    "q15_top_supplier": q15_top_supplier,
+    "q21_blame_supplier": q21_blame_supplier,
     "split_sizes_3way": split_sizes_3way,
     "mixture_sample_counts": mixture_sample_counts,
     "dedup_cluster_assignments": dedup_cluster_assignments,
@@ -2150,6 +2241,8 @@ ORACLES: dict[str, str] = {
     "q18_large_volume_customers": ORACLE_Q18,
     "q20_excess_shipment_suppliers": ORACLE_Q20,
     "acctbal_above_avg_by_segment": ORACLE_Q22,
+    "q15_top_supplier": ORACLE_Q15,
+    "q21_blame_supplier": ORACLE_Q21,
     "split_sizes_3way": ORACLE_SPLIT,
     "mixture_sample_counts": ORACLE_MIXTURE,
     "dedup_cluster_assignments": ORACLE_CC,
