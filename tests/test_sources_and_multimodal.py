@@ -105,3 +105,20 @@ def test_multimodal_frame_sampling(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image_strict(b"\x89PNG")
+
+
+def test_catalog_compact_small_files(spark, tmp_path):
+    from weatherdatapipeline_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path))
+    df = spark.range(1000).withColumnRenamed("id", "x")
+    for _ in range(5):  # five appends -> many small files
+        df.repartition(8).write.mode("append").parquet(cat.path("logs"))
+    import glob
+
+    before = len(glob.glob(f"{cat.path('logs')}/*.parquet"))
+    assert before >= 40
+    n = cat.compact("logs", target_file_bytes=10 * 1024 * 1024)
+    after = len(glob.glob(f"{cat.path('logs')}/*.parquet"))
+    assert n == 1 and after == 1
+    assert spark.read.parquet(cat.path("logs")).count() == 5000

@@ -97,3 +97,27 @@ def test_streaming_merge_sink(spark, tmp_path, sf_dir):
     sink = merge_sink(t)
     sink(_df(spark, [(1, "d1", "fresh"), (1, "d1", "fresh"), (5, "d2", "new")]), 0)
     assert _rows(t.read()) == {("d1", 1, "fresh"), ("d2", 5, "new")}
+
+
+def test_read_changes_cdf(spark, table):
+    table.merge(_df(spark, [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")]))
+    table.merge(_df(spark, [(2, "d1", "B"), (4, "d1", "d"), (3, "d2", "c")]))
+    changes = table.read_changes(since_version=0)
+    got = {(r["id"], r["_change_type"]) for r in changes.collect()}
+    # 2 updated, 4 inserted; 3 re-merged byte-identical -> NOT a change;
+    # 1 untouched -> absent
+    assert got == {(2, "update_postimage"), (4, "insert")}
+
+
+def test_read_changes_empty_when_nothing_moved(spark, table):
+    table.merge(_df(spark, [(1, "d1", "a")]))
+    assert table.read_changes(since_version=0).count() == 0
+
+
+def test_read_changes_scopes_to_moved_partitions(spark, table):
+    table.merge(_df(spark, [(1, "d1", "a"), (3, "d2", "c")]))
+    table.merge(_df(spark, [(1, "d1", "A")]))
+    changes = table.read_changes(since_version=0)
+    assert {(r["id"], r["day"], r["_change_type"]) for r in changes.collect()} == {
+        (1, "d1", "update_postimage")
+    }

@@ -114,6 +114,35 @@ class TableCatalog:
             .saveAsTable(name)
         )
 
+    def compact(
+        self, name: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Small-file compaction for append sinks. Streaming/micro-batch
+        appends produce one file per trigger per partition; at scale a
+        month of 5-minute batches is ~8k tiny files whose open/footer costs
+        dominate scans. Rewrites the table into max(1, bytes/target) files
+        via a round-robin repartition, staging to a temp dir then swapping
+        (parquet can't overwrite a path it is lazily reading). Returns the
+        new file count."""
+        import os
+        import shutil
+
+        path = self.path(name)
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-size // target_file_bytes))
+        tmp = path + ".compacting"
+        self.spark.read.parquet(path).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+        return n_files
+
     def read_table(self, name: str) -> DataFrame:
         """Read a managed (bucketed) table — bucket metadata lives in the
         session catalog, so use the table name, not the path."""
