@@ -83,3 +83,29 @@ def test_banded_histogram_edges(spark):
     row = df.agg(*banded_histogram(df, "t", bands)).collect()[0]
     # half-open [lo, hi): 0.0 goes to "low", 10.0 to "mid", 40.0 to "hi"
     assert (row["neg"], row["low"], row["mid"], row["hi"]) == (1, 2, 2, 1)
+
+
+def test_bucket_gapfill_locf_planted(spark):
+    from datetime import datetime
+
+    from weatherdatapipeline_spark.operators.timeseries import bucket_gapfill_locf
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 5), 10.0),
+        ("a", datetime(2024, 1, 1, 0, 40), 20.0),   # same bucket as 0:05
+        ("a", datetime(2024, 1, 1, 3, 10), 99.0),   # two empty buckets between
+        ("b", datetime(2024, 1, 1, 1, 1), 7.0),     # single-bucket series
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = bucket_gapfill_locf(df, "k", "ts", "v", width_seconds=3600)
+    got = {
+        (r["k"], r["bucket"].hour): (r["n_rows"], r["value"], r["filled"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", 0): (2, 15.0, False),
+        ("a", 1): (0, 15.0, True),   # carried forward
+        ("a", 2): (0, 15.0, True),
+        ("a", 3): (1, 99.0, False),
+        ("b", 1): (1, 7.0, False),
+    }

@@ -26,6 +26,7 @@ from .operators import relational as R
 from .operators import sampling as SA
 from .operators import similarity as S
 from .operators import text as T
+from .operators import timeseries as TS
 
 Query = Callable[[SparkSession, str], DataFrame]
 
@@ -2112,6 +2113,51 @@ def pack_first_fit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_first_fit(with_tokens, budget=2048, n_groups=8)
 
 
+def gapfill_locf_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup with gap-filling (TimescaleDB
+    time_bucket_gapfill + locf shape): 6-hour buckets of high-value events
+    per type, dense between each type's first and last observation, empty
+    buckets carried forward (see operators/timeseries.py)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") >= 300)
+    out = TS.bucket_gapfill_locf(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        width_seconds=21600, agg="avg",
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "n_rows",
+        F.round("value", 6).alias("value"),
+        "filled",
+    )
+
+
+ORACLE_GAPFILL = """
+WITH f AS (
+  SELECT event_type, ts, value FROM events WHERE value >= 300
+),
+sparse AS (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT // 21600) * 21600 AS bucket_s,
+         count(*) AS n_rows, avg(value) AS raw_value
+  FROM f GROUP BY 1, 2
+),
+rng AS (
+  SELECT event_type, min(bucket_s) AS lo, max(bucket_s) AS hi FROM sparse GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(range(lo, hi + 21600, 21600)) AS bucket_s FROM rng
+)
+SELECT sp.event_type, sp.bucket_s,
+       coalesce(s.n_rows, 0) AS n_rows,
+       round(last_value(s.raw_value IGNORE NULLS) OVER (
+         PARTITION BY sp.event_type ORDER BY sp.bucket_s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+       s.raw_value IS NULL AS filled
+FROM spine sp LEFT JOIN sparse s USING (event_type, bucket_s)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2176,6 +2222,7 @@ QUERIES: dict[str, Query] = {
     "mixture_sample_counts": mixture_sample_counts,
     "dedup_cluster_assignments": dedup_cluster_assignments,
     "dedup_canonical_corpus": dedup_canonical_corpus,
+    "gapfill_locf_series": gapfill_locf_series,
     "chunk_documents_windows": chunk_documents_windows,
     "pack_contiguous_bins": pack_contiguous_bins,
     "pack_first_fit_bins": pack_first_fit_bins,
@@ -2247,6 +2294,7 @@ ORACLES: dict[str, str] = {
     "mixture_sample_counts": ORACLE_MIXTURE,
     "dedup_cluster_assignments": ORACLE_CC,
     "dedup_canonical_corpus": ORACLE_CANONICAL,
+    "gapfill_locf_series": ORACLE_GAPFILL,
     "chunk_documents_windows": ORACLE_CHUNKS,
     "pack_contiguous_bins": ORACLE_PACK,
     "range_join_value_bands": ORACLE_RANGE_JOIN,
