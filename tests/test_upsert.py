@@ -121,3 +121,16 @@ def test_read_changes_scopes_to_moved_partitions(spark, table):
     assert {(r["id"], r["day"], r["_change_type"]) for r in changes.collect()} == {
         (1, "d1", "update_postimage")
     }
+
+
+def test_schema_evolution_merge(spark, table):
+    table.merge(_df(spark, [(1, "d1", "a"), (3, "d2", "c")]))
+    evolved = spark.createDataFrame(
+        [(2, "d1", "b", 0.9)], "id INT, day STRING, val STRING, score DOUBLE"
+    )
+    with pytest.raises(Exception):  # strict by default
+        table.merge(evolved)
+    table.merge(evolved, schema_evolution=True)
+    got = {(r["day"], r["id"], r["val"], r["score"]) for r in table.read().collect()}
+    # kept row in rewritten d1 and carried-forward d2 both read NULL score
+    assert got == {("d1", 1, "a", None), ("d1", 2, "b", 0.9), ("d2", 3, "c", None)}

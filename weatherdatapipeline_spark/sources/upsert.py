@@ -24,8 +24,9 @@ keys are inserted. Keys are unique per partition (the Delta convention —
 the same key in two partitions is two rows).
 
 Constraints (v1): single writer; schema of updates must equal the table
-schema; partition values must be path-safe scalars (ints, dates, simple
-strings).
+schema unless ``merge(..., schema_evolution=True)`` (adds columns, Delta
+``mergeSchema`` style); partition values must be path-safe scalars (ints,
+dates, simple strings).
 """
 
 from __future__ import annotations
@@ -92,13 +93,17 @@ class UpsertTable:
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read of ``version`` (default: current). Partition
         pruning still works: the manifest enumerates directories, and a
-        filter on the partition column prunes within them."""
+        filter on the partition column prunes within them. ``mergeSchema``
+        is on so partitions written before a schema evolution read as the
+        union schema (old rows NULL in new columns)."""
         manifest = self._manifest(version)
         if not manifest:
             raise FileNotFoundError(f"empty upsert table at {self.table_root}")
         if self.partition_col is None:
             v = manifest["__ALL__"]
-            return self.spark.read.parquet(os.path.join(self.data_root, f"v={v}"))
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(self.data_root, f"v={v}")
+            )
         paths = [
             os.path.join(self.data_root, f"v={v}", f"{self.partition_col}={p}")
             for p, v in manifest.items()
@@ -106,6 +111,7 @@ class UpsertTable:
         # basePath recovers v + partition col from dir names; v is internal
         return (
             self.spark.read.option("basePath", self.data_root)
+            .option("mergeSchema", "true")
             .parquet(*paths)
             .drop("v")
         )
@@ -120,6 +126,7 @@ class UpsertTable:
         ]
         return (
             self.spark.read.option("basePath", self.data_root)
+            .option("mergeSchema", "true")
             .parquet(*paths)
             .drop("v")
         )
@@ -139,11 +146,16 @@ class UpsertTable:
         rows = updates.select(self.partition_col).distinct().collect()
         return [str(r[0]) for r in rows]
 
-    def merge(self, updates: DataFrame) -> int:
+    def merge(self, updates: DataFrame, schema_evolution: bool = False) -> int:
         """Upsert ``updates``; returns the new version number.
 
         Only the partitions present in ``updates`` are re-written; all
         others are carried forward by manifest reference (zero I/O).
+
+        With ``schema_evolution`` (Delta ``mergeSchema``), updates may add
+        columns: kept rows in rewritten partitions get NULLs, and
+        partitions carried forward read as NULL via mergeSchema. Without
+        it, a schema mismatch raises (unionByName strictness).
         """
         meta = self._load_meta()
         if meta is None:
@@ -160,7 +172,9 @@ class UpsertTable:
         manifest = dict(self._manifest())
         if self.partition_col is None:
             current = self.read()
-            merged = current.join(updates, self.key, "left_anti").unionByName(updates)
+            merged = current.join(updates, self.key, "left_anti").unionByName(
+                updates, allowMissingColumns=schema_evolution
+            )
             self._write_version(merged, version)
             new_manifest = {"__ALL__": version}
         else:
@@ -182,7 +196,9 @@ class UpsertTable:
                     [self.key, self.partition_col],
                     "left_anti",
                 )
-                merged = keep.unionByName(updates)
+                merged = keep.unionByName(
+                    updates, allowMissingColumns=schema_evolution
+                )
             self._write_version(merged, version)
             new_manifest = {**manifest, **{p: version for p in touched}}
         meta["version"] = version
@@ -260,8 +276,12 @@ class UpsertTable:
         )
         # an "update" whose row is byte-identical to the pre-image is not a
         # change; subtract unchanged rows so re-merging the same data CDFs
-        # to empty
-        return tagged.join(before, list(after.columns), "left_anti")
+        # to empty. Compare on the columns both snapshots share — after a
+        # schema evolution an update that only populates a NEW column on an
+        # otherwise-identical row is therefore not surfaced (caveat shared
+        # with common-column CDC diffs).
+        common = [c for c in after.columns if c in before.columns]
+        return tagged.join(before.select(common), common, "left_anti")
 
     # --- maintenance ---------------------------------------------------
 
