@@ -50,3 +50,25 @@ def test_predict_without_model_raises(spark, tmp_path_factory):
     eng.run_etl()
     with pytest.raises(RuntimeError, match="no trained model"):
         eng.predict_temperature()
+
+
+def test_prepare_training_corpus(spark, sf_dir, tmp_path):
+    from weatherdatapipeline_spark.pipelines import prepare_training_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "corpus")
+    stats = prepare_training_corpus(spark, docs, out).collect()[0]
+    assert 0 < stats["n_docs"] <= docs.count()
+    assert 0 < stats["kept_ratio"] <= 1.0
+    assert stats["n_chunks"] >= stats["n_docs"]  # every doc yields >= 1 chunk
+    assert stats["n_sequences"] >= 1
+
+    written = spark.read.parquet(out)
+    assert written.count() == stats["n_chunks"]
+    assert set(r["split"] for r in written.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    # partition pruning is the read pattern: train-only scan reads one dir
+    import os
+
+    assert os.path.isdir(os.path.join(out, "split=train"))
