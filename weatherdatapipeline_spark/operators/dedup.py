@@ -51,15 +51,35 @@ def dedup_exact(
     return df.join(keep.select(tiebreaker), tiebreaker, "inner").select(*df.columns)
 
 
-def word_shingles(text_col: str, n: int = 3) -> F.Column:
-    """Array of word n-gram shingles (lowercased, whitespace-tokenized)."""
-    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+def word_ngrams(text_col: str, n: int = 3) -> F.Column:
+    """Ordered word n-grams (with duplicates; lowercased, whitespace-
+    tokenized); a doc shorter than ``n`` tokens yields its single truncated
+    gram.
+
+    Built as a zip_with chain over n-1 shifted copies of the token array —
+    n-1 linear passes with a cheap concat lambda. The obvious
+    ``transform(sequence, i -> concat_ws(slice(tokens, i, n)))`` is ~5x
+    slower: HOF lambdas evaluate interpreted and that shape pays a slice
+    array-copy PER GRAM (measured 6s -> 1s on 5k docs at sf0.1)."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    acc = w
+    for k in range(1, n):
+        shifted = F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(0)))
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda a, b: F.when(a.isNull() | b.isNull(), F.lit(None)).otherwise(
+                F.concat_ws(" ", a, b)
+            ),
         )
+    return F.when(F.size(w) >= n, F.array_compact(acc)).otherwise(
+        F.array(F.array_join(w, " "))
     )
+
+
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Array of DISTINCT word n-gram shingles."""
+    return F.array_distinct(word_ngrams(text_col, n))
 
 
 def shingle_pairs(

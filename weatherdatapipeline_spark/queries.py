@@ -772,18 +772,14 @@ GROUP BY token ORDER BY tf DESC, token LIMIT 50
 def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signal: 1 - distinct_trigrams/total_trigrams per
     document (high = repeated boilerplate — a standard pretraining-quality
-    filter). Pure per-doc aggregate over the exploded shingle stream."""
+    filter). Pure array expressions — map-only, zero shuffle."""
     docs = _t(spark, sf_dir, "documents")
-    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 3)),
-    )
-    per = docs.select("doc_id", F.explode(sh).alias("s")).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("total_shingles"),
-        F.countDistinct("s").alias("distinct_shingles"),
-    )
-    return per.select(
+    grams = D.word_ngrams("text", 3)
+    return docs.select(
+        "doc_id",
+        F.size(grams).cast("bigint").alias("total_shingles"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("distinct_shingles"),
+    ).select(
         "doc_id",
         "total_shingles",
         "distinct_shingles",
@@ -840,43 +836,38 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical pretraining corpus-cleaning funnel as ONE declarative
     plan: per-doc quality score + trigram repetition + language ID +
     exact-dup removal (keep lowest doc_id per normalized fingerprint),
-    then the keep/drop decision. Composes the §2.11 text operators; a
-    single pass over the corpus plus the repetition aggregate and the
-    dedup hash-agg — no operator-per-stage rescans."""
+    then the keep/drop decision. Composes the §2.11 text operators; ALL
+    per-doc signals (quality, lang, fingerprint, repetition) come out of
+    one map-only pass — the zip_with n-gram build keeps repetition an
+    array expression — and the only shuffle is the fingerprint hash-agg."""
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
+    grams = D.word_ngrams("text", 3)
     scored = docs.select(
         "doc_id",
         "lang",
         T.quality_score(t).alias("quality"),
         T.language_id(t).alias("lang_pred"),
         T.fingerprint_md5(t).alias("fp"),
+        F.round(1 - F.size(F.array_distinct(grams)) / F.size(grams), 6).alias(
+            "repetition"
+        ),
     )
-    tokens = F.split(F.lower(F.trim(t)), r"\s+")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 3)),
+    # keep_id via an unordered window min: ONE pass over the text (a
+    # groupBy + join-back would re-evaluate the fp expression on a second
+    # scan branch), shuffling only the slim scored rows by fingerprint
+    keep_id = F.min("doc_id").over(Window.partitionBy("fp"))
+    return scored.withColumn("keep_id", keep_id).select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        "repetition",
+        (
+            (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("quality") >= 0.55)
+            & (F.col("repetition") <= 0.5)
+        ).alias("keep"),
     )
-    rep = docs.select("doc_id", F.explode(sh).alias("s")).groupBy("doc_id").agg(
-        F.round(1 - F.countDistinct("s") / F.count(F.lit(1)), 6).alias("repetition")
-    )
-    first_per_fp = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    out = (
-        scored.join(rep, "doc_id")
-        .join(first_per_fp, "fp")
-        .select(
-            "doc_id",
-            "lang_pred",
-            "quality",
-            "repetition",
-            (
-                (F.col("doc_id") == F.col("keep_id"))
-                & (F.col("quality") >= 0.55)
-                & (F.col("repetition") <= 0.5)
-            ).alias("keep"),
-        )
-    )
-    return out
 
 
 ORACLE_CORPUS_CLEAN = r"""
