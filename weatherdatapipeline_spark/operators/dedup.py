@@ -268,9 +268,12 @@ def minhash_signatures(
     ``num_perm`` mins in a single shuffle (map-side combined), not
     ``num_perm`` passes.
     """
+    # no .distinct() before the aggregate: word_shingles is per-doc
+    # distinct already, and duplicates cannot change a min — skipping it
+    # deletes a full shuffle of the exploded shingle stream
     exploded = documents.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
-    ).distinct()
+    )
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
     ]
