@@ -109,3 +109,28 @@ def test_bucket_gapfill_locf_planted(spark):
         ("a", 3): (1, 99.0, False),
         ("b", 1): (1, 7.0, False),
     }
+
+
+def test_bucket_gapfill_interpolate_planted(spark):
+    from datetime import datetime
+
+    from weatherdatapipeline_spark.operators.timeseries import (
+        bucket_gapfill_interpolate,
+    )
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 30), 10.0),
+        ("a", datetime(2024, 1, 1, 3, 30), 40.0),  # 2 empty buckets between
+        ("a", datetime(2024, 1, 1, 4, 30), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = bucket_gapfill_interpolate(df, "k", "ts", "v", width_seconds=3600)
+    got = {r["bucket"].hour: (r["value"], r["filled"]) for r in out.collect()}
+    # linear ramp 10 -> 40 over 3 bucket steps: 10, 20, 30, 40, 40
+    assert got == {
+        0: (10.0, False),
+        1: (20.0, True),
+        2: (30.0, True),
+        3: (40.0, False),
+        4: (40.0, False),
+    }

@@ -74,3 +74,65 @@ def bucket_gapfill_locf(
             F.col("raw_value").isNull().alias("filled"),
         )
     )
+
+
+def bucket_gapfill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    width_seconds: int,
+    agg: str = "avg",
+) -> DataFrame:
+    """Like :func:`bucket_gapfill_locf` but empty buckets LINEARLY
+    interpolate between the surrounding observed buckets (TimescaleDB
+    ``interpolate()``); a trailing run with no next observation falls back
+    to carry-forward. Two extra window passes over the same key ordering —
+    same single exchange, AQE reuses the partitioning."""
+    agg_fn = getattr(F, agg)
+    sparse = (
+        df.select(F.col(key_col), time_bucket(ts_col, width_seconds).alias("bucket"),
+                  F.col(value_col))
+        .groupBy(key_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), agg_fn(value_col).alias("raw_value"))
+    )
+    spine = (
+        sparse.groupBy(key_col)
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL {width_seconds} SECONDS"))
+            ).alias("bucket"),
+        )
+    )
+    wp = Window.partitionBy(key_col).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy(key_col).orderBy("bucket").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_bucket = F.when(F.col("raw_value").isNotNull(), F.col("bucket"))
+    joined = (
+        spine.join(sparse, [key_col, "bucket"], "left")
+        .withColumn("prev_v", F.last("raw_value", ignorenulls=True).over(wp))
+        .withColumn("prev_b", F.last(obs_bucket, ignorenulls=True).over(wp))
+        .withColumn("next_v", F.first("raw_value", ignorenulls=True).over(wn))
+        .withColumn("next_b", F.first(obs_bucket, ignorenulls=True).over(wn))
+    )
+    frac = (
+        F.unix_timestamp("bucket") - F.unix_timestamp("prev_b")
+    ) / (F.unix_timestamp("next_b") - F.unix_timestamp("prev_b"))
+    interpolated = F.when(
+        F.col("raw_value").isNotNull(), F.col("raw_value")
+    ).when(
+        F.col("next_v").isNotNull(),
+        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+    ).otherwise(F.col("prev_v"))
+    return joined.select(
+        key_col,
+        "bucket",
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        interpolated.alias("value"),
+        F.col("raw_value").isNull().alias("filled"),
+    )

@@ -2048,6 +2048,63 @@ WHERE cc.doc_id IS NULL OR d.doc_id = cc.cluster_id
 )
 
 
+def gapfill_interpolate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled rollup with LINEAR interpolation between observed
+    buckets (TimescaleDB interpolate()); trailing gaps carry forward."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") >= 300)
+    out = TS.bucket_gapfill_interpolate(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        width_seconds=21600, agg="avg",
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "n_rows",
+        F.round("value", 6).alias("value"),
+        "filled",
+    )
+
+
+ORACLE_GAPFILL_INTERP = """
+WITH f AS (
+  SELECT event_type, ts, value FROM events WHERE value >= 300
+),
+sparse AS (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT // 21600) * 21600 AS bucket_s,
+         count(*) AS n_rows, avg(value) AS raw_value
+  FROM f GROUP BY 1, 2
+),
+rng AS (
+  SELECT event_type, min(bucket_s) AS lo, max(bucket_s) AS hi FROM sparse GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(range(lo, hi + 21600, 21600)) AS bucket_s FROM rng
+),
+j AS (
+  SELECT sp.event_type, sp.bucket_s, s.n_rows, s.raw_value,
+         last_value(s.raw_value IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN s.raw_value IS NOT NULL THEN sp.bucket_s END IGNORE NULLS) OVER wp AS prev_b,
+         first_value(s.raw_value IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN s.raw_value IS NOT NULL THEN sp.bucket_s END IGNORE NULLS) OVER wn AS next_b
+  FROM spine sp LEFT JOIN sparse s USING (event_type, bucket_s)
+  WINDOW wp AS (PARTITION BY sp.event_type ORDER BY sp.bucket_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY sp.event_type ORDER BY sp.bucket_s
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket_s, coalesce(n_rows, 0) AS n_rows,
+       round(CASE
+         WHEN raw_value IS NOT NULL THEN raw_value
+         WHEN next_v IS NOT NULL THEN
+           prev_v + (next_v - prev_v) * ((bucket_s - prev_b) / (next_b - prev_b))
+         ELSE prev_v
+       END, 6) AS value,
+       raw_value IS NULL AS filled
+FROM j
+"""
+
+
 def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (window=50, stride=40) — map-only
     array expressions, no shuffle (see operators/chunking.py)."""
@@ -2214,6 +2271,7 @@ QUERIES: dict[str, Query] = {
     "dedup_cluster_assignments": dedup_cluster_assignments,
     "dedup_canonical_corpus": dedup_canonical_corpus,
     "gapfill_locf_series": gapfill_locf_series,
+    "gapfill_interpolate_series": gapfill_interpolate_series,
     "chunk_documents_windows": chunk_documents_windows,
     "pack_contiguous_bins": pack_contiguous_bins,
     "pack_first_fit_bins": pack_first_fit_bins,
@@ -2286,6 +2344,7 @@ ORACLES: dict[str, str] = {
     "dedup_cluster_assignments": ORACLE_CC,
     "dedup_canonical_corpus": ORACLE_CANONICAL,
     "gapfill_locf_series": ORACLE_GAPFILL,
+    "gapfill_interpolate_series": ORACLE_GAPFILL_INTERP,
     "chunk_documents_windows": ORACLE_CHUNKS,
     "pack_contiguous_bins": ORACLE_PACK,
     "range_join_value_bands": ORACLE_RANGE_JOIN,
