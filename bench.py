@@ -43,6 +43,9 @@ HEADLINE = [
     "vocabulary_top50",            # corpus wordcount (tf/df)
     "corpus_clean_pipeline",       # composed cleaning funnel
     "contamination_check_5gram",   # n-gram membership audit
+    "dedup_cluster_assignments",   # connected-components clustering
+    "chunk_documents_windows",     # token-window chunking (map-only)
+    "gapfill_locf_series",         # hypertable rollup + gapfill
 ]
 
 
