@@ -2161,6 +2161,76 @@ def pack_first_fit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_first_fit(with_tokens, budget=2048, n_groups=8)
 
 
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after a
+    30-minute silence. Two stacked windows on the SAME (user, ts) ordering
+    — lag to flag breaks, cumulative sum to number sessions — then one
+    aggregate; Spark shuffles the user key once."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_session = ev.withColumn(
+        "is_break", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_no",
+        F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_session.groupBy("user_id", "session_no").agg(
+        F.min(F.unix_timestamp("ts")).alias("session_start_s"),
+        F.count("*").alias("n_events"),
+        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias(
+            "duration_s"
+        ),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS is_break
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM g
+)
+SELECT user_id, session_no,
+       min(floor(epoch(ts))::BIGINT) AS session_start_s,
+       count(*) AS n_events,
+       max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS duration_s
+FROM s GROUP BY user_id, session_no
+"""
+
+
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of the rollup/cube queries)
+    with grouping_id to disambiguate NULL-as-total from NULL-as-value."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n, round(sum(l_quantity), 1) AS sum_qty
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n, round(sum(l_quantity), 1) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 def gapfill_locf_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable rollup with gap-filling (TimescaleDB
     time_bucket_gapfill + locf shape): 6-hour buckets of high-value events
@@ -2270,6 +2340,8 @@ QUERIES: dict[str, Query] = {
     "mixture_sample_counts": mixture_sample_counts,
     "dedup_cluster_assignments": dedup_cluster_assignments,
     "dedup_canonical_corpus": dedup_canonical_corpus,
+    "sessionize_events_batch": sessionize_events_batch,
+    "grouping_sets_lineitem": grouping_sets_lineitem,
     "gapfill_locf_series": gapfill_locf_series,
     "gapfill_interpolate_series": gapfill_interpolate_series,
     "chunk_documents_windows": chunk_documents_windows,
@@ -2343,6 +2415,8 @@ ORACLES: dict[str, str] = {
     "mixture_sample_counts": ORACLE_MIXTURE,
     "dedup_cluster_assignments": ORACLE_CC,
     "dedup_canonical_corpus": ORACLE_CANONICAL,
+    "sessionize_events_batch": ORACLE_SESSIONIZE,
+    "grouping_sets_lineitem": ORACLE_GROUPING_SETS,
     "gapfill_locf_series": ORACLE_GAPFILL,
     "gapfill_interpolate_series": ORACLE_GAPFILL_INTERP,
     "chunk_documents_windows": ORACLE_CHUNKS,
