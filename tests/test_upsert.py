@@ -134,3 +134,12 @@ def test_schema_evolution_merge(spark, table):
     got = {(r["day"], r["id"], r["val"], r["score"]) for r in table.read().collect()}
     # kept row in rewritten d1 and carried-forward d2 both read NULL score
     assert got == {("d1", 1, "a", None), ("d1", 2, "b", 0.9), ("d2", 3, "c", None)}
+
+
+def test_read_changes_unpartitioned(spark, tmp_path):
+    t = UpsertTable(spark, str(tmp_path), "u2", key="id")
+    df = lambda rows: spark.createDataFrame(rows, "id INT, val STRING")
+    t.merge(df([(1, "a"), (2, "b")]))
+    t.merge(df([(2, "B"), (3, "c"), (1, "a")]))  # 1 re-merged identical
+    got = {(r["id"], r["_change_type"]) for r in t.read_changes(0).collect()}
+    assert got == {(2, "update_postimage"), (3, "insert")}

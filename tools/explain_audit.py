@@ -89,6 +89,11 @@ CHECKS = {
         ("one shuffle (per-supplier agg)",
          lambda p: len(re.findall(r"\(\d+\) Exchange(?! hashpartitioning.*REPARTITION)", p)) <= 2),
     ],
+    "sessionize_events_batch": [
+        ("one user-key shuffle feeds both windows AND the session agg",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("stacked windows share one sort", lambda p: len(re.findall(r"\(\d+\) Sort", p)) == 1),
+    ],
     "split_sizes_3way": [
         ("split assign is map-only (single agg exchange)",
          lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
