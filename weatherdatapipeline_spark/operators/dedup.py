@@ -418,15 +418,44 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs with Hamming distance <= ``max_hamming``.
+    """SimHash near-dup pairs with Hamming distance <= ``max_hamming``,
+    with FULL recall at that radius.
 
-    Blocking: candidates must share one of 4 16-bit chunks of the simhash
-    (pigeonhole: any pair within Hamming distance 3 shares at least one
-    exact chunk) — turns all-pairs into an equi-join, as in Manku et al.'s
-    simhash dedup of web corpora.
+    Blocking derives from the radius: the 63-bit simhash is split into
+    ``n_blocks`` (default ``max_hamming + 1``) near-equal bit blocks, and
+    candidates must share one exact (block_id, block_value). Pigeonhole: at
+    most ``max_hamming`` blocks can contain a differing bit, so with
+    ``max_hamming + 1`` blocks every pair within the radius shares at least
+    one block — the multi-block scheme of Manku et al., "Detecting
+    Near-Duplicates for Web Crawling" (WWW'07). radius 8 -> 9 blocks of
+    7 bits (63 = 9*7).
+
+    Scale note: narrower blocks collide more (a w-bit block has 2^w
+    values), so candidate volume rises with the radius. Manku's refinement
+    for huge corpora — key on CONCATENATIONS of several unchanged blocks
+    (C(m, w) permuted tables) to widen the key — drops in here by raising
+    ``n_blocks`` above ``max_hamming + 1`` and joining on block
+    combinations; at the radii used in practice (3-8) the single-block
+    equi-join with AQE skew handling is the standard choice.
     """
+    if max_hamming < 0 or max_hamming > 32:
+        raise ValueError(f"max_hamming must be in [0, 32], got {max_hamming}")
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            f"n_blocks={n_blocks} < max_hamming+1={max_hamming + 1} breaks the "
+            "pigeonhole recall guarantee"
+        )
+    total_bits = 63
+    base, rem = divmod(total_bits, n_blocks)
+    widths = [base + 1 if i < rem else base for i in range(n_blocks)]
+    offsets, off = [], 0
+    for w_ in widths:
+        offsets.append(off)
+        off += w_
     sh = simhash(documents, id_col, text_col)
     chunks = sh.select(
         F.col(id_col),
@@ -434,10 +463,10 @@ def simhash_near_duplicates(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), i * prefix_bits).bitwiseAND(
-                        F.lit((1 << prefix_bits) - 1)
+                    F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+                        F.lit((1 << widths[i]) - 1)
                     )
-                    for i in range(64 // prefix_bits)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("chunk_id", "chunk"),
