@@ -123,6 +123,34 @@ def test_read_changes_scopes_to_moved_partitions(spark, table):
     }
 
 
+def test_read_changes_null_rows_not_phantom_updates(spark, table):
+    """Re-merging byte-identical NULL-bearing rows CDFs to empty.
+
+    Regression: the unchanged-row subtraction used null-unsafe equality, so
+    a carried-forward row with a NULL in any common column never matched
+    its identical pre-image and was reported as update_postimage forever.
+    """
+    rows = [(1, "d1", None), (2, "d1", "b"), (3, "d1", None)]
+    table.merge(_df(spark, rows))
+    table.merge(_df(spark, rows))  # identical re-merge, NULLs included
+    assert table.read_changes(since_version=0).count() == 0
+    # a real update on a NULL-bearing row still surfaces
+    table.merge(_df(spark, [(1, "d1", "now-set"), (3, "d1", None)]))
+    got = {(r["id"], r["_change_type"]) for r in table.read_changes(1).collect()}
+    assert got == {(1, "update_postimage")}
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, table):
+    """SQL DELETE removes only predicate-TRUE rows; NULL predicate keeps.
+
+    Regression: NOT(pred) evaluates NULL for NULL-bearing rows and the
+    filter dropped them — silently deleting rows Delta would keep.
+    """
+    table.merge(_df(spark, [(1, "d1", "a"), (2, "d1", None), (3, "d1", "c")]))
+    table.delete_where("val = 'a'", partitions=["d1"])
+    assert _rows(table.read()) == {("d1", 2, None), ("d1", 3, "c")}
+
+
 def test_schema_evolution_merge(spark, table):
     table.merge(_df(spark, [(1, "d1", "a"), (3, "d2", "c")]))
     evolved = spark.createDataFrame(

@@ -216,8 +216,11 @@ class UpsertTable:
             raise FileNotFoundError(f"empty upsert table at {self.table_root}")
         version = meta["version"] + 1
         manifest = dict(self._manifest())
+        # SQL DELETE removes only predicate-TRUE rows; a NULL predicate must
+        # KEEP the row. Bare NOT(NULL)=NULL would silently drop it.
+        keep = f"NOT coalesce(({predicate}), false)"
         if self.partition_col is None:
-            merged = self.read().filter(f"NOT ({predicate})")
+            merged = self.read().filter(keep)
             self._write_version(merged, version)
             new_manifest = {"__ALL__": version}
         else:
@@ -225,7 +228,7 @@ class UpsertTable:
             current = self._read_partitions(manifest, parts)
             if current is None:
                 return meta["version"]
-            merged = current.filter(f"NOT ({predicate})")
+            merged = current.filter(keep)
             self._write_version(merged, version)
             new_manifest = {**manifest, **{p: version for p in parts if p in manifest}}
         meta["version"] = version
@@ -279,9 +282,16 @@ class UpsertTable:
         # to empty. Compare on the columns both snapshots share — after a
         # schema evolution an update that only populates a NEW column on an
         # otherwise-identical row is therefore not surfaced (caveat shared
-        # with common-column CDC diffs).
+        # with common-column CDC diffs). NULL-safe equality: a carried-
+        # forward row with a NULL in any common column must still match its
+        # identical pre-image (plain `=` would yield NULL and report the
+        # row as a phantom update_postimage forever).
         common = [c for c in after.columns if c in before.columns]
-        return tagged.join(before.select(common), common, "left_anti")
+        before_aliased = before.select(
+            *[F.col(c).alias(f"_b2_{c}") for c in common]
+        )
+        unchanged = [F.col(c).eqNullSafe(F.col(f"_b2_{c}")) for c in common]
+        return tagged.join(before_aliased, unchanged, "left_anti")
 
     # --- maintenance ---------------------------------------------------
 
