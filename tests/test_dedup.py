@@ -6,6 +6,7 @@ from weatherdatapipeline_spark.operators.dedup import (
     dedup_exact,
     jaccard_near_duplicates,
     minhash_near_duplicates,
+    shingle_pairs,
     simhash,
     simhash_near_duplicates,
 )
@@ -72,6 +73,38 @@ def test_minhash_jaccard_matches_exact_on_candidates(docs):
         key = (r["doc_a"], r["doc_b"])
         assert key in exact
         assert abs(r["jaccard"] - exact[key]) < 1e-9  # verify step is exact
+
+
+def test_df_cut_bounds_hot_shingle_candidates(spark):
+    """A boilerplate shingle shared by every doc is a skew bomb: the
+    shingle self-join would emit C(n_docs, 2) candidate rows. The default
+    ("auto") df-cut must drop it so candidate volume stays bounded."""
+    hot = spark.createDataFrame(
+        [(i, f"u{i} v{i} w{i} shared boilerplate footer text") for i in range(120)],
+        "doc_id long, text string",
+    )
+    # 7 tokens -> 5 trigrams/doc; "shared boilerplate footer" and
+    # "boilerplate footer text" have df=120 > auto cap max(100, ceil(1.2))
+    uncut = shingle_pairs(hot, max_shingle_freq=None)
+    cut = shingle_pairs(hot, max_shingle_freq="auto")
+    assert uncut.count() - cut.count() == 2 * 120
+    # explicit-cap boundary: df <= cap keeps, df > cap cuts
+    assert shingle_pairs(hot, max_shingle_freq=120).count() == uncut.count()
+    assert shingle_pairs(hot, max_shingle_freq=119).count() == cut.count()
+    # end-to-end: with the hot shingles cut (default on), no candidate
+    # pair survives — even at threshold 0 nothing joins
+    assert jaccard_near_duplicates(hot, threshold=0.0).count() == 0
+
+
+def test_df_cut_auto_noop_on_small_corpus(docs):
+    """Below the 100-doc floor nothing is ever cut — exact Jaccard output
+    is unchanged by the default."""
+    with_cut = {tuple(r) for r in jaccard_near_duplicates(docs, threshold=0.3).collect()}
+    without = {
+        tuple(r)
+        for r in jaccard_near_duplicates(docs, threshold=0.3, max_shingle_freq=None).collect()
+    }
+    assert with_cut == without
 
 
 def test_dedup_incremental(spark):

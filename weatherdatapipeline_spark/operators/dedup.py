@@ -19,10 +19,22 @@ Design for 100 TB
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint_md5
+
+logger = logging.getLogger(__name__)
+
+# Default document-frequency cut for the shared-shingle self-join: drop
+# shingles present in more than max(DF_CUT_FLOOR, DF_CUT_FRACTION * n_docs)
+# documents. One boilerplate 3-gram shared by 10^6 docs would otherwise
+# produce 10^12 candidate rows; a shingle in >1% of a large corpus carries
+# no near-dup signal anyway (it's corpus-level boilerplate, not content).
+DF_CUT_FLOOR = 100
+DF_CUT_FRACTION = 0.01
 
 
 def dedup_exact(
@@ -82,15 +94,51 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
     return F.array_distinct(word_ngrams(text_col, n))
 
 
+def _df_cut(
+    pairs: DataFrame,
+    documents: DataFrame,
+    id_col: str,
+    max_shingle_freq: int | str | None,
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap.
+
+    ``max_shingle_freq="auto"`` scales the cap with corpus size —
+    ``greatest(DF_CUT_FLOOR, ceil(DF_CUT_FRACTION * n_docs))`` — computed
+    relationally (a 1-row broadcast of the doc count), so no driver-side
+    action is added to the plan.
+    """
+    if max_shingle_freq is None:
+        return pairs
+    freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if max_shingle_freq == "auto":
+        ndocs = documents.select(F.count_distinct(F.col(id_col)).alias("_ndocs"))
+        keep = (
+            freq.crossJoin(F.broadcast(ndocs))
+            .filter(
+                F.col("df")
+                <= F.greatest(
+                    F.lit(DF_CUT_FLOOR).cast("long"),
+                    F.ceil(F.lit(DF_CUT_FRACTION) * F.col("_ndocs")),
+                )
+            )
+            .select("shingle")
+        )
+    else:
+        keep = freq.filter(F.col("df") <= max_shingle_freq).select("shingle")
+    return pairs.join(keep, "shingle", "inner")  # AQE may broadcast `keep`
+
+
 def shingle_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | str | None = None,
     hashed: bool = True,
 ) -> DataFrame:
-    """(doc_id, shingle) exploded distinct pairs, optionally df-cut.
+    """(doc_id, shingle) exploded distinct pairs, optionally df-cut
+    (``max_shingle_freq``: an int cap, ``"auto"`` for the corpus-scaled
+    default, or None for no cut).
 
     ``hashed=True`` replaces the shingle string by its xxhash64 — the
     self-join then shuffles 8-byte keys instead of ~25-byte strings (the
@@ -128,17 +176,9 @@ def shingle_pairs(
         # array-slice construction in word_shingles
         kept = built.filter((F.col("pos") <= F.col("ntok") - n) | (F.col("pos") == 0))
         pairs = kept.select(id_col, F.xxhash64("s").alias("shingle")).distinct()
-        if max_shingle_freq is not None:
-            freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-            keep = freq.filter(F.col("df") <= max_shingle_freq).select("shingle")
-            pairs = pairs.join(keep, "shingle", "inner")
-        return pairs
+        return _df_cut(pairs, documents, id_col, max_shingle_freq)
     pairs = documents.select(F.col(id_col), shingle).distinct()
-    if max_shingle_freq is not None:
-        freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        keep = freq.filter(F.col("df") <= max_shingle_freq).select("shingle")
-        pairs = pairs.join(keep, "shingle", "inner")  # AQE may broadcast `keep`
-    return pairs
+    return _df_cut(pairs, documents, id_col, max_shingle_freq)
 
 
 def jaccard_near_duplicates(
@@ -147,18 +187,34 @@ def jaccard_near_duplicates(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.4,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | str | None = "auto",
+    log_cut: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share >=1 shingle.
 
     Fully relational (explode -> self-equi-join on shingle -> count), so a
     SQL oracle can replicate it verbatim. Returns
     (doc_a, doc_b, common, size_a, size_b, jaccard) with doc_a < doc_b.
+
+    The df-cut defaults ON (``max_shingle_freq="auto"``): one hot
+    boilerplate shingle otherwise makes the shingle self-join quadratic.
+    Jaccard is then computed over the df-filtered shingle sets (the
+    standard df-cut semantics). Pass ``None`` for uncut exact Jaccard on
+    small corpora. ``log_cut=True`` runs one extra small job to report how
+    many (doc, shingle) rows the cut removed.
     """
     # the shingle table feeds three plan branches (sizes, a-side, b-side);
     # persist it so the explode+distinct runs once, not three times — the
     # same reason a 100 TB run would materialize the shingle index first
     pairs = shingle_pairs(documents, id_col, text_col, n, max_shingle_freq).persist()
+    if log_cut and max_shingle_freq is not None:
+        uncut = shingle_pairs(documents, id_col, text_col, n, None)
+        n_cut = uncut.count() - pairs.count()
+        logger.info(
+            "jaccard df-cut (max_shingle_freq=%s) removed %d (doc, shingle) rows",
+            max_shingle_freq,
+            n_cut,
+        )
     sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = pairs.select(F.col(id_col).alias("doc_a"), "shingle")
     b = pairs.select(F.col(id_col).alias("doc_b"), "shingle")

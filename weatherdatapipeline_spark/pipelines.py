@@ -45,8 +45,12 @@ def prepare_training_corpus(
     # 1. quality gate (map-only single scan)
     gated = documents.filter(T.quality_score(F.col("text")) >= min_quality)
 
-    # 2. near-dup clustering on the gated set; keep canonical docs.
-    pairs = D.jaccard_near_duplicates(gated, threshold=jaccard_threshold)
+    # 2. near-dup clustering on the gated set; keep canonical docs. The
+    # df-cut defaults on (corpus-scaled max_shingle_freq); log_cut reports
+    # how many (doc, shingle) rows boilerplate shingles contributed.
+    pairs = D.jaccard_near_duplicates(
+        gated, threshold=jaccard_threshold, log_cut=True
+    )
     cleaned = D.dedup_keep_canonical(gated, pairs)
 
     # 3. deterministic split (adds a column, no shuffle) — materialize

@@ -944,9 +944,20 @@ ORACLE_JACCARD = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
   FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+),
+-- df-cut, mirroring the Spark default: drop shingles present in more than
+-- greatest(100, ceil(0.01 * n_docs)) documents
+cap AS (
+  SELECT greatest(100, CAST(ceil(0.01 * count(DISTINCT doc_id)) AS BIGINT)) AS v
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh0
+  ), cap WHERE df <= cap.v
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
@@ -1992,9 +2003,20 @@ _JACCARD_PAIR_CTES = r"""
 toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
   FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+),
+-- df-cut, mirroring the Spark default: drop shingles present in more than
+-- greatest(100, ceil(0.01 * n_docs)) documents
+cap AS (
+  SELECT greatest(100, CAST(ceil(0.01 * count(DISTINCT doc_id)) AS BIGINT)) AS v
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh0
+  ), cap WHERE df <= cap.v
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
