@@ -53,9 +53,50 @@ def _with_tokens(spark, rows):
 
 def test_pack_contiguous_known(spark):
     t = _with_tokens(spark, [(1, 100), (2, 100), (3, 100), (4, 100)])
-    got = {r["doc_id"]: r["bin_id"] for r in pack_contiguous(t, budget=250).collect()}
+    # single shard -> the classic global cumulative packing
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_contiguous(t, budget=250, n_shards=1).collect()
+    }
     # cum-before: 0,100,200,300 -> bins 0,0,0,1
     assert got == {1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_pack_contiguous_shard_local(spark):
+    """Default packing is shard-local: bin assignment within a shard must
+    equal a global pack of that shard alone, and the window must be
+    partitioned (parallel), not a single global sort."""
+    t = _with_tokens(spark, [(i, 70 + i) for i in range(1, 41)])
+    packed = pack_contiguous(t, budget=200, n_shards=4)
+    rows = packed.collect()
+    assert {r["doc_id"] for r in rows} == set(range(1, 41))
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert len(by_shard) > 1  # docs actually spread across shards
+    for members in by_shard.values():
+        cum = 0
+        for r in members:  # doc_id order within the shard
+            assert r["bin_id"] == cum // 200
+            cum += r["n_tokens"]
+    # plan: the Window partitions by shard (hashpartitioning), never
+    # Exchange SinglePartition feeding the sort
+    plan = packed._sc._jvm.PythonSQLUtils.explainString(
+        packed._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_pack_contiguous_custom_shard_col(spark):
+    t = spark.createDataFrame(
+        [(1, 100, "a"), (2, 200, "a"), (3, 150, "b")],
+        "doc_id BIGINT, n_tokens BIGINT, day STRING",
+    )
+    got = {
+        r["doc_id"]: (r["shard_id"], r["bin_id"])
+        for r in pack_contiguous(t, budget=250, shard_col="day").collect()
+    }
+    assert got == {1: ("a", 0), 2: ("a", 0), 3: ("b", 0)}
 
 
 def test_pack_first_fit_invariants(spark, docs):

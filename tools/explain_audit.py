@@ -102,6 +102,32 @@ CHECKS = {
 }
 
 
+# A windowspecdefinition whose FIRST argument is an ordering expression
+# ("col ASC/DESC NULLS ...") has no partition columns -> the window runs
+# on Exchange SinglePartition: the whole input through one task. No
+# registered query is allowed to ship such a plan.
+_GLOBAL_WINDOW = re.compile(r"windowspecdefinition\([^(,]*\s(ASC|DESC)\s")
+
+
+def global_window_sweep(spark, sf_dir: str) -> int:
+    """Assert NO registered query plan contains a partition-less Window."""
+    failures = 0
+    for name, fn in QUERIES.items():
+        try:
+            plan = plan_of(fn(spark, sf_dir))
+        except Exception as e:  # a broken query is its own failure
+            print(f"FAIL  {name}: no-global-window sweep could not build plan: {e}")
+            failures += 1
+            continue
+        hits = _GLOBAL_WINDOW.findall(plan)
+        ok = not hits
+        if not ok or "-v" in sys.argv:
+            print(f"{'ok  ' if ok else 'FAIL'}  {name}: no partition-less window")
+        failures += 0 if ok else 1
+    print(f"no-global-window sweep: {len(QUERIES)} plans checked, {failures} failures")
+    return failures
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain-audit")
@@ -120,6 +146,7 @@ def main() -> int:
                 print("      --- relevant plan lines ---")
                 for line in scan.splitlines()[:12]:
                     print("     ", line.strip()[:150])
+    failures += global_window_sweep(spark, sf_dir)
     print(f"\n{failures} failures")
     return 1 if failures else 0
 

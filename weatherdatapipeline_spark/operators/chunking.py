@@ -10,11 +10,15 @@ Two pre-tokenization ops every LLM data pipeline runs at corpus scale:
   Two strategies with different contracts:
 
   * ``pack_contiguous`` — streaming/cumulative packing in doc_id order via
-    a window cumulative sum. Fully relational (one shuffle for the window),
-    engine-portable, ORACLE-able. A doc whose tokens straddle a boundary
-    starts the next bin (bin = floor((cumsum - n_tokens) / budget)), so
-    bins can overflow by at most one doc — the "pad-free packing"
-    approximation used when throughput matters more than tightness.
+    a window cumulative sum, SHARD-LOCAL by default: ids hash into
+    ``n_shards`` buckets and the cumulative sum runs per shard, so the
+    window is a partitioned sort that parallelizes across executors —
+    never a single-task global sort. (shard_id, bin_id) names a training
+    sequence. Fully relational, engine-portable, ORACLE-able. A doc whose
+    tokens straddle a boundary starts the next bin (bin = floor((cumsum -
+    n_tokens) / budget)), so bins can overflow by at most one doc — the
+    "pad-free packing" approximation used when throughput matters more
+    than tightness.
   * ``pack_first_fit`` — classic greedy first-fit-decreasing, which is
     inherently sequential; runs as applyInPandas per packing group, where
     the group key is a hash bucket of doc_id so each group's doc list fits
@@ -77,17 +81,36 @@ def pack_contiguous(
     id_col: str = "doc_id",
     tokens_col_name: str = "n_tokens",
     budget: int = 2048,
+    n_shards: int = 32,
+    shard_col: str | None = None,
 ) -> DataFrame:
-    """Cumulative packing in ``id_col`` order: bin = floor((cumsum -
-    n_tokens) / budget). One window shuffle; deterministic and portable."""
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
-    # NOTE: a global orderBy window is a single-partition sort — fine for
-    # bin assignment audits; at scale, partition by a date/shard column
-    # first and pack within shards (pass a pre-partitioned frame).
+    """Cumulative packing in ``id_col`` order within a shard: bin =
+    floor((cumsum - n_tokens) / budget); (shard_id, bin_id) names a
+    training sequence.
+
+    Shard-local by default because a bare ``Window.orderBy`` is a
+    single-partition sort — at corpus scale the whole input would
+    serialize through one task. Ids hash into ``n_shards`` buckets
+    (deterministic, partition-independent md5 bucket shared with
+    operators/sampling.py), and the cumulative window partitions by
+    shard — parallel and spill-bounded at any scale. Pass ``shard_col``
+    to pack within an existing column (e.g. a date) instead.
+    """
+    if shard_col is None:
+        work = docs_with_tokens.withColumn("shard_id", hash_bucket(id_col, n_shards))
+        shard_col = "shard_id"
+    else:
+        work = docs_with_tokens
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = F.sum(tokens_col_name).over(w)
-    return docs_with_tokens.select(
+    return work.select(
         id_col,
         F.col(tokens_col_name).cast("bigint").alias("n_tokens"),
+        F.col(shard_col).alias("shard_id"),
         ((cum - F.col(tokens_col_name)) / budget).cast("bigint").alias("bin_id"),
     )
 

@@ -81,7 +81,9 @@ def prepare_training_corpus(
         )
         .crossJoin(chunks.agg(F.count("*").alias("n_chunks")))
         .crossJoin(
-            packed.agg((F.max("bin_id") + 1).alias("n_sequences"))
+            packed.agg(
+                F.countDistinct("shard_id", "bin_id").alias("n_sequences")
+            )
         )
         .withColumn("kept_ratio", F.lit(None).cast("double"))
     )

@@ -525,10 +525,35 @@ WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id),
 
 
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile quartiles over order value → per-quartile stats."""
+    """Quartiles over order value → per-quartile stats, WITHOUT a global
+    sort: a bare ntile() window is an Exchange SinglePartition — the whole
+    table serializes through one task. Instead: percentile boundaries from
+    one sketch aggregate (percentile_approx, partial-aggregated map-side),
+    broadcast the 1-row boundary frame, bucket map-side. Two scans, zero
+    wide sorts — the plan a 100 TB quartile job needs.
+
+    Boundary rule: percentile_disc (the value at rank ceil(p*n)), which
+    Spark's Greenwald-Khanna sketch reproduces EXACTLY while n is within
+    its accuracy budget (oracle scale); at larger n, boundaries are
+    approximate within the documented 1/accuracy rank error — the standard
+    trade for sort-free quantiles. Rows with value <= boundary fall in the
+    lower quartile (both engines use the same rule, so the oracle
+    hash-matches)."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    q = o.select("o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile"))
+    b = o.agg(
+        F.percentile_approx(
+            "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(1000000)
+        ).alias("b")
+    )
+    q = o.join(F.broadcast(b)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + (F.col("o_totalprice") > F.col("b")[0]).cast("int")
+            + (F.col("o_totalprice") > F.col("b")[1]).cast("int")
+            + (F.col("o_totalprice") > F.col("b")[2]).cast("int")
+        ).cast("long").alias("quartile"),
+    )
     return q.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
@@ -538,13 +563,19 @@ def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_QUARTILES = """
+WITH b AS (
+  SELECT quantile_disc(o_totalprice, [0.25, 0.5, 0.75]) AS q FROM orders
+)
 SELECT quartile, count(*) AS cnt,
        round(min(o_totalprice), 2) AS min_price,
        round(max(o_totalprice), 2) AS max_price,
        round(avg(o_totalprice), 4) AS avg_price
 FROM (
-  SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
-  FROM orders
+  SELECT o_totalprice,
+         CAST(1 + CAST(o_totalprice > b.q[1] AS INT)
+                + CAST(o_totalprice > b.q[2] AS INT)
+                + CAST(o_totalprice > b.q[3] AS INT) AS BIGINT) AS quartile
+  FROM orders, b
 )
 GROUP BY quartile
 """
@@ -2147,27 +2178,31 @@ FROM toks, unnest(range(1, greatest(len(w), 1) + 1, 40)) AS t(s)
 
 
 def pack_contiguous_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative-sum sequence packing (budget 2048) — the relational,
-    oracle-able packing strategy; per-doc bin assignment."""
+    """Cumulative-sum sequence packing (budget 2048), shard-local: the
+    cumulative window partitions by an md5 hash bucket of doc_id so the
+    sort parallelizes — no single-task global window."""
     docs = _t(spark, sf_dir, "documents")
     with_tokens = docs.select(
         "doc_id", F.size(C.tokens_col("text")).cast("bigint").alias("n_tokens")
     )
-    return C.pack_contiguous(with_tokens, budget=2048)
+    return C.pack_contiguous(with_tokens, budget=2048, n_shards=32)
 
 
 ORACLE_PACK = r"""
 WITH t AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 32 AS shard_id
   FROM documents
 ),
 c AS (
-  SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  SELECT doc_id, n_tokens, shard_id,
+         sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM t
 )
-SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+SELECT doc_id, n_tokens, shard_id,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
 FROM c
 """
 
