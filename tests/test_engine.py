@@ -45,6 +45,17 @@ def test_full_lifecycle(engine):
     assert h["status"] == "healthy" and h["model_versions"] == 1
 
 
+def test_predict_does_not_leak_cached_blocks(spark, engine):
+    """Regression: predict paths persisted without unpersist — every call
+    in a long-lived engine leaked cached blocks. After predict, the JVM
+    must hold no persistent RDDs beyond what existed before."""
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    engine.predict_temperature(limit=20)
+    engine.predict_weather(limit=20)
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, f"leaked cached RDDs: {after - before}"
+
+
 def test_predict_without_model_raises(spark, tmp_path_factory):
     eng = WeatherEngine(spark, str(tmp_path_factory.mktemp("cold")))
     eng.run_etl()

@@ -92,17 +92,29 @@ class WeatherEngine:
         return _predict(models, latest)
 
     def predict_temperature(self, limit: int = 100) -> DataFrame:
-        """Reference main.py:124-150: latest rows scored, predictions sunk."""
+        """Reference main.py:124-150: latest rows scored, predictions sunk.
+
+        The persist covers the sink write only and is released in
+        ``finally`` — a long-lived engine must not accumulate cached
+        blocks across predict calls (run_etl pairs persist/unpersist the
+        same way). The returned frame stays lazy and valid; re-collecting
+        it recomputes the scoring."""
         preds = self._score_latest(limit).persist()
-        scored = preds.filter(F.col("pred_temperature").isNotNull())
-        self.catalog.append_predictions(scored, pred_type="regression")
-        return preds.select("city", "timestamp", "pred_temperature")
+        try:
+            scored = preds.filter(F.col("pred_temperature").isNotNull())
+            self.catalog.append_predictions(scored, pred_type="regression")
+            return preds.select("city", "timestamp", "pred_temperature")
+        finally:
+            preds.unpersist()
 
     def predict_weather(self, limit: int = 100) -> DataFrame:
         preds = self._score_latest(limit).persist()
-        scored = preds.filter(F.col("pred_condition").isNotNull())
-        self.catalog.append_predictions(scored, pred_type="classification")
-        return preds.select("city", "timestamp", "pred_condition")
+        try:
+            scored = preds.filter(F.col("pred_condition").isNotNull())
+            self.catalog.append_predictions(scored, pred_type="classification")
+            return preds.select("city", "timestamp", "pred_condition")
+        finally:
+            preds.unpersist()
 
     def evaluate(self, limit: int = 500) -> dict:
         """A10 monitoring metrics of Production models on recent history

@@ -146,39 +146,51 @@ def shingle_pairs(
     merge two shingles; at any realistic shingle cardinality the birthday
     probability is negligible (~1e-11 at 10^5 distinct shingles).
     """
-    shingle = F.explode(word_shingles(text_col, n)).alias("shingle")
     if hashed:
-        # shingles via posexplode + lead() window rather than the array
-        # transform(slice+concat) lambda: measured 4x faster (HOF lambdas
-        # evaluate interpreted, and slice copies an array per shingle),
-        # and a 10^6-token document becomes 10^6 narrow rows instead of
-        # one 10^6-element array cell — bounded task memory at any doc
-        # length. The doc_id shuffle it introduces is one the downstream
-        # groupBys need anyway.
-        from pyspark.sql import Window as _W
-
-        tok = documents.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-                "pos", "tk"
-            ),
-        )
-        w = _W.partitionBy(id_col).orderBy("pos")
-        leads = [F.col("tk")] + [F.lead("tk", j).over(w) for j in range(1, n)]
-        built = tok.select(
-            F.col(id_col),
-            "pos",
-            F.concat_ws(" ", *leads).alias("s"),
-            F.count(F.lit(1)).over(_W.partitionBy(id_col)).alias("ntok"),
-        )
-        # full shingles only, except a short doc (< n tokens) keeps its
-        # single truncated shingle at pos 0 — same semantics as the
-        # array-slice construction in word_shingles
-        kept = built.filter((F.col("pos") <= F.col("ntok") - n) | (F.col("pos") == 0))
-        pairs = kept.select(id_col, F.xxhash64("s").alias("shingle")).distinct()
+        pairs = hashed_gram_rows(documents, id_col, text_col, n).distinct()
         return _df_cut(pairs, documents, id_col, max_shingle_freq)
+    shingle = F.explode(word_shingles(text_col, n)).alias("shingle")
     pairs = documents.select(F.col(id_col), shingle).distinct()
     return _df_cut(pairs, documents, id_col, max_shingle_freq)
+
+
+def hashed_gram_rows(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingle) rows where shingle = xxhash64 of the word n-gram —
+    one row per gram POSITION (duplicates kept; distinct is the caller's
+    choice).
+
+    Grams are built via posexplode + lead() window rather than the array
+    transform(slice+concat) lambda: measured 4x faster (HOF lambdas
+    evaluate interpreted, and slice copies an array per shingle), and a
+    10^6-token document becomes 10^6 narrow rows instead of one
+    10^6-element array cell — bounded task memory at any doc length. The
+    id shuffle it introduces is one the downstream groupBys need anyway.
+    A short doc (< n tokens) keeps its single truncated gram at pos 0 —
+    same semantics as the array-slice construction in word_shingles.
+    """
+    from pyspark.sql import Window as _W
+
+    tok = documents.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "tk"
+        ),
+    )
+    w = _W.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("tk")] + [F.lead("tk", j).over(w) for j in range(1, n)]
+    built = tok.select(
+        F.col(id_col),
+        "pos",
+        F.concat_ws(" ", *leads).alias("s"),
+        F.count(F.lit(1)).over(_W.partitionBy(id_col)).alias("ntok"),
+    )
+    kept = built.filter((F.col("pos") <= F.col("ntok") - n) | (F.col("pos") == 0))
+    return kept.select(id_col, F.xxhash64("s").alias("shingle"))
 
 
 def jaccard_near_duplicates(
@@ -281,19 +293,23 @@ def contamination_check(
     its word n-grams appear anywhere in the training corpus (the standard
     n-gram-collision membership test used before pretraining runs).
 
-    Relational: both sides explode to hashed n-grams; a semi-join-style
-    aggregate counts collisions — the corpus side is reduced to DISTINCT
-    n-grams first, so the join is |eval n-grams| x hit-rate, never
-    corpus-sized. Returns (doc_id, n_ngrams, n_hits, contamination).
+    Relational: both sides explode to hashed n-grams (the posexplode+lead
+    builder — see hashed_gram_rows; ~4x faster than the array-HOF path and
+    task-memory-bounded at any doc length); a semi-join-style aggregate
+    counts collisions — the corpus side is reduced to DISTINCT n-grams
+    first, so the join is |eval n-grams| x hit-rate, never corpus-sized.
+    Returns (doc_id, n_ngrams, n_hits, contamination).
     """
     corpus_grams = (
-        corpus.select(F.explode(word_shingles(text_col, n)).alias("g"))
-        .select(F.xxhash64("g").alias("g"))
+        hashed_gram_rows(corpus, id_col, text_col, n)
+        .select(F.col("shingle").alias("g"))
         .distinct()
     )
-    eval_grams = eval_docs.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("g")
-    ).select(id_col, F.xxhash64("g").alias("g")).distinct()
+    eval_grams = (
+        hashed_gram_rows(eval_docs, id_col, text_col, n)
+        .select(id_col, F.col("shingle").alias("g"))
+        .distinct()
+    )
     hits = (
         eval_grams.join(corpus_grams.withColumn("_hit", F.lit(1)), "g", "left")
         .groupBy(id_col)
