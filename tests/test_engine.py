@@ -40,6 +40,16 @@ def test_full_lifecycle(engine):
     ev = engine.evaluate(limit=200)
     assert ev["n"] > 0 and ev["mae"] >= 0 and 0 <= ev["accuracy"] <= 1
 
+    # persist=True writes row-level prediction-vs-actual details to the
+    # predictions sink (reference /monitor/eval?persist=true)
+    ev2 = engine.evaluate(limit=100, persist=True)
+    eval_rows = engine.catalog.read("predictions", merge_schema=True).filter(
+        F.col("pred_type") == "eval"
+    )
+    assert eval_rows.count() == ev2["n"]
+    assert eval_rows.filter(F.col("actual_temp_next").isNotNull()).count() > 0
+    assert {"pred_temperature", "actual_condition"} <= set(eval_rows.columns)
+
     assert "predictions" in engine.collections()
     h = engine.health()
     assert h["status"] == "healthy" and h["model_versions"] == 1

@@ -12,7 +12,7 @@ from weatherdatapipeline_spark.ml.pipeline import (
     time_series_splits,
     train,
 )
-from weatherdatapipeline_spark.ml.registry import LocalRegistry
+from weatherdatapipeline_spark.ml.registry import HAS_MLFLOW, LocalRegistry
 from weatherdatapipeline_spark.sources.synthetic import synthetic_weather
 
 
@@ -57,6 +57,31 @@ def test_train_produces_metrics(trained):
     assert models.metrics["mae"] >= 0
 
 
+def test_train_adaptive_feature_fallback(spark, tmp_path):
+    """Small corpora retry with lighter lags/windows before the hard floor
+    (reference training.py:29-40). 80 raw rows -> default depth leaves 40
+    usable (< 50) -> first fallback (lags=[1], rolling=[2]) leaves 60
+    (>= 30) and is chosen; the config is recorded and round-trips through
+    the registry so inference regenerates matching features."""
+    weather = synthetic_weather(spark, n_batches=8)  # 10 cities x 8 rows
+    models = train(weather, n_splits=2, n_trees=3)
+    assert models.feature_config == {"lags": [1], "rolling_windows": [2]}
+    assert all("lag_3" not in c for c in models.feature_cols)
+    assert any("lag_1" in c for c in models.feature_cols)
+
+    reg = LocalRegistry(str(tmp_path))
+    reg.log("fb", models, params={})
+    loaded = reg.load(spark, reg.latest("fb"))
+    assert loaded.feature_config == models.feature_config
+    preds = predict(loaded, weather)
+    assert preds.filter(F.col("pred_temperature").isNotNull()).count() > 0
+
+
+def test_train_default_depth_when_enough_rows(trained):
+    models, _ = trained
+    assert models.feature_config == {"lags": [1, 3], "rolling_windows": [3]}
+
+
 def test_train_insufficient_rows_raises(spark):
     tiny = synthetic_weather(spark, n_batches=5)  # 50 rows → ~10 survive filter
     with pytest.raises(ValueError, match="insufficient"):
@@ -85,6 +110,68 @@ def test_logistic_regression_alternative(spark, tmp_path):
     loaded = reg.load(spark, reg.latest("lr_model"))
     preds = predict(loaded, weather)
     assert preds.filter(F.col("pred_condition").isNotNull()).count() > 0
+
+
+@pytest.fixture(
+    params=[
+        "local",
+        pytest.param(
+            "mlflow",
+            marks=pytest.mark.skipif(
+                not HAS_MLFLOW, reason="mlflow not installed in this environment"
+            ),
+        ),
+    ]
+)
+def make_reg(request, tmp_path):
+    """Fresh-registry factory parametrized over both backends; the MLflow
+    case runs only where mlflow is importable (registry needs a DB-backed
+    store, hence sqlite)."""
+    import itertools
+
+    counter = itertools.count()
+
+    def _make():
+        sub = tmp_path / f"reg{next(counter)}"
+        if request.param == "local":
+            return LocalRegistry(str(sub))
+        from weatherdatapipeline_spark.ml.registry import MlflowRegistry
+
+        return MlflowRegistry(
+            tracking_uri=f"sqlite:///{sub}.db", experiment=f"test-{sub.name}"
+        )
+
+    return _make
+
+
+def test_registry_backend_lifecycle(make_reg, spark, trained):
+    """The lifecycle contract holds for every registry backend."""
+    models, weather = trained
+    reg = make_reg()
+    v1 = reg.log("weather", models, params={"n_trees": 5})
+    assert (v1.version, v1.stage) == (1, "Staging")
+    reg.promote("weather", 1, "Production")
+    mv = reg.get_stage("weather", "Production")
+    assert mv.version == 1 and mv.feature_cols == models.feature_cols
+    loaded = reg.load(spark, mv)
+    preds = predict(loaded, weather)
+    assert preds.filter(F.col("pred_temperature").isNotNull()).count() > 0
+
+
+@pytest.mark.skipif(HAS_MLFLOW, reason="mlflow installed — constructor works")
+def test_mlflow_registry_requires_mlflow():
+    from weatherdatapipeline_spark.ml.registry import MlflowRegistry
+
+    with pytest.raises(ImportError, match="mlflow is not installed"):
+        MlflowRegistry()
+
+
+def test_make_registry_auto_falls_back_local(tmp_path):
+    from weatherdatapipeline_spark.ml.registry import make_registry
+
+    reg = make_registry(str(tmp_path / "auto"))
+    if not HAS_MLFLOW:
+        assert isinstance(reg, LocalRegistry)
 
 
 def test_registry_lifecycle(tmp_path, spark, trained):

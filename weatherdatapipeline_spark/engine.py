@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .ml.pipeline import predict as _predict
 from .ml.pipeline import train as _train
-from .ml.registry import LocalRegistry
+from .ml.registry import make_registry
 from .operators.stats import batch_statistics
 from .sources.catalog import TableCatalog
 from .sources.synthetic import synthetic_weather
@@ -36,14 +36,18 @@ MODEL_NAME = "weather_models"
 
 
 class WeatherEngine:
-    def __init__(self, spark: SparkSession, root: str, source=None):
+    def __init__(self, spark: SparkSession, root: str, source=None, registry=None):
         """``source``: callable(spark) -> DataFrame of WEATHER_RAW rows.
         Defaults to the synthetic generator; production wires
         ``sources.rest.ingest`` here (same injection seam the tests use).
+        ``registry``: any object with the LocalRegistry interface; defaults
+        to make_registry's auto pick — MlflowRegistry where mlflow is
+        installed (the reference always talks to MLflow), LocalRegistry
+        otherwise.
         """
         self.spark = spark
         self.catalog = TableCatalog(spark, root)
-        self.registry = LocalRegistry(f"{root.rstrip('/')}/model_registry")
+        self.registry = registry or make_registry(f"{root.rstrip('/')}/model_registry")
         self.source = source or (lambda s: synthetic_weather(s, n_batches=1))
 
     # --- E-path --------------------------------------------------------
@@ -116,10 +120,15 @@ class WeatherEngine:
         finally:
             preds.unpersist()
 
-    def evaluate(self, limit: int = 500) -> dict:
+    def evaluate(self, limit: int = 500, persist: bool = False) -> dict:
         """A10 monitoring metrics of Production models on recent history
         (reference main.py:153-191): next-step targets from the data
-        itself, MAE/RMSE on temperature, accuracy on condition."""
+        itself, MAE/RMSE on temperature, accuracy on condition.
+
+        ``persist=True`` additionally writes the per-row
+        prediction-vs-actual details to the predictions sink tagged
+        ``pred_type="eval"`` (reference /monitor/eval?persist=true,
+        predict.py:182-252 evaluate_with_details)."""
         from pyspark.sql import Window
 
         from .operators.features import ensure_event_time
@@ -138,17 +147,33 @@ class WeatherEngine:
         joined = preds.join(actual, ["city", "timestamp"], "inner").filter(
             F.col("pred_temperature").isNotNull()
         )
-        row = joined.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(F.abs(F.col("actual_temp_next") - F.col("pred_temperature"))).alias("mae"),
-            F.sqrt(
-                F.avg(F.pow(F.col("actual_temp_next") - F.col("pred_temperature"), 2))
-            ).alias("rmse"),
-            F.avg(
-                (F.col("actual_condition") == F.col("pred_condition")).cast("double")
-            ).alias("accuracy"),
-        ).collect()[0]
-        return {k: row[k] for k in ("n", "mae", "rmse", "accuracy")}
+        if persist:
+            joined = joined.persist()
+        try:
+            if persist:
+                details = joined.select(
+                    "city",
+                    "timestamp",
+                    "pred_temperature",
+                    "pred_condition",
+                    "actual_temp_next",
+                    "actual_condition",
+                )
+                self.catalog.append_predictions(details, pred_type="eval")
+            row = joined.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg(F.abs(F.col("actual_temp_next") - F.col("pred_temperature"))).alias("mae"),
+                F.sqrt(
+                    F.avg(F.pow(F.col("actual_temp_next") - F.col("pred_temperature"), 2))
+                ).alias("rmse"),
+                F.avg(
+                    (F.col("actual_condition") == F.col("pred_condition")).cast("double")
+                ).alias("accuracy"),
+            ).collect()[0]
+            return {k: row[k] for k in ("n", "mae", "rmse", "accuracy")}
+        finally:
+            if persist:
+                joined.unpersist()
 
     # --- data access ---------------------------------------------------
 

@@ -61,6 +61,19 @@ class TrainedModels:
     feature_cols: list[str]
     categories: dict[str, list]
     metrics: dict[str, float] = field(default_factory=dict)
+    feature_config: dict = field(default_factory=dict)
+
+
+# Adaptive feature fallback (reference training.py:29-40): small corpora
+# can't afford the deep lag/rolling warm-up rows, so retry with lighter
+# temporal features before giving up — (config overrides, min usable rows
+# to accept this rung). The last rung always applies, subject to the hard
+# min_rows floor in train().
+FEATURE_FALLBACKS: list[tuple[dict, int]] = [
+    ({}, 50),  # default lags [1,3] / rolling [3]
+    ({"lags": [1], "rolling_windows": [2]}, 30),
+    ({"lags": [1], "rolling_windows": []}, 0),
+]
 
 
 def _assembler(feature_cols: list[str]):
@@ -118,19 +131,37 @@ def train(
 ) -> TrainedModels:
     """L-path: feature plan → time-ordered CV metrics → refit on all rows
     (reference training.py:147-158 flow; hard floor of 20 rows mirrors
-    training.py:95-96)."""
+    training.py:95-96). Feature depth adapts to data volume via
+    FEATURE_FALLBACKS (training.py:29-40); the chosen config is recorded
+    on the returned bundle as ``feature_config``."""
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import StringIndexer
     from pyspark.ml.regression import RandomForestRegressor
 
-    from ..operators.features import discover_categories
+    from ..operators.features import DEFAULT_LAGS, DEFAULT_ROLLING, discover_categories
 
     categories = discover_categories(weather, ["city", "country"])
-    feats, feature_cols = engineer_features(weather, inference=False)
-    feats = with_time_order(feats).persist()
-    n = feats.count()
+    feats = feature_cols = None
+    feature_config: dict = {}
+    n = 0
+    for overrides, accept_floor in FEATURE_FALLBACKS:
+        feats, feature_cols = engineer_features(weather, inference=False, **overrides)
+        feats = with_time_order(feats).persist()
+        n = feats.count()
+        feature_config = {
+            "lags": overrides.get("lags", DEFAULT_LAGS),
+            "rolling_windows": overrides.get("rolling_windows", DEFAULT_ROLLING),
+        }
+        if n >= accept_floor:
+            break
+        feats.unpersist()
+    # big data takes the first rung after the one count train() always
+    # needed; only small corpora pay the extra feature passes
     if n < min_rows:
-        raise ValueError(f"insufficient training data: {n} rows < {min_rows}")
+        raise ValueError(
+            f"insufficient training data: {n} rows < {min_rows} (even after "
+            f"feature fallbacks; last config {feature_config})"
+        )
 
     assembled = _assembler(feature_cols).transform(feats)
     indexer = StringIndexer(
@@ -182,6 +213,7 @@ def train(
         feature_cols=feature_cols,
         categories=categories,
         metrics=metrics,
+        feature_config=feature_config,
     )
 
 
@@ -194,8 +226,15 @@ def predict(models: TrainedModels, weather: DataFrame) -> DataFrame:
     NULL predictions — kept, mirroring inference=True semantics."""
     from ..operators.features import align_features
 
+    cfg = models.feature_config or {}
     feats, feature_cols = engineer_features(
-        weather, inference=True, categories=models.categories
+        weather,
+        inference=True,
+        categories=models.categories,
+        # regenerate with the TRAINED config: a fallback-trained model's
+        # columns (e.g. roll_2 stats) don't exist in default-depth features
+        lags=cfg.get("lags"),
+        rolling_windows=cfg.get("rolling_windows"),
     )
     feats = align_features(feats, models.feature_cols)
     cond = F.lit(True)

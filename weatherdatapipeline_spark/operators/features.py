@@ -95,8 +95,10 @@ def engineer_features(
     column list is the persistable schema contract (reference
     training.py:105 saves the same thing as a JSON artifact).
     """
-    lags = lags or DEFAULT_LAGS
-    rolling_windows = rolling_windows or DEFAULT_ROLLING
+    # None means default; an EMPTY list is a real request for no lags /
+    # no rolling features (the adaptive-fallback ladder passes [])
+    lags = DEFAULT_LAGS if lags is None else lags
+    rolling_windows = DEFAULT_ROLLING if rolling_windows is None else rolling_windows
 
     df = ensure_event_time(df)
     # pandas' stable sort keeps original row order for duplicate (city,

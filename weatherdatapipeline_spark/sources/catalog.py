@@ -39,8 +39,14 @@ class TableCatalog:
     def path(self, name: str) -> str:
         return f"{self.root}/{name}"
 
-    def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name))
+    def read(self, name: str, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` for append sinks whose schema evolved
+        (e.g. predictions, where eval rows add actual_* columns) — plain
+        reads take one file's schema and may hide late columns."""
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(self.path(name))
 
     def list_tables(self) -> list[str]:
         """S11 catalog listing (reference load.py:162-176)."""
