@@ -49,14 +49,110 @@ HEADLINE = [
 ]
 
 
+# --- scaling slope ---------------------------------------------------------
+# /root/testdata tops out at sf0.1, where fixed stage overhead swamps the
+# per-query signal; the scale check replicates sf0.1 into a key-shifted xN
+# copy (cached under .bench_scale/, gitignored) and re-times a subset to
+# expose each query's scaling slope. Key columns shift per copy by a
+# family-consistent offset so every join still matches within its copy.
+
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+KEY_FAMILIES: dict[str, list[tuple[str, str]]] = {
+    "regionkey": [("region", "r_regionkey"), ("nation", "n_regionkey")],
+    "nationkey": [
+        ("nation", "n_nationkey"),
+        ("customer", "c_nationkey"),
+        ("supplier", "s_nationkey"),
+    ],
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
+}
+
+# one representative per scaling-relevant family whose work grows ~linearly
+# under replication; the pairwise near-dup queries are EXCLUDED because a
+# replicated corpus multiplies near-dup pairs quadratically by construction
+# (every clone pairs with every clone) — data property, not engine slope.
+SCALE_HEADLINE = [
+    "q1_pricing_summary",
+    "region_revenue",
+    "top_customers_by_revenue",
+    "customer_order_count_distribution",
+    "asof_join_click_to_view",
+    "window_rolling_stats",
+    "latest_event_per_user",
+    "topk_latest_events",
+    "calendar_activity",
+    "text_profile",
+    "dedup_exact_documents",
+    "vocabulary_top50",
+    "corpus_clean_pipeline",
+    "contamination_check_5gram",
+    "chunk_documents_windows",
+    "gapfill_locf_series",
+    "similarity_topk",
+    "knn_join_first5",
+]
+
+SCALE_EXCLUDED = [
+    "dedup_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "dedup_cluster_assignments",
+]
+
+
+def build_scale_dir(spark, base_dir: str, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(root, ".bench_scale", f"x{factor}")
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        return out
+    # events stores TIMESTAMP(NANOS): read ts as raw int64 and KEEP it as
+    # int64 in the copy so queries' ts-conversion path is identical
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables = {t: spark.read.parquet(f"{base_dir}/{t}.parquet") for t in ALL_TABLES}
+    units: dict[tuple[str, str], int] = {}
+    for fam, cols in KEY_FAMILIES.items():
+        m = max(int(tables[t].agg(F.max(c)).collect()[0][0]) for t, c in cols)
+        for t, c in cols:
+            units[(t, c)] = m + 1
+    for t, df in tables.items():
+        copies = []
+        for i in range(factor):
+            cp = df
+            if i:
+                for c in df.columns:
+                    u = units.get((t, c))
+                    if u:
+                        cp = cp.withColumn(c, F.col(c) + F.lit(i * u))
+            copies.append(cp)
+        union = copies[0]
+        for cp in copies[1:]:
+            union = union.unionByName(cp)
+        union.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    open(marker, "w").close()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    def run(name: str) -> float:
+    def run(name: str, d: str | None = None) -> float:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        QUERIES[name](spark, d or sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     run("q1_pricing_summary")  # warmup (JVM/codegen/parquet footer caches)
@@ -106,6 +202,29 @@ def main() -> None:
     if duck_total is not None:
         out["duckdb_same_queries_total"] = duck_total
         out["duckdb_queries"] = duck
+
+    # scaling slope at factor x (default 5, i.e. ~sf0.5). One timed run per
+    # query (JVM already warm); SPARK_GRAFT_SCALE_FACTOR=1 disables.
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "5"))
+    if factor > 1:
+        try:
+            scale_dir = build_scale_dir(spark, sf_dir, factor)
+            scale_q = {n: round(run(n, scale_dir), 3) for n in SCALE_HEADLINE}
+            base_subset = sum(per_query[n] for n in SCALE_HEADLINE)
+            stotal = sum(scale_q.values())
+            out["scale_check"] = {
+                "data_factor": factor,
+                "sf": round(float(sf) * factor, 3),
+                "total": round(stotal, 3),
+                "base_subset_total": round(base_subset, 3),
+                # ideal linear scaling would be `factor`; fixed overhead
+                # pulls it below, a super-linear operator pushes it above
+                "slope": round(stotal / base_subset, 2) if base_subset else None,
+                "queries": scale_q,
+                "excluded": SCALE_EXCLUDED,
+            }
+        except Exception as e:  # the base bench line must survive
+            out["scale_check"] = {"error": str(e)[:200]}
     print(json.dumps(out))
 
 

@@ -199,3 +199,9 @@ def test_simhash_blocking_full_recall_radius8(spark, sf_dir):
 def test_simhash_rejects_insufficient_blocks():
     with pytest.raises(ValueError):
         simhash_near_duplicates(None, max_hamming=8, n_blocks=4)
+
+
+def test_simhash_rejects_too_many_blocks():
+    # > 63 blocks would mint zero-width (always-0) chunks: an all-pairs join
+    with pytest.raises(ValueError, match="63"):
+        simhash_near_duplicates(None, max_hamming=8, n_blocks=64)

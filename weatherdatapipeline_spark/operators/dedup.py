@@ -505,11 +505,13 @@ def simhash_near_duplicates(
     7 bits (63 = 9*7).
 
     Scale note: narrower blocks collide more (a w-bit block has 2^w
-    values), so candidate volume rises with the radius. Manku's refinement
-    for huge corpora — key on CONCATENATIONS of several unchanged blocks
-    (C(m, w) permuted tables) to widen the key — drops in here by raising
-    ``n_blocks`` above ``max_hamming + 1`` and joining on block
-    combinations; at the radii used in practice (3-8) the single-block
+    values), so candidate volume rises with the radius — and with
+    ``n_blocks``: this implementation joins on SINGLE blocks, so raising
+    ``n_blocks`` above ``max_hamming + 1`` only narrows each block and
+    INCREASES collisions. Manku's refinement for huge corpora — keying on
+    CONCATENATIONS of several unchanged blocks (C(m, w) permuted tables)
+    to widen the join key — is a future refinement, not reachable through
+    this parameter; at the radii used in practice (3-8) the single-block
     equi-join with AQE skew handling is the standard choice.
     """
     if max_hamming < 0 or max_hamming > 32:
@@ -521,6 +523,11 @@ def simhash_near_duplicates(
             f"n_blocks={n_blocks} < max_hamming+1={max_hamming + 1} breaks the "
             "pigeonhole recall guarantee"
         )
+    if n_blocks > 63:
+        # 63 sign bits: more blocks than bits would create zero-width
+        # blocks whose mask is 0 — every doc shares chunk value 0 and the
+        # equi-join silently degenerates into an all-pairs cross join
+        raise ValueError(f"n_blocks={n_blocks} > 63 total bits")
     total_bits = 63
     base, rem = divmod(total_bits, n_blocks)
     widths = [base + 1 if i < rem else base for i in range(n_blocks)]
