@@ -107,6 +107,28 @@ def test_df_cut_auto_noop_on_small_corpus(docs):
     assert with_cut == without
 
 
+def test_decontaminate_drops_colliding_docs(spark):
+    from weatherdatapipeline_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains eval 5-gram
+            (2, "one two three four five six seven"),     # clean
+            (3, "alpha beta gamma delta epsilon other"),  # shares the same 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    kept = decontaminate(corpus, ev, n=5, max_hits=0)
+    assert {r["doc_id"] for r in kept.collect()} == {2}
+    # a loose threshold keeps single-hit docs
+    loose = decontaminate(corpus, ev, n=5, max_hits=1)
+    got = {r["doc_id"]: r["n_eval_hits"] for r in loose.collect()}
+    assert got == {1: 1, 2: 0, 3: 1}
+
+
 def test_dedup_incremental(spark):
     from weatherdatapipeline_spark.operators.dedup import dedup_incremental
 

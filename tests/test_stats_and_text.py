@@ -93,3 +93,22 @@ def test_fingerprints(spark):
     assert rows[0][0] != rows[2][0]
     assert rows[1][1] != rows[2][1]  # rolling hash differs on different text
     assert all(0 <= v[1] < 1_000_000_007 for v in rows.values())
+
+
+def test_redact_pii(spark):
+    from weatherdatapipeline_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jo.doe+x@mail.example.org or call 555-123-4567"),
+            (1, "server at 192.168.0.1 and 10.0.0.7 no contacts"),
+            (2, "nothing sensitive here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (rows[0]["n_email"], rows[0]["n_phone"], rows[0]["n_ipv4"]) == (1, 1, 0)
+    assert "<EMAIL>" in rows[0]["clean_text"] and "<PHONE>" in rows[0]["clean_text"]
+    assert "jo.doe" not in rows[0]["clean_text"] and "555-123" not in rows[0]["clean_text"]
+    assert rows[1]["n_ipv4"] == 2 and rows[1]["clean_text"].count("<IP>") == 2
+    assert rows[2]["clean_text"] == "nothing sensitive here at all"

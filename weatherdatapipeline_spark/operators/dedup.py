@@ -326,6 +326,47 @@ def contamination_check(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Filter-side counterpart of ``contamination_check``: DROP training
+    documents that share more than ``max_hits`` distinct word n-grams with
+    the eval set (the decontamination pass run before pretraining so eval
+    answers don't leak into training data).
+
+    The eval gram set is DISTINCT-reduced and tiny relative to the corpus
+    (eval suites are thousands of docs), so the hit join broadcasts; the
+    corpus side is one gram-explode + aggregate — linear in corpus size,
+    never |corpus| x |eval|. Returns surviving corpus rows with an
+    ``n_eval_hits`` count column appended.
+    """
+    eval_grams = (
+        hashed_gram_rows(eval_docs, id_col, text_col, n)
+        .select(F.col("shingle").alias("g"))
+        .distinct()
+    )
+    corpus_grams = (
+        hashed_gram_rows(corpus, id_col, text_col, n)
+        .select(id_col, F.col("shingle").alias("g"))
+        .distinct()
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "g", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .withColumn("n_eval_hits", F.coalesce(F.col("n_eval_hits"), F.lit(0)))
+        .filter(F.col("n_eval_hits") <= max_hits)
+    )
+
+
 def minhash_signatures(
     documents: DataFrame,
     id_col: str = "doc_id",

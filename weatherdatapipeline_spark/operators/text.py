@@ -118,3 +118,36 @@ def profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
         language_id(t).alias("lang_pred"),
         fingerprint_md5(t).alias("fingerprint"),
     )
+
+
+# PII patterns, constrained to the RE2/Java-regex common subset so the
+# literal same pattern runs in the DuckDB oracle. Redaction order is
+# email -> ipv4 -> phone (phones must not re-match digits inside an
+# already-masked IP, so IPs mask first among the digit patterns).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+}
+
+
+def redact_pii(
+    documents: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Mask emails / IPv4 addresses / phone numbers in ``text_col`` and
+    count each kind (pre-redaction) — the standard PII scrub every
+    public-web training corpus runs before release.
+
+    Map-only JVM regex (regexp_count + chained regexp_replace): no
+    shuffle, no UDF — pipelines with the scan at 100 TB. Appends
+    ``out_col`` plus ``n_<kind>`` BIGINT columns.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("bigint").alias(f"n_{kind}")
+        for kind, (pat, _) in PII_PATTERNS.items()
+    ]
+    clean = t
+    for pat, mask in PII_PATTERNS.values():
+        clean = F.regexp_replace(clean, pat, mask)
+    return documents.select("*", *counts, clean.alias(out_col))

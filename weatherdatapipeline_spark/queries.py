@@ -1034,6 +1034,107 @@ GROUP BY ev.doc_id
 """
 
 
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-side decontamination (§2.11): drop training docs sharing ANY
+    distinct 5-gram with the eval set (every 10th doc). Eval gram set is
+    broadcast; corpus side is one gram explode + aggregate — linear."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    out = D.decontaminate(corpus, ev, n=5, max_hits=0)
+    return out.select(
+        "doc_id", "source", F.col("n_eval_hits").cast("bigint").alias("n_eval_hits")
+    )
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS t(i)
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 != 0),
+hits AS (
+  SELECT cg.doc_id, count(*) AS n_eval_hits FROM cg JOIN ev USING (g) GROUP BY 1
+)
+SELECT d.doc_id, d.source, CAST(coalesce(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 10 != 0 AND coalesce(h.n_eval_hits, 0) <= 0
+"""
+
+
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (§2.11): mask emails/IPv4s/phones and count each kind.
+    The synthetic corpus carries no PII, so the query plants deterministic
+    doc_id-derived contacts first (identically in the oracle) — the
+    redaction counts and masked text are then real, not vacuous. Map-only
+    JVM regex; patterns stay in the RE2/Java common subset."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) != 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                F.concat(
+                    F.lit(" tel 555-0"),
+                    F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+                    F.lit("-1234"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = T.redact_pii(planted)
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "clean_text")
+
+
+ORACLE_REDACT_PII = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 != 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+              THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+              ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' tel 555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-1234'
+              ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS BIGINT) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS clean_text
+FROM planted
+"""
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands) candidates, exact-Jaccard verified at
     0.2. xxhash64 permutations aren't SQL-portable → rows-only check; the
@@ -2371,6 +2472,8 @@ QUERIES: dict[str, Query] = {
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "contamination_check_5gram": contamination_check_5gram,
+    "decontaminate_corpus": decontaminate_corpus,
+    "redact_pii_documents": redact_pii_documents,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "similarity_topk": similarity_topk,
@@ -2451,6 +2554,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
     "contamination_check_5gram": ORACLE_CONTAMINATION,
+    "decontaminate_corpus": ORACLE_DECONTAMINATE,
+    "redact_pii_documents": ORACLE_REDACT_PII,
     "similarity_topk": ORACLE_SIM_TOPK,
     "knn_join_first5": ORACLE_KNN_JOIN,
     "cube_order_status_priority": ORACLE_CUBE,
