@@ -99,6 +99,30 @@ CHECKS = {
          lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
         ("scan pruned to id+chars", lambda p: "text" not in re.search(r"ReadSchema:[^\n]*", p).group(0)),
     ],
+    "order_price_quartiles": [
+        # the r3 rework: sketch boundaries + map-side bucketing, never a
+        # global ntile window (single-partition sort of the whole table)
+        ("no window at all", lambda p: "Window" not in p),
+        ("boundary row broadcast into the bucketing scan", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("no global sort", lambda p: "Sort " not in p or "TakeOrdered" in p),
+    ],
+    "pack_contiguous_bins": [
+        ("cumulative window partitions by shard (parallel)",
+         r"windowspecdefinition\(shard_id"),
+        ("no single-partition exchange", lambda p: "SinglePartition" not in p),
+    ],
+    "dedup_jaccard_pairs": [
+        # df-cut on by default: the doc-count row broadcasts into the
+        # frequency filter join
+        ("df-cut corpus-count broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+    ],
+    "decontaminate_corpus": [
+        ("eval gram set broadcast, corpus never shuffled against it",
+         r"BroadcastHashJoin"),
+    ],
+    "redact_pii_documents": [
+        ("map-only: no exchange at all", lambda p: "Exchange" not in p),
+    ],
 }
 
 
