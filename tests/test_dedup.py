@@ -107,6 +107,41 @@ def test_df_cut_auto_noop_on_small_corpus(docs):
     assert with_cut == without
 
 
+def test_dedup_incremental_neardup(spark):
+    """Append-only near-dup dedup: batch 2 docs colliding with the indexed
+    batch-1 corpus (or each other) are dropped; genuinely novel docs pass
+    and extend the index."""
+    from weatherdatapipeline_spark.operators.dedup import (
+        dedup_incremental_neardup,
+        minhash_band_index,
+    )
+
+    batch1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    index = minhash_band_index(batch1)
+    batch2 = spark.createDataFrame(
+        [
+            (10, "The  quick brown FOX jumps over the lazy dog"),  # dup of 1
+            (11, "completely different text about spark engines here"),
+            (12, "completely different text about spark engines here"),  # dup of 11
+            (13, "zzz yyy xxx www vvv uuu ttt sss"),
+        ],
+        "doc_id long, text string",
+    )
+    novel, updated = dedup_incremental_neardup(batch2, index)
+    assert {r["doc_id"] for r in novel.collect()} == {11, 13}
+    # updated index answers for the docs it admitted: re-offering the
+    # admitted text is now a dup
+    batch3 = spark.createDataFrame(
+        [(20, "completely different text about spark engines here")],
+        "doc_id long, text string",
+    )
+    novel3, _ = dedup_incremental_neardup(batch3, updated)
+    assert novel3.count() == 0
+
+
 def test_decontaminate_drops_colliding_docs(spark):
     from weatherdatapipeline_spark.operators.dedup import decontaminate
 

@@ -486,6 +486,101 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_band_index(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(band, bucket, id) LSH index rows for a document set — the
+    persistable state of incremental near-dup dedup. At scale this lands
+    in a table bucketed on (band, bucket) so each incoming batch probes it
+    shuffle-free."""
+    pairs = shingle_pairs(documents, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sigs = pairs.groupBy(id_col).agg(*mins).select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature")
+    )
+    rows = num_perm // bands
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("signature")[b * rows + r] for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    ).select("band", "bucket", id_col)
+
+
+def dedup_incremental_neardup(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup dedup for an append-only corpus: returns
+    (novel_rows, updated_band_index).
+
+    A new doc is dropped if any of its LSH band buckets already exists in
+    the index (it near-duplicates an indexed doc at the (bands, rows)
+    operating point), or if it collides with an earlier doc in the same
+    batch (kept: the min id per colliding group, resolved transitively via
+    connected components over intra-batch collisions so 'b dups a, c dups
+    b' keeps only a).
+
+    Cost per batch: signature pass over the BATCH only + an equi-join
+    against the index on (band, bucket) — the corpus-sized index is never
+    re-scanned beyond that join (bucketed storage makes it shuffle-free).
+    The exact-fingerprint variant of this contract is
+    ``dedup_incremental``; like LSH candidate generation everywhere, this
+    trades a false-positive rate (tunable via bands x rows) for never
+    doing exact verification against corpus text.
+    """
+    batch_idx = minhash_band_index(new_docs, id_col, text_col, n, num_perm, bands)
+    batch_idx = batch_idx.persist()
+    # vs the existing corpus: any shared (band, bucket) -> near-dup
+    hit_ids = (
+        batch_idx.join(
+            band_index.select("band", "bucket").distinct(), ["band", "bucket"], "inner"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    survivors = batch_idx.join(hit_ids, id_col, "left_anti")
+    # intra-batch: docs sharing a bucket among survivors collide; keep the
+    # transitive min id per component
+    a = survivors.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = survivors.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    collisions = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cc = connected_components(collisions)
+    drop = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    novel_ids = survivors.select(id_col).distinct().join(drop, id_col, "left_anti")
+    novel = new_docs.join(novel_ids, id_col, "inner")
+    updated = band_index.unionByName(
+        batch_idx.join(novel_ids, id_col, "inner").select("band", "bucket", id_col)
+    )
+    batch_idx.unpersist()
+    return novel, updated
+
+
 def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """63-bit SimHash per document (bit 63 left clear so the value stays a
     non-negative BIGINT under ANSI arithmetic).

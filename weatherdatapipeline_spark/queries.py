@@ -1144,6 +1144,20 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_duplicates(docs, threshold=0.2)
 
 
+def dedup_incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup (§2.11): even-id docs form the indexed
+    corpus; odd-id docs arrive as a batch and are admitted only if their
+    LSH band buckets miss the index and each other. Rows-only (xxhash64
+    MinHash isn't SQL-portable); semantics pytest-pinned against planted
+    duplicates (tests/test_dedup.py::test_dedup_incremental_neardup)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    idx = D.minhash_band_index(corpus)
+    novel, _ = D.dedup_incremental_neardup(batch, idx)
+    return novel.select("doc_id", "source")
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, Hamming ≤ 8 on 63-bit signatures (rows-only:
     xxhash64 not SQL-portable)."""
@@ -2474,6 +2488,7 @@ QUERIES: dict[str, Query] = {
     "contamination_check_5gram": contamination_check_5gram,
     "decontaminate_corpus": decontaminate_corpus,
     "redact_pii_documents": redact_pii_documents,
+    "dedup_incremental_neardup_batch": dedup_incremental_neardup_batch,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "similarity_topk": similarity_topk,
