@@ -2489,6 +2489,11 @@ QUERIES: dict[str, Query] = {
     "decontaminate_corpus": decontaminate_corpus,
     "redact_pii_documents": redact_pii_documents,
     "dedup_incremental_neardup_batch": dedup_incremental_neardup_batch,
+    # kept inside the driver's 50-entry correctness window: their oracles
+    # changed this round (df-cut mirrored in SQL, shard-local packing)
+    "dedup_cluster_assignments": dedup_cluster_assignments,
+    "dedup_canonical_corpus": dedup_canonical_corpus,
+    "pack_contiguous_bins": pack_contiguous_bins,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "similarity_topk": similarity_topk,
@@ -2513,14 +2518,11 @@ QUERIES: dict[str, Query] = {
     "q21_blame_supplier": q21_blame_supplier,
     "split_sizes_3way": split_sizes_3way,
     "mixture_sample_counts": mixture_sample_counts,
-    "dedup_cluster_assignments": dedup_cluster_assignments,
-    "dedup_canonical_corpus": dedup_canonical_corpus,
     "sessionize_events_batch": sessionize_events_batch,
     "grouping_sets_lineitem": grouping_sets_lineitem,
     "gapfill_locf_series": gapfill_locf_series,
     "gapfill_interpolate_series": gapfill_interpolate_series,
     "chunk_documents_windows": chunk_documents_windows,
-    "pack_contiguous_bins": pack_contiguous_bins,
     "pack_first_fit_bins": pack_first_fit_bins,
     "ewma_user_values": ewma_user_values,
     "range_join_value_bands": range_join_value_bands,
