@@ -43,6 +43,7 @@ HEADLINE = [
     "vocabulary_top50",            # corpus wordcount (tf/df)
     "corpus_clean_pipeline",       # composed cleaning funnel
     "contamination_check_5gram",   # n-gram membership audit
+    "decontaminate_corpus",        # broadcast eval-gram decontamination
     "dedup_cluster_assignments",   # connected-components clustering
     "chunk_documents_windows",     # token-window chunking (map-only)
     "gapfill_locf_series",         # hypertable rollup + gapfill
@@ -97,6 +98,7 @@ SCALE_HEADLINE = [
     "vocabulary_top50",
     "corpus_clean_pipeline",
     "contamination_check_5gram",
+    "decontaminate_corpus",
     "chunk_documents_windows",
     "gapfill_locf_series",
     "similarity_topk",
