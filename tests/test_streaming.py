@@ -257,3 +257,50 @@ def test_rocksdb_state_store_parity(spark, stream_source):
         assert [(r["user_id"], r["cnt"]) for r in rows] == [("u1", 4), ("u2", 1)]
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_corpus_ingest_neardup(spark, tmp_path_factory):
+    """Streaming corpus front door: micro-batches probe the persisted
+    MinHash band index; only novel docs land in the corpus, and the index
+    grows with the admitted docs so later batches dedup against them."""
+    from weatherdatapipeline_spark.streaming.jobs import streaming_corpus_ingest
+
+    src = str(tmp_path_factory.mktemp("docs_src"))
+    corpus = str(tmp_path_factory.mktemp("corpus_out")) + "/docs"
+    index = str(tmp_path_factory.mktemp("corpus_idx")) + "/bands"
+    ckpt = str(tmp_path_factory.mktemp("corpus_ckpt"))
+    schema = "doc_id LONG, text STRING"
+
+    batch1 = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different text about spark engines here"),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_corpus_ingest(
+            stream, corpus, index, checkpoint=ckpt, available_now=True
+        )
+        q.awaitTermination()
+
+    drain()
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2}
+
+    batch2 = [
+        (10, "The  quick brown FOX jumps over the lazy dog"),  # dup of 1
+        (11, "zzz yyy xxx www vvv uuu ttt sss"),               # novel
+        (12, "zzz yyy xxx www vvv uuu ttt sss"),               # intra-batch dup
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()  # restart from checkpoint: batch1 files are NOT reprocessed
+
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 11}
+    # the index holds band rows for exactly the admitted docs
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(index).collect()}
+    assert idx_ids == {1, 2, 11}

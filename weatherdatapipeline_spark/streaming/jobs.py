@@ -296,6 +296,74 @@ def streaming_etl(
     return writer.start()
 
 
+def streaming_corpus_ingest(
+    doc_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    available_now: bool = False,
+    trigger_minutes: int | None = None,
+):
+    """Continuously ingest a document stream into a training corpus with
+    incremental NEAR-dup dedup: each micro-batch probes the persisted
+    MinHash band index (operators/dedup.py), appends only novel docs to
+    ``corpus_path``, and appends the admitted docs' band rows to
+    ``index_path`` — the streaming front door of a training-data lake.
+
+    Scale: per batch, signature cost is linear in the BATCH; the
+    corpus-sized index participates only through the (band, bucket)
+    equi-join (bucket the index table on (band, bucket) in deployment to
+    make that probe shuffle-free). Exactly-once across restarts comes from
+    the checkpointed foreachBatch; re-processed batches re-probe the index
+    their previous run extended, so replayed docs dedup against themselves
+    — idempotent appends without a transaction log.
+    """
+    import os
+
+    from ..operators.dedup import dedup_incremental_neardup, minhash_band_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if os.path.isdir(index_path) and any(
+            f.endswith(".parquet") for f in os.listdir(index_path)
+        ):
+            index = spark.read.parquet(index_path)
+        else:
+            index = minhash_band_index(
+                batch_df.limit(0), id_col, text_col
+            )  # empty, right schema
+        novel, updated = dedup_incremental_neardup(
+            batch_df, index, id_col, text_col
+        )
+        novel = novel.persist()
+        try:
+            n = novel.count()
+            if n:
+                novel.write.mode("append").parquet(corpus_path)
+                # append only THIS batch's admitted band rows (updated =
+                # old index ∪ new rows; subtracting by provenance is a
+                # narrow join on the admitted ids)
+                new_rows = updated.join(
+                    novel.select(id_col).distinct(), id_col, "left_semi"
+                )
+                new_rows.write.mode("append").parquet(index_path)
+        finally:
+            novel.unpersist()
+
+    writer = doc_stream.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_minutes:
+        writer = micro_batch_trigger(writer, trigger_minutes)
+    return writer.start()
+
+
 def run_available_now_to_memory(stream_out: DataFrame, name: str, output_mode: str):
     """Test/driver helper: drain all available input through the streaming
     plan into an in-memory sink and block until done."""
