@@ -1,0 +1,83 @@
+"""operators/embeddings.py: L2 normalization and int8 quantization,
+verified against numpy on a deterministic fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdatapipeline_spark.operators.embeddings import (
+    dequantize_int8,
+    l2_norm,
+    l2_normalize,
+    quantize_int8,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rs = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rs.randn(16) * (i + 1)]) for i in range(20)]
+    rows.append((99, [0.0] * 16))  # all-zero vector edge case
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>"), rows
+
+
+def test_l2_normalize_unit_norm(spark, vecs):
+    df, rows = vecs
+    out = df.select(
+        "vec_id", F.round(l2_norm(l2_normalize(F.col("embedding"))), 9).alias("n")
+    ).collect()
+    norms = {r["vec_id"]: r["n"] for r in out}
+    assert all(n == 1.0 for v, n in norms.items() if v != 99)
+    assert norms[99] == 0.0  # zero vector stays zero, no NaN
+
+
+def test_l2_normalize_matches_numpy(spark, vecs):
+    df, rows = vecs
+    got = {
+        r["vec_id"]: r["nv"]
+        for r in df.select(
+            "vec_id", l2_normalize(F.col("embedding")).alias("nv")
+        ).collect()
+    }
+    for vid, vec in rows:
+        if vid == 99:
+            continue
+        v = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        np.testing.assert_allclose(got[vid], v / np.linalg.norm(v), rtol=1e-9)
+
+
+def test_quantize_int8_matches_numpy(spark, vecs):
+    df, rows = vecs
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for vid, vec in rows:
+        v = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        scale = np.abs(v).max() / 127
+        if vid == 99:
+            assert out[vid]["scale"] == 0.0
+            assert out[vid]["qvec"] == [0] * 16
+            continue
+        q = np.clip(np.round(v / scale), -127, 127).astype(int)
+        assert out[vid]["qvec"] == q.tolist()
+        assert abs(out[vid]["scale"] - scale) < 1e-9
+        assert max(abs(x) for x in out[vid]["qvec"]) == 127  # symmetric peak
+
+
+def test_quantize_roundtrip_error_bound(spark, vecs):
+    df, rows = vecs
+    back = {
+        r["vec_id"]: (r["embedding"], r["scale"])
+        for r in dequantize_int8(quantize_int8(df)).collect()
+    }
+    for vid, vec in rows:
+        v = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        rec, scale = back[vid]
+        # symmetric quantization error is at most scale/2 per component
+        assert np.abs(np.asarray(rec) - v).max() <= scale / 2 + 1e-12
+
+
+def test_quantize_is_map_only(spark, vecs):
+    df, _ = vecs
+    plan = quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

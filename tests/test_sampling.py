@@ -11,8 +11,10 @@ from weatherdatapipeline_spark.operators.dedup import (
 )
 from weatherdatapipeline_spark.operators.sampling import (
     mixture_weighted_sample,
+    sample_per_group,
     split_assign,
     stratified_sample,
+    temperature_mixture_weights,
     train_test_split,
 )
 
@@ -64,6 +66,50 @@ def test_stratified_sample_seed_deterministic(docs):
     a = stratified_sample(docs, "lang", fr, seed=11).select("doc_id").collect()
     b = stratified_sample(docs, "lang", fr, seed=11).select("doc_id").collect()
     assert sorted(r[0] for r in a) == sorted(r[0] for r in b)
+
+
+def test_sample_per_group_exact_k_and_stable(spark, docs):
+    k = 3
+    a = sample_per_group(docs, "source", "doc_id", k)
+    sizes = {
+        r["source"]: r["n"]
+        for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {s: min(k, n) for s, n in totals.items()}
+    # stable under physical relayout (the property a seeded RNG lacks)
+    b = sample_per_group(docs.repartition(7, "lang"), "source", "doc_id", k)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_temperature_mixture_weights_math(spark):
+    rows = [(i, "head") for i in range(90)] + [(90 + i, "tail") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, src STRING")
+    got = {
+        r["src"]: r for r in temperature_mixture_weights(df, "src", alpha=0.5).collect()
+    }
+    z = 0.9**0.5 + 0.1**0.5
+    assert got["head"]["n_docs"] == 90 and got["tail"]["n_docs"] == 10
+    assert abs(got["head"]["p"] - 0.9) < 1e-12
+    assert abs(got["head"]["weight"] - 0.9**0.5 / z) < 1e-12
+    assert abs(got["tail"]["weight"] - 0.1**0.5 / z) < 1e-12
+    # weights normalize, and alpha<1 up-weights the tail vs its raw share
+    assert abs(got["head"]["weight"] + got["tail"]["weight"] - 1.0) < 1e-12
+    assert got["tail"]["weight"] > got["tail"]["p"]
+
+
+def test_temperature_alpha_extremes(spark):
+    rows = [(i, "a") for i in range(75)] + [(100 + i, "b") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id LONG, src STRING")
+    prop = {r["src"]: r["weight"] for r in temperature_mixture_weights(df, "src", 1.0).collect()}
+    unif = {r["src"]: r["weight"] for r in temperature_mixture_weights(df, "src", 0.0).collect()}
+    assert abs(prop["a"] - 0.75) < 1e-12 and abs(prop["b"] - 0.25) < 1e-12
+    assert abs(unif["a"] - 0.5) < 1e-12 and abs(unif["b"] - 0.5) < 1e-12
 
 
 def _cc(spark, edges):

@@ -90,6 +90,66 @@ def mixture_weighted_sample(
     return df.filter(bucket < (frac * buckets).cast("bigint"))
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic uniform sample of exactly ``min(k, |group|)`` rows
+    per group: rank by md5 of the id within each group and keep the first
+    ``k``. The md5 ordering is uniform-random over ids yet stable across
+    runs, engines, and physical layout — the audit-friendly version of
+    "give me 1000 random docs per source". One shuffle on the group key;
+    rank + filter, never a global sort. (For per-group k in the millions
+    prefer fraction-based ``mixture_weighted_sample`` — exact-k ranking
+    funnels each group through one window task.)
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled corpus mixture weights (multilingual-LM
+    standard, e.g. XLM-R): from per-stratum counts, compute
+    ``p_i = n_i / N`` and sampling weight ``w_i ∝ p_i^alpha``
+    (normalized). ``alpha < 1`` up-weights small strata (languages /
+    sources) so the training mixture is less head-dominated than the raw
+    corpus; ``alpha = 1`` is proportional, ``alpha = 0`` uniform.
+
+    Two tiny aggregates over the per-stratum counts (the strata table is
+    dims-sized) joined back via 1-row broadcasts — no single-partition
+    window, no driver round-trip. Feed the resulting ``weight`` to
+    ``mixture_weighted_sample`` as per-stratum keep fractions (scaled by
+    the desired total) to materialize the mixture.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.select(F.sum("n_docs").alias("_total"))
+    with_p = counts.crossJoin(F.broadcast(total)).withColumn(
+        "p", F.col("n_docs") / F.col("_total")
+    )
+    zsum = with_p.select(
+        F.sum(F.pow(F.col("p"), F.lit(float(alpha)))).alias("_z")
+    )
+    return (
+        with_p.crossJoin(F.broadcast(zsum))
+        .withColumn("weight", F.pow(F.col("p"), F.lit(float(alpha))) / F.col("_z"))
+        .select(strata_col, "n_docs", "p", "weight")
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict[str, float], seed: int = 7
 ) -> DataFrame:

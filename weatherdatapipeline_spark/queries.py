@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .operators import chunking as C
 from .operators import dedup as D
+from .operators import embeddings as E
 from .operators import relational as R
 from .operators import sampling as SA
 from .operators import similarity as S
@@ -855,6 +856,81 @@ SELECT label, CAST(i - 1 AS BIGINT) AS dim,
        round(avg(CAST(embedding[i] AS DOUBLE)), 5) AS mean, count(*) AS n
 FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
 GROUP BY label, dim
+"""
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    (operators/embeddings.py) — the 4x storage/serving compression step of
+    an embedding lake. Map-only JVM array expressions; exploded to
+    (vec_id, scale, pos, qv) rows so the oracle compares every component."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = E.quantize_int8(emb)
+    return q.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("pos", "qv")
+    ).select(
+        "vec_id",
+        "scale",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("qv").cast("long").alias("qv"),
+    )
+
+
+ORACLE_QUANTIZE_INT8 = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS rawscale
+  FROM embeddings
+)
+SELECT vec_id, round(rawscale, 9) AS scale, CAST(i - 1 AS BIGINT) AS pos,
+       CAST(least(127, greatest(-127,
+            round(CAST(embedding[i] AS DOUBLE) / greatest(rawscale, 1e-30)))) AS BIGINT) AS qv
+FROM s, unnest(range(1, len(embedding) + 1)) AS t(i)
+"""
+
+
+def sample_per_source_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform-but-stable sample per source stratum
+    (operators/sampling.py::sample_per_group): md5-ranked within group, so
+    re-runs, backfills, and other engines reproduce the identical sample."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SA.sample_per_group(docs, "source", "doc_id", k=7)
+    return out.select("source", "doc_id", "lang", "n_chars")
+
+
+ORACLE_SAMPLE_PER_SOURCE = """
+SELECT source, doc_id, lang, n_chars FROM (
+  SELECT source, doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 7
+"""
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-mixture weights per source
+    (alpha = 0.5, the XLM-R default): up-weights tail sources relative to
+    their raw share. Two dims-sized aggregates + 1-row broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    w = SA.temperature_mixture_weights(docs, "source", alpha=0.5)
+    return w.select(
+        "source",
+        "n_docs",
+        F.round("p", 6).alias("p"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+ORACLE_MIXTURE_WEIGHTS = """
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs) AS t FROM counts),
+pr AS (SELECT source, n_docs, n_docs / t AS p FROM counts, tot),
+z AS (SELECT sum(pow(p, 0.5)) AS z FROM pr)
+SELECT source, n_docs, round(p, 6) AS p, round(pow(p, 0.5) / z, 6) AS weight
+FROM pr, z
 """
 
 
@@ -2500,6 +2576,10 @@ QUERIES: dict[str, Query] = {
     "knn_join_first5": knn_join_first5,
     "similarity_lsh_topk": similarity_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    # new this round — inside the driver's 50-entry correctness window
+    "embedding_quantize_int8": embedding_quantize_int8,
+    "sample_per_source_deterministic": sample_per_source_deterministic,
+    "source_mixture_weights": source_mixture_weights,
     "cube_order_status_priority": cube_order_status_priority,
     "json_props_stats": json_props_stats,
     "percentile_value_by_type": percentile_value_by_type,
@@ -2573,6 +2653,9 @@ ORACLES: dict[str, str] = {
     "contamination_check_5gram": ORACLE_CONTAMINATION,
     "decontaminate_corpus": ORACLE_DECONTAMINATE,
     "redact_pii_documents": ORACLE_REDACT_PII,
+    "embedding_quantize_int8": ORACLE_QUANTIZE_INT8,
+    "sample_per_source_deterministic": ORACLE_SAMPLE_PER_SOURCE,
+    "source_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "similarity_topk": ORACLE_SIM_TOPK,
     "knn_join_first5": ORACLE_KNN_JOIN,
     "cube_order_status_priority": ORACLE_CUBE,
