@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_cluster_assignments",   # connected-components clustering
     "chunk_documents_windows",     # token-window chunking (map-only)
     "gapfill_locf_series",         # hypertable rollup + gapfill
+    "embedding_quantize_int8",     # map-only int8 vector compression
 ]
 
 
@@ -103,6 +104,7 @@ SCALE_HEADLINE = [
     "gapfill_locf_series",
     "similarity_topk",
     "knn_join_first5",
+    "embedding_quantize_int8",
 ]
 
 SCALE_EXCLUDED = [

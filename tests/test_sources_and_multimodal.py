@@ -81,6 +81,44 @@ def test_csv_roundtrip_with_schema(spark, tmp_path):
     assert back.schema["humidity"].dataType.simpleString() == "int"
 
 
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path))
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, 'quote " and\nnewline', "de")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    cat.write_jsonl(docs, "docs_jsonl")
+    back = cat.read_jsonl("doc_id LONG, text STRING, lang STRING", "docs_jsonl")
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
+    # JSON string escaping must round-trip quotes and embedded newlines
+    assert got == {1: ("hello world", "en"), 2: ('quote " and\nnewline', "de")}
+
+
+def test_jsonl_malformed_line_is_permissive(spark, tmp_path):
+    path = tmp_path / "bad"
+    path.mkdir()
+    (path / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\nnot json at all\n{"doc_id": 2, "text": "fine"}\n'
+    )
+    cat = TableCatalog(spark, str(tmp_path))
+    back = cat.read_jsonl(
+        "doc_id LONG, text STRING, _corrupt_record STRING", "bad"
+    ).cache()  # PERMISSIVE + corrupt column requires a cache/materialization
+    assert back.count() == 3
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert {r["doc_id"] for r in back.filter(F.col("doc_id").isNotNull()).collect()} == {1, 2}
+    back.unpersist()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path))
+    df = synthetic_weather(spark, n_batches=1)
+    cat.write_orc(df, "orc_out")
+    back = cat.read_orc("orc_out")
+    assert back.count() == 10
+    assert back.schema["humidity"].dataType.simpleString() == "int"
+
+
 def test_multimodal_features(spark):
     media = synthetic_media(spark, n=12)
     feats = extract_features(media, dim=8).collect()

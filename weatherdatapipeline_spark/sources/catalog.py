@@ -161,3 +161,28 @@ class TableCatalog:
     def read_csv(self, name: str, schema) -> DataFrame:
         """S4 CSV scan with declared schema (no inference pass)."""
         return self.spark.read.schema(schema).option("header", True).csv(self.path(name))
+
+    def write_jsonl(self, df: DataFrame, name: str, compression: str | None = "gzip") -> None:
+        """JSON-lines sink — the interchange format of training-data lakes
+        (one JSON object per line; splittable when uncompressed, so prefer
+        many medium files over few huge .gz at scale). Spark's `json` sink
+        IS JSONL."""
+        w = df.write.mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
+        w.json(self.path(name))
+
+    def read_jsonl(self, df_schema, name: str) -> DataFrame:
+        """JSONL scan with a declared schema: no inference pass over the
+        data (at 100 TB an inference pass is a full extra scan), malformed
+        lines land in `_corrupt_record` instead of failing the job
+        (PERMISSIVE default)."""
+        return self.spark.read.schema(df_schema).json(self.path(name))
+
+    def write_orc(self, df: DataFrame, name: str) -> None:
+        """ORC sink (built into Spark; zlib default) — columnar alternative
+        when the downstream reader is Hive/Trino-side."""
+        df.write.mode("overwrite").orc(self.path(name))
+
+    def read_orc(self, name: str) -> DataFrame:
+        return self.spark.read.orc(self.path(name))
