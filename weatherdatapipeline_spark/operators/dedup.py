@@ -717,17 +717,34 @@ def connected_components(
     a fixpoint — rounds = graph diameter, and near-dup components are
     shallow (a handful of rounds). Each round is localCheckpoint-ed: labels
     are reused twice per round and feed the next, so without truncation the
-    lineage (and recomputation) doubles every round. At extreme scale the
-    same loop upgrades to the large-star/small-star formulation
-    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-    which contracts long chains in O(log^2 n) rounds; the driver-side
-    convergence check (an empty-diff count) is identical.
+    lineage (and recomputation) doubles every round.
+
+    The convergence check rides INSIDE the round's aggregate: each node's
+    own-label row is tagged, so the agg emits (new_label, old_label) and
+    "any change?" is a filter-count over the already-checkpointed result —
+    no extra join job per round (that join was ~half the per-round cost).
+    Input pairs are normalized (least/greatest + distinct) BEFORE the
+    bidirectional union, so duplicate or reversed input pairs cost one
+    half-size distinct, not a double-size one. At extreme scale the same
+    loop upgrades to the large-star/small-star formulation (Kiveris et
+    al., "Connected Components in MapReduce and Beyond"), which contracts
+    long chains in O(log^2 n) rounds; the driver-side convergence check is
+    identical.
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    a, b = F.col(a_col), F.col(b_col)
+    # checkpoint BEFORE the bidirectional union: the union references the
+    # upstream pairs plan twice, and without truncation the (often
+    # expensive) pair-generation join would execute twice in one job
+    uniq = (
+        pairs.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
+    )
+    edges = uniq.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        uniq.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     labels = (
         edges.select("src")
@@ -736,23 +753,21 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
+        own = labels.select("node", "label", F.lit(1).alias("is_own"))
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "label")
+        ).select(F.col("src").alias("node"), "label", F.lit(0).alias("is_own"))
         new = (
-            labels.union(nbr)
+            own.union(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("is_own") == 1, F.col("label"))).alias("_old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("label") < F.col("_old")).limit(1).count()
+        labels = new.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
