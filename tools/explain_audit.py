@@ -56,6 +56,23 @@ CHECKS = {
         ("agg not window", lambda p: "max_by" in p or "HashAggregate" in p),
         ("no window exchange sort", lambda p: "Window" not in p),
     ],
+    "embedding_quantize_int8": [
+        # int8 quantization must compile to a map-only plan: array
+        # transforms + posexplode pipeline with the scan, zero shuffles
+        ("map-only, zero exchange", lambda p: "Exchange" not in p),
+        ("pruned scan", r"ReadSchema:[^\n]*embedding"),
+    ],
+    "sample_per_source_deterministic": [
+        # exact-k per-group sample: ONE shuffle on the group key, the
+        # rank window is partitioned (never a global sort)
+        ("partitioned window", r"windowspecdefinition\(source"),
+        ("single exchange", lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+    ],
+    "source_mixture_weights": [
+        # 1-row totals join back via broadcast, not a shuffle join
+        ("broadcast totals", r"Broadcast(NestedLoopJoin|Exchange)"),
+        ("text column pruned", lambda p: "text" not in re.search(r"ReadSchema:[^\n]*", p).group(0)),
+    ],
     "dedup_exact_documents": [
         ("hash agg dedup", r"HashAggregate"),
     ],
