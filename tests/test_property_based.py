@@ -12,6 +12,10 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from weatherdatapipeline_spark.operators.dedup import jaccard_near_duplicates
+from weatherdatapipeline_spark.operators.embeddings import (
+    dequantize_int8,
+    quantize_int8,
+)
 from weatherdatapipeline_spark.operators.relational import latest_per_key, top_k
 
 SETTINGS = settings(
@@ -104,3 +108,31 @@ def test_groupcount_matches_counter(spark, rows):
     got = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count("v").alias("cnt")).collect()}
     want = Counter(k for k, _ in rows)
     assert got == dict(want)
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1e6, 1e6, width=32, allow_nan=False, allow_infinity=False),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_quantize_roundtrip_error_bound_property(spark, vecs):
+    """For ANY finite float32 vectors: quantized components stay in
+    [-127, 127] and dequantization error is bounded by scale/2 + eps."""
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r["vec_id"]: r for r in dequantize_int8(quantize_int8(df)).collect()}
+    import numpy as np
+
+    for vid, vec in rows:
+        r = out[vid]
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        v = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        err = np.abs(np.asarray(r["embedding"]) - v)
+        assert err.max() <= r["scale"] / 2 + 1e-9 * max(1.0, r["scale"])

@@ -92,6 +92,38 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     assert back.count() == 100
 
 
+def test_range_sorted_layout_disjoint_files(spark, tmp_path):
+    """write_range_sorted must produce files whose order-column ranges are
+    pairwise disjoint (sampled range partitioning) and internally sorted —
+    the properties that make zone-map pruning and in-order consumption
+    work. No single-task sort may appear anywhere in the write plan."""
+    import os
+
+    df = spark.range(5000).select(
+        F.col("id"), F.pmod(F.col("id") * 2654435761, F.lit(9973)).alias("score")
+    )
+    cat = TableCatalog(spark, str(tmp_path))
+    cat.write_range_sorted(df, "by_score", "score", n_ranges=8)
+
+    path = cat.path("by_score")
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert len(files) > 1
+    ranges = []
+    for f in files:
+        vals = [r["score"] for r in spark.read.parquet(f).select("score").collect()]
+        if not vals:
+            continue
+        assert vals == sorted(vals)  # internally sorted
+        ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # pairwise disjoint -> zone maps fully selective
+
+    assert spark.read.parquet(path).count() == 5000  # nothing lost
+
+
 def test_bucketed_join_eliminates_exchange(spark, tmp_path):
     cat = TableCatalog(spark, str(tmp_path))
     orders = spark.range(1000).select(

@@ -73,9 +73,12 @@ def quantize_int8(
             F.greatest(F.lit(-INT8_MAX), F.round(x.cast("double") / safe)),
         ).cast("int"),
     )
+    # scale is emitted UNROUNDED: rounding belongs to display/oracle
+    # layers — a tiny-magnitude vector (max|x| < ~6e-8) has scale < 5e-10,
+    # which decimal rounding would zero, silently breaking dequantization
     return embeddings.select(
         F.col(id_col),
-        F.round(scale, 9).alias(scale_col),
+        scale.alias(scale_col),
         q.alias(out_vec_col),
     )
 

@@ -870,7 +870,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "scale", F.posexplode("qvec").alias("pos", "qv")
     ).select(
         "vec_id",
-        "scale",
+        F.round("scale", 9).alias("scale"),
         F.col("pos").cast("long").alias("pos"),
         F.col("qv").cast("long").alias("qv"),
     )
