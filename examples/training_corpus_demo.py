@@ -15,8 +15,14 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
+from weatherdatapipeline_spark.operators.embeddings import quantize_int8
+from weatherdatapipeline_spark.operators.sampling import (
+    sample_per_group,
+    temperature_mixture_weights,
+)
 from weatherdatapipeline_spark.pipelines import prepare_training_corpus
 from weatherdatapipeline_spark.session import get_spark
+from weatherdatapipeline_spark.sources.catalog import TableCatalog
 from weatherdatapipeline_spark.sources.upsert import UpsertTable
 
 
@@ -53,6 +59,20 @@ def main() -> None:
 
     removed = table.vacuum(keep_last=1)
     print(f"vacuumed versions: {removed}")
+
+    # 3. mixture design: temperature-reweighted source shares (alpha=0.5
+    # up-weights tail sources), plus a stable per-source audit sample
+    print("mixture weights (alpha=0.5):")
+    temperature_mixture_weights(docs, "source", alpha=0.5).orderBy("source").show()
+    cat = TableCatalog(spark, workdir)
+    cat.write_jsonl(sample_per_group(docs, "source", "doc_id", 3), "audit_sample")
+    print("audit sample exported as JSONL (3 docs/source)")
+
+    # 4. embedding lake: int8-quantized (4x smaller), range-sorted by id
+    # so point/range lookups prune to one file via parquet zone maps
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cat.write_range_sorted(quantize_int8(emb), "emb_int8", "vec_id", n_ranges=8)
+    print(f"quantized embedding lake: {cat.read('emb_int8').count()} vectors")
     print(f"corpus + index under {workdir}")
 
 
