@@ -151,3 +151,125 @@ def redact_pii(
     for pat, mask in PII_PATTERNS.values():
         clean = F.regexp_replace(clean, pat, mask)
     return documents.select("*", *counts, clean.alias(out_col))
+
+
+def tokens_rows(
+    documents: DataFrame, id_cols: list[str], text_col: str = "text"
+) -> DataFrame:
+    """(id_cols..., term) one row per token occurrence — the shared
+    explode step of the corpus-statistics operators below."""
+    return documents.select(
+        *id_cols,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+
+
+def tfidf_signature_terms(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k TF-IDF signature terms per group (source/domain/language):
+    the standard "what characterizes this slice of the corpus" audit.
+    tf = term occurrences within the group; idf = ln(n_groups / df) with
+    df = number of groups containing the term.
+
+    Shuffle shape at 100 TB: one (group, term) aggregate (map-side
+    combined — the explode's duplicates collapse before the exchange),
+    one dims-sized term→df aggregate joined back (AQE broadcasts it when
+    the vocabulary is small), and a rank window partitioned by group.
+    n_groups rides a 1-row broadcast; nothing single-partition.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_rows(documents, [group_col], text_col)
+    tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_groups = documents.select(
+        F.count_distinct(F.col(group_col)).alias("_ng")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("_ng").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("tfidf"), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            group_col,
+            "term",
+            "tf",
+            "df",
+            "tfidf",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) over adjacent word pairs —
+    the classic phrase-mining signal (new-terminology detection, tokenizer
+    vocabulary candidates). ``min_count`` suppresses the unstable
+    low-frequency tail, standard practice.
+
+    Built on the same posexplode+lead gram builder as the dedup suite
+    (per-doc window, the id shuffle the aggregates need anyway); unigram
+    and bigram tables are both map-side-combined aggregates; the two
+    probability joins are dims-sized (vocabulary), AQE-broadcast; the
+    final top-k is a TakeOrdered, not a sort.
+    """
+    from pyspark.sql import Window as _W
+
+    tok = documents.select(
+        F.monotonically_increasing_id().alias("_did"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "w1"
+        ),
+    )
+    w = _W.partitionBy("_did").orderBy("pos")
+    big = tok.select(
+        F.col("w1"), F.lead("w1").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    uni = tok.groupBy(F.col("w1").alias("term")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_uni = uni.select(F.sum("cnt").alias("_nu"))
+    pairs = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    n_pairs = pairs.select(F.sum("pair_cnt").alias("_np"))
+    scored = (
+        pairs.filter(F.col("pair_cnt") >= min_count)
+        .join(uni.select(F.col("term").alias("w1"), F.col("cnt").alias("c1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("cnt").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_uni))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("pair_cnt") / F.col("_np"))
+                    / ((F.col("c1") / F.col("_nu")) * (F.col("c2") / F.col("_nu")))
+                ),
+                6,
+            ),
+        )
+        .select("w1", "w2", "pair_cnt", "c1", "c2", "pmi")
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
