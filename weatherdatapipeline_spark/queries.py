@@ -38,13 +38,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps regardless of the host session's default
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
-        # reader rejects; read the raw int64 nanos and convert. The data is
-        # µs-granular so `div 1000` is lossless (integer div — a double
-        # division at epoch-nanos scale exceeds the 53-bit mantissa).
+        # events.parquet has shipped in two physical layouts: TIMESTAMP(NANOS)
+        # (which the vectorized reader only accepts as raw int64 via
+        # nanosAsLong) and plain timestamp[us]. Branch on the dtype the scan
+        # actually yields so both load. `div 1000` is lossless for the nanos
+        # layout (µs-granular data; integer div — a double division at
+        # epoch-nanos scale exceeds the 53-bit mantissa).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_dtype = dict(raw.dtypes)["ts"]
+        if ts_dtype in ("bigint", "long"):  # legacy nanos layout
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # native timestamp layout; cast normalizes TIMESTAMP_NTZ to session-tz
+        # timestamp (session pinned UTC above) so downstream unix_micros/
+        # hour/date_format semantics match the nanos branch exactly
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -833,6 +841,76 @@ SELECT doc_id, count(*) AS total_shingles,
        count(DISTINCT s) AS distinct_shingles,
        round(1 - count(DISTINCT s) / count(*), 6) AS repetition
 FROM sh GROUP BY doc_id
+"""
+
+
+def tfidf_signature_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 TF-IDF signature terms per source: "what characterizes this
+    slice of the corpus" audit (operators/text.py::tfidf_signature_terms).
+    One (group, term) map-side-combined aggregate, a vocabulary-sized df
+    join (AQE broadcast), and a per-group rank window — nothing
+    single-partition."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.tfidf_signature_terms(docs, group_col="source", text_col="text", k=10)
+
+
+ORACLE_TFIDF = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ng AS (SELECT count(DISTINCT source) AS ng FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(CAST(ng.ng AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN ng
+)
+SELECT source, term, tf, df, tfidf,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= 10
+"""
+
+
+def pmi_collocations_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI with min_count=5: phrase-mining /
+    tokenizer-vocabulary-candidate audit (operators/text.py::
+    pmi_collocations). Unigram and bigram tables are map-side-combined
+    aggregates; probability joins are vocabulary-sized; final top-k is a
+    TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.pmi_collocations(docs, text_col="text", min_count=5, k=50)
+
+
+ORACLE_PMI = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+tok AS (
+  SELECT doc_id, w[i] AS term, i AS pos
+  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+),
+big AS (
+  SELECT a.term AS w1, b.term AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+uni AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+nu AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nu FROM uni),
+pairs AS (SELECT w1, w2, count(*) AS pair_cnt FROM big GROUP BY w1, w2),
+np AS (SELECT CAST(sum(pair_cnt) AS DOUBLE) AS np FROM pairs),
+scored AS (
+  SELECT p.w1, p.w2, p.pair_cnt, u1.cnt AS c1, u2.cnt AS c2,
+         round(ln((p.pair_cnt / np.np) / ((u1.cnt / nu.nu) * (u2.cnt / nu.nu))), 6) AS pmi
+  FROM pairs p
+  JOIN uni u1 ON u1.term = p.w1
+  JOIN uni u2 ON u2.term = p.w2
+  CROSS JOIN np CROSS JOIN nu
+  WHERE p.pair_cnt >= 5
+)
+SELECT w1, w2, pair_cnt, c1, c2, pmi
+FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50
 """
 
 
@@ -2557,6 +2635,8 @@ QUERIES: dict[str, Query] = {
     "token_stats_by_source": token_stats_by_source,
     "vocabulary_top50": vocabulary_top50,
     "doc_repetition_scores": doc_repetition_scores,
+    "tfidf_signature_by_source": tfidf_signature_by_source,
+    "pmi_collocations_top50": pmi_collocations_top50,
     "label_centroids": label_centroids,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
@@ -2646,6 +2726,8 @@ ORACLES: dict[str, str] = {
     "token_stats_by_source": ORACLE_TOKEN_STATS,
     "vocabulary_top50": ORACLE_VOCAB,
     "doc_repetition_scores": ORACLE_REPETITION,
+    "tfidf_signature_by_source": ORACLE_TFIDF,
+    "pmi_collocations_top50": ORACLE_PMI,
     "label_centroids": ORACLE_CENTROIDS,
     "corpus_clean_pipeline": ORACLE_CORPUS_CLEAN,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
