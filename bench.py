@@ -122,8 +122,10 @@ def build_scale_dir(spark, base_dir: str, factor: int) -> str:
     marker = os.path.join(out, "_BUILT")
     if os.path.exists(marker):
         return out
-    # events stores TIMESTAMP(NANOS): read ts as raw int64 and KEEP it as
-    # int64 in the copy so queries' ts-conversion path is identical
+    # events has shipped as both TIMESTAMP(NANOS) and timestamp[us];
+    # nanosAsLong makes the nanos layout readable (as int64, preserved in the
+    # copy) and is a no-op for the native layout — queries._t branches on the
+    # dtype it actually gets, so either copy round-trips identically
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables = {t: spark.read.parquet(f"{base_dir}/{t}.parquet") for t in ALL_TABLES}
     units: dict[tuple[str, str], int] = {}
@@ -159,14 +161,23 @@ def main() -> None:
         QUERIES[name](spark, d or sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    run("q1_pricing_summary")  # warmup (JVM/codegen/parquet footer caches)
+    try:
+        run("q1_pricing_summary")  # warmup (JVM/codegen/parquet footer caches)
+    except Exception:
+        pass
 
     # two timed runs, keep the min: per-plan codegen compilation (~1-3s,
     # constant) dominates sub-second queries at test scale and is noise for
-    # a throughput comparison — the min reflects steady-state engine time
+    # a throughput comparison — the min reflects steady-state engine time.
+    # Failure-isolated: one raising query records an error and the bench
+    # continues, so a single broken table never zeroes the whole round.
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        per_query[name] = round(min(run(name), run(name)), 3)
+        try:
+            per_query[name] = round(min(run(name), run(name)), 3)
+        except Exception as e:
+            errors[name] = str(e).split("\n")[0][:200]
 
     total = round(sum(per_query.values()), 3)
 
@@ -188,10 +199,13 @@ def main() -> None:
         duck = {}
         for name in HEADLINE:
             if name in ORACLES:
-                con.execute(ORACLES[name]).fetchall()  # warm
-                t0 = _time.perf_counter()
-                con.execute(ORACLES[name]).fetchall()
-                duck[name] = round(_time.perf_counter() - t0, 3)
+                try:
+                    con.execute(ORACLES[name]).fetchall()  # warm
+                    t0 = _time.perf_counter()
+                    con.execute(ORACLES[name]).fetchall()
+                    duck[name] = round(_time.perf_counter() - t0, 3)
+                except Exception:
+                    pass
         duck_total = round(sum(duck.values()), 3)
     except Exception:
         duck = {}
@@ -203,6 +217,8 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf),
     }
+    if errors:
+        out["errors"] = errors
     if duck_total is not None:
         out["duckdb_same_queries_total"] = duck_total
         out["duckdb_queries"] = duck
@@ -213,20 +229,39 @@ def main() -> None:
     if factor > 1:
         try:
             scale_dir = build_scale_dir(spark, sf_dir, factor)
-            scale_q = {n: round(run(n, scale_dir), 3) for n in SCALE_HEADLINE}
-            base_subset = sum(per_query[n] for n in SCALE_HEADLINE)
+            scale_q: dict[str, float] = {}
+            for n in SCALE_HEADLINE:
+                if n not in per_query:
+                    continue  # already failed at base scale
+                try:
+                    scale_q[n] = round(run(n, scale_dir), 3)
+                except Exception as e:
+                    errors[f"scale:{n}"] = str(e).split("\n")[0][:200]
+            base_subset = sum(per_query[n] for n in scale_q)
             stotal = sum(scale_q.values())
+            # per-query slope normalized so 1.0 = linear-in-data: at factor f,
+            # scale_time / (base_time * f). Fixed overhead pulls it below 1;
+            # a super-linear operator pushes it above — validate.sh asserts
+            # every headline slope stays < 1.3.
+            slopes = {
+                n: round(scale_q[n] / (per_query[n] * factor), 2)
+                for n in scale_q
+                if per_query[n] > 0.05  # sub-50ms base times are pure noise
+            }
             out["scale_check"] = {
                 "data_factor": factor,
                 "sf": round(float(sf) * factor, 3),
                 "total": round(stotal, 3),
                 "base_subset_total": round(base_subset, 3),
-                # ideal linear scaling would be `factor`; fixed overhead
-                # pulls it below, a super-linear operator pushes it above
+                # aggregate: ideal linear scaling would be `factor`; fixed
+                # overhead pulls it below, a super-linear operator above
                 "slope": round(stotal / base_subset, 2) if base_subset else None,
+                "per_query_slope": slopes,
                 "queries": scale_q,
                 "excluded": SCALE_EXCLUDED,
             }
+            if errors:
+                out["errors"] = errors
         except Exception as e:  # the base bench line must survive
             out["scale_check"] = {"error": str(e)[:200]}
     print(json.dumps(out))
