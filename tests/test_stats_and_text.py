@@ -112,3 +112,65 @@ def test_redact_pii(spark):
     assert "jo.doe" not in rows[0]["clean_text"] and "555-123" not in rows[0]["clean_text"]
     assert rows[1]["n_ipv4"] == 2 and rows[1]["clean_text"].count("<IP>") == 2
     assert rows[2]["clean_text"] == "nothing sensitive here at all"
+
+
+def test_tfidf_signature_terms_golden(spark):
+    """Hand-computed tf-idf: 2 groups, tfidf = tf * ln(n_groups / df)."""
+    from weatherdatapipeline_spark.operators.text import tfidf_signature_terms
+
+    df = spark.createDataFrame(
+        [("A", "x x y"), ("B", "x z")],
+        "source string, text string",
+    )
+    got = {
+        (r["source"], r["term"]): r
+        for r in tfidf_signature_terms(df, group_col="source", k=10).collect()
+    }
+    # df(x)=2 groups -> idf=ln(1)=0; df(y)=df(z)=1 -> idf=ln(2)
+    assert got[("A", "x")]["tf"] == 2 and got[("A", "x")]["tfidf"] == 0.0
+    assert got[("A", "y")]["tfidf"] == pytest.approx(0.693147)
+    assert got[("B", "z")]["tfidf"] == pytest.approx(0.693147)
+    assert got[("B", "x")]["tfidf"] == 0.0
+    # rank: highest tfidf first, term asc tiebreak
+    assert got[("A", "y")]["rk"] == 1 and got[("A", "x")]["rk"] == 2
+    assert got[("B", "z")]["rk"] == 1 and got[("B", "x")]["rk"] == 2
+
+
+def test_pmi_collocations_golden(spark):
+    """Hand-computed PMI over adjacent bigrams:
+    docs 'a b a b' + 'a b' -> unigrams a:3 b:3 (nu=6);
+    bigrams (a,b):3 (b,a):1 (np=4).
+    PMI(a,b) = ln((3/4)/((3/6)*(3/6))) = ln(3); PMI(b,a) = ln(1) = 0."""
+    from weatherdatapipeline_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b")], "doc_id long, text string"
+    )
+    rows = pmi_collocations(df, min_count=1, k=50).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    assert set(got) == {("a", "b"), ("b", "a")}
+    ab = got[("a", "b")]
+    assert (ab["pair_cnt"], ab["c1"], ab["c2"]) == (3, 3, 3)
+    assert ab["pmi"] == pytest.approx(1.098612)
+    ba = got[("b", "a")]
+    assert (ba["pair_cnt"], ba["pmi"]) == (1, 0.0)
+    # ordered by pmi desc: (a,b) first
+    assert (rows[0]["w1"], rows[0]["w2"]) == ("a", "b")
+
+
+def test_pmi_min_count_filters_but_np_is_global(spark):
+    """min_count prunes output pairs but np (the pair-probability
+    denominator) stays the GLOBAL bigram total — the standard PMI
+    formulation; a filtered np would inflate every surviving score."""
+    from weatherdatapipeline_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    rows = pmi_collocations(df, min_count=3, k=50).collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b")]
+    # np = 5 bigrams total (3 ab, 1 ba, 1 cd), nu = 8 tokens, a=3 b=3
+    # PMI = ln((3/5)/((3/8)*(3/8))) = ln(4.266667)
+    import math
+
+    assert rows[0]["pmi"] == pytest.approx(round(math.log((3 / 5) / (9 / 64)), 6))

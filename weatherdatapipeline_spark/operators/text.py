@@ -238,8 +238,15 @@ def pmi_collocations(
     """
     from pyspark.sql import Window as _W
 
-    tok = documents.select(
-        F.monotonically_increasing_id().alias("_did"),
+    # the doc id MUST be projected before the explode: evaluated in the
+    # same select as posexplode, monotonically_increasing_id runs once per
+    # post-explode row, giving every token its own "document" and silently
+    # producing zero bigrams
+    ids = documents.select(
+        F.monotonically_increasing_id().alias("_did"), F.col(text_col)
+    )
+    tok = ids.select(
+        "_did",
         F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
             "pos", "w1"
         ),
