@@ -1,9 +1,12 @@
 """Embedding-column utilities (SURVEY.md §2.11 adjuncts): L2
 normalization and int8 quantization over ``array<float>`` columns.
 
-Both are pure JVM array expressions (``transform`` / ``aggregate`` — no
-Python, no UDFs, map-only): at 100 TB they run at scan throughput inside
-whole-stage codegen and add zero shuffles. Quantization is the standard
+Both are map-only (zero shuffles) with two interchangeable physical
+paths: the default pure-JVM ``transform``/``aggregate`` expressions, and
+an Arrow-batched pandas UDF variant (``impl="arrow"``) with identical
+float64 semantics — benchmarked a tie at 64 dims (SCALE.md "HOF vs
+Arrow"; output-array construction dominates), the Arrow path wins as
+vectors get wider. Quantization is the standard
 storage/serving trade for large embedding corpora — 4x smaller vectors
 (int8 vs float32) at ~1% cosine error — and per-vector symmetric scaling
 (``scale = max|x| / 127``) keeps dequantization a one-multiply map.
@@ -21,6 +24,46 @@ from pyspark.sql import functions as F
 
 INT8_MAX = 127
 
+try:  # Arrow variants: measured at sf0.1 x256 (512k rows, 64 dims —
+    # SCALE.md "HOF vs Arrow") quantize/normalize are a tie with the HOF
+    # path (output-array construction dominates both), so the JVM path
+    # stays the default here; the variants remain for wider vectors,
+    # where Arrow's per-batch (not per-element) overhead wins. float64 op
+    # order is kept identical so both paths agree bitwise and the oracle
+    # hashes are unchanged either way.
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    @_pandas_udf("array<double>")
+    def _l2_normalize_arrow(v: _pd.Series, eps: _pd.Series) -> _pd.Series:
+        A = _np.stack(v.to_numpy()).astype(_np.float64)
+        acc = _np.zeros(A.shape[0])
+        for i in range(A.shape[1]):  # sequential fold == HOF sum order
+            acc = acc + A[:, i] * A[:, i]
+        n = _np.maximum(_np.sqrt(acc), eps.to_numpy())
+        return _pd.Series(list(A / n[:, None]))
+
+    @_pandas_udf("struct<scale: double, qvec: array<int>>")
+    def _quantize_arrow(v: _pd.Series) -> _pd.DataFrame:
+        A = _np.stack(v.to_numpy()).astype(_np.float64)
+        scale = _np.abs(A).max(axis=1) / INT8_MAX
+        safe = _np.maximum(scale, 1e-30)[:, None]
+        x = A / safe
+        # SQL ROUND is HALF_UP (away from zero); np.round is half-to-even
+        q = _np.clip(
+            _np.sign(x) * _np.floor(_np.abs(x) + 0.5), -INT8_MAX, INT8_MAX
+        ).astype(_np.int32)
+        return _pd.DataFrame({"scale": scale, "qvec": list(q)})
+
+    HAVE_ARROW = True
+except Exception:  # pragma: no cover - numpy/pandas absent
+    HAVE_ARROW = False
+
+# benchmarked tie at 64 dims (SCALE.md) -> keep the no-Python JVM path;
+# pass impl="arrow" per-call for wide vectors
+VECTOR_IMPL = "hof"
+
 
 def l2_norm(vec: Column) -> Column:
     """Euclidean norm of an array column, folded in DOUBLE."""
@@ -33,9 +76,16 @@ def l2_norm(vec: Column) -> Column:
     )
 
 
-def l2_normalize(vec: Column, eps: float = 1e-12) -> Column:
+def l2_normalize(vec: Column, eps: float = 1e-12, impl: str | None = None) -> Column:
     """Unit-normalize an array column; an all-zero vector stays zero
-    (norm clamped by ``eps``) rather than dividing by zero to NULL/NaN."""
+    (norm clamped by ``eps``) rather than dividing by zero to NULL/NaN.
+
+    impl="arrow" (default when numpy is present) runs the same float64
+    math as a vectorized pandas UDF; "hof" stays fully JVM-side."""
+    if isinstance(vec, str):
+        vec = F.col(vec)
+    if (impl or VECTOR_IMPL) == "arrow" and HAVE_ARROW:
+        return _l2_normalize_arrow(vec, F.lit(float(eps)))
     n = F.greatest(l2_norm(vec), F.lit(float(eps)))
     return F.transform(vec, lambda x: x.cast("double") / n)
 
@@ -55,15 +105,27 @@ def quantize_int8(
     vec_col: str = "embedding",
     out_vec_col: str = "qvec",
     scale_col: str = "scale",
+    impl: str | None = None,
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: adds ``scale`` (double)
     and ``qvec`` (array<int> in [-127, 127]); original float vector is
     dropped. Map-only — no shuffle, no Python.
 
-    Rounding is ``round`` half-up via SQL ROUND to keep the oracle
-    (DuckDB ``round``) bit-identical; values are clamped defensively
-    although ``|x| <= max|x|`` already bounds them.
+    Rounding is ``round`` half-up via SQL ROUND (mirrored as
+    sign*floor(abs+0.5) in the Arrow path) to keep the oracle (DuckDB
+    ``round``) bit-identical; values are clamped defensively although
+    ``|x| <= max|x|`` already bounds them.
+
+    impl="arrow" (default when numpy is present): one vectorized pandas
+    UDF emitting a (scale, qvec) struct; "hof" stays fully JVM-side.
     """
+    if (impl or VECTOR_IMPL) == "arrow" and HAVE_ARROW:
+        s = _quantize_arrow(F.col(vec_col))
+        return embeddings.select(
+            F.col(id_col),
+            s.getField("scale").alias(scale_col),
+            s.getField("qvec").alias(out_vec_col),
+        )
     scale = quantization_scale(F.col(vec_col))
     safe = F.greatest(scale, F.lit(1e-30))  # all-zero vector guard
     q = F.transform(

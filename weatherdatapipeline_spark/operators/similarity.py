@@ -4,8 +4,10 @@
 Paths
 -----
 - ``cosine_topk``          : brute-force exact top-k for one query vector.
-  The dot product is a built-in ``zip_with`` + ``aggregate`` fold in DOUBLE
-  (JVM, codegen) — no Python in the loop. TakeOrdered top-k, no global sort.
+  Scoring defaults to a vectorized Arrow-batched pandas UDF (numpy over
+  whole record batches; same float64 fold order as the JVM HOF path, so
+  bit-identical — and ~1.5-3x faster at 64 dims, see SCALE.md "HOF vs
+  Arrow"). TakeOrdered top-k, no global sort.
 - ``knn_join``             : exact top-k for a (small) batch of query
   vectors — broadcast the queries, one pass over the corpus.
 - ``lsh_topk``             : random-hyperplane (sign) LSH bucketing; probes
@@ -43,8 +45,63 @@ def _norm(a: Column) -> Column:
     )
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def cosine_similarity_hof(a: Column, b: Column) -> Column:
+    """Cosine via built-in higher-order functions. Map-only and UDF-free,
+    but Spark evaluates HOF lambdas per-element in the interpreter (outside
+    whole-stage codegen), which benchmarks ~1.5-3x slower than the Arrow
+    path at sf0.1 — kept as the no-Python fallback and the semantics
+    reference."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+try:  # Arrow scoring path (pandas+numpy are baked into the target env)
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    def _seq_fold(A: "_np.ndarray", B: "_np.ndarray") -> "_np.ndarray":
+        # accumulate sequentially across dims (vectorized across rows) so
+        # the float64 sum order matches the HOF fold exactly -> results are
+        # bit-identical to cosine_similarity_hof, not merely close
+        acc = _np.zeros(A.shape[0])
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        return acc
+
+    @_pandas_udf("double")
+    def _cosine_arrow(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+        A = _np.stack(a.to_numpy()).astype(_np.float64)
+        B = _np.stack(b.to_numpy()).astype(_np.float64)
+        num = _seq_fold(A, B)
+        den = _np.sqrt(_seq_fold(A, A)) * _np.sqrt(_seq_fold(B, B))
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den
+        return _pd.Series(out)
+
+    HAVE_ARROW = True
+except Exception:  # pragma: no cover - numpy/pandas absent
+    HAVE_ARROW = False
+
+# Arrow wins the sf0.1 bench (see SCALE.md "HOF vs Arrow"): one Python
+# worker round-trip per batch beats per-element interpreted lambdas once
+# vectors are >~16 dims. Flip to "hof" to run fully JVM-side.
+COSINE_IMPL = "arrow" if HAVE_ARROW else "hof"
+
+
+def cosine_similarity(a: Column, b: Column, impl: str | None = None) -> Column:
+    """Cosine similarity of two array<float> columns in DOUBLE.
+
+    impl="arrow" (default when numpy is present): vectorized Arrow-batched
+    pandas UDF — same float64 accumulation order as the HOF fold, so the
+    two paths agree bitwise. impl="hof": built-in zip_with/aggregate.
+    """
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
+    if (impl or COSINE_IMPL) == "arrow" and HAVE_ARROW:
+        return _cosine_arrow(a, b)
+    return cosine_similarity_hof(a, b)
 
 
 def cosine_topk(
