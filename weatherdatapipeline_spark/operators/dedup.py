@@ -486,6 +486,101 @@ def minhash_near_duplicates(
     )
 
 
+def portable_hash60(*cols) -> "Column":
+    """Deterministic 60-bit hash any SQL engine can recompute:
+    ``conv(substr(md5(concat_ws('|', cols)), 1, 15), 16, 10)`` as BIGINT
+    (DuckDB: ``('0x' || substr(md5(a || '|' || b), 1, 15))::BIGINT``).
+    Slower than the JVM ``xxhash64`` (md5 + string render) — the scale
+    path keeps xxhash64; this family exists so LSH pipelines can be
+    oracle-differential-checked end to end."""
+    rendered = [
+        (F.col(c) if isinstance(c, str) else c).cast("string") for c in cols
+    ]
+    return F.conv(F.substring(F.md5(F.concat_ws("|", *rendered)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_near_duplicates_portable(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """``minhash_near_duplicates`` with the portable md5 hash family:
+    identical pipeline shape (shingle -> per-permutation min -> band
+    bucket self-join -> exact-Jaccard verify of candidates only), but
+    every hash is SQL-recomputable, so the whole LSH path gets a real
+    DuckDB oracle instead of a rows-only check. Shingles stay raw n-gram
+    strings (Jaccard over strings == Jaccard over hashes, minus the
+    collision caveat) and band buckets are the '|'-joined signature
+    slice — equality semantics identical to hashing the slice.
+
+    The xxhash64 family (minhash_near_duplicates) remains the 100 TB
+    path: 8-byte shuffle keys and one JVM hash per element vs md5 over
+    rendered strings here.
+    """
+    rows = num_perm // bands
+    pairs = shingle_pairs(
+        documents, id_col, text_col, n, max_shingle_freq=None, hashed=False
+    ).persist()
+    mins = [
+        F.min(portable_hash60(F.col("shingle"), F.lit(str(i)))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sigs = pairs.groupBy(id_col).agg(*mins)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = pairs.groupBy(id_col).agg(F.collect_list("shingle").alias("_sh"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
+    joined = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).alias("common"),
+            F.size("_sh_a").alias("size_a"),
+            F.size("_sh_b").alias("size_b"),
+        )
+    )
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_band_index(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -493,30 +588,52 @@ def minhash_band_index(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """(band, bucket, id) LSH index rows for a document set — the
     persistable state of incremental near-dup dedup. At scale this lands
     in a table bucketed on (band, bucket) so each incoming batch probes it
-    shuffle-free."""
-    pairs = shingle_pairs(documents, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    sigs = pairs.groupBy(id_col).agg(*mins).select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature")
-    )
+    shuffle-free.
+
+    ``portable=True`` switches the hash family to md5 (string shingles,
+    ``portable_hash60`` permutations, '|'-joined string buckets) so the
+    index is SQL-recomputable; the default xxhash64 family shuffles 8-byte
+    keys and is the 100 TB path."""
     rows = num_perm // bands
+    if portable:
+        pairs = shingle_pairs(
+            documents, id_col, text_col, n, max_shingle_freq=None, hashed=False
+        )
+        mins = [
+            F.min(portable_hash60(F.col("shingle"), F.lit(str(i)))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+        buckets = [
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    else:
+        pairs = shingle_pairs(documents, id_col, text_col, n)
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+        buckets = None
+    sigs = pairs.groupBy(id_col).agg(*mins)
+    if buckets is None:
+        sigs = sigs.select(
+            id_col,
+            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature"),
+        )
+        buckets = [
+            F.xxhash64(*[F.col("signature")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ]
     return sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("signature")[b * rows + r] for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*buckets)).alias("band", "bucket"),
     ).select("band", "bucket", id_col)
 
 
@@ -528,6 +645,7 @@ def dedup_incremental_neardup(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    portable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup dedup for an append-only corpus: returns
     (novel_rows, updated_band_index).
@@ -547,7 +665,9 @@ def dedup_incremental_neardup(
     trades a false-positive rate (tunable via bands x rows) for never
     doing exact verification against corpus text.
     """
-    batch_idx = minhash_band_index(new_docs, id_col, text_col, n, num_perm, bands)
+    batch_idx = minhash_band_index(
+        new_docs, id_col, text_col, n, num_perm, bands, portable=portable
+    )
     batch_idx = batch_idx.persist()
     # vs the existing corpus: any shared (band, bucket) -> near-dup
     hit_ids = (
@@ -581,19 +701,32 @@ def dedup_incremental_neardup(
     return novel, updated
 
 
-def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
     """63-bit SimHash per document (bit 63 left clear so the value stays a
     non-negative BIGINT under ANSI arithmetic).
 
-    tokens -> xxhash64 -> per-bit +/-1 votes weighted by term frequency ->
-    sign -> packed bits. One explode + one aggregate; all built-ins.
+    tokens -> token hash -> per-bit +/-1 votes weighted by term frequency
+    -> sign -> packed bits. One explode + one aggregate; all built-ins.
+
+    ``hash_fn`` maps the token column to a BIGINT hash; defaults to the
+    JVM ``xxhash64`` (the scale path). Pass ``portable_hash60`` to make
+    the signature SQL-recomputable for the oracle harness (its 60-bit
+    range leaves bits 60-62 constantly clear — harmless, identically so
+    on both engines).
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = documents.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
     counted = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    hashed = counted.withColumn("h", F.xxhash64("tok"))
+    hashed = counted.withColumn("h", hash_fn(F.col("tok")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
@@ -627,6 +760,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     n_blocks: int | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= ``max_hamming``,
     with FULL recall at that radius.
@@ -671,7 +805,7 @@ def simhash_near_duplicates(
     for w_ in widths:
         offsets.append(off)
         off += w_
-    sh = simhash(documents, id_col, text_col)
+    sh = simhash(documents, id_col, text_col, hash_fn=hash_fn)
     chunks = sh.select(
         F.col(id_col),
         "simhash",

@@ -1291,32 +1291,158 @@ FROM planted
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands) candidates, exact-Jaccard verified at
-    0.2. xxhash64 permutations aren't SQL-portable → rows-only check; the
-    pytest suite instead verifies candidates ⊆-recall against the exact
-    Jaccard operator."""
+    0.2 — run with the PORTABLE md5 hash family
+    (operators/dedup.py::minhash_near_duplicates_portable) so the entire
+    LSH path (permutation mins, band buckets, candidate join, verify) is
+    recomputed by the DuckDB oracle and value-hash-checked. The xxhash64
+    family (minhash_near_duplicates) is the 100 TB path — same pipeline
+    shape, 8-byte keys — and keeps its pytest recall coverage."""
     docs = _t(spark, sf_dir, "documents")
-    return D.minhash_near_duplicates(docs, threshold=0.2)
+    return D.minhash_near_duplicates_portable(docs, threshold=0.2)
+
+
+ORACLE_MINHASH_PORTABLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+),
+perms AS (
+  SELECT doc_id, p.i AS i,
+         min(('0x' || substr(md5(shingle || '|' || CAST(p.i AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM sh CROSS JOIN unnest(range(0, 64)) AS p(i)
+  GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(h AS VARCHAR), '|' ORDER BY i) AS bucket
+  FROM perms GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       round(c.common / CAST(sa.sz + sb.sz - c.common AS DOUBLE), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(c.common / CAST(sa.sz + sb.sz - c.common AS DOUBLE), 6) >= 0.2
+"""
 
 
 def dedup_incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup dedup (§2.11): even-id docs form the indexed
     corpus; odd-id docs arrive as a batch and are admitted only if their
-    LSH band buckets miss the index and each other. Rows-only (xxhash64
-    MinHash isn't SQL-portable); semantics pytest-pinned against planted
-    duplicates (tests/test_dedup.py::test_dedup_incremental_neardup)."""
+    LSH band buckets miss the index and each other (transitive min-id kept
+    within colliding batch groups). Run with the portable md5 family so
+    the oracle recomputes index, probe, and intra-batch component logic
+    in SQL; the xxhash64 family keeps its planted-duplicate pytest
+    (tests/test_dedup.py::test_dedup_incremental_neardup)."""
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
     batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
-    idx = D.minhash_band_index(corpus)
-    novel, _ = D.dedup_incremental_neardup(batch, idx)
+    idx = D.minhash_band_index(corpus, portable=True)
+    novel, _ = D.dedup_incremental_neardup(batch, idx, portable=True)
     return novel.select("doc_id", "source")
 
 
+ORACLE_INCREMENTAL_NEARDUP = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+),
+perms AS (
+  SELECT doc_id, p.i AS i,
+         min(('0x' || substr(md5(shingle || '|' || CAST(p.i AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM sh CROSS JOIN unnest(range(0, 64)) AS p(i)
+  GROUP BY doc_id, p.i
+),
+bandsx AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(h AS VARCHAR), '|' ORDER BY i) AS bucket
+  FROM perms GROUP BY doc_id, i // 4
+),
+idx AS (SELECT DISTINCT band, bucket FROM bandsx WHERE doc_id % 2 = 0),
+batch AS (SELECT doc_id, band, bucket FROM bandsx WHERE doc_id % 2 = 1),
+hits AS (SELECT DISTINCT b.doc_id FROM batch b JOIN idx USING (band, bucket)),
+surv AS (SELECT * FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM surv a JOIN surv b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+novel AS (
+  SELECT DISTINCT s.doc_id FROM surv s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id != cluster_id)
+)
+SELECT d.doc_id, d.source FROM documents d JOIN novel USING (doc_id)
+"""
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, Hamming ≤ 8 on 63-bit signatures (rows-only:
-    xxhash64 not SQL-portable)."""
+    """SimHash near-dup pairs, Hamming ≤ 8 on 63-bit signatures, portable
+    md5 token hashes so the oracle recomputes the signature bit-for-bit
+    and brute-forces the pair space (full recall at the radius makes the
+    blocked Spark result equal the brute-force SQL result by
+    construction). xxhash64 family remains the scale path (pytest)."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_near_duplicates(docs, max_hamming=8)
+    out = D.simhash_near_duplicates(
+        docs, max_hamming=8, hash_fn=D.portable_hash60
+    )
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+ORACLE_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+hashed AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf
+),
+votes AS (
+  SELECT doc_id, r.j AS j,
+         sum(CASE WHEN (h >> CAST(r.j AS INTEGER)) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM hashed CROSS JOIN unnest(range(0, 63)) AS r(j)
+  GROUP BY doc_id, r.j
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 8
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1370,18 +1496,80 @@ SELECT query_id, vec_id, cosine, rank FROM (
 
 
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate LSH top-10 for vec_id=0 (rows-only: hyperplanes come
-    from a seeded numpy generator, not SQL-portable; recall vs brute force
-    is asserted in the pytest suite)."""
+    """Approximate LSH top-10 for vec_id=0. The hyperplanes are seeded
+    (numpy RandomState(42)) so the oracle embeds the SAME plane constants
+    as SQL literals and recomputes bucket assignment + hamming<=1 probing
+    + cosine scoring end to end in DuckDB — a full value-hash check, not
+    rows-only. Recall vs brute force additionally pinned in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return S.lsh_topk(emb, [float(x) for x in qvec], k=10)
 
 
+def _planes_values_sql(dim: int = 64, bits: int = 8, seed: int = 42) -> str:
+    """The lsh hyperplanes as a SQL VALUES list — repr() round-trips each
+    float64 exactly, so DuckDB parses bit-identical plane constants."""
+    planes = S.hyperplanes(dim, bits, seed)
+    return ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in p))
+        for i, p in enumerate(planes)
+    )
+
+
+ORACLE_LSH_TOPK = f"""
+WITH planes(pid, plane) AS (VALUES {_planes_values_sql()}),
+bk AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+                  THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id
+),
+q AS (
+  SELECT e.embedding::DOUBLE[] AS qv, bk.bucket AS qb
+  FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id
+  WHERE e.vec_id = 0
+)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings e
+JOIN bk ON bk.vec_id = e.vec_id
+CROSS JOIN q
+WHERE bit_count(xor(bk.bucket, q.qb)) <= 1
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.9 via LSH buckets (rows-only)."""
+    """Embedding-cosine near-dup pairs ≥ 0.9 via LSH buckets. Seeded
+    hyperplanes let the oracle recompute the bucket self-join (own bucket
+    + 1-bit probes == hamming<=1) and the cosine verify in DuckDB."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.cosine_near_duplicates(emb, threshold=0.9)
+
+
+ORACLE_EMB_NEAR_DUP = f"""
+WITH planes(pid, plane) AS (VALUES {_planes_values_sql()}),
+bk AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+                  THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding::DOUBLE[]
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cosine
+FROM bk a JOIN bk b
+  ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.9
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2728,6 +2916,9 @@ ORACLES: dict[str, str] = {
     "doc_repetition_scores": ORACLE_REPETITION,
     "tfidf_signature_by_source": ORACLE_TFIDF,
     "pmi_collocations_top50": ORACLE_PMI,
+    "dedup_minhash_pairs": ORACLE_MINHASH_PORTABLE,
+    "dedup_simhash_pairs": ORACLE_SIMHASH,
+    "dedup_incremental_neardup_batch": ORACLE_INCREMENTAL_NEARDUP,
     "label_centroids": ORACLE_CENTROIDS,
     "corpus_clean_pipeline": ORACLE_CORPUS_CLEAN,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
@@ -2740,6 +2931,8 @@ ORACLES: dict[str, str] = {
     "source_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "similarity_topk": ORACLE_SIM_TOPK,
     "knn_join_first5": ORACLE_KNN_JOIN,
+    "similarity_lsh_topk": ORACLE_LSH_TOPK,
+    "embedding_near_dup_pairs": ORACLE_EMB_NEAR_DUP,
     "cube_order_status_priority": ORACLE_CUBE,
     "json_props_stats": ORACLE_JSON_PROPS,
     "percentile_value_by_type": ORACLE_PERCENTILES,
