@@ -262,3 +262,36 @@ def test_simhash_rejects_too_many_blocks():
     # > 63 blocks would mint zero-width (always-0) chunks: an all-pairs join
     with pytest.raises(ValueError, match="63"):
         simhash_near_duplicates(None, max_hamming=8, n_blocks=64)
+
+
+def test_portable_and_xxhash64_minhash_families_agree_on_planted_dups(spark):
+    """The portable md5 family exists for oracle-checkability, not new
+    semantics: on planted near-duplicates both families must surface the
+    same strong pairs with IDENTICAL exact-Jaccard values (verification
+    is hash-free; only candidate generation differs)."""
+    from weatherdatapipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+        minhash_near_duplicates_portable,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base + " extra"),          # near-dup of 0
+        (2, "completely different words in this one about spark and ducks"),
+        (3, base.replace("quick", "rapid")),  # near-dup of 0
+        (4, "another unrelated document speaking of benchmarks and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(df, threshold=0.3).collect()
+    }
+    portable = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_duplicates_portable(df, threshold=0.3).collect()
+    }
+    assert (0, 1) in fast and (0, 3) in fast
+    assert (0, 1) in portable and (0, 3) in portable
+    for pair in set(fast) & set(portable):
+        assert fast[pair] == portable[pair], f"jaccard differs on {pair}"

@@ -81,3 +81,45 @@ def test_quantize_is_map_only(spark, vecs):
     df, _ = vecs
     plan = quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_arrow_and_hof_paths_bit_identical(spark):
+    """The Arrow (pandas UDF) and HOF (JVM) implementations must agree
+    BITWISE — same float64 accumulation order — for quantize, normalize,
+    and cosine. This is what licenses swapping defaults freely."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from weatherdatapipeline_spark.operators import embeddings as E
+    from weatherdatapipeline_spark.operators import similarity as S
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-2, 2) for _ in range(17)]) for i in range(50)
+    ]
+    rows.append((50, [0.0] * 17))  # all-zero vector (eps guard path)
+    rows.append((51, [1e-9] * 17))  # tiny magnitudes (scale rounding path)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    nonzero = df.filter(F.col("vec_id") != 50)  # cosine: exclude 0-vector
+    q = [float(i % 5 - 2) for i in range(17)]
+    qc = F.array(*[F.lit(x) for x in q])
+
+    for name, mk in [
+        ("quantize", lambda impl: E.quantize_int8(df, impl=impl)),
+        (
+            "l2norm",
+            lambda impl: df.select(
+                "vec_id", E.l2_normalize(F.col("embedding"), impl=impl).alias("v")
+            ),
+        ),
+        (
+            "cosine",
+            lambda impl: nonzero.select(
+                "vec_id", S.cosine_similarity(F.col("embedding"), qc, impl=impl).alias("c")
+            ),
+        ),
+    ]:
+        a = sorted(map(tuple, mk("arrow").collect()))
+        h = sorted(map(tuple, mk("hof").collect()))
+        assert a == h, f"{name}: arrow and hof outputs differ"

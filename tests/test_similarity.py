@@ -81,3 +81,53 @@ def test_cosine_near_duplicates_finds_planted_pair(spark):
     got = {(r["id_a"], r["id_b"]) for r in cosine_near_duplicates(df, threshold=0.999, bits=4).collect()}
     assert (0, 1) in got
     assert all(2 not in p for p in got)
+
+
+def test_cosine_zero_vector_is_null_both_impls(spark):
+    """An all-zero vector must yield NULL cosine on BOTH paths — under
+    ANSI mode (Spark 4 default) an unguarded division would instead crash
+    the whole query on the first degenerate embedding."""
+    from pyspark.sql import functions as F
+
+    from weatherdatapipeline_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, 2.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))
+    for impl in ("hof", "arrow"):
+        rows = {
+            r["vec_id"]: r["c"]
+            for r in df.select(
+                "vec_id", S.cosine_similarity(F.col("embedding"), q, impl=impl).alias("c")
+            ).collect()
+        }
+        assert rows[0] is None, f"{impl}: zero vector should be NULL"
+        assert abs(rows[1] - 1 / 3) < 1e-9
+
+
+def test_assign_to_centroids_argmax_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from weatherdatapipeline_spark.operators.similarity import assign_to_centroids
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (10, [5.0, 1.0]),   # closer to centroid 0
+            (11, [0.5, 3.0]),   # closer to centroid 1
+            (12, [2.0, 2.0]),   # exact tie -> lowest centroid id (0)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["cosine"])
+        for r in assign_to_centroids(vecs, cents).collect()
+    }
+    assert got[10][0] == 0 and got[11][0] == 1
+    assert got[12][0] == 0  # tie broken to the lower centroid id
+    assert got[12][1] == pytest.approx(2.0 / (8 ** 0.5))

@@ -174,3 +174,25 @@ def test_pmi_min_count_filters_but_np_is_global(spark):
     import math
 
     assert rows[0]["pmi"] == pytest.approx(round(math.log((3 / 5) / (9 / 64)), 6))
+
+
+def test_zipf_slope_golden(spark):
+    """OLS slope of ln(tf)~ln(rank) against a closed-form recomputation."""
+    import math
+
+    from weatherdatapipeline_spark.operators.text import zipf_slope
+
+    df = spark.createDataFrame(
+        [(0, "a a a a b b c")], "doc_id long, text string"
+    )
+    row = zipf_slope(df, min_tf=1).collect()[0]
+    # vocab: a tf=4 rank=1, b tf=2 rank=2, c tf=1 rank=3
+    xs = [math.log(1), math.log(2), math.log(3)]
+    ys = [math.log(4), math.log(2), math.log(1)]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert row["n_tokens"] == 3
+    assert row["zipf_slope"] == pytest.approx(round(slope, 6))
+    assert row["zipf_intercept"] == pytest.approx(round(my - slope * mx, 6))

@@ -50,8 +50,15 @@ def cosine_similarity_hof(a: Column, b: Column) -> Column:
     but Spark evaluates HOF lambdas per-element in the interpreter (outside
     whole-stage codegen), which benchmarks ~1.5-3x slower than the Arrow
     path at sf0.1 — kept as the no-Python fallback and the semantics
-    reference."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    reference.
+
+    A zero-norm vector yields NULL (guarded explicitly: under ANSI mode —
+    the Spark 4 default — a bare division would otherwise raise
+    DIVIDE_BY_ZERO on the first all-zero embedding in the corpus). The
+    Arrow path agrees: its NaN results convert to null on the
+    pandas->Arrow hop."""
+    den = _norm(a) * _norm(b)
+    return F.when(den != F.lit(0.0), _dot(a, b) / den)
 
 
 try:  # Arrow scoring path (pandas+numpy are baked into the target env)
@@ -267,6 +274,41 @@ def ivf_topk(
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
+    )
+
+
+def assign_to_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) assignment: the IVF coarse-quantizer
+    assignment step with an EXPLICIT centroid table instead of a trained
+    KMeans model — deterministic, so it joins the oracle-checked surface
+    (``ivf_index`` keeps the trained path).
+
+    Broadcast the centroid table (tiny by construction), score every
+    (vector, centroid) pair, keep the argmax per vector via row_number
+    (ties -> lowest centroid id). One corpus pass, no corpus shuffle
+    before the argmax window on the vector id. At 100 TB the centroid
+    set stays driver-small (k <= ~2^16) and the scored stream is
+    ``k x corpus`` rows map-side — the window is the only exchange.
+    """
+    from pyspark.sql import Window
+
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(centroid_id_col),
+        cosine_similarity(F.col(vec_col), F.col(centroid_vec_col)).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.col(centroid_id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, centroid_id_col, F.col("_cos").alias("cosine"))
     )
 
 

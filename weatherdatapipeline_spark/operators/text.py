@@ -280,3 +280,31 @@ def pmi_collocations(
         .select("w1", "w2", "pair_cnt", "c1", "c2", "pmi")
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
+
+
+def zipf_slope(
+    documents: DataFrame, text_col: str = "text", min_tf: int = 1
+) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary: the OLS slope
+    of ln(tf) on ln(rank) (rank by tf desc, token asc). Natural corpora
+    sit near -1; a strong deviation flags synthetic/duplicated text — a
+    standard corpus-health audit before pretraining.
+
+    One wordcount aggregate, one rank window over the vocabulary (corpus-
+    scale-independent: |V| rows), one regr_slope fold. ``min_tf`` trims
+    the hapax tail, where Zipf fits are known to bend.
+    """
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = vocab.filter(F.col("tf") >= min_tf)
+    w = Window.orderBy(F.desc("tf"), F.col("token"))
+    ranked = vocab.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("tf"), F.log("rank")), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("tf"), F.log("rank")), 6).alias("zipf_intercept"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

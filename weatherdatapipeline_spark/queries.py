@@ -914,6 +914,70 @@ FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50
 """
 
 
+def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf audit (operators/text.py::zipf_slope): OLS slope of
+    ln(tf) ~ ln(rank) over the vocabulary. Wordcount + |V|-sized rank
+    window + one regr fold — corpus-scale work is the wordcount only."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.zipf_slope(docs, min_tf=2)
+
+
+ORACLE_ZIPF = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents
+),
+vocab AS (
+  SELECT token, count(*) AS tf FROM tok GROUP BY token HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM vocab
+)
+SELECT round(regr_slope(ln(tf), ln(rank)), 6) AS zipf_slope,
+       round(regr_intercept(ln(tf), ln(rank)), 6) AS zipf_intercept,
+       count(*) AS n_tokens
+FROM ranked
+"""
+
+
+def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ASSIGNMENT step with deterministic seed
+    centroids (vec_id < 8), per-cluster stats (operators/similarity.py::
+    assign_to_centroids). The trained-KMeans path (ivf_index/ivf_topk)
+    stays pytest-covered; this fixes the centroids so the argmax-cosine
+    assignment is oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = S.assign_to_centroids(emb, cents)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("cosine"), 6).alias("avg_cosine"),
+    )
+
+
+ORACLE_CLUSTER_ASSIGN = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_dot_product(e.embedding::DOUBLE[], c.cv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, centroid_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rk
+  FROM scored
+)
+SELECT centroid_id, count(*) AS n, round(avg(cos), 6) AS avg_cosine
+FROM best WHERE rk = 1 GROUP BY centroid_id
+"""
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids, long form (label, dim, mean): the
     class-prototype computation behind centroid dedup/classification.
@@ -2825,6 +2889,8 @@ QUERIES: dict[str, Query] = {
     "doc_repetition_scores": doc_repetition_scores,
     "tfidf_signature_by_source": tfidf_signature_by_source,
     "pmi_collocations_top50": pmi_collocations_top50,
+    "zipf_slope_vocab": zipf_slope_vocab,
+    "embedding_cluster_assign": embedding_cluster_assign,
     "label_centroids": label_centroids,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
@@ -2916,6 +2982,8 @@ ORACLES: dict[str, str] = {
     "doc_repetition_scores": ORACLE_REPETITION,
     "tfidf_signature_by_source": ORACLE_TFIDF,
     "pmi_collocations_top50": ORACLE_PMI,
+    "zipf_slope_vocab": ORACLE_ZIPF,
+    "embedding_cluster_assign": ORACLE_CLUSTER_ASSIGN,
     "dedup_minhash_pairs": ORACLE_MINHASH_PORTABLE,
     "dedup_simhash_pairs": ORACLE_SIMHASH,
     "dedup_incremental_neardup_batch": ORACLE_INCREMENTAL_NEARDUP,
