@@ -304,3 +304,42 @@ def test_streaming_corpus_ingest_neardup(spark, tmp_path_factory):
     # the index holds band rows for exactly the admitted docs
     idx_ids = {r["doc_id"] for r in spark.read.parquet(index).collect()}
     assert idx_ids == {1, 2, 11}
+
+
+def test_stage_events_stream_invalidates_on_source_change(spark, tmp_path):
+    """Round-4 postmortem guard: the staged streaming copy must rebuild
+    when the source events.parquet is regenerated, not serve stale data
+    forever behind a bare isdir() check."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weatherdatapipeline_spark.queries import _stage_events_stream
+
+    def write_events(vals):
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(len(vals))), type=pa.int64()),
+                "ts": pa.array([1704067200_000_000 + i for i in range(len(vals))],
+                               type=pa.timestamp("us")),
+                "user_id": pa.array([1] * len(vals), type=pa.int64()),
+                "event_type": pa.array(["t"] * len(vals), type=pa.string()),
+                "value": pa.array([float(v) for v in vals], type=pa.float64()),
+                "props": pa.array(["{}"] * len(vals), type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    write_events([1.0, 2.0])
+    _, path = _stage_events_stream(spark, str(tmp_path))
+    assert spark.read.parquet(path).count() == 2
+
+    # regenerate the source with different contents, newer mtime
+    write_events([1.0, 2.0, 3.0])
+    os.utime(str(tmp_path / "events.parquet"))
+    _, path = _stage_events_stream(spark, str(tmp_path))
+    assert spark.read.parquet(path).count() == 3, "stale staged copy served"
+
+    shutil.rmtree(path, ignore_errors=True)

@@ -2177,18 +2177,30 @@ _SINK_COUNTER = [0]
 
 
 def _stage_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
-    """readStream can't apply the nanos workaround, so stage the converted
-    events as µs-timestamp parquet under /tmp once per sf_dir."""
+    """readStream can't apply the ts-layout normalization, so stage the
+    converted events as µs-timestamp parquet once per sf_dir.
+
+    The staged copy is invalidated whenever the SOURCE parquet is newer
+    than the stage marker: the cache survives across sessions/rounds while
+    the driver's testdata can be regenerated between rounds (it was, in
+    round 4) — a bare isdir() check would silently keep serving the old
+    table to every streaming query and fail their oracles."""
     import os as _os
 
     tag = sf_dir.strip("/").replace("/", "_")
     base = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     path = f"{base}/.stream_stage/{tag}"
+    marker = f"{path}/_STAGED"
+    src = f"{sf_dir}/events.parquet"
     ev = _t(spark, sf_dir, "events")
-    import os
-
-    if not os.path.isdir(path):
+    fresh = (
+        _os.path.exists(marker)
+        and _os.path.getmtime(marker) >= _os.path.getmtime(src)
+    )
+    if not fresh:
         ev.write.mode("overwrite").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(src)
     return spark.readStream.schema(ev.schema).parquet(path), path
 
 
