@@ -132,7 +132,13 @@ def build_scale_dir(spark, base_dir: str, factor: int) -> str:
     root = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(root, ".bench_scale", f"x{factor}")
     marker = os.path.join(out, "_BUILT")
-    if os.path.exists(marker):
+    # rebuild when any source table is newer than the cached copy: the
+    # driver can regenerate testdata between rounds, and a stale replica
+    # would silently compare fresh base timings against old scaled data
+    src_mtime = max(
+        os.path.getmtime(os.path.join(base_dir, f"{t}.parquet")) for t in ALL_TABLES
+    )
+    if os.path.exists(marker) and os.path.getmtime(marker) >= src_mtime:
         return out
     # events has shipped as both TIMESTAMP(NANOS) and timestamp[us];
     # nanosAsLong makes the nanos layout readable (as int64, preserved in the
