@@ -2074,7 +2074,17 @@ GROUP BY c_mktsegment
 def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom sequential operator (U2 escape hatch): per-user EWMA via
     Arrow-batched applyInPandas — a recurrence no window frame expresses.
-    Rows-only check (the pytest oracle is hand-computed pandas ewm)."""
+
+    Deliberately rows-only. A closed-form SQL oracle
+    (``y_t = r^t * cumsum(x_i-scaled terms)``) was tried in round 5 and is
+    algebraically exact, but structurally un-hashable: the inputs are
+    2-decimal values and alpha = 0.3, so early-sequence EWMAs land EXACTLY
+    on decimal rounding boundaries (e.g. 0.7*24.9455 + 0.3*34.05 =
+    27.67685), where the recurrence's and the closed form's last-ulp fp
+    noise flips the rounded digit — at EVERY rounding precision, because
+    the exact-decimal cascade always produces values one digit longer
+    than the previous step. Semantics are pinned instead by the
+    hand-computed pandas-ewm pytest golden."""
     from .operators.stateful import ewma
 
     ev = _t(spark, sf_dir, "events")
