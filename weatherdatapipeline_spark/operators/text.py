@@ -290,9 +290,14 @@ def zipf_slope(
     sit near -1; a strong deviation flags synthetic/duplicated text — a
     standard corpus-health audit before pretraining.
 
-    One wordcount aggregate, one rank window over the vocabulary (corpus-
-    scale-independent: |V| rows), one regr_slope fold. ``min_tf`` trims
-    the hapax tail, where Zipf fits are known to bend.
+    One wordcount aggregate, then the rank is DECOMPOSED so no global
+    window (single-task sort) ever runs: rank(token) =
+    #\{tf' > tf\} + rank-within-its-tf-group. The within-group rank window
+    partitions by tf; the cross-group offset is a theta self-join on the
+    DISTINCT-tf count table, whose size is bounded by the number of
+    distinct frequencies (~sqrt(corpus tokens) under Zipf) — broadcast
+    territory at any corpus size. ``min_tf`` trims the hapax tail, where
+    Zipf fits are known to bend.
     """
     from pyspark.sql import Window
 
@@ -301,8 +306,21 @@ def zipf_slope(
     )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     vocab = vocab.filter(F.col("tf") >= min_tf)
-    w = Window.orderBy(F.desc("tf"), F.col("token"))
-    ranked = vocab.withColumn("rank", F.row_number().over(w))
+    # rank within equal-tf group: partitioned window, no global sort
+    w = Window.partitionBy("tf").orderBy("token")
+    within = vocab.withColumn("_rk_in", F.row_number().over(w))
+    # offset per tf value = how many vocab entries have a strictly higher
+    # tf — tiny theta self-join over distinct tf values
+    tf_counts = vocab.groupBy("tf").agg(F.count(F.lit(1)).alias("_n"))
+    hi = tf_counts.select(F.col("tf").alias("_tf_hi"), F.col("_n").alias("_n_hi"))
+    offsets = (
+        tf_counts.join(F.broadcast(hi), F.col("_tf_hi") > F.col("tf"), "left")
+        .groupBy("tf")
+        .agg(F.coalesce(F.sum("_n_hi"), F.lit(0)).alias("_offset"))
+    )
+    ranked = within.join(F.broadcast(offsets), "tf").withColumn(
+        "rank", (F.col("_offset") + F.col("_rk_in")).cast("long")
+    )
     return ranked.agg(
         F.round(F.regr_slope(F.log("tf"), F.log("rank")), 6).alias("zipf_slope"),
         F.round(F.regr_intercept(F.log("tf"), F.log("rank")), 6).alias("zipf_intercept"),
