@@ -196,3 +196,24 @@ def test_zipf_slope_golden(spark):
     assert row["n_tokens"] == 3
     assert row["zipf_slope"] == pytest.approx(round(slope, 6))
     assert row["zipf_intercept"] == pytest.approx(round(my - slope * mx, 6))
+
+
+def test_length_outlier_filter_bounds(spark):
+    """p05/p95 bounds computed once and broadcast: docs at the exact
+    bounds are kept (inclusive), outliers dropped."""
+    from weatherdatapipeline_spark.queries import length_outlier_filter
+    import weatherdatapipeline_spark.queries as Q
+
+    rows = [(i, "x" * n, "en", "s", n) for i, n in enumerate(
+        [10, 100, 110, 120, 130, 140, 150, 160, 170, 5000]
+    )]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(Q, "_t", lambda spark, d, n: df):
+        out = length_outlier_filter(spark, "ignored").collect()
+    # p05 of sorted lengths = 50.5, p95 = 2813 -> drops 10 and 5000 only
+    assert out[0]["n_docs"] == 8
+    assert out[0]["avg_chars"] == round(sum([100,110,120,130,140,150,160,170]) / 8, 4)

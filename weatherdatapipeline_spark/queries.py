@@ -914,6 +914,39 @@ FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50
 """
 
 
+def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based length filtering (standard corpus-cleaning step:
+    drop the truncated/garbage tails outside p05-p95 of doc length), then
+    per-source survivor stats. The bounds are ONE 1-row exact-percentile
+    aggregate broadcast into the filter — the corpus is scanned once and
+    never shuffled against the bounds; the only exchange is the final
+    per-source aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("_lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("_hi"),
+    )
+    kept = docs.crossJoin(F.broadcast(bounds)).filter(
+        (F.col("n_chars") >= F.col("_lo")) & (F.col("n_chars") <= F.col("_hi"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+ORACLE_LENGTH_FILTER = """
+WITH b AS (
+  SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT d.source, count(*) AS n_docs, round(avg(d.n_chars), 4) AS avg_chars
+FROM documents d, b
+WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+GROUP BY d.source
+"""
+
+
 def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Zipf audit (operators/text.py::zipf_slope): OLS slope of
     ln(tf) ~ ln(rank) over the vocabulary. Wordcount + |V|-sized rank
@@ -2942,6 +2975,7 @@ QUERIES: dict[str, Query] = {
     "pmi_collocations_top50": pmi_collocations_top50,
     "zipf_slope_vocab": zipf_slope_vocab,
     "embedding_cluster_assign": embedding_cluster_assign,
+    "length_outlier_filter": length_outlier_filter,
     "percentile_value_by_type": percentile_value_by_type,
     "eval_persistence_forecast": eval_persistence_forecast,
     "approx_distinct_users": approx_distinct_users,
@@ -3010,6 +3044,7 @@ ORACLES: dict[str, str] = {
     "pmi_collocations_top50": ORACLE_PMI,
     "zipf_slope_vocab": ORACLE_ZIPF,
     "embedding_cluster_assign": ORACLE_CLUSTER_ASSIGN,
+    "length_outlier_filter": ORACLE_LENGTH_FILTER,
     "dedup_minhash_pairs": ORACLE_MINHASH_PORTABLE,
     "dedup_simhash_pairs": ORACLE_SIMHASH,
     "dedup_incremental_neardup_batch": ORACLE_INCREMENTAL_NEARDUP,
