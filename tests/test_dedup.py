@@ -107,10 +107,13 @@ def test_df_cut_auto_noop_on_small_corpus(docs):
     assert with_cut == without
 
 
-def test_dedup_incremental_neardup(spark):
+@pytest.mark.parametrize("portable", [False, True])
+def test_dedup_incremental_neardup(spark, portable):
     """Append-only near-dup dedup: batch 2 docs colliding with the indexed
     batch-1 corpus (or each other) are dropped; genuinely novel docs pass
-    and extend the index."""
+    and extend the index. Parametrized over both hash families (xxhash64
+    scale path, portable md5 oracle path) — identical admit/drop
+    decisions on planted duplicates."""
     from weatherdatapipeline_spark.operators.dedup import (
         dedup_incremental_neardup,
         minhash_band_index,
@@ -120,7 +123,7 @@ def test_dedup_incremental_neardup(spark):
         [(1, "the quick brown fox jumps over the lazy dog")],
         "doc_id long, text string",
     )
-    index = minhash_band_index(batch1)
+    index = minhash_band_index(batch1, portable=portable)
     batch2 = spark.createDataFrame(
         [
             (10, "The  quick brown FOX jumps over the lazy dog"),  # dup of 1
@@ -130,7 +133,7 @@ def test_dedup_incremental_neardup(spark):
         ],
         "doc_id long, text string",
     )
-    novel, updated = dedup_incremental_neardup(batch2, index)
+    novel, updated = dedup_incremental_neardup(batch2, index, portable=portable)
     assert {r["doc_id"] for r in novel.collect()} == {11, 13}
     # updated index answers for the docs it admitted: re-offering the
     # admitted text is now a dup
@@ -138,7 +141,7 @@ def test_dedup_incremental_neardup(spark):
         [(20, "completely different text about spark engines here")],
         "doc_id long, text string",
     )
-    novel3, _ = dedup_incremental_neardup(batch3, updated)
+    novel3, _ = dedup_incremental_neardup(batch3, updated, portable=portable)
     assert novel3.count() == 0
 
 
