@@ -242,8 +242,8 @@ def main() -> None:
         out["duckdb_same_queries_total"] = duck_total
         out["duckdb_queries"] = duck
 
-    # scaling slope at factor x (default 5, i.e. ~sf0.5). One timed run per
-    # query (JVM already warm); SPARK_GRAFT_SCALE_FACTOR=1 disables.
+    # scaling slope at factor x (default 5, i.e. ~sf0.5), min of 2 timed
+    # runs per query (JVM already warm); SPARK_GRAFT_SCALE_FACTOR=1 disables.
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "5"))
     if factor > 1:
         try:
@@ -253,7 +253,10 @@ def main() -> None:
                 if n not in per_query:
                     continue  # already failed at base scale
                 try:
-                    scale_q[n] = round(run(n, scale_dir), 3)
+                    # min-of-2 like the base section: a single timed run is
+                    # noise-sensitive (one GC pause / page-cache miss showed
+                    # up as a false 2x-superlinear slope in round 5)
+                    scale_q[n] = round(min(run(n, scale_dir), run(n, scale_dir)), 3)
                 except Exception as e:
                     errors[f"scale:{n}"] = str(e).split("\n")[0][:200]
             base_subset = sum(per_query[n] for n in scale_q)
