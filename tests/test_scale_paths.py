@@ -144,3 +144,43 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
     assert joined.count() == 3000
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS items_b")
+
+
+def test_keep_canonical_degrades_to_shuffle_join(spark):
+    """dedup_keep_canonical must NOT force-broadcast the cluster map: it has
+    one row per doc in any near-dup pair and grows with corpus dup-rate, so
+    the join has to degrade gracefully to a shuffled join when the map is
+    large. Simulate "large" by disabling broadcast thresholds and assert the
+    plan is a shuffle join with unchanged results."""
+    from weatherdatapipeline_spark.operators.dedup import dedup_keep_canonical
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("d"), F.col("id")).alias("text")
+    )
+    pairs = spark.range(50).select(
+        (F.col("id") * 2).alias("doc_a"), (F.col("id") * 2 + 1).alias("doc_b")
+    )
+    old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_adaptive = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        kept = dedup_keep_canonical(docs, pairs)
+        plan = kept._sc._jvm.PythonSQLUtils.explainString(
+            kept._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" not in plan, plan  # no forced hint survives
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        got = sorted(r["doc_id"] for r in kept.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        if old_adaptive is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_adaptive
+            )
+    # evens are canonical (min id per pair), odds dropped, 100..199 unpaired
+    assert got == [i for i in range(100) if i % 2 == 0] + list(range(100, 200))

@@ -913,14 +913,18 @@ def dedup_keep_canonical(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup-aware corpus reduction: keep one canonical doc (the min id)
-    per duplicate cluster plus every unpaired doc. The cluster map is tiny
-    relative to the corpus (only docs that appear in a pair), so the final
-    join broadcasts."""
+    per duplicate cluster plus every unpaired doc.
+
+    The cluster map ``cc`` has one row per document that appears in ANY
+    near-dup pair. At web scale 30-50% of a corpus can be near-duplicates,
+    so the map grows WITH the corpus — a forced ``F.broadcast(cc)`` would
+    become a driver/executor OOM exactly when the operator matters most.
+    No hint here: AQE still broadcasts when the map is genuinely under the
+    autoBroadcastJoinThreshold, and degrades gracefully to a shuffled join
+    when it is not (plan-audited in tests/test_scale_paths.py)."""
     cc = connected_components(pairs)
     return (
-        documents.join(
-            F.broadcast(cc.withColumnRenamed("node", id_col)), id_col, "left"
-        )
+        documents.join(cc.withColumnRenamed("node", id_col), id_col, "left")
         .filter(
             F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id"))
         )
