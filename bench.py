@@ -93,9 +93,11 @@ KEY_FAMILIES: dict[str, list[tuple[str, str]]] = {
 }
 
 # one representative per scaling-relevant family whose work grows ~linearly
-# under replication; the pairwise near-dup queries are EXCLUDED because a
-# replicated corpus multiplies near-dup pairs quadratically by construction
-# (every clone pairs with every clone) — data property, not engine slope.
+# under replication. The pairwise near-dup queries are included since round 6:
+# document text is alphabet-ROTATED per copy (novel vocab, not clones), so
+# cross-copy shingle overlap is ~zero and within-copy near-dup structure is
+# identical to base — pair counts and join work scale linearly by design,
+# which is exactly the engine slope the check is meant to measure.
 SCALE_HEADLINE = [
     "q1_pricing_summary",
     "region_revenue",
@@ -117,13 +119,13 @@ SCALE_HEADLINE = [
     "similarity_topk",
     "knn_join_first5",
     "embedding_quantize_int8",
-]
-
-SCALE_EXCLUDED = [
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",
     "dedup_cluster_assignments",
 ]
+
+# bump when build_scale_dir's transform changes so stale caches rebuild
+SCALE_BUILD_VERSION = "v2-rotated-docs"
 
 
 def build_scale_dir(spark, base_dir: str, factor: int) -> str:
@@ -138,7 +140,11 @@ def build_scale_dir(spark, base_dir: str, factor: int) -> str:
     src_mtime = max(
         os.path.getmtime(os.path.join(base_dir, f"{t}.parquet")) for t in ALL_TABLES
     )
-    if os.path.exists(marker) and os.path.getmtime(marker) >= src_mtime:
+    if (
+        os.path.exists(marker)
+        and os.path.getmtime(marker) >= src_mtime
+        and open(marker).read().strip() == SCALE_BUILD_VERSION
+    ):
         return out
     # events has shipped as both TIMESTAMP(NANOS) and timestamp[us];
     # nanosAsLong makes the nanos layout readable (as int64, preserved in the
@@ -160,12 +166,24 @@ def build_scale_dir(spark, base_dir: str, factor: int) -> str:
                     u = units.get((t, c))
                     if u:
                         cp = cp.withColumn(c, F.col(c) + F.lit(i * u))
+            if t == "documents" and i:
+                # novel vocab per copy, NOT clones: rotate the alphabet by i
+                # so shingle sets are disjoint across copies (length-preserving,
+                # so n_chars and all length-gated filters keep base behavior);
+                # within-copy near-dup structure is identical to base, making
+                # pairwise near-dup work scale linearly with the data factor
+                rot = i % 26
+                if rot == 0:
+                    raise ValueError("scale factor > 26 would alias copy vocab")
+                lo = "abcdefghijklmnopqrstuvwxyz"
+                cp = cp.withColumn("text", F.translate("text", lo, lo[rot:] + lo[:rot]))
             copies.append(cp)
         union = copies[0]
         for cp in copies[1:]:
             union = union.unionByName(cp)
         union.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        fh.write(SCALE_BUILD_VERSION)
     return out
 
 
@@ -280,12 +298,34 @@ def main() -> None:
                 "slope": round(stotal / base_subset, 2) if base_subset else None,
                 "per_query_slope": slopes,
                 "queries": scale_q,
-                "excluded": SCALE_EXCLUDED,
             }
-            if errors:
-                out["errors"] = errors
         except Exception as e:  # the base bench line must survive
             out["scale_check"] = {"error": str(e)[:200]}
+    # outside the try so per-query scale errors survive a later exception
+    # in the slope computation (they'd otherwise be silently dropped)
+    if errors:
+        out["errors"] = errors
+
+    # persist the full object in-repo: the driver's tail-capture can truncate
+    # the one-line print, so per-query history must survive independently
+    try:
+        root = os.path.dirname(os.path.abspath(__file__))
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if not rnd:
+            import re as _re
+
+            prior = [
+                int(m.group(1))
+                for f in os.listdir(root)
+                for m in [_re.match(r"BENCH_r(\d+)\.json$", f)]
+                if m
+            ]
+            rnd = f"{(max(prior) + 1) if prior else 0:02d}"
+        with open(os.path.join(root, f"bench_local_r{rnd}.json"), "w") as fh:
+            json.dump(out, fh, indent=2)
+            fh.write("\n")
+    except Exception:
+        pass  # never let bookkeeping kill the bench line
     print(json.dumps(out))
 
 
