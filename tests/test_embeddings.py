@@ -12,6 +12,7 @@ from weatherdatapipeline_spark.operators.embeddings import (
     l2_norm,
     l2_normalize,
     quantize_int8,
+    quantize_int8_rows,
 )
 
 
@@ -75,6 +76,30 @@ def test_quantize_roundtrip_error_bound(spark, vecs):
         rec, scale = back[vid]
         # symmetric quantization error is at most scale/2 per component
         assert np.abs(np.asarray(rec) - v).max() <= scale / 2 + 1e-12
+
+
+def test_quantize_rows_equals_exploded_array(spark, vecs):
+    """The codegen exploded-row twin must agree component-for-component
+    (and bitwise on scale) with posexplode of the array operator —
+    including the all-zero vector edge case."""
+    df, _ = vecs
+    via_array = (
+        quantize_int8(df)
+        .select("vec_id", "scale", F.posexplode("qvec").alias("pos", "qv"))
+        .collect()
+    )
+    via_rows = quantize_int8_rows(df).collect()
+    assert sorted(map(tuple, via_rows), key=lambda t: (t[0], t[2])) == sorted(
+        ((r["vec_id"], r["scale"], r["pos"], r["qv"]) for r in via_array),
+        key=lambda t: (t[0], t[2]),
+    )
+
+
+def test_quantize_rows_is_map_only_and_codegen(spark, vecs):
+    df, _ = vecs
+    plan = quantize_int8_rows(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "lambdafunction" not in plan.lower()  # no interpreted HOF anywhere
 
 
 def test_quantize_is_map_only(spark, vecs):

@@ -80,8 +80,9 @@ def l2_normalize(vec: Column, eps: float = 1e-12, impl: str | None = None) -> Co
     """Unit-normalize an array column; an all-zero vector stays zero
     (norm clamped by ``eps``) rather than dividing by zero to NULL/NaN.
 
-    impl="arrow" (default when numpy is present) runs the same float64
-    math as a vectorized pandas UDF; "hof" stays fully JVM-side."""
+    The default is the pure-JVM "hof" path (``VECTOR_IMPL``); pass
+    impl="arrow" per call to run the same float64 math as a vectorized
+    pandas UDF instead (wins as vectors get wider, SCALE.md)."""
     if isinstance(vec, str):
         vec = F.col(vec)
     if (impl or VECTOR_IMPL) == "arrow" and HAVE_ARROW:
@@ -92,9 +93,16 @@ def l2_normalize(vec: Column, eps: float = 1e-12, impl: str | None = None) -> Co
 
 def quantization_scale(vec: Column) -> Column:
     """Per-vector symmetric int8 scale: ``max|x| / 127`` (0.0 for an
-    all-zero vector, which then quantizes to all zeros)."""
+    all-zero vector, which then quantizes to all zeros).
+
+    ``max|x|`` is ``greatest(array_max(v), -array_min(v))`` rather than
+    ``array_max(transform(abs))``: array_max/array_min are plain collection
+    functions inside whole-stage codegen, while a transform lambda drops
+    to interpreted per-element eval. float→double cast is exact and
+    monotone, so casting AFTER the float max is bit-identical to maxing
+    the casts (what the DuckDB oracle computes)."""
     return (
-        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+        F.greatest(F.array_max(vec), -F.array_min(vec)).cast("double")
         / F.lit(float(INT8_MAX))
     )
 
@@ -113,11 +121,15 @@ def quantize_int8(
 
     Rounding is ``round`` half-up via SQL ROUND (mirrored as
     sign*floor(abs+0.5) in the Arrow path) to keep the oracle (DuckDB
-    ``round``) bit-identical; values are clamped defensively although
-    ``|x| <= max|x|`` already bounds them.
+    ``round``) bit-identical. No clamp is needed: ``|x| <= max|x| =
+    127*scale <= 127*safe`` bounds every quotient to [-127, 127], and
+    when ``safe`` is the 1e-30 floor (max|x| < 127e-30) the bound holds
+    a fortiori — dropping the per-element least/greatest pair keeps the
+    interpreted-HOF expression tree minimal (divide, round, cast).
 
-    impl="arrow" (default when numpy is present): one vectorized pandas
-    UDF emitting a (scale, qvec) struct; "hof" stays fully JVM-side.
+    The default is the pure-JVM "hof" path (``VECTOR_IMPL``); pass
+    impl="arrow" per call for one vectorized pandas UDF emitting a
+    (scale, qvec) struct (wins as vectors get wider, SCALE.md).
     """
     if (impl or VECTOR_IMPL) == "arrow" and HAVE_ARROW:
         s = _quantize_arrow(F.col(vec_col))
@@ -126,22 +138,59 @@ def quantize_int8(
             s.getField("scale").alias(scale_col),
             s.getField("qvec").alias(out_vec_col),
         )
-    scale = quantization_scale(F.col(vec_col))
-    safe = F.greatest(scale, F.lit(1e-30))  # all-zero vector guard
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.least(
-            F.lit(INT8_MAX),
-            F.greatest(F.lit(-INT8_MAX), F.round(x.cast("double") / safe)),
-        ).cast("int"),
-    )
+    # Two projections so the array_max(transform(abs)) pass runs ONCE per
+    # row: referencing `scale` both as an output column and inside the
+    # quantize lambda within a single select would evaluate it twice, and
+    # CollapseProject leaves non-cheap expressions in their own projection.
     # scale is emitted UNROUNDED: rounding belongs to display/oracle
     # layers — a tiny-magnitude vector (max|x| < ~6e-8) has scale < 5e-10,
     # which decimal rounding would zero, silently breaking dequantization
-    return embeddings.select(
+    with_scale = embeddings.select(
         F.col(id_col),
-        scale.alias(scale_col),
+        quantization_scale(F.col(vec_col)).alias(scale_col),
+        F.col(vec_col),
+    )
+    safe = F.greatest(F.col(scale_col), F.lit(1e-30))  # all-zero vector guard
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") / safe).cast("int"),
+    )
+    return with_scale.select(
+        F.col(id_col),
+        F.col(scale_col),
         q.alias(out_vec_col),
+    )
+
+
+def quantize_int8_rows(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exploded-row twin of :func:`quantize_int8`: ``(id, scale, pos, qv)``
+    with one row per vector component — the shape a component-level export,
+    audit, or columnar re-pack consumes (and what the DuckDB oracle's
+    ``unnest`` computes).
+
+    Going through posexplode FIRST makes the divide/round/cast per
+    component a plain scalar projection inside whole-stage codegen — no
+    higher-order lambda anywhere in the plan (quantization_scale is
+    array_max/array_min, also codegen). Still map-only: the Generate
+    evaluates ``scale`` once per input row and replicates it, no shuffle.
+    Measured 2.5x faster than posexploding quantize_int8's array output
+    at sf0.1 (SCALE.md "int8 quantize paths"). Use quantize_int8 when the
+    packed array itself is the product (4x storage compression)."""
+    base = embeddings.select(
+        F.col(id_col),
+        quantization_scale(F.col(vec_col)).alias("scale"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_x"),
+    )
+    safe = F.greatest(F.col("scale"), F.lit(1e-30))  # all-zero vector guard
+    return base.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.col("pos"),
+        F.round(F.col("_x").cast("double") / safe).cast("int").alias("qv"),
     )
 
 

@@ -1037,13 +1037,12 @@ GROUP BY label, dim
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus
     (operators/embeddings.py) — the 4x storage/serving compression step of
-    an embedding lake. Map-only JVM array expressions; exploded to
-    (vec_id, scale, pos, qv) rows so the oracle compares every component."""
+    an embedding lake, compared component-by-component against the oracle
+    via the exploded-row operator (quantize_int8_rows: posexplode first,
+    so every per-component op is whole-stage codegen — no HOF lambda;
+    pytest pins its equivalence to posexplode(quantize_int8))."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = E.quantize_int8(emb)
-    return q.select(
-        "vec_id", "scale", F.posexplode("qvec").alias("pos", "qv")
-    ).select(
+    return E.quantize_int8_rows(emb).select(
         "vec_id",
         F.round("scale", 9).alias("scale"),
         F.col("pos").cast("long").alias("pos"),
