@@ -36,6 +36,26 @@ logger = logging.getLogger(__name__)
 DF_CUT_FLOOR = 100
 DF_CUT_FRACTION = 0.01
 
+# The near-dup operators persist their shingle table because it feeds 2-3
+# plan branches (signatures, verify sets, sizes). A bare .persist() leaks:
+# CacheManager holds the entry until an explicit unpersist, so a driver
+# session running many dedup queries accumulates cached shingle tables.
+# Scope the cache to "most recent near-dup call": each call releases the
+# previous call's cache (recompute from lineage remains possible, so this
+# is safe even if an older returned DataFrame is re-executed later).
+_live_shingle_cache = None
+
+
+def _persist_scoped(df: DataFrame) -> DataFrame:
+    global _live_shingle_cache
+    if _live_shingle_cache is not None:
+        try:
+            _live_shingle_cache.unpersist(blocking=False)
+        except Exception:
+            pass  # e.g. its SparkSession was stopped between calls
+    _live_shingle_cache = df.persist()
+    return _live_shingle_cache
+
 
 def dedup_exact(
     df: DataFrame, keys: list[str], tiebreaker: str, normalize_text_col: str | None = None
@@ -218,7 +238,7 @@ def jaccard_near_duplicates(
     # the shingle table feeds three plan branches (sizes, a-side, b-side);
     # persist it so the explode+distinct runs once, not three times — the
     # same reason a 100 TB run would materialize the shingle index first
-    pairs = shingle_pairs(documents, id_col, text_col, n, max_shingle_freq).persist()
+    pairs = _persist_scoped(shingle_pairs(documents, id_col, text_col, n, max_shingle_freq))
     if log_cut and max_shingle_freq is not None:
         uncut = shingle_pairs(documents, id_col, text_col, n, None)
         n_cut = uncut.count() - pairs.count()
@@ -445,7 +465,7 @@ def minhash_near_duplicates(
     tunable via (bands, rows) to target the threshold, and verification
     touches only candidate pairs.
     """
-    pairs = shingle_pairs(documents, id_col, text_col, n).persist()
+    pairs = _persist_scoped(shingle_pairs(documents, id_col, text_col, n))
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
     ]
@@ -524,9 +544,9 @@ def minhash_near_duplicates_portable(
     rendered strings here.
     """
     rows = num_perm // bands
-    pairs = shingle_pairs(
+    pairs = _persist_scoped(shingle_pairs(
         documents, id_col, text_col, n, max_shingle_freq=None, hashed=False
-    ).persist()
+    ))
     mins = [
         F.min(portable_hash60(F.col("shingle"), F.lit(str(i)))).alias(f"h{i}")
         for i in range(num_perm)
