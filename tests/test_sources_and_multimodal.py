@@ -140,9 +140,55 @@ def test_multimodal_frame_sampling(spark):
         assert r["count"] == (r["duration_ms"] + 999) // 1000
 
 
-def test_decode_stub_raises():
+def _have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(_have_pil(), reason="PIL installed: the stub path is dormant")
+def test_decode_stub_raises_without_pil():
     with pytest.raises(NotImplementedError):
         decode_image_strict(b"\x89PNG")
+
+
+@pytest.mark.skipif(not _have_pil(), reason="PIL not installed in this sandbox")
+def test_decode_real_image_with_pil():
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 3), (10, 200, 30)).save(buf, format="PNG")
+    img = decode_image_strict(buf.getvalue())
+    assert img.size == (4, 3)
+
+
+@pytest.mark.skipif(not _have_pil(), reason="PIL not installed in this sandbox")
+def test_extract_features_real_path_with_pil(spark):
+    # a valid PNG flows through the PIL branch: features are normalized
+    # grayscale pixels, NOT the byte-fold stand-in of the same blob
+    import io
+
+    from PIL import Image
+
+    from weatherdatapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _fake_feature,
+    )
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 1), 255).save(buf, format="PNG")
+    blob = buf.getvalue()
+    media = spark.createDataFrame(
+        [(0, "image", None, bytearray(blob), 8, 1, None, "png")], MEDIA_SCHEMA
+    )
+    [row] = extract_features(media, dim=8).collect()
+    assert row["feature"] == [1.0] * 8  # white pixels → 255/255
+    assert row["feature"] != _fake_feature(blob, 8)
 
 
 def test_catalog_compact_small_files(spark, tmp_path):

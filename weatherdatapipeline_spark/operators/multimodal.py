@@ -89,13 +89,47 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
     )
 
 
+def _pil_image_module():
+    """Optional-import hook: the imaging library is resolved at CALL time,
+    never at module import, so the Spark plumbing stays importable in
+    codec-free environments (like this sandbox)."""
+    try:
+        from PIL import Image  # noqa: PLC0415 - deliberate call-time import
+
+        return Image
+    except Exception:
+        return None
+
+
 def decode_image_strict(blob: bytes) -> object:
-    """Where a real deployment calls PIL/libvips. STUB: this container has
-    no imaging libraries."""
-    raise NotImplementedError(
-        "image decode requires an imaging library (PIL/libvips) not present "
-        "in this environment; wire it here"
-    )
+    """Decode an inline image blob with PIL when it is installed; raise
+    NotImplementedError otherwise (this sandbox ships no imaging libs).
+    Returns the loaded PIL image (pixels materialized, so the file handle
+    is not held open)."""
+    Image = _pil_image_module()
+    if Image is None:
+        raise NotImplementedError(
+            "image decode requires an imaging library (PIL/libvips) not "
+            "present in this environment; `pip install pillow` enables it"
+        )
+    import io
+
+    img = Image.open(io.BytesIO(blob))
+    img.load()
+    return img
+
+
+def _pil_feature(Image, blob: bytes, dim: int) -> list[float] | None:
+    """Real decode path: grayscale, resize to ``dim`` pixels, scale to
+    [0, 1]. Returns None when the blob is not a decodable image (the
+    caller falls back to the byte-fold stand-in)."""
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(blob)).convert("L").resize((dim, 1))
+    except Exception:
+        return None
+    return [p / 255.0 for p in img.getdata()]
 
 
 def _fake_feature(blob: bytes | None, dim: int) -> list[float]:
@@ -112,18 +146,34 @@ def _fake_feature(blob: bytes | None, dim: int) -> list[float]:
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over binary blobs via mapInPandas.
 
-    The iterator shape (pdf-in → pdf-out) is exactly what a real decoder
-    uses; only ``_fake_feature`` would change.
+    The codec is resolved INSIDE the UDF on each executor (optional
+    import): image blobs decode through PIL when it is installed
+    (grayscale → resize(dim) → [0,1] floats); any other modality, a
+    missing library, or an undecodable blob falls back to the
+    deterministic byte-fold stand-in, so the operator is total either
+    way. The iterator shape (pdf-in → pdf-out) is identical in both
+    paths.
     """
 
+    def feature(Image, modality: str, blob: bytes | None) -> list[float]:
+        if Image is not None and modality == "image" and blob is not None:
+            real = _pil_feature(Image, blob, dim)
+            if real is not None:
+                return real
+        return _fake_feature(blob, dim)
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil_image_module()  # once per task, not per row
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["blob"].map(lambda b: len(b) if b is not None else 0),
-                    "feature": pdf["blob"].map(lambda b: _fake_feature(b, dim)),
+                    "feature": [
+                        feature(Image, m, b)
+                        for m, b in zip(pdf["modality"], pdf["blob"])
+                    ],
                 }
             )
 

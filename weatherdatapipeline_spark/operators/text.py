@@ -292,7 +292,7 @@ def zipf_slope(
 
     One wordcount aggregate, then the rank is DECOMPOSED so no global
     window (single-task sort) ever runs: rank(token) =
-    #\{tf' > tf\} + rank-within-its-tf-group. The within-group rank window
+    #{tf' > tf} + rank-within-its-tf-group. The within-group rank window
     partitions by tf; the cross-group offset is a theta self-join on the
     DISTINCT-tf count table, whose size is bounded by the number of
     distinct frequencies (~sqrt(corpus tokens) under Zipf) — broadcast
