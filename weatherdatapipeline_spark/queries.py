@@ -1640,11 +1640,18 @@ LIMIT 10
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.9 via LSH buckets. Seeded
-    hyperplanes let the oracle recompute the bucket self-join (own bucket
-    + 1-bit probes == hamming<=1) and the cosine verify in DuckDB."""
+    """Embedding-cosine near-dup pairs via LSH buckets. Seeded hyperplanes
+    let the oracle recompute the bucket self-join (own bucket + 1-bit
+    probes == hamming<=1) and the cosine verify in DuckDB.
+
+    Threshold 0.3 here, NOT the production 0.9 default: the synthetic
+    embeddings are random (no true near-dups — max bucket-pair cosine is
+    ~0.53 even at sf0.1), so 0.9 returns 0 rows on both sides and the
+    oracle comparison would pass vacuously. 0.3 yields ~118 matched pairs
+    at sf0.01, so the bucket/probe/cosine logic is value-checked on real
+    volume."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.cosine_near_duplicates(emb, threshold=0.9)
+    return S.cosine_near_duplicates(emb, threshold=0.3)
 
 
 ORACLE_EMB_NEAR_DUP = f"""
@@ -1664,7 +1671,7 @@ FROM bk a JOIN bk b
   ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-            6) >= 0.9
+            6) >= 0.3
 """
 
 
