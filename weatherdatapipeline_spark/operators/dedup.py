@@ -521,6 +521,62 @@ def portable_hash60(*cols) -> "Column":
     )
 
 
+_MH_PRIME = 2147483647  # 2^31 - 1 (Mersenne): a*h < 2^62, no BIGINT overflow
+# in Spark (silent wrap avoided) or DuckDB (which would raise)
+
+
+def minhash_affine_coeffs(num_perm: int) -> list:
+    """Deterministic (a_i, b_i) for the universal affine permutation family
+    ``h_i(x) = (a_i * x + b_i) mod p``, p = 2^31 - 1. Derived from md5 of
+    the index so any engine or reviewer can regenerate them — the DuckDB
+    oracle embeds the same constants as a VALUES list.
+
+    Why affine: hashing ``(shingle, i)`` per permutation costs num_perm
+    md5 calls per shingle row; one base hash + num_perm integer mixes is
+    the textbook minwise family (Broder et al., "Min-wise independent
+    permutations") at ~1/num_perm the hash cost. Both operands stay below
+    2^31, so products fit BIGINT exactly in every SQL engine."""
+    import hashlib
+
+    coeffs = []
+    for i in range(num_perm):
+        a = int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:8], 16) % (_MH_PRIME - 1) + 1
+        b = int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16) % _MH_PRIME
+        coeffs.append((a, b))
+    return coeffs
+
+
+def _affine_min_aggs(num_perm: int, base_col: str = "_hp") -> list:
+    """num_perm ``min((a_i * base + b_i) % p)`` aggregate columns over a
+    precomputed base-hash column — the portable signature in one pass."""
+    return [
+        F.min(
+            (F.lit(a).cast("long") * F.col(base_col) + F.lit(b).cast("long")) % _MH_PRIME
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_affine_coeffs(num_perm))
+    ]
+
+
+def portable_shingle_hashes(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, _h60) rows: 60-bit md5 hash of each DISTINCT word n-gram
+    shingle. Distinct-by-construction — ``word_shingles`` is
+    ``array_distinct``'ed per doc, so no distinct shuffle is needed and
+    the explode feeds the signature groupBy's map-side combine directly.
+    Downstream set math (minhash mins, Jaccard verify) runs on 8-byte
+    longs instead of ~25-byte strings; a 60-bit collision merging two
+    shingles is ~1e-14 per doc at 10^3 shingles, and the DuckDB oracle
+    recomputes the identical hashed sets, so the differential check is
+    exact regardless."""
+    return documents.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_s")
+    ).select(F.col(id_col), portable_hash60(F.col("_s")).alias("_h60"))
+
+
 def minhash_near_duplicates_portable(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -540,18 +596,19 @@ def minhash_near_duplicates_portable(
     slice — equality semantics identical to hashing the slice.
 
     The xxhash64 family (minhash_near_duplicates) remains the 100 TB
-    path: 8-byte shuffle keys and one JVM hash per element vs md5 over
-    rendered strings here.
+    path: one JVM hash per element vs one md5 here. Permutations are the
+    affine family over the 60-bit base hash (``minhash_affine_coeffs``) —
+    num_perm integer mixes instead of num_perm md5 calls — and all set
+    math (signature mins, band buckets, Jaccard verify) runs on longs
+    via ``portable_shingle_hashes``: no distinct shuffle, no string
+    arrays.
     """
     rows = num_perm // bands
-    pairs = _persist_scoped(shingle_pairs(
-        documents, id_col, text_col, n, max_shingle_freq=None, hashed=False
-    ))
-    mins = [
-        F.min(portable_hash60(F.col("shingle"), F.lit(str(i)))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    sigs = pairs.groupBy(id_col).agg(*mins)
+    pairs = _persist_scoped(
+        portable_shingle_hashes(documents, id_col, text_col, n)
+    )
+    based = pairs.withColumn("_hp", F.col("_h60") % _MH_PRIME)
+    sigs = based.groupBy(id_col).agg(*_affine_min_aggs(num_perm))
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -573,7 +630,7 @@ def minhash_near_duplicates_portable(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets = pairs.groupBy(id_col).agg(F.collect_list("shingle").alias("_sh"))
+    sets = pairs.groupBy(id_col).agg(F.collect_list("_h60").alias("_sh"))
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
     joined = (
@@ -616,18 +673,16 @@ def minhash_band_index(
     shuffle-free.
 
     ``portable=True`` switches the hash family to md5 (string shingles,
-    ``portable_hash60`` permutations, '|'-joined string buckets) so the
-    index is SQL-recomputable; the default xxhash64 family shuffles 8-byte
-    keys and is the 100 TB path."""
+    one ``portable_hash60`` base hash + affine permutation mixes,
+    '|'-joined string buckets) so the index is SQL-recomputable; the
+    default xxhash64 family shuffles 8-byte keys and is the 100 TB
+    path."""
     rows = num_perm // bands
     if portable:
-        pairs = shingle_pairs(
-            documents, id_col, text_col, n, max_shingle_freq=None, hashed=False
+        pairs = portable_shingle_hashes(documents, id_col, text_col, n).withColumn(
+            "_hp", F.col("_h60") % _MH_PRIME
         )
-        mins = [
-            F.min(portable_hash60(F.col("shingle"), F.lit(str(i)))).alias(f"h{i}")
-            for i in range(num_perm)
-        ]
+        mins = _affine_min_aggs(num_perm)
         buckets = [
             F.concat_ws(
                 "|", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]

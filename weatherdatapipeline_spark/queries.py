@@ -1397,19 +1397,27 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_duplicates_portable(docs, threshold=0.2)
 
 
-ORACLE_MINHASH_PORTABLE = r"""
-WITH toks AS (
+# the affine permutation constants, identical to the Spark side's
+# minhash_affine_coeffs(64) — embedded as a VALUES list so DuckDB
+# recomputes the exact same signatures from one md5 per shingle
+_MH_CONSTS_SQL = ",".join(
+    f"({i},{a},{b})" for i, (a, b) in enumerate(D.minhash_affine_coeffs(64))
+)
+
+ORACLE_MINHASH_PORTABLE = rf"""
+WITH consts(i, a, b) AS (VALUES {_MH_CONSTS_SQL}),
+toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
 ),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS h60
   FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
 ),
 perms AS (
-  SELECT doc_id, p.i AS i,
-         min(('0x' || substr(md5(shingle || '|' || CAST(p.i AS VARCHAR)), 1, 15))::BIGINT) AS h
-  FROM sh CROSS JOIN unnest(range(0, 64)) AS p(i)
-  GROUP BY doc_id, p.i
+  SELECT doc_id, c.i AS i, min((c.a * (s.h60 % 2147483647) + c.b) % 2147483647) AS h
+  FROM sh s CROSS JOIN consts c
+  GROUP BY doc_id, c.i
 ),
 bands AS (
   SELECT doc_id, i // 4 AS band,
@@ -1426,7 +1434,7 @@ common AS (
   SELECT c.doc_a, c.doc_b, count(*) AS common
   FROM cand c
   JOIN sh x ON x.doc_id = c.doc_a
-  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  JOIN sh y ON y.doc_id = c.doc_b AND y.h60 = x.h60
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT c.doc_a, c.doc_b,
@@ -1454,19 +1462,20 @@ def dedup_incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFra
     return novel.select("doc_id", "source")
 
 
-ORACLE_INCREMENTAL_NEARDUP = r"""
-WITH RECURSIVE toks AS (
+ORACLE_INCREMENTAL_NEARDUP = rf"""
+WITH RECURSIVE consts(i, a, b) AS (VALUES {_MH_CONSTS_SQL}),
+toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
 ),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS h60
   FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
 ),
 perms AS (
-  SELECT doc_id, p.i AS i,
-         min(('0x' || substr(md5(shingle || '|' || CAST(p.i AS VARCHAR)), 1, 15))::BIGINT) AS h
-  FROM sh CROSS JOIN unnest(range(0, 64)) AS p(i)
-  GROUP BY doc_id, p.i
+  SELECT doc_id, c.i AS i, min((c.a * (s.h60 % 2147483647) + c.b) % 2147483647) AS h
+  FROM sh s CROSS JOIN consts c
+  GROUP BY doc_id, c.i
 ),
 bandsx AS (
   SELECT doc_id, i // 4 AS band,
