@@ -256,6 +256,38 @@ def test_simhash_blocking_full_recall_radius8(spark, sf_dir):
     assert blocked == brute  # full recall AND no false positives
 
 
+def test_simhash_multiblock_equals_single_block(spark, sf_dir):
+    """Manku multi-block keying (C(m,k) combination tables) is a
+    bucketing change only: both paths have full recall at the radius, so
+    on a real 200-doc corpus the (pair, hamming) result sets must be
+    identical at radius 6 — m=8, k=2 (28 two-block keys) vs the
+    single-block default (7 blocks)."""
+    docs200 = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+    single = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(docs200, max_hamming=6).collect()
+    }
+    multi = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(
+            docs200, max_hamming=6, n_blocks=8, key_blocks=2
+        ).collect()
+    }
+    assert single == multi
+    assert single  # non-vacuous: the corpus has pairs at this radius
+
+
+def test_simhash_multiblock_rejects_recall_breaking_k():
+    # k > m - r would let a pair differ inside every enumerated combo
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_duplicates(None, max_hamming=6, n_blocks=8, key_blocks=3)
+
+
 def test_simhash_rejects_insufficient_blocks():
     with pytest.raises(ValueError):
         simhash_near_duplicates(None, max_hamming=8, n_blocks=4)

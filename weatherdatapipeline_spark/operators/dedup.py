@@ -836,37 +836,45 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     n_blocks: int | None = None,
     hash_fn=None,
+    key_blocks: int = 1,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= ``max_hamming``,
     with FULL recall at that radius.
 
     Blocking derives from the radius: the 63-bit simhash is split into
     ``n_blocks`` (default ``max_hamming + 1``) near-equal bit blocks, and
-    candidates must share one exact (block_id, block_value). Pigeonhole: at
-    most ``max_hamming`` blocks can contain a differing bit, so with
-    ``max_hamming + 1`` blocks every pair within the radius shares at least
-    one block — the multi-block scheme of Manku et al., "Detecting
+    candidates must share one exact block key. Pigeonhole: at most
+    ``max_hamming`` blocks can contain a differing bit, so any pair
+    within the radius agrees on at least ``n_blocks - max_hamming``
+    blocks — the multi-block scheme of Manku et al., "Detecting
     Near-Duplicates for Web Crawling" (WWW'07). radius 8 -> 9 blocks of
     7 bits (63 = 9*7).
 
-    Scale note: narrower blocks collide more (a w-bit block has 2^w
-    values), so candidate volume rises with the radius — and with
-    ``n_blocks``: this implementation joins on SINGLE blocks, so raising
-    ``n_blocks`` above ``max_hamming + 1`` only narrows each block and
-    INCREASES collisions. Manku's refinement for huge corpora — keying on
-    CONCATENATIONS of several unchanged blocks (C(m, w) permuted tables)
-    to widen the join key — is a future refinement, not reachable through
-    this parameter; at the radii used in practice (3-8) the single-block
-    equi-join with AQE skew handling is the standard choice.
+    ``key_blocks`` widens the join key for huge corpora: candidates must
+    share ALL blocks of one of the C(n_blocks, key_blocks) block
+    COMBINATIONS (Manku's permuted-table refinement). Full recall needs
+    ``key_blocks <= n_blocks - max_hamming``: the >= n_blocks -
+    max_hamming agreeing blocks then contain at least one enumerated
+    combination in full. The tradeoff is explode fan-out C(m, k) rows
+    per doc vs key width k * (63/m) bits — e.g. radius 8 with the
+    single-block default means 9 rows/doc on 7-bit keys (~2^7 bucket
+    values: heavy collisions at billions of docs), while m=10, k=2
+    means 45 rows/doc on ~12.6-bit keys, cutting bucket collision mass
+    by ~50x. Combination keys are xxhash64 of the member block values —
+    the bucket key never reaches the output, so full recall makes the
+    result independent of the key hash (only ``hash_fn``, the token
+    hash, must be portable for oracle checking).
     """
     if max_hamming < 0 or max_hamming > 32:
         raise ValueError(f"max_hamming must be in [0, 32], got {max_hamming}")
     if n_blocks is None:
-        n_blocks = max_hamming + 1
-    if n_blocks < max_hamming + 1:
+        n_blocks = max_hamming + key_blocks
+    if key_blocks < 1:
+        raise ValueError(f"key_blocks must be >= 1, got {key_blocks}")
+    if key_blocks > n_blocks - max_hamming:
         raise ValueError(
-            f"n_blocks={n_blocks} < max_hamming+1={max_hamming + 1} breaks the "
-            "pigeonhole recall guarantee"
+            f"key_blocks={key_blocks} > n_blocks-max_hamming="
+            f"{n_blocks - max_hamming} breaks the pigeonhole recall guarantee"
         )
     if n_blocks > 63:
         # 63 sign bits: more blocks than bits would create zero-width
@@ -881,19 +889,25 @@ def simhash_near_duplicates(
         offsets.append(off)
         off += w_
     sh = simhash(documents, id_col, text_col, hash_fn=hash_fn)
+    block_vals = [
+        F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+        for i in range(n_blocks)
+    ]
+    if key_blocks == 1:
+        keys = block_vals
+    else:
+        import itertools
+
+        keys = [
+            F.xxhash64(*[block_vals[i] for i in combo])
+            for combo in itertools.combinations(range(n_blocks), key_blocks)
+        ]
     chunks = sh.select(
         F.col(id_col),
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
-                        F.lit((1 << widths[i]) - 1)
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("chunk_id", "chunk"),
+        F.posexplode(F.array(*keys)).alias("chunk_id", "chunk"),
     )
     a = chunks.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk"

@@ -1522,6 +1522,22 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def dedup_simhash_multiblock_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming <= 6 via Manku multi-block
+    tables: 8 blocks, keys = all C(8,2)=28 two-block combinations —
+    ~15.7-bit join keys instead of 9-bit single blocks, the
+    collision-mass lever for billion-doc corpora
+    (operators/dedup.py::simhash_near_duplicates key_blocks). Full
+    recall at the radius makes the result equal the brute-force SQL
+    oracle regardless of bucketing, so this checks the multi-block path
+    end to end with portable token hashes."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.simhash_near_duplicates(
+        docs, max_hamming=6, n_blocks=8, key_blocks=2, hash_fn=D.portable_hash60
+    )
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 ORACLE_SIMHASH = r"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
@@ -1548,6 +1564,12 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 8
 """
+
+# same brute-force signature oracle at radius 6 — the multi-block Spark
+# path has full recall at its radius, so bucketing never changes the result
+ORACLE_SIMHASH_MULTIBLOCK = ORACLE_SIMHASH.replace(
+    "<= 8", "<= 6"
+)
 
 
 # --------------------------------------------------------------------------
@@ -2972,6 +2994,7 @@ QUERIES: dict[str, Query] = {
     "pack_contiguous_bins": pack_contiguous_bins,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_simhash_multiblock_pairs": dedup_simhash_multiblock_pairs,
     "similarity_topk": similarity_topk,
     "knn_join_first5": knn_join_first5,
     "similarity_lsh_topk": similarity_lsh_topk,
@@ -3062,6 +3085,7 @@ ORACLES: dict[str, str] = {
     "length_outlier_filter": ORACLE_LENGTH_FILTER,
     "dedup_minhash_pairs": ORACLE_MINHASH_PORTABLE,
     "dedup_simhash_pairs": ORACLE_SIMHASH,
+    "dedup_simhash_multiblock_pairs": ORACLE_SIMHASH_MULTIBLOCK,
     "dedup_incremental_neardup_batch": ORACLE_INCREMENTAL_NEARDUP,
     "label_centroids": ORACLE_CENTROIDS,
     "corpus_clean_pipeline": ORACLE_CORPUS_CLEAN,
