@@ -130,6 +130,32 @@ def test_cc_chain_converges(spark):
     assert got == {n: 1 for n in range(1, 7)}
 
 
+def _cc_star(spark, edges):
+    from weatherdatapipeline_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    return {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+
+
+def test_cc_star_matches_min_label(spark):
+    """Star contraction and min-label must agree on a multi-component
+    graph with shared-edge redundancy and reversed pairs."""
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (12, 11), (20, 21), (21, 20), (30, 31)]
+    assert _cc_star(spark, edges) == _cc(spark, edges)
+
+
+def test_cc_star_long_chain(spark):
+    """The case min-label propagation cannot handle: a 400-node path has
+    diameter 399, far beyond min-label's default 25 rounds, while star
+    contraction needs O(log^2 n). Every node must land in cluster 0."""
+    edges = [(i, i + 1) for i in range(400)]
+    got = _cc_star(spark, edges)
+    assert got == {n: 0 for n in range(401)}
+
+
 def test_dedup_keep_canonical_planted(spark):
     docs = spark.createDataFrame(
         [(i, f"t{i}") for i in range(1, 8)], "doc_id BIGINT, text STRING"

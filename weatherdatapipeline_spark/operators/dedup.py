@@ -996,6 +996,95 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): (node, cluster_id=component min), identical
+    contract to ``connected_components``.
+
+    Why a second algorithm: min-label propagation needs rounds ~ graph
+    DIAMETER — fine for shallow near-dup clusters, quadratic pain on
+    long chains (a 10^6-node path needs 10^6 rounds). Star contraction
+    converges in O(log^2 n) rounds on ANY topology:
+
+    - large-star: every node links its LARGER neighbors to the minimum
+      of its closed neighborhood (one groupBy-min + one join back);
+    - small-star: edges oriented large->small; every node links its
+      smaller neighbors AND itself to that minimum.
+
+    Both phases are a hash-aggregate plus an equi-join on the node id —
+    the same shuffle shape as a min-label round, just fewer rounds.
+    Convergence is checked on a 1-row checksum aggregate of the edge set
+    (count + bit_xor of per-edge hashes — order-independent, overflow-
+    free) instead of a join-diff; each round localCheckpoints to
+    truncate lineage.
+    At convergence edges form stars root<-node, which IS the label map.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    edges = (
+        pairs.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # isolated "components" never enter pairs; callers join labels back
+    # (same contract as connected_components)
+    prev_sum = None
+    for _ in range(max_iter):
+        # large-star: closed-neighborhood min over BOTH directions
+        bi = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = bi.groupBy("u").agg(F.min("v").alias("_m"))
+        lmins = lmins.select("u", F.least("u", "_m").alias("m"))
+        large = (
+            bi.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient large->small, link all smaller neighbors
+        # and the center itself to the neighborhood min
+        d = large.select(
+            F.greatest("u", "v").alias("c"), F.least("u", "v").alias("n")
+        )
+        smins = d.groupBy("c").agg(F.min("n").alias("m"))
+        edges = (
+            d.join(smins, "c")
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("c").alias("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # count + xor-of-hashes: order-independent, cannot overflow
+        # (ANSI mode makes sum(xxhash64) a long-overflow error)
+        chk = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("sh"),
+        ).first()
+        cur = (chk["n"], chk["sh"])
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    # converged edge set is a union of stars (node -> component min)
+    roots = edges.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .union(roots)
+        .distinct()
+    )
+
+
 def dedup_keep_canonical(
     documents: DataFrame,
     pairs: DataFrame,

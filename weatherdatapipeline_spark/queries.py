@@ -2643,6 +2643,20 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_assignments_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dedup_cluster_assignments, computed by
+    large-star/small-star contraction
+    (operators/dedup.py::connected_components_star, Kiveris et al.
+    SoCC'14) — O(log^2 n) rounds on any topology vs min-label's
+    diameter-bound rounds. Shares the recursive-SQL oracle: both
+    algorithms must produce the identical (doc_id, cluster_id) map."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_near_duplicates(docs, threshold=0.2)
+    return D.connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
 _JACCARD_PAIR_CTES = r"""
 toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
@@ -2990,6 +3004,7 @@ QUERIES: dict[str, Query] = {
     # kept inside the driver's 50-entry correctness window: their oracles
     # changed this round (df-cut mirrored in SQL, shard-local packing)
     "dedup_cluster_assignments": dedup_cluster_assignments,
+    "dedup_cluster_assignments_star": dedup_cluster_assignments_star,
     "dedup_canonical_corpus": dedup_canonical_corpus,
     "pack_contiguous_bins": pack_contiguous_bins,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -3119,6 +3134,7 @@ ORACLES: dict[str, str] = {
     "split_sizes_3way": ORACLE_SPLIT,
     "mixture_sample_counts": ORACLE_MIXTURE,
     "dedup_cluster_assignments": ORACLE_CC,
+    "dedup_cluster_assignments_star": ORACLE_CC,
     "dedup_canonical_corpus": ORACLE_CANONICAL,
     "sessionize_events_batch": ORACLE_SESSIONIZE,
     "grouping_sets_lineitem": ORACLE_GROUPING_SETS,
