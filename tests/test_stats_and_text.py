@@ -217,3 +217,52 @@ def test_length_outlier_filter_bounds(spark):
     # p05 of sorted lengths = 50.5, p95 = 2813 -> drops 10 and 5000 only
     assert out[0]["n_docs"] == 8
     assert out[0]["avg_chars"] == round(sum([100,110,120,130,140,150,160,170]) / 8, 4)
+
+
+def test_remove_boilerplate_lines_unit(spark):
+    """RefinedWeb-style frequent-line removal: the shared footer (3 docs)
+    is dropped, unique lines survive in order, fully-boilerplate docs
+    come back as empty strings, and n_removed counts positional hits."""
+    from weatherdatapipeline_spark.operators.text import remove_boilerplate_segments
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        (0, f"alpha body one\n{footer}"),
+        (1, f"{footer}\nbeta body two\ngamma extra"),
+        (2, footer),                       # nothing but boilerplate
+        (3, "delta body three\nunique line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in remove_boilerplate_segments(df, min_docs=3, unit="lines").collect()
+    }
+    assert got[0] == ("alpha body one", 1)
+    assert got[1] == ("beta body two\ngamma extra", 1)
+    assert got[2] == ("", 1)
+    assert got[3] == ("delta body three\nunique line", 0)
+
+
+def test_remove_boilerplate_word_chunks_unit(spark):
+    """word_chunks segmentation: a 10-word chunk cloned across 3 docs is
+    removed positionally; chunk boundaries are word-index based."""
+    from weatherdatapipeline_spark.operators.text import remove_boilerplate_segments
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, f"{shared} tail words here"),
+        (1, f"{shared} other suffix text"),
+        (2, f"{shared}"),
+        (3, "totally different words that never repeat anywhere at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in remove_boilerplate_segments(
+            df, min_docs=3, seg_words=10, unit="word_chunks"
+        ).collect()
+    }
+    assert got[0] == ("tail words here", 1)
+    assert got[1] == ("other suffix text", 1)
+    assert got[2] == ("", 1)
+    assert got[3][1] == 0 and got[3][0].startswith("totally different")

@@ -326,3 +326,86 @@ def zipf_slope(
         F.round(F.regr_intercept(F.log("tf"), F.log("rank")), 6).alias("zipf_intercept"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+def remove_boilerplate_segments(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    seg_words: int = 10,
+    unit: str = "lines",
+) -> DataFrame:
+    """Frequent-segment (boilerplate) removal, the CCNet / RefinedWeb
+    corpus-cleaning pass: drop every segment whose text occurs in at
+    least ``min_docs`` DISTINCT documents (headers, footers, cookie
+    banners, nav chrome), then reassemble each document from its kept
+    segments in original order.
+
+    ``unit="lines"`` segments on newlines (the web-corpus case);
+    ``unit="word_chunks"`` uses positional runs of ``seg_words``
+    whitespace tokens — the honest segmentation for single-line corpora
+    (like the synthetic test tables), where shared chunks still mark
+    cloned spans.
+
+    Returns (id, text_clean, n_removed): empty string when every
+    segment was boilerplate, so the row count is input-preserving (the
+    caller chooses a min-length filter afterwards).
+
+    Scale shape: one explode, one (segment -> distinct-doc count)
+    aggregate whose output is segment-vocabulary-sized, one join of the
+    exploded rows against the df >= min_docs removal set (tiny by
+    construction — boilerplate is the heavy tail; AQE broadcasts it),
+    and one per-doc ordered reassembly aggregate. No window over the
+    corpus, no driver collection.
+    """
+    if unit not in ("lines", "word_chunks"):
+        raise ValueError(f"unit must be 'lines' or 'word_chunks', got {unit!r}")
+    if unit == "lines":
+        seg_arr = F.split(F.col(text_col), r"\n")
+        joiner = "\n"
+    else:
+        w = F.split(F.trim(F.col(text_col)), r"\s+")
+        # chunk i = tokens [i*k+1, i*k+k], i in 0..floor((n-1)/k)
+        seg_arr = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size(w) - F.lit(1)) / F.lit(seg_words)).cast("int"),
+            ),
+            lambda i: F.array_join(
+                F.slice(w, i * F.lit(seg_words) + F.lit(1), seg_words), " "
+            ),
+        )
+        joiner = " "
+    segs = documents.select(
+        F.col(id_col), F.posexplode(seg_arr).alias("seg_idx", "seg")
+    )
+    freq = segs.groupBy("seg").agg(
+        F.count_distinct(F.col(id_col)).alias("_df")
+    )
+    boiler = freq.filter(F.col("_df") >= min_docs).select("seg")
+    kept = segs.join(boiler, "seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            joiner,
+        ).alias("text_clean")
+    )
+    removed = (
+        segs.join(boiler, "seg", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    return (
+        documents.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )

@@ -844,6 +844,48 @@ FROM sh GROUP BY doc_id
 """
 
 
+def remove_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal over the documents
+    table (operators/text.py::remove_boilerplate_segments): drop every
+    10-word positional chunk whose exact text appears in >= 3 distinct
+    documents (cloned spans in this corpus; headers/footers on the web),
+    reassemble the survivors in order. word_chunks unit — this corpus is
+    single-line, so newline segmentation would be vacuous; the lines
+    unit is pytest-covered."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.remove_boilerplate_segments(
+        docs, min_docs=3, seg_words=10, unit="word_chunks"
+    )
+
+
+ORACLE_BOILERPLATE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+segs AS (
+  SELECT doc_id, (i - 1) // 10 AS idx, array_to_string(w[i:i+9], ' ') AS seg
+  FROM toks, unnest(range(1, len(w) + 1, 10)) AS t(i)
+),
+freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+kept AS (
+  SELECT s.doc_id, s.idx, s.seg FROM segs s JOIN freq f USING (seg) WHERE f.df < 3
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS text_clean
+  FROM kept GROUP BY doc_id
+),
+rem AS (
+  SELECT s.doc_id, count(*) AS n_removed
+  FROM segs s JOIN freq f USING (seg) WHERE f.df >= 3 GROUP BY s.doc_id
+)
+SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+       CAST(coalesce(m.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN rem m USING (doc_id)
+"""
+
+
 def tfidf_signature_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 TF-IDF signature terms per source: "what characterizes this
     slice of the corpus" audit (operators/text.py::tfidf_signature_terms).
@@ -2993,6 +3035,7 @@ QUERIES: dict[str, Query] = {
     "token_stats_by_source": token_stats_by_source,
     "vocabulary_top50": vocabulary_top50,
     "doc_repetition_scores": doc_repetition_scores,
+    "remove_boilerplate_chunks": remove_boilerplate_chunks,
     "label_centroids": label_centroids,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
@@ -3093,6 +3136,7 @@ ORACLES: dict[str, str] = {
     "token_stats_by_source": ORACLE_TOKEN_STATS,
     "vocabulary_top50": ORACLE_VOCAB,
     "doc_repetition_scores": ORACLE_REPETITION,
+    "remove_boilerplate_chunks": ORACLE_BOILERPLATE,
     "tfidf_signature_by_source": ORACLE_TFIDF,
     "pmi_collocations_top50": ORACLE_PMI,
     "zipf_slope_vocab": ORACLE_ZIPF,
