@@ -1,0 +1,131 @@
+"""Document-quality rulesets for pretraining-corpus curation.
+
+Two published filter families, re-expressed as single map-only JVM
+projections (no Python UDFs, no shuffle — they pipeline with the scan):
+
+- ``gopher_quality_flags``: the Gopher paper's document-level quality
+  rules (Rae et al., "Scaling Language Models: ... Gopher", 2021,
+  App. A1.1): word count, mean word length, symbol-to-word ratio,
+  bullet/ellipsis line fractions, alphabetic-word fraction, stop-word
+  presence.
+- ``c4_line_filter``: the C4 cleaning pass (Raffel et al., "Exploring
+  the Limits of Transfer Learning...", 2020, §2.2): keep lines that end
+  in terminal punctuation AND have >= 5 words; page-level flags for
+  "lorem ipsum", curly braces (JS), and the 3-sentence minimum.
+
+Every expression stays in the RE2/Java-regex common subset so the DuckDB
+oracle can run the literal same logic; fractions are rounded to 6 so the
+differential hash is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Gopher App. A1.1 stop words ("must contain at least 2")
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule metrics, one boolean per rule, and the
+    conjunction ``passes`` — thresholds default to the paper's. Metrics
+    are emitted (not just the verdict) so downstream mixture tuning can
+    re-threshold without a second scan."""
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    # total non-whitespace chars / words (the paper's mean word length)
+    mean_wl = F.length(F.regexp_replace(text, r"\s+", "")) / n_words
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = F.size(F.split(text, r"\.\.\.")) - 1
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ) / n_lines
+    ellipsis_frac = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))) / n_lines
+    alpha_frac = F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / n_words
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio < max_symbol_ratio,
+        "ok_bullet_lines": bullet_frac < max_bullet_frac,
+        "ok_ellipsis_lines": ellipsis_frac < max_ellipsis_frac,
+        "ok_alpha_words": alpha_frac >= min_alpha_frac,
+        "ok_stopwords": stop_hits >= min_stop_hits,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return documents.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        *[v.alias(k) for k, v in flags.items()],
+        passes.alias("passes"),
+    )
+
+
+def c4_line_filter(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 cleaning: a line survives iff it ends in terminal punctuation
+    (. ! ? or closing quote after one) AND has >= ``min_words_per_line``
+    words. Page-level columns flag "lorem ipsum", curly braces, and the
+    ``min_sentences`` minimum (counted as terminal-punct occurrences over
+    the whole page, the C4 proxy). Returns the filtered text plus counts
+    so callers can apply the page-level drops themselves.
+
+    Note: on punctuation-free synthetic corpora every line fails the
+    terminal-punct rule by design — tests/test_quality.py covers the
+    semantics on realistic punctuated text."""
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+    terminal = r'[.!?]["”\']?\s*$'
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(terminal)
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line),
+    )
+    n_sentences = F.size(F.split(text, r"[.!?]")) - 1
+    return documents.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.lower(text).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        text.contains("{").alias("has_curly_brace"),
+        n_sentences.cast("long").alias("n_sentences"),
+        (n_sentences >= min_sentences).alias("ok_min_sentences"),
+    )

@@ -24,6 +24,7 @@ from .operators import chunking as C
 from .operators import dedup as D
 from .operators import embeddings as E
 from .operators import relational as R
+from .operators import quality as Q
 from .operators import sampling as SA
 from .operators import similarity as S
 from .operators import text as T
@@ -883,6 +884,88 @@ SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
 FROM documents d
 LEFT JOIN rebuilt r USING (doc_id)
 LEFT JOIN rem m USING (doc_id)
+"""
+
+
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality ruleset (Rae et al. 2021 App. A1.1) over
+    the documents table: per-doc metrics, one boolean per rule, and the
+    conjunction (operators/quality.py::gopher_quality_flags). Map-only
+    JVM projection — pipelines with the scan at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return Q.gopher_quality_flags(docs)
+
+
+ORACLE_GOPHER = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    length(regexp_replace(text, '\s+', '', 'g')) / len(words) AS mean_wl,
+    (length(text) - length(replace(text, '#', ''))
+      + len(string_split(text, '...')) - 1) / len(words) AS symbol_ratio,
+    len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) / len(lines) AS bullet_frac,
+    len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) / len(lines) AS ellipsis_frac,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) / len(words) AS alpha_frac,
+    len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM base
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  round(mean_wl, 6) AS mean_word_len,
+  round(symbol_ratio, 6) AS symbol_ratio,
+  round(bullet_frac, 6) AS bullet_line_frac,
+  round(ellipsis_frac, 6) AS ellipsis_line_frac,
+  round(alpha_frac, 6) AS alpha_word_frac,
+  CAST(stop_hits AS BIGINT) AS stopword_hits,
+  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+  (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_mean_word_len,
+  (symbol_ratio < 0.1) AS ok_symbol_ratio,
+  (bullet_frac < 0.9) AS ok_bullet_lines,
+  (ellipsis_frac < 0.3) AS ok_ellipsis_lines,
+  (alpha_frac >= 0.8) AS ok_alpha_words,
+  (stop_hits >= 2) AS ok_stopwords,
+  ((n_words >= 50 AND n_words <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+   AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS passes
+FROM m
+"""
+
+
+def c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning pass (Raffel et al. 2020 §2.2) over the documents
+    table (operators/quality.py::c4_line_filter): per-page kept-line
+    stats, filtered text, and the lorem-ipsum / curly-brace / 3-sentence
+    page flags. This corpus is punctuation-free, so the terminal-punct
+    rule honestly drops every line (doc_id still varies the hash);
+    tests/test_quality.py pins the semantics on punctuated text."""
+    docs = _t(spark, sf_dir, "documents")
+    return Q.c4_line_filter(docs)
+
+
+ORACLE_C4 = r"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+           l -> regexp_matches(l, '[.!?]["”'']?\s*$')
+                AND len(string_split_regex(trim(l), '\s+')) >= 5) AS kept
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+  coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(text, '{') AS has_curly_brace,
+  CAST(len(string_split_regex(text, '[.!?]')) - 1 AS BIGINT) AS n_sentences,
+  (len(string_split_regex(text, '[.!?]')) - 1 >= 3) AS ok_min_sentences
+FROM base
 """
 
 
@@ -3036,6 +3119,8 @@ QUERIES: dict[str, Query] = {
     "vocabulary_top50": vocabulary_top50,
     "doc_repetition_scores": doc_repetition_scores,
     "remove_boilerplate_chunks": remove_boilerplate_chunks,
+    "gopher_quality_report": gopher_quality_report,
+    "c4_line_stats": c4_line_stats,
     "label_centroids": label_centroids,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
@@ -3137,6 +3222,8 @@ ORACLES: dict[str, str] = {
     "vocabulary_top50": ORACLE_VOCAB,
     "doc_repetition_scores": ORACLE_REPETITION,
     "remove_boilerplate_chunks": ORACLE_BOILERPLATE,
+    "gopher_quality_report": ORACLE_GOPHER,
+    "c4_line_stats": ORACLE_C4,
     "tfidf_signature_by_source": ORACLE_TFIDF,
     "pmi_collocations_top50": ORACLE_PMI,
     "zipf_slope_vocab": ORACLE_ZIPF,
