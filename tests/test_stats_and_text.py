@@ -266,3 +266,33 @@ def test_remove_boilerplate_word_chunks_unit(spark):
     assert got[1] == ("other suffix text", 1)
     assert got[2] == ("", 1)
     assert got[3][1] == 0 and got[3][0].startswith("totally different")
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's core property: any shared substring of length >=
+    k + w - 1 (= 11 here) must contribute at least one SHARED
+    fingerprint; disjoint texts share none (60-bit hashes)."""
+    from weatherdatapipeline_spark.operators.text import winnow_fingerprints
+
+    shared = "abcdefghijk"  # exactly k + w - 1 chars
+    rows = [
+        (0, f"xxxx{shared}yyyy"),
+        (1, f"zz{shared}qqqq"),
+        (2, "totally unrelated content 123"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, k=8, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[0] & fps[1], "shared 11-char substring must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    """A doc with fewer than w grams yields exactly one fingerprint:
+    the min over all of its grams."""
+    from weatherdatapipeline_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(0, "tiny")], "doc_id long, text string")
+    out = winnow_fingerprints(df, k=8, w=4).collect()
+    assert len(out) == 1

@@ -409,3 +409,53 @@ def remove_boilerplate_segments(
             F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): hash every char k-gram, slide a w-hash window, keep the
+    minimum of each window, emit the DISTINCT minima as (id,
+    fingerprint) rows. Guarantees every shared substring of length
+    >= k + w - 1 contributes a shared fingerprint — the standard
+    plagiarism / clone-span sketch.
+
+    Tie-handling: the sketch is the distinct min VALUES per window (not
+    the rightmost-position variant), which is position-free and thus
+    engine-agnostic — the DuckDB oracle reproduces it bit-for-bit from
+    the same 60-bit md5 gram hashes. A doc with fewer than w grams
+    yields one fingerprint (the min over all its grams).
+
+    Scale shape: pure per-row array expressions (substr chain -> md5 ->
+    sliding array_min -> array_distinct) followed by one explode — ZERO
+    shuffle; pipelines with the scan. Doc length bounds the array, so
+    task memory is bounded by the longest document, not the corpus.
+    """
+    text = F.col(text_col)
+    n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: text.substr(i, F.lit(k))
+    )
+    hashes = F.transform(grams, lambda g: portable_hash60_col(g))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(hashes) - F.lit(w), F.lit(0))),
+            lambda i: F.array_min(F.slice(hashes, i + F.lit(1), w)),
+        )
+    )
+    # array_distinct already dedupes within the doc, so rows are unique
+    # by construction — no distinct shuffle
+    return documents.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+def portable_hash60_col(c: Column) -> Column:
+    """60-bit md5 hash of a single column — the same family as
+    operators/dedup.py::portable_hash60, local to avoid a circular
+    import (dedup imports fingerprint_md5 from here)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")

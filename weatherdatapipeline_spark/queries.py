@@ -887,6 +887,34 @@ LEFT JOIN rem m USING (doc_id)
 """
 
 
+def winnow_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03) over the
+    documents table: char 8-gram 60-bit hashes, window-4 minima,
+    distinct per doc (operators/text.py::winnow_fingerprints). Pure
+    array expressions + one explode — zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.winnow_fingerprints(docs, k=8, w=4)
+
+
+ORACLE_WINNOW = r"""
+WITH g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15))::BIGINT AS h
+  FROM documents,
+       unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS t(i)
+),
+wmin AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM g
+)
+SELECT DISTINCT doc_id, fp AS fingerprint
+FROM wmin WHERE i <= greatest(n - 3, 1)
+"""
+
+
 def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality ruleset (Rae et al. 2021 App. A1.1) over
     the documents table: per-doc metrics, one boolean per rule, and the
@@ -3119,6 +3147,7 @@ QUERIES: dict[str, Query] = {
     "vocabulary_top50": vocabulary_top50,
     "doc_repetition_scores": doc_repetition_scores,
     "remove_boilerplate_chunks": remove_boilerplate_chunks,
+    "winnow_doc_fingerprints": winnow_doc_fingerprints,
     "gopher_quality_report": gopher_quality_report,
     "c4_line_stats": c4_line_stats,
     "label_centroids": label_centroids,
@@ -3222,6 +3251,7 @@ ORACLES: dict[str, str] = {
     "vocabulary_top50": ORACLE_VOCAB,
     "doc_repetition_scores": ORACLE_REPETITION,
     "remove_boilerplate_chunks": ORACLE_BOILERPLATE,
+    "winnow_doc_fingerprints": ORACLE_WINNOW,
     "gopher_quality_report": ORACLE_GOPHER,
     "c4_line_stats": ORACLE_C4,
     "tfidf_signature_by_source": ORACLE_TFIDF,
