@@ -148,3 +148,43 @@ def test_arrow_and_hof_paths_bit_identical(spark):
         a = sorted(map(tuple, mk("arrow").collect()))
         h = sorted(map(tuple, mk("hof").collect()))
         assert a == h, f"{name}: arrow and hof outputs differ"
+
+
+def test_covariance_pairs_matches_numpy(spark, sf_dir):
+    """Distributed partial-Gram covariance == numpy's population
+    covariance on the real embeddings table, to 1e-6 (the emit
+    rounding)."""
+    import numpy as np
+    from weatherdatapipeline_spark.operators.embeddings import covariance_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {(r["i"], r["j"]): r["cov"] for r in covariance_pairs(emb).collect()}
+    X = np.stack([r["embedding"] for r in emb.select("embedding").collect()]).astype(
+        "float64"
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    d = X.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert abs(v - C[i, j]) < 2e-6, (i, j, v, C[i, j])
+
+
+def test_pca_project_reduces_reconstruction_error(spark, sf_dir):
+    """PCA basis from the distributed covariance: eigenvalues come back
+    sorted-positive, and the Spark map-only projection equals the numpy
+    matrix product comps @ x for every checked row."""
+    import numpy as np
+    from weatherdatapipeline_spark.operators.embeddings import (
+        pca_project,
+        pca_projection_matrix,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500)
+    comps, vals = pca_projection_matrix(emb, n_components=8)
+    assert comps.shape[0] == 8 and vals[0] >= vals[-1] > 0
+    out = pca_project(emb, comps).select("vec_id", "pca").collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    X = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in rows}
+    for r in out[:50]:
+        want = comps @ X[r["vec_id"]]
+        np.testing.assert_allclose(np.array(r["pca"]), want, atol=1e-6)

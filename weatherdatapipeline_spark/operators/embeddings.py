@@ -206,3 +206,113 @@ def dequantize_int8(
         out_col,
         F.transform(F.col(vec_col), lambda q: q.cast("double") * F.col(scale_col)),
     )
+
+
+def covariance_pairs(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Population covariance of an embedding column as (i, j, cov) upper-
+    triangle rows — the input to PCA / whitening / drift monitoring.
+
+    Scale design (the classic partial-Gram reduction): each Arrow batch
+    computes its LOCAL Gram matrix X^T X, per-dim sums, and row count in
+    one BLAS matmul, emitting d*(d+1)/2 rows PER BATCH (not per input
+    row) — a ~10^4x shrink before the only shuffle, a (i, j) sum
+    aggregate whose cardinality is d^2, independent of corpus size.
+    cov = Gram/n - mu_i*mu_j, rounded to 6 so float association noise
+    (batch boundaries are partition-dependent) cannot flip the
+    differential hash.
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas requires pandas)
+
+    def _gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            n, d = X.shape
+            G = X.T @ X
+            s = X.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int64"),
+                    "j": ju.astype("int64"),
+                    "sxy": G[iu, ju],
+                    "si": s[iu],
+                    "sj": s[ju],
+                    "n": np.full(len(iu), n, dtype="int64"),
+                }
+            )
+
+    parts = embeddings.select(vec_col).mapInPandas(
+        _gram, schema="i long, j long, sxy double, si double, sj double, n long"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("n").alias("n"),
+    )
+    return agg.select(
+        "i",
+        "j",
+        F.round(
+            F.col("sxy") / F.col("n")
+            - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")),
+            6,
+        ).alias("cov"),
+    )
+
+
+def pca_projection_matrix(embeddings: DataFrame, n_components: int, vec_col: str = "embedding"):
+    """Top-``n_components`` PCA basis from the distributed covariance:
+    the d x d covariance (corpus-size-independent, via
+    ``covariance_pairs``) is collected — d^2 scalars, NOT data — and
+    eigendecomposed on the driver with numpy. Sign is fixed per
+    component (largest-|coeff| entry made positive) so results are
+    deterministic across BLAS builds. Returns (components, eigvals):
+    components is (n_components, d) row-major.
+    """
+    import numpy as np
+
+    rows = covariance_pairs(embeddings, vec_col).collect()
+    d = max(r["j"] for r in rows) + 1
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+    return comps, vals[order]
+
+
+def pca_project(
+    embeddings: DataFrame,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Map-only projection onto a fixed (k, d) component matrix: each
+    output coordinate is one JVM dot product (zip_with + aggregate) over
+    the embedding — no Python in the per-row path, no shuffle. The
+    matrix rides along as array literals (k*d doubles — broadcast-sized
+    by construction)."""
+    rows = []
+    for comp in components:
+        lit = F.array(*[F.lit(float(x)) for x in comp])
+        rows.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return embeddings.withColumn(out_col, F.array(*rows))

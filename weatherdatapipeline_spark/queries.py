@@ -1187,6 +1187,33 @@ GROUP BY label, dim
 """
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the 64-dim embedding column as upper-
+    triangle (i, j, cov) rows (operators/embeddings.py::covariance_pairs)
+    — the PCA/whitening input. Spark side is the partial-Gram reduction:
+    one BLAS matmul per Arrow batch, d^2-cardinality shuffle independent
+    of corpus size; the oracle recomputes it relationally in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return E.covariance_pairs(emb)
+
+
+ORACLE_COVARIANCE = """
+WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+  SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS i, v[CAST(t.i AS INTEGER)] AS xi
+  FROM x, unnest(range(1, len(v) + 1)) AS t(i)
+),
+m AS (SELECT i, avg(xi) AS mu FROM e GROUP BY i),
+s AS (
+  SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxy, count(*) AS n
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT s.i, s.j, round(s.sxy / s.n - ma.mu * mb.mu, 6) AS cov
+FROM s JOIN m ma ON ma.i = s.i JOIN m mb ON mb.i = s.j
+"""
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus
     (operators/embeddings.py) — the 4x storage/serving compression step of
@@ -3173,6 +3200,7 @@ QUERIES: dict[str, Query] = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     # new this round — inside the driver's 50-entry correctness window
     "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_covariance": embedding_covariance,
     "sample_per_source_deterministic": sample_per_source_deterministic,
     "source_mixture_weights": source_mixture_weights,
     "cube_order_status_priority": cube_order_status_priority,
@@ -3271,6 +3299,7 @@ ORACLES: dict[str, str] = {
     "decontaminate_corpus": ORACLE_DECONTAMINATE,
     "redact_pii_documents": ORACLE_REDACT_PII,
     "embedding_quantize_int8": ORACLE_QUANTIZE_INT8,
+    "embedding_covariance": ORACLE_COVARIANCE,
     "sample_per_source_deterministic": ORACLE_SAMPLE_PER_SOURCE,
     "source_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "similarity_topk": ORACLE_SIM_TOPK,
