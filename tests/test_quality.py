@@ -77,3 +77,28 @@ def test_c4_page_flags(spark):
     assert got[0]["has_lorem_ipsum"] is True
     assert got[1]["has_curly_brace"] is True
     assert got[2]["ok_min_sentences"] is False
+
+
+def test_gopher_repetition_metrics(spark):
+    """Planted repetition: a doc that is one 5-gram repeated 4 times has
+    dup_5gram_char_frac near 1.0 (capped); a duplicate line shows in the
+    line fractions; a no-repeat doc scores 0 everywhere."""
+    from weatherdatapipeline_spark.operators.quality import gopher_repetition_flags
+
+    phrase = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, " ".join([phrase] * 4)),                       # heavy 5-gram repetition
+        (1, "dup line\ndup line\nfresh line"),             # duplicate line
+        (2, "each word here appears exactly once in this"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_repetition_flags(df).collect()}
+    assert got[0]["dup_5gram_char_frac"] == 1.0  # capped
+    assert got[0]["top_2gram_char_frac"] > 0.2
+    assert got[1]["dup_line_frac"] == round(1 / 3, 6)
+    assert got[1]["dup_line_char_frac"] > 0.3
+    r2 = got[2]
+    # no repeated anything: every dup_ metric is exactly 0; top_ metrics
+    # are nonzero by definition (tf=1 grams still have a maximum)
+    assert all(r2[c] == 0.0 for c in r2.asDict() if c.startswith("dup_"))
+    assert 0 < r2["top_2gram_char_frac"] < 0.5

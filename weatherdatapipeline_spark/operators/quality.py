@@ -129,3 +129,129 @@ def c4_line_filter(
         n_sentences.cast("long").alias("n_sentences"),
         (n_sentences >= min_sentences).alias("ok_min_sentences"),
     )
+
+
+def gopher_repetition_flags(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The Gopher REPETITION metric suite (Rae et al. 2021, App. A1.1):
+    per-document duplicate-line fraction and char fraction, fraction of
+    characters in the most frequent {2,3,4}-gram, and fraction of
+    characters in duplicated {5..10}-grams.
+
+    Char accounting convention: every occurrence of a qualifying gram
+    contributes tf * len(gram) characters, capped at 1.0 — the paper
+    de-overlaps occurrences; this simpler convention is monotone in the
+    same signal and is recomputed identically by the DuckDB oracle.
+
+    Shape: line metrics are per-row array HOFs (no shuffle); the n-gram
+    metrics build ALL nine gram sizes from ONE token explode + nine
+    lead() windows over the same doc partition, then one (doc, n, gram)
+    tf aggregate and a doc-level pivot — two shuffles total on doc-id
+    keys, independent of how many gram sizes are measured."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+    line_chars = F.aggregate(
+        F.transform(lines, F.length), F.lit(0), lambda a, x: a + x
+    )
+    dist_chars = F.aggregate(
+        F.transform(F.array_distinct(lines), F.length), F.lit(0), lambda a, x: a + x
+    )
+    line_stats = documents.select(
+        F.col(id_col),
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(line_chars > 0, (line_chars - dist_chars) / line_chars).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+    tok = documents.select(
+        F.col(id_col),
+        F.length(text).alias("_nc"),
+        F.posexplode(F.split(F.lower(F.trim(text)), r"\s+")).alias("pos", "tk"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = {j: F.lead("tk", j).over(w) for j in range(1, 10)}
+    with_grams = tok.select(
+        F.col(id_col),
+        "_nc",
+        "pos",
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("_ntok"),
+        *[
+            F.concat_ws(" ", F.col("tk"), *[leads[j] for j in range(1, n)]).alias(
+                f"g{n}"
+            )
+            for n in range(2, 11)
+        ],
+    )
+    stacked = (
+        with_grams.select(
+            F.col(id_col),
+            "_nc",
+            "pos",
+            "_ntok",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("n"), F.col(f"g{n}").alias("gram")
+                        )
+                        for n in range(2, 11)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select(id_col, "_nc", "pos", "_ntok", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+        .filter(F.col("pos") <= F.col("_ntok") - F.col("n"))
+    )
+    tf = stacked.groupBy(id_col, "_nc", "n", "gram").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    per_n = tf.groupBy(id_col, "_nc", "n").agg(
+        F.max(F.col("tf") * F.length("gram")).alias("top_chars"),
+        F.sum(F.when(F.col("tf") >= 2, F.col("tf") * F.length("gram"))).alias(
+            "dup_chars"
+        ),
+    )
+    piv = per_n.groupBy(id_col, "_nc").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"_top{n}")
+            for n in (2, 3, 4)
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(f"_dup{n}")
+            for n in range(5, 11)
+        ],
+    )
+    frac_cols = [
+        F.round(
+            F.coalesce(F.col(f"_top{n}") / F.col("_nc"), F.lit(0.0)), 6
+        ).alias(f"top_{n}gram_char_frac")
+        for n in (2, 3, 4)
+    ] + [
+        # coalesce BEFORE least: least() skips NULLs in both engines, so
+        # least(NULL, 1.0) would turn "no duplicate grams" into 1.0
+        F.round(
+            F.least(
+                F.coalesce(F.col(f"_dup{n}") / F.col("_nc"), F.lit(0.0)), F.lit(1.0)
+            ),
+            6,
+        ).alias(f"dup_{n}gram_char_frac")
+        for n in range(5, 11)
+    ]
+    piv = piv.select(F.col(id_col), *frac_cols)
+    out_cols = [c for c in piv.columns if c != id_col]
+    return line_stats.join(piv, id_col, "left").select(
+        F.col(id_col),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out_cols],
+    )

@@ -966,6 +966,75 @@ FROM m
 """
 
 
+def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition metric suite (Rae et al. 2021 App. A1.1) over
+    the documents table (operators/quality.py::gopher_repetition_flags):
+    duplicate-line fractions, top-{2,3,4}-gram char fractions,
+    duplicate-{5..10}-gram char fractions. One token explode + nine
+    lead windows + one tf aggregate + one pivot."""
+    docs = _t(spark, sf_dir, "documents")
+    return Q.gopher_repetition_flags(docs)
+
+
+ORACLE_GOPHER_REP = r"""
+WITH base AS (
+  SELECT doc_id, length(text) AS nc,
+         string_split(text, chr(10)) AS lines,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+lstats AS (
+  SELECT doc_id,
+    round((len(lines) - len(list_distinct(lines))) / len(lines), 6) AS dup_line_frac,
+    round(CASE WHEN list_sum(list_transform(lines, l -> length(l))) > 0
+          THEN (list_sum(list_transform(lines, l -> length(l)))
+                - list_sum(list_transform(list_distinct(lines), l -> length(l))))
+               / list_sum(list_transform(lines, l -> length(l)))
+          ELSE 0 END, 6) AS dup_line_char_frac
+  FROM base
+),
+grams AS (
+  SELECT doc_id, nc, CAST(n.n AS INTEGER) AS n,
+         array_to_string(w[i:i + CAST(n.n AS INTEGER) - 1], ' ') AS gram
+  FROM base,
+       unnest(range(2, 11)) AS n(n),
+       unnest(range(1, len(w) + 1)) AS t(i)
+  WHERE i + n.n - 1 <= len(w)
+),
+tf AS (SELECT doc_id, nc, n, gram, count(*) AS tf FROM grams GROUP BY ALL),
+per_n AS (
+  SELECT doc_id, nc, n,
+         max(tf * length(gram)) AS top_chars,
+         sum(CASE WHEN tf >= 2 THEN tf * length(gram) END) AS dup_chars
+  FROM tf GROUP BY ALL
+),
+piv AS (
+  SELECT doc_id,
+    round(coalesce(max(CASE WHEN n = 2 THEN top_chars END) / nc, 0), 6) AS top_2gram_char_frac,
+    round(coalesce(max(CASE WHEN n = 3 THEN top_chars END) / nc, 0), 6) AS top_3gram_char_frac,
+    round(coalesce(max(CASE WHEN n = 4 THEN top_chars END) / nc, 0), 6) AS top_4gram_char_frac,
+    round(least(coalesce(max(CASE WHEN n = 5 THEN dup_chars END) / nc, 0), 1.0), 6) AS dup_5gram_char_frac,
+    round(least(coalesce(max(CASE WHEN n = 6 THEN dup_chars END) / nc, 0), 1.0), 6) AS dup_6gram_char_frac,
+    round(least(coalesce(max(CASE WHEN n = 7 THEN dup_chars END) / nc, 0), 1.0), 6) AS dup_7gram_char_frac,
+    round(least(coalesce(max(CASE WHEN n = 8 THEN dup_chars END) / nc, 0), 1.0), 6) AS dup_8gram_char_frac,
+    round(least(coalesce(max(CASE WHEN n = 9 THEN dup_chars END) / nc, 0), 1.0), 6) AS dup_9gram_char_frac,
+    round(least(coalesce(max(CASE WHEN n = 10 THEN dup_chars END) / nc, 0), 1.0), 6) AS dup_10gram_char_frac
+  FROM per_n GROUP BY doc_id, nc
+)
+SELECT l.doc_id, l.dup_line_frac, l.dup_line_char_frac,
+  coalesce(p.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+  coalesce(p.top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+  coalesce(p.top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+  coalesce(p.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+  coalesce(p.dup_6gram_char_frac, 0.0) AS dup_6gram_char_frac,
+  coalesce(p.dup_7gram_char_frac, 0.0) AS dup_7gram_char_frac,
+  coalesce(p.dup_8gram_char_frac, 0.0) AS dup_8gram_char_frac,
+  coalesce(p.dup_9gram_char_frac, 0.0) AS dup_9gram_char_frac,
+  coalesce(p.dup_10gram_char_frac, 0.0) AS dup_10gram_char_frac
+FROM lstats l LEFT JOIN piv p USING (doc_id)
+"""
+
+
 def c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning pass (Raffel et al. 2020 §2.2) over the documents
     table (operators/quality.py::c4_line_filter): per-page kept-line
@@ -3176,6 +3245,7 @@ QUERIES: dict[str, Query] = {
     "remove_boilerplate_chunks": remove_boilerplate_chunks,
     "winnow_doc_fingerprints": winnow_doc_fingerprints,
     "gopher_quality_report": gopher_quality_report,
+    "gopher_repetition_report": gopher_repetition_report,
     "c4_line_stats": c4_line_stats,
     "label_centroids": label_centroids,
     "corpus_clean_pipeline": corpus_clean_pipeline,
@@ -3281,6 +3351,7 @@ ORACLES: dict[str, str] = {
     "remove_boilerplate_chunks": ORACLE_BOILERPLATE,
     "winnow_doc_fingerprints": ORACLE_WINNOW,
     "gopher_quality_report": ORACLE_GOPHER,
+    "gopher_repetition_report": ORACLE_GOPHER_REP,
     "c4_line_stats": ORACLE_C4,
     "tfidf_signature_by_source": ORACLE_TFIDF,
     "pmi_collocations_top50": ORACLE_PMI,
