@@ -296,3 +296,27 @@ def test_winnow_short_doc_single_fingerprint(spark):
     df = spark.createDataFrame([(0, "tiny")], "doc_id long, text string")
     out = winnow_fingerprints(df, k=8, w=4).collect()
     assert len(out) == 1
+
+
+def test_winnow_shared_span_pairs_planted(spark):
+    """A long verbatim span shared by two docs produces a pair with many
+    shared fingerprints; unrelated docs produce none; the df-cut drops a
+    fingerprint planted in every doc."""
+    from weatherdatapipeline_spark.operators.text import winnow_shared_span_pairs
+
+    span = "the exact same long run of characters appears verbatim here"
+    common = " COMMONTAIL"  # present in every doc -> df-cut at max_fp_freq=2
+    rows = [
+        (0, f"prefix one {span}{common}"),
+        (1, f"{span} other suffix{common}"),
+        (2, f"completely different body text with nothing repeated{common}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in winnow_shared_span_pairs(
+            df, min_shared=3, max_fp_freq=2
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 3
+    assert all(p == (0, 1) for p in got)

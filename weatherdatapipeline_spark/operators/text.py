@@ -459,3 +459,40 @@ def portable_hash60_col(c: Column) -> Column:
     operators/dedup.py::portable_hash60, local to avoid a circular
     import (dedup imports fingerprint_md5 from here)."""
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def winnow_shared_span_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 20,
+    max_fp_freq: int | None = 100,
+) -> DataFrame:
+    """Substring-level near-dup candidate pairs from the winnowing
+    sketch: documents sharing at least ``min_shared`` fingerprints share
+    that many distinct >= k+w-1-char spans — the clone-span complement
+    to token-set Jaccard (which is blind to ORDER and catches shuffled
+    bags; this catches verbatim spans).
+
+    ``max_fp_freq`` drops fingerprints present in more documents than
+    the cap (ubiquitous substrings — the analogue of the shingle df-cut
+    in ``dedup.jaccard_near_duplicates``) BEFORE the self-join, which
+    bounds the pair fan-out per fingerprint to max_fp_freq^2 instead of
+    corpus^2. Output: (doc_a, doc_b, shared_fps).
+    """
+    fps = winnow_fingerprints(documents, id_col, text_col, k, w)
+    if max_fp_freq is not None:
+        freq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_df"))
+        keep = freq.filter(F.col("_df") <= max_fp_freq).select("fingerprint")
+        fps = fps.join(keep, "fingerprint")  # AQE may broadcast `keep`
+    a = fps.select(F.col(id_col).alias("doc_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

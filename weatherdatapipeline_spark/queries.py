@@ -915,6 +915,40 @@ FROM wmin WHERE i <= greatest(n - 3, 1)
 """
 
 
+def winnow_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level clone-pair candidates from the winnowing sketch
+    (operators/text.py::winnow_shared_span_pairs): pairs sharing >= 20
+    fingerprints after dropping ubiquitous fingerprints (df > 100) —
+    the verbatim-span complement to token-set Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.winnow_shared_span_pairs(docs, min_shared=20, max_fp_freq=100)
+
+
+ORACLE_WINNOW_PAIRS = r"""
+WITH g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15))::BIGINT AS h
+  FROM documents,
+       unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS t(i)
+),
+wmin AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM g
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= greatest(n - 3, 1)),
+freq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN freq USING (fp) WHERE df <= 100)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 20
+"""
+
+
 def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality ruleset (Rae et al. 2021 App. A1.1) over
     the documents table: per-doc metrics, one boolean per rule, and the
@@ -3244,6 +3278,7 @@ QUERIES: dict[str, Query] = {
     "doc_repetition_scores": doc_repetition_scores,
     "remove_boilerplate_chunks": remove_boilerplate_chunks,
     "winnow_doc_fingerprints": winnow_doc_fingerprints,
+    "winnow_shared_spans": winnow_shared_spans,
     "gopher_quality_report": gopher_quality_report,
     "gopher_repetition_report": gopher_repetition_report,
     "c4_line_stats": c4_line_stats,
@@ -3350,6 +3385,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition_scores": ORACLE_REPETITION,
     "remove_boilerplate_chunks": ORACLE_BOILERPLATE,
     "winnow_doc_fingerprints": ORACLE_WINNOW,
+    "winnow_shared_spans": ORACLE_WINNOW_PAIRS,
     "gopher_quality_report": ORACLE_GOPHER,
     "gopher_repetition_report": ORACLE_GOPHER_REP,
     "c4_line_stats": ORACLE_C4,
