@@ -320,3 +320,32 @@ def test_winnow_shared_span_pairs_planted(spark):
     }
     assert (0, 1) in got and got[(0, 1)] >= 3
     assert all(p == (0, 1) for p in got)
+
+
+def test_bigram_logprob_golden(spark):
+    """Hand-computed add-0.5 bigram model on 'a b a b': P(b|a) = 2.5/3,
+    P(a|b) = 1.5/2; score = mean of the three bigram NLLs."""
+    import math
+
+    from weatherdatapipeline_spark.operators.text import bigram_logprob_scores
+
+    df = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    row = bigram_logprob_scores(df).collect()[0]
+    want = (2 * -math.log(2.5 / 3.0) + -math.log(1.5 / 2.0)) / 3.0
+    assert row["n_bigrams"] == 3
+    assert abs(row["avg_neg_logprob"] - want) < 1e-6
+
+
+def test_source_vocab_kl_golden(spark):
+    """Two sources with known unigram mixtures: KL(X||corpus) = ln(2)/3,
+    KL(Y||corpus) = ln(1.5)."""
+    import math
+
+    from weatherdatapipeline_spark.operators.text import source_vocab_kl
+
+    rows = [(0, "a a b", "X"), (1, "b b b", "Y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_vocab_kl(df).collect()}
+    assert got["X"]["n_tokens"] == 3 and got["Y"]["n_tokens"] == 3
+    assert abs(got["X"]["kl_divergence"] - math.log(2) / 3) < 1e-6
+    assert abs(got["Y"]["kl_divergence"] - math.log(1.5)) < 1e-6

@@ -496,3 +496,106 @@ def winnow_shared_span_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def bigram_logprob_scores(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Language-model quality scoring, the CCNet recipe (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets", 2020) with a
+    corpus-trained bigram model standing in for KenLM: score(doc) =
+    mean negative ln P(w2 | w1) over the doc's bigrams, with add-k
+    smoothing P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V). High scores =
+    improbable token sequences (noise, shuffled boilerplate, wrong-
+    language spans); CCNet buckets the corpus by this into head/middle/
+    tail quality tiers.
+
+    Scale shape: the model is two aggregates bounded by bigram-TYPE and
+    vocab cardinality (map-side combined), V rides a 1-row broadcast,
+    and scoring is one join of doc bigrams against the model on
+    (w1, w2) — AQE broadcasts the model when it fits. Training corpus ==
+    scoring corpus here, so every bigram is in-model by construction
+    (no unseen-event branch needed; k still smooths the estimate).
+
+    Returns (id, n_bigrams, avg_neg_logprob) — one row per doc with
+    >= 2 tokens.
+    """
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "w1"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bi = tok.withColumn("w2", F.lead("w1").over(w)).filter(F.col("w2").isNotNull())
+    c_bi = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c_uni = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tok.select(F.count_distinct("w1").alias("_v"))
+    model = (
+        c_bi.join(c_uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    (F.col("c12") + F.lit(add_k))
+                    / (F.col("c1") + F.lit(add_k) * F.col("_v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        bi.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def source_vocab_kl(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group vocabulary drift audit: KL(P_group || P_corpus) over
+    unigram distributions — the standard mixture-monitoring statistic
+    for spotting a source whose token distribution has shifted from the
+    corpus (scraper drift, format rot, language contamination).
+
+    Group vocabularies are subsets of the corpus vocabulary by
+    construction, so every KL term is finite. Two (group, term) /
+    (term) aggregates (map-side combined, vocab-bounded) and one join —
+    the same shuffle discipline as tfidf_signature_terms. Returns
+    (group, n_tokens, kl_divergence).
+    """
+    toks = tokens_rows(documents, [group_col], text_col)
+    g = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("cg"))
+    tot_g = g.groupBy(group_col).agg(F.sum("cg").alias("ng"))
+    c = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cc"))
+    tot = toks.select(F.count(F.lit(1)).alias("nc"))
+    return (
+        g.join(tot_g, group_col)
+        .join(c, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(group_col)
+        .agg(
+            F.max("ng").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    (F.col("cg") / F.col("ng"))
+                    * F.log(
+                        (F.col("cg") / F.col("ng")) / (F.col("cc") / F.col("nc"))
+                    )
+                ),
+                6,
+            ).alias("kl_divergence"),
+        )
+    )

@@ -915,6 +915,66 @@ FROM wmin WHERE i <= greatest(n - 3, 1)
 """
 
 
+def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/text.py::
+    bigram_logprob_scores): corpus-trained add-0.5 bigram model, per-doc
+    mean negative log-probability. Vocab-bounded model aggregates +
+    one (w1, w2) scoring join."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.bigram_logprob_scores(docs)
+
+
+ORACLE_BIGRAM_LM = r"""
+WITH tok AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[CAST(t.i AS INTEGER)] AS w1
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents),
+       unnest(range(1, len(w) + 1)) AS t(i)
+),
+bi AS (
+  SELECT a.doc_id, a.w1, b.w1 AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c_bi AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+c_uni AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+v AS (SELECT count(DISTINCT w1) AS v FROM tok),
+model AS (
+  SELECT c_bi.w1, c_bi.w2,
+         -ln((c12 + 0.5) / (c1 + 0.5 * v.v)) AS nll
+  FROM c_bi JOIN c_uni USING (w1) CROSS JOIN v
+)
+SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(m.nll), 6) AS avg_neg_logprob
+FROM bi JOIN model m ON m.w1 = bi.w1 AND m.w2 = bi.w2
+GROUP BY bi.doc_id
+"""
+
+
+def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary KL divergence vs the corpus unigram
+    distribution (operators/text.py::source_vocab_kl) — the mixture
+    drift audit."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.source_vocab_kl(docs)
+
+
+ORACLE_SOURCE_KL = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+g AS (SELECT source, term, count(*) AS cg FROM toks GROUP BY source, term),
+tg AS (SELECT source, sum(cg) AS ng FROM g GROUP BY source),
+c AS (SELECT term, count(*) AS cc FROM toks GROUP BY term),
+t AS (SELECT count(*) AS nc FROM toks)
+SELECT g.source, CAST(max(tg.ng) AS BIGINT) AS n_tokens,
+       round(sum((g.cg / tg.ng) * ln((g.cg / tg.ng) / (c.cc / t.nc))), 6)
+         AS kl_divergence
+FROM g JOIN tg USING (source) JOIN c USING (term) CROSS JOIN t
+GROUP BY g.source
+"""
+
+
 def winnow_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level clone-pair candidates from the winnowing sketch
     (operators/text.py::winnow_shared_span_pairs): pairs sharing >= 20
@@ -3279,6 +3339,8 @@ QUERIES: dict[str, Query] = {
     "remove_boilerplate_chunks": remove_boilerplate_chunks,
     "winnow_doc_fingerprints": winnow_doc_fingerprints,
     "winnow_shared_spans": winnow_shared_spans,
+    "bigram_perplexity_scores": bigram_perplexity_scores,
+    "source_kl_drift": source_kl_drift,
     "gopher_quality_report": gopher_quality_report,
     "gopher_repetition_report": gopher_repetition_report,
     "c4_line_stats": c4_line_stats,
@@ -3386,6 +3448,8 @@ ORACLES: dict[str, str] = {
     "remove_boilerplate_chunks": ORACLE_BOILERPLATE,
     "winnow_doc_fingerprints": ORACLE_WINNOW,
     "winnow_shared_spans": ORACLE_WINNOW_PAIRS,
+    "bigram_perplexity_scores": ORACLE_BIGRAM_LM,
+    "source_kl_drift": ORACLE_SOURCE_KL,
     "gopher_quality_report": ORACLE_GOPHER,
     "gopher_repetition_report": ORACLE_GOPHER_REP,
     "c4_line_stats": ORACLE_C4,
