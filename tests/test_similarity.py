@@ -131,3 +131,27 @@ def test_assign_to_centroids_argmax_and_ties(spark):
     assert got[10][0] == 0 and got[11][0] == 1
     assert got[12][0] == 0  # tie broken to the lower centroid id
     assert got[12][1] == pytest.approx(2.0 / (8 ** 0.5))
+
+
+def test_semdedup_planted(spark):
+    """SemDeDup semantics: a near-identical embedding pair lands in the
+    same cluster and collapses to its min id; orthogonal vectors
+    survive. Centroids are orthogonal axes so the dup pair cannot be
+    split across cluster boundaries (the known SemDeDup edge case —
+    documented in the operator, not silently hidden here)."""
+    from weatherdatapipeline_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # semantic dup of 0, same cluster
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),      # survivor in the axis-2 cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.filter("vec_id in (0, 2, 3)").selectExpr(
+        "vec_id as centroid_id", "embedding as centroid_vec"
+    )
+    kept = sorted(
+        r["vec_id"] for r in semdedup(df, cents, threshold=0.95).collect()
+    )
+    assert kept == [0, 2, 3]

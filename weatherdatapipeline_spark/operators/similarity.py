@@ -355,3 +355,58 @@ def cosine_near_duplicates(
         .distinct()
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): drop documents
+    whose EMBEDDINGS nearly coincide — paraphrases and re-renders that
+    string-level dedup cannot see.
+
+    The published recipe verbatim: (1) k-means-style cluster assignment
+    (here ``assign_to_centroids`` — broadcast centroid table, argmax
+    cosine), (2) WITHIN each cluster, pairwise cosine >= ``threshold``
+    marks semantic duplicates, (3) keep one representative (min id) per
+    duplicate component plus every unpaired doc. Clustering is what
+    makes the quadratic affordable: the pair space is sum of
+    cluster_size^2, not corpus^2 — the cluster count is the knob that
+    bounds per-cluster fan-in at scale.
+
+    Known recall caveat (inherent to the published method): a duplicate
+    pair straddling a cluster boundary is never compared — SemDeDup
+    accepts this; the paper's mitigation is moderate cluster counts.
+
+    Returns the surviving rows of ``embeddings`` (all original columns).
+    """
+    from .dedup import dedup_keep_canonical
+
+    assigned = assign_to_centroids(
+        embeddings, centroids, id_col, vec_col, centroid_id_col, centroid_vec_col
+    ).select(id_col, centroid_id_col)
+    tagged = embeddings.select(id_col, vec_col).join(assigned, id_col)
+    a = tagged.select(
+        F.col(centroid_id_col),
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = tagged.select(
+        F.col(centroid_id_col),
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = (
+        a.join(b, centroid_id_col)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("_cos", cosine_similarity(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    return dedup_keep_canonical(embeddings, pairs, id_col=id_col)

@@ -915,6 +915,65 @@ FROM wmin WHERE i <= greatest(n - 3, 1)
 """
 
 
+def semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (operators/similarity.py::semdedup): deterministic seed centroids
+    (vec_id < 8), within-cluster cosine >= 0.3 marks semantic dups,
+    min-id representative survives per component. Returns surviving
+    (vec_id, label). The oracle replays assignment, within-cluster
+    pairs, and the transitive closure in recursive SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return S.semdedup(emb, cents, threshold=0.3).select("vec_id", "label")
+
+
+ORACLE_SEMDEDUP = """
+WITH RECURSIVE cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.embedding::DOUBLE[], c.cv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+tagged AS (
+  SELECT b.vec_id, b.cid, e.embedding::DOUBLE[] AS v
+  FROM best b JOIN embeddings e USING (vec_id)
+),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM tagged a JOIN tagged b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.3
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cc AS (SELECT a AS vec_id, least(a, min(b)) AS root FROM reach GROUP BY a)
+SELECT e.vec_id, e.label
+FROM embeddings e LEFT JOIN cc ON cc.vec_id = e.vec_id
+WHERE cc.vec_id IS NULL OR e.vec_id = cc.root
+"""
+
+
 def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/text.py::
     bigram_logprob_scores): corpus-trained add-0.5 bigram model, per-doc
@@ -3339,6 +3398,7 @@ QUERIES: dict[str, Query] = {
     "remove_boilerplate_chunks": remove_boilerplate_chunks,
     "winnow_doc_fingerprints": winnow_doc_fingerprints,
     "winnow_shared_spans": winnow_shared_spans,
+    "semdedup_corpus": semdedup_corpus,
     "bigram_perplexity_scores": bigram_perplexity_scores,
     "source_kl_drift": source_kl_drift,
     "gopher_quality_report": gopher_quality_report,
@@ -3448,6 +3508,7 @@ ORACLES: dict[str, str] = {
     "remove_boilerplate_chunks": ORACLE_BOILERPLATE,
     "winnow_doc_fingerprints": ORACLE_WINNOW,
     "winnow_shared_spans": ORACLE_WINNOW_PAIRS,
+    "semdedup_corpus": ORACLE_SEMDEDUP,
     "bigram_perplexity_scores": ORACLE_BIGRAM_LM,
     "source_kl_drift": ORACLE_SOURCE_KL,
     "gopher_quality_report": ORACLE_GOPHER,
