@@ -165,3 +165,25 @@ def test_dedup_keep_canonical_planted(spark):
     )  # {2,5,7} one cluster -> keep 2; 1,3,4,6 untouched
     kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
     assert kept == [1, 2, 3, 4, 6]
+
+
+def test_token_budget_sample_semantics(spark):
+    """Budget admission: docs enter in md5(id) order while prior tokens
+    are under budget; the boundary-crossing doc is kept; a group always
+    yields at least one doc; totals never exceed budget + last doc."""
+    from weatherdatapipeline_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "w " * 40, "a") for i in range(10)] + [(100, "x " * 999, "b")]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string",
+    )
+    out = token_budget_sample(df, budget=100, group_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # group a: 40-token docs; admitted while cum_before < 100 -> 3 docs
+    assert len(by_src["a"]) == 3
+    assert sorted(r["cum_tokens_before"] for r in by_src["a"]) == [0, 40, 80]
+    # group b: single 999-token doc crosses the budget but is kept
+    assert len(by_src["b"]) == 1 and by_src["b"][0]["cum_tokens_before"] == 0

@@ -158,3 +158,44 @@ def stratified_sample(
     stable id exists. For pipeline splits prefer ``split_assign``
     (deterministic; see module docstring)."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-group sample sized by a TOKEN budget, not a doc
+    count — how training mixtures are actually specified ("20B tokens of
+    web, 5B of code"). Docs are ranked by md5(id) within the group (the
+    same uniform-yet-reproducible order as ``sample_per_group``) and
+    admitted while the tokens consumed BEFORE them are under ``budget``
+    — so the doc that crosses the boundary is kept and every group with
+    any data yields at least one doc.
+
+    One shuffle on the group key; the running sum is a partitioned
+    window (per-group, never global). Returns (id, group, n_tokens,
+    cum_tokens_before).
+    """
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranked.withColumn(
+            "cum_tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .filter(F.col("cum_tokens_before") < budget)
+        .select(id_col, group_col, F.col("n_tokens").cast("long").alias("n_tokens"), "cum_tokens_before")
+    )

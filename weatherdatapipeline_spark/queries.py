@@ -1486,6 +1486,30 @@ SELECT source, doc_id, lang, n_chars FROM (
 """
 
 
+def token_budget_sample_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sample sized by a 1000-TOKEN budget (operators/
+    sampling.py::token_budget_sample): md5-ranked admission while tokens
+    consumed before the doc stay under budget — mixtures specified in
+    tokens, the unit training actually budgets."""
+    docs = _t(spark, sf_dir, "documents")
+    return SA.token_budget_sample(docs, budget=1000)
+
+
+ORACLE_TOKEN_BUDGET = r"""
+SELECT doc_id, source, n_tokens, cum_tokens_before FROM (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(coalesce(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+           OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_tokens_before
+  FROM documents
+) WHERE cum_tokens_before < 1000
+"""
+
+
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled training-mixture weights per source
     (alpha = 0.5, the XLM-R default): up-weights tail sources relative to
@@ -3429,6 +3453,7 @@ QUERIES: dict[str, Query] = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_covariance": embedding_covariance,
     "sample_per_source_deterministic": sample_per_source_deterministic,
+    "token_budget_sample_1k": token_budget_sample_1k,
     "source_mixture_weights": source_mixture_weights,
     "cube_order_status_priority": cube_order_status_priority,
     "json_props_stats": json_props_stats,
@@ -3533,6 +3558,7 @@ ORACLES: dict[str, str] = {
     "embedding_quantize_int8": ORACLE_QUANTIZE_INT8,
     "embedding_covariance": ORACLE_COVARIANCE,
     "sample_per_source_deterministic": ORACLE_SAMPLE_PER_SOURCE,
+    "token_budget_sample_1k": ORACLE_TOKEN_BUDGET,
     "source_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "similarity_topk": ORACLE_SIM_TOPK,
     "knn_join_first5": ORACLE_KNN_JOIN,
