@@ -140,6 +140,32 @@ CHECKS = {
     "redact_pii_documents": [
         ("map-only: no exchange at all", lambda p: "Exchange" not in p),
     ],
+    "winnow_doc_fingerprints": [
+        # winnowing is pure array HOFs + one explode — pipelines with
+        # the scan, zero shuffles
+        ("map-only: no exchange at all", lambda p: "Exchange" not in p),
+        ("scan pruned to id+text", lambda p: "lang" not in re.search(r"ReadSchema:[^\n]*", p).group(0)),
+    ],
+    "gopher_quality_report": [
+        ("map-only: no exchange at all", lambda p: "Exchange" not in p),
+    ],
+    "c4_line_stats": [
+        ("map-only: no exchange at all", lambda p: "Exchange" not in p),
+    ],
+    "token_budget_sample_1k": [
+        # per-group budget admission: the cumulative window partitions by
+        # source — one group-key shuffle, never a global sort
+        ("partitioned cumulative window", r"windowspecdefinition\(source"),
+        ("single exchange", lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+    ],
+    "remove_boilerplate_chunks": [
+        # the df>=K removal set is tiny: the anti-join must broadcast it
+        ("removal set broadcast into the anti join", r"BroadcastHashJoin LeftAnti"),
+    ],
+    "bigram_perplexity_scores": [
+        # the 1-row vocab count rides a broadcast, not a shuffle join
+        ("vocab count broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+    ],
 }
 
 
