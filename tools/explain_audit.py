@@ -166,6 +166,19 @@ CHECKS = {
         # the 1-row vocab count rides a broadcast, not a shuffle join
         ("vocab count broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange"),
     ],
+    "q5_local_supplier_volume": [
+        ("date window pushed to orders scan", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"),
+        ("dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 3),
+    ],
+    "q10_returned_items": [
+        ("returnflag pushed to lineitem scan", r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)"),
+        ("global top-20 is TakeOrdered", r"TakeOrderedAndProject"),
+    ],
+    "q19_disjunctive_revenue": [
+        # the OR-of-ANDs must not block scan-level pruning of the common
+        # conjuncts: brand IN and size/qty ranges reach the scans via Or
+        ("disjunction pushed to scan", r"PushedFilters: \[.*Or\("),
+    ],
 }
 
 
