@@ -188,3 +188,65 @@ def test_pca_project_reduces_reconstruction_error(spark, sf_dir):
     for r in out[:50]:
         want = comps @ X[r["vec_id"]]
         np.testing.assert_allclose(np.array(r["pca"]), want, atol=1e-6)
+
+
+def test_pq_encode_matches_numpy(spark, sf_dir):
+    """PQ encoding equals the numpy argmin per subspace, and a codebook
+    seed vector encodes to its own index in every subspace."""
+    import numpy as np
+    from weatherdatapipeline_spark.operators.embeddings import (
+        pq_codebooks_from_seed_rows,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    cbs = pq_codebooks_from_seed_rows(emb, m=8, k=16)
+    got = {}
+    for r in pq_encode(emb, cbs).collect():
+        got.setdefault(r["vec_id"], {})[r["subspace"]] = r["code"]
+    X = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    C = np.array(cbs)  # (m, k, sub_d)
+    for vid, x in list(X.items())[:50]:
+        for j in range(8):
+            d = ((C[j] - x[j * 8 : (j + 1) * 8]) ** 2).sum(axis=1)
+            assert got[vid][j] == int(np.argmin(d)), (vid, j)
+    for seed in range(16):
+        assert all(got[seed][j] == seed for j in range(8))
+
+
+def test_pq_adc_topk_matches_numpy(spark, sf_dir):
+    """ADC top-10 equals the numpy LUT-sum ranking for the vec_id=0
+    query, and the query vector itself ranks first (its codes are
+    exactly its own quantization)."""
+    import numpy as np
+    from weatherdatapipeline_spark.operators.embeddings import (
+        pq_adc_topk,
+        pq_codebooks_from_seed_rows,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    cbs = pq_codebooks_from_seed_rows(emb, m=8, k=16)
+    rows = emb.select("vec_id", "embedding").collect()
+    X = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in rows}
+    q = X[0]
+    got = [
+        (r["vec_id"], r["adc_distance"])
+        for r in pq_adc_topk(emb, cbs, q, topk=10).collect()
+    ]
+    C = np.array(cbs)
+    want = {}
+    for vid, x in X.items():
+        total = 0.0
+        for j in range(8):
+            d = ((C[j] - x[j * 8 : (j + 1) * 8]) ** 2).sum(axis=1)
+            code = int(np.argmin(d))
+            total += ((C[j][code] - q[j * 8 : (j + 1) * 8]) ** 2).sum()
+        want[vid] = total
+    order = sorted(X, key=lambda v: (round(want[v], 6), v))[:10]
+    assert [v for v, _ in got] == order
+    assert got[0][0] == 0  # the query's own quantization is distance-minimal
+    for vid, dist in got:
+        assert abs(dist - want[vid]) < 1e-5

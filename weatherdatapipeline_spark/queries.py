@@ -1409,6 +1409,38 @@ GROUP BY label, dim
 """
 
 
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/embeddings.py::
+    pq_encode, Jegou et al. 2011): 64-dim vectors -> 8 subspaces x
+    16-entry deterministic seed codebooks (vec_id < 16), nearest entry
+    per subspace by L2. Map-only encode; the oracle recomputes the
+    codebooks and the argmin from the same seed rows in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = E.pq_codebooks_from_seed_rows(emb, m=8, k=16)
+    return E.pq_encode(emb, cbs)
+
+
+ORACLE_PQ_CODES = """
+WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT vec_id AS code, v FROM x WHERE vec_id < 16),
+d AS (
+  SELECT e.vec_id, j.j AS subspace, s.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (e.v[CAST(j.j * 8 + i AS INTEGER)]
+                 - s.v[CAST(j.j * 8 + i AS INTEGER)]) ^ 2)) AS dist
+  FROM x e CROSS JOIN seeds s, unnest(range(0, 8)) AS j(j)
+),
+best AS (
+  SELECT vec_id, subspace, code,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY dist, code) AS rk
+  FROM d
+)
+SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+FROM best WHERE rk = 1
+"""
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population covariance of the 64-dim embedding column as upper-
     triangle (i, j, cov) rows (operators/embeddings.py::covariance_pairs)
@@ -3698,6 +3730,7 @@ QUERIES: dict[str, Query] = {
     # new this round — inside the driver's 50-entry correctness window
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_covariance": embedding_covariance,
+    "embedding_pq_codes": embedding_pq_codes,
     "sample_per_source_deterministic": sample_per_source_deterministic,
     "token_budget_sample_1k": token_budget_sample_1k,
     "source_mixture_weights": source_mixture_weights,
@@ -3808,6 +3841,7 @@ ORACLES: dict[str, str] = {
     "redact_pii_documents": ORACLE_REDACT_PII,
     "embedding_quantize_int8": ORACLE_QUANTIZE_INT8,
     "embedding_covariance": ORACLE_COVARIANCE,
+    "embedding_pq_codes": ORACLE_PQ_CODES,
     "sample_per_source_deterministic": ORACLE_SAMPLE_PER_SOURCE,
     "token_budget_sample_1k": ORACLE_TOKEN_BUDGET,
     "source_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
