@@ -349,3 +349,22 @@ def test_source_vocab_kl_golden(spark):
     assert got["X"]["n_tokens"] == 3 and got["Y"]["n_tokens"] == 3
     assert abs(got["X"]["kl_divergence"] - math.log(2) / 3) < 1e-6
     assert abs(got["Y"]["kl_divergence"] - math.log(1.5)) < 1e-6
+
+
+def test_psi_drift_semantics(spark):
+    """PSI of a window against itself is ~0 by construction (buckets are
+    the reference's own deciles); a hard location shift scores far past
+    the 0.25 action threshold."""
+    from weatherdatapipeline_spark.operators.stats import psi_drift
+
+    ref_rows = [(i, "a", float(i % 100)) for i in range(1000)]
+    same = spark.createDataFrame(ref_rows, "event_id long, event_type string, value double")
+    shifted = spark.createDataFrame(
+        [(i, "a", float(i % 100) + 500.0) for i in range(1000)],
+        "event_id long, event_type string, value double",
+    )
+    stable = psi_drift(same, same).collect()[0]
+    drifted = psi_drift(same, shifted).collect()[0]
+    assert abs(stable["psi"]) < 1e-9
+    assert drifted["psi"] > 0.25
+    assert stable["n_ref"] == stable["n_cur"] == 1000

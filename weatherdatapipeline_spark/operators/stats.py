@@ -73,3 +73,66 @@ def condition_histogram(weather: DataFrame, group_by: list[str] | None = None) -
         ).alias("weather_conditions")
     )
     return collected
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str = "value",
+    group_col: str | None = "event_type",
+    n_buckets: int = 10,
+    floor: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    window — the standard data-quality drift monitor (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 action): PSI = sum over buckets of
+    (q - p) * ln(q / p), with p/q the bucket proportions in reference/
+    current and buckets = the REFERENCE window's exact deciles (so the
+    reference scores ~0 against itself by construction).
+
+    Relational shape: one exact-percentile aggregate on the reference (a
+    1-row array, broadcast into both scans — the same pattern as
+    order_price_quartiles), bucket assignment as a counting fold over
+    the boundary array (map-only), two (group, bucket) count aggregates,
+    a full outer join (a bucket empty on one side still contributes),
+    and proportions floored at ``floor`` so log terms stay finite.
+    Returns (group, n_ref, n_cur, psi).
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = reference.agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs])).alias("_bnds")
+    )
+
+    def bucketed(df, cnt_name):
+        keys = [F.col(group_col)] if group_col else [F.lit(1).alias("_g")]
+        b = df.crossJoin(F.broadcast(bounds)).select(
+            *keys,
+            F.aggregate(
+                F.col("_bnds"),
+                F.lit(0),
+                lambda acc, x: acc + F.when(F.col(value_col) > x, 1).otherwise(0),
+            ).alias("bucket"),
+        )
+        gcols = [group_col] if group_col else ["_g"]
+        return b.groupBy(*gcols, "bucket").agg(F.count(F.lit(1)).alias(cnt_name))
+
+    gcols = [group_col] if group_col else ["_g"]
+    p = bucketed(reference, "_rc")
+    q = bucketed(current, "_cc")
+    joined = p.join(q, [*gcols, "bucket"], "full_outer").fillna(
+        {"_rc": 0, "_cc": 0}
+    )
+    totals = joined.groupBy(*gcols).agg(
+        F.sum("_rc").alias("n_ref"), F.sum("_cc").alias("n_cur")
+    )
+    pr = F.greatest(F.col("_rc") / F.col("n_ref"), F.lit(floor))
+    cr = F.greatest(F.col("_cc") / F.col("n_cur"), F.lit(floor))
+    return (
+        joined.join(totals, gcols)
+        .groupBy(*gcols)
+        .agg(
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            F.round(F.sum((cr - pr) * F.log(cr / pr)), 6).alias("psi"),
+        )
+    )

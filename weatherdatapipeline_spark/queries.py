@@ -27,6 +27,7 @@ from .operators import relational as R
 from .operators import quality as Q
 from .operators import sampling as SA
 from .operators import similarity as S
+from .operators import stats as ST
 from .operators import text as T
 from .operators import timeseries as TS
 
@@ -1031,6 +1032,64 @@ SELECT g.source, CAST(max(tg.ng) AS BIGINT) AS n_tokens,
          AS kl_divergence
 FROM g JOIN tg USING (source) JOIN c USING (term) CROSS JOIN t
 GROUP BY g.source
+"""
+
+
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitor per event type (operators/stats.py::psi_drift):
+    value-distribution shift of the second half of the event window vs
+    the first, bucketed by the reference half's exact deciles. One
+    1-row percentile broadcast + two (type, bucket) counts + a full
+    outer join."""
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < split)
+    cur = ev.filter(F.col("ts") >= split)
+    return ST.psi_drift(ref, cur)
+
+
+ORACLE_PSI = """
+WITH ref AS (
+  SELECT event_type, value FROM events WHERE ts < TIMESTAMP '2024-01-16'
+),
+cur AS (
+  SELECT event_type, value FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+),
+b AS (
+  SELECT quantile_cont(value,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
+  FROM ref
+),
+rb AS (
+  SELECT event_type,
+         list_sum(list_transform(bnds,
+           x -> CASE WHEN value > x THEN 1 ELSE 0 END)) AS bucket
+  FROM ref CROSS JOIN b
+),
+cb AS (
+  SELECT event_type,
+         list_sum(list_transform(bnds,
+           x -> CASE WHEN value > x THEN 1 ELSE 0 END)) AS bucket
+  FROM cur CROSS JOIN b
+),
+rp AS (SELECT event_type, bucket, count(*) AS rc FROM rb GROUP BY ALL),
+cp AS (SELECT event_type, bucket, count(*) AS cc FROM cb GROUP BY ALL),
+j AS (
+  SELECT coalesce(rp.event_type, cp.event_type) AS event_type,
+         coalesce(rp.bucket, cp.bucket) AS bucket,
+         coalesce(rc, 0) AS rc, coalesce(cc, 0) AS cc
+  FROM rp FULL OUTER JOIN cp
+    ON rp.event_type = cp.event_type AND rp.bucket = cp.bucket
+),
+t AS (SELECT event_type, sum(rc) AS n_ref, sum(cc) AS n_cur FROM j GROUP BY event_type)
+SELECT j.event_type,
+       CAST(max(t.n_ref) AS BIGINT) AS n_ref,
+       CAST(max(t.n_cur) AS BIGINT) AS n_cur,
+       round(sum((greatest(cc / t.n_cur, 1e-6) - greatest(rc / t.n_ref, 1e-6))
+             * ln(greatest(cc / t.n_cur, 1e-6)
+                  / greatest(rc / t.n_ref, 1e-6))), 6) AS psi
+FROM j JOIN t USING (event_type)
+GROUP BY j.event_type
 """
 
 
@@ -3700,6 +3759,7 @@ QUERIES: dict[str, Query] = {
     "remove_boilerplate_chunks": remove_boilerplate_chunks,
     "winnow_doc_fingerprints": winnow_doc_fingerprints,
     "winnow_shared_spans": winnow_shared_spans,
+    "events_psi_drift": events_psi_drift,
     "semdedup_corpus": semdedup_corpus,
     "bigram_perplexity_scores": bigram_perplexity_scores,
     "source_kl_drift": source_kl_drift,
@@ -3817,6 +3877,7 @@ ORACLES: dict[str, str] = {
     "remove_boilerplate_chunks": ORACLE_BOILERPLATE,
     "winnow_doc_fingerprints": ORACLE_WINNOW,
     "winnow_shared_spans": ORACLE_WINNOW_PAIRS,
+    "events_psi_drift": ORACLE_PSI,
     "semdedup_corpus": ORACLE_SEMDEDUP,
     "bigram_perplexity_scores": ORACLE_BIGRAM_LM,
     "source_kl_drift": ORACLE_SOURCE_KL,
