@@ -1093,6 +1093,34 @@ GROUP BY j.event_type
 """
 
 
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p50/p90/p99 of value per event type) —
+    the grouped twin of order_price_quartiles' global bucketing. One
+    hash aggregate; Spark's exact interpolated percentile matches
+    DuckDB's quantile_cont (proven bit-for-bit by events_psi_drift)."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(pct[0], 6).alias("p50"),
+            F.round(pct[1], 6).alias("p90"),
+            F.round(pct[2], 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_PCT = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def winnow_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level clone-pair candidates from the winnowing sketch
     (operators/text.py::winnow_shared_span_pairs): pairs sharing >= 20
@@ -3760,6 +3788,7 @@ QUERIES: dict[str, Query] = {
     "winnow_doc_fingerprints": winnow_doc_fingerprints,
     "winnow_shared_spans": winnow_shared_spans,
     "events_psi_drift": events_psi_drift,
+    "value_percentiles_by_type": value_percentiles_by_type,
     "semdedup_corpus": semdedup_corpus,
     "bigram_perplexity_scores": bigram_perplexity_scores,
     "source_kl_drift": source_kl_drift,
@@ -3878,6 +3907,7 @@ ORACLES: dict[str, str] = {
     "winnow_doc_fingerprints": ORACLE_WINNOW,
     "winnow_shared_spans": ORACLE_WINNOW_PAIRS,
     "events_psi_drift": ORACLE_PSI,
+    "value_percentiles_by_type": ORACLE_VALUE_PCT,
     "semdedup_corpus": ORACLE_SEMDEDUP,
     "bigram_perplexity_scores": ORACLE_BIGRAM_LM,
     "source_kl_drift": ORACLE_SOURCE_KL,
