@@ -465,11 +465,18 @@ def minhash_near_duplicates(
     tunable via (bands, rows) to target the threshold, and verification
     touches only candidate pairs.
     """
-    pairs = _persist_scoped(shingle_pairs(documents, id_col, text_col, n))
+    pairs = shingle_pairs(documents, id_col, text_col, n)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
     ]
-    sigs = pairs.groupBy(id_col).agg(*mins).select(
+    # ONE aggregation pass yields both the signature mins and the verify
+    # sets, so the exploded shingle stream (explode + distinct + hashing,
+    # the expensive part) is computed once and what persists is the
+    # doc-count-sized aggregate, not ~300x-the-docs exploded rows
+    agg = _persist_scoped(
+        pairs.groupBy(id_col).agg(*mins, F.collect_list("shingle").alias("_sh"))
+    )
+    sigs = agg.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature")
     )
     cands = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
@@ -478,9 +485,8 @@ def minhash_near_duplicates(
     # broadcasts the set table when it fits) instead of the exploded
     # 3-join shape — measured ~1.5x faster and far fewer stages. Per-doc
     # arrays are bounded by doc length, so row width stays sane.
-    sets = pairs.groupBy(id_col).agg(F.collect_list("shingle").alias("_sh"))
-    a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
-    b = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
+    a = agg.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
+    b = agg.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
     joined = (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
@@ -590,10 +596,11 @@ def minhash_near_duplicates_portable(
     identical pipeline shape (shingle -> per-permutation min -> band
     bucket self-join -> exact-Jaccard verify of candidates only), but
     every hash is SQL-recomputable, so the whole LSH path gets a real
-    DuckDB oracle instead of a rows-only check. Shingles stay raw n-gram
-    strings (Jaccard over strings == Jaccard over hashes, minus the
-    collision caveat) and band buckets are the '|'-joined signature
-    slice — equality semantics identical to hashing the slice.
+    DuckDB oracle instead of a rows-only check. Shingles are 60-bit md5
+    hashes (Jaccard over hashes == Jaccard over strings, minus a 2^-60
+    collision caveat the oracle shares) and band buckets are the
+    '|'-joined signature slice — equality semantics identical to
+    hashing the slice.
 
     The xxhash64 family (minhash_near_duplicates) remains the 100 TB
     path: one JVM hash per element vs one md5 here. Permutations are the
@@ -604,11 +611,20 @@ def minhash_near_duplicates_portable(
     arrays.
     """
     rows = num_perm // bands
-    pairs = _persist_scoped(
-        portable_shingle_hashes(documents, id_col, text_col, n)
+    based = portable_shingle_hashes(documents, id_col, text_col, n).withColumn(
+        "_hp", F.col("_h60") % _MH_PRIME
     )
-    based = pairs.withColumn("_hp", F.col("_h60") % _MH_PRIME)
-    sigs = based.groupBy(id_col).agg(*_affine_min_aggs(num_perm))
+    # ONE aggregation pass produces BOTH the signature mins and the
+    # verify sets: the exploded shingle stream (the expensive part —
+    # gram construction + md5 over ~300x the doc count) is scanned once,
+    # and what gets persisted is the doc-count-sized aggregate (64 longs
+    # + one hash array per doc), not the exploded rows
+    sigs = _persist_scoped(
+        based.groupBy(id_col).agg(
+            *_affine_min_aggs(num_perm),
+            F.collect_list("_h60").alias("_sh"),
+        )
+    )
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -630,9 +646,8 @@ def minhash_near_duplicates_portable(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets = pairs.groupBy(id_col).agg(F.collect_list("_h60").alias("_sh"))
-    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
-    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
+    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
     joined = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
