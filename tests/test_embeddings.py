@@ -218,13 +218,15 @@ def test_pq_encode_matches_numpy(spark, sf_dir):
 
 
 def test_pq_adc_topk_matches_numpy(spark, sf_dir):
-    """ADC top-10 equals the numpy LUT-sum ranking for the vec_id=0
-    query, and the query vector itself ranks first (its codes are
-    exactly its own quantization)."""
+    """ADC top-10 over STORED packed codes equals the numpy LUT-sum
+    ranking for the vec_id=0 query, and the query vector itself ranks
+    first (its codes are exactly its own quantization). The serve path
+    never touches the original vectors — only (id, pq_codes)."""
     import numpy as np
     from weatherdatapipeline_spark.operators.embeddings import (
         pq_adc_topk,
         pq_codebooks_from_seed_rows,
+        pq_encode_packed,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
@@ -232,9 +234,10 @@ def test_pq_adc_topk_matches_numpy(spark, sf_dir):
     rows = emb.select("vec_id", "embedding").collect()
     X = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in rows}
     q = X[0]
+    codes = pq_encode_packed(emb, cbs).select("vec_id", "pq_codes")
     got = [
         (r["vec_id"], r["adc_distance"])
-        for r in pq_adc_topk(emb, cbs, q, topk=10).collect()
+        for r in pq_adc_topk(codes, cbs, q, topk=10).collect()
     ]
     C = np.array(cbs)
     want = {}
@@ -250,3 +253,24 @@ def test_pq_adc_topk_matches_numpy(spark, sf_dir):
     assert got[0][0] == 0  # the query's own quantization is distance-minimal
     for vid, dist in got:
         assert abs(dist - want[vid]) < 1e-5
+
+
+def test_quantize_tolerates_nonfinite_components(spark):
+    """A single NaN/Inf component must not abort the job under ANSI mode
+    (CAST_OVERFLOW); the clamp degrades it to +/-127. One corrupt vector
+    in a corpus-scale run is survivable, not fatal."""
+    rows = [
+        (0, [float("nan"), 1.0, -2.0]),
+        (1, [float("inf"), 1.0, -2.0]),
+        (2, [float("-inf"), 1.0, -2.0]),
+        (3, [1.0, 2.0, -4.0]),  # sane row alongside
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    arr = {r["vec_id"]: r["qvec"] for r in quantize_int8(df).collect()}
+    rows_out = quantize_int8_rows(df).collect()
+    # NaN clamps high (NaN compares greatest); +/-Inf makes scale=Inf so
+    # the quotient is NaN -> also 127. The contract is survival + range.
+    assert arr[0][0] == 127
+    assert all(-127 <= x <= 127 for v in arr.values() for x in v)
+    assert arr[3] == [32, 64, -127]
+    assert len(rows_out) == 12  # exploded twin survives the same inputs

@@ -368,3 +368,24 @@ def test_psi_drift_semantics(spark):
     assert abs(stable["psi"]) < 1e-9
     assert drifted["psi"] > 0.25
     assert stable["n_ref"] == stable["n_cur"] == 1000
+
+
+def test_psi_drift_one_sided_group(spark):
+    """A group present in only one window (a brand-new or vanished event
+    type — maximal drift) must score as extreme drift, not abort the job
+    with an ANSI division by zero."""
+    from weatherdatapipeline_spark.operators.stats import psi_drift
+
+    ref = spark.createDataFrame(
+        [(i, "a", float(i % 50)) for i in range(200)],
+        "event_id long, event_type string, value double",
+    )
+    cur = spark.createDataFrame(
+        [(i, "a", float(i % 50)) for i in range(200)]
+        + [(1000 + i, "NEW", float(i)) for i in range(100)],
+        "event_id long, event_type string, value double",
+    )
+    got = {r["event_type"]: r for r in psi_drift(ref, cur).collect()}
+    assert abs(got["a"]["psi"]) < 1e-9
+    assert got["NEW"]["n_ref"] == 0 and got["NEW"]["n_cur"] == 100
+    assert got["NEW"]["psi"] > 0.25  # floored ref proportions -> extreme

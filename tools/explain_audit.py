@@ -144,7 +144,11 @@ CHECKS = {
         # winnowing is pure array HOFs + one explode — pipelines with
         # the scan, zero shuffles
         ("map-only: no exchange at all", lambda p: "Exchange" not in p),
-        ("scan pruned to id+text", lambda p: "lang" not in re.search(r"ReadSchema:[^\n]*", p).group(0)),
+        # guard the search: a plan without a ReadSchema line is a FAILED
+        # check, not an AttributeError crash of the audit itself
+        ("scan pruned to id+text",
+         lambda p: (lambda m: m is not None and "lang" not in m.group(0))(
+             re.search(r"ReadSchema:[^\n]*", p))),
     ],
     "gopher_quality_report": [
         ("map-only: no exchange at all", lambda p: "Exchange" not in p),

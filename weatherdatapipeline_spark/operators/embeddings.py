@@ -121,11 +121,14 @@ def quantize_int8(
 
     Rounding is ``round`` half-up via SQL ROUND (mirrored as
     sign*floor(abs+0.5) in the Arrow path) to keep the oracle (DuckDB
-    ``round``) bit-identical. No clamp is needed: ``|x| <= max|x| =
-    127*scale <= 127*safe`` bounds every quotient to [-127, 127], and
-    when ``safe`` is the 1e-30 floor (max|x| < 127e-30) the bound holds
-    a fortiori — dropping the per-element least/greatest pair keeps the
-    interpreted-HOF expression tree minimal (divide, round, cast).
+    ``round``) bit-identical. For FINITE inputs ``|x| <= max|x| =
+    127*scale <= 127*safe`` already bounds every quotient to
+    [-127, 127]; the least/greatest clamp exists for non-finite
+    components — a single NaN or +/-Inf makes the quotient NaN, and
+    under Spark's default ANSI mode an unclamped ``NaN.cast(int)`` is a
+    job-killing CAST_OVERFLOW, while the clamp degrades it to 127 (NaN
+    compares greatest, so greatest(NaN,-127)=NaN, least(NaN,127)=127) —
+    one corrupt vector must not abort a corpus-scale run.
 
     The default is the pure-JVM "hof" path (``VECTOR_IMPL``); pass
     impl="arrow" per call for one vectorized pandas UDF emitting a
@@ -153,7 +156,10 @@ def quantize_int8(
     safe = F.greatest(F.col(scale_col), F.lit(1e-30))  # all-zero vector guard
     q = F.transform(
         F.col(vec_col),
-        lambda x: F.round(x.cast("double") / safe).cast("int"),
+        lambda x: F.least(
+            F.greatest(F.round(x.cast("double") / safe), F.lit(-127.0)),
+            F.lit(127.0),
+        ).cast("int"),
     )
     return with_scale.select(
         F.col(id_col),
@@ -186,11 +192,17 @@ def quantize_int8_rows(
         F.posexplode(F.col(vec_col)).alias("pos", "_x"),
     )
     safe = F.greatest(F.col("scale"), F.lit(1e-30))  # all-zero vector guard
+    # least/greatest clamp: NaN/Inf tolerance under ANSI (see quantize_int8)
     return base.select(
         F.col(id_col),
         F.col("scale"),
         F.col("pos"),
-        F.round(F.col("_x").cast("double") / safe).cast("int").alias("qv"),
+        F.least(
+            F.greatest(F.round(F.col("_x").cast("double") / safe), F.lit(-127.0)),
+            F.lit(127.0),
+        )
+        .cast("int")
+        .alias("qv"),
     )
 
 
@@ -211,6 +223,7 @@ def dequantize_int8(
 def covariance_pairs(
     embeddings: DataFrame,
     vec_col: str = "embedding",
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Population covariance of an embedding column as (i, j, cov) upper-
     triangle rows — the input to PCA / whitening / drift monitoring.
@@ -220,9 +233,11 @@ def covariance_pairs(
     one BLAS matmul, emitting d*(d+1)/2 rows PER BATCH (not per input
     row) — a ~10^4x shrink before the only shuffle, a (i, j) sum
     aggregate whose cardinality is d^2, independent of corpus size.
-    cov = Gram/n - mu_i*mu_j, rounded to 6 so float association noise
-    (batch boundaries are partition-dependent) cannot flip the
-    differential hash.
+    cov = Gram/n - mu_i*mu_j, rounded to ``round_digits`` so float
+    association noise (batch boundaries are partition-dependent) cannot
+    flip the differential hash; pass ``round_digits=None`` for the exact
+    values (the PCA path does — its eigenbasis should not inherit an
+    oracle-display rounding).
     """
     import pandas as pd  # noqa: F401 (mapInPandas requires pandas)
 
@@ -258,15 +273,12 @@ def covariance_pairs(
         F.sum("sj").alias("sj"),
         F.sum("n").alias("n"),
     )
-    return agg.select(
-        "i",
-        "j",
-        F.round(
-            F.col("sxy") / F.col("n")
-            - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")),
-            6,
-        ).alias("cov"),
+    cov = F.col("sxy") / F.col("n") - (F.col("si") / F.col("n")) * (
+        F.col("sj") / F.col("n")
     )
+    if round_digits is not None:
+        cov = F.round(cov, round_digits)
+    return agg.select("i", "j", cov.alias("cov"))
 
 
 def pca_projection_matrix(embeddings: DataFrame, n_components: int, vec_col: str = "embedding"):
@@ -280,7 +292,9 @@ def pca_projection_matrix(embeddings: DataFrame, n_components: int, vec_col: str
     """
     import numpy as np
 
-    rows = covariance_pairs(embeddings, vec_col).collect()
+    rows = covariance_pairs(embeddings, vec_col, round_digits=None).collect()
+    if not rows:
+        raise ValueError("pca_projection_matrix: embeddings table is empty")
     d = max(r["j"] for r in rows) + 1
     C = np.zeros((d, d))
     for r in rows:
@@ -318,26 +332,28 @@ def pca_project(
     return embeddings.withColumn(out_col, F.array(*rows))
 
 
-def pq_encode(
-    embeddings: DataFrame,
-    codebooks,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Product-quantization encoding (Jegou, Douze, Schmid, "Product
-    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
-    d-dim vector into m subvectors and store, per subspace, the index of
-    the nearest codebook entry (L2, ties to the lowest code) — d floats
-    become m small ints, the memory layout every billion-vector ANN
-    serving system uses.
-
-    ``codebooks`` is an (m, k, d/m) nested list riding along as array
-    LITERALS — k*d floats, broadcast-sized by construction. Encoding is
-    a pure per-row expression (zip_with squared-diff folds + array_min /
-    array_position), zero shuffle. Returns (id, subspace, code) rows.
-    """
+def _pq_validate(codebooks) -> tuple[int, int, int]:
+    """Validate codebook shape consistency; returns (m, k, sub_d).
+    Ragged codebooks would silently mis-slice — fail loudly instead."""
     m = len(codebooks)
+    if m == 0:
+        raise ValueError("codebooks must be non-empty")
+    k = len(codebooks[0])
     sub_d = len(codebooks[0][0])
+    for j, cb in enumerate(codebooks):
+        if len(cb) != k or any(len(e) != sub_d for e in cb):
+            raise ValueError(
+                f"ragged codebooks: subspace {j} is not {k} x {sub_d}"
+            )
+    return m, k, sub_d
+
+
+def _pq_code_exprs(codebooks, vec_col: str):
+    """One argmin-code Column per subspace: zip_with squared-diff folds
+    over the codebook entries as array literals, array_position of the
+    min (1-based, FIRST match -> ties to the lowest code, identically in
+    the SQL oracle). Shared by encode and serve paths."""
+    m, k, sub_d = _pq_validate(codebooks)
     per_sub = []
     for j, cb in enumerate(codebooks):
         sub = F.slice(F.col(vec_col), j * sub_d + 1, sub_d)
@@ -355,13 +371,49 @@ def pq_encode(
                 for entry in cb
             ]
         )
-        # array_position is 1-based and returns the FIRST match -> ties
-        # resolve to the lowest code on both engines
         per_sub.append((F.array_position(dists, F.array_min(dists)) - 1).cast("long"))
+    return per_sub
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jegou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    d-dim vector into m subvectors and store, per subspace, the index of
+    the nearest codebook entry (L2, ties to the lowest code) — d floats
+    become m small ints, the memory layout every billion-vector ANN
+    serving system uses.
+
+    ``codebooks`` is an (m, k, d/m) nested list riding along as array
+    LITERALS — k*d floats, broadcast-sized by construction. Encoding is
+    a pure per-row expression (zip_with squared-diff folds + array_min /
+    array_position), zero shuffle. Returns (id, subspace, code) rows;
+    ``pq_encode_packed`` emits the serving layout instead.
+    """
+    per_sub = _pq_code_exprs(codebooks, vec_col)
     return embeddings.select(
         F.col(id_col),
         F.posexplode(F.array(*per_sub)).alias("subspace", "code"),
     ).select(F.col(id_col), F.col("subspace").cast("long").alias("subspace"), "code")
+
+
+def pq_encode_packed(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """(id, pq_codes array<long>) — the packed serving layout: m small
+    ints instead of d floats. This is what gets WRITTEN once at index
+    time; ``pq_adc_topk`` serves every query from it without touching
+    the original vectors. Map-only, zero shuffle."""
+    per_sub = _pq_code_exprs(codebooks, vec_col)
+    return embeddings.select(F.col(id_col), F.array(*per_sub).alias(out_col))
 
 
 def pq_codebooks_from_seed_rows(embeddings: DataFrame, m: int = 8, k: int = 16,
@@ -370,14 +422,24 @@ def pq_codebooks_from_seed_rows(embeddings: DataFrame, m: int = 8, k: int = 16,
     the seed-row convention this repo uses wherever a trained artifact
     (KMeans here) would make the oracle uncheckable. Collects k vectors
     (k*d floats, not data-scale). A trained path would swap in
-    per-subspace KMeans centers with the identical encode/serve code."""
+    per-subspace KMeans centers with the identical encode/serve code.
+
+    Fails loudly on the silent-corruption cases: d not divisible by m
+    (trailing dims would be dropped from every distance) and fewer than
+    k seed rows (codes would not span [0, k))."""
     rows = (
         embeddings.filter(F.col(id_col) < k)
         .select(id_col, vec_col)
         .orderBy(id_col)
         .collect()
     )
+    if len(rows) != k:
+        raise ValueError(
+            f"expected {k} seed rows with {id_col} < {k}, found {len(rows)}"
+        )
     d = len(rows[0][vec_col])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     sub_d = d // m
     return [
         [[float(x) for x in r[vec_col][j * sub_d : (j + 1) * sub_d]] for r in rows]
@@ -386,51 +448,34 @@ def pq_codebooks_from_seed_rows(embeddings: DataFrame, m: int = 8, k: int = 16,
 
 
 def pq_adc_topk(
-    embeddings: DataFrame,
+    codes: DataFrame,
     codebooks,
     query_vec,
     topk: int = 10,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
-    exact; per subspace a k-entry lookup table of squared distances to
-    each codebook entry is computed once (driver-side numpy, m*k floats)
-    and the per-vector distance is the SUM of m LUT lookups — no float
-    vector math per row at serve time. TakeOrdered gives the global
-    top-k without a sort. Returns (id, adc_distance)."""
+    """Asymmetric-distance (ADC) top-k over STORED PQ codes
+    (``pq_encode_packed`` output): the query stays exact; per subspace a
+    k-entry lookup table of squared distances to each codebook entry is
+    computed once (driver-side numpy, m*k floats) and each row costs m
+    literal-array lookups — the point of PQ serving is that NO float
+    vector math and no original vectors are touched per row. TakeOrdered
+    gives the global top-k without a sort. Returns (id, adc_distance)."""
     import numpy as np
 
     q = np.asarray(query_vec, dtype="float64")
-    m = len(codebooks)
-    sub_d = len(codebooks[0][0])
-    luts = []
-    for j, cb in enumerate(codebooks):
-        qs = q[j * sub_d : (j + 1) * sub_d]
-        luts.append([float(((np.asarray(c) - qs) ** 2).sum()) for c in cb])
-    # per-row: code_j lookup summed across subspaces, entirely map-only —
-    # the only exchange in the whole plan is the TakeOrdered top-k
+    m, k, sub_d = _pq_validate(codebooks)
+    if q.shape[0] != m * sub_d:
+        raise ValueError(f"query dim {q.shape[0]} != m*sub_d = {m * sub_d}")
     dist = None
     for j, cb in enumerate(codebooks):
-        sub = F.slice(F.col(vec_col), j * sub_d + 1, sub_d)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(float(x)) for x in entry]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for entry in cb
-            ]
+        qs = q[j * sub_d : (j + 1) * sub_d]
+        lut = [float(((np.asarray(c) - qs) ** 2).sum()) for c in cb]
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut]),
+            (F.col(codes_col)[j] + 1).cast("int"),
         )
-        code_j = F.array_position(dists, F.array_min(dists)).cast("int")
-        term = F.element_at(F.array(*[F.lit(v) for v in luts[j]]), code_j)
         dist = term if dist is None else dist + term
-    scored = embeddings.select(
-        F.col(id_col), F.round(dist, 6).alias("adc_distance")
-    )
+    scored = codes.select(F.col(id_col), F.round(dist, 6).alias("adc_distance"))
     return scored.orderBy("adc_distance", id_col).limit(topk)

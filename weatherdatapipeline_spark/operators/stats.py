@@ -125,8 +125,12 @@ def psi_drift(
     totals = joined.groupBy(*gcols).agg(
         F.sum("_rc").alias("n_ref"), F.sum("_cc").alias("n_cur")
     )
-    pr = F.greatest(F.col("_rc") / F.col("n_ref"), F.lit(floor))
-    cr = F.greatest(F.col("_cc") / F.col("n_cur"), F.lit(floor))
+    # try_divide: a group present in only ONE window (a brand-new or
+    # vanished event type — exactly when drift is maximal) has a zero
+    # total on the other side; ANSI division would abort the job, while
+    # NULL -> greatest(NULL, floor) = floor scores it as extreme drift
+    pr = F.greatest(F.try_divide(F.col("_rc"), F.col("n_ref")), F.lit(floor))
+    cr = F.greatest(F.try_divide(F.col("_cc"), F.col("n_cur")), F.lit(floor))
     return (
         joined.join(totals, gcols)
         .groupBy(*gcols)

@@ -437,12 +437,16 @@ def winnow_fingerprints(
     shuffle; pipelines with the scan. Doc length bounds the array, so
     task memory is bounded by the longest document, not the corpus.
     """
+    # function-level import: dedup imports fingerprint_md5 from this
+    # module at module level, so only a deferred import avoids the cycle
+    from .dedup import portable_hash60
+
     text = F.col(text_col)
     n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n_grams), lambda i: text.substr(i, F.lit(k))
     )
-    hashes = F.transform(grams, lambda g: portable_hash60_col(g))
+    hashes = F.transform(grams, lambda g: portable_hash60(g))
     fps = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(hashes) - F.lit(w), F.lit(0))),
@@ -453,12 +457,6 @@ def winnow_fingerprints(
     # by construction — no distinct shuffle
     return documents.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
 
-
-def portable_hash60_col(c: Column) -> Column:
-    """60-bit md5 hash of a single column — the same family as
-    operators/dedup.py::portable_hash60, local to avoid a circular
-    import (dedup imports fingerprint_md5 from here)."""
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
 
 def winnow_shared_span_pairs(

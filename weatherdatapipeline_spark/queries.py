@@ -1085,9 +1085,10 @@ t AS (SELECT event_type, sum(rc) AS n_ref, sum(cc) AS n_cur FROM j GROUP BY even
 SELECT j.event_type,
        CAST(max(t.n_ref) AS BIGINT) AS n_ref,
        CAST(max(t.n_cur) AS BIGINT) AS n_cur,
-       round(sum((greatest(cc / t.n_cur, 1e-6) - greatest(rc / t.n_ref, 1e-6))
-             * ln(greatest(cc / t.n_cur, 1e-6)
-                  / greatest(rc / t.n_ref, 1e-6))), 6) AS psi
+       round(sum((greatest(coalesce(cc / nullif(t.n_cur, 0), 1e-6), 1e-6)
+                  - greatest(coalesce(rc / nullif(t.n_ref, 0), 1e-6), 1e-6))
+             * ln(greatest(coalesce(cc / nullif(t.n_cur, 0), 1e-6), 1e-6)
+                  / greatest(coalesce(rc / nullif(t.n_ref, 0), 1e-6), 1e-6))), 6) AS psi
 FROM j JOIN t USING (event_type)
 GROUP BY j.event_type
 """
