@@ -389,3 +389,33 @@ def test_psi_drift_one_sided_group(spark):
     assert abs(got["a"]["psi"]) < 1e-9
     assert got["NEW"]["n_ref"] == 0 and got["NEW"]["n_cur"] == 100
     assert got["NEW"]["psi"] > 0.25  # floored ref proportions -> extreme
+
+
+def test_heavy_hitters_exact_guarantee(spark):
+    """The MG candidate pass must never lose a true heavy hitter, even
+    with a tiny k forcing aggressive counter reduction and with the
+    heavy term scattered across partitions; output counts are exact."""
+    from weatherdatapipeline_spark.operators.text import heavy_hitters_exact
+
+    # 400 docs of noise vocab (80 distinct terms) + 'hot' in 30% of tokens
+    rows = []
+    for i in range(400):
+        noise = " ".join(f"w{(i * 7 + j) % 80}" for j in range(7))
+        rows.append((i, f"hot hot hot {noise}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    got = {
+        r["term"]: (r["cnt"], r["share"])
+        for r in heavy_hitters_exact(df, threshold=0.25, k=4).collect()
+    }
+    assert set(got) == {"hot"}
+    assert got["hot"][0] == 1200  # exact count, not a sketch estimate
+    assert abs(got["hot"][1] - 0.3) < 1e-6
+
+
+def test_heavy_hitters_rejects_bad_threshold(spark):
+    import pytest as _pytest
+
+    from weatherdatapipeline_spark.operators.text import heavy_hitters_exact
+
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact(None, threshold=1.5)

@@ -597,3 +597,72 @@ def source_vocab_kl(
             ).alias("kl_divergence"),
         )
     )
+
+
+def heavy_hitters_exact(
+    documents: DataFrame,
+    threshold: float = 0.001,
+    k: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with frequency >= ``threshold``
+    of all tokens) at bounded shuffle cost: partition-local Misra-Gries
+    summaries generate a small candidate superset, then one exact
+    counting pass verifies only the candidates.
+
+    Why not a plain wordcount + HAVING: that shuffles the ENTIRE term
+    stream. Here each partition keeps at most ``k`` counters
+    (k defaults to ceil(2/threshold)); pigeonhole guarantees any token
+    with global share > 1/k exceeds share 1/k in at least one partition
+    and therefore survives that partition's summary — so the candidate
+    union (<= partitions * k rows, tiny) is a SUPERSET of every true
+    heavy hitter. The verify pass semi-joins the token stream against
+    the broadcast candidate set and counts exactly, so the only
+    corpus-sized aggregate is restricted to candidates. Output
+    (term, cnt, share) is EXACT and partition-independent — the sketch
+    only affects which non-hitters get pre-filtered — which is what
+    makes a DuckDB oracle possible for a sketch-based plan.
+
+    Returns (term, cnt, share) for tokens with share >= threshold.
+    """
+    import math
+
+    if not (0 < threshold < 1):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if k is None:
+        k = int(math.ceil(2.0 / threshold))
+
+    toks = documents.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term")
+    )
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term, c in pdf["term"].value_counts().items():
+                counters[term] = counters.get(term, 0) + int(c)
+            if len(counters) > k:
+                # mergeable Misra-Gries reduction: subtract the
+                # (k+1)-th largest count from everyone, drop <= 0
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    candidates = toks.mapInPandas(_mg, schema="term string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        toks.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(threshold) * F.col("_n")))
+        .select(
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("_n"), 6).alias("share"),
+        )
+    )

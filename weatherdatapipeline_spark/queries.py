@@ -1035,6 +1035,31 @@ GROUP BY g.source
 """
 
 
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with >= 3% corpus share) via the
+    two-pass Misra-Gries design (operators/text.py::heavy_hitters_exact):
+    partition-local mergeable summaries generate a tiny candidate
+    superset, one exact pass verifies only candidates. The output is
+    exact and partition-independent, so the sketch-based plan still
+    gets a plain group-count DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.heavy_hitters_exact(docs, threshold=0.03)
+
+
+ORACLE_HEAVY_HITTERS = r"""
+WITH t AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+n AS (SELECT count(*) AS total FROM t)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*) / max(n.total), 6) AS share
+FROM t CROSS JOIN n
+GROUP BY term
+HAVING count(*) >= ceil(0.03 * max(n.total))
+"""
+
+
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift monitor per event type (operators/stats.py::psi_drift):
     value-distribution shift of the second half of the event window vs
@@ -3788,6 +3813,7 @@ QUERIES: dict[str, Query] = {
     "remove_boilerplate_chunks": remove_boilerplate_chunks,
     "winnow_doc_fingerprints": winnow_doc_fingerprints,
     "winnow_shared_spans": winnow_shared_spans,
+    "corpus_heavy_hitters": corpus_heavy_hitters,
     "events_psi_drift": events_psi_drift,
     "value_percentiles_by_type": value_percentiles_by_type,
     "semdedup_corpus": semdedup_corpus,
@@ -3907,6 +3933,7 @@ ORACLES: dict[str, str] = {
     "remove_boilerplate_chunks": ORACLE_BOILERPLATE,
     "winnow_doc_fingerprints": ORACLE_WINNOW,
     "winnow_shared_spans": ORACLE_WINNOW_PAIRS,
+    "corpus_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "events_psi_drift": ORACLE_PSI,
     "value_percentiles_by_type": ORACLE_VALUE_PCT,
     "semdedup_corpus": ORACLE_SEMDEDUP,
