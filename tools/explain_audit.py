@@ -141,9 +141,8 @@ CHECKS = {
         ("map-only: no exchange at all", lambda p: "Exchange" not in p),
     ],
     "winnow_doc_fingerprints": [
-        # winnowing is pure array HOFs + one explode — pipelines with
-        # the scan, zero shuffles
-        ("map-only: no exchange at all", lambda p: "Exchange" not in p),
+        # sliding-min window partitions by doc — never a global sort
+        ("partitioned sliding window", r"windowspecdefinition\(doc_id"),
         # guard the search: a plan without a ReadSchema line is a FAILED
         # check, not an AttributeError crash of the audit itself
         ("scan pruned to id+text",

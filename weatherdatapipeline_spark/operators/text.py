@@ -432,31 +432,46 @@ def winnow_fingerprints(
     the same 60-bit md5 gram hashes. A doc with fewer than w grams
     yields one fingerprint (the min over all its grams).
 
-    Scale shape: pure per-row array expressions (substr chain -> md5 ->
-    sliding array_min -> array_distinct) followed by one explode — ZERO
-    shuffle; pipelines with the scan. Doc length bounds the array, so
-    task memory is bounded by the longest document, not the corpus.
+    Shape note — why explode + window rather than array HOFs: the
+    "obvious" nested-array form (transform to hashes, then array_min of
+    slice per window) lets Catalyst INLINE the hashes array into the
+    window lambda, recomputing ~n md5 calls PER WINDOW POSITION — a
+    silent O(n^2) per doc that took sf0.1 from seconds to minutes.
+    Exploding gram positions to rows makes each md5 happen exactly once,
+    and the sliding min is a rows-frame window partitioned by doc (one
+    doc-key shuffle, never global).
     """
-    # function-level import: dedup imports fingerprint_md5 from this
-    # module at module level, so only a deferred import avoids the cycle
+    # deferred import: dedup imports fingerprint_md5 from this module at
+    # module level, so only a function-level import avoids the cycle
+    from pyspark.sql import Window
+
     from .dedup import portable_hash60
 
     text = F.col(text_col)
     n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: text.substr(i, F.lit(k))
+    g = documents.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("_i"),
+    ).select(
+        F.col(id_col),
+        F.col("_i"),
+        portable_hash60(text.substr(F.col("_i"), F.lit(k))).alias("_h"),
     )
-    hashes = F.transform(grams, lambda g: portable_hash60(g))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(hashes) - F.lit(w), F.lit(0))),
-            lambda i: F.array_min(F.slice(hashes, i + F.lit(1), w)),
-        )
+    sliding = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
+    per_doc = Window.partitionBy(id_col)
+    wm = g.select(
+        F.col(id_col),
+        F.col("_i"),
+        F.min("_h").over(sliding).alias("fingerprint"),
+        F.count(F.lit(1)).over(per_doc).alias("_n"),
     )
-    # array_distinct already dedupes within the doc, so rows are unique
-    # by construction — no distinct shuffle
-    return documents.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
-
+    # full windows only: positions 1..n-w+1 (all of them when n < w)
+    return (
+        wm.filter(F.col("_i") <= F.greatest(F.col("_n") - F.lit(w - 1), F.lit(1)))
+        .select(F.col(id_col), "fingerprint")
+        .distinct()
+    )
 
 
 def winnow_shared_span_pairs(
