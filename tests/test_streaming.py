@@ -343,3 +343,48 @@ def test_stage_events_stream_invalidates_on_source_change(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3, "stale staged copy served"
 
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_streaming_quality_gate_routes_batches(spark, tmp_path_factory):
+    """Quality gate: passing docs land in accepted, failing docs land in
+    rejected WITH their rule booleans; checkpoint restart does not
+    reprocess drained files."""
+    from weatherdatapipeline_spark.streaming.jobs import streaming_quality_gate
+
+    src = str(tmp_path_factory.mktemp("qg_src"))
+    acc = str(tmp_path_factory.mktemp("qg_acc")) + "/docs"
+    rej = str(tmp_path_factory.mktemp("qg_rej")) + "/docs"
+    ckpt = str(tmp_path_factory.mktemp("qg_ckpt"))
+    schema = "doc_id LONG, text STRING"
+    good = (
+        "the quick brown fox and that lazy dog have plenty of ordinary "
+        "words to be counted here"
+    )
+    spark.createDataFrame(
+        [(1, good), (2, "too short")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_quality_gate(
+            stream, acc, rej, checkpoint=ckpt, available_now=True, min_words=5
+        )
+        q.awaitTermination()
+
+    drain()
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {1}
+    rejected = {r["doc_id"]: r for r in spark.read.parquet(rej).collect()}
+    assert set(rejected) == {2}
+    assert rejected[2]["ok_word_count"] is False  # auditable reason
+
+    # second batch after a restart: only the new file is processed
+    spark.createDataFrame(
+        [(3, good + " again and again")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {1, 3}
+    assert set(r["doc_id"] for r in spark.read.parquet(rej).collect()) == {2}

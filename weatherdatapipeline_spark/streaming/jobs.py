@@ -376,3 +376,50 @@ def run_available_now_to_memory(stream_out: DataFrame, name: str, output_mode: s
     )
     q.awaitTermination()
     return q
+
+
+def streaming_quality_gate(
+    doc_stream: DataFrame,
+    accepted_path: str,
+    rejected_path: str,
+    checkpoint: str | None = None,
+    available_now: bool = False,
+    min_words: int = 5,
+):
+    """Streaming corpus quality gate: every micro-batch is scored with
+    the Gopher document rules (operators/quality.py) and routed —
+    passing docs append to ``accepted_path``, failing docs append to
+    ``rejected_path`` WITH their rule booleans, so rejected data stays
+    auditable (why was this dropped?) instead of vanishing.
+
+    foreachBatch because one input feeds two sinks atomically per batch;
+    the scoring itself is the same map-only projection as the batch
+    query (gopher_quality_report), so per-batch cost is one scan of the
+    batch. Checkpointed — a replayed batch rewrites the same rows to
+    both sinks (append-idempotent under the same batch ids as the other
+    foreachBatch jobs here).
+    """
+    from ..operators.quality import gopher_quality_flags
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flags = gopher_quality_flags(batch_df, min_words=min_words).persist()
+        try:
+            ids = flags.select("doc_id", "passes")
+            docs = batch_df.join(ids, "doc_id")
+            docs.filter("passes").drop("passes").write.mode("append").parquet(
+                accepted_path
+            )
+            batch_df.join(flags.filter(~flags.passes), "doc_id").write.mode(
+                "append"
+            ).parquet(rejected_path)
+        finally:
+            flags.unpersist()
+
+    writer = doc_stream.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
