@@ -274,3 +274,9 @@ def test_quantize_tolerates_nonfinite_components(spark):
     assert all(-127 <= x <= 127 for v in arr.values() for x in v)
     assert arr[3] == [32, 64, -127]
     assert len(rows_out) == 12  # exploded twin survives the same inputs
+    # the Arrow path mirrors the clamp (np.where on NaN), keeping the
+    # documented cross-impl parity even on corrupt inputs
+    via_arrow = {
+        r["vec_id"]: r["qvec"] for r in quantize_int8(df, impl="arrow").collect()
+    }
+    assert via_arrow == arr

@@ -361,7 +361,7 @@ def test_streaming_quality_gate_routes_batches(spark, tmp_path_factory):
         "words to be counted here"
     )
     spark.createDataFrame(
-        [(1, good), (2, "too short")], schema
+        [(1, good), (2, "too short"), (9, None)], schema
     ).coalesce(1).write.mode("append").parquet(src)
 
     def drain():
@@ -378,8 +378,10 @@ def test_streaming_quality_gate_routes_batches(spark, tmp_path_factory):
     drain()
     assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {1}
     rejected = {r["doc_id"]: r for r in spark.read.parquet(rej).collect()}
-    assert set(rejected) == {2}
+    # NULL-text doc must be REJECTED, not silently dropped by both sinks
+    assert set(rejected) == {2, 9}
     assert rejected[2]["ok_word_count"] is False  # auditable reason
+    assert "_batch_id" in rejected[2].asDict()  # replay-dedup handle
 
     # second batch after a restart: only the new file is processed
     spark.createDataFrame(
@@ -387,4 +389,4 @@ def test_streaming_quality_gate_routes_batches(spark, tmp_path_factory):
     ).coalesce(1).write.mode("append").parquet(src)
     drain()
     assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {1, 3}
-    assert set(r["doc_id"] for r in spark.read.parquet(rej).collect()) == {2}
+    assert set(r["doc_id"] for r in spark.read.parquet(rej).collect()) == {2, 9}

@@ -51,9 +51,12 @@ try:  # Arrow variants: measured at sf0.1 x256 (512k rows, 64 dims —
         safe = _np.maximum(scale, 1e-30)[:, None]
         x = A / safe
         # SQL ROUND is HALF_UP (away from zero); np.round is half-to-even
-        q = _np.clip(
-            _np.sign(x) * _np.floor(_np.abs(x) + 0.5), -INT8_MAX, INT8_MAX
-        ).astype(_np.int32)
+        q = _np.sign(x) * _np.floor(_np.abs(x) + 0.5)
+        # NaN mirror of the JVM clamp: NaN compares greatest there, so
+        # greatest(NaN,-127)=NaN then least(NaN,127)=127; np.clip would
+        # PROPAGATE NaN and astype(int32) turns it into garbage
+        q = _np.where(_np.isnan(q), float(INT8_MAX), q)
+        q = _np.clip(q, -INT8_MAX, INT8_MAX).astype(_np.int32)
         return _pd.DataFrame({"scale": scale, "qvec": list(q)})
 
     HAVE_ARROW = True
@@ -477,5 +480,14 @@ def pq_adc_topk(
             (F.col(codes_col)[j] + 1).cast("int"),
         )
         dist = term if dist is None else dist + term
-    scored = codes.select(F.col(id_col), F.round(dist, 6).alias("adc_distance"))
+    # stale-artifact guard: codes written under a different m would make
+    # codes[j] NULL (out-of-range getItem) -> NULL distances that rank
+    # FIRST under NULLS FIRST; fail loudly per row instead
+    width_ok = F.assert_true(
+        F.size(F.col(codes_col)) == F.lit(m),
+        F.lit(f"pq_codes width != m={m}: codes were written under different codebooks"),
+    )
+    scored = codes.select(
+        F.col(id_col), F.round(dist, 6).alias("adc_distance"), width_ok.alias("_chk")
+    ).drop("_chk")
     return scored.orderBy("adc_distance", id_col).limit(topk)

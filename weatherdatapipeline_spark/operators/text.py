@@ -646,16 +646,24 @@ def heavy_hitters_exact(
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     if k is None:
         k = int(math.ceil(2.0 / threshold))
+    elif k < math.ceil(1.0 / threshold):
+        # pigeonhole needs local share >= threshold > 1/(k+1) to
+        # guarantee summary survival; a smaller k silently loses true
+        # heavy hitters, violating the EXACT contract
+        raise ValueError(
+            f"k={k} voids the superset guarantee for threshold={threshold}; "
+            f"need k >= ceil(1/threshold) = {math.ceil(1.0 / threshold)}"
+        )
 
-    toks = documents.select(
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term")
-    )
+    toks = tokens_rows(documents, [], text_col)
 
     def _mg(batches):
         import pandas as pd
 
         counters: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for term, c in pdf["term"].value_counts().items():
                 counters[term] = counters.get(term, 0) + int(c)
             if len(counters) > k:
@@ -665,10 +673,22 @@ def heavy_hitters_exact(
                 counters = {
                     t: c - cut for t, c in counters.items() if c - cut > 0
                 }
-        yield pd.DataFrame({"term": list(counters.keys())})
+        # one NULL-term row carries the partition's token count, so the
+        # grand total comes out of the SAME scan as the candidates
+        # instead of a third pass over the corpus
+        yield pd.DataFrame(
+            {
+                "term": list(counters.keys()) + [None],
+                "n": [0] * len(counters) + [n_part],
+            }
+        )
 
-    candidates = toks.mapInPandas(_mg, schema="term string").distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    summaries = toks.mapInPandas(_mg, schema="term string, n long")
+    summaries = _persist_hh(summaries)
+    candidates = summaries.filter(F.col("term").isNotNull()).select("term").distinct()
+    total = summaries.filter(F.col("term").isNull()).agg(
+        F.sum("n").alias("_n")
+    )
     return (
         toks.join(F.broadcast(candidates), "term", "left_semi")
         .groupBy("term")
@@ -681,3 +701,18 @@ def heavy_hitters_exact(
             F.round(F.col("cnt") / F.col("_n"), 6).alias("share"),
         )
     )
+
+
+_HH_CACHE = []
+
+
+def _persist_hh(df: DataFrame) -> DataFrame:
+    """Scope the heavy-hitters summary cache to the most recent call —
+    same pattern as operators/dedup.py::_persist_scoped: the summary
+    feeds both the candidate set and the grand total, and without a
+    persist the MG scan would run twice."""
+    out = df.persist()
+    while _HH_CACHE:
+        _HH_CACHE.pop().unpersist(blocking=False)
+    _HH_CACHE.append(out)
+    return out

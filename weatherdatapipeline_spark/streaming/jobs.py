@@ -384,20 +384,25 @@ def streaming_quality_gate(
     rejected_path: str,
     checkpoint: str | None = None,
     available_now: bool = False,
-    min_words: int = 5,
+    min_words: int = 50,
 ):
     """Streaming corpus quality gate: every micro-batch is scored with
     the Gopher document rules (operators/quality.py) and routed —
     passing docs append to ``accepted_path``, failing docs append to
     ``rejected_path`` WITH their rule booleans, so rejected data stays
-    auditable (why was this dropped?) instead of vanishing.
+    auditable (why was this dropped?) instead of vanishing. Docs whose
+    flags are NULL (e.g. NULL text) are routed to REJECTED — NULL must
+    not slip through either filter.
 
-    foreachBatch because one input feeds two sinks atomically per batch;
-    the scoring itself is the same map-only projection as the batch
-    query (gopher_quality_report), so per-batch cost is one scan of the
-    batch. Checkpointed — a replayed batch rewrites the same rows to
-    both sinks (append-idempotent under the same batch ids as the other
-    foreachBatch jobs here).
+    foreachBatch because one input feeds two sinks per batch; the
+    scoring itself is the same map-only projection as the batch query
+    (gopher_quality_report), so per-batch cost is one scan of the
+    batch. Delivery is AT-LEAST-ONCE: a crash between an append and the
+    checkpoint commit replays the batch and appends those rows again
+    (plain parquet appends are not transactional). Every row therefore
+    carries the micro-batch id in ``_batch_id`` so downstream consumers
+    can dedup on (doc_id, _batch_id) — or route through
+    ``sources/upsert.py::UpsertTable`` where exactly-once matters.
     """
     from ..operators.quality import gopher_quality_flags
 
@@ -406,12 +411,19 @@ def streaming_quality_gate(
             return
         flags = gopher_quality_flags(batch_df, min_words=min_words).persist()
         try:
-            ids = flags.select("doc_id", "passes")
-            docs = batch_df.join(ids, "doc_id")
-            docs.filter("passes").drop("passes").write.mode("append").parquet(
-                accepted_path
+            # NULL-safe routing: coalesce(passes, False) so a NULL-text
+            # doc is rejected, never silently dropped by both filters
+            ids = flags.select(
+                "doc_id", F.coalesce(F.col("passes"), F.lit(False)).alias("_ok")
             )
-            batch_df.join(flags.filter(~flags.passes), "doc_id").write.mode(
+            docs = batch_df.join(ids, "doc_id")
+            docs.filter("_ok").drop("_ok").withColumn(
+                "_batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(accepted_path)
+            batch_df.join(
+                flags.join(ids, "doc_id").filter(~F.col("_ok")).drop("_ok"),
+                "doc_id",
+            ).withColumn("_batch_id", F.lit(batch_id)).write.mode(
                 "append"
             ).parquet(rejected_path)
         finally:
