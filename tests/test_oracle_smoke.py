@@ -24,6 +24,9 @@ SMOKE = [
     "similarity_topk",
     "pivot_event_type_counts",
     "eval_persistence_forecast",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
+    "ohlc_resample_daily",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -3778,6 +3778,161 @@ FROM spine sp LEFT JOIN sparse s USING (event_type, bucket_s)
 
 
 # --------------------------------------------------------------------------
+# Product-analytics shapes (r6): funnel / retention / OHLC resample.
+# Classic event-warehouse queries a reference user would run downstream of
+# the ingest the reference's `fetch.py` models; each is a single- or
+# two-shuffle declarative plan.
+# --------------------------------------------------------------------------
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user, STRICT ordering
+    (each stage must happen after the previous stage's first completion).
+
+    Plan shape: three stacked window projections over the SAME
+    ``partitionBy(user_id)`` exchange — Spark reuses one hash partitioning
+    for all three (no orderBy, so no sort either), then a 1-row global
+    aggregate. At 100 TB this is one shuffle of (user_id, ts, event_type)
+    thanks to column pruning, then map-side-combined counting.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(wu)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+    ).over(wu)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.select("user_id", "t1", "t2", "t3").distinct()
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked"),
+        F.count("t3").alias("n_purchased"),
+        F.round(F.count("t2") / F.count("t1"), 6).alias("click_rate"),
+        F.round(F.count("t3") / F.count("t2"), 6).alias("purchase_rate"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+per_user AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s3)
+SELECT count(*)  AS n_users,
+       count(t1) AS n_viewed,
+       count(t2) AS n_clicked,
+       count(t3) AS n_purchased,
+       round(count(t2)::DOUBLE / count(t1), 6) AS click_rate,
+       round(count(t3)::DOUBLE / count(t2), 6) AS purchase_rate
+FROM per_user
+"""
+
+
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = Monday-truncated week of each
+    user's FIRST event; count distinct users active at each week offset.
+
+    One window (min ts per user, partition-only exchange) + one distinct
+    + one grouped count — two shuffles total, both on bounded keys
+    (users, then ~weeks² cells). Week arithmetic is done on epoch seconds
+    of `date_trunc` so Spark and DuckDB agree regardless of timezone."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    cohort_week = F.date_trunc("WEEK", F.min("ts").over(wu))
+    ev_week = F.date_trunc("WEEK", F.col("ts"))
+    enriched = ev.select(
+        "user_id",
+        F.date_format(cohort_week, "yyyy-MM-dd").alias("cohort_week"),
+        ((F.unix_timestamp(ev_week) - F.unix_timestamp(cohort_week)) / F.lit(604800))
+        .cast("bigint")
+        .alias("week_offset"),
+    ).distinct()
+    return enriched.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )
+
+
+ORACLE_RETENTION = """
+WITH firsts AS (
+  SELECT *, date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cw,
+         date_trunc('week', ts) AS ew
+  FROM events
+),
+cells AS (
+  SELECT DISTINCT user_id,
+         strftime(cw, '%Y-%m-%d') AS cohort_week,
+         ((floor(epoch(ew))::BIGINT - floor(epoch(cw))::BIGINT) // 604800) AS week_offset
+  FROM firsts
+)
+SELECT cohort_week, week_offset, count(*) AS n_active_users
+FROM cells GROUP BY 1, 2
+"""
+
+
+def ohlc_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily OHLC bars (downsampling resample): open/close via
+    min_by/max_by on a zero-padded (epoch_us, event_id) string key — the
+    portable composite tiebreak both engines order identically — plus
+    high/low/volume in the SAME single grouped aggregate: one shuffle on
+    (event_type, day), map-side combined, no window, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    order_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.withColumn("ok", order_key)
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("DAY", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.round(F.min_by("value", F.col("ok")), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", F.col("ok")), 6).alias("close"),
+            F.round(F.sum("value"), 4).alias("volume"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+ORACLE_OHLC = """
+WITH k AS (
+  SELECT event_type, ts, value,
+         lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 12, '0') AS ok,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+  FROM events
+)
+SELECT event_type, day,
+       round(arg_min(value, ok), 6) AS open,
+       round(max(value), 6)         AS high,
+       round(min(value), 6)         AS low,
+       round(arg_max(value, ok), 6) AS close,
+       round(sum(value), 4)         AS volume,
+       count(*)                     AS n_events
+FROM k GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3899,6 +4054,9 @@ QUERIES: dict[str, Query] = {
     "multimodal_feature_extract": multimodal_feature_extract,
     "weather_feature_matrix": weather_feature_matrix,
     "weather_batch_stats": weather_batch_stats,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "retention_weekly_cohorts": retention_weekly_cohorts,
+    "ohlc_resample_daily": ohlc_resample_daily,
 }
 
 ORACLES: dict[str, str] = {
@@ -4006,6 +4164,9 @@ ORACLES: dict[str, str] = {
     "streaming_latest_per_user": ORACLE_LATEST_PER_USER,
     "streaming_session_counts": ORACLE_STREAM_SESSIONS,
     "streaming_sliding_counts": ORACLE_STREAM_SLIDING,
+    "funnel_view_click_purchase": ORACLE_FUNNEL,
+    "retention_weekly_cohorts": ORACLE_RETENTION,
+    "ohlc_resample_daily": ORACLE_OHLC,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
