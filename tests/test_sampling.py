@@ -187,3 +187,44 @@ def test_token_budget_sample_semantics(spark):
     assert sorted(r["cum_tokens_before"] for r in by_src["a"]) == [0, 40, 80]
     # group b: single 999-token doc crosses the budget but is kept
     assert len(by_src["b"]) == 1 and by_src["b"][0]["cum_tokens_before"] == 0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR log-ratio semantics on a planted corpus: a raw doc written in
+    the target domain's vocabulary must outweigh one written in the
+    off-domain vocabulary, and n_features must count unigrams + bigrams
+    (2n - 1)."""
+    from weatherdatapipeline_spark.operators.sampling import dsir_logratio_weights
+    from pyspark.sql import functions as F
+
+    target_text = "alpha beta gamma alpha beta"
+    offdom_text = "zeta eta theta zeta eta"
+    rows = (
+        [(i, target_text, "en") for i in range(10)]
+        + [(100 + i, offdom_text, "zz") for i in range(10)]
+        # the two raw docs being scored (not in the target set):
+        + [(500, target_text, "xx"), (501, offdom_text, "xx")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {
+        r["doc_id"]: r
+        for r in dsir_logratio_weights(df, is_target=F.col("lang") == "en")
+        .filter(F.col("doc_id") >= 500)
+        .collect()
+    }
+    assert w[500]["weight"] > w[501]["weight"]
+    assert w[500]["n_features"] == 2 * 5 - 1  # 5 unigrams + 4 bigrams
+
+
+def test_dsir_single_token_doc(spark):
+    """A one-token doc has exactly one feature (no bigrams) and must not
+    error out of the zip_with slice arithmetic."""
+    from weatherdatapipeline_spark.operators.sampling import dsir_logratio_weights
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "solo", "en"), (2, "a b", "zz")], "doc_id long, text string, lang string"
+    )
+    got = {r["doc_id"]: r["n_features"] for r in
+           dsir_logratio_weights(df, is_target=F.col("lang") == "en").collect()}
+    assert got == {1: 1, 2: 3}

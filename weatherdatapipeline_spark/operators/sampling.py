@@ -199,3 +199,80 @@ def token_budget_sample(
         .filter(F.col("cum_tokens_before") < budget)
         .select(id_col, group_col, F.col("n_tokens").cast("long").alias("n_tokens"), "cum_tokens_before")
     )
+
+
+def dsir_features(text_col: str | Column) -> Column:
+    """Hashed n-gram feature STRINGS of a document (unigrams + bigrams of
+    the whitespace-lowercase token convention shared with chunking/text).
+    Pure array expressions — no explode yet, no shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.when(n > 1, F.slice(toks, 2, n - 1)).otherwise(F.array()),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(toks, bigrams)
+
+
+def dsir_logratio_weights(
+    documents: DataFrame,
+    is_target: Column,
+    buckets: int = 1024,
+    smoothing: float = 0.01,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW document
+    by how much its hashed n-gram features look like the TARGET domain,
+    log p_target(features) - log p_raw(features) under bag-of-hashed-
+    n-gram models with add-k smoothing. High weight = raw doc that
+    resembles the target; selection = top-k or Gumbel resampling on the
+    weight.
+
+    Distributed shape (corpus-scale safe):
+    - ONE explode of unigram+bigram features -> ONE grouped count per
+      hash bucket with a conditional target count folded in (single pass,
+      map-side combined; output cardinality = ``buckets``, independent of
+      corpus size);
+    - totals via a 1-row aggregate cross-joined back (broadcast);
+    - the ``buckets``-row weight table joins the exploded features
+      (AQE broadcasts it), then one groupBy(doc) sum — the only
+      corpus-sized shuffle.
+
+    Feature hashing uses the portable md5 bucket (``hash_bucket``) so a
+    SQL engine can recompute the whole pipeline for audits. Returns
+    (id, n_features, weight); ties in downstream top-k selection must
+    break on the id.
+    """
+    feats = documents.select(
+        F.col(id_col),
+        is_target.cast("int").alias("tgt"),
+        F.explode(dsir_features(text_col)).alias("feat"),
+    ).select(id_col, "tgt", hash_bucket(F.col("feat"), buckets).alias("b"))
+
+    counts = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("tgt").alias("n_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
+    )
+    s, sb = float(smoothing), float(smoothing) * buckets
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("n_tgt") + s) / (F.col("t_tgt") + sb))
+            - F.log((F.col("n_raw") + s) / (F.col("t_raw") + sb))
+        ).alias("w"),
+    )
+    return (
+        feats.join(weights, "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("w").alias("weight"),
+        )
+    )

@@ -3932,6 +3932,64 @@ FROM k GROUP BY 1, 2
 """
 
 
+def dsir_select_top200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: weight every document by hashed-n-gram
+    log-likelihood ratio against the English subset as the target domain,
+    keep the top 200. See operators/sampling.py::dsir_logratio_weights
+    for the distributed shape (one explode, bucket-bounded aggregates,
+    one doc-keyed shuffle). Weight rounded BEFORE the top-k cut so the
+    (weight, doc_id) ordering is engine-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    w = SA.dsir_logratio_weights(docs, is_target=F.col("lang") == "en")
+    return (
+        w.select("doc_id", "n_features", F.round("weight", 6).alias("weight"))
+        .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(200)
+    )
+
+
+ORACLE_DSIR = """
+WITH lists AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+         string_split_regex(lower(trim(text)), '\\s+') AS lst
+  FROM documents
+),
+toks AS (
+  -- parallel unnest zips the token list with its 1-based positions
+  SELECT doc_id, tgt, unnest(lst) AS tok,
+         unnest(range(1, len(lst) + 1)) AS ord
+  FROM lists
+),
+bi AS (
+  SELECT doc_id, tgt,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS feat
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, tgt, tok AS feat FROM toks
+  UNION ALL
+  SELECT doc_id, tgt, feat FROM bi WHERE feat IS NOT NULL
+),
+bkt AS (
+  SELECT doc_id, tgt,
+         ('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024 AS b
+  FROM feats
+),
+counts AS (SELECT b, count(*) AS n_raw, sum(tgt) AS n_tgt FROM bkt GROUP BY 1),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM counts),
+w AS (
+  SELECT b, ln((n_tgt + 0.01) / (t_tgt + 10.24))
+           - ln((n_raw + 0.01) / (t_raw + 10.24)) AS w
+  FROM counts, tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_features, round(sum(w), 6) AS weight
+FROM bkt JOIN w USING (b)
+GROUP BY doc_id
+ORDER BY round(sum(w), 6) DESC, doc_id
+LIMIT 200
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4057,6 +4115,7 @@ QUERIES: dict[str, Query] = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "retention_weekly_cohorts": retention_weekly_cohorts,
     "ohlc_resample_daily": ohlc_resample_daily,
+    "dsir_select_top200": dsir_select_top200,
 }
 
 ORACLES: dict[str, str] = {
@@ -4167,6 +4226,7 @@ ORACLES: dict[str, str] = {
     "funnel_view_click_purchase": ORACLE_FUNNEL,
     "retention_weekly_cohorts": ORACLE_RETENTION,
     "ohlc_resample_daily": ORACLE_OHLC,
+    "dsir_select_top200": ORACLE_DSIR,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
