@@ -280,3 +280,52 @@ def test_quantize_tolerates_nonfinite_components(spark):
         r["vec_id"]: r["qvec"] for r in quantize_int8(df, impl="arrow").collect()
     }
     assert via_arrow == arr
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    """Full numpy replication of 2 Lloyd iterations with seed-row init:
+    identical assignments and squared distances (1e-6)."""
+    from weatherdatapipeline_spark.operators.embeddings import kmeans_lloyd
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(60, 5)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: (r["cluster"], r["sq_dist"])
+           for r in kmeans_lloyd(df, k=4, iters=2).collect()}
+
+    C = X[:4].astype("float64")
+    Xd = X.astype("float64")
+    for _ in range(2):
+        d = ((Xd[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        C = np.array([Xd[a == j].mean(axis=0) if (a == j).any() else C[j]
+                      for j in range(4)])
+    d = ((Xd[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    for i in range(60):
+        assert got[i][0] == a[i]
+        assert abs(got[i][1] - d[i, a[i]]) < 1e-6
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
+    """A seed centroid that attracts no members must survive the update
+    unchanged (no NaN centroid, no crash): seed 0 is a far outlier that
+    still owns itself, seed 1 is orphaned by construction."""
+    from weatherdatapipeline_spark.operators.embeddings import kmeans_lloyd
+
+    rows = [
+        (0, [100.0, 100.0]),   # isolated seed, owns only itself
+        (1, [0.0, 0.0]),       # seed immediately orphaned: every near-origin
+        (2, [0.1, 0.0]),       # point is closer to the (0.05, 0) mean after
+        (3, [0.05, 0.02]),     # iter 1... still a valid deterministic run
+        (4, [0.06, 0.01]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, k=2, iters=2).collect()
+    assert len(out) == 5
+    by_id = {r["vec_id"]: r["cluster"] for r in out}
+    assert by_id[0] == 0
+    assert all(np.isfinite(r["sq_dist"]) for r in out)

@@ -491,3 +491,74 @@ def pq_adc_topk(
         F.col(id_col), F.round(dist, 6).alias("adc_distance"), width_ok.alias("_chk")
     ).drop("_chk")
     return scored.orderBy("adc_distance", id_col).limit(topk)
+
+
+def _sq_dist_to_literal(vec_col: str, centroid: list[float]):
+    """Squared L2 distance from an array column to a literal centroid,
+    summed in DIMENSION ORDER (a left fold, matching the oracle's
+    position-ordered sum so both engines run the identical IEEE
+    addition sequence)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(
+        F.col(vec_col), lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means with the repo's deterministic seed-row
+    init (centroids = the k lowest ids), so every iteration — not just
+    the API — is oracle-recomputable in SQL.
+
+    Per iteration, the 100 TB shape Spark's own MLlib KMeans uses:
+    - ASSIGN is map-only: the k centroids ride along as literal arrays
+      (k*d scalars), each row computes k fold-summed squared distances
+      and takes `array_position(dists, array_min(dists))` — no join, no
+      shuffle, no UDF;
+    - UPDATE is one posexplode + one (cluster, dim) aggregate — k*d
+      output cells regardless of corpus size, map-side combined — then a
+      k*d-scalar collect to the driver for the next round's literals
+      (bounded small state, the same contract as pca_projection_matrix).
+    A cluster that loses all members keeps its previous centroid
+    (deterministic; no RNG re-seeding).
+
+    Returns the final assignment (id, cluster, sq_dist)."""
+    seed_rows = (
+        embeddings.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if len(seed_rows) != k:
+        raise ValueError(f"expected {k} seed rows with {id_col} < {k}, found {len(seed_rows)}")
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+
+    def assigned(cents) -> DataFrame:
+        dists = F.array(*[_sq_dist_to_literal(vec_col, c) for c in cents])
+        return embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint").alias("cluster"),
+            F.array_min(dists).alias("sq_dist"),
+        )
+
+    for _ in range(iters):
+        means = (
+            assigned(centroids)
+            .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty cluster keeps its centroid
+        for r in means:
+            new_c[r["cluster"]][r["dim"]] = r["m"]
+        centroids = new_c
+
+    return assigned(centroids).select(id_col, "cluster", "sq_dist")

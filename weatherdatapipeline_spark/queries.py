@@ -3990,6 +3990,73 @@ LIMIT 200
 """
 
 
+def kmeans_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 2 iterations, seed-row init) over
+    the embeddings table — the ITERATIVE algorithm shape, fully
+    oracle-checked by unrolling both iterations in SQL. See
+    operators/embeddings.py::kmeans_lloyd for the scale design
+    (map-only literal-centroid assign; k*d-cell update agg)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = E.kmeans_lloyd(emb, k=8, iters=2)
+    return out.select("vec_id", "cluster", F.round("sq_dist", 4).alias("sq_dist"))
+
+
+ORACLE_KMEANS = """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+),
+c0d AS (  -- init: centroids = vectors with the 8 lowest ids (cl = vec_id)
+  SELECT vec_id AS cl, dim, x AS val FROM ex WHERE vec_id < 8
+),
+d1 AS (
+  SELECT ex.vec_id, c.cl, sum((ex.x - c.val) * (ex.x - c.val)) AS d
+  FROM ex JOIN c0d c USING (dim) GROUP BY 1, 2
+),
+a1 AS (
+  SELECT d1.vec_id, min(d1.cl) AS cl
+  FROM d1 JOIN (SELECT vec_id, min(d) AS md FROM d1 GROUP BY 1) m
+    ON d1.vec_id = m.vec_id AND d1.d = m.md
+  GROUP BY 1
+),
+m1 AS (
+  SELECT a.cl, ex.dim, avg(ex.x) AS m
+  FROM a1 a JOIN ex USING (vec_id) GROUP BY 1, 2
+),
+c1d AS (  -- empty cluster keeps its previous centroid
+  SELECT c.cl, c.dim, coalesce(m.m, c.val) AS val
+  FROM c0d c LEFT JOIN m1 m ON m.cl = c.cl AND m.dim = c.dim
+),
+d2 AS (
+  SELECT ex.vec_id, c.cl, sum((ex.x - c.val) * (ex.x - c.val)) AS d
+  FROM ex JOIN c1d c USING (dim) GROUP BY 1, 2
+),
+a2 AS (
+  SELECT d2.vec_id, min(d2.cl) AS cl
+  FROM d2 JOIN (SELECT vec_id, min(d) AS md FROM d2 GROUP BY 1) m
+    ON d2.vec_id = m.vec_id AND d2.d = m.md
+  GROUP BY 1
+),
+m2 AS (
+  SELECT a.cl, ex.dim, avg(ex.x) AS m
+  FROM a2 a JOIN ex USING (vec_id) GROUP BY 1, 2
+),
+c2d AS (
+  SELECT c.cl, c.dim, coalesce(m.m, c.val) AS val
+  FROM c0d c LEFT JOIN m2 m ON m.cl = c.cl AND m.dim = c.dim
+),
+d3 AS (
+  SELECT ex.vec_id, c.cl, sum((ex.x - c.val) * (ex.x - c.val)) AS d
+  FROM ex JOIN c2d c USING (dim) GROUP BY 1, 2
+)
+SELECT d3.vec_id, min(d3.cl)::BIGINT AS cluster, round(min(m.md), 4) AS sq_dist
+FROM d3 JOIN (SELECT vec_id, min(d) AS md FROM d3 GROUP BY 1) m
+  ON d3.vec_id = m.vec_id AND d3.d = m.md
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4116,6 +4183,7 @@ QUERIES: dict[str, Query] = {
     "retention_weekly_cohorts": retention_weekly_cohorts,
     "ohlc_resample_daily": ohlc_resample_daily,
     "dsir_select_top200": dsir_select_top200,
+    "kmeans_cluster_assignments": kmeans_cluster_assignments,
 }
 
 ORACLES: dict[str, str] = {
@@ -4227,6 +4295,7 @@ ORACLES: dict[str, str] = {
     "retention_weekly_cohorts": ORACLE_RETENTION,
     "ohlc_resample_daily": ORACLE_OHLC,
     "dsir_select_top200": ORACLE_DSIR,
+    "kmeans_cluster_assignments": ORACLE_KMEANS,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
