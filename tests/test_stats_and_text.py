@@ -419,3 +419,41 @@ def test_heavy_hitters_rejects_bad_threshold(spark):
 
     with _pytest.raises(ValueError):
         heavy_hitters_exact(None, threshold=1.5)
+
+
+def test_exact_shared_spans_boundaries(spark):
+    """A planted 80-char shared region must come back as ONE maximal span
+    with exact 1-based start offsets and length; unrelated docs yield
+    nothing."""
+    from weatherdatapipeline_spark.operators.text import exact_shared_spans
+
+    shared = "".join(f"w{i:02d}x" for i in range(20))  # 80 chars, no repeats
+    assert len(shared) == 80 and len(set(shared)) > 5
+    a = "AAAA-" + shared + "-tailA"          # span starts at char 6
+    b = "prefixBB|" + shared + "~moreB"      # span starts at char 10
+    c = "totally unrelated content here, long enough to gram"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    rows = exact_shared_spans(df, k=25, min_span=60, max_gram_freq=100).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["start_a"] == 6 and r["start_b"] == 10
+    assert r["span_chars"] == 80
+
+
+def test_exact_shared_spans_df_cut_drops_boilerplate(spark):
+    """A gram present in more docs than max_gram_freq is cut before the
+    self-join, so ubiquitous boilerplate produces no pairs."""
+    from weatherdatapipeline_spark.operators.text import exact_shared_spans
+
+    boiler = "this exact same boilerplate line appears everywhere verbatim!"
+    df = spark.createDataFrame(
+        [(i, f"doc{i} intro. " + boiler) for i in range(6)],
+        "doc_id long, text string",
+    )
+    cut = exact_shared_spans(df, k=25, min_span=40, max_gram_freq=3).collect()
+    assert cut == []
+    kept = exact_shared_spans(df, k=25, min_span=40, max_gram_freq=100).collect()
+    assert len(kept) == 15  # all C(6,2) pairs share the span

@@ -716,3 +716,76 @@ def _persist_hh(df: DataFrame) -> DataFrame:
         _HH_CACHE.pop().unpersist(blocking=False)
     _HH_CACHE.append(out)
     return out
+
+
+def exact_shared_spans(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 25,
+    min_span: int = 60,
+    max_gram_freq: int | None = 100,
+) -> DataFrame:
+    """EXACT maximal shared character spans between document pairs — the
+    relational form of exact-substring training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    which uses suffix arrays on one big machine; an equi-join + islands
+    is the shuffle-native equivalent).
+
+    Every char k-gram position is hashed once (explode + substr, the
+    same no-HOF-inlining shape as winnow_fingerprints), rare grams
+    (df-cut <= ``max_gram_freq`` distinct docs) self-join, and runs of
+    consecutive positions on the same alignment DIAGONAL (pos_a - pos_b)
+    collapse via gaps-and-islands: row_number along the diagonal minus
+    position is constant exactly within one contiguous shared run. A run
+    of length r means an exact shared span of r + k - 1 chars.
+
+    Unlike winnowing (a 1/w sampled sketch for candidate pairing), this
+    returns exact span boundaries: (doc_a, doc_b, start_a, start_b,
+    span_chars >= ``min_span``). The df-cut bounds join fan-out to
+    max_gram_freq^2 per gram value — the same boilerplate guard as the
+    shingle df-cut in dedup.jaccard_near_duplicates; at corpus scale the
+    cut list is itself data-derived and the join shuffles on the 60-bit
+    gram hash (uniform, skew-safe after the cut)."""
+    from pyspark.sql import Window
+
+    from .dedup import portable_hash60
+
+    text = F.col(text_col)
+    n_pos = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    g = documents.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"),
+        text,
+    ).select(
+        F.col(id_col),
+        F.col("_i"),
+        portable_hash60(text.substr(F.col("_i"), F.lit(k))).alias("_h"),
+    )
+    if max_gram_freq is not None:
+        keep = (
+            g.groupBy("_h")
+            .agg(F.count_distinct(id_col).alias("_df"))
+            .filter(F.col("_df") <= max_gram_freq)
+            .select("_h")
+        )
+        g = g.join(keep, "_h")  # AQE may broadcast `keep`
+    a = g.select(F.col(id_col).alias("doc_a"), F.col("_i").alias("ia"), "_h")
+    b = g.select(F.col(id_col).alias("doc_b"), F.col("_i").alias("ib"), "_h")
+    pairs = (
+        a.join(b, "_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ia", "ib", (F.col("ia") - F.col("ib")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    runs = pairs.withColumn("grp", F.col("ia") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("ia").alias("start_a"),
+            F.min("ib").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_chars"),
+        )
+        .filter(F.col("span_chars") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_chars")
+    )

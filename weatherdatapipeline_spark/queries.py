@@ -4057,6 +4057,48 @@ GROUP BY 1
 """
 
 
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximal shared char spans >= 60 between document pairs
+    (suffix-array exact-substring dedup re-expressed as a gram equi-join
+    + diagonal gaps-and-islands — see operators/text.py::
+    exact_shared_spans)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.exact_shared_spans(docs, k=25, min_span=60, max_gram_freq=100)
+
+
+ORACLE_EXACT_SPANS = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(len(text) - 24, 1) + 1)) AS i
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(substr(text, i::INT, 25)), 1, 15))::BIGINT AS h
+  FROM pos
+),
+keep AS (
+  SELECT h FROM g0 GROUP BY h HAVING count(DISTINCT doc_id) <= 100
+),
+g AS (SELECT g0.* FROM g0 JOIN keep USING (h)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib,
+         a.i - b.i AS diag
+  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, ia, ib,
+         ia - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS grp
+  FROM pairs
+)
+SELECT doc_a, doc_b, min(ia) AS start_a, min(ib) AS start_b,
+       (count(*) + 24)::BIGINT AS span_chars
+FROM runs
+GROUP BY doc_a, doc_b, diag, grp
+HAVING count(*) + 24 >= 60
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4184,6 +4226,7 @@ QUERIES: dict[str, Query] = {
     "ohlc_resample_daily": ohlc_resample_daily,
     "dsir_select_top200": dsir_select_top200,
     "kmeans_cluster_assignments": kmeans_cluster_assignments,
+    "exact_substring_spans": exact_substring_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -4296,6 +4339,7 @@ ORACLES: dict[str, str] = {
     "ohlc_resample_daily": ORACLE_OHLC,
     "dsir_select_top200": ORACLE_DSIR,
     "kmeans_cluster_assignments": ORACLE_KMEANS,
+    "exact_substring_spans": ORACLE_EXACT_SPANS,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
