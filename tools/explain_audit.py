@@ -182,6 +182,25 @@ CHECKS = {
         # conjuncts: brand IN and size/qty ranges reach the scans via Or
         ("disjunction pushed to scan", r"PushedFilters: \[.*Or\("),
     ],
+    "q6_forecast_revenue": [
+        # the canonical pushdown microbenchmark: all three range
+        # predicates must reach the lineitem scan
+        ("shipdate range pushed", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"),
+        ("discount band pushed", r"PushedFilters: \[.*GreaterThanOrEqual\(l_discount"),
+        ("quantity cap pushed", r"PushedFilters: \[.*LessThan\(l_quantity"),
+    ],
+    "q4_order_priority": [
+        ("EXISTS compiles to a semi join", r"LeftSemi"),
+        ("orderdate quarter pushed to scan", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"),
+    ],
+    "q9_product_profit": [
+        ("part/supplier/nation dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 3),
+        ("red-part filter pushed", r"PushedFilters: \[.*StringContains\(p_name,red\)"),
+    ],
+    "q16_supplier_part_counts": [
+        ("NOT IN compiles to broadcast anti join", r"BroadcastHashJoin.*LeftAnti|LeftAnti, BuildRight"),
+        ("size IN-list pushed to part scan", r"PushedFilters: \[.*In\(p_size"),
+    ],
 }
 
 

@@ -4100,6 +4100,191 @@ HAVING count(*) + 24 >= 60
 
 
 # --------------------------------------------------------------------------
+# TPC-H completion (r6): Q4/Q6/Q9/Q11/Q16 shapes. The testdata schema has
+# no partsupp table and lineitem carries no commit/receipt dates, so each
+# query keeps its canonical PLAN SHAPE (EXISTS semi-join, pure filter-agg,
+# profit expression with a minus-cost term, share-of-global-total HAVING,
+# NOT IN + count-distinct) over the columns that exist; adaptations are
+# noted per query. With these, all 22 TPC-H query shapes have a
+# registry twin (Q2~cheapest_supplier_per_part, Q13~customer_order_count_
+# distribution, Q14~promo_revenue_ratio, Q22~acctbal_above_avg_by_segment).
+# --------------------------------------------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style left-semi join from a quarter of
+    orders into lineitem with an extra non-equi predicate (shipped > 60
+    days after ordering, standing in for commitdate < receiptdate),
+    then a priority count. The semi join keeps the probe side
+    duplicate-free without a distinct."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 verbatim shape: single scan, three pushed-down range
+    predicates, one global sum — the canonical predicate-pushdown
+    microbenchmark (PushedFilters must show all three)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.04, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (nation, year) for 'red' parts —
+    fact scan joined through three broadcast dims + the orders join for
+    the year, amount = revenue MINUS a cost term (p_retailprice * qty *
+    0.1 stands in for ps_supplycost * qty; no partsupp table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+ORACLE_Q9 = """
+SELECT n_name AS nation,
+       year(o_orderdate)::BIGINT AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part shipped value for ONE nation's
+    suppliers, kept only where it exceeds a FRACTION of that nation's
+    grand total — grouped agg + broadcast 1-row global total + HAVING
+    on the share (value = l_extendedprice * l_quantity stands in for
+    supplycost * availqty; no partsupp table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    li_n = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    per_part = li_n.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value")
+    )
+    total = per_part.agg(F.sum("value").alias("grand_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("grand_total") * 0.002)
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+ORACLE_Q11 = """
+WITH li_n AS (
+  SELECT l_partkey, l_extendedprice * l_quantity AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+per_part AS (SELECT l_partkey, sum(v) AS value FROM li_n GROUP BY 1)
+SELECT l_partkey, round(value, 2) AS value
+FROM per_part
+WHERE value > (SELECT sum(value) FROM per_part) * 0.002
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) bucket for a filtered part subset, EXCLUDING a supplier
+    blacklist via NOT IN (negative-acctbal suppliers stand in for the
+    'Customer Complaints' set; supplier-part pairs come from lineitem —
+    no partsupp table). Anti join implements the NOT IN; the part dim
+    broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4227,6 +4412,11 @@ QUERIES: dict[str, Query] = {
     "dsir_select_top200": dsir_select_top200,
     "kmeans_cluster_assignments": kmeans_cluster_assignments,
     "exact_substring_spans": exact_substring_spans,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -4340,6 +4530,11 @@ ORACLES: dict[str, str] = {
     "dsir_select_top200": ORACLE_DSIR,
     "kmeans_cluster_assignments": ORACLE_KMEANS,
     "exact_substring_spans": ORACLE_EXACT_SPANS,
+    "q4_order_priority": ORACLE_Q4,
+    "q6_forecast_revenue": ORACLE_Q6,
+    "q9_product_profit": ORACLE_Q9,
+    "q11_important_parts": ORACLE_Q11,
+    "q16_supplier_part_counts": ORACLE_Q16,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
