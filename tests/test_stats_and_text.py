@@ -457,3 +457,52 @@ def test_exact_shared_spans_df_cut_drops_boilerplate(spark):
     assert cut == []
     kept = exact_shared_spans(df, k=25, min_span=40, max_gram_freq=100).collect()
     assert len(kept) == 15  # all C(6,2) pairs share the span
+
+
+def test_cms_never_undercounts_and_bounds_error(spark):
+    """CMS point estimates must upper-bound exact counts for EVERY probe
+    (structural guarantee), and with width >> distinct items collisions
+    are rare enough that most estimates are exact."""
+    from weatherdatapipeline_spark.operators.stats import cms_estimate, count_min_sketch
+    from pyspark.sql import functions as F
+
+    rows = [(f"item{i % 50}",) for i in range(2000)]  # 50 items x 40 each
+    df = spark.createDataFrame(rows, "item string")
+    sk = count_min_sketch(df, depth=4, width=256)
+    probes = df.distinct()
+    est = {r["item"]: r["cms_count"] for r in cms_estimate(sk, probes).collect()}
+    assert len(est) == 50
+    assert all(v >= 40 for v in est.values())
+    assert sum(1 for v in est.values() if v == 40) >= 40  # mostly exact
+
+
+def test_cms_sketch_cardinality_is_bounded(spark):
+    from weatherdatapipeline_spark.operators.stats import count_min_sketch
+
+    df = spark.createDataFrame([(f"i{i}",) for i in range(5000)], "item string")
+    cells = count_min_sketch(df, depth=4, width=64).count()
+    assert cells <= 4 * 64
+
+
+def test_hll_estimate_within_standard_error(spark):
+    """256 registers -> 1.04/sqrt(256) = 6.5% standard error; assert the
+    estimate lands within 4 sigma of 5,000 true distinct items."""
+    from weatherdatapipeline_spark.operators.stats import hll_distinct_estimate
+
+    df = spark.createDataFrame(
+        [(f"unique-token-{i}",) for i in range(5000)], "item string"
+    )
+    est = hll_distinct_estimate(df, b=8).collect()[0]["hll_estimate"]
+    assert abs(est - 5000) / 5000 < 0.26, est
+
+
+def test_hll_small_range_correction_is_exactish(spark):
+    """With 30 distinct items, most registers are zero -> linear
+    counting kicks in and is near-exact."""
+    from weatherdatapipeline_spark.operators.stats import hll_distinct_estimate
+
+    df = spark.createDataFrame(
+        [(f"x{i % 30}",) for i in range(900)], "item string"
+    )
+    est = hll_distinct_estimate(df, b=8).collect()[0]["hll_estimate"]
+    assert abs(est - 30) < 4, est

@@ -140,3 +140,114 @@ def psi_drift(
             F.round(F.sum((cr - pr) * F.log(cr / pr)), 6).alias("psi"),
         )
     )
+
+
+def count_min_sketch(
+    items: DataFrame,
+    item_col: str = "item",
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) over an
+    item column: ``depth`` independent hash rows of ``width`` counters.
+    One explode-free pass — each input row contributes to exactly
+    ``depth`` cells via a posexplode of its hash array — then a single
+    (row, bucket) aggregate whose output cardinality is depth*width,
+    independent of data size (the mergeability that makes CMS the
+    standard distributed frequency sketch: per-partition partials
+    combine by cell-wise +).
+
+    Hashing is the portable md5 family (hash60 of "salt|item" mod
+    width), so a SQL engine can rebuild the identical sketch — unlike
+    Spark's built-in ``count_min_sketch`` aggregate, whose murmur cells
+    no other engine can recompute. Returns (row, bucket, cnt)."""
+    from .dedup import portable_hash60
+
+    c = F.col(item_col)
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    hashes = F.array(
+        *[(portable_hash60(F.lit(str(d)), c) % width) for d in range(depth)]
+    )
+    return (
+        items.select(w.alias("_w"), F.posexplode(hashes).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, item_col: str = "item",
+    depth: int = 4, width: int = 256,
+) -> DataFrame:
+    """Point-query the CMS for each probe item: min over the sketch's
+    ``depth`` cells addressed by the item's hashes. The sketch is
+    depth*width rows (bounded) so the join broadcasts; estimates
+    upper-bound true counts (eps = e/width overcount with prob
+    1 - 1/e^depth). Returns (item, cms_count)."""
+    from .dedup import portable_hash60
+
+    c = F.col(item_col)
+    hashes = F.array(
+        *[(portable_hash60(F.lit(str(d)), c) % width) for d in range(depth)]
+    )
+    addressed = probes.select(c, F.posexplode(hashes).alias("row", "bucket"))
+    return (
+        addressed.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").cast("long").alias("cms_count"))
+    )
+
+
+def hll_distinct_estimate(
+    items: DataFrame, item_col: str = "item", b: int = 8
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate (Flajolet et al. 2007) built
+    from scratch on the portable md5 hash family, so the WHOLE sketch —
+    register assignment, rho, bias constant, small-range correction —
+    is recomputable in SQL (Spark's approx_count_distinct uses an
+    opaque HLL++ no other engine reproduces; that stays the production
+    path, this one exists for auditability and as the mergeable
+    register-table form).
+
+    m = 2^b registers; a 60-bit hash splits into a low-bits register
+    index and a 52-bit suffix whose most-significant-bit position gives
+    rho (computed EXACTLY via length(bin(v)) — no float log2 at bit
+    boundaries). One grouped max per register (m-row output, mergeable
+    by cell-wise max), a left join against the m-row spine for
+    never-hit registers, then the standard harmonic-mean estimate with
+    the linear-counting small-range correction. Returns one row
+    (hll_estimate DOUBLE)."""
+    from .dedup import portable_hash60
+
+    m = 1 << b
+    h = portable_hash60(F.col(item_col))
+    # exact integer suffix: an arithmetic shift, never double division —
+    # double(h) at 2^60 has a 128-ulp and would corrupt the low bits
+    v = F.shiftright(h, b)
+    regs = (
+        items.select((h % m).alias("j"), v.alias("_v"))
+        .select(
+            "j",
+            F.when(F.col("_v") == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin(F.col("_v"))))
+            .alias("rho"),
+        )
+        .groupBy("j")
+        .agg(F.max("rho").alias("M"))
+    )
+    spine = items.sparkSession.range(m).select(F.col("id").alias("j"))
+    full = spine.join(regs, "j", "left").select(
+        F.coalesce(F.col("M"), F.lit(0)).alias("M")
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = full.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("z"),
+        F.sum(F.when(F.col("M") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("z")
+    corrected = F.when(
+        (raw <= 2.5 * m) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(raw)
+    return agg.select(corrected.alias("hll_estimate"))

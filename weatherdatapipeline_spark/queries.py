@@ -4284,6 +4284,113 @@ GROUP BY 1, 2, 3
 """
 
 
+def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over all corpus tokens (4x256 portable-md5
+    cells), point-queried for every token with exact count >= 40 —
+    output pairs each exact count with its CMS upper bound, so the
+    sketch's overcount guarantee is visible in the result. The sketch
+    itself is 1,024 cells regardless of corpus size (see
+    operators/stats.py::count_min_sketch)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+    sketch = ST.count_min_sketch(toks, item_col="token", depth=4, width=256)
+    probes = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .filter(F.col("exact_count") >= 40)
+    )
+    est = ST.cms_estimate(sketch, probes.select("token"), item_col="token",
+                          depth=4, width=256)
+    return probes.join(est, "token").select("token", "exact_count", "cms_count")
+
+
+ORACLE_CMS = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT ds.d,
+         ('0x' || substr(md5(ds.d::VARCHAR || '|' || toks.token), 1, 15))::BIGINT % 256 AS bucket,
+         count(*) AS cnt
+  FROM toks, ds
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT token, count(*)::BIGINT AS exact_count
+  FROM toks GROUP BY 1 HAVING count(*) >= 40
+),
+est AS (
+  SELECT e.token, min(c.cnt)::BIGINT AS cms_count
+  FROM exact e
+  CROSS JOIN ds
+  JOIN cells c
+    ON c.d = ds.d
+   AND c.bucket = ('0x' || substr(md5(ds.d::VARCHAR || '|' || e.token), 1, 15))::BIGINT % 256
+  GROUP BY 1
+)
+SELECT e.token, e.exact_count, est.cms_count
+FROM exact e JOIN est USING (token)
+"""
+
+
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch portable HyperLogLog (256 registers) vs the exact
+    distinct token count, in one result row — the auditability twin of
+    `approx_distinct_users` (which uses Spark's opaque HLL++ and is
+    rows-only). Every stage is recomputed by the SQL oracle: register
+    max-rho table, never-hit spine, harmonic estimate, small-range
+    correction."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+    est = ST.hll_distinct_estimate(toks, item_col="token", b=8)
+    exact = toks.agg(F.count_distinct("token").cast("long").alias("exact_distinct"))
+    return exact.crossJoin(est).select(
+        "exact_distinct", F.round("hll_estimate", 4).alias("hll_estimate")
+    )
+
+
+ORACLE_HLL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+hashes AS (
+  SELECT ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM toks
+),
+regs AS (
+  SELECT h % 256 AS j,
+         max(CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END) AS M
+  FROM hashes GROUP BY 1
+),
+spine AS (SELECT unnest(range(0, 256)) AS j),
+full_regs AS (
+  SELECT coalesce(regs.M, 0) AS M FROM spine LEFT JOIN regs USING (j)
+),
+agg AS (
+  SELECT sum(power(2.0, -M)) AS z,
+         sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM full_regs
+),
+est AS (
+  SELECT CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536 / z <= 640.0
+               AND zeros > 0
+              THEN 256.0 * ln(256.0 / zeros)
+              ELSE (0.7213 / (1 + 1.079 / 256)) * 65536 / z END AS e
+  FROM agg
+)
+SELECT (SELECT count(DISTINCT token)::BIGINT FROM toks) AS exact_distinct,
+       round(e, 4) AS hll_estimate
+FROM est
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4417,6 +4524,8 @@ QUERIES: dict[str, Query] = {
     "q9_product_profit": q9_product_profit,
     "q11_important_parts": q11_important_parts,
     "q16_supplier_part_counts": q16_supplier_part_counts,
+    "cms_token_frequencies": cms_token_frequencies,
+    "hll_distinct_tokens": hll_distinct_tokens,
 }
 
 ORACLES: dict[str, str] = {
@@ -4535,6 +4644,8 @@ ORACLES: dict[str, str] = {
     "q9_product_profit": ORACLE_Q9,
     "q11_important_parts": ORACLE_Q11,
     "q16_supplier_part_counts": ORACLE_Q16,
+    "cms_token_frequencies": ORACLE_CMS,
+    "hll_distinct_tokens": ORACLE_HLL,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
