@@ -330,3 +330,45 @@ def test_portable_and_xxhash64_minhash_families_agree_on_planted_dups(spark):
     assert (0, 1) in portable and (0, 3) in portable
     for pair in set(fast) & set(portable):
         assert fast[pair] == portable[pair], f"jaccard differs on {pair}"
+
+
+def test_bloom_contamination_no_false_negatives(spark):
+    """Every doc the EXACT check flags must also be bloom-flagged
+    (structural guarantee); clean docs are mostly clean modulo rare
+    false positives, and the planted contaminated doc is hit."""
+    from weatherdatapipeline_spark.operators.dedup import bloom_contamination
+
+    ev_text = "the secret eval answer is forty two exactly"
+    corpus_rows = [
+        (1, "prefix words the secret eval answer is forty two exactly suffix"),
+        (2, "completely unrelated text about weather and parquet files"),
+        (3, "another clean document with plenty of ordinary words inside"),
+    ]
+    ev = spark.createDataFrame([(1000, ev_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bloom = {r["doc_id"]: r for r in bloom_contamination(corpus, ev, n=5).collect()}
+
+    def grams(t, n=5):
+        w = t.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+    ev_grams = grams(ev_text)
+    for d, t in corpus_rows:
+        exact_hits = len(grams(t) & ev_grams)
+        if exact_hits > 0:
+            assert bloom[d]["flagged"], f"false negative on doc {d}"
+            assert bloom[d]["n_bloom_hits"] >= exact_hits
+    assert bloom[1]["flagged"]
+
+
+def test_bloom_position_table_is_bounded(spark):
+    """The broadcast side must be <= m rows no matter the eval size."""
+    from weatherdatapipeline_spark.operators.dedup import bloom_contamination
+
+    ev = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    out = bloom_contamination(corpus, ev, n=5, k=4, m=512).collect()
+    assert len(out) == 1  # small m -> heavy FP rate is fine; just runs

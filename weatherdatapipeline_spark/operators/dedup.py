@@ -1123,3 +1123,63 @@ def dedup_keep_canonical(
         )
         .drop("cluster_id")
     )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 4,
+    m: int = 65536,
+) -> DataFrame:
+    """Bloom-filter variant of ``contamination_check``: instead of
+    broadcasting the eval set's DISTINCT GRAMS (which grows with the
+    eval corpus — strings, unbounded), broadcast only the <= ``m``
+    distinct BIT POSITIONS its grams set (k salted portable hashes per
+    gram). At 100 TB the filter is a fixed ~m-row / m-bit structure
+    (65,536 positions = 8 KB of actual bits) no matter how many eval
+    docs exist — the standard trade: a gram is flagged when ALL k of
+    its positions are set, so false POSITIVES are possible (rate
+    ~(1 - e^(-kN/m))^k) but false negatives are not; a Bloom pass can
+    only over-flag, never leak.
+
+    The membership test stays relational: corpus grams posexplode their
+    k positions, semi-join the position table, and a (doc, gram) count
+    == k marks a hit — no bitmap UDF, every step SQL-recomputable.
+    Returns (id, n_grams, n_bloom_hits, flagged)."""
+    salts = [F.lit(str(i)) for i in range(k)]
+
+    def positions(gram_col):
+        return F.array(*[portable_hash60(s, gram_col) % m for s in salts])
+
+    eval_bits = (
+        eval_docs.select(F.explode(word_shingles(text_col, n)).alias("_g"))
+        .select(F.explode(positions(F.col("_g"))).alias("pos"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_g")
+    )
+    per_doc = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    probed = corpus_grams.select(
+        id_col, "_g", F.posexplode(positions(F.col("_g"))).alias("_d", "pos")
+    )
+    gram_hits = (
+        probed.join(F.broadcast(eval_bits), "pos", "inner")
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_nset"))
+        .filter(F.col("_nset") == k)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    return (
+        per_doc.join(gram_hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_bloom_hits"), F.lit(0)).cast("long").alias("n_bloom_hits"),
+            (F.coalesce(F.col("n_bloom_hits"), F.lit(0)) > 0).alias("flagged"),
+        )
+    )

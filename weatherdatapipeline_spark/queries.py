@@ -4391,6 +4391,52 @@ FROM est
 """
 
 
+def bloom_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination screen (same eval split as
+    `contamination_check_5gram` but the broadcast structure is the
+    FIXED-SIZE bit-position set, not the eval gram strings) — see
+    operators/dedup.py::bloom_contamination. False positives allowed,
+    false negatives structurally impossible; the oracle recomputes the
+    same k salted hash positions."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    return D.bloom_contamination(corpus, ev, n=5, k=4, m=65536)
+
+
+ORACLE_BLOOM = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS t(i)
+),
+salts AS (SELECT unnest([0, 1, 2, 3]) AS d),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(salts.d::VARCHAR || '|' || grams.g), 1, 15))::BIGINT % 65536 AS pos
+  FROM grams, salts WHERE doc_id % 10 = 0
+),
+cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 != 0),
+per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM cg GROUP BY 1),
+probed AS (
+  SELECT cg.doc_id, cg.g,
+         ('0x' || substr(md5(salts.d::VARCHAR || '|' || cg.g), 1, 15))::BIGINT % 65536 AS pos
+  FROM cg, salts
+),
+gram_hits AS (
+  SELECT doc_id, g FROM probed JOIN bits USING (pos)
+  GROUP BY doc_id, g HAVING count(*) = 4
+),
+doc_hits AS (SELECT doc_id, count(*)::BIGINT AS n_bloom_hits FROM gram_hits GROUP BY 1)
+SELECT p.doc_id, p.n_grams,
+       coalesce(h.n_bloom_hits, 0)::BIGINT AS n_bloom_hits,
+       coalesce(h.n_bloom_hits, 0) > 0 AS flagged
+FROM per_doc p LEFT JOIN doc_hits h USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4526,6 +4572,7 @@ QUERIES: dict[str, Query] = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "cms_token_frequencies": cms_token_frequencies,
     "hll_distinct_tokens": hll_distinct_tokens,
+    "bloom_contamination_check": bloom_contamination_check,
 }
 
 ORACLES: dict[str, str] = {
@@ -4646,6 +4693,7 @@ ORACLES: dict[str, str] = {
     "q16_supplier_part_counts": ORACLE_Q16,
     "cms_token_frequencies": ORACLE_CMS,
     "hll_distinct_tokens": ORACLE_HLL,
+    "bloom_contamination_check": ORACLE_BLOOM,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
