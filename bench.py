@@ -60,6 +60,10 @@ HEADLINE = [
     "chunk_documents_windows",     # token-window chunking (map-only)
     "gapfill_locf_series",         # hypertable rollup + gapfill
     "embedding_quantize_int8",     # map-only int8 vector compression
+    "exact_substring_spans",       # char-gram join + diagonal islands
+    "dsir_select_top200",          # DSIR hashed-ngram importance weights
+    "kmeans_cluster_assignments",  # iterative Lloyd (2 rounds + assign)
+    "bloom_contamination_check",   # bloom bit-position membership screen
 ]
 
 
@@ -122,6 +126,12 @@ SCALE_HEADLINE = [
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",
     "dedup_cluster_assignments",
+    # r6 additions: rotated-vocab replication keeps each of these linear —
+    # disjoint cross-copy grams (spans/dsir/bloom), row-linear kmeans
+    "exact_substring_spans",
+    "dsir_select_top200",
+    "kmeans_cluster_assignments",
+    "bloom_contamination_check",
 ]
 
 # bump when build_scale_dir's transform changes so stale caches rebuild

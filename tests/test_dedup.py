@@ -362,7 +362,7 @@ def test_bloom_contamination_no_false_negatives(spark):
 
 
 def test_bloom_position_table_is_bounded(spark):
-    """The broadcast side must be <= m rows no matter the eval size."""
+    """The broadcast side must be <= 2^bits rows no matter the eval size."""
     from weatherdatapipeline_spark.operators.dedup import bloom_contamination
 
     ev = spark.createDataFrame(
@@ -370,5 +370,5 @@ def test_bloom_position_table_is_bounded(spark):
         "doc_id long, text string",
     )
     corpus = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
-    out = bloom_contamination(corpus, ev, n=5, k=4, m=512).collect()
+    out = bloom_contamination(corpus, ev, n=5, k=4, bits=9).collect()
     assert len(out) == 1  # small m -> heavy FP rate is fine; just runs

@@ -247,7 +247,11 @@ def dsir_logratio_weights(
     (id, n_features, weight); ties in downstream top-k selection must
     break on the id.
     """
-    feats = documents.select(
+    from .text import spread
+
+    # spread first: one md5 per unigram+bigram feature is the dominant
+    # map cost and must not run inside a 1-task single-row-group scan
+    feats = spread(documents, id_col).select(
         F.col(id_col),
         is_target.cast("int").alias("tgt"),
         F.explode(dsir_features(text_col)).alias("feat"),

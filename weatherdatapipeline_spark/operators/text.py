@@ -28,6 +28,31 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 PUNCT_CLASS = r"[^.,;:!?]"
 
 
+def spread(df, *key_cols: str):
+    """Fan a NARROW input out to session parallelism before CPU-heavy
+    per-row work (gram building, per-shingle md5, regex batteries).
+
+    Why this exists: a parquet file is splittable only at row-group
+    boundaries, so a single-row-group file arrives as ONE scan task and
+    every downstream map-side expression runs on one core until the
+    first shuffle — the md5-heavy dedup/text pipelines were measured
+    spending most of their wall time in that serial stage. The fix is
+    an explicit exchange: hash-repartition on the operator's own
+    aggregation key, so the later groupBy/window reuses the
+    partitioning and the net shuffle count is UNCHANGED — the exchange
+    moves before the expensive projection instead of after it.
+
+    Gated on the actual scan width: at real scale (or any multi-file /
+    multi-row-group input at least as wide as the session parallelism)
+    this is a no-op — no extra shuffle is ever added to a 100 TB plan."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    if key_cols:
+        return df.repartition(sc.defaultParallelism, *[F.col(c) for c in key_cols])
+    return df.repartition(sc.defaultParallelism)
+
+
 def n_words(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(F.split(F.trim(text), r"\s+"))
@@ -104,8 +129,11 @@ def fingerprint_rolling(text: Column, modulus: int = 1_000_000_007, base: int = 
 
 
 def profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document text profile: counts, ratios, quality, language, print."""
+    """Per-document text profile: counts, ratios, quality, language, print.
+    Map-only, but the regex battery is the whole cost — spread() so a
+    single-row-group input doesn't run it on one core."""
     t = F.col(text_col)
+    documents = spread(documents)
     return documents.select(
         "*",
         n_words(t).alias("n_words"),
@@ -449,7 +477,10 @@ def winnow_fingerprints(
 
     text = F.col(text_col)
     n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
-    g = documents.select(
+    # spread on the id key: the per-position md5 must not run in a
+    # 1-task scan stage, and the sliding window below partitions by id
+    # so the exchange is the one that window needed anyway
+    g = spread(documents, id_col).select(
         F.col(id_col),
         F.col(text_col),
         F.explode(F.sequence(F.lit(1), n_grams)).alias("_i"),
@@ -753,7 +784,9 @@ def exact_shared_spans(
 
     text = F.col(text_col)
     n_pos = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
-    g = documents.select(
+    # spread first: one md5 per char position is the dominant map cost
+    # and must not run inside a 1-task single-row-group scan stage
+    g = spread(documents, id_col).select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"),
         text,

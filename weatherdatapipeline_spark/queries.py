@@ -4401,7 +4401,7 @@ def bloom_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
     ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
-    return D.bloom_contamination(corpus, ev, n=5, k=4, m=65536)
+    return D.bloom_contamination(corpus, ev, n=5, k=4, bits=15)
 
 
 ORACLE_BLOOM = r"""
@@ -4413,16 +4413,17 @@ grams AS (
   FROM toks, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS t(i)
 ),
 salts AS (SELECT unnest([0, 1, 2, 3]) AS d),
-bits AS (
-  SELECT DISTINCT
-         ('0x' || substr(md5(salts.d::VARCHAR || '|' || grams.g), 1, 15))::BIGINT % 65536 AS pos
-  FROM grams, salts WHERE doc_id % 10 = 0
+hashed AS (
+  SELECT doc_id, g, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM grams
 ),
-cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 != 0),
+bits AS (
+  SELECT DISTINCT (h >> (salts.d * 15)) % 32768 AS pos
+  FROM hashed, salts WHERE doc_id % 10 = 0
+),
+cg AS (SELECT doc_id, g, h FROM hashed WHERE doc_id % 10 != 0),
 per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM cg GROUP BY 1),
 probed AS (
-  SELECT cg.doc_id, cg.g,
-         ('0x' || substr(md5(salts.d::VARCHAR || '|' || cg.g), 1, 15))::BIGINT % 65536 AS pos
+  SELECT cg.doc_id, cg.g, (cg.h >> (salts.d * 15)) % 32768 AS pos
   FROM cg, salts
 ),
 gram_hits AS (
