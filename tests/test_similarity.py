@@ -155,3 +155,36 @@ def test_semdedup_planted(spark):
         r["vec_id"] for r in semdedup(df, cents, threshold=0.95).collect()
     )
     assert kept == [0, 2, 3]
+
+
+def test_mmr_skips_redundant_near_duplicates(spark):
+    """Three near-identical highly-relevant vectors vs one moderately
+    relevant diverse one: plain top-3 keeps the clones; at a
+    diversity-heavy lambda=0.3 MMR must pick the diverse vector at
+    rank 2 (any vector correlated with the query is also correlated
+    with the rank-1 pick, so clones only lose once (1-lambda) times
+    their ~1.0 mutual similarity outweighs their relevance edge)."""
+    import numpy as np
+
+    from weatherdatapipeline_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, [1.0, 0.01, 0.0, 0.0]),   # clone pack: rel ~1
+        (2, [1.0, 0.0, 0.01, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.01]),
+        (4, [0.5, 0.86, 0.0, 0.0]),   # diverse, rel ~0.5
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = [r["vec_id"] for r in cosine_topk(df, q, k=3).collect()]
+    assert plain == [1, 2, 3]
+    mmr = {r["rank"]: r for r in mmr_rerank(df, q, k=3, lam=0.3, shortlist=4).collect()}
+    assert mmr[1]["vec_id"] == 1          # most relevant first
+    assert mmr[2]["vec_id"] == 4          # diversity beats the clones
+    assert mmr[1]["mmr_score"] == mmr[1]["relevance"]
+    # rank-2 score must equal 0.3*rel - 0.7*cos(4, 1) recomputed
+    v4, v1 = np.array(rows[3][1]), np.array(rows[0][1])
+    expect = 0.3 * mmr[2]["relevance"] - 0.7 * float(
+        v4 @ v1 / (np.linalg.norm(v4) * np.linalg.norm(v1))
+    )
+    assert abs(mmr[2]["mmr_score"] - round(expect, 6)) < 1e-6

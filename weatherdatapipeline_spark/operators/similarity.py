@@ -410,3 +410,61 @@ def semdedup(
         .select("doc_a", "doc_b")
     )
     return dedup_keep_canonical(embeddings, pairs, id_col=id_col)
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 3,
+    lam: float = 0.7,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick items maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in selected} cos(d, s)`` —
+    relevant to the query but dissimilar to what's already picked, the
+    standard diversity pass on retrieval results.
+
+    Scale shape: the greedy is inherently sequential, so it runs on a
+    SHORTLIST — stage 1 is the distributed exact cosine top-``shortlist``
+    (TakeOrdered, corpus-scale), stage 2 reranks the shortlist *
+    d floats driver-side (bounded by construction, like the PQ lookup
+    tables and PCA eigendecomposition). Relevance uses the same
+    6dp-rounded cosine as ``cosine_topk`` so the shortlist cut is
+    engine-portable; ties at every greedy step break on the id.
+
+    Returns (id, rank, relevance, mmr_score) with rank 1..k; rank 1's
+    mmr_score is its relevance (nothing selected yet)."""
+    import numpy as np
+
+    short = cosine_topk(embeddings, query_vec, k=shortlist, id_col=id_col, vec_col=vec_col)
+    rows = short.join(embeddings.select(id_col, vec_col), id_col).collect()
+    rel = {r[id_col]: float(r["cosine"]) for r in rows}
+    vecs = {r[id_col]: np.asarray(r[vec_col], dtype="float64") for r in rows}
+    norms = {i: float(np.sqrt(v @ v)) for i, v in vecs.items()}
+
+    def cos(a: int, b: int) -> float:
+        den = norms[a] * norms[b]
+        return float(vecs[a] @ vecs[b]) / den if den else 0.0
+
+    selected: list[int] = []
+    out = []
+    remaining = set(rel)
+    for rank in range(1, min(k, len(rel)) + 1):
+        best_id, best_score = None, None
+        for i in sorted(remaining):  # ascending id = deterministic tiebreak
+            if not selected:
+                score = rel[i]
+            else:
+                score = lam * rel[i] - (1 - lam) * max(cos(i, s) for s in selected)
+            if best_score is None or score > best_score:
+                best_id, best_score = i, score
+        selected.append(best_id)
+        remaining.remove(best_id)
+        out.append((best_id, rank, round(rel[best_id], 6), round(best_score, 6)))
+
+    return embeddings.sparkSession.createDataFrame(
+        out, f"{id_col} long, rank long, relevance double, mmr_score double"
+    )

@@ -4438,6 +4438,55 @@ FROM per_doc p LEFT JOIN doc_hits h USING (doc_id)
 """
 
 
+def mmr_diverse_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (lambda=0.7) of the top-50 cosine shortlist
+    for the vec_id=0 query — the 3 greedy steps are unrolled in the SQL
+    oracle, so the full select-against-the-selected-set recurrence is
+    differential-checked. See operators/similarity.py::mmr_rerank for
+    the distributed-shortlist scale shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.mmr_rerank(emb, [float(x) for x in qvec], k=3, lam=0.7, shortlist=50)
+
+
+ORACLE_MMR = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+short AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel
+  FROM embeddings e, q
+  ORDER BY rel DESC, e.vec_id
+  LIMIT 50
+),
+s1 AS (SELECT * FROM short ORDER BY rel DESC, vec_id LIMIT 1),
+s2 AS (
+  SELECT d.*,
+         0.7 * d.rel - 0.3 * (list_dot_product(d.v, s1.v)
+           / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(s1.v, s1.v)))) AS score
+  FROM short d, s1 WHERE d.vec_id != s1.vec_id
+  ORDER BY score DESC, d.vec_id LIMIT 1
+),
+s3 AS (
+  SELECT d.*,
+         0.7 * d.rel - 0.3 * greatest(
+           list_dot_product(d.v, s1.v)
+             / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(s1.v, s1.v))),
+           list_dot_product(d.v, s2.v)
+             / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(s2.v, s2.v)))
+         ) AS score
+  FROM short d, s1, s2 WHERE d.vec_id NOT IN (s1.vec_id, s2.vec_id)
+  ORDER BY score DESC, d.vec_id LIMIT 1
+)
+SELECT vec_id, 1::BIGINT AS rank, rel AS relevance, rel AS mmr_score FROM s1
+UNION ALL
+SELECT vec_id, 2::BIGINT, rel, round(score, 6) FROM s2
+UNION ALL
+SELECT vec_id, 3::BIGINT, rel, round(score, 6) FROM s3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4574,6 +4623,7 @@ QUERIES: dict[str, Query] = {
     "cms_token_frequencies": cms_token_frequencies,
     "hll_distinct_tokens": hll_distinct_tokens,
     "bloom_contamination_check": bloom_contamination_check,
+    "mmr_diverse_top3": mmr_diverse_top3,
 }
 
 ORACLES: dict[str, str] = {
@@ -4695,6 +4745,7 @@ ORACLES: dict[str, str] = {
     "cms_token_frequencies": ORACLE_CMS,
     "hll_distinct_tokens": ORACLE_HLL,
     "bloom_contamination_check": ORACLE_BLOOM,
+    "mmr_diverse_top3": ORACLE_MMR,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
