@@ -390,3 +390,42 @@ def test_streaming_quality_gate_routes_batches(spark, tmp_path_factory):
     drain()
     assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {1, 3}
     assert set(r["doc_id"] for r in spark.read.parquet(rej).collect()) == {2, 9}
+
+
+def test_streaming_cms_sketch_merges_batches(spark, tmp_path_factory):
+    """The stored sketch after two drained micro-batches must equal the
+    batch-built sketch over the CONCATENATED data (cell-wise merge
+    property), stay bounded at depth*width rows, and point-estimates
+    must upper-bound exact counts."""
+    from weatherdatapipeline_spark.operators.stats import cms_estimate, count_min_sketch
+    from weatherdatapipeline_spark.streaming.jobs import streaming_cms_sketch
+
+    src = str(tmp_path_factory.mktemp("cms_src"))
+    sk = str(tmp_path_factory.mktemp("cms_sk")) + "/sketch"
+    ckpt = str(tmp_path_factory.mktemp("cms_ckpt"))
+    schema = "item STRING"
+    b1 = [("a",)] * 5 + [("b",)] * 3
+    b2 = [("a",)] * 2 + [("c",)] * 7
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = streaming_cms_sketch(
+        stream, sk, checkpoint=ckpt, depth=4, width=64, available_now=True
+    )
+    q.awaitTermination()
+
+    stored = spark.read.parquet(sk)
+    assert stored.count() <= 4 * 64
+    ref = count_min_sketch(
+        spark.createDataFrame(b1 + b2, schema), depth=4, width=64
+    )
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in stored.collect()}
+    want = {(r["row"], r["bucket"]): r["cnt"] for r in ref.collect()}
+    assert got == want
+    probes = spark.createDataFrame([("a",), ("b",), ("c",)], schema)
+    est = {r["item"]: r["cms_count"] for r in
+           cms_estimate(stored.select("row", "bucket", "cnt"), probes, width=64).collect()}
+    assert est["a"] >= 7 and est["b"] >= 3 and est["c"] >= 7

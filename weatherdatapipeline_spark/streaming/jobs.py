@@ -435,3 +435,62 @@ def streaming_quality_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_cms_sketch(
+    item_stream: DataFrame,
+    sketch_path: str,
+    checkpoint: str | None = None,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 256,
+    available_now: bool = False,
+):
+    """Maintain a Count-Min sketch over a stream: each micro-batch's
+    partial sketch (operators/stats.py::count_min_sketch — depth*width
+    cells, bounded) MERGES into the stored sketch by cell-wise addition,
+    the defining property that makes CMS the standard streaming
+    frequency structure. State is the ~depth*width-row parquet table —
+    constant-size regardless of how much data has streamed through — so
+    a restart resumes from the stored cells plus the checkpointed source
+    offsets.
+
+    foreachBatch because the merge is read-modify-write of the sketch
+    table (overwrite of a bounded table, not an append). Exactly-once
+    per micro-batch: the overwrite is idempotent only across distinct
+    batches, so the sketch table carries ``_last_batch_id`` and a
+    replayed batch (at-least-once delivery after a crash) is skipped
+    rather than double-counted."""
+    from ..operators.stats import count_min_sketch
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        partial = count_min_sketch(batch_df, item_col=item_col, depth=depth, width=width)
+        try:
+            prior = spark.read.parquet(sketch_path)
+            if prior.agg(F.max("_last_batch_id")).collect()[0][0] >= batch_id:
+                return  # replayed batch: already merged
+            merged = (
+                prior.select("row", "bucket", "cnt")
+                .unionByName(partial)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        except Exception:  # first batch: nothing stored yet
+            merged = partial
+        out = merged.withColumn("_last_batch_id", F.lit(batch_id))
+        # bounded table: collect-and-rewrite avoids reading the file being
+        # overwritten (depth*width rows by construction)
+        rows = out.collect()
+        spark.createDataFrame(rows, out.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sketch_path)
+
+    writer = item_stream.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
