@@ -27,6 +27,10 @@ SMOKE = [
     "funnel_view_click_purchase",
     "retention_weekly_cohorts",
     "ohlc_resample_daily",
+    "q6_forecast_revenue",
+    "kmeans_cluster_assignments",
+    "cms_token_frequencies",
+    "mmr_diverse_top3",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
