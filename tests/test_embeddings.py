@@ -329,3 +329,18 @@ def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
     by_id = {r["vec_id"]: r["cluster"] for r in out}
     assert by_id[0] == 0
     assert all(np.isfinite(r["sq_dist"]) for r in out)
+
+
+def test_kmeans_excludes_nonfinite_vectors(spark):
+    """A NaN component or null vector must be excluded up front — never
+    poison a centroid into all-NaN or crash the driver merge."""
+    rows = [(i, [float(i), 0.0]) for i in range(4)] + [
+        (10, [float("nan"), 1.0]),
+        (11, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from weatherdatapipeline_spark.operators.embeddings import kmeans_lloyd
+
+    out = kmeans_lloyd(df, k=2, iters=2).collect()
+    assert sorted(r["vec_id"] for r in out) == [0, 1, 2, 3]
+    assert all(np.isfinite(r["sq_dist"]) for r in out)

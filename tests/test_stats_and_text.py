@@ -506,3 +506,16 @@ def test_hll_small_range_correction_is_exactish(spark):
     )
     est = hll_distinct_estimate(df, b=8).collect()[0]["hll_estimate"]
     assert abs(est - 30) < 4, est
+
+
+def test_cms_unseen_probe_returns_zero(spark):
+    """The sketch stores only non-zero cells; a probe never inserted must
+    still return one row with cms_count 0 (its empty cells count as 0 in
+    the min), not vanish or inflate."""
+    from weatherdatapipeline_spark.operators.stats import cms_estimate, count_min_sketch
+
+    df = spark.createDataFrame([("present",)] * 9, "item string")
+    sk = count_min_sketch(df, depth=4, width=256)
+    probes = spark.createDataFrame([("present",), ("never-seen",)], "item string")
+    est = {r["item"]: r["cms_count"] for r in cms_estimate(sk, probes).collect()}
+    assert est == {"present": 9, "never-seen": 0}

@@ -24,7 +24,7 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint_md5, spread
+from .text import fingerprint_md5, persist_scoped as _persist_scoped, spread
 
 logger = logging.getLogger(__name__)
 
@@ -35,28 +35,6 @@ logger = logging.getLogger(__name__)
 # no near-dup signal anyway (it's corpus-level boilerplate, not content).
 DF_CUT_FLOOR = 100
 DF_CUT_FRACTION = 0.01
-
-# The near-dup operators persist their shingle table because it feeds 2-3
-# plan branches (signatures, verify sets, sizes). A bare .persist() leaks:
-# CacheManager holds the entry until an explicit unpersist, so a driver
-# session running many dedup queries accumulates cached shingle tables.
-# Scope the cache to "most recent near-dup call": each call releases the
-# previous call's cache (recompute from lineage remains possible, so this
-# is safe even if an older returned DataFrame is re-executed later).
-_live_shingle_cache = None
-
-
-def _persist_scoped(df: DataFrame) -> DataFrame:
-    global _live_shingle_cache
-    if _live_shingle_cache is not None:
-        try:
-            _live_shingle_cache.unpersist(blocking=False)
-        except Exception:
-            pass  # e.g. its SparkSession was stopped between calls
-    _live_shingle_cache = df.persist()
-    return _live_shingle_cache
-
-
 
 
 def dedup_exact(
@@ -1176,8 +1154,13 @@ def bloom_contamination(
         .select(F.explode(positions(F.col("_g"))).alias("pos"))
         .distinct()
     )
-    corpus_grams = spread(corpus, id_col).select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_g")
+    # persisted: corpus_grams feeds BOTH the per-doc count and the probe
+    # join — without the cache the gram build + hashing (the dominant map
+    # cost) executes twice
+    corpus_grams = _persist_scoped(
+        spread(corpus, id_col).select(
+            F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_g")
+        )
     )
     per_doc = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     probed = corpus_grams.select(

@@ -528,7 +528,20 @@ def kmeans_lloyd(
     A cluster that loses all members keeps its previous centroid
     (deterministic; no RNG re-seeding).
 
+    Rows with a null vector or any non-finite component are EXCLUDED up
+    front (same hardening as quantize_int8's non-finite clamp): a single
+    NaN component would otherwise poison its cluster's mean into
+    all-NaN in one update, silently scattering every legitimate member,
+    and a null vector would null its cluster id and crash the driver
+    merge. Excluded rows simply don't appear in the output — callers
+    wanting them must pre-impute.
+
     Returns the final assignment (id, cluster, sq_dist)."""
+    finite = F.forall(
+        F.col(vec_col),
+        lambda x: x.isNotNull() & ~F.isnan(x.cast("double")),
+    )
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull() & finite)
     seed_rows = (
         embeddings.filter(F.col(id_col) < k)
         .select(id_col, vec_col)

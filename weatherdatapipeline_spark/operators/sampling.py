@@ -247,15 +247,19 @@ def dsir_logratio_weights(
     (id, n_features, weight); ties in downstream top-k selection must
     break on the id.
     """
-    from .text import spread
+    from .text import persist_scoped, spread
 
     # spread first: one md5 per unigram+bigram feature is the dominant
-    # map cost and must not run inside a 1-task single-row-group scan
-    feats = spread(documents, id_col).select(
-        F.col(id_col),
-        is_target.cast("int").alias("tgt"),
-        F.explode(dsir_features(text_col)).alias("feat"),
-    ).select(id_col, "tgt", hash_bucket(F.col("feat"), buckets).alias("b"))
+    # map cost and must not run inside a 1-task single-row-group scan.
+    # persisted: feats feeds the bucket-count aggregate AND the per-doc
+    # weight join — one feature-hash pass instead of two.
+    feats = persist_scoped(
+        spread(documents, id_col).select(
+            F.col(id_col),
+            is_target.cast("int").alias("tgt"),
+            F.explode(dsir_features(text_col)).alias("feat"),
+        ).select(id_col, "tgt", hash_bucket(F.col("feat"), buckets).alias("b"))
+    )
 
     counts = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("n_raw"),

@@ -443,11 +443,23 @@ def mmr_rerank(
     rows = short.join(embeddings.select(id_col, vec_col), id_col).collect()
     rel = {r[id_col]: float(r["cosine"]) for r in rows}
     vecs = {r[id_col]: np.asarray(r[vec_col], dtype="float64") for r in rows}
-    norms = {i: float(np.sqrt(v @ v)) for i, v in vecs.items()}
+
+    def _seq_dot(a, b) -> float:
+        # SEQUENTIAL float64 accumulation, not BLAS: np.dot's pairwise/
+        # vectorized order can differ from a SQL engine's left-to-right
+        # list_dot_product in the last ulp, and the greedy argmax below
+        # must agree with the unrolled oracle on the near-tie packs MMR
+        # exists for
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return float(acc)  # plain float: np.float64 breaks createDataFrame
+
+    norms = {i: float(np.sqrt(_seq_dot(v, v))) for i, v in vecs.items()}
 
     def cos(a: int, b: int) -> float:
         den = norms[a] * norms[b]
-        return float(vecs[a] @ vecs[b]) / den if den else 0.0
+        return _seq_dot(vecs[a], vecs[b]) / den if den else 0.0
 
     selected: list[int] = []
     out = []
@@ -459,6 +471,9 @@ def mmr_rerank(
                 score = rel[i]
             else:
                 score = lam * rel[i] - (1 - lam) * max(cos(i, s) for s in selected)
+            # selection compares at 9dp (both engines round before the
+            # argmax) so residual last-ulp noise can't flip a pick
+            score = round(score, 9)
             if best_score is None or score > best_score:
                 best_id, best_score = i, score
         selected.append(best_id)

@@ -184,7 +184,14 @@ def cms_estimate(
     ``depth`` cells addressed by the item's hashes. The sketch is
     depth*width rows (bounded) so the join broadcasts; estimates
     upper-bound true counts (eps = e/width overcount with prob
-    1 - 1/e^depth). Returns (item, cms_count)."""
+    1 - 1/e^depth). Returns (item, cms_count).
+
+    The sketch table stores only NON-ZERO cells, so the join must be a
+    LEFT join with a 0 default: a never-stored cell means count 0, and
+    the min over the item's cells must see it — an inner join would
+    both inflate estimates for unseen items whose other cells collide
+    with real data AND drop fully-unseen probes from the output
+    entirely (the true CMS answer for those is 0, one row per probe)."""
     from .dedup import portable_hash60
 
     c = F.col(item_col)
@@ -193,9 +200,9 @@ def cms_estimate(
     )
     addressed = probes.select(c, F.posexplode(hashes).alias("row", "bucket"))
     return (
-        addressed.join(F.broadcast(sketch), ["row", "bucket"])
+        addressed.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(item_col)
-        .agg(F.min("cnt").cast("long").alias("cms_count"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_count"))
     )
 
 

@@ -28,6 +28,28 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 PUNCT_CLASS = r"[^.,;:!?]"
 
 
+_live_scan_cache = None
+
+
+def persist_scoped(df):
+    """Single-slot scoped cache for an expensive exploded/hashed table
+    that feeds multiple plan branches of ONE operator call (signatures +
+    verify sets, per-doc counts + probe joins, df-cut + self-join). A
+    bare .persist() leaks — CacheManager holds the entry until an
+    explicit unpersist — so each call releases the PREVIOUS call's
+    cache; recompute from lineage remains possible if an older returned
+    DataFrame is re-executed. Owned here (text) so dedup/sampling/text
+    operators share one slot without an import cycle."""
+    global _live_scan_cache
+    if _live_scan_cache is not None:
+        try:
+            _live_scan_cache.unpersist(blocking=False)
+        except Exception:
+            pass  # e.g. its SparkSession was stopped between calls
+    _live_scan_cache = df.persist()
+    return _live_scan_cache
+
+
 def spread(df, *key_cols: str):
     """Fan a NARROW input out to session parallelism before CPU-heavy
     per-row work (gram building, per-shingle md5, regex batteries).
@@ -44,7 +66,16 @@ def spread(df, *key_cols: str):
 
     Gated on the actual scan width: at real scale (or any multi-file /
     multi-row-group input at least as wide as the session parallelism)
-    this is a no-op — no extra shuffle is ever added to a 100 TB plan."""
+    this is a no-op — no extra shuffle is ever added to a 100 TB plan.
+
+    Streaming inputs pass through untouched (`.rdd` is illegal on a
+    streaming DataFrame; inside foreachBatch the batch_df is a normal
+    DataFrame and spreads fine). Caveat: probe the width only on
+    scan-rooted inputs — `.rdd` on a post-shuffle lineage materializes
+    those stages under AQE; every call site in this repo passes a
+    freshly-read table."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df
@@ -786,14 +817,18 @@ def exact_shared_spans(
     n_pos = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
     # spread first: one md5 per char position is the dominant map cost
     # and must not run inside a 1-task single-row-group scan stage
-    g = spread(documents, id_col).select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"),
-        text,
-    ).select(
-        F.col(id_col),
-        F.col("_i"),
-        portable_hash60(text.substr(F.col("_i"), F.lit(k))).alias("_h"),
+    # persisted: the hashed position table feeds the df-cut aggregate AND
+    # both sides of the self-join — one md5 pass instead of three
+    g = persist_scoped(
+        spread(documents, id_col).select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"),
+            text,
+        ).select(
+            F.col(id_col),
+            F.col("_i"),
+            portable_hash60(text.substr(F.col("_i"), F.lit(k))).alias("_h"),
+        )
     )
     if max_gram_freq is not None:
         keep = (

@@ -4042,9 +4042,9 @@ m2 AS (
   SELECT a.cl, ex.dim, avg(ex.x) AS m
   FROM a2 a JOIN ex USING (vec_id) GROUP BY 1, 2
 ),
-c2d AS (
+c2d AS (  -- empty cluster keeps the PREVIOUS (iteration-1) centroid, not the seed
   SELECT c.cl, c.dim, coalesce(m.m, c.val) AS val
-  FROM c0d c LEFT JOIN m2 m ON m.cl = c.cl AND m.dim = c.dim
+  FROM c1d c LEFT JOIN m2 m ON m.cl = c.cl AND m.dim = c.dim
 ),
 d3 AS (
   SELECT ex.vec_id, c.cl, sum((ex.x - c.val) * (ex.x - c.val)) AS d
@@ -4228,9 +4228,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value")
     )
     total = per_part.agg(F.sum("value").alias("grand_total"))
+    # both operands rounded to cents BEFORE the cut: comparing raw float
+    # sums would let engine-specific accumulation order flip a row
+    # sitting within an ulp of the threshold
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("grand_total") * 0.002)
+        .filter(F.round("value", 2) > F.round(F.col("grand_total") * 0.002, 2))
         .select("l_partkey", F.round("value", 2).alias("value"))
     )
 
@@ -4246,7 +4249,7 @@ WITH li_n AS (
 per_part AS (SELECT l_partkey, sum(v) AS value FROM li_n GROUP BY 1)
 SELECT l_partkey, round(value, 2) AS value
 FROM per_part
-WHERE value > (SELECT sum(value) FROM per_part) * 0.002
+WHERE round(value, 2) > round((SELECT sum(value) FROM per_part) * 0.002, 2)
 """
 
 
@@ -4461,12 +4464,16 @@ short AS (
   LIMIT 50
 ),
 s1 AS (SELECT * FROM short ORDER BY rel DESC, vec_id LIMIT 1),
+-- per-step score aliases are UNIQUE (score2/score3): inside round() a
+-- bare `score` would resolve to the upstream CTE's COLUMN (a constant
+-- for the cross-joined s2 row), silently degrading the argmax to the
+-- vec_id tiebreak — exactly the bug the differential check caught
 s2 AS (
   SELECT d.*,
          0.7 * d.rel - 0.3 * (list_dot_product(d.v, s1.v)
-           / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(s1.v, s1.v)))) AS score
+           / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(s1.v, s1.v)))) AS score2
   FROM short d, s1 WHERE d.vec_id != s1.vec_id
-  ORDER BY score DESC, d.vec_id LIMIT 1
+  ORDER BY round(score2, 9) DESC, d.vec_id LIMIT 1
 ),
 s3 AS (
   SELECT d.*,
@@ -4475,15 +4482,15 @@ s3 AS (
              / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(s1.v, s1.v))),
            list_dot_product(d.v, s2.v)
              / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(s2.v, s2.v)))
-         ) AS score
+         ) AS score3
   FROM short d, s1, s2 WHERE d.vec_id NOT IN (s1.vec_id, s2.vec_id)
-  ORDER BY score DESC, d.vec_id LIMIT 1
+  ORDER BY round(score3, 9) DESC, d.vec_id LIMIT 1
 )
 SELECT vec_id, 1::BIGINT AS rank, rel AS relevance, rel AS mmr_score FROM s1
 UNION ALL
-SELECT vec_id, 2::BIGINT, rel, round(score, 6) FROM s2
+SELECT vec_id, 2::BIGINT, rel, round(score2, 6) FROM s2
 UNION ALL
-SELECT vec_id, 3::BIGINT, rel, round(score, 6) FROM s3
+SELECT vec_id, 3::BIGINT, rel, round(score3, 6) FROM s3
 """
 
 

@@ -468,9 +468,17 @@ def streaming_cms_sketch(
             return
         spark = batch_df.sparkSession
         partial = count_min_sketch(batch_df, item_col=item_col, depth=depth, width=width)
-        try:
+        # existence is probed explicitly: a blanket except around the read
+        # would turn ANY transient storage error into "first batch" and
+        # silently reset every accumulated count. A genuinely unreadable
+        # stored sketch must raise and fail the batch (the checkpoint
+        # retries it), never zero the state.
+        import os
+
+        if os.path.exists(sketch_path):
             prior = spark.read.parquet(sketch_path)
-            if prior.agg(F.max("_last_batch_id")).collect()[0][0] >= batch_id:
+            last = prior.agg(F.max("_last_batch_id")).collect()[0][0]
+            if last is not None and last >= batch_id:
                 return  # replayed batch: already merged
             merged = (
                 prior.select("row", "bucket", "cnt")
@@ -478,7 +486,7 @@ def streaming_cms_sketch(
                 .groupBy("row", "bucket")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
-        except Exception:  # first batch: nothing stored yet
+        else:  # first batch: nothing stored yet
             merged = partial
         out = merged.withColumn("_last_batch_id", F.lit(batch_id))
         # bounded table: collect-and-rewrite avoids reading the file being
