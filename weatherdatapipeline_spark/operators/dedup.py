@@ -175,7 +175,9 @@ def hashed_gram_rows(
     """
     from pyspark.sql import Window as _W
 
-    tok = documents.select(
+    # spread on the id key: the lead-window below partitions by id, so
+    # this is the exchange it needed anyway, moved before the explode
+    tok = spread(documents, id_col).select(
         F.col(id_col),
         F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
             "pos", "tk"

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .text import spread
+
 # Gopher App. A1.1 stop words ("must contain at least 2")
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
@@ -79,6 +81,8 @@ def gopher_quality_flags(
     passes = None
     for c in flags.values():
         passes = c if passes is None else (passes & c)
+    # spread: map-only, but the regex battery must not run single-task
+    documents = spread(documents)
     return documents.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
@@ -119,6 +123,7 @@ def c4_line_filter(
         & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line),
     )
     n_sentences = F.size(F.split(text, r"[.!?]")) - 1
+    documents = spread(documents)
     return documents.select(
         F.col(id_col),
         F.size(lines).cast("long").alias("n_lines"),
@@ -161,6 +166,7 @@ def gopher_repetition_flags(
     dist_chars = F.aggregate(
         F.transform(F.array_distinct(lines), F.length), F.lit(0), lambda a, x: a + x
     )
+    documents = spread(documents, id_col)
     line_stats = documents.select(
         F.col(id_col),
         F.round(

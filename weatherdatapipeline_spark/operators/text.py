@@ -216,8 +216,10 @@ def tokens_rows(
     documents: DataFrame, id_cols: list[str], text_col: str = "text"
 ) -> DataFrame:
     """(id_cols..., term) one row per token occurrence — the shared
-    explode step of the corpus-statistics operators below."""
-    return documents.select(
+    explode step of the corpus-statistics operators below. spread()
+    round-robin first (no id key: callers group by varying keys), so
+    the explode never runs in a 1-task single-row-group scan stage."""
+    return spread(documents).select(
         *id_cols,
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
     )
@@ -436,7 +438,7 @@ def remove_boilerplate_segments(
             ),
         )
         joiner = " "
-    segs = documents.select(
+    segs = spread(documents, id_col).select(
         F.col(id_col), F.posexplode(seg_arr).alias("seg_idx", "seg")
     )
     freq = segs.groupBy("seg").agg(
