@@ -228,3 +228,22 @@ def test_dsir_single_token_doc(spark):
     got = {r["doc_id"]: r["n_features"] for r in
            dsir_logratio_weights(df, is_target=F.col("lang") == "en").collect()}
     assert got == {1: 1, 2: 3}
+
+
+def test_aqp_estimate_error_shrinks_with_sample_rate(spark):
+    """The hash-sample estimator is unbiased and deterministic: the same
+    p always selects the same rows, and on uniform data a 50% sample's
+    sum estimate lands within a few percent of exact."""
+    from weatherdatapipeline_spark.operators.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(4000)], "event_id long, value double"
+    )
+    exact = df.agg(F.sum("value")).collect()[0][0]
+    for p, tol in ((0.5, 0.05), (0.1, 0.15)):
+        sampled = df.filter(hash_bucket(F.col("event_id"), 1000) < int(p * 1000))
+        est = sampled.agg(F.sum("value") / p).collect()[0][0]
+        assert abs(est - exact) / exact < tol, (p, est, exact)
+        est2 = sampled.agg(F.sum("value") / p).collect()[0][0]
+        assert est == est2  # deterministic, not rand()-sampled

@@ -4494,6 +4494,63 @@ SELECT vec_id, 3::BIGINT, rel, round(score3, 6) FROM s3
 """
 
 
+def aqp_event_value_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlinkDB-style approximate aggregation: estimate per-type event
+    count and value sum from a 10% DETERMINISTIC hash sample
+    (md5-bucket of event_id — the same portable primitive as the split
+    operators, so the sample is reproducible in any engine, unlike
+    rand()-based sampling), scaled by 1/p, with the exact values
+    alongside and a relative error column. At 100 TB the sample scan is
+    the only corpus-sized work; the estimate agg touches 10% of rows.
+    One scan; the sample predicate pushes to the parquet scan as an
+    md5 projection filter."""
+    ev = _t(spark, sf_dir, "events")
+    p = 0.1
+    bucket = SA.hash_bucket(F.col("event_id"), 1000)
+    sampled = ev.filter(bucket < int(p * 1000))
+    est = sampled.groupBy("event_type").agg(
+        # round() before the BIGINT cast on BOTH sides: n/0.1 is 10n+-ulp
+        # in binary, Spark's cast truncates while DuckDB's rounds
+        F.round(F.count(F.lit(1)) / p).cast("bigint").alias("est_count"),
+        F.round(F.sum("value") / p, 2).alias("est_sum"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count"),
+        F.round(F.sum("value"), 2).alias("exact_sum"),
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est_count",
+        "exact_count",
+        "est_sum",
+        "exact_sum",
+        F.round(F.abs(F.col("est_sum") - F.col("exact_sum")) / F.col("exact_sum"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+ORACLE_AQP = """
+WITH sampled AS (
+  SELECT * FROM events
+  WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 1000 < 100
+),
+est AS (
+  SELECT event_type,
+         round(count(*) / 0.1)::BIGINT AS est_count,
+         round(sum(value) / 0.1, 2) AS est_sum
+  FROM sampled GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(*) AS exact_count, round(sum(value), 2) AS exact_sum
+  FROM events GROUP BY 1
+)
+SELECT event_type, est_count, exact_count, est_sum, exact_sum,
+       round(abs(est_sum - exact_sum) / exact_sum, 6) AS rel_err
+FROM est JOIN exact USING (event_type)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4631,6 +4688,7 @@ QUERIES: dict[str, Query] = {
     "hll_distinct_tokens": hll_distinct_tokens,
     "bloom_contamination_check": bloom_contamination_check,
     "mmr_diverse_top3": mmr_diverse_top3,
+    "aqp_event_value_estimate": aqp_event_value_estimate,
 }
 
 ORACLES: dict[str, str] = {
@@ -4753,6 +4811,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct_tokens": ORACLE_HLL,
     "bloom_contamination_check": ORACLE_BLOOM,
     "mmr_diverse_top3": ORACLE_MMR,
+    "aqp_event_value_estimate": ORACLE_AQP,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
