@@ -4551,6 +4551,49 @@ FROM est JOIN exact USING (event_type)
 """
 
 
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced data selection (the diversity-preserving sampling
+    step of curation pipelines like SemDeDup/DCLM): k-means assignment
+    (the same deterministic Lloyd run as `kmeans_cluster_assignments`)
+    followed by an exact-20 md5-ranked sample PER CLUSTER — uniform
+    within clusters, equal representation across them, reproducible in
+    any engine. Composition query: the oracle re-derives the full
+    2-iteration Lloyd recurrence AND the per-cluster rank cut."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = E.kmeans_lloyd(emb, k=8, iters=2).select("vec_id", "cluster")
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        assign.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+        .select("vec_id", "cluster", "rk")
+    )
+
+
+ORACLE_CLUSTER_SAMPLE = ORACLE_KMEANS.replace(
+    # reuse the unrolled Lloyd oracle verbatim, swap the final projection
+    # for the per-cluster md5 rank cut
+    """SELECT d3.vec_id, min(d3.cl)::BIGINT AS cluster, round(min(m.md), 4) AS sq_dist
+FROM d3 JOIN (SELECT vec_id, min(d) AS md FROM d3 GROUP BY 1) m
+  ON d3.vec_id = m.vec_id AND d3.d = m.md
+GROUP BY 1""",
+    """, a3 AS (
+  SELECT d3.vec_id, min(d3.cl)::BIGINT AS cluster
+  FROM d3 JOIN (SELECT vec_id, min(d) AS md FROM d3 GROUP BY 1) m
+    ON d3.vec_id = m.vec_id AND d3.d = m.md
+  GROUP BY 1
+),
+ranked AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY md5(vec_id::VARCHAR), vec_id)::BIGINT AS rk
+  FROM a3
+)
+SELECT vec_id, cluster, rk FROM ranked WHERE rk <= 20""",
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4689,6 +4732,7 @@ QUERIES: dict[str, Query] = {
     "bloom_contamination_check": bloom_contamination_check,
     "mmr_diverse_top3": mmr_diverse_top3,
     "aqp_event_value_estimate": aqp_event_value_estimate,
+    "cluster_balanced_sample": cluster_balanced_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -4812,6 +4856,7 @@ ORACLES: dict[str, str] = {
     "bloom_contamination_check": ORACLE_BLOOM,
     "mmr_diverse_top3": ORACLE_MMR,
     "aqp_event_value_estimate": ORACLE_AQP,
+    "cluster_balanced_sample": ORACLE_CLUSTER_SAMPLE,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
