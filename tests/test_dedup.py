@@ -372,3 +372,24 @@ def test_bloom_position_table_is_bounded(spark):
     corpus = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     out = bloom_contamination(corpus, ev, n=5, k=4, bits=9).collect()
     assert len(out) == 1  # small m -> heavy FP rate is fine; just runs
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a much longer one: containment ~1.0
+    while Jaccard stays low — the structural gap the overlap coefficient
+    exists to close."""
+    from weatherdatapipeline_spark.operators.dedup import (
+        containment_near_duplicates,
+        jaccard_near_duplicates,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"pad{i} fill{i} more{i}" for i in range(20))
+    long_doc = filler + " " + short + " trailing words here"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id long, text string"
+    )
+    cont = containment_near_duplicates(df, threshold=0.8).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = jaccard_near_duplicates(df, threshold=0.3).collect()
+    assert jac == []  # jaccard ~ |short| / |long| < 0.3 misses it

@@ -257,6 +257,50 @@ def jaccard_near_duplicates(
     return out
 
 
+def containment_near_duplicates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | str | None = "auto",
+) -> DataFrame:
+    """Overlap-coefficient (Szymkiewicz-Simpson) near-dup pairs:
+    ``common / min(|A|, |B|)`` over the same df-cut shingle sets as
+    ``jaccard_near_duplicates``. Containment catches what Jaccard
+    structurally misses — a short document EMBEDDED inside a long one
+    (quotes, mirrored articles with added chrome) scores ~1.0 here but
+    ~|A|/|B| under Jaccard, which vanishes as the size gap grows. Same
+    candidate generation (shared-shingle equi-join, never all-pairs);
+    returns (doc_a, doc_b, common, size_a, size_b, containment)."""
+    pairs = _persist_scoped(
+        shingle_pairs(documents, id_col, text_col, n, max_shingle_freq)
+    )
+    sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = pairs.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = pairs.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("common") / F.least("size_a", "size_b").cast("double"), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", "containment")
+    )
+
+
 def dedup_incremental(
     new_docs: DataFrame,
     seen_fingerprints: DataFrame,

@@ -4594,6 +4594,46 @@ SELECT vec_id, cluster, rk FROM ranked WHERE rk <= 20""",
 )
 
 
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient near-dup pairs (common / min set size): the
+    embedded-document complement to `dedup_jaccard_pairs` — see
+    operators/dedup.py::containment_near_duplicates."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.containment_near_duplicates(docs, n=3, threshold=0.6)
+
+
+ORACLE_CONTAINMENT = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+),
+cap AS (
+  SELECT greatest(100, CAST(ceil(0.01 * count(DISTINCT doc_id)) AS BIGINT)) AS v
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh0
+  ), cap WHERE df <= cap.v
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
+       round(common / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) >= 0.6
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4733,6 +4773,7 @@ QUERIES: dict[str, Query] = {
     "mmr_diverse_top3": mmr_diverse_top3,
     "aqp_event_value_estimate": aqp_event_value_estimate,
     "cluster_balanced_sample": cluster_balanced_sample,
+    "dedup_containment_pairs": dedup_containment_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -4857,6 +4898,7 @@ ORACLES: dict[str, str] = {
     "mmr_diverse_top3": ORACLE_MMR,
     "aqp_event_value_estimate": ORACLE_AQP,
     "cluster_balanced_sample": ORACLE_CLUSTER_SAMPLE,
+    "dedup_containment_pairs": ORACLE_CONTAINMENT,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
