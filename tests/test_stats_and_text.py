@@ -519,3 +519,18 @@ def test_cms_unseen_probe_returns_zero(spark):
     probes = spark.createDataFrame([("present",), ("never-seen",)], "item string")
     est = {r["item"]: r["cms_count"] for r in cms_estimate(sk, probes).collect()}
     assert est == {"present": 9, "never-seen": 0}
+
+
+def test_mad_outliers_robust_to_extremes(spark):
+    """One extreme value must be flagged without dragging the threshold
+    (the failure mode of mean/stddev screens), and an all-constant group
+    (MAD 0) must define outliers as 0, not divide-by-zero."""
+    from weatherdatapipeline_spark.operators.stats import mad_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 1000]] + [
+        ("const", 5.0)
+    ] * 4
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r for r in mad_outliers(df, "k", "v").collect()}
+    assert got["a"]["med"] == 10.5 and got["a"]["n_outliers"] == 1
+    assert got["const"]["mad"] == 0.0 and got["const"]["n_outliers"] == 0

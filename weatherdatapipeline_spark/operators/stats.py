@@ -258,3 +258,47 @@ def hll_distinct_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
     ).otherwise(raw)
     return agg.select(corrected.alias("hll_estimate"))
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    z: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier profile via Median Absolute Deviation
+    (the standard robust z-score: modified z = 0.6745 * |v - med| / MAD,
+    flag when > ``z`` — Iglewicz & Hoaglin's recommended 3.5). Unlike
+    mean/stddev screens, one extreme value cannot drag the threshold.
+
+    Two grouped exact-percentile aggregates (median, then median of
+    absolute deviations) chained through co-partitioned joins on the
+    SAME group key — two shuffles of the fact table, both on the key,
+    group-count output. An all-constant group has MAD 0: its outlier
+    count is defined as 0 (nothing deviates), guarded with try_divide.
+
+    Returns (key, med, mad, n, n_outliers, outlier_frac)."""
+    v = F.col(value_col)
+    med = df.groupBy(key_col).agg(F.percentile(v, F.lit(0.5)).alias("_med"))
+    with_dev = df.join(med, key_col).withColumn("_dev", F.abs(v - F.col("_med")))
+    mad = with_dev.groupBy(key_col).agg(
+        F.max("_med").alias("med"),
+        F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad"),
+    )
+    scored = with_dev.join(mad.select(key_col, "_mad"), key_col).withColumn(
+        "_modz", F.try_divide(F.lit(0.6745) * F.col("_dev"), F.col("_mad"))
+    )
+    return (
+        scored.groupBy(key_col)
+        .agg(
+            F.round(F.max("_med"), 6).alias("med"),
+            F.round(F.max("_mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_modz") > z, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_frac", F.round(F.col("n_outliers") / F.col("n"), 6)
+        )
+    )

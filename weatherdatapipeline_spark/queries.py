@@ -4634,6 +4634,41 @@ WHERE round(common / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) >= 0.6
 """
 
 
+def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier profile via MAD / modified z-score
+    (Iglewicz & Hoaglin 3.5 threshold) — see
+    operators/stats.py::mad_outliers for the two-pass exact-percentile
+    shape."""
+    ev = _t(spark, sf_dir, "events")
+    return ST.mad_outliers(ev, key_col="event_type", value_col="value", z=3.5)
+
+
+ORACLE_MAD = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, med.med, abs(e.value - med.med) AS d
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, max(med) AS med, quantile_cont(d, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT dev.event_type,
+       round(max(dev.med), 6) AS med,
+       round(max(mad.mad), 6) AS mad,
+       count(*) AS n,
+       sum(CASE WHEN mad.mad > 0 AND 0.6745 * dev.d / mad.mad > 3.5
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(sum(CASE WHEN mad.mad > 0 AND 0.6745 * dev.d / mad.mad > 3.5
+                      THEN 1 ELSE 0 END) / count(*), 6) AS outlier_frac
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4774,6 +4809,7 @@ QUERIES: dict[str, Query] = {
     "aqp_event_value_estimate": aqp_event_value_estimate,
     "cluster_balanced_sample": cluster_balanced_sample,
     "dedup_containment_pairs": dedup_containment_pairs,
+    "mad_outliers_by_type": mad_outliers_by_type,
 }
 
 ORACLES: dict[str, str] = {
@@ -4899,6 +4935,7 @@ ORACLES: dict[str, str] = {
     "aqp_event_value_estimate": ORACLE_AQP,
     "cluster_balanced_sample": ORACLE_CLUSTER_SAMPLE,
     "dedup_containment_pairs": ORACLE_CONTAINMENT,
+    "mad_outliers_by_type": ORACLE_MAD,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
