@@ -81,8 +81,10 @@ def gopher_quality_flags(
     passes = None
     for c in flags.values():
         passes = c if passes is None else (passes & c)
-    # spread: map-only, but the regex battery must not run single-task
-    documents = spread(documents)
+    # deliberately NOT spread(): the zero-Exchange map-only plan is this
+    # operator's audited contract (it pipelines with the scan at scale);
+    # the regex battery is cheap enough that the 1-task toy-scale case
+    # does not justify trading the contract away
     return documents.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
@@ -123,7 +125,7 @@ def c4_line_filter(
         & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line),
     )
     n_sentences = F.size(F.split(text, r"[.!?]")) - 1
-    documents = spread(documents)
+    # NOT spread(): same zero-Exchange contract as gopher_quality_flags
     return documents.select(
         F.col(id_col),
         F.size(lines).cast("long").alias("n_lines"),
