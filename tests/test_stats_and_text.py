@@ -534,3 +534,20 @@ def test_mad_outliers_robust_to_extremes(spark):
     got = {r["k"]: r for r in mad_outliers(df, "k", "v").collect()}
     assert got["a"]["med"] == 10.5 and got["a"]["n_outliers"] == 1
     assert got["const"]["mad"] == 0.0 and got["const"]["n_outliers"] == 0
+
+
+def test_grouped_ols_trend_recovers_planted_slope(spark):
+    """y = 2*x_hours + noise-free constant pattern: slope exactly 2,
+    r2 = 1; a constant group yields slope 0 / r2 0 (not a div-by-zero)."""
+    import datetime as dt
+
+    from weatherdatapipeline_spark.operators.stats import grouped_ols_trend
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("lin", t0 + dt.timedelta(hours=h), 2.0 * h + 5.0) for h in range(10)]
+    rows += [("const", t0 + dt.timedelta(hours=h), 7.0) for h in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {r["event_type"]: r for r in
+           grouped_ols_trend(df, "event_type", "ts", "value").collect()}
+    assert got["lin"]["slope_per_hour"] == 2.0 and got["lin"]["r2"] == 1.0
+    assert got["const"]["slope_per_hour"] == 0.0 and got["const"]["r2"] == 0.0

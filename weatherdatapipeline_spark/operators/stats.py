@@ -302,3 +302,53 @@ def mad_outliers(
             "outlier_frac", F.round(F.col("n_outliers") / F.col("n"), 6)
         )
     )
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group OLS time trend (slope per hour, intercept at the group's
+    mean time, r^2) in closed form — the per-key version of the Zipf
+    fit, and the standard "is this metric drifting" analytics primitive.
+
+    Two-pass CENTERED formulation: a first grouped aggregate takes each
+    group's mean time and mean value, a co-partitioned join subtracts
+    them, and the second aggregate sums deviation products. The naive
+    one-pass (n*Sxy - Sx*Sy) form suffers catastrophic cancellation at
+    epoch magnitudes — engine-specific last-ulp sum differences get
+    amplified past any rounding, while centered sums keep ~12 digits of
+    agreement. Both shuffles are on the group key; output is
+    group-count-sized. r^2 of a constant group (zero variance either
+    axis) is defined as 0 via try_divide."""
+    x = F.unix_timestamp(F.col(ts_col)).cast("double") / 3600.0
+    y = F.col(value_col).cast("double")
+    means = df.groupBy(key_col).agg(
+        F.avg(x).alias("_mx"), F.avg(y).alias("_my"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = df.join(means, key_col).select(
+        key_col,
+        "n",
+        (x - F.col("_mx")).alias("_dx"),
+        (y - F.col("_my")).alias("_dy"),
+        F.col("_my").alias("_my"),
+    )
+    agg = dev.groupBy(key_col).agg(
+        F.max("n").alias("n"),
+        F.max("_my").alias("_my"),
+        F.sum(F.col("_dx") * F.col("_dy")).alias("_sxy"),
+        F.sum(F.col("_dx") * F.col("_dx")).alias("_sxx"),
+        F.sum(F.col("_dy") * F.col("_dy")).alias("_syy"),
+    )
+    slope = F.try_divide(F.col("_sxy"), F.col("_sxx"))
+    r2 = F.try_divide(F.col("_sxy") * F.col("_sxy"), F.col("_sxx") * F.col("_syy"))
+    return agg.select(
+        key_col,
+        F.col("n").cast("long").alias("n"),
+        F.round(F.coalesce(slope, F.lit(0.0)), 6).alias("slope_per_hour"),
+        F.round(F.col("_my"), 6).alias("mean_value"),
+        F.round(F.coalesce(r2, F.lit(0.0)), 6).alias("r2"),
+    )

@@ -4669,6 +4669,75 @@ GROUP BY 1
 """
 
 
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS time trend of event values (slope per hour, r^2) —
+    see operators/stats.py::grouped_ols_trend for the centered two-pass
+    numerics."""
+    ev = _t(spark, sf_dir, "events")
+    return ST.grouped_ols_trend(ev, key_col="event_type", ts_col="ts",
+                                value_col="value")
+
+
+ORACLE_TREND = """
+WITH base AS (
+  SELECT event_type, floor(epoch(ts))::DOUBLE / 3600.0 AS x, value::DOUBLE AS y
+  FROM events
+),
+means AS (
+  SELECT event_type, avg(x) AS mx, avg(y) AS my, count(*) AS n
+  FROM base GROUP BY 1
+),
+dev AS (
+  SELECT b.event_type, m.n, m.my, b.x - m.mx AS dx, b.y - m.my AS dy
+  FROM base b JOIN means m USING (event_type)
+),
+agg AS (
+  SELECT event_type, max(n) AS n, max(my) AS my,
+         sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+  FROM dev GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n,
+       round(coalesce(sxy / nullif(sxx, 0), 0), 6) AS slope_per_hour,
+       round(my, 6) AS mean_value,
+       round(coalesce(sxy * sxy / nullif(sxx * syy, 0), 0), 6) AS r2
+FROM agg
+"""
+
+
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: near-identical part names by edit
+    distance <= 3, BLOCKED on the name's last token (the noun) so the
+    pairwise levenshtein runs within bounded blocks, never all-pairs —
+    the standard record-linkage blocking pattern. Distinct names first:
+    the pair space is vocabulary-sized, not row-count-sized."""
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_name").distinct().withColumn(
+        "block", F.element_at(F.split(F.col("p_name"), " "), -1)
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "block")
+    b = names.select(F.col("p_name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+ORACLE_FUZZY = """
+WITH names AS (
+  SELECT DISTINCT p_name,
+         list_extract(string_split(p_name, ' '), -1) AS block
+  FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+FROM names a JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4810,6 +4879,8 @@ QUERIES: dict[str, Query] = {
     "cluster_balanced_sample": cluster_balanced_sample,
     "dedup_containment_pairs": dedup_containment_pairs,
     "mad_outliers_by_type": mad_outliers_by_type,
+    "value_trend_by_type": value_trend_by_type,
+    "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -4936,6 +5007,8 @@ ORACLES: dict[str, str] = {
     "cluster_balanced_sample": ORACLE_CLUSTER_SAMPLE,
     "dedup_containment_pairs": ORACLE_CONTAINMENT,
     "mad_outliers_by_type": ORACLE_MAD,
+    "value_trend_by_type": ORACLE_TREND,
+    "fuzzy_part_name_pairs": ORACLE_FUZZY,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
