@@ -4738,6 +4738,123 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
 
+def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard: per source, volume (docs/tokens/chars),
+    quality (mean heuristic score), exact-dup rate (1 - distinct
+    fingerprints / docs), and language entropy — ONE scan feeding one
+    grouped aggregate (fingerprint + quality + lang-ID are map-side
+    projections; entropy folds over the collected lang counts
+    relationally via a second tiny per-(source,lang) aggregate)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    enriched = docs.select(
+        "source",
+        "lang",
+        F.size(F.split(F.lower(F.trim(t)), r"\s+")).alias("_ntok"),
+        F.length(t).alias("_nchars"),
+        T.quality_score(t).alias("_q"),
+        T.fingerprint_md5(t).alias("_fp"),
+    )
+    base = enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.sum("_nchars").cast("long").alias("n_chars"),
+        F.round(F.avg("_q"), 6).alias("mean_quality"),
+        F.round(
+            1 - F.count_distinct("_fp") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+    lang_counts = enriched.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("_lc")
+    )
+    lang_tot = lang_counts.groupBy("source").agg(F.sum("_lc").alias("_lt"))
+    entropy = (
+        lang_counts.join(lang_tot, "source")
+        .groupBy("source")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("_lc") / F.col("_lt"))
+                    * F.log(F.col("_lc") / F.col("_lt"))
+                ),
+                6,
+            ).alias("lang_entropy")
+        )
+    )
+    return base.join(entropy, "source")
+
+
+ORACLE_CORPUS_REPORT = r"""
+WITH enriched AS (
+  SELECT source, lang,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+         length(text) AS nchars,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         -- quality_score mirror (text.py): 0.4*len + 0.4*word-len + 0.2*punct
+         round(0.4 * least(length(text) / 500.0, 1.0)
+           + 0.4 * (CASE WHEN length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                              / len(string_split_regex(lower(trim(text)), '\s+'))
+                         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+           + 0.2 * (1.0 - least(
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+               / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1), 1.0)),
+           4) AS q
+  FROM documents
+),
+base AS (
+  SELECT source, count(*) AS n_docs,
+         sum(ntok)::BIGINT AS n_tokens, sum(nchars)::BIGINT AS n_chars,
+         round(avg(q), 6) AS mean_quality,
+         round(1 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate
+  FROM enriched GROUP BY 1
+),
+lc AS (SELECT source, lang, count(*) AS c FROM enriched GROUP BY 1, 2),
+lt AS (SELECT source, sum(c) AS t FROM lc GROUP BY 1),
+ent AS (
+  SELECT lc.source, round(-sum((c::DOUBLE / t) * ln(c::DOUBLE / t)), 6) AS lang_entropy
+  FROM lc JOIN lt USING (source) GROUP BY 1
+)
+SELECT base.*, ent.lang_entropy FROM base JOIN ent USING (source)
+"""
+
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic data-quality column profile (the audit every ingestion
+    pipeline runs first): per column, null count and distinct count —
+    ONE scan computing all 22 aggregates in a single pass, then stack()
+    pivots the wide row into (column, n_nulls, n_distinct) rows. The
+    alternative per-column loop would be 11 scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in LINEITEM_COLS:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_n_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_d_{c}"))
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', _n_{c}, _d_{c}" for c in LINEITEM_COLS)
+    return wide.selectExpr(
+        f"stack({len(LINEITEM_COLS)}, {stack_args}) AS (column_name, n_nulls, n_distinct)"
+    ).selectExpr(
+        "column_name",
+        "CAST(n_nulls AS BIGINT) AS n_nulls",
+        "CAST(n_distinct AS BIGINT) AS n_distinct",
+    )
+
+
+ORACLE_PROFILE_COLS = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name, "
+    f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls, "
+    f"count(DISTINCT {c})::BIGINT AS n_distinct FROM lineitem"
+    for c in LINEITEM_COLS
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4881,6 +4998,8 @@ QUERIES: dict[str, Query] = {
     "mad_outliers_by_type": mad_outliers_by_type,
     "value_trend_by_type": value_trend_by_type,
     "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
+    "corpus_report_by_source": corpus_report_by_source,
+    "profile_lineitem_columns": profile_lineitem_columns,
 }
 
 ORACLES: dict[str, str] = {
@@ -5009,6 +5128,8 @@ ORACLES: dict[str, str] = {
     "mad_outliers_by_type": ORACLE_MAD,
     "value_trend_by_type": ORACLE_TREND,
     "fuzzy_part_name_pairs": ORACLE_FUZZY,
+    "corpus_report_by_source": ORACLE_CORPUS_REPORT,
+    "profile_lineitem_columns": ORACLE_PROFILE_COLS,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
