@@ -551,3 +551,17 @@ def test_grouped_ols_trend_recovers_planted_slope(spark):
            grouped_ols_trend(df, "event_type", "ts", "value").collect()}
     assert got["lin"]["slope_per_hour"] == 2.0 and got["lin"]["r2"] == 1.0
     assert got["const"]["slope_per_hour"] == 0.0 and got["const"]["r2"] == 0.0
+
+
+def test_mad_outliers_meanad_fallback(spark):
+    """MAD=0 from a majority-constant group must NOT suppress a real
+    extreme: the Iglewicz-Hoaglin fallback scores via the mean absolute
+    deviation and still flags it."""
+    from weatherdatapipeline_spark.operators.stats import mad_outliers
+
+    rows = [("m", 5.0)] * 9 + [("m", 1000.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = mad_outliers(df, "k", "v").collect()[0]
+    assert got["mad"] == 0.0
+    # MeanAD = 995/10 = 99.5 -> modz = 0.7979 * 995 / 99.5 = 7.98 > 3.5
+    assert got["n_outliers"] == 1

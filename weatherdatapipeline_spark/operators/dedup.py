@@ -195,6 +195,36 @@ def hashed_gram_rows(
     return kept.select(id_col, F.xxhash64("s").alias("shingle"))
 
 
+def _shingle_pair_counts(
+    documents: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_freq: int | str | None,
+) -> DataFrame:
+    """Shared candidate-generation + pair-counting core of the set-
+    similarity operators: df-cut shingle table (persisted — it feeds
+    three plan branches), shared-shingle self-join, per-pair common
+    count, per-doc set sizes. Returns (doc_a, doc_b, common, size_a,
+    size_b); the caller derives its score (Jaccard, containment, ...)
+    so a candidate-generation fix lands in every metric at once."""
+    pairs = _persist_scoped(
+        shingle_pairs(documents, id_col, text_col, n, max_shingle_freq)
+    )
+    sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = pairs.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = pairs.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b"))
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def jaccard_near_duplicates(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -217,33 +247,18 @@ def jaccard_near_duplicates(
     small corpora. ``log_cut=True`` runs one extra small job to report how
     many (doc, shingle) rows the cut removed.
     """
-    # the shingle table feeds three plan branches (sizes, a-side, b-side);
-    # persist it so the explode+distinct runs once, not three times — the
-    # same reason a 100 TB run would materialize the shingle index first
-    pairs = _persist_scoped(shingle_pairs(documents, id_col, text_col, n, max_shingle_freq))
     if log_cut and max_shingle_freq is not None:
+        cut = shingle_pairs(documents, id_col, text_col, n, max_shingle_freq)
         uncut = shingle_pairs(documents, id_col, text_col, n, None)
-        n_cut = uncut.count() - pairs.count()
+        n_cut = uncut.count() - cut.count()
         logger.info(
             "jaccard df-cut (max_shingle_freq=%s) removed %d (doc, shingle) rows",
             max_shingle_freq,
             n_cut,
         )
-    sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = pairs.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = pairs.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b"))
-    out = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+    counted = _shingle_pair_counts(documents, id_col, text_col, n, max_shingle_freq)
+    return (
+        counted.withColumn(
             "jaccard",
             F.round(
                 F.col("common")
@@ -254,7 +269,6 @@ def jaccard_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
     )
-    return out
 
 
 def containment_near_duplicates(
@@ -273,24 +287,9 @@ def containment_near_duplicates(
     ~|A|/|B| under Jaccard, which vanishes as the size gap grows. Same
     candidate generation (shared-shingle equi-join, never all-pairs);
     returns (doc_a, doc_b, common, size_a, size_b, containment)."""
-    pairs = _persist_scoped(
-        shingle_pairs(documents, id_col, text_col, n, max_shingle_freq)
-    )
-    sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = pairs.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = pairs.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b"))
+    counted = _shingle_pair_counts(documents, id_col, text_col, n, max_shingle_freq)
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        counted.withColumn(
             "containment",
             F.round(
                 F.col("common") / F.least("size_a", "size_b").cast("double"), 6

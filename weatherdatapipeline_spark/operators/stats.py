@@ -274,20 +274,28 @@ def mad_outliers(
     Two grouped exact-percentile aggregates (median, then median of
     absolute deviations) chained through co-partitioned joins on the
     SAME group key — two shuffles of the fact table, both on the key,
-    group-count output. An all-constant group has MAD 0: its outlier
-    count is defined as 0 (nothing deviates), guarded with try_divide.
+    group-count output.
+
+    MAD is 0 whenever a MAJORITY of a group equals its median (not just
+    all-constant groups) — which would null every modified z right when
+    an extreme value sticks out of an otherwise-flat group. Per
+    Iglewicz & Hoaglin's prescription the score falls back to the MEAN
+    absolute deviation (0.7979 * |v - med| / MeanAD) in that case; a
+    genuinely all-constant group has MeanAD 0 too and defines 0
+    outliers via try_divide.
 
     Returns (key, med, mad, n, n_outliers, outlier_frac)."""
     v = F.col(value_col)
     med = df.groupBy(key_col).agg(F.percentile(v, F.lit(0.5)).alias("_med"))
     with_dev = df.join(med, key_col).withColumn("_dev", F.abs(v - F.col("_med")))
     mad = with_dev.groupBy(key_col).agg(
-        F.max("_med").alias("med"),
         F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad"),
+        F.avg(F.col("_dev")).alias("_meanad"),
     )
-    scored = with_dev.join(mad.select(key_col, "_mad"), key_col).withColumn(
-        "_modz", F.try_divide(F.lit(0.6745) * F.col("_dev"), F.col("_mad"))
-    )
+    modz = F.when(
+        F.col("_mad") > 0, F.lit(0.6745) * F.col("_dev") / F.col("_mad")
+    ).otherwise(F.try_divide(F.lit(0.7979) * F.col("_dev"), F.col("_meanad")))
+    scored = with_dev.join(mad, key_col).withColumn("_modz", modz)
     return (
         scored.groupBy(key_col)
         .agg(

@@ -4518,15 +4518,20 @@ def aqp_event_value_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("exact_count"),
         F.round(F.sum("value"), 2).alias("exact_sum"),
     )
-    return est.join(exact, "event_type").select(
+    # LEFT join from exact: a rare type whose ids all miss the sample
+    # bucket must show up with estimate 0 / rel_err 1.0 — an inner join
+    # would silently drop exactly the groups the estimator fails on
+    return exact.join(est, "event_type", "left").select(
         "event_type",
-        "est_count",
+        F.coalesce(F.col("est_count"), F.lit(0)).cast("bigint").alias("est_count"),
         "exact_count",
-        "est_sum",
+        F.coalesce(F.col("est_sum"), F.lit(0.0)).alias("est_sum"),
         "exact_sum",
-        F.round(F.abs(F.col("est_sum") - F.col("exact_sum")) / F.col("exact_sum"), 6).alias(
-            "rel_err"
-        ),
+        F.round(
+            F.abs(F.coalesce(F.col("est_sum"), F.lit(0.0)) - F.col("exact_sum"))
+            / F.col("exact_sum"),
+            6,
+        ).alias("rel_err"),
     )
 
 
@@ -4545,9 +4550,11 @@ exact AS (
   SELECT event_type, count(*) AS exact_count, round(sum(value), 2) AS exact_sum
   FROM events GROUP BY 1
 )
-SELECT event_type, est_count, exact_count, est_sum, exact_sum,
-       round(abs(est_sum - exact_sum) / exact_sum, 6) AS rel_err
-FROM est JOIN exact USING (event_type)
+SELECT event_type,
+       coalesce(est_count, 0)::BIGINT AS est_count, exact_count,
+       coalesce(est_sum, 0.0) AS est_sum, exact_sum,
+       round(abs(coalesce(est_sum, 0.0) - exact_sum) / exact_sum, 6) AS rel_err
+FROM exact LEFT JOIN est USING (event_type)
 """
 
 
@@ -4571,13 +4578,18 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_TAIL = """SELECT d3.vec_id, min(d3.cl)::BIGINT AS cluster, round(min(m.md), 4) AS sq_dist
+FROM d3 JOIN (SELECT vec_id, min(d) AS md FROM d3 GROUP BY 1) m
+  ON d3.vec_id = m.vec_id AND d3.d = m.md
+GROUP BY 1"""
+# fail at import, not with a confusing schema mismatch at check time,
+# if an ORACLE_KMEANS edit ever breaks the derived-oracle splice below
+assert _KMEANS_TAIL in ORACLE_KMEANS
+
 ORACLE_CLUSTER_SAMPLE = ORACLE_KMEANS.replace(
     # reuse the unrolled Lloyd oracle verbatim, swap the final projection
     # for the per-cluster md5 rank cut
-    """SELECT d3.vec_id, min(d3.cl)::BIGINT AS cluster, round(min(m.md), 4) AS sq_dist
-FROM d3 JOIN (SELECT vec_id, min(d) AS md FROM d3 GROUP BY 1) m
-  ON d3.vec_id = m.vec_id AND d3.d = m.md
-GROUP BY 1""",
+    _KMEANS_TAIL,
     """, a3 AS (
   SELECT d3.vec_id, min(d3.cl)::BIGINT AS cluster
   FROM d3 JOIN (SELECT vec_id, min(d) AS md FROM d3 GROUP BY 1) m
@@ -4653,18 +4665,23 @@ dev AS (
   FROM events e JOIN med USING (event_type)
 ),
 mad AS (
-  SELECT event_type, max(med) AS med, quantile_cont(d, 0.5) AS mad
+  SELECT event_type, quantile_cont(d, 0.5) AS mad, avg(d) AS meanad
   FROM dev GROUP BY 1
+),
+scored AS (
+  SELECT dev.event_type, dev.med, mad.mad, dev.d,
+         CASE WHEN mad.mad > 0 THEN 0.6745 * dev.d / mad.mad
+              WHEN mad.meanad > 0 THEN 0.7979 * dev.d / mad.meanad
+              ELSE NULL END AS modz
+  FROM dev JOIN mad USING (event_type)
 )
-SELECT dev.event_type,
-       round(max(dev.med), 6) AS med,
-       round(max(mad.mad), 6) AS mad,
+SELECT event_type,
+       round(max(med), 6) AS med,
+       round(max(mad), 6) AS mad,
        count(*) AS n,
-       sum(CASE WHEN mad.mad > 0 AND 0.6745 * dev.d / mad.mad > 3.5
-                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
-       round(sum(CASE WHEN mad.mad > 0 AND 0.6745 * dev.d / mad.mad > 3.5
-                      THEN 1 ELSE 0 END) / count(*), 6) AS outlier_frac
-FROM dev JOIN mad USING (event_type)
+       sum(CASE WHEN modz > 3.5 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(sum(CASE WHEN modz > 3.5 THEN 1 ELSE 0 END) / count(*), 6) AS outlier_frac
+FROM scored
 GROUP BY 1
 """
 
@@ -4706,20 +4723,32 @@ FROM agg
 
 def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution shape: near-identical part names by edit
-    distance <= 3, BLOCKED on the name's last token (the noun) so the
-    pairwise levenshtein runs within bounded blocks, never all-pairs —
-    the standard record-linkage blocking pattern. Distinct names first:
-    the pair space is vocabulary-sized, not row-count-sized."""
+    distance <= 3 under MULTI-PASS blocking — a pair meets if it agrees
+    on the FIRST token OR the LAST token (single-key blocking misses
+    every pair whose edit lands in that key; two passes close the gap
+    the standard record-linkage way while keeping each block bounded).
+    Distinct names first: the pair space is vocabulary-sized, not
+    row-count-sized; the pass union is DISTINCT so a pair matching both
+    keys emits once."""
     p = _t(spark, sf_dir, "part")
-    names = p.select("p_name").distinct().withColumn(
-        "block", F.element_at(F.split(F.col("p_name"), " "), -1)
-    )
-    a = names.select(F.col("p_name").alias("name_a"), "block")
-    b = names.select(F.col("p_name").alias("name_b"), "block")
+    base = p.select("p_name").distinct()
+
+    def pass_on(block_expr):
+        names = base.withColumn("block", block_expr)
+        a = names.select(F.col("p_name").alias("name_a"), "block")
+        b = names.select(F.col("p_name").alias("name_b"), "block")
+        return (
+            a.join(b, "block")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b")
+        )
+
+    toks = F.split(F.col("p_name"), " ")
+    pairs = pass_on(F.element_at(toks, -1)).union(
+        pass_on(F.element_at(toks, 1))
+    ).distinct()
     return (
-        a.join(b, "block")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        pairs.withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter(F.col("dist") <= 3)
         .select("name_a", "name_b", "dist")
     )
@@ -4728,33 +4757,45 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_FUZZY = """
 WITH names AS (
   SELECT DISTINCT p_name,
-         list_extract(string_split(p_name, ' '), -1) AS block
+         list_extract(string_split(p_name, ' '), -1) AS last_tok,
+         list_extract(string_split(p_name, ' '), 1) AS first_tok
   FROM part
+),
+pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b
+    ON a.last_tok = b.last_tok AND a.p_name < b.p_name
+  UNION
+  SELECT a.p_name, b.p_name
+  FROM names a JOIN names b
+    ON a.first_tok = b.first_tok AND a.p_name < b.p_name
 )
-SELECT a.p_name AS name_a, b.p_name AS name_b,
-       levenshtein(a.p_name, b.p_name)::BIGINT AS dist
-FROM names a JOIN names b ON a.block = b.block AND a.p_name < b.p_name
-WHERE levenshtein(a.p_name, b.p_name) <= 3
+SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist
+FROM pairs
+WHERE levenshtein(name_a, name_b) <= 3
 """
 
 
 def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation dashboard: per source, volume (docs/tokens/chars),
     quality (mean heuristic score), exact-dup rate (1 - distinct
-    fingerprints / docs), and language entropy — ONE scan feeding one
-    grouped aggregate (fingerprint + quality + lang-ID are map-side
-    projections; entropy folds over the collected lang counts
-    relationally via a second tiny per-(source,lang) aggregate)."""
+    fingerprints / docs), and language entropy. The enriched projection
+    (tokenize + fingerprint + quality, the expensive map work) feeds
+    THREE plan branches (base agg, lang counts, lang totals), so it is
+    persisted via the scoped cache — one pass over the corpus, then
+    group-count-sized aggregates."""
+    from .operators.text import persist_scoped
+
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    enriched = docs.select(
+    enriched = persist_scoped(docs.select(
         "source",
         "lang",
         F.size(F.split(F.lower(F.trim(t)), r"\s+")).alias("_ntok"),
         F.length(t).alias("_nchars"),
         T.quality_score(t).alias("_q"),
         T.fingerprint_md5(t).alias("_fp"),
-    )
+    ))
     base = enriched.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_ntok").cast("long").alias("n_tokens"),
