@@ -201,6 +201,23 @@ CHECKS = {
         ("NOT IN compiles to broadcast anti join", r"BroadcastHashJoin.*LeftAnti|LeftAnti, BuildRight"),
         ("size IN-list pushed to part scan", r"PushedFilters: \[.*In\(p_size"),
     ],
+    "dsir_select_top200": [
+        # the 1024-row bucket weight table must broadcast back into the
+        # exploded feature stream, never shuffle it
+        ("weight table broadcasts", r"BroadcastHashJoin"),
+        ("top-200 is TakeOrdered", r"TakeOrderedAndProject"),
+    ],
+    "bloom_contamination_check": [
+        ("bit-position table broadcasts", r"BroadcastHashJoin"),
+    ],
+    "cms_token_frequencies": [
+        ("bounded sketch broadcasts into the probe join", r"BroadcastHashJoin"),
+    ],
+    "aqp_event_value_estimate": [
+        # the sample predicate must evaluate scan-side (one events scan
+        # per branch, no join-side filtering)
+        ("estimate joins exact via broadcast or shuffle hash", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+    ],
 }
 
 
