@@ -171,3 +171,52 @@ def test_read_changes_unpartitioned(spark, tmp_path):
     t.merge(df([(2, "B"), (3, "c"), (1, "a")]))  # 1 re-merged identical
     got = {(r["id"], r["_change_type"]) for r in t.read_changes(0).collect()}
     assert got == {(2, "update_postimage"), (3, "insert")}
+
+
+def test_maintain_daily_rollup_equals_recompute(spark, tmp_path):
+    """Three batches folded incrementally must equal the direct rollup
+    over the concatenated raw data (the materialized-view invariant),
+    and a batch touching one key must not rewrite other keys' rows."""
+    import datetime as dt
+
+    from weatherdatapipeline_spark.sources.upsert import UpsertTable, maintain_daily_rollup
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    b1 = mk([("a", t0, 10.0), ("a", t0 + dt.timedelta(hours=1), 20.0), ("b", t0, 5.0)])
+    b2 = mk([("a", t0 + dt.timedelta(days=1), 7.0), ("b", t0, 1.0)])
+    b3 = mk([("a", t0, 100.0)])
+
+    table = UpsertTable(spark, str(tmp_path), "rollup", key="rollup_key",
+                        partition_col="k")
+    for b in (b1, b2, b3):
+        maintain_daily_rollup(table, b)
+
+    got = {r["rollup_key"]: r for r in table.read().collect()}
+    raw = b1.unionByName(b2).unionByName(b3)
+    from pyspark.sql import functions as F
+
+    want = {
+        r["rollup_key"]: r
+        for r in raw.groupBy(
+            F.col("event_type").alias("k"),
+            F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn("rollup_key", F.concat_ws("|", "k", "day"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("n", "sum_value", "min_value", "max_value"):
+            assert got[k][c] == want[k][c], (k, c)
+    # b3 touched only a|2024-03-01; the untouched b-key row must still
+    # carry the b1+b2 combination (merge is key-scoped, not a rewrite)
+    assert got["b|2024-03-01"]["n"] == 2 and got["b|2024-03-01"]["sum_value"] == 6.0

@@ -327,3 +327,66 @@ def merge_sink(table: UpsertTable):
         table.merge(batch_df.dropDuplicates(cols))
 
     return sink
+
+
+def maintain_daily_rollup(
+    table: UpsertTable,
+    batch: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> int:
+    """Incremental materialized-rollup maintenance: fold one batch of
+    raw events into a persistent per-(key, day) aggregate table without
+    recomputing history — the materialized-view pattern that turns a
+    100 TB scan-per-dashboard-query into a rollup-sized read.
+
+    Only DECOMPOSABLE aggregates are maintained (count, sum, min, max —
+    mean derives as sum/n): each batch contributes a partial, and
+    partial ⊕ stored combines cell-wise, exactly the map-side-combine
+    algebra Spark itself uses inside a shuffle. Non-decomposable stats
+    (exact distinct, exact percentiles) need the raw data or a
+    mergeable sketch (see count_min_sketch / hll_distinct_estimate for
+    the sketch route).
+
+    The merge touches only the (key, day) rows present in THE BATCH:
+    stored rows outside the batch's keys are untouched (UpsertTable's
+    partition-scoped copy-on-write). Returns the new table version.
+    Replay caveat: calling twice with the same batch double-counts —
+    at-least-once sources must dedupe upstream (see
+    streaming_cms_sketch's _last_batch_id guard for the pattern)."""
+    partial = (
+        batch.groupBy(
+            F.col(key_col).alias("k"),
+            F.date_format(F.date_trunc("DAY", F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .withColumn("rollup_key", F.concat_ws("|", F.col("k"), F.col("day")))
+    )
+    try:
+        stored = table.read().join(
+            partial.select("rollup_key"), "rollup_key", "left_semi"
+        )
+    except Exception:
+        stored = None
+    if stored is not None and stored.head(1):
+        combined = (
+            partial.unionByName(stored)
+            .groupBy("rollup_key", "k", "day")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+    else:
+        combined = partial.select(
+            "rollup_key", "k", "day", "n", "sum_value", "min_value", "max_value"
+        )
+    return table.merge(combined)
