@@ -429,3 +429,35 @@ def test_streaming_cms_sketch_merges_batches(spark, tmp_path_factory):
     est = {r["item"]: r["cms_count"] for r in
            cms_estimate(stored.select("row", "bucket", "cnt"), probes, width=64).collect()}
     assert est["a"] >= 7 and est["b"] >= 3 and est["c"] >= 7
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path_factory):
+    """Two drained micro-batches maintained through the streaming rollup
+    must equal the one-shot batch rollup over all rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from weatherdatapipeline_spark.sources.upsert import UpsertTable
+    from weatherdatapipeline_spark.streaming.jobs import streaming_rollup
+
+    src = str(tmp_path_factory.mktemp("ru_src"))
+    ckpt = str(tmp_path_factory.mktemp("ru_ckpt"))
+    root = str(tmp_path_factory.mktemp("ru_tbl"))
+    schema = "event_type STRING, ts TIMESTAMP, value DOUBLE"
+    t0 = dt.datetime(2024, 3, 1, 9, 0)
+    b1 = [("a", t0, 1.0), ("b", t0, 2.0)]
+    b2 = [("a", t0 + dt.timedelta(hours=2), 4.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    table = UpsertTable(spark, root, "daily", key="rollup_key", partition_col="k")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = streaming_rollup(stream, table, checkpoint=ckpt, available_now=True)
+    q.awaitTermination()
+
+    got = {r["rollup_key"]: r for r in table.read().collect()}
+    assert got["a|2024-03-01"]["n"] == 2 and got["a|2024-03-01"]["sum_value"] == 5.0
+    assert got["b|2024-03-01"]["n"] == 1

@@ -4896,6 +4896,48 @@ ORACLE_PROFILE_COLS = "\nUNION ALL\n".join(
 )
 
 
+def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance, oracle-checked end to end: events
+    split into two deterministic batches (event_id parity), each folded
+    incrementally into a fresh UpsertTable rollup via
+    sources/upsert.py::maintain_daily_rollup — the returned FINAL TABLE
+    must hash-match the oracle's direct one-shot rollup over all rows,
+    which is exactly the materialized-view invariant."""
+    import tempfile
+
+    from .sources.upsert import UpsertTable, maintain_daily_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    table = UpsertTable(
+        spark, tempfile.mkdtemp(prefix="rollup_q_"), "daily", key="rollup_key",
+        partition_col="k",
+    )
+    maintain_daily_rollup(table, ev.filter(F.col("event_id") % 2 == 0))
+    maintain_daily_rollup(table, ev.filter(F.col("event_id") % 2 == 1))
+    return table.read().select(
+        "rollup_key",
+        "k",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+ORACLE_INC_ROLLUP = """
+SELECT event_type || '|' || strftime(date_trunc('day', ts), '%Y-%m-%d') AS rollup_key,
+       event_type AS k,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5041,6 +5083,7 @@ QUERIES: dict[str, Query] = {
     "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
     "corpus_report_by_source": corpus_report_by_source,
     "profile_lineitem_columns": profile_lineitem_columns,
+    "incremental_rollup_events": incremental_rollup_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -5171,6 +5214,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_part_name_pairs": ORACLE_FUZZY,
     "corpus_report_by_source": ORACLE_CORPUS_REPORT,
     "profile_lineitem_columns": ORACLE_PROFILE_COLS,
+    "incremental_rollup_events": ORACLE_INC_ROLLUP,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users

@@ -502,3 +502,36 @@ def streaming_cms_sketch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_rollup(
+    event_stream: DataFrame,
+    table,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    checkpoint: str | None = None,
+    available_now: bool = False,
+):
+    """Continuous materialized-rollup maintenance: every micro-batch
+    folds into the persistent per-(key, day) aggregate table via
+    sources/upsert.py::maintain_daily_rollup — the streaming face of the
+    same decomposable-aggregate algebra (dashboards read the bounded
+    rollup, never the raw stream history). At-least-once caveat applies
+    (a replayed batch double-counts); route exactly-once-critical data
+    through a deduped source or key batches like streaming_cms_sketch."""
+    from ..sources.upsert import maintain_daily_rollup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        maintain_daily_rollup(
+            table, batch_df, key_col=key_col, ts_col=ts_col, value_col=value_col
+        )
+
+    writer = event_stream.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
