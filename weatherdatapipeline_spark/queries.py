@@ -4938,6 +4938,93 @@ GROUP BY event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
 """
 
 
+def rare_token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty signal: the fraction of token occurrences
+    falling OUTSIDE the corpus's top-500 vocabulary — high values mark
+    jargon/noise/OOV-heavy docs (a standard quality-filter input).
+    The vocab cut is a bounded aggregate (top-500 by tf, tiebreak term)
+    that AQE broadcasts into one anti-join-style count over the token
+    stream; one corpus-sized shuffle on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .orderBy(F.desc("_tf"), "term")
+        .limit(500)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .withColumn("rare_frac", F.round(F.col("n_rare") / F.col("n_tokens"), 6))
+    )
+
+
+ORACLE_RARE_TOKENS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM toks GROUP BY term
+  ORDER BY count(*) DESC, term LIMIT 500
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+       round(sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS rare_frac
+FROM toks LEFT JOIN vocab USING (term)
+GROUP BY doc_id
+"""
+
+
+def interarrival_stats_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival profile: mean / median / max gap between
+    consecutive events in seconds — one lag window on the (user, ts)
+    ordering (single user-key shuffle) feeding one grouped aggregate.
+    The cadence fingerprint behind rate-limiting, bot detection, and
+    engagement scoring."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "_gap",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).cast("double")
+        / 1e6,
+    ).filter(F.col("_gap").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.avg("_gap"), 4).alias("mean_gap_s"),
+        F.round(F.percentile(F.col("_gap"), F.lit(0.5)), 4).alias("median_gap_s"),
+        F.round(F.max("_gap"), 4).alias("max_gap_s"),
+    )
+
+
+ORACLE_INTERARRIVAL = """
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w))::DOUBLE / 1e6 AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*)::BIGINT AS n_gaps,
+       round(avg(gap), 4) AS mean_gap_s,
+       round(quantile_cont(gap, 0.5), 4) AS median_gap_s,
+       round(max(gap), 4) AS max_gap_s
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5084,6 +5171,8 @@ QUERIES: dict[str, Query] = {
     "corpus_report_by_source": corpus_report_by_source,
     "profile_lineitem_columns": profile_lineitem_columns,
     "incremental_rollup_events": incremental_rollup_events,
+    "rare_token_novelty": rare_token_novelty,
+    "interarrival_stats_by_user": interarrival_stats_by_user,
 }
 
 ORACLES: dict[str, str] = {
@@ -5215,6 +5304,8 @@ ORACLES: dict[str, str] = {
     "corpus_report_by_source": ORACLE_CORPUS_REPORT,
     "profile_lineitem_columns": ORACLE_PROFILE_COLS,
     "incremental_rollup_events": ORACLE_INC_ROLLUP,
+    "rare_token_novelty": ORACLE_RARE_TOKENS,
+    "interarrival_stats_by_user": ORACLE_INTERARRIVAL,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
