@@ -565,3 +565,32 @@ def test_mad_outliers_meanad_fallback(spark):
     assert got["mad"] == 0.0
     # MeanAD = 995/10 = 99.5 -> modz = 0.7979 * 995 / 99.5 = 7.98 > 3.5
     assert got["n_outliers"] == 1
+
+
+def test_ks_drift_detects_planted_shift(spark):
+    """KS must be ~0 when both windows share a distribution and large
+    for a planted mean shift; scipy-free exact recomputation on a tiny
+    case: ref {1,2,3}, cur {1,2,3} -> 0; cur {11,12,13} -> 1.0."""
+    import datetime as dt
+
+    from weatherdatapipeline_spark.queries import ks_drift_by_type
+
+    t_ref = dt.datetime(2024, 1, 5)
+    t_cur = dt.datetime(2024, 1, 20)
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((i, t_ref, 1, "same", v, "{}"))
+        rows.append((100 + i, t_cur, 1, "same", v, "{}"))
+        rows.append((200 + i, t_ref, 1, "shift", v, "{}"))
+        rows.append((300 + i, t_cur, 1, "shift", v + 10.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="ks_t_")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["event_type"]: r for r in ks_drift_by_type(spark, d).collect()}
+    assert got["same"]["ks_stat"] == 0.0
+    assert got["shift"]["ks_stat"] == 1.0  # fully separated supports

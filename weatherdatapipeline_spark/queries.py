@@ -5025,6 +5025,87 @@ GROUP BY user_id
 """
 
 
+def ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift per event type between
+    the first half of the month and the rest — the distribution-shape
+    complement to the binned PSI monitor (`events_psi_drift`): KS is
+    binning-free, PSI localizes WHERE mass moved.
+
+    Relational exact KS with tie handling: per-(type, value, side)
+    counts collapse duplicates first, cumulative sums run over the
+    DISTINCT value ordering (a per-type window — never global), and the
+    statistic is the max absolute ECDF gap. Two shuffles (count agg +
+    the same-keyed window) and a group-sized output."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    sided = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < cut, 1).otherwise(0).alias("_ref"),
+        F.when(F.col("ts") >= cut, 1).otherwise(0).alias("_cur"),
+    )
+    per_value = sided.groupBy("event_type", "value").agg(
+        F.sum("_ref").alias("_r"), F.sum("_cur").alias("_c")
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    cum = per_value.select(
+        "event_type",
+        "value",
+        F.sum("_r").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cr"),
+        F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cc"),
+    )
+    totals = sided.groupBy("event_type").agg(
+        F.sum("_ref").alias("n_ref"), F.sum("_cur").alias("n_cur")
+    )
+    return (
+        cum.join(totals, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("_cr") / F.col("n_ref") - F.col("_cc") / F.col("n_cur")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+ORACLE_KS = """
+WITH sided AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS r,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS c
+  FROM events
+),
+per_value AS (
+  SELECT event_type, value, sum(r) AS pr, sum(c) AS pc
+  FROM sided GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, value,
+         sum(pr) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         sum(pc) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM per_value
+),
+totals AS (
+  SELECT event_type, sum(r) AS n_ref, sum(c) AS n_cur FROM sided GROUP BY 1
+)
+SELECT cum.event_type,
+       max(n_ref)::BIGINT AS n_ref,
+       max(n_cur)::BIGINT AS n_cur,
+       round(max(abs(cr::DOUBLE / n_ref - cc::DOUBLE / n_cur)), 6) AS ks_stat
+FROM cum JOIN totals USING (event_type)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5173,6 +5254,7 @@ QUERIES: dict[str, Query] = {
     "incremental_rollup_events": incremental_rollup_events,
     "rare_token_novelty": rare_token_novelty,
     "interarrival_stats_by_user": interarrival_stats_by_user,
+    "ks_drift_by_type": ks_drift_by_type,
 }
 
 ORACLES: dict[str, str] = {
@@ -5306,6 +5388,7 @@ ORACLES: dict[str, str] = {
     "incremental_rollup_events": ORACLE_INC_ROLLUP,
     "rare_token_novelty": ORACLE_RARE_TOKENS,
     "interarrival_stats_by_user": ORACLE_INTERARRIVAL,
+    "ks_drift_by_type": ORACLE_KS,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
