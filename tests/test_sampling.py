@@ -247,3 +247,31 @@ def test_aqp_estimate_error_shrinks_with_sample_rate(spark):
         assert abs(est - exact) / exact < tol, (p, est, exact)
         est2 = sampled.agg(F.sum("value") / p).collect()[0][0]
         assert est == est2  # deterministic, not rand()-sampled
+
+
+def test_es_weighted_sampling_biases_toward_heavy_items(spark):
+    """Efraimidis-Spirakis keys: over many disjoint id universes, items
+    with 10x the weight must win the top-1 slot far more often — and
+    the selection must be deterministic (hash-derived, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from weatherdatapipeline_spark.operators.dedup import portable_hash60
+
+    rows = []
+    for trial in range(300):
+        rows.append((trial * 10 + 1, trial, 1000.0))  # heavy
+        rows.append((trial * 10 + 2, trial, 100.0))   # light
+    df = spark.createDataFrame(rows, "doc_id long, trial int, weight double")
+    u = (portable_hash60(F.col("doc_id")) + 1).cast("double") / float(2**60)
+    keyed = df.withColumn("k", F.log(u) / F.col("weight"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("trial").orderBy(F.desc("k"), "doc_id")
+    winners = (
+        keyed.withColumn("r", F.row_number().over(w))
+        .filter("r = 1")
+        .withColumn("heavy", (F.col("weight") == 1000.0).cast("int"))
+        .agg(F.sum("heavy")).collect()[0][0]
+    )
+    # P(heavy wins) = 1000/1100 = 0.909; 300 trials, expect ~273, allow 4 sigma
+    assert 240 <= winners <= 300, winners

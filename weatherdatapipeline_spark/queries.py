@@ -5106,6 +5106,97 @@ GROUP BY 1
 """
 
 
+def funnel_conversion_window_72h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with a CONVERSION WINDOW: click after first view, purchase
+    within 72 hours of that click (unbounded funnels overcount — the
+    industry-standard form bounds each step). Same single-exchange
+    stacked-window plan as `funnel_view_click_purchase`, with the
+    window bound as an extra arm of the step-3 condition."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(wu)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 72 HOURS")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.select("user_id", "t1", "t2", "t3").distinct()
+    return per_user.agg(
+        F.count("t2").alias("n_clicked"),
+        F.count("t3").alias("n_converted_72h"),
+        F.round(F.count("t3") / F.count("t2"), 6).alias("conversion_rate_72h"),
+    )
+
+
+ORACLE_FUNNEL_WINDOWED = """
+WITH s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                      AND ts <= t2 + INTERVAL 72 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+per_user AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s3)
+SELECT count(t2) AS n_clicked,
+       count(t3) AS n_converted_72h,
+       round(count(t3)::DOUBLE / count(t2), 6) AS conversion_rate_72h
+FROM per_user
+"""
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each doc draws u in (0,1) from its md5 hash (not a
+    RNG — reproducible in any engine) and ranks by ln(u)/weight with
+    weight = n_chars; the top-100 keys are an exact weighted sample.
+    One map-only key projection + TakeOrdered — no per-group state, no
+    rejection loop; the classic one-pass distributed weighted sampler."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (D.portable_hash60(F.col("doc_id")) + 1).cast("double") / F.lit(
+        float(2**60)
+    )
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.round(key, 9).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(100)
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars::BIGINT AS weight,
+         round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+                  / 1152921504606846976.0) / n_chars, 9) AS es_key
+  FROM documents
+)
+SELECT doc_id, weight, es_key
+FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5255,6 +5346,8 @@ QUERIES: dict[str, Query] = {
     "rare_token_novelty": rare_token_novelty,
     "interarrival_stats_by_user": interarrival_stats_by_user,
     "ks_drift_by_type": ks_drift_by_type,
+    "funnel_conversion_window_72h": funnel_conversion_window_72h,
+    "weighted_sample_docs": weighted_sample_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5389,6 +5482,8 @@ ORACLES: dict[str, str] = {
     "rare_token_novelty": ORACLE_RARE_TOKENS,
     "interarrival_stats_by_user": ORACLE_INTERARRIVAL,
     "ks_drift_by_type": ORACLE_KS,
+    "funnel_conversion_window_72h": ORACLE_FUNNEL_WINDOWED,
+    "weighted_sample_docs": ORACLE_WEIGHTED_SAMPLE,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
