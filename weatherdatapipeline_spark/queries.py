@@ -5197,6 +5197,47 @@ FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey Markov matrix: counts and row-normalized
+    probabilities of consecutive event-type transitions within each
+    user's timeline (the session-analysis / next-action-model input).
+    One lag window on the user-key shuffle, one (from, to) count agg,
+    one from-keyed total join — transition-vocabulary-sized output."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("_t"))
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("_t"), 6).alias("p"),
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER w AS from_type, event_type AS to_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT from_type, sum(n) AS t FROM counts GROUP BY 1)
+SELECT from_type, to_type, n, round(n::DOUBLE / t, 6) AS p
+FROM counts JOIN totals USING (from_type)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5348,6 +5389,7 @@ QUERIES: dict[str, Query] = {
     "ks_drift_by_type": ks_drift_by_type,
     "funnel_conversion_window_72h": funnel_conversion_window_72h,
     "weighted_sample_docs": weighted_sample_docs,
+    "event_transition_matrix": event_transition_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -5484,6 +5526,7 @@ ORACLES: dict[str, str] = {
     "ks_drift_by_type": ORACLE_KS,
     "funnel_conversion_window_72h": ORACLE_FUNNEL_WINDOWED,
     "weighted_sample_docs": ORACLE_WEIGHTED_SAMPLE,
+    "event_transition_matrix": ORACLE_TRANSITIONS,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
