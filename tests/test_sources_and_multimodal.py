@@ -206,3 +206,47 @@ def test_catalog_compact_small_files(spark, tmp_path):
     after = len(glob.glob(f"{cat.path('logs')}/*.parquet"))
     assert n == 1 and after == 1
     assert spark.read.parquet(cat.path("logs")).count() == 5000
+
+
+def test_zorder_layout_improves_two_column_locality(spark, tmp_path):
+    """Z-ordered files must cover small rectangles in (a, b) space:
+    the mean per-file min-max extent on EACH column must be far below
+    the single-column-sorted layout's extent on its non-sorted column
+    (where every file spans ~the full range)."""
+    import pyarrow.parquet as pq
+    import os
+
+    from weatherdatapipeline_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path))
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "id", "CAST(pmod(id * 2654435761, 100000) AS DOUBLE) AS a",
+        "CAST(pmod(id * 40503, 100000) AS DOUBLE) AS b",
+    )
+    cat.write_zordered(df, "zorder", "a", "b", bits=10, n_ranges=16)
+    cat.write_range_sorted(df, "asorted", "a", n_ranges=16)
+
+    def mean_extent(table, col):
+        root = cat.path(table)
+        spans = []
+        for f in os.listdir(root):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    full = 100000.0
+    # z-order: both columns localized well below the full range
+    assert mean_extent("zorder", "a") < 0.6 * full
+    assert mean_extent("zorder", "b") < 0.6 * full
+    # single-column sort: the sorted column is tight but the OTHER
+    # column's per-file extent spans essentially everything
+    assert mean_extent("asorted", "a") < 0.2 * full
+    assert mean_extent("asorted", "b") > 0.9 * full
+    # z-order beats the single-sort layout on the non-sorted column
+    assert mean_extent("zorder", "b") < 0.7 * mean_extent("asorted", "b")

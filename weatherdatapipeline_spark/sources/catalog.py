@@ -141,6 +141,51 @@ class TableCatalog:
             .parquet(self.path(name))
         )
 
+    def write_zordered(
+        self, df: DataFrame, name: str, col_a: str, col_b: str,
+        bits: int = 16, n_ranges: int = 32,
+    ) -> None:
+        """Z-order (Morton-curve) layout on TWO columns — the lakehouse
+        data-skipping trick (Delta's Z-ORDER BY) for workloads that
+        filter on either or both of two dimensions: rank each column to
+        a ``bits``-bit integer (percent_rank * 2^bits — rank-based, so
+        arbitrary numeric distributions interleave uniformly), then
+        interleave the bits into one Morton key and range-sort by it.
+        Each file then covers a small RECTANGLE in (a, b) space, so
+        parquet min/max zone maps prune on BOTH columns — a plain sort
+        on one column leaves the other's min/max spanning everything.
+
+        The two percent_rank windows are partition-less by necessity
+        (global ranking) — acceptable as a WRITE-TIME layout job, the
+        same trade `repartitionByRange`'s sampling makes; never use
+        this shape in a query path. At true scale swap the exact ranks
+        for approx-percentile bucket assignment (map-only)."""
+        from pyspark.sql import Window as _W
+
+        ra = F.floor(
+            F.percent_rank().over(_W.orderBy(col_a)) * ((1 << bits) - 1)
+        ).cast("long")
+        rb = F.floor(
+            F.percent_rank().over(_W.orderBy(col_b)) * ((1 << bits) - 1)
+        ).cast("long")
+        # interleave bit i of a into 2i+1, of b into 2i (classic Morton)
+        z = None
+        for i in range(bits):
+            abit = F.shiftright(F.col("_ra"), i) % 2
+            bbit = F.shiftright(F.col("_rb"), i) % 2
+            term = (abit * F.lit(1 << (2 * i + 1))) + (bbit * F.lit(1 << (2 * i)))
+            z = term if z is None else (z + term)
+        (
+            df.withColumn("_ra", ra)
+            .withColumn("_rb", rb)
+            .withColumn("_z", z)
+            .repartitionByRange(n_ranges, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_ra", "_rb", "_z")
+            .write.mode("overwrite")
+            .parquet(self.path(name))
+        )
+
     def compact(
         self, name: str, target_file_bytes: int = 128 * 1024 * 1024
     ) -> int:
