@@ -214,9 +214,14 @@ CHECKS = {
         ("bounded sketch broadcasts into the probe join", r"BroadcastHashJoin"),
     ],
     "aqp_event_value_estimate": [
-        # the sample predicate must evaluate scan-side (one events scan
-        # per branch, no join-side filtering)
-        ("estimate joins exact via broadcast or shuffle hash", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        # the md5 sample predicate is a derived expression (not a
+        # pushable parquet filter) but must still run as a scan-stage
+        # Filter on the estimate branch: two events scans, one carrying
+        # the md5 bucket filter right above it
+        ("two scan branches", lambda p: p.count("Scan parquet") >= 2),
+        # formatted plans put the Filter node and its Condition on
+        # separate lines — match the condition line itself
+        ("sample filter is an md5 projection filter", r"Condition :.*md5"),
     ],
 }
 

@@ -3813,8 +3813,8 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t1").alias("n_viewed"),
         F.count("t2").alias("n_clicked"),
         F.count("t3").alias("n_purchased"),
-        F.round(F.count("t2") / F.count("t1"), 6).alias("click_rate"),
-        F.round(F.count("t3") / F.count("t2"), 6).alias("purchase_rate"),
+        F.round(F.try_divide(F.count("t2"), F.count("t1")), 6).alias("click_rate"),
+        F.round(F.try_divide(F.count("t3"), F.count("t2")), 6).alias("purchase_rate"),
     )
 
 
@@ -4899,21 +4899,41 @@ ORACLE_PROFILE_COLS = "\nUNION ALL\n".join(
 def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-view maintenance, oracle-checked end to end: events
     split into two deterministic batches (event_id parity), each folded
-    incrementally into a fresh UpsertTable rollup via
+    incrementally into an UpsertTable rollup via
     sources/upsert.py::maintain_daily_rollup — the returned FINAL TABLE
     must hash-match the oracle's direct one-shot rollup over all rows,
-    which is exactly the materialized-view invariant."""
-    import tempfile
+    which is exactly the materialized-view invariant.
+
+    The folded table is CACHED under .stream_stage keyed by the source
+    mtime (same pattern as the staged streaming copy): registry sweeps
+    and plan audits call every query just to build plans, and this one
+    has eager merge side effects — the cache makes repeat invocations
+    read-only and leak-free instead of re-folding into a fresh tmpdir
+    every time."""
+    import os as _os
 
     from .sources.upsert import UpsertTable, maintain_daily_rollup
 
-    ev = _t(spark, sf_dir, "events")
-    table = UpsertTable(
-        spark, tempfile.mkdtemp(prefix="rollup_q_"), "daily", key="rollup_key",
-        partition_col="k",
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    root = f"{base}/.stream_stage/rollup_{tag}"
+    marker = f"{root}/_FOLDED"
+    src = f"{sf_dir}/events.parquet"
+    table = UpsertTable(spark, root, "daily", key="rollup_key", partition_col="k")
+    fresh = (
+        _os.path.exists(marker)
+        and _os.path.getmtime(marker) >= _os.path.getmtime(src)
     )
-    maintain_daily_rollup(table, ev.filter(F.col("event_id") % 2 == 0))
-    maintain_daily_rollup(table, ev.filter(F.col("event_id") % 2 == 1))
+    if not fresh:
+        import shutil as _shutil
+
+        _shutil.rmtree(root, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events")
+        maintain_daily_rollup(table, ev.filter(F.col("event_id") % 2 == 0))
+        maintain_daily_rollup(table, ev.filter(F.col("event_id") % 2 == 1))
+        _os.makedirs(root, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(src)
     return table.read().select(
         "rollup_key",
         "k",
@@ -5063,13 +5083,20 @@ def ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n_ref").cast("long").alias("n_ref"),
             F.max("n_cur").cast("long").alias("n_cur"),
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("_cr") / F.col("n_ref") - F.col("_cc") / F.col("n_cur")
-                    )
+            # a type present on only ONE side of the cut is FULL drift by
+            # definition (and an ANSI 0/0 otherwise): try_divide NULLs
+            # propagate through max -> coalesce to 1.0
+            F.coalesce(
+                F.round(
+                    F.max(
+                        F.abs(
+                            F.try_divide(F.col("_cr"), F.col("n_ref"))
+                            - F.try_divide(F.col("_cc"), F.col("n_cur"))
+                        )
+                    ),
+                    6,
                 ),
-                6,
+                F.lit(1.0),
             ).alias("ks_stat"),
         )
     )
@@ -5100,7 +5127,8 @@ totals AS (
 SELECT cum.event_type,
        max(n_ref)::BIGINT AS n_ref,
        max(n_cur)::BIGINT AS n_cur,
-       round(max(abs(cr::DOUBLE / n_ref - cc::DOUBLE / n_cur)), 6) AS ks_stat
+       coalesce(round(max(abs(cr::DOUBLE / nullif(n_ref, 0)
+                              - cc::DOUBLE / nullif(n_cur, 0))), 6), 1.0) AS ks_stat
 FROM cum JOIN totals USING (event_type)
 GROUP BY 1
 """
@@ -5133,7 +5161,7 @@ def funnel_conversion_window_72h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.agg(
         F.count("t2").alias("n_clicked"),
         F.count("t3").alias("n_converted_72h"),
-        F.round(F.count("t3") / F.count("t2"), 6).alias("conversion_rate_72h"),
+        F.round(F.try_divide(F.count("t3"), F.count("t2")), 6).alias("conversion_rate_72h"),
     )
 
 
@@ -5174,6 +5202,9 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(2**60)
     )
     key = F.log(u) / F.col("n_chars")
+    # ES requires w > 0: an empty doc has no selection probability and
+    # would be an ANSI divide-by-zero
+    docs = docs.filter(F.col("n_chars") > 0)
     return (
         docs.select(
             "doc_id",
@@ -5190,7 +5221,7 @@ WITH keyed AS (
   SELECT doc_id, n_chars::BIGINT AS weight,
          round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
                   / 1152921504606846976.0) / n_chars, 9) AS es_key
-  FROM documents
+  FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, weight, es_key
 FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100

@@ -335,6 +335,7 @@ def maintain_daily_rollup(
     key_col: str = "event_type",
     ts_col: str = "ts",
     value_col: str = "value",
+    batch_id: int | None = None,
 ) -> int:
     """Incremental materialized-rollup maintenance: fold one batch of
     raw events into a persistent per-(key, day) aggregate table without
@@ -349,14 +350,30 @@ def maintain_daily_rollup(
     mergeable sketch (see count_min_sketch / hll_distinct_estimate for
     the sketch route).
 
-    The merge touches only the (key, day) rows present in THE BATCH:
-    stored rows outside the batch's keys are untouched (UpsertTable's
-    partition-scoped copy-on-write). Returns the new table version.
-    Replay caveat: calling twice with the same batch double-counts —
-    at-least-once sources must dedupe upstream (see
-    streaming_cms_sketch's _last_batch_id guard for the pattern)."""
+    Correctness hardening:
+    - emptiness is probed via ``table.current_version`` — a blanket
+      except around read() would turn any transient storage error into
+      "first batch" and silently replace accumulated history with
+      batch-only partials (the same pitfall streaming_cms_sketch
+      documents); real read errors now raise and fail the batch.
+    - rows with a NULL ``key_col`` are EXCLUDED (a NULL partition value
+      round-trips as __HIVE_DEFAULT_PARTITION__ on disk but 'None' in
+      the manifest — a corrupting mismatch; route NULLs explicitly
+      upstream, as the streaming quality gate does).
+    - pass ``batch_id`` for at-least-once sources: a replayed batch
+      (stored _last_batch_id >= batch_id) is skipped instead of
+      double-counted.
+
+    The merge touches only the (key, day) rows present in THE BATCH;
+    when the table is partitioned on the key, the stored side is
+    filtered to the batch's keys FIRST so the read prunes partitions.
+    The bounded partial is persisted across its several consumers
+    (existence checks, the combine, merge's internal actions).
+    Returns the new table version (or the current one for a skipped
+    replay)."""
     partial = (
-        batch.groupBy(
+        batch.filter(F.col(key_col).isNotNull())
+        .groupBy(
             F.col(key_col).alias("k"),
             F.date_format(F.date_trunc("DAY", F.col(ts_col)), "yyyy-MM-dd").alias("day"),
         )
@@ -367,26 +384,34 @@ def maintain_daily_rollup(
             F.max(value_col).alias("max_value"),
         )
         .withColumn("rollup_key", F.concat_ws("|", F.col("k"), F.col("day")))
-    )
+        .withColumn("_last_batch_id", F.lit(-1 if batch_id is None else batch_id).cast("long"))
+    ).persist()
     try:
-        stored = table.read().join(
-            partial.select("rollup_key"), "rollup_key", "left_semi"
-        )
-    except Exception:
-        stored = None
-    if stored is not None and stored.head(1):
+        cols = ["rollup_key", "k", "day", "n", "sum_value", "min_value",
+                "max_value", "_last_batch_id"]
+        if table.current_version is None:
+            return table.merge(partial.select(*cols))
+        stored = table.read()
+        if batch_id is not None:
+            last = stored.agg(F.max("_last_batch_id")).collect()[0][0]
+            if last is not None and last >= batch_id:
+                return table.current_version  # replayed batch: already folded
+        if table.partition_col:
+            ks = [r["k"] for r in partial.select("k").distinct().collect()]
+            stored = stored.filter(F.col("k").isin(ks))
+        else:
+            stored = stored.join(partial.select("rollup_key"), "rollup_key", "left_semi")
         combined = (
-            partial.unionByName(stored)
+            partial.unionByName(stored.select(*cols))
             .groupBy("rollup_key", "k", "day")
             .agg(
                 F.sum("n").cast("long").alias("n"),
                 F.sum("sum_value").alias("sum_value"),
                 F.min("min_value").alias("min_value"),
                 F.max("max_value").alias("max_value"),
+                F.max("_last_batch_id").alias("_last_batch_id"),
             )
         )
-    else:
-        combined = partial.select(
-            "rollup_key", "k", "day", "n", "sum_value", "min_value", "max_value"
-        )
-    return table.merge(combined)
+        return table.merge(combined.select(*cols))
+    finally:
+        partial.unpersist(blocking=False)

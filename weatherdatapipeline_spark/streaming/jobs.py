@@ -517,16 +517,18 @@ def streaming_rollup(
     folds into the persistent per-(key, day) aggregate table via
     sources/upsert.py::maintain_daily_rollup — the streaming face of the
     same decomposable-aggregate algebra (dashboards read the bounded
-    rollup, never the raw stream history). At-least-once caveat applies
-    (a replayed batch double-counts); route exactly-once-critical data
-    through a deduped source or key batches like streaming_cms_sketch."""
+    rollup, never the raw stream history). The micro-batch id is
+    threaded through, so a replayed batch after a crash (foreachBatch
+    is at-least-once) is SKIPPED by the stored _last_batch_id guard
+    instead of double-counted — same pattern as streaming_cms_sketch."""
     from ..sources.upsert import maintain_daily_rollup
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         maintain_daily_rollup(
-            table, batch_df, key_col=key_col, ts_col=ts_col, value_col=value_col
+            table, batch_df, key_col=key_col, ts_col=ts_col,
+            value_col=value_col, batch_id=batch_id,
         )
 
     writer = event_stream.writeStream.foreachBatch(sink)
