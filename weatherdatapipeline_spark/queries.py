@@ -5269,6 +5269,68 @@ FROM counts JOIN totals USING (from_type)
 """
 
 
+def knn_label_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification on the embedding table: vec_id >= 450 is the
+    unlabeled query slice, its 5 nearest labeled neighbors (vec_id <
+    450) vote, majority label wins with smallest-label tiebreak — the
+    no-training-loop classifier every vector store ships. Reuses
+    knn_join's one-scan broadcast shape; the vote is a (query, label)
+    count + max_by((n, -label)) argmax, both group-sized."""
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled = emb.filter(F.col("vec_id") < 450)
+    queries = emb.filter(F.col("vec_id") >= 450).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    nn = S.knn_join(labeled, queries, k=5)
+    votes = (
+        nn.join(
+            labeled.select(F.col("vec_id"), F.col("label")), "vec_id"
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("_votes"))
+    )
+    # argmax by (votes desc, label asc) via ONE scalar key: votes*1000 -
+    # label (labels < 1000) — DuckDB's arg_max takes only scalar keys,
+    # so both engines order by the identical integer
+    return (
+        votes.groupBy("query_id")
+        .agg(
+            F.max_by(
+                F.col("label"), F.col("_votes") * 1000 - F.col("label")
+            ).cast("bigint").alias("predicted_label"),
+            F.max("_votes").cast("bigint").alias("top_votes"),
+        )
+    )
+
+
+ORACLE_KNN_LABELS = """
+WITH labeled AS (SELECT * FROM embeddings WHERE vec_id < 450),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id >= 450),
+scored AS (
+  SELECT q.query_id, l.vec_id, l.label,
+         round(list_dot_product(l.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM labeled l CROSS JOIN q
+),
+nn AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, count(*) AS v
+  FROM nn WHERE rk <= 5 GROUP BY 1, 2
+)
+SELECT query_id,
+       arg_max(label, v * 1000 - label)::BIGINT AS predicted_label,
+       max(v)::BIGINT AS top_votes
+FROM votes GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5421,6 +5483,7 @@ QUERIES: dict[str, Query] = {
     "funnel_conversion_window_72h": funnel_conversion_window_72h,
     "weighted_sample_docs": weighted_sample_docs,
     "event_transition_matrix": event_transition_matrix,
+    "knn_label_prediction": knn_label_prediction,
 }
 
 ORACLES: dict[str, str] = {
@@ -5558,6 +5621,7 @@ ORACLES: dict[str, str] = {
     "funnel_conversion_window_72h": ORACLE_FUNNEL_WINDOWED,
     "weighted_sample_docs": ORACLE_WEIGHTED_SAMPLE,
     "event_transition_matrix": ORACLE_TRANSITIONS,
+    "knn_label_prediction": ORACLE_KNN_LABELS,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
