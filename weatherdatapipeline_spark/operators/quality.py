@@ -263,3 +263,41 @@ def gopher_repetition_flags(
         "dup_line_char_frac",
         *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out_cols],
     )
+
+
+def validate_and_route(
+    documents: DataFrame,
+    min_chars: int = 100,
+    allowed_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    min_tokens: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Schema/content validation with dead-letter routing: every rule
+    evaluates independently and a failing row carries ALL its failure
+    reasons (the quarantine-queue contract — one pass tells the producer
+    everything wrong with a record, not just the first rule hit).
+
+    Pure map-only JVM expressions (array of CASE tags + array filter),
+    zero Exchange — the quarantine split pipelines with the scan at any
+    scale. Returns only the quarantined rows: (id, lang, n_chars,
+    reasons csv, n_reasons); the clean side is the complement filter.
+    """
+    n_toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    tags = F.array(
+        F.when(F.col("n_chars") < min_chars, F.lit("too_short")),
+        F.when(~F.col("lang").isin(*allowed_langs), F.lit("unsupported_lang")),
+        F.when(n_toks < min_tokens, F.lit("too_few_tokens")),
+    )
+    reasons = F.filter(tags, lambda x: x.isNotNull())
+    return (
+        documents.withColumn("_r", reasons)
+        .filter(F.size("_r") > 0)
+        .select(
+            id_col,
+            "lang",
+            "n_chars",
+            F.array_join("_r", ",").alias("reasons"),
+            F.size("_r").cast("bigint").alias("n_reasons"),
+        )
+    )

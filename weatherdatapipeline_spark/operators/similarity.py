@@ -483,3 +483,41 @@ def mmr_rerank(
     return embeddings.sparkSession.createDataFrame(
         out, f"{id_col} long, rank long, relevance double, mmr_score double"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval
+    shortlists: ``rrf(d) = sum_i 1 / (k + rank_i(d))``, items absent from
+    a list contribute 0 from it.
+
+    Each input DataFrame must carry (id_col, rank) where rank is 1-based
+    within that shortlist. Shortlists are bounded (top-N retrieval
+    results), so the full-outer merge is shortlist-sized — at scale this
+    runs AFTER the per-modality top-k operators (TakeOrdered / ANN probe)
+    have already cut each list to k rows; fusing full corpora through
+    this would be a design error, not a capability.
+
+    Returns (id_col, rank_0..rank_{n-1}, rrf); ranks stay NULL where the
+    item missed that shortlist.
+    """
+    out = None
+    for i, r in enumerate(rankings):
+        r = r.select(
+            F.col(id_col), F.col("rank").cast("bigint").alias(f"rank_{i}")
+        )
+        out = r if out is None else out.join(r, id_col, "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        score = c if score is None else score + c
+    return out.select(
+        id_col,
+        *[F.col(f"rank_{i}") for i in range(len(rankings))],
+        score.alias("rrf"),
+    )

@@ -360,3 +360,95 @@ def grouped_ols_trend(
         F.round(F.col("_my"), 6).alias("mean_value"),
         F.round(F.coalesce(r2, F.lit(0.0)), 6).alias("r2"),
     )
+
+
+def ab_conversion_ztest(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """A/B experiment readout with a deterministic variant assignment:
+    users hash into control (0) / treatment (1) via the portable md5
+    bucket (the same split primitive as operators/sampling.py — re-runs
+    and engine audits reproduce the assignment bit-for-bit), a user
+    converts iff they ever emit ``convert_type``, and the two-proportion
+    pooled z-statistic tests the conversion-rate difference.
+
+    Shape at scale: one user-keyed agg (map-side combined boolean max),
+    one conditional 1-row rollup — no join at all. Returns a single row:
+    counts, rates, absolute/relative lift, and z.
+    """
+    from .sampling import hash_bucket
+
+    per_user = events.groupBy(user_col).agg(
+        F.max(
+            F.when(F.col(type_col) == convert_type, F.lit(1)).otherwise(F.lit(0))
+        ).alias("_conv")
+    )
+    assigned = per_user.withColumn("_v", hash_bucket(user_col, 2))
+    agg = assigned.agg(
+        F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).cast("bigint").alias("n_control"),
+        F.sum(F.when(F.col("_v") == 1, 1).otherwise(0)).cast("bigint").alias("n_treatment"),
+        F.sum(F.when(F.col("_v") == 0, F.col("_conv")).otherwise(0)).cast("bigint").alias("conv_control"),
+        F.sum(F.when(F.col("_v") == 1, F.col("_conv")).otherwise(0)).cast("bigint").alias("conv_treatment"),
+    )
+    p0 = F.col("conv_control") / F.col("n_control")
+    p1 = F.col("conv_treatment") / F.col("n_treatment")
+    pooled = (F.col("conv_control") + F.col("conv_treatment")) / (
+        F.col("n_control") + F.col("n_treatment")
+    )
+    se = F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / F.col("n_control") + 1.0 / F.col("n_treatment"))
+    )
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        "conv_control",
+        "conv_treatment",
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treatment"),
+        F.round(p1 - p0, 6).alias("abs_lift"),
+        F.round(F.try_divide(p1 - p0, p0), 6).alias("rel_lift"),
+        F.round(F.try_divide(p1 - p0, se), 6).alias("z_score"),
+    )
+
+
+def seasonal_zscore_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_cut: float = 2.5,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: the expected level of a metric
+    depends on the hour of day, so each observation is z-scored against
+    its own (key, hour-of-day) cohort rather than the global mean —
+    flagging "high for 3am" that a global z-score would call normal.
+
+    The baseline table is (|keys| x 24) rows — vocabulary-sized, hence the
+    broadcast join back onto the event scan; the only wide operation is
+    one map-side-combined agg on the (key, hour) composite. Zero-variance
+    cohorts define no outliers (NULL z via try_divide on a 0 stddev).
+
+    The cut compares the ROUNDED z (6 dp) so any engine recomputing the
+    audit selects the identical row set.
+    """
+    keyed = events.withColumn("hour_of_day", F.hour(ts_col).cast("bigint"))
+    base = keyed.groupBy(key_col, "hour_of_day").agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_samp(value_col).alias("_sd"),
+    )
+    z = F.round(
+        F.try_divide(
+            F.col(value_col) - F.col("_mu"), F.nullif(F.col("_sd"), F.lit(0.0))
+        ),
+        6,
+    )
+    return (
+        keyed.join(F.broadcast(base), [key_col, "hour_of_day"])
+        .withColumn("z_score", z)
+        .filter(F.abs(F.col("z_score")) >= z_cut)
+        .select(id_col, key_col, "hour_of_day", value_col, "z_score")
+    )

@@ -859,3 +859,62 @@ def exact_shared_spans(
         .filter(F.col("span_chars") >= min_span)
         .select("doc_a", "doc_b", "start_a", "start_b", "span_chars")
     )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set — the lexical half of a retrieval stack (the embedding half is
+    operators/similarity.py). idf uses the Lucene/BM25+ form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` which stays positive even for
+    terms in most documents.
+
+    Relational all the way: tf is a (doc, term) count restricted to the
+    query terms BEFORE the aggregate (the explode filter pushes into the
+    scan projection, so common-corpus terms never shuffle); df and the
+    (N, avgdl) corpus stats are query-terms-sized / single-row broadcast
+    sides. At 100 TB this is one map-side-combined agg over only the
+    matching postings plus two broadcast joins — no global sort, no
+    all-terms vocabulary shuffle.
+
+    Returns (id_col, n_terms_matched, bm25) for documents matching >= 1
+    query term; callers TakeOrdered the top-k.
+    """
+    toks = tokens_rows(documents, [id_col], text_col)
+    dl = spread(documents, id_col).select(
+        F.col(id_col),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .cast("double")
+        .alias("_dl"),
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    norm = F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    contrib = idf * F.col("_tf") * (k1 + 1.0) / norm
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            F.sum(contrib).alias("bm25"),
+        )
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from .operators import chunking as C
 from .operators import dedup as D
 from .operators import embeddings as E
+from .operators import graph as G
 from .operators import relational as R
 from .operators import quality as Q
 from .operators import sampling as SA
@@ -5335,6 +5336,302 @@ FROM votes GROUP BY 1
 # Registry
 # --------------------------------------------------------------------------
 
+# Fixed lexical query for the BM25 / hybrid-retrieval queries: mid-frequency
+# corpus terms so tf, df, AND length normalization all vary across docs.
+BM25_TERMS = ["spark", "merge", "vector"]
+
+# Shared DuckDB CTE block: BM25 scores for BM25_TERMS (k1=1.2, b=0.75),
+# Lucene idf ln(1 + (N - df + 0.5)/(df + 0.5)) — mirror of T.bm25_scores.
+_SQL_BM25_CTES = r"""
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+dl AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+'))::DOUBLE AS dl
+  FROM documents
+),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM toks WHERE term IN ('spark', 'merge', 'vector') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+bm AS (
+  SELECT tf.doc_id,
+         count(*)::BIGINT AS n_terms_matched,
+         round(sum(
+           ln(1 + (n - df + 0.5) / (df + 0.5))
+           * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id
+)
+"""
+
+
+def bm25_search_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (the keyword half of a search stack;
+    operators/text.py::bm25_scores): top-20 documents for a fixed query.
+    Ordering is on the ROUNDED score with a doc_id tiebreak so any engine
+    recomputing the audit selects the identical result set."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = T.bm25_scores(docs, BM25_TERMS)
+    return (
+        scored.select(
+            "doc_id", "n_terms_matched", F.round("bm25", 6).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+ORACLE_BM25 = (
+    "WITH "
+    + _SQL_BM25_CTES
+    + """
+SELECT doc_id, n_terms_matched, bm25
+FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+)
+
+
+def hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 shortlist and
+    a quality-score shortlist (each top-100, each ranked on its ROUNDED
+    score with doc_id tiebreaks) fused with rrf_fuse (k=60). The
+    row_number windows run on already-LIMIT'd 100-row shortlists — the
+    scale-bearing cut is the upstream TakeOrdered, not the rank window."""
+    docs = _t(spark, sf_dir, "documents")
+    bm = (
+        T.bm25_scores(docs, BM25_TERMS)
+        .select("doc_id", F.round("bm25", 6).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(100)
+    )
+    qual = (
+        docs.select("doc_id", T.quality_score(F.col("text")).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("s"), "doc_id")
+    bm_rank = bm.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank"
+    )
+    q_rank = qual.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank"
+    )
+    fused = S.rrf_fuse([bm_rank, q_rank], id_col="doc_id", k=60)
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rank_0").alias("rank_bm25"),
+            F.col("rank_1").alias("rank_quality"),
+            F.round("rrf", 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
+
+
+ORACLE_RRF = (
+    "WITH "
+    + _SQL_BM25_CTES
+    + r""",
+bm_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100)
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(length(text) / 500.0, 1.0)
+           + 0.4 * (CASE WHEN length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                              / len(string_split_regex(lower(trim(text)), '\s+'))
+                         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+           + 0.2 * (1.0 - least(
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+               / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1),
+               1.0)),
+           4) AS s
+  FROM documents
+),
+q_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM (SELECT * FROM q ORDER BY s DESC, doc_id LIMIT 100)
+),
+f AS (
+  SELECT coalesce(b.doc_id, q.doc_id) AS doc_id,
+         b.r AS rank_bm25, q.r AS rank_quality,
+         coalesce(1.0 / (60 + b.r), 0) + coalesce(1.0 / (60 + q.r), 0) AS rrf
+  FROM bm_rank b FULL OUTER JOIN q_rank q ON b.doc_id = q.doc_id
+)
+SELECT doc_id, rank_bm25, rank_quality, round(rrf, 6) AS rrf
+FROM f ORDER BY round(rrf, 6) DESC, doc_id LIMIT 10
+"""
+)
+
+
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (operators/stats.py::ab_conversion_ztest):
+    md5-deterministic 50/50 user assignment, purchase conversion, pooled
+    two-proportion z — one user-keyed agg plus a 1-row rollup, no join."""
+    return ST.ab_conversion_ztest(_t(spark, sf_dir, "events"))
+
+
+ORACLE_AB_TEST = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS v, conv
+  FROM per_user
+),
+agg AS (
+  SELECT sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_control,
+         sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treatment,
+         sum(CASE WHEN v = 0 THEN conv ELSE 0 END)::BIGINT AS conv_control,
+         sum(CASE WHEN v = 1 THEN conv ELSE 0 END)::BIGINT AS conv_treatment
+  FROM a
+)
+SELECT n_control, n_treatment, conv_control, conv_treatment,
+       round(conv_control / n_control::DOUBLE, 6) AS rate_control,
+       round(conv_treatment / n_treatment::DOUBLE, 6) AS rate_treatment,
+       round(conv_treatment / n_treatment::DOUBLE
+             - conv_control / n_control::DOUBLE, 6) AS abs_lift,
+       round((conv_treatment / n_treatment::DOUBLE
+              - conv_control / n_control::DOUBLE)
+             / (conv_control / n_control::DOUBLE), 6) AS rel_lift,
+       round((conv_treatment / n_treatment::DOUBLE
+              - conv_control / n_control::DOUBLE)
+             / sqrt(
+                 ((conv_control + conv_treatment)::DOUBLE
+                  / (n_control + n_treatment))
+                 * (1 - (conv_control + conv_treatment)::DOUBLE
+                        / (n_control + n_treatment))
+                 * (1.0 / n_control + 1.0 / n_treatment)
+               ), 6) AS z_score
+FROM agg
+"""
+
+
+def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user-journey transition graph (the same edges as
+    event_transition_matrix, row-normalized) — 5 iterations, damping 0.85
+    (operators/graph.py::pagerank). Each iteration is one node-keyed
+    join + one node-keyed sum; the rank vector is |V| rows so AQE
+    broadcasts it against a large edge table at scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+        .select("src", F.col("event_type").alias("dst"))
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("_t"))
+    edges = counts.join(totals, "src").select(
+        "src", "dst", (F.col("n") / F.col("_t")).alias("w")
+    )
+    pr = G.pagerank(edges, iters=5, damping=0.85)
+    return pr.select(
+        F.col("node").alias("event_type"), F.round("pr", 6).alias("pr")
+    )
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * coalesce(s.sum_c, 0) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.pr * e.w) AS sum_c
+    FROM e JOIN {prev} ON {prev}.node = e.src GROUP BY 1
+  ) s ON s.node = nodes.node
+)"""
+
+
+ORACLE_PAGERANK = (
+    """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src,
+         event_type AS dst
+  FROM events
+),
+cnt AS (
+  SELECT src, dst, count(*) AS n FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2
+),
+e AS (
+  SELECT src, dst, n::DOUBLE / sum(n) OVER (PARTITION BY src) AS w FROM cnt
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),"""
+    + ",".join(_pagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(5))
+    + """
+SELECT node AS event_type, round(pr, 6) AS pr FROM r5
+"""
+)
+
+
+def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection
+    (operators/stats.py::seasonal_zscore_outliers): each event z-scored
+    against its (event_type, hour-of-day) cohort; |z| >= 2.5 flagged.
+    The baseline is vocabulary-sized (|types| x 24) and broadcasts."""
+    return ST.seasonal_zscore_outliers(
+        _t(spark, sf_dir, "events"), z_cut=2.5
+    )
+
+
+ORACLE_SEASONAL_ANOMALY = """
+WITH keyed AS (
+  SELECT event_id, event_type, hour(ts)::BIGINT AS hour_of_day, value
+  FROM events
+),
+base AS (
+  SELECT event_type, hour_of_day,
+         avg(value) AS mu, stddev_samp(value) AS sd
+  FROM keyed GROUP BY 1, 2
+)
+SELECT event_id, event_type, hour_of_day, value,
+       round((value - mu) / nullif(sd, 0), 6) AS z_score
+FROM keyed JOIN base USING (event_type, hour_of_day)
+WHERE abs(round((value - mu) / nullif(sd, 0), 6)) >= 2.5
+"""
+
+
+def quarantine_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter validation routing
+    (operators/quality.py::validate_and_route): every rule evaluates
+    independently, a quarantined row carries ALL its failure reasons.
+    Map-only, zero Exchange."""
+    return Q.validate_and_route(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_QUARANTINE = r"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter([
+           CASE WHEN n_chars < 100 THEN 'too_short' END,
+           CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es')
+                THEN 'unsupported_lang' END,
+           CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 25
+                THEN 'too_few_tokens' END
+         ], x -> x IS NOT NULL) AS rs
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       array_to_string(rs, ',') AS reasons,
+       len(rs)::BIGINT AS n_reasons
+FROM r WHERE len(rs) > 0
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -5484,6 +5781,12 @@ QUERIES: dict[str, Query] = {
     "weighted_sample_docs": weighted_sample_docs,
     "event_transition_matrix": event_transition_matrix,
     "knn_label_prediction": knn_label_prediction,
+    "bm25_search_top20": bm25_search_top20,
+    "hybrid_rrf_top10": hybrid_rrf_top10,
+    "ab_test_conversion": ab_test_conversion,
+    "pagerank_event_types": pagerank_event_types,
+    "seasonal_anomaly_events": seasonal_anomaly_events,
+    "quarantine_documents": quarantine_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -5622,6 +5925,12 @@ ORACLES: dict[str, str] = {
     "weighted_sample_docs": ORACLE_WEIGHTED_SAMPLE,
     "event_transition_matrix": ORACLE_TRANSITIONS,
     "knn_label_prediction": ORACLE_KNN_LABELS,
+    "bm25_search_top20": ORACLE_BM25,
+    "hybrid_rrf_top10": ORACLE_RRF,
+    "ab_test_conversion": ORACLE_AB_TEST,
+    "pagerank_event_types": ORACLE_PAGERANK,
+    "seasonal_anomaly_events": ORACLE_SEASONAL_ANOMALY,
+    "quarantine_documents": ORACLE_QUARANTINE,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
