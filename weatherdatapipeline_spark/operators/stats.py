@@ -452,3 +452,70 @@ def seasonal_zscore_outliers(
         .filter(F.abs(F.col("z_score")) >= z_cut)
         .select(id_col, key_col, "hour_of_day", value_col, "z_score")
     )
+
+
+# Poisson(1) CDF thresholds for the bootstrap weights: P(X <= k) for
+# k = 0..4; u above the last threshold draws weight 5. Shared with the
+# DuckDB oracle (queries.py interpolates these exact literals) so both
+# engines draw identical weights from identical md5 uniforms.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+]
+
+
+def poisson_bootstrap_ci(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_reps: int = 50,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Bootstrap confidence interval for the per-key mean via the POISSON
+    bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for Massive
+    Data Streams") — the resample-with-replacement weights of a classical
+    bootstrap converge to iid Poisson(1) per (row, replicate), which needs
+    no global row count and no coordinated sampling: each row draws its
+    B weights independently from a deterministic md5 uniform, so the whole
+    procedure is one explode + one (key, replicate) map-side-combined agg
+    + one percentile agg over B replicate means per key. Classical
+    bootstrap resampling is undistributable (it needs n draws from the
+    FULL dataset per replicate); this is the standard scale substitute.
+
+    Deterministic and engine-portable: no RNG anywhere — replicate b of
+    row r reuses portable_hash60(r, b).
+    """
+    from .dedup import portable_hash60
+
+    reps = events.select(
+        key_col,
+        value_col,
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("rep"),
+    )
+    u = (portable_hash60(F.col(id_col), F.col("rep")) + 1).cast("double") / float(
+        2**60
+    )
+    w = F.when(u < POISSON1_CDF[0], 0)
+    for k in range(1, 5):
+        w = w.when(u < POISSON1_CDF[k], k)
+    w = w.otherwise(5).cast("double")
+    rep_means = (
+        reps.withColumn("_w", w)
+        .groupBy(key_col, "rep")
+        .agg(
+            F.try_divide(
+                F.sum(F.col("_w") * F.col(value_col)), F.sum("_w")
+            ).alias("_m")
+        )
+    )
+    return rep_means.groupBy(key_col).agg(
+        F.count("_m").cast("bigint").alias("n_reps"),
+        F.round(F.avg("_m"), 6).alias("boot_mean"),
+        F.round(F.percentile("_m", alpha / 2), 6).alias("ci_lo"),
+        F.round(F.percentile("_m", 1 - alpha / 2), 6).alias("ci_hi"),
+    )

@@ -136,3 +136,96 @@ def bucket_gapfill_interpolate(
         interpolated.alias("value"),
         F.col("raw_value").isNull().alias("filled"),
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Single change-point location per key via CUSUM of daily means: the
+    cumulative sum of (daily mean - key mean) peaks in magnitude at the
+    most likely level-shift day (Page 1954 / the standard offline CUSUM
+    scan). Two key-partitioned passes — a daily agg, then one cumulative
+    window over the per-key DAY series (bounded rows per key, never the
+    raw events) — plus a vocabulary-sized key-mean broadcast.
+
+    Ties on the rounded peak magnitude resolve to the earliest day.
+    Returns (key, change_day 'yyyy-MM-dd', max_abs_cusum, n_days).
+    """
+    daily = events.groupBy(
+        key_col, F.to_date(ts_col).alias("_day")
+    ).agg(F.avg(value_col).alias("_m"))
+    key_mean = daily.groupBy(key_col).agg(F.avg("_m").alias("_mu"))
+    w = Window.partitionBy(key_col).orderBy("_day")
+    cusum = F.sum(F.col("_m") - F.col("_mu")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        daily.join(F.broadcast(key_mean), key_col)
+        .withColumn("_abs", F.round(F.abs(cusum), 6))
+    )
+    pick = Window.partitionBy(key_col).orderBy(F.desc("_abs"), F.asc("_day"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        # n_days counts the key's FULL day series, so it must be windowed
+        # before the rn==1 cut
+        .withColumn(
+            "_nd", F.count(F.lit(1)).over(Window.partitionBy(key_col))
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            key_col,
+            F.date_format("_day", "yyyy-MM-dd").alias("change_day"),
+            F.col("_abs").alias("max_abs_cusum"),
+            F.col("_nd").cast("bigint").alias("n_days"),
+        )
+    )
+
+
+def burst_ratios(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    width_seconds: int = 3600,
+    trailing_buckets: int = 24,
+    min_history: int = 6,
+) -> DataFrame:
+    """Rate-burst detection: each (key, time-bucket) event count compared
+    to the average over the TRAILING ``trailing_buckets`` buckets (RANGE
+    frame on the bucket epoch, so calendar gaps shrink the history rather
+    than silently stretching it). Buckets with fewer than ``min_history``
+    trailing observations emit no ratio (cold start).
+
+    One (key, bucket) agg then one key-partitioned RANGE window — the
+    window runs over bucketed rows (|keys| x time), not raw events.
+    Returns (key, bucket_s, n_events, baseline, burst_ratio).
+    """
+    b = (
+        events.groupBy(
+            key_col,
+            (
+                (F.unix_timestamp(ts_col) / width_seconds).cast("bigint")
+                * width_seconds
+            ).alias("bucket_s"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_s")
+        .rangeBetween(-trailing_buckets * width_seconds, -width_seconds)
+    )
+    return (
+        b.withColumn("_hist", F.count("_n").over(w))
+        .withColumn("_base", F.avg("_n").over(w))
+        .filter(F.col("_hist") >= min_history)
+        .select(
+            key_col,
+            "bucket_s",
+            F.col("_n").cast("bigint").alias("n_events"),
+            F.round("_base", 6).alias("baseline"),
+            F.round(F.col("_n") / F.col("_base"), 6).alias("burst_ratio"),
+        )
+    )

@@ -24,6 +24,7 @@ from .operators import chunking as C
 from .operators import dedup as D
 from .operators import embeddings as E
 from .operators import graph as G
+from .operators import mining as MI
 from .operators import relational as R
 from .operators import quality as Q
 from .operators import sampling as SA
@@ -5336,6 +5337,147 @@ FROM votes GROUP BY 1
 # Registry
 # --------------------------------------------------------------------------
 
+def association_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over per-user event-type baskets
+    (operators/mining.py::association_rules): support / confidence /
+    lift; basket-keyed self-join bounded by the item vocabulary."""
+    return MI.association_rules(
+        _t(spark, sf_dir, "events"), min_support=0.01
+    )
+
+
+ORACLE_ASSOC_RULES = """
+WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id)::DOUBLE AS n FROM baskets),
+item_n AS (SELECT event_type, count(*)::DOUBLE AS cnt FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS antecedent, c.event_type AS consequent,
+         count(*)::DOUBLE AS nab
+  FROM baskets a
+  JOIN baskets c ON a.user_id = c.user_id AND a.event_type <> c.event_type
+  GROUP BY 1, 2
+)
+SELECT antecedent, consequent, nab::BIGINT AS n_baskets_both,
+       round(nab / n.n, 6) AS support,
+       round(nab / na.cnt, 6) AS confidence,
+       round(nab * n.n / (na.cnt * nc.cnt), 6) AS lift
+FROM pairs
+CROSS JOIN n
+JOIN item_n na ON na.event_type = pairs.antecedent
+JOIN item_n nc ON nc.event_type = pairs.consequent
+WHERE nab / n.n >= 0.01
+"""
+
+
+def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean value per event type
+    (operators/stats.py::poisson_bootstrap_ci, B=50) — the distributed
+    bootstrap: per-(row, replicate) Poisson(1) weights from md5 uniforms,
+    one explode + one (key, rep) agg + one percentile pass."""
+    return ST.poisson_bootstrap_ci(_t(spark, sf_dir, "events"), n_reps=50)
+
+
+ORACLE_BOOTSTRAP_CI = f"""
+WITH reps AS (
+  SELECT event_type, value, event_id, unnest(range(0, 50)) AS rep FROM events
+),
+uni AS (
+  SELECT event_type, value, rep,
+         (('0x' || substr(md5(event_id::VARCHAR || '|' || rep::VARCHAR),
+                          1, 15))::BIGINT + 1)::DOUBLE
+           / 1152921504606846976.0 AS u
+  FROM reps
+),
+wts AS (
+  SELECT event_type, rep, value,
+         (CASE WHEN u < {ST.POISSON1_CDF[0]!r} THEN 0
+               WHEN u < {ST.POISSON1_CDF[1]!r} THEN 1
+               WHEN u < {ST.POISSON1_CDF[2]!r} THEN 2
+               WHEN u < {ST.POISSON1_CDF[3]!r} THEN 3
+               WHEN u < {ST.POISSON1_CDF[4]!r} THEN 4
+               ELSE 5 END)::DOUBLE AS w
+  FROM uni
+),
+rm AS (
+  SELECT event_type, rep, sum(w * value) / nullif(sum(w), 0) AS m
+  FROM wts GROUP BY 1, 2
+)
+SELECT event_type, count(m)::BIGINT AS n_reps,
+       round(avg(m), 6) AS boot_mean,
+       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+       round(quantile_cont(m, 0.975), 6) AS ci_hi
+FROM rm GROUP BY 1
+"""
+
+
+def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point scan per event type
+    (operators/timeseries.py::cusum_changepoint): peak |cumulative
+    deviation of daily means| locates the most likely level shift."""
+    return TS.cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+ORACLE_CUSUM = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS m
+  FROM events GROUP BY 1, 2
+),
+km AS (SELECT event_type, avg(m) AS mu FROM daily GROUP BY 1),
+c AS (
+  SELECT daily.event_type, day,
+         round(abs(sum(m - mu) OVER (
+           PARTITION BY daily.event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS a
+  FROM daily JOIN km USING (event_type)
+),
+r AS (
+  SELECT event_type, day, a,
+         row_number() OVER (PARTITION BY event_type ORDER BY a DESC, day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM c
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+       a AS max_abs_cusum, nd::BIGINT AS n_days
+FROM r WHERE rn = 1
+"""
+
+
+def burst_hours_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detection (operators/timeseries.py::burst_ratios):
+    hourly event counts vs the trailing-24h RANGE-frame baseline; top-50
+    by rounded ratio with a unique (type, bucket) tiebreak."""
+    out = TS.burst_ratios(
+        _t(spark, sf_dir, "events"),
+        width_seconds=3600,
+        trailing_buckets=24,
+        min_history=6,
+    )
+    return out.orderBy(
+        F.desc("burst_ratio"), "event_type", "bucket_s"
+    ).limit(50)
+
+
+ORACLE_BURSTS = """
+WITH b AS (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket_s,
+         count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2
+),
+wi AS (
+  SELECT event_type, bucket_s, n,
+         count(n) OVER w AS hist, avg(n) OVER w AS base
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_s
+               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+)
+SELECT event_type, bucket_s, n::BIGINT AS n_events,
+       round(base, 6) AS baseline, round(n / base, 6) AS burst_ratio
+FROM wi WHERE hist >= 6
+ORDER BY burst_ratio DESC, event_type, bucket_s LIMIT 50
+"""
+
+
 # Fixed lexical query for the BM25 / hybrid-retrieval queries: mid-frequency
 # corpus terms so tf, df, AND length normalization all vary across docs.
 BM25_TERMS = ["spark", "merge", "vector"]
@@ -5782,6 +5924,10 @@ QUERIES: dict[str, Query] = {
     "event_transition_matrix": event_transition_matrix,
     "knn_label_prediction": knn_label_prediction,
     "bm25_search_top20": bm25_search_top20,
+    "association_rules_events": association_rules_events,
+    "bootstrap_ci_event_values": bootstrap_ci_event_values,
+    "cusum_changepoint_by_type": cusum_changepoint_by_type,
+    "burst_hours_by_type": burst_hours_by_type,
     "hybrid_rrf_top10": hybrid_rrf_top10,
     "ab_test_conversion": ab_test_conversion,
     "pagerank_event_types": pagerank_event_types,
@@ -5926,6 +6072,10 @@ ORACLES: dict[str, str] = {
     "event_transition_matrix": ORACLE_TRANSITIONS,
     "knn_label_prediction": ORACLE_KNN_LABELS,
     "bm25_search_top20": ORACLE_BM25,
+    "association_rules_events": ORACLE_ASSOC_RULES,
+    "bootstrap_ci_event_values": ORACLE_BOOTSTRAP_CI,
+    "cusum_changepoint_by_type": ORACLE_CUSUM,
+    "burst_hours_by_type": ORACLE_BURSTS,
     "hybrid_rrf_top10": ORACLE_RRF,
     "ab_test_conversion": ORACLE_AB_TEST,
     "pagerank_event_types": ORACLE_PAGERANK,
