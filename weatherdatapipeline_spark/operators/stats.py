@@ -11,7 +11,7 @@ At 100 TB this is the difference between 10 full-data passes and one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .relational import banded_histogram
@@ -518,4 +518,76 @@ def poisson_bootstrap_ci(
         F.round(F.avg("_m"), 6).alias("boot_mean"),
         F.round(F.percentile("_m", alpha / 2), 6).alias("ci_lo"),
         F.round(F.percentile("_m", 1 - alpha / 2), 6).alias("ci_hi"),
+    )
+
+
+def ridge_closed_form_2f(
+    df: DataFrame,
+    x1: Column | str,
+    x2: Column | str,
+    y: Column | str,
+    l2: float = 1.0,
+) -> DataFrame:
+    """Closed-form ridge regression on two features + intercept via the
+    normal equations — the canonical one-pass distributed-ML pattern:
+    the WHOLE fit is a single map-side-combined aggregate producing the
+    nine sufficient statistics (Gram matrix X'X and moment vector X'y),
+    then a 3x3 Cramer's-rule solve as plain column arithmetic on that one
+    row. No iteration, no driver-side data, no collect: at 100 TB the
+    shuffle carries 9 doubles per partition.
+
+    ``l2`` is added to every diagonal entry INCLUDING the intercept (the
+    fully-symmetric variant; document/standardize features upstream when
+    the un-penalized-intercept convention matters). Returns one row
+    (n, b0, b1, b2, det) with coefficients rounded to 6 — an engine
+    running the same formula on the same data reproduces them exactly,
+    which is what makes the fit auditable.
+    """
+    c1 = F.col(x1) if isinstance(x1, str) else x1
+    c2 = F.col(x2) if isinstance(x2, str) else x2
+    cy = F.col(y) if isinstance(y, str) else y
+    c1, c2, cy = c1.cast("double"), c2.cast("double"), cy.cast("double")
+    s = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c1).alias("s1"),
+        F.sum(c2).alias("s2"),
+        F.sum(c1 * c1).alias("s11"),
+        F.sum(c1 * c2).alias("s12"),
+        F.sum(c2 * c2).alias("s22"),
+        F.sum(cy).alias("sy"),
+        F.sum(c1 * cy).alias("s1y"),
+        F.sum(c2 * cy).alias("s2y"),
+    )
+    lam = float(l2)
+    # A = X'X + lam*I (symmetric 3x3), b = X'y; Cramer's rule.
+    a00 = F.col("n") + lam
+    a01, a02 = F.col("s1"), F.col("s2")
+    a11 = F.col("s11") + lam
+    a12, a22 = F.col("s12"), F.col("s22") + lam
+    b0, b1, b2 = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (
+        a00 * (a11 * a22 - a12 * a12)
+        - a01 * (a01 * a22 - a12 * a02)
+        + a02 * (a01 * a12 - a11 * a02)
+    )
+    d0 = (
+        b0 * (a11 * a22 - a12 * a12)
+        - a01 * (b1 * a22 - a12 * b2)
+        + a02 * (b1 * a12 - a11 * b2)
+    )
+    d1 = (
+        a00 * (b1 * a22 - b2 * a12)
+        - b0 * (a01 * a22 - a12 * a02)
+        + a02 * (a01 * b2 - b1 * a02)
+    )
+    d2 = (
+        a00 * (a11 * b2 - b1 * a12)
+        - a01 * (a01 * b2 - b1 * a02)
+        + b0 * (a01 * a12 - a11 * a02)
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(d0 / det, 6).alias("b0"),
+        F.round(d1 / det, 6).alias("b1"),
+        F.round(d2 / det, 6).alias("b2"),
     )

@@ -918,3 +918,91 @@ def bm25_scores(
             F.sum(contrib).alias("bm25"),
         )
     )
+
+
+def naive_bayes_confusion(
+    docs: DataFrame,
+    class_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial Naive Bayes over whitespace tokens, trained and scored
+    on the same corpus (resubstitution), reported as a confusion matrix
+    (actual, predicted, n) — the fastText-shaped linear text classifier a
+    curation pipeline uses for source/quality routing, expressed entirely
+    as joins + aggregates (McCallum & Nigam AAAI'98 workshop).
+
+    Model: argmax_c [ ln(docs_c / N) + sum_t tf_doc(t) * ln((tf_c(t)+1) /
+    (T_c + V)) ] with add-one smoothing over the corpus vocabulary V.
+    Scores are rounded to 6 before the argmax (rank window ordered
+    score DESC, class ASC) so the prediction is reproducible bit-for-bit
+    on any engine running the same formula.
+
+    Plan shape: token counts are one (doc, token) aggregate; class
+    profiles one (class, token) aggregate of that (map-side combined);
+    the scoring join crosses each doc token against the CLASS TABLE (a
+    broadcast — |classes| rows) and left-joins the class-token log-probs
+    on (class, token) — vocabulary-sized, never corpus-sized. The argmax
+    window partitions by doc over |classes| rows each. Nothing here is
+    all-pairs; the big table shuffles on (doc, token) then (class,
+    token), both pre-combined.
+    """
+    from pyspark.sql import Window
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.col(class_col).alias("_actual"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "_tok"
+        ),
+    ).filter(F.col("_tok") != "")
+    dtc = toks.groupBy("_doc", "_actual", "_tok").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    ct = dtc.groupBy(F.col("_actual").alias("_cls"), "_tok").agg(
+        F.sum("_cnt").alias("_tf")
+    )
+    ctot = ct.groupBy("_cls").agg(F.sum("_tf").alias("_T"))
+    vocab_v = ct.select("_tok").distinct().count()
+    n_docs = docs.count()
+    priors = (
+        docs.groupBy(F.col(class_col).alias("_cls"))
+        .agg(F.count(F.lit(1)).alias("_dc"))
+        .join(ctot, "_cls")
+        .select(
+            "_cls",
+            F.log(F.col("_dc") / F.lit(float(n_docs))).alias("_prior"),
+            (F.col("_T") + F.lit(float(vocab_v))).alias("_denom"),
+        )
+    )
+    scored = (
+        dtc.crossJoin(F.broadcast(priors))
+        .join(
+            ct.withColumnRenamed("_tf", "_ctf"),
+            ["_cls", "_tok"],
+            "left",
+        )
+        .groupBy("_doc", "_actual", "_cls")
+        .agg(
+            (
+                F.first("_prior")
+                + F.sum(
+                    F.col("_cnt")
+                    * F.log(
+                        (F.coalesce(F.col("_ctf"), F.lit(0)) + 1)
+                        / F.col("_denom")
+                    )
+                )
+            ).alias("_score")
+        )
+    )
+    w = Window.partitionBy("_doc").orderBy(
+        F.round("_score", 6).desc(), F.col("_cls").asc()
+    )
+    pred = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("_doc", "_actual", F.col("_cls").alias("predicted"))
+    )
+    return pred.groupBy(
+        F.col("_actual").alias("actual"), "predicted"
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -229,3 +229,55 @@ def burst_ratios(
             F.round(F.col("_n") / F.col("_base"), 6).alias("burst_ratio"),
         )
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_seconds: int = 3600,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-key sample autocorrelation of the bucketed mean-value series at
+    lags 1..``max_lag`` — the seasonality/persistence diagnostic an
+    anomaly or forecasting pipeline runs before picking a model.
+
+    Semantics: OBSERVED-series ACF — the series is the bucket-mean values
+    ordered by bucket start, and ``lag`` steps over observed buckets
+    (empty buckets collapse; pair ``bucket_gapfill_locf`` upstream when
+    calendar-aligned lags are required). Each lag is the Pearson sample
+    correlation of (x_t, x_{t-lag}), the direct ACF estimator.
+
+    Plan shape: one (key, bucket) aggregate, one key-partitioned ordered
+    window emitting all ``max_lag`` lag columns in a single pass, one
+    unpivot (``stack`` — map-only), one final (key, lag) aggregate. Two
+    shuffles total, both on the series key; the window runs over bucketed
+    rows (|keys| x time), never raw events, so a 100 TB event table
+    windows over only its bucket count.
+    """
+    b = df.groupBy(
+        key_col,
+        (
+            (F.unix_timestamp(ts_col) / width_seconds).cast("bigint")
+            * width_seconds
+        ).alias("bucket_s"),
+    ).agg(F.avg(F.col(value_col).cast("double")).alias("_v"))
+    w = Window.partitionBy(key_col).orderBy("bucket_s")
+    lagged = b.select(
+        key_col,
+        "_v",
+        *[F.lag("_v", k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    stack_args = ", ".join(f"{k}, _l{k}" for k in range(1, max_lag + 1))
+    pairs = lagged.selectExpr(
+        key_col, "_v", f"stack({max_lag}, {stack_args}) AS (lag, _prev)"
+    ).filter(F.col("_prev").isNotNull())
+    return (
+        pairs.groupBy(key_col, "lag")
+        .agg(
+            F.round(F.corr("_v", "_prev"), 6).alias("acf"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .withColumn("lag", F.col("lag").cast("long"))
+    )

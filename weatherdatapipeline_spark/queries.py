@@ -5774,6 +5774,286 @@ FROM r WHERE len(rs) > 0
 """
 
 
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build from the event log
+    (operators/relational.py::scd2_history): per-user runs of the same
+    event_type collapse into half-open validity intervals with an
+    is_current flag — the warehouse dimension-maintenance op the upsert/
+    CDF family (sources/upsert.py) stops short of."""
+    ev = _t(spark, sf_dir, "events")
+    return R.scd2_history(
+        ev, key_col="user_id", state_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS ts_s, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs0 AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM ordered
+),
+runs AS (
+  SELECT user_id, run, min(event_type) AS state,
+         min(ts_s) AS valid_from_s, count(*) AS n_events
+  FROM runs0 GROUP BY 1, 2
+)
+SELECT user_id, state, valid_from_s,
+       lead(valid_from_s) OVER w2 AS valid_to_s,
+       (lead(valid_from_s) OVER w2 IS NULL) AS is_current,
+       n_events
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+"""
+
+
+def ridge_value_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression of event value on (hour-of-day,
+    day-index mod 7) via the normal equations
+    (operators/stats.py::ridge_closed_form_2f) — the whole fit is ONE
+    map-side-combined aggregate of nine sufficient statistics plus a 3x3
+    Cramer's-rule solve in column arithmetic. The day feature is epoch
+    arithmetic, not a calendar dow, so both engines share one convention."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    x1 = ((epoch / 3600).cast("bigint") % 24).cast("double")
+    x2 = ((epoch / 86400).cast("bigint") % 7).cast("double")
+    return ST.ridge_closed_form_2f(ev, x1, x2, F.col("value"), l2=1.0)
+
+
+ORACLE_RIDGE = """
+WITH feat AS (
+  SELECT ((floor(epoch(ts))::BIGINT // 3600) % 24)::DOUBLE AS x1,
+         ((floor(epoch(ts))::BIGINT // 86400) % 7)::DOUBLE AS x2,
+         value::DOUBLE AS y
+  FROM events
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+         sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+  FROM feat
+),
+m AS (
+  SELECT n, sy, s1y, s2y, s1 AS a01, s2 AS a02, s12 AS a12,
+         n + 1.0 AS a00, s11 + 1.0 AS a11, s22 + 1.0 AS a22
+  FROM s
+),
+d AS (
+  SELECT n, sy, s1y, s2y, a00, a01, a02, a11, a12, a22,
+         a00 * (a11 * a22 - a12 * a12)
+           - a01 * (a01 * a22 - a12 * a02)
+           + a02 * (a01 * a12 - a11 * a02) AS det
+  FROM m
+)
+SELECT n::BIGINT AS n,
+       round((sy * (a11 * a22 - a12 * a12)
+              - a01 * (s1y * a22 - a12 * s2y)
+              + a02 * (s1y * a12 - a11 * s2y)) / det, 6) AS b0,
+       round((a00 * (s1y * a22 - s2y * a12)
+              - sy * (a01 * a22 - a12 * a02)
+              + a02 * (a01 * s2y - s1y * a02)) / det, 6) AS b1,
+       round((a00 * (a11 * s2y - s1y * a12)
+              - a01 * (a01 * s2y - s1y * a02)
+              + sy * (a01 * a12 - a11 * a02)) / det, 6) AS b2
+FROM d
+"""
+
+
+def naive_bayes_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source classifier over the documents table
+    (operators/text.py::naive_bayes_confusion), reported as a confusion
+    matrix — joins + aggregates end to end, scores rounded to 6 before
+    the argmax so any engine reproduces the same predictions."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.naive_bayes_confusion(docs)
+
+
+ORACLE_NAIVE_BAYES = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+dtc AS (
+  SELECT doc_id, source AS actual, tok, count(*) AS cnt
+  FROM toks GROUP BY 1, 2, 3
+),
+ct AS (SELECT actual AS cls, tok, sum(cnt) AS tf FROM dtc GROUP BY 1, 2),
+ctot AS (SELECT cls, sum(tf) AS T FROM ct GROUP BY 1),
+v AS (SELECT count(DISTINCT tok)::DOUBLE AS V FROM ct),
+nd AS (SELECT count(*)::DOUBLE AS N FROM documents),
+priors AS (
+  SELECT d.source AS cls, ln(count(*) / max(nd.N)) AS prior
+  FROM documents d, nd GROUP BY 1
+),
+denoms AS (
+  SELECT c.cls, p.prior, c.T + v.V AS denom FROM ctot c
+  JOIN priors p USING (cls), v
+),
+scored AS (
+  SELECT t.doc_id, t.actual, d.cls,
+         max(d.prior)
+           + sum(t.cnt * ln((coalesce(c.tf, 0) + 1) / d.denom)) AS score
+  FROM dtc t CROSS JOIN denoms d
+  LEFT JOIN ct c ON c.cls = d.cls AND c.tok = t.tok
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, actual, cls AS predicted,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 6) DESC, cls ASC) AS rk
+  FROM scored
+)
+SELECT actual, predicted, count(*) AS n
+FROM pred WHERE rk = 1 GROUP BY 1, 2
+"""
+
+
+def acf_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type sample autocorrelation of the hourly mean-value series at
+    lags 1..3 (operators/timeseries.py::autocorrelation) — the
+    seasonality/persistence diagnostic run before model selection.
+    Observed-series semantics: lags step over observed hourly buckets."""
+    ev = _t(spark, sf_dir, "events")
+    return TS.autocorrelation(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        width_seconds=3600, max_lag=3,
+    )
+
+
+ORACLE_ACF = """
+WITH b AS (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket_s,
+         avg(value::DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, v,
+         lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+         lag(v, 3) OVER w AS l3
+  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_s)
+),
+pairs AS (
+  SELECT event_type, 1 AS lag, v, l1 AS prev FROM lagged
+  UNION ALL SELECT event_type, 2, v, l2 FROM lagged
+  UNION ALL SELECT event_type, 3, v, l3 FROM lagged
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       round(corr(v, prev), 6) AS acf, count(*) AS n_pairs
+FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-supply graph (suppliers joined
+    by supplying the same part, edges from distinct lineitem
+    (part, supplier) pairs) — operators/graph.py::triangle_stats with
+    degree orientation so the wedge join is O(|E|^1.5), never
+    hub-quadratic. The oracle counts the same triangles with the naive
+    a<b<c three-way join — orientation changes the WORK, not the count."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    edges = (
+        ps.alias("x")
+        .join(ps.alias("y"), "pk")
+        .filter(F.col("x.sk") < F.col("y.sk"))
+        .select(F.col("x.sk").alias("a"), F.col("y.sk").alias("b"))
+        .distinct()
+    )
+    return G.triangle_stats(edges)
+
+
+ORACLE_TRIANGLES = """
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+e AS (
+  SELECT DISTINCT x.sk AS a, y.sk AS b
+  FROM ps x JOIN ps y USING (pk) WHERE x.sk < y.sk
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+       ON e3.a = e1.a AND e3.b = e2.b
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_nodes,
+         sum(d * (d - 1) // 2)::BIGINT AS n_wedges
+  FROM deg
+)
+SELECT agg.n_nodes, (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       agg.n_wedges, tri.t::BIGINT AS n_triangles,
+       round(3.0 * tri.t / nullif(agg.n_wedges, 0), 6) AS clustering
+FROM agg, tri
+"""
+
+
+def leakage_safe_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: documents are hashed into
+    80/10/10 splits by their near-dup CLUSTER id (jaccard >= 0.2
+    components; singletons hash by their own id), so no near-duplicate
+    pair ever straddles a split boundary — the decontamination property
+    a plain per-doc hash split (split_sizes_3way) cannot give. Composes
+    dedup.jaccard_near_duplicates + connected_components +
+    sampling.split_assign; one vocabulary-bounded pair join + the
+    cluster-map join, then a map-only split assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_near_duplicates(docs, threshold=0.2)
+    cc = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    grouped = docs.join(cc, "doc_id", "left").withColumn(
+        "group_key", F.coalesce("cluster_id", "doc_id")
+    )
+    tagged = SA.split_assign(
+        grouped, "group_key", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("group_key").alias("n_groups"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+ORACLE_LEAKAGE_SPLIT = (
+    "WITH RECURSIVE "
+    + _JACCARD_PAIR_CTES
+    + """,
+cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+grouped AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN cc USING (doc_id)
+),
+tagged AS (
+  SELECT *, ('0x' || substr(md5(group_key::VARCHAR), 1, 8))::BIGINT % 10000
+            AS bucket
+  FROM grouped
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs, count(DISTINCT group_key) AS n_groups,
+       sum(doc_id) AS id_checksum
+FROM tagged GROUP BY 1
+"""
+)
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -5933,6 +6213,12 @@ QUERIES: dict[str, Query] = {
     "pagerank_event_types": pagerank_event_types,
     "seasonal_anomaly_events": seasonal_anomaly_events,
     "quarantine_documents": quarantine_documents,
+    "scd2_user_state_history": scd2_user_state_history,
+    "ridge_value_model": ridge_value_model,
+    "naive_bayes_source_confusion": naive_bayes_source_confusion,
+    "acf_value_by_type": acf_value_by_type,
+    "triangle_count_cosupply": triangle_count_cosupply,
+    "leakage_safe_split_sizes": leakage_safe_split_sizes,
 }
 
 ORACLES: dict[str, str] = {
@@ -6081,6 +6367,12 @@ ORACLES: dict[str, str] = {
     "pagerank_event_types": ORACLE_PAGERANK,
     "seasonal_anomaly_events": ORACLE_SEASONAL_ANOMALY,
     "quarantine_documents": ORACLE_QUARANTINE,
+    "scd2_user_state_history": ORACLE_SCD2,
+    "ridge_value_model": ORACLE_RIDGE,
+    "naive_bayes_source_confusion": ORACLE_NAIVE_BAYES,
+    "acf_value_by_type": ORACLE_ACF,
+    "triangle_count_cosupply": ORACLE_TRIANGLES,
+    "leakage_safe_split_sizes": ORACLE_LEAKAGE_SPLIT,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
