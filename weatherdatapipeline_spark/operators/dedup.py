@@ -1228,3 +1228,89 @@ def bloom_contamination(
             (F.coalesce(F.col("n_bloom_hits"), F.lit(0)) > 0).alias("flagged"),
         )
     )
+
+
+def ppjoin_near_duplicates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo et al. WWW'07): a lossless alternative to the shared-shingle
+    candidate join — if J(A,B) >= t, then under any fixed global token
+    ordering A and B must share a token within their first
+    |s| - ceil(t*|s|) + 1 tokens, so candidates come from joining only
+    those short prefixes. Ordering by ascending document frequency puts
+    the RAREST tokens in the prefix, which is what collapses the
+    candidate space (the frequent tokens that drive the shared-shingle
+    join's fan-out never generate candidates here).
+
+    No df-cut and no approximation: the output is exact full-set Jaccard
+    at ``threshold``, same contract/columns as ``jaccard_near_duplicates``
+    with ``max_shingle_freq=None``. Plan shape: shingle table (persisted;
+    feeds sizes/df/rank/verify), df agg, per-doc rank window, prefix
+    self-join, then the verify join materializes candidate x set-size
+    intersection rows — the classic PPJoin verify cost, bounded by the
+    prefix join's selectivity rather than shingle df^2.
+    """
+    from pyspark.sql import Window
+
+    sh = _persist_scoped(
+        shingle_pairs(documents, id_col, text_col, n, None, hashed=False)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("_rk")
+            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        )
+        .select(id_col, "shingle")
+    )
+    cand = (
+        ranked.select(F.col(id_col).alias("doc_a"), "shingle")
+        .join(ranked.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    common = (
+        cand.join(
+            sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col(id_col).alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+    )
+    return out

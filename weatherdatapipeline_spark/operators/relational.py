@@ -245,3 +245,57 @@ def scd2_history(
         F.lead("valid_from_s").over(w2).isNull().alias("is_current"),
         "n_events",
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    band_width: float,
+) -> DataFrame:
+    """Two-dimensional skyline (Pareto frontier, minimize both): rows not
+    dominated by any other row (dominator <= on both coordinates, < on at
+    least one). Borzsony/Kossmann's SKYLINE OF operator, computed as a
+    monotone staircase instead of the quadratic NOT EXISTS self-join.
+
+    A row survives iff its y equals the minimum y at its exact x AND every
+    strictly-smaller x has a larger running y-minimum. The strict-prefix
+    cummin is computed TWO-LEVEL so no global sort ever happens: (1) one
+    (x)-group aggregate to a distinct-x table, (2) a band-partitioned
+    ordered window for the within-band strict prefix, (3) a bands-count-
+    sized window for the cross-band prefix (bounded rows — the only
+    "global" ordering runs over #bands, not data). Equal (x, y) ties all
+    survive (neither dominates). Returns the input rows on the frontier.
+    """
+    g = df.groupBy(F.col(x_col).alias("_x")).agg(F.min(y_col).alias("_ymin"))
+    g = g.withColumn("_band", F.floor(F.col("_x") / band_width))
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("_inprev", F.min("_ymin").over(w_in))
+    bands = g.groupBy("_band").agg(F.min("_ymin").alias("_bmin"))
+    # cross-band strict prefix min via a #bands^2 self-join (bands are a
+    # bounded handful) — no unpartitioned window, no single-task sort
+    prev = bands.select(
+        F.col("_band").alias("_pb"), F.col("_bmin").alias("_pv")
+    )
+    bands = (
+        bands.join(prev, F.col("_pb") < F.col("_band"), "left")
+        .groupBy("_band")
+        .agg(F.min("_pv").alias("_pbmin"))
+    )
+    stair = g.join(bands, "_band").withColumn(
+        "_prevmin",
+        F.least(
+            F.coalesce("_inprev", "_pbmin"), F.coalesce("_pbmin", "_inprev")
+        ),
+    )
+    frontier_x = stair.filter(
+        F.col("_prevmin").isNull() | (F.col("_ymin") < F.col("_prevmin"))
+    ).select("_x", "_ymin")
+    return df.join(
+        frontier_x,
+        (F.col(x_col) == F.col("_x")) & (F.col(y_col) == F.col("_ymin")),
+    ).drop("_x", "_ymin")

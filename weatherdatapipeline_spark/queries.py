@@ -6054,6 +6054,172 @@ FROM tagged GROUP BY 1
 )
 
 
+def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.2 pairs by PPJoin prefix filtering
+    (operators/dedup.py::ppjoin_near_duplicates) — a second, independent
+    candidate-generation algorithm for the same predicate. The oracle is
+    the straight uncut shared-shingle join: prefix filtering is lossless,
+    so both paths must produce the identical pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ppjoin_near_duplicates(docs, threshold=0.2)
+
+
+ORACLE_PPJOIN = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
+       round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.2
+"""
+
+
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts minimizing (retail price, size)
+    (operators/relational.py::skyline_2d, banded two-level cummin — no
+    global sort). The oracle is the declarative NOT EXISTS dominance
+    definition, so the staircase algorithm is checked against the spec,
+    not against itself."""
+    p = _t(spark, sf_dir, "part")
+    return R.skyline_2d(
+        p.select("p_partkey", "p_retailprice", "p_size"),
+        x_col="p_retailprice",
+        y_col="p_size",
+        band_width=100.0,
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+ORACLE_SKYLINE = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+)
+"""
+
+
+def entity_clusters_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching
+    (fuzzy_part_name_pairs' multi-pass blocking + edit distance <= 3)
+    into connected components, every distinct name mapped to its
+    canonical entity (lexicographic min of the cluster; unmatched names
+    are their own entity). The standard dedup-then-canonicalize
+    record-linkage pipeline as one composed plan."""
+    p = _t(spark, sf_dir, "part")
+    pairs = fuzzy_part_name_pairs(spark, sf_dir).select("name_a", "name_b")
+    cc = D.connected_components(pairs, a_col="name_a", b_col="name_b")
+    names = p.select("p_name").distinct()
+    return names.join(
+        cc.withColumnRenamed("node", "p_name"), "p_name", "left"
+    ).select(
+        "p_name", F.coalesce("cluster_id", "p_name").alias("entity_id")
+    )
+
+
+ORACLE_ENTITY_CC = """
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name,
+         list_extract(string_split(p_name, ' '), -1) AS last_tok,
+         list_extract(string_split(p_name, ' '), 1) AS first_tok
+  FROM part
+),
+pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b
+    ON a.last_tok = b.last_tok AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+  UNION
+  SELECT a.p_name, b.p_name
+  FROM names a JOIN names b
+    ON a.first_tok = b.first_tok AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+),
+edges AS (
+  SELECT name_a AS a, name_b AS b FROM pairs
+  UNION SELECT name_b, name_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cc AS (SELECT a AS nm, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT n.p_name, coalesce(cc.cluster_id, n.p_name) AS entity_id
+FROM (SELECT DISTINCT p_name FROM part) n
+LEFT JOIN cc ON cc.nm = n.p_name
+"""
+
+
+def equi_depth_deciles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (equal-frequency) histogram of event values: the
+    nine interpolated decile boundaries from ONE 1-row aggregate
+    (exact percentile — same convention as length_outlier_filter), then a
+    map-only bucket assignment against the broadcast boundary row and a
+    10-group aggregate. Boundaries are rounded to 4 BEFORE bucketing so
+    the bucket edges are engine-portable."""
+    ev = _t(spark, sf_dir, "events")
+    probs = [i / 10.0 for i in range(1, 10)]
+    b = ev.agg(
+        *[
+            F.round(F.percentile("value", F.lit(p)), 4).alias(f"_b{i}")
+            for i, p in enumerate(probs, start=1)
+        ]
+    )
+    bucket = sum(
+        F.when(F.col("value") >= F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(1, 10)
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select(bucket.alias("decile"), "value")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .withColumn("decile", F.col("decile").cast("long"))
+    )
+
+
+ORACLE_EQUI_DEPTH = """
+WITH b AS (
+  SELECT round(quantile_cont(value, 0.1), 4) AS b1,
+         round(quantile_cont(value, 0.2), 4) AS b2,
+         round(quantile_cont(value, 0.3), 4) AS b3,
+         round(quantile_cont(value, 0.4), 4) AS b4,
+         round(quantile_cont(value, 0.5), 4) AS b5,
+         round(quantile_cont(value, 0.6), 4) AS b6,
+         round(quantile_cont(value, 0.7), 4) AS b7,
+         round(quantile_cont(value, 0.8), 4) AS b8,
+         round(quantile_cont(value, 0.9), 4) AS b9
+  FROM events
+)
+SELECT ((value >= b1)::INT + (value >= b2)::INT + (value >= b3)::INT
+        + (value >= b4)::INT + (value >= b5)::INT + (value >= b6)::INT
+        + (value >= b7)::INT + (value >= b8)::INT + (value >= b9)::INT)::BIGINT
+         AS decile,
+       count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM events, b
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -6219,6 +6385,10 @@ QUERIES: dict[str, Query] = {
     "acf_value_by_type": acf_value_by_type,
     "triangle_count_cosupply": triangle_count_cosupply,
     "leakage_safe_split_sizes": leakage_safe_split_sizes,
+    "dedup_ppjoin_pairs": dedup_ppjoin_pairs,
+    "skyline_parts_price_size": skyline_parts_price_size,
+    "entity_clusters_part_names": entity_clusters_part_names,
+    "equi_depth_deciles_value": equi_depth_deciles_value,
 }
 
 ORACLES: dict[str, str] = {
@@ -6373,6 +6543,10 @@ ORACLES: dict[str, str] = {
     "acf_value_by_type": ORACLE_ACF,
     "triangle_count_cosupply": ORACLE_TRIANGLES,
     "leakage_safe_split_sizes": ORACLE_LEAKAGE_SPLIT,
+    "dedup_ppjoin_pairs": ORACLE_PPJOIN,
+    "skyline_parts_price_size": ORACLE_SKYLINE,
+    "entity_clusters_part_names": ORACLE_ENTITY_CC,
+    "equi_depth_deciles_value": ORACLE_EQUI_DEPTH,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
