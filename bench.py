@@ -64,6 +64,11 @@ HEADLINE = [
     "dsir_select_top200",          # DSIR hashed-ngram importance weights
     "kmeans_cluster_assignments",  # iterative Lloyd (2 rounds + assign)
     "bloom_contamination_check",   # bloom bit-position membership screen
+    # r6 third wave
+    "naive_bayes_source_confusion",  # sparse NB classifier (train + score)
+    "scd2_user_state_history",     # SCD2 run-length interval build
+    "dedup_ppjoin_pairs",          # exact jaccard via prefix filtering
+    "triangle_count_cosupply",     # degree-oriented triangle census
 ]
 
 
@@ -132,6 +137,13 @@ SCALE_HEADLINE = [
     "dsir_select_top200",
     "kmeans_cluster_assignments",
     "bloom_contamination_check",
+    # r6 third wave: shifted user/part/supp keys and rotated doc text make
+    # each copy an independent component — NB vocab, SCD2 runs, ppjoin
+    # pairs, and co-supply subgraphs all scale linearly by construction
+    "naive_bayes_source_confusion",
+    "scd2_user_state_history",
+    "dedup_ppjoin_pairs",
+    "triangle_count_cosupply",
 ]
 
 # bump when build_scale_dir's transform changes so stale caches rebuild

@@ -149,20 +149,18 @@ def shingle_pairs(
     if hashed:
         pairs = hashed_gram_rows(documents, id_col, text_col, n).distinct()
         return _df_cut(pairs, documents, id_col, max_shingle_freq)
-    shingle = F.explode(word_shingles(text_col, n)).alias("shingle")
-    pairs = documents.select(F.col(id_col), shingle).distinct()
+    pairs = gram_rows(documents, id_col, text_col, n).distinct()
     return _df_cut(pairs, documents, id_col, max_shingle_freq)
 
 
-def hashed_gram_rows(
+def gram_rows(
     documents: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """(id, shingle) rows where shingle = xxhash64 of the word n-gram —
-    one row per gram POSITION (duplicates kept; distinct is the caller's
-    choice).
+    """(id, shingle) STRING word n-gram rows — one row per gram POSITION
+    (duplicates kept; distinct is the caller's choice).
 
     Grams are built via posexplode + lead() window rather than the array
     transform(slice+concat) lambda: measured 4x faster (HOF lambdas
@@ -192,7 +190,20 @@ def hashed_gram_rows(
         F.count(F.lit(1)).over(_W.partitionBy(id_col)).alias("ntok"),
     )
     kept = built.filter((F.col("pos") <= F.col("ntok") - n) | (F.col("pos") == 0))
-    return kept.select(id_col, F.xxhash64("s").alias("shingle"))
+    return kept.select(id_col, F.col("s").alias("shingle"))
+
+
+def hashed_gram_rows(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """``gram_rows`` with each gram replaced by its xxhash64 — the scale
+    family's 8-byte join keys (see shingle_pairs)."""
+    return gram_rows(documents, id_col, text_col, n).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
 
 
 def _shingle_pair_counts(

@@ -938,14 +938,16 @@ def naive_bayes_confusion(
     score DESC, class ASC) so the prediction is reproducible bit-for-bit
     on any engine running the same formula.
 
-    Plan shape: token counts are one (doc, token) aggregate; class
-    profiles one (class, token) aggregate of that (map-side combined);
-    the scoring join crosses each doc token against the CLASS TABLE (a
-    broadcast — |classes| rows) and left-joins the class-token log-probs
-    on (class, token) — vocabulary-sized, never corpus-sized. The argmax
-    window partitions by doc over |classes| rows each. Nothing here is
-    all-pairs; the big table shuffles on (doc, token) then (class,
-    token), both pre-combined.
+    Plan shape — the SPARSE decomposition: the smoothed sum splits as
+    sum_t cnt*ln(tf_c+1) - total_cnt(doc)*ln(T_c + V), because an absent
+    (class, token) pair contributes ln(0+1) = 0 to the first term. So
+    scoring needs only an INNER join of doc-token counts against the
+    class-token table on the token key — on a real sparse vocabulary far
+    fewer rows than the naive |doc tokens| x |classes| cross-score — plus
+    a |docs| x |classes| base frame from a broadcast |classes|-row prior
+    table. The argmax window partitions by doc over |classes| rows each.
+    Nothing here is all-pairs; the big tables shuffle on (doc, token)
+    then (class, token), both pre-combined.
     """
     from pyspark.sql import Window
     toks = docs.select(
@@ -974,26 +976,25 @@ def naive_bayes_confusion(
             (F.col("_T") + F.lit(float(vocab_v))).alias("_denom"),
         )
     )
-    scored = (
-        dtc.crossJoin(F.broadcast(priors))
-        .join(
-            ct.withColumnRenamed("_tf", "_ctf"),
-            ["_cls", "_tok"],
-            "left",
-        )
-        .groupBy("_doc", "_actual", "_cls")
-        .agg(
-            (
-                F.first("_prior")
-                + F.sum(
-                    F.col("_cnt")
-                    * F.log(
-                        (F.coalesce(F.col("_ctf"), F.lit(0)) + 1)
-                        / F.col("_denom")
-                    )
-                )
-            ).alias("_score")
-        )
+    sparse = (
+        dtc.join(ct.withColumnRenamed("_tf", "_ctf"), "_tok")
+        .groupBy("_doc", "_cls")
+        .agg(F.sum(F.col("_cnt") * F.log(F.col("_ctf") + 1)).alias("_hit"))
+    )
+    base = (
+        dtc.groupBy("_doc", "_actual")
+        .agg(F.sum("_cnt").alias("_total"))
+        .crossJoin(F.broadcast(priors))
+    )
+    scored = base.join(sparse, ["_doc", "_cls"], "left").select(
+        "_doc",
+        "_actual",
+        "_cls",
+        (
+            F.col("_prior")
+            + F.coalesce(F.col("_hit"), F.lit(0.0))
+            - F.col("_total") * F.log("_denom")
+        ).alias("_score"),
     )
     w = Window.partitionBy("_doc").orderBy(
         F.round("_score", 6).desc(), F.col("_cls").asc()

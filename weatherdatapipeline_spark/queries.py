@@ -1824,7 +1824,7 @@ SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.2
+WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.6
 """
 
 
@@ -5963,9 +5963,15 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub-quadratic. The oracle counts the same triangles with the naive
     a<b<c three-way join — orientation changes the WORK, not the count."""
     li = _t(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).distinct()
+    # high-quantity slice: the unfiltered co-supply graph is near-complete
+    # under this generator (every supplier overlaps every other), which
+    # measures graph density, not the operator; the >= 48 slice keeps the
+    # expected pairwise overlap ~constant as sf grows
+    ps = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
     edges = (
         ps.alias("x")
         .join(ps.alias("y"), "pk")
@@ -5977,7 +5983,8 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TRIANGLES = """
-WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+            FROM lineitem WHERE l_quantity >= 48),
 e AS (
   SELECT DISTINCT x.sk AS a, y.sk AS b
   FROM ps x JOIN ps y USING (pk) WHERE x.sk < y.sk
@@ -6055,13 +6062,16 @@ FROM tagged GROUP BY 1
 
 
 def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard >= 0.2 pairs by PPJoin prefix filtering
+    """Exact Jaccard >= 0.6 pairs by PPJoin prefix filtering
     (operators/dedup.py::ppjoin_near_duplicates) — a second, independent
-    candidate-generation algorithm for the same predicate. The oracle is
-    the straight uncut shared-shingle join: prefix filtering is lossless,
-    so both paths must produce the identical pair set."""
+    candidate-generation algorithm for the same predicate; 0.6 is the
+    high-similarity regime prefix filtering is built for (prefix = 40% of
+    each set; at low thresholds the prefix approaches the whole set and
+    the shared-shingle join is the right tool). The oracle is the
+    straight uncut shared-shingle join: prefix filtering is lossless, so
+    both paths must produce the identical pair set."""
     docs = _t(spark, sf_dir, "documents")
-    return D.ppjoin_near_duplicates(docs, threshold=0.2)
+    return D.ppjoin_near_duplicates(docs, threshold=0.6)
 
 
 ORACLE_PPJOIN = r"""
@@ -6083,7 +6093,7 @@ SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.2
+WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.6
 """
 
 
@@ -6216,6 +6226,217 @@ SELECT ((value >= b1)::INT + (value >= b2)::INT + (value >= b3)::INT
          AS decile,
        count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
 FROM events, b
+GROUP BY 1
+"""
+
+
+def streaming_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER interval join (streaming/jobs.py::
+    stream_stream_join) checked against its batch twin: two filtered
+    branches of the staged events stream — clicks joined to the views
+    that precede them by <= 60 min per user, both sides watermarked so
+    join state is evicted instead of growing forever. Inner-join matches
+    emit as they form (no watermark emission gate, unlike the streaming
+    aggregations), so the drained result must equal the batch interval
+    join exactly."""
+    from .streaming.jobs import stream_stream_join
+
+    stream, _ = _stage_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    l = clicks.withWatermark("click_ts", "120 minutes")
+    r = views.withWatermark("view_ts", "120 minutes")
+    joined = l.join(
+        r,
+        (l["user_id"] == r["v_user"])
+        & (r["view_ts"] >= F.expr("click_ts - interval 60 minutes"))
+        & (r["view_ts"] <= l["click_ts"]),
+        "inner",
+    )
+    res = _drain(joined, "append")
+    return res.select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT c.user_id,
+       epoch_us(v.ts) AS view_us,
+       epoch_us(c.ts) AS click_us
+FROM events c
+JOIN events v
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view'
+ AND v.ts >= c.ts - INTERVAL 60 MINUTE
+ AND v.ts <= c.ts
+WHERE c.event_type = 'click'
+"""
+
+
+def cross_source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source mirroring diagnostic: for every pair of sources, how
+    many distinct word 5-grams appear in BOTH — the corpus report that
+    tells a curation team which feeds are copying each other (whole-doc
+    fingerprints would be the same shape, but cloned spans cross feeds
+    long before whole documents do). One gram projection, one
+    (source, gram) distinct agg, one gram-keyed self-join whose fan-out
+    per gram is bounded by the source count (<= |sources|), never
+    corpus-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    gs = (
+        D.gram_rows(docs, "doc_id", "text", n=5)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    a = gs.select("shingle", F.col("source").alias("source_a"))
+    b = gs.select("shingle", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+ORACLE_CROSS_SOURCE_DUPS = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+gs AS (
+  SELECT DISTINCT source, array_to_string(w[i:i+4], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS t(i)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared_grams
+FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+def bpe_pair_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round-0 statistics: the 50 most frequent ADJACENT CHARACTER
+    pairs across the corpus, weighted by token frequency — the argmax
+    that drives each byte-pair-encoding merge (Sennrich et al. ACL'16).
+    Computed the way a real BPE trainer does: corpus tokens collapse to
+    the (token, tf) VOCABULARY first (one corpus-sized agg), then pair
+    extraction explodes vocabulary entries only — position explode +
+    substr, never corpus-sized char work. Iterating merges would re-run
+    this same statistic on the re-segmented vocab."""
+    docs = _t(spark, sf_dir, "documents")
+    tok_tf = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = tok_tf.select(
+        "tf",
+        F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"),
+        F.col("tok"),
+    ).select("tf", F.col("tok").substr(F.col("i"), F.lit(2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("tf").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
+ORACLE_BPE_PAIRS = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, count(*) AS tf FROM toks WHERE length(tok) >= 2 GROUP BY tok
+),
+pairs AS (
+  SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair, tf
+  FROM vocab, unnest(range(1, length(tok))) AS t(i)
+)
+SELECT pair, sum(tf) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 50
+"""
+
+
+def temporal_cv_persistence_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series cross-validation: events fall into 5 temporal folds cut
+    at exact epoch quintiles (one 1-row percentile agg — no global sort,
+    no ntile), and the persistence forecast (pred = previous value per
+    user) is scored per fold. The leak-free ML-eval shape for temporal
+    data: fold boundaries come from time, not row hashing, so training
+    on the past / scoring on the future is auditable."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    probs = [0.2, 0.4, 0.6, 0.8]
+    b = ev.agg(
+        *[
+            F.round(F.percentile(epoch, F.lit(p)), 4).alias(f"_q{i}")
+            for i, p in enumerate(probs, start=1)
+        ]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scored = (
+        ev.withColumn("_pred", F.lag("value").over(w))
+        .filter(F.col("_pred").isNotNull())
+        .crossJoin(F.broadcast(b))
+    )
+    fold = sum(
+        F.when(epoch >= F.col(f"_q{i}"), 1).otherwise(0) for i in range(1, 5)
+    )
+    return (
+        scored.select(fold.alias("fold"), "_pred", "value")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.abs(F.col("value") - F.col("_pred"))), 6).alias(
+                "mae"
+            ),
+            F.round(
+                F.sqrt(F.avg(F.pow(F.col("value") - F.col("_pred"), 2))), 6
+            ).alias("rmse"),
+        )
+        .withColumn("fold", F.col("fold").cast("long"))
+    )
+
+
+ORACLE_TEMPORAL_CV = """
+WITH b AS (
+  SELECT round(quantile_cont(floor(epoch(ts))::DOUBLE, 0.2), 4) AS q1,
+         round(quantile_cont(floor(epoch(ts))::DOUBLE, 0.4), 4) AS q2,
+         round(quantile_cont(floor(epoch(ts))::DOUBLE, 0.6), 4) AS q3,
+         round(quantile_cont(floor(epoch(ts))::DOUBLE, 0.8), 4) AS q4
+  FROM events
+),
+scored AS (
+  SELECT floor(epoch(ts))::DOUBLE AS ep, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pred
+  FROM events
+)
+SELECT ((ep >= q1)::INT + (ep >= q2)::INT + (ep >= q3)::INT
+        + (ep >= q4)::INT)::BIGINT AS fold,
+       count(*) AS n,
+       round(avg(abs(value - pred)), 6) AS mae,
+       round(sqrt(avg((value - pred) * (value - pred))), 6) AS rmse
+FROM scored, b
+WHERE pred IS NOT NULL
 GROUP BY 1
 """
 
@@ -6389,6 +6610,10 @@ QUERIES: dict[str, Query] = {
     "skyline_parts_price_size": skyline_parts_price_size,
     "entity_clusters_part_names": entity_clusters_part_names,
     "equi_depth_deciles_value": equi_depth_deciles_value,
+    "streaming_interval_join_pairs": streaming_interval_join_pairs,
+    "cross_source_duplicate_matrix": cross_source_duplicate_matrix,
+    "bpe_pair_merge_candidates": bpe_pair_merge_candidates,
+    "temporal_cv_persistence_mae": temporal_cv_persistence_mae,
 }
 
 ORACLES: dict[str, str] = {
@@ -6547,6 +6772,10 @@ ORACLES: dict[str, str] = {
     "skyline_parts_price_size": ORACLE_SKYLINE,
     "entity_clusters_part_names": ORACLE_ENTITY_CC,
     "equi_depth_deciles_value": ORACLE_EQUI_DEPTH,
+    "streaming_interval_join_pairs": ORACLE_STREAM_INTERVAL_JOIN,
+    "cross_source_duplicate_matrix": ORACLE_CROSS_SOURCE_DUPS,
+    "bpe_pair_merge_candidates": ORACLE_BPE_PAIRS,
+    "temporal_cv_persistence_mae": ORACLE_TEMPORAL_CV,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
