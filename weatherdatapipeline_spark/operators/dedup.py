@@ -1247,6 +1247,7 @@ def ppjoin_near_duplicates(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.4,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact set-similarity join via PREFIX FILTERING (AllPairs/PPJoin,
     Bayardo et al. WWW'07): a lossless alternative to the shared-shingle
@@ -1265,11 +1266,17 @@ def ppjoin_near_duplicates(
     self-join, then the verify join materializes candidate x set-size
     intersection rows — the classic PPJoin verify cost, bounded by the
     prefix join's selectivity rather than shingle df^2.
+
+    ``hashed=True`` (default) runs every join/agg on xxhash64 gram keys —
+    8 bytes instead of ~25-byte strings, the same collision-accepting
+    convention as ``jaccard_near_duplicates`` (see shingle_pairs). Any
+    fixed global order is lossless for prefix filtering, so ordering by
+    (df, hash) instead of (df, string) changes candidates, never results.
     """
     from pyspark.sql import Window
 
     sh = _persist_scoped(
-        shingle_pairs(documents, id_col, text_col, n, None, hashed=False)
+        shingle_pairs(documents, id_col, text_col, n, None, hashed=hashed)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -1282,12 +1289,36 @@ def ppjoin_near_duplicates(
             F.col("_rk")
             <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
         )
-        .select(id_col, "shingle")
+        .select(id_col, "shingle", "_rk", "sz")
     )
+    # PPJoin's two lossless per-match prunes, applied BEFORE the distinct:
+    # - length filter: J >= t forces min(sa,sb) >= t * max(sa,sb)
+    # - positional filter: a match at prefix positions (pa, pb) caps the
+    #   achievable overlap at 1 + min(sa-pa, sb-pb), which must reach the
+    #   equivalent overlap bound alpha = ceil(t/(1+t) * (sa+sb))
+    t_lit = F.lit(float(threshold))
+    alpha = F.ceil(t_lit / (1.0 + float(threshold)) * (F.col("sa") + F.col("sb")))
     cand = (
-        ranked.select(F.col(id_col).alias("doc_a"), "shingle")
-        .join(ranked.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle")
+        ranked.select(
+            F.col(id_col).alias("doc_a"), "shingle",
+            F.col("_rk").alias("pa"), F.col("sz").alias("sa"),
+        )
+        .join(
+            ranked.select(
+                F.col(id_col).alias("doc_b"), "shingle",
+                F.col("_rk").alias("pb"), F.col("sz").alias("sb"),
+            ),
+            "shingle",
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("sa", "sb") >= F.ceil(t_lit * F.greatest("sa", "sb"))
+        )
+        .filter(
+            1
+            + F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
+            >= alpha
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
