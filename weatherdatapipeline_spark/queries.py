@@ -6441,6 +6441,185 @@ GROUP BY 1
 """
 
 
+def monthly_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue: monthly totals plus absolute and percent
+    growth vs the previous CALENDAR month (the BI period-over-period
+    staple). The corpus-sized work is one (year, month) aggregate; the
+    previous-month lookup is an equi-join of the bounded month table on a
+    linear month index — no unpartitioned window, no sort, and a missing
+    month yields NULL growth instead of silently comparing to two months
+    prior (what lag() over observed rows would do)."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("_mi")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    prev = m.select(
+        (F.col("_mi") + 1).alias("_mi"), F.col("revenue").alias("_prev")
+    )
+    return (
+        m.join(prev, "_mi", "left")
+        .select(
+            (F.col("_mi") / 12).cast("long").alias("year"),
+            (F.col("_mi") % 12 + 1).cast("long").alias("month"),
+            "revenue",
+            "n_orders",
+            F.round(F.col("revenue") - F.col("_prev"), 2).alias("growth_abs"),
+            F.round(
+                (F.col("revenue") - F.col("_prev")) / F.col("_prev") * 100, 4
+            ).alias("growth_pct"),
+        )
+    )
+
+
+ORACLE_MOM_GROWTH = """
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+         round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT (a.mi // 12)::BIGINT AS year, (a.mi % 12 + 1)::BIGINT AS month,
+       a.revenue, a.n_orders,
+       round(a.revenue - p.revenue, 2) AS growth_abs,
+       round((a.revenue - p.revenue) / p.revenue * 100, 4) AS growth_pct
+FROM m a LEFT JOIN m p ON p.mi = a.mi - 1
+"""
+
+
+def streaming_left_outer_join_unmatched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: clicks with their
+    preceding-60-min views, where a click with NO qualifying view emits a
+    null-view row — but only once the watermark proves no future view can
+    match it. That emission gate is the semantic difference from the
+    inner join (streaming_interval_join_pairs): matches stream out as
+    they form; null rows for clicks newer than the FINAL watermark are
+    still buffered when the bounded drain ends and never emit. The
+    oracle models exactly that rule."""
+    from .streaming.jobs import stream_stream_join  # noqa: F401 (contract ref)
+
+    stream, _ = _stage_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    l = clicks.withWatermark("click_ts", "120 minutes")
+    r = views.withWatermark("view_ts", "120 minutes")
+    joined = l.join(
+        r,
+        (l["user_id"] == r["v_user"])
+        & (r["view_ts"] >= F.expr("click_ts - interval 60 minutes"))
+        & (r["view_ts"] <= l["click_ts"]),
+        "leftOuter",
+    )
+    res = _drain(joined, "append")
+    return res.select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
+ORACLE_STREAM_LOJ = """
+WITH wm AS (
+  -- the global watermark is the MIN across both branches' watermark
+  -- nodes (multipleWatermarkPolicy=min), each max(branch ts) - delay
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+    (SELECT max(ts) FROM events WHERE event_type = 'view')
+  ) - INTERVAL 120 MINUTE AS w
+),
+matched AS (
+  SELECT c.user_id, epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+  FROM events c
+  JOIN events v
+    ON v.user_id = c.user_id AND v.event_type = 'view'
+   AND v.ts >= c.ts - INTERVAL 60 MINUTE AND v.ts <= c.ts
+  WHERE c.event_type = 'click'
+),
+unmatched AS (
+  SELECT c.user_id, NULL::BIGINT AS view_us, epoch_us(c.ts) AS click_us
+  FROM events c, wm
+  WHERE c.event_type = 'click'
+    AND c.ts < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM events v
+      WHERE v.user_id = c.user_id AND v.event_type = 'view'
+        AND v.ts >= c.ts - INTERVAL 60 MINUTE AND v.ts <= c.ts
+    )
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
+def join_view_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance, oracle-checked end to end
+    (sources/upsert.py::maintain_join_view): orders fold in as two
+    deterministic insert batches (orderkey parity), each joined against
+    the customer dimension and merged by order key — the final
+    materialized view must hash-match a one-shot join of ALL orders,
+    which is the join-view invariant dV = dF |><| D. Same mtime-keyed
+    cache discipline as incremental_rollup_events (plan sweeps must stay
+    read-only)."""
+    import os as _os
+
+    from .sources.upsert import UpsertTable, maintain_join_view
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    root = f"{base}/.stream_stage/joinview_{tag}"
+    marker = f"{root}/_FOLDED"
+    src = f"{sf_dir}/orders.parquet"
+    table = UpsertTable(
+        spark, root, "ordcust", key="o_orderkey", partition_col="c_mktsegment"
+    )
+    fresh = (
+        _os.path.exists(marker)
+        and _os.path.getmtime(marker) >= _os.path.getmtime(src)
+    )
+    if not fresh:
+        import shutil as _shutil
+
+        _shutil.rmtree(root, ignore_errors=True)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        c = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_nationkey"
+        )
+        maintain_join_view(
+            table, o.filter(F.col("o_orderkey") % 2 == 0), c,
+            join_key="o_custkey", batch_id=0,
+        )
+        maintain_join_view(
+            table, o.filter(F.col("o_orderkey") % 2 == 1), c,
+            join_key="o_custkey", batch_id=1,
+        )
+        _os.makedirs(root, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(src)
+    return table.read().select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+    )
+
+
+ORACLE_JOIN_VIEW = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+       o_orderstatus, c_mktsegment, c_nationkey::BIGINT AS c_nationkey
+FROM orders JOIN customer ON c_custkey = o_custkey
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -6614,6 +6793,9 @@ QUERIES: dict[str, Query] = {
     "cross_source_duplicate_matrix": cross_source_duplicate_matrix,
     "bpe_pair_merge_candidates": bpe_pair_merge_candidates,
     "temporal_cv_persistence_mae": temporal_cv_persistence_mae,
+    "monthly_revenue_mom_growth": monthly_revenue_mom_growth,
+    "streaming_left_outer_join_unmatched": streaming_left_outer_join_unmatched,
+    "join_view_orders_customer": join_view_orders_customer,
 }
 
 ORACLES: dict[str, str] = {
@@ -6776,6 +6958,9 @@ ORACLES: dict[str, str] = {
     "cross_source_duplicate_matrix": ORACLE_CROSS_SOURCE_DUPS,
     "bpe_pair_merge_candidates": ORACLE_BPE_PAIRS,
     "temporal_cv_persistence_mae": ORACLE_TEMPORAL_CV,
+    "monthly_revenue_mom_growth": ORACLE_MOM_GROWTH,
+    "streaming_left_outer_join_unmatched": ORACLE_STREAM_LOJ,
+    "join_view_orders_customer": ORACLE_JOIN_VIEW,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users

@@ -415,3 +415,41 @@ def maintain_daily_rollup(
         return table.merge(combined.select(*cols))
     finally:
         partial.unpersist(blocking=False)
+
+
+def maintain_join_view(
+    table: UpsertTable,
+    fact_batch: DataFrame,
+    dim: DataFrame,
+    join_key: str,
+    batch_id: int | None = None,
+) -> int:
+    """Incremental materialized JOIN-view maintenance for fact inserts:
+    the delta rule for a view V = F |><| D under an insert batch dF is
+    dV = dF |><| D — only the BATCH joins the dimension; stored view rows
+    are never rescanned or recomputed. The merge upserts by the fact
+    primary key, so an at-least-once source replaying a batch lands on
+    the same rows instead of duplicating them (pass ``batch_id`` for the
+    cheap skip, same contract as maintain_daily_rollup).
+
+    Scope: fact-side inserts/updates only. A DIMENSION update dD touches
+    every stored view row joined to the changed dim keys — the delta is
+    (F |><| dD) over the AFFECTED keys, which needs either a fact re-read
+    pruned to those keys or a dim-key-partitioned view; that rule is
+    documented here and intentionally not folded into this helper.
+
+    At scale the dim side is the broadcast side (AQE chooses; dimensions
+    are small by definition) and the merge touches only the partitions
+    the batch lands in — the same partition-scoped copy-on-write as every
+    other UpsertTable writer.
+    """
+    meta = table._load_meta() or {}
+    if batch_id is not None and meta.get("last_join_batch", -1) >= batch_id:
+        return table.current_version
+    delta = fact_batch.join(dim, join_key)
+    version = table.merge(delta)
+    if batch_id is not None:
+        meta = table._load_meta() or {}
+        meta["last_join_batch"] = batch_id
+        table._commit_meta(meta)
+    return version
