@@ -537,3 +537,93 @@ def streaming_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_aggregate_with_timeout(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom session aggregation with EVENT-TIME TIMEOUT emission
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout): a
+    user's open session accumulates silently across micro-batches and is
+    emitted exactly once — when the watermark passes last_event + gap and
+    the state TIMES OUT. This is the state-timeout half of the custom-
+    stateful API that ewma_stateful (NoTimeout) doesn't exercise, and the
+    imperative twin of the built-in session_window aggregation: reach for
+    it when the per-session logic outgrows an aggregate (e.g. emitting
+    derived per-session features at close time).
+
+    State per key is three scalars (start, last, n) — bounded regardless
+    of session length; timeout eviction is what keeps abandoned keys from
+    accumulating forever. Returns (key, session_start, session_end, n)
+    rows, emitted ONLY at session close.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    gap_ms = _interval_ms(gap)
+    out_schema = StructType(
+        [
+            StructField(key, LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType()),
+            StructField("last_ms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fn(k, pdfs, state):
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key: [k[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "n": [n],
+                }
+            )
+            return
+        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+            for t in ts_ms:
+                start_ms = t if start_ms is None else min(start_ms, t)
+                last_ms = t if last_ms is None else max(last_ms, t)
+                n += 1
+        if last_ms is not None:
+            state.update((start_ms, last_ms, n))
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+        return
+        yield  # pragma: no cover - generator form required by the API
+
+    w = stream.withWatermark(ts_col, watermark)
+    return w.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _interval_ms(spec: str) -> int:
+    """'30 minutes' -> 1_800_000. Supports seconds/minutes/hours."""
+    qty, unit = spec.split()
+    mult = {"second": 1000, "seconds": 1000, "minute": 60_000,
+            "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000}[unit]
+    return int(qty) * mult
