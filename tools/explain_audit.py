@@ -223,6 +223,50 @@ CHECKS = {
         # separate lines — match the condition line itself
         ("sample filter is an md5 projection filter", r"Condition :.*md5"),
     ],
+    # --- round-6 third-wave operators -------------------------------------
+    "skyline_parts_price_size": [
+        # banded two-level cummin: every window partitions by band; the
+        # cross-band prefix is a tiny self-join, never a global sort
+        ("no single-partition exchange", lambda p: "SinglePartition" not in p),
+        ("windows partitioned by band", r"windowspecdefinition\(_band"),
+        ("scan pruned to key+price+size",
+         lambda p: "p_name" not in re.search(r"ReadSchema:[^\n]*", p).group(0)),
+    ],
+    "naive_bayes_source_confusion": [
+        ("prior table broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("argmax window partitioned by doc", r"windowspecdefinition\(_doc"),
+        ("map-side-combined aggs", r"HashAggregate"),
+    ],
+    "scd2_user_state_history": [
+        ("windows partitioned by the entity key",
+         r"windowspecdefinition\(user_id"),
+        ("no single-partition exchange", lambda p: "SinglePartition" not in p),
+    ],
+    "triangle_count_cosupply": [
+        ("quantity slice pushed to the lineitem scan",
+         r"PushedFilters: \[.*GreaterThanOrEqual\(l_quantity"),
+        ("scan pruned to part+supp keys",
+         lambda p: "l_extendedprice" not in re.search(r"ReadSchema:[^\n]*", p).group(0)),
+    ],
+    "monthly_revenue_mom_growth": [
+        # previous month via equi-join on the month index, not a window
+        ("no window at all", lambda p: "Window" not in p),
+    ],
+    "dedup_ppjoin_pairs": [
+        ("prefix rank window partitioned per doc",
+         r"windowspecdefinition\(doc_id"),
+        ("no single-partition exchange", lambda p: "SinglePartition" not in p),
+    ],
+    "temporal_cv_persistence_mae": [
+        ("fold boundaries broadcast into the scoring pass",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("persistence lag window partitioned by user",
+         r"windowspecdefinition\(user_id"),
+    ],
+    "equi_depth_deciles_value": [
+        ("no window (boundaries from one agg row)", lambda p: "Window" not in p),
+        ("boundary row broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+    ],
 }
 
 

@@ -5542,9 +5542,11 @@ FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20
 def hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion: the BM25 shortlist and
     a quality-score shortlist (each top-100, each ranked on its ROUNDED
-    score with doc_id tiebreaks) fused with rrf_fuse (k=60). The
-    row_number windows run on already-LIMIT'd 100-row shortlists — the
-    scale-bearing cut is the upstream TakeOrdered, not the rank window."""
+    score with doc_id tiebreaks) fused with rrf_fuse (k=60). Ranks are
+    assigned by a dominance-count self-join over the 100-row shortlists
+    (rank = 1 + #rows ordered strictly ahead) — bounded k^2 work with no
+    unpartitioned window anywhere in the plan; the scale-bearing cut is
+    the upstream TakeOrdered."""
     docs = _t(spark, sf_dir, "documents")
     bm = (
         T.bm25_scores(docs, BM25_TERMS)
@@ -5557,13 +5559,22 @@ def hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s"), "doc_id")
         .limit(100)
     )
-    w = Window.orderBy(F.desc("s"), "doc_id")
-    bm_rank = bm.withColumn("rank", F.row_number().over(w)).select(
-        "doc_id", "rank"
-    )
-    q_rank = qual.withColumn("rank", F.row_number().over(w)).select(
-        "doc_id", "rank"
-    )
+
+    def rank_by_dominance(short: DataFrame) -> DataFrame:
+        other = short.select(
+            F.col("doc_id").alias("_od"), F.col("s").alias("_os")
+        )
+        ahead = (F.col("_os") > F.col("s")) | (
+            (F.col("_os") == F.col("s")) & (F.col("_od") < F.col("doc_id"))
+        )
+        return (
+            short.join(other, ahead, "left")
+            .groupBy("doc_id")
+            .agg((1 + F.count("_od")).cast("int").alias("rank"))
+        )
+
+    bm_rank = rank_by_dominance(bm)
+    q_rank = rank_by_dominance(qual)
     fused = S.rrf_fuse([bm_rank, q_rank], id_col="doc_id", k=60)
     return (
         fused.select(
