@@ -140,3 +140,25 @@ def test_streaming_interval_join_matches_batch(spark):
     a = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_observation_metrics_single_pass(spark):
+    """df.observe: pipeline health metrics (row count, null count, sum)
+    collected DURING the action — no second scan, no separate count()
+    jobs. The operational pattern for ETL instrumentation at scale."""
+    from pyspark.sql import Observation
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 7.0), (4, None)], "id long, v double"
+    )
+    obs = Observation("etl_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("v").isNull().cast("int")).alias("null_v"),
+        F.sum("v").alias("sum_v"),
+    )
+    out = observed.filter(F.col("v").isNotNull()).count()  # one action
+    assert out == 2
+    got = obs.get
+    assert got == {"rows": 4, "null_v": 2, "sum_v": 12.0}

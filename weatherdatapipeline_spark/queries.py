@@ -6631,6 +6631,37 @@ FROM orders JOIN customer ON c_custkey = o_custkey
 """
 
 
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json(props)`` materializes the open-schema payload once as a
+    shredded binary variant, and ``variant_get`` navigates it with a
+    type-cast path — the modern replacement for per-access string
+    re-parsing (get_json_object walks the JSON text on EVERY extraction;
+    a variant parses once and serves any number of typed paths). Same
+    bucketing contract as json_props_stats plus a per-bucket mean, so
+    the two access paths are cross-checked against one oracle family."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select(k.alias("_k"))
+        .select((F.col("_k") - F.pmod("_k", F.lit(10))).alias("k_bucket"), "_k")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("_k"), 4).alias("avg_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_PROPS = """
+SELECT k_bucket, count(*) AS cnt, round(avg(k), 4) AS avg_k FROM (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 * 10 AS k_bucket
+  FROM events
+) GROUP BY k_bucket
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -6807,6 +6838,7 @@ QUERIES: dict[str, Query] = {
     "monthly_revenue_mom_growth": monthly_revenue_mom_growth,
     "streaming_left_outer_join_unmatched": streaming_left_outer_join_unmatched,
     "join_view_orders_customer": join_view_orders_customer,
+    "variant_props_stats": variant_props_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -6972,6 +7004,7 @@ ORACLES: dict[str, str] = {
     "monthly_revenue_mom_growth": ORACLE_MOM_GROWTH,
     "streaming_left_outer_join_unmatched": ORACLE_STREAM_LOJ,
     "join_view_orders_customer": ORACLE_JOIN_VIEW,
+    "variant_props_stats": ORACLE_VARIANT_PROPS,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
