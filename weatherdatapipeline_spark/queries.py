@@ -6662,6 +6662,243 @@ SELECT k_bucket, count(*) AS cnt, round(avg(k), 4) AS avg_k FROM (
 """
 
 
+def chi_square_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of homogeneity on the event-type mix, first half
+    of the month vs the rest — the CATEGORICAL drift complement to the
+    numeric battery (`ks_drift_by_type` distribution shape,
+    `events_psi_drift` binned mass, `source_kl_drift` divergence).
+    PSI/KL need a smoothing constant for empty cells; the chi-square
+    contribution table is the classical significance-testable form.
+
+    Shape: one conditional-sum aggregate over a single scan (type-keyed,
+    map-side combined), a 1-row grand-total aggregate broadcast back, a
+    second 1-row aggregate for the statistic — every join is against a
+    single-row side, so the plan stays two tiny exchanges regardless of
+    corpus size. Expected counts and contributions are rounded AFTER the
+    total is summed so the per-row and total columns stay consistent."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_type = (
+        ev.select(
+            "event_type",
+            F.when(F.col("ts") < cut, 1).otherwise(0).alias("_r"),
+            F.when(F.col("ts") >= cut, 1).otherwise(0).alias("_c"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("_r").alias("n_ref"), F.sum("_c").alias("n_cur"))
+    )
+    totals = per_type.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    exp_ref = (F.col("n_ref") + F.col("n_cur")) * F.col("t_ref") / (
+        F.col("t_ref") + F.col("t_cur")
+    )
+    exp_cur = (F.col("n_ref") + F.col("n_cur")) * F.col("t_cur") / (
+        F.col("t_ref") + F.col("t_cur")
+    )
+    contrib = (F.col("n_ref") - exp_ref) ** 2 / exp_ref + (
+        F.col("n_cur") - exp_cur
+    ) ** 2 / exp_cur
+    cells = per_type.join(F.broadcast(totals)).select(
+        "event_type",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        exp_ref.alias("_exp_ref"),
+        exp_cur.alias("_exp_cur"),
+        contrib.alias("_contrib"),
+        (F.col("n_types") - 1).cast("long").alias("dof"),
+    )
+    total = cells.agg(F.sum("_contrib").alias("_chi2"))
+    return cells.join(F.broadcast(total)).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round("_exp_ref", 6).alias("exp_ref"),
+        F.round("_exp_cur", 6).alias("exp_cur"),
+        F.round("_contrib", 6).alias("chi2_contrib"),
+        F.round("_chi2", 6).alias("chi2_total"),
+        "dof",
+    )
+
+
+ORACLE_CHI_SQUARE = """
+WITH per_type AS (
+  SELECT event_type,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_cur
+  FROM events GROUP BY 1
+),
+totals AS (
+  SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur, count(*) AS n_types
+  FROM per_type
+),
+cells AS (
+  SELECT event_type, n_ref, n_cur,
+         (n_ref + n_cur) * t_ref::DOUBLE / (t_ref + t_cur) AS exp_ref,
+         (n_ref + n_cur) * t_cur::DOUBLE / (t_ref + t_cur) AS exp_cur,
+         n_types - 1 AS dof
+  FROM per_type, totals
+),
+contrib AS (
+  SELECT *,
+         (n_ref - exp_ref) * (n_ref - exp_ref) / exp_ref
+         + (n_cur - exp_cur) * (n_cur - exp_cur) / exp_cur AS c
+  FROM cells
+)
+SELECT event_type, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
+       round(exp_ref, 6) AS exp_ref, round(exp_cur, 6) AS exp_cur,
+       round(c, 6) AS chi2_contrib,
+       round((SELECT sum(c) FROM contrib), 6) AS chi2_total,
+       dof::BIGINT AS dof
+FROM contrib
+"""
+
+
+def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected two-sample Mann-Whitney U per event type (value
+    distribution, first half of the month vs the rest) — the RANK-based
+    location test that completes the drift battery: KS is sensitive to
+    any shape change, Mann-Whitney specifically to a location shift, and
+    it needs no normality assumption (vs a t-test).
+
+    Relational exact ranks under ties: per-(type, value) counts collapse
+    duplicates, the average rank of a tied block is (rows strictly
+    below) + (block+1)/2 via the same per-type cumulative window as the
+    KS query — never a global sort. Rank-sum, U, and the tie-corrected
+    normal-approximation z all fall out of one final type-keyed
+    aggregate; two shuffles total, group-sized output."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_value = (
+        ev.select(
+            "event_type",
+            "value",
+            F.when(F.col("ts") < cut, 1).otherwise(0).alias("_r"),
+            F.when(F.col("ts") >= cut, 1).otherwise(0).alias("_c"),
+        )
+        .groupBy("event_type", "value")
+        .agg(F.sum("_r").alias("_pr"), F.sum("_c").alias("_pc"))
+        .withColumn("_k", F.col("_pr") + F.col("_pc"))
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = per_value.withColumn(
+        "_avg_rank",
+        F.sum("_k").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - F.col("_k")
+        + (F.col("_k") + 1) / 2.0,
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("_pr").cast("double").alias("_n1"),
+        F.sum("_pc").cast("double").alias("_n2"),
+        F.sum(F.col("_pr") * F.col("_avg_rank")).alias("_r1"),
+        F.sum(F.col("_k") * F.col("_k") * F.col("_k") - F.col("_k")).alias("_ties"),
+    )
+    n = F.col("_n1") + F.col("_n2")
+    u1 = F.col("_r1") - F.col("_n1") * (F.col("_n1") + 1) / 2.0
+    sigma_sq = (
+        F.col("_n1")
+        * F.col("_n2")
+        / 12.0
+        * ((n + 1) - F.try_divide(F.col("_ties"), n * (n - 1)))
+    )
+    z = F.try_divide(u1 - F.col("_n1") * F.col("_n2") / 2.0, F.sqrt(sigma_sq))
+    return agg.select(
+        "event_type",
+        F.col("_n1").cast("long").alias("n_ref"),
+        F.col("_n2").cast("long").alias("n_cur"),
+        F.round(u1, 2).alias("u_stat"),
+        F.coalesce(F.round(z, 6), F.lit(0.0)).alias("z_score"),
+    )
+
+
+ORACLE_MANN_WHITNEY = """
+WITH per_value AS (
+  SELECT event_type, value,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS pr,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS pc
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, pr, pc, pr + pc AS k,
+         sum(pr + pc) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (pr + pc) + (pr + pc + 1) / 2.0 AS avg_rank
+  FROM per_value
+),
+agg AS (
+  SELECT event_type,
+         sum(pr)::DOUBLE AS n1, sum(pc)::DOUBLE AS n2,
+         sum(pr * avg_rank) AS r1,
+         sum(k * k * k - k)::DOUBLE AS ties
+  FROM ranked GROUP BY 1
+),
+stats AS (
+  SELECT event_type, n1, n2,
+         r1 - n1 * (n1 + 1) / 2.0 AS u1,
+         n1 * n2 / 12.0 * ((n1 + n2 + 1)
+           - ties / nullif((n1 + n2) * (n1 + n2 - 1), 0)) AS sigma_sq
+  FROM agg
+)
+SELECT event_type, n1::BIGINT AS n_ref, n2::BIGINT AS n_cur,
+       round(u1, 2) AS u_stat,
+       coalesce(round((u1 - n1 * n2 / 2.0) / nullif(sqrt(sigma_sq), 0), 6),
+                0.0) AS z_score
+FROM stats
+"""
+
+
+def winsorize_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization audit: clip `value` at the exact
+    interpolated p05/p95 within each event type and report raw vs
+    winsorized moments plus clip counts — the standard heavy-tail
+    mitigation before training on noisy metrics (c.f. the percentile
+    length filter on documents, which DROPS rows; winsorizing KEEPS
+    them at the boundary).
+
+    Shape: one exact-percentile aggregate per type (Spark `percentile`
+    partial-aggregates map-side; the result is a type-count-sized table
+    broadcast back onto the scan), clip as a map-only projection, one
+    final type-keyed aggregate. The bounds table is bounded by the
+    number of groups, so the broadcast never grows with the data."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("_lo"),
+        F.percentile("value", F.lit(0.95)).alias("_hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "_w", F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("_lo"), 6).alias("p05"),
+        F.round(F.max("_hi"), 6).alias("p95"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg("_w"), 6).alias("mean_winsorized"),
+        F.sum((F.col("value") < F.col("_lo")).cast("long")).alias("clipped_low"),
+        F.sum((F.col("value") > F.col("_hi")).cast("long")).alias("clipped_high"),
+    )
+
+
+ORACLE_WINSORIZE = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n,
+       round(max(lo), 6) AS p05, round(max(hi), 6) AS p95,
+       round(avg(value), 6) AS mean_raw,
+       round(avg(least(greatest(value, lo), hi)), 6) AS mean_winsorized,
+       sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS clipped_low,
+       sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS clipped_high
+FROM events e JOIN bounds USING (event_type)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -6807,6 +7044,9 @@ QUERIES: dict[str, Query] = {
     "rare_token_novelty": rare_token_novelty,
     "interarrival_stats_by_user": interarrival_stats_by_user,
     "ks_drift_by_type": ks_drift_by_type,
+    "chi_square_type_drift": chi_square_type_drift,
+    "mann_whitney_value_shift": mann_whitney_value_shift,
+    "winsorize_values_by_type": winsorize_values_by_type,
     "funnel_conversion_window_72h": funnel_conversion_window_72h,
     "weighted_sample_docs": weighted_sample_docs,
     "event_transition_matrix": event_transition_matrix,
@@ -6973,6 +7213,9 @@ ORACLES: dict[str, str] = {
     "rare_token_novelty": ORACLE_RARE_TOKENS,
     "interarrival_stats_by_user": ORACLE_INTERARRIVAL,
     "ks_drift_by_type": ORACLE_KS,
+    "chi_square_type_drift": ORACLE_CHI_SQUARE,
+    "mann_whitney_value_shift": ORACLE_MANN_WHITNEY,
+    "winsorize_values_by_type": ORACLE_WINSORIZE,
     "funnel_conversion_window_72h": ORACLE_FUNNEL_WINDOWED,
     "weighted_sample_docs": ORACLE_WEIGHTED_SAMPLE,
     "event_transition_matrix": ORACLE_TRANSITIONS,
