@@ -48,6 +48,26 @@ def test_st5_watermark_dedup(spark, stream_source):
     assert len(rows) == 5  # 6 input rows, 1 exact duplicate dropped
 
 
+def test_st5_dedup_within_watermark_jittered_redelivery(spark, tmp_path_factory):
+    from weatherdatapipeline_spark.streaming.jobs import dedup_within_watermark
+
+    path = str(tmp_path_factory.mktemp("jitter_in"))
+    rows = [
+        (1, ts("2024-01-01T10:00:00"), "u1", 1.0),
+        (1, ts("2024-01-01T10:00:03"), "u1", 1.0),  # redelivery, ts jittered 3s
+        (2, ts("2024-01-01T10:02:00"), "u1", 2.0),
+        (2, ts("2024-01-01T10:02:00"), "u1", 2.0),  # exact duplicate
+        (3, ts("2024-01-01T10:07:00"), "u2", 3.0),
+    ]
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(SCHEMA).parquet(path)
+    out = dedup_within_watermark(src, "ts", ["event_id"], watermark="10 minutes")
+    run_available_now_to_memory(out, "jitter_sink", "append")
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM jitter_sink").collect())
+    # the jittered redelivery of event 1 is caught (exact dedup would keep it)
+    assert got == [1, 2, 3]
+
+
 def test_st3_latest_per_key_complete_mode(spark, stream_source):
     out = latest_per_key_updates(stream_source(), "user_id", "ts")
     run_available_now_to_memory(out, "latest_sink", "complete")

@@ -68,6 +68,25 @@ def dedup_late_data(
     )
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    event_time: str,
+    keys: list[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST5 (jittered-redelivery form): ``dropDuplicatesWithinWatermark``
+    dedups on the KEY ALONE for events whose event-times fall within the
+    watermark delay of each other — the at-least-once-delivery case where
+    a retried event arrives with a slightly different timestamp, which
+    exact ``dropDuplicates([key, ts])`` cannot catch (the timestamps
+    differ) and ``dropDuplicates([key])`` alone would hold state forever.
+    State per key is evicted once the watermark passes first-seen + delay,
+    so memory stays bounded by the horizon, not the stream length."""
+    return stream.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def latest_per_key_updates(stream: DataFrame, key: str, event_time: str) -> DataFrame:
     """ST3 (agg form): latest full row per key as an update-mode stream —
     ``max_by(struct(*), event_time)`` keeps ONE struct per key in state."""
