@@ -190,6 +190,27 @@ def test_pca_project_reduces_reconstruction_error(spark, sf_dir):
         np.testing.assert_allclose(np.array(r["pca"]), want, atol=1e-6)
 
 
+def test_pca_power_scores_match_eigh_direction(spark, sf_dir):
+    """The relational power-iteration PC1 scores are (anti)collinear
+    with the driver-eigh PC1 projection: |corr| > 0.999 after 4
+    iterations (sign is start-vector-dependent, magnitude is not)."""
+    import numpy as np
+    from weatherdatapipeline_spark.operators.embeddings import (
+        pca_power_scores,
+        pca_projection_matrix,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500)
+    comps, _ = pca_projection_matrix(emb, n_components=1)
+    got = {r["vec_id"]: r["pc1_score"] for r in pca_power_scores(emb).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.stack([np.array(r["embedding"], dtype="float64") for r in rows])
+    want = (X - X.mean(axis=0)) @ comps[0]
+    a = np.array([got[r["vec_id"]] for r in rows])
+    corr = np.corrcoef(a, want)[0, 1]
+    assert abs(corr) > 0.999, corr
+
+
 def test_pq_encode_matches_numpy(spark, sf_dir):
     """PQ encoding equals the numpy argmin per subspace, and a codebook
     seed vector encodes to its own index in every subspace."""

@@ -335,6 +335,85 @@ def pca_project(
     return embeddings.withColumn(out_col, F.array(*rows))
 
 
+def pca_power_scores(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    squarings: int = 9,
+    vec_round: int = 7,
+    out_round: int = 6,
+) -> DataFrame:
+    """Top-principal-component score per vector via RELATIONAL power
+    iteration with matrix squaring — the fully engine-portable PCA path
+    that complements ``pca_projection_matrix`` (driver eigh): every
+    step is a DataFrame op, so a SQL engine can replay the identical
+    trajectory and differential-check the result (queries.py::
+    pca_top_component_scores and its generated DuckDB oracle).
+
+    Squaring, not plain matvec iteration: the synthetic embedding
+    spectrum is nearly flat (lambda2/lambda1 ~ 0.98), so naive power
+    iteration needs ~400 steps; squaring the (rescaled) matrix s times
+    applies C^(2^s) in s relational steps — s=9 is C^512, enough for
+    |corr| > 0.999 against the eigh basis (pytest-pinned). Each level
+    is rescaled by its max |cell| (power iteration is scale-free) to
+    keep magnitudes O(1) under rounding.
+
+    Scale design: the iteration state is the d^2-cell matrix
+    (corpus-size-independent — covariance_pairs reduces the corpus ONCE
+    via the partial-Gram mapInPandas); each squaring is a d^3-work
+    self-join-agg on d^2 rows, localCheckpointed to stop the 2^s
+    self-referencing plan blowup; the final scoring pass is one
+    posexplode + broadcast join + id-keyed sum — no per-row Python,
+    nothing quadratic in the corpus.
+
+    Portability contract: covariance cells round to 6dp, every squared
+    matrix and the final vector to ``vec_round`` dp, so cross-engine
+    float association noise (~1e-12) cannot fork the trajectory; the
+    oracle applies the same rounding at the same points."""
+    cells = covariance_pairs(embeddings, vec_col, round_digits=6)
+    c = cells.unionByName(
+        cells.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint(eager=False)
+    for _ in range(squarings):
+        a = c.select(F.col("i"), F.col("j").alias("k"), F.col("cov").alias("ca"))
+        b = c.select(F.col("i").alias("k"), F.col("j"), F.col("cov").alias("cb"))
+        prod = (
+            a.join(b, "k")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("raw"))
+        )
+        mx = prod.agg(F.max(F.abs(F.col("raw"))).alias("mx"))
+        # localCheckpoint: each level references the previous TWICE; without
+        # truncation the logical plan doubles per squaring (2^s copies)
+        c = (
+            prod.crossJoin(F.broadcast(mx))
+            .select("i", "j", F.round(F.col("raw") / F.col("mx"), vec_round).alias("cov"))
+            .localCheckpoint(eager=False)
+        )
+    w = c.groupBy("i").agg(F.round(F.sum("cov"), vec_round).alias("w"))
+    norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    v = w.crossJoin(F.broadcast(norm)).select(
+        "i", F.round(F.col("w") / F.col("nrm"), vec_round).alias("val")
+    )
+    e = embeddings.select(
+        id_col, F.posexplode(vec_col).alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    mu = e.groupBy("i").agg(F.avg("x").alias("mu"))
+    center = mu.join(v, "i").agg(F.sum(F.col("mu") * F.col("val")).alias("c"))
+    return (
+        e.join(F.broadcast(v), "i")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("val")).alias("_dot"))
+        .crossJoin(F.broadcast(center))
+        .select(
+            id_col,
+            F.round(F.col("_dot") - F.col("c"), out_round).alias("pc1_score"),
+        )
+    )
+
+
 def _pq_validate(codebooks) -> tuple[int, int, int]:
     """Validate codebook shape consistency; returns (m, k, sub_d).
     Ragged codebooks would silently mis-slice — fail loudly instead."""

@@ -1612,6 +1612,73 @@ FROM s, unnest(range(1, len(embedding) + 1)) AS t(i)
 """
 
 
+def pca_top_component_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component score per embedding via RELATIONAL power
+    iteration with matrix squaring (operators/embeddings.py::
+    pca_power_scores) — unlike the driver-eigh path
+    (`pca_projection_matrix`, pytest-checked vs numpy), every step is a
+    DataFrame op on the d^2 covariance cells, so DuckDB replays the
+    identical rounded trajectory and the driver hash-checks real PCA
+    output. Iteration state is d^2 cells — corpus-size-independent
+    after the one partial-Gram reduction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return E.pca_power_scores(emb, squarings=9)
+
+
+def _pca_power_oracle(squarings: int = 9) -> str:
+    """Generate the DuckDB twin of pca_power_scores: same covariance
+    cells (6dp), same max-|cell|-rescaled squaring rounded to 7dp per
+    unrolled level, same ones-matvec + normalize (7dp), same centered
+    projection (6dp)."""
+    # AS MATERIALIZED on every multiply-referenced CTE: DuckDB may inline
+    # CTEs per reference, and each squaring level references the previous
+    # one twice -- inlined, the scan fans out 2^squarings times and
+    # exhausts file handles on the base parquet.
+    ctes = [
+        "x AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        """e AS MATERIALIZED (
+  SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS i, v[CAST(t.i AS INTEGER)] AS xi
+  FROM x, unnest(range(1, len(v) + 1)) AS t(i)
+)""",
+        "m AS MATERIALIZED (SELECT i, avg(xi) AS mu FROM e GROUP BY i)",
+        """s AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxy, count(*) AS n
+  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2
+)""",
+        """c0 AS MATERIALIZED (
+  SELECT s.i, s.j, round(s.sxy / s.n - ma.mu * mb.mu, 6) AS cov
+  FROM s JOIN m ma ON ma.i = s.i JOIN m mb ON mb.i = s.j
+)""",
+    ]
+    for k in range(1, squarings + 1):
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT a.i, b.j, sum(a.cov * b.cov) AS raw "
+            f"FROM c{k-1} a JOIN c{k-1} b ON a.j = b.i GROUP BY 1, 2)"
+        )
+        ctes.append(f"mx{k} AS (SELECT max(abs(raw)) AS mx FROM p{k})")
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT i, j, round(raw / mx, 7) AS cov FROM p{k}, mx{k})"
+        )
+    ctes += [
+        f"w AS (SELECT i, round(sum(cov), 7) AS w FROM c{squarings} GROUP BY 1)",
+        "n AS (SELECT sqrt(sum(w * w)) AS nrm FROM w)",
+        "v AS (SELECT i, round(w / nrm, 7) AS val FROM w, n)",
+        "ctr AS (SELECT sum(m.mu * v.val) AS c FROM m JOIN v USING (i))",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT e.vec_id, round(sum(e.xi * v.val) - max(ctr.c), 6) AS pc1_score
+FROM e JOIN v USING (i) CROSS JOIN ctr
+GROUP BY e.vec_id
+"""
+    )
+
+
+ORACLE_PCA_POWER = _pca_power_oracle(squarings=9)
+
+
 def sample_per_source_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k uniform-but-stable sample per source stratum
     (operators/sampling.py::sample_per_group): md5-ranked within group, so
@@ -6964,6 +7031,7 @@ QUERIES: dict[str, Query] = {
     # new this round — inside the driver's 50-entry correctness window
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_covariance": embedding_covariance,
+    "pca_top_component_scores": pca_top_component_scores,
     "embedding_pq_codes": embedding_pq_codes,
     "sample_per_source_deterministic": sample_per_source_deterministic,
     "token_budget_sample_1k": token_budget_sample_1k,
@@ -7140,6 +7208,7 @@ ORACLES: dict[str, str] = {
     "redact_pii_documents": ORACLE_REDACT_PII,
     "embedding_quantize_int8": ORACLE_QUANTIZE_INT8,
     "embedding_covariance": ORACLE_COVARIANCE,
+    "pca_top_component_scores": ORACLE_PCA_POWER,
     "embedding_pq_codes": ORACLE_PQ_CODES,
     "sample_per_source_deterministic": ORACLE_SAMPLE_PER_SOURCE,
     "token_budget_sample_1k": ORACLE_TOKEN_BUDGET,
