@@ -5893,6 +5893,150 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
 """
 
 
+def daily_state_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot reconstruction from the SCD2 interval
+    table: a generated daily calendar spine (Jan 2024) per user,
+    PIT-joined onto the half-open validity intervals — the warehouse
+    time-travel op that turns a dimension HISTORY into "state as of day
+    D" without storing snapshots. Days before a user's first event keep
+    a NULL state (left join), the as-of semantics the naive latest-row
+    join gets wrong.
+
+    Scale shape: the spine is |users| x |days| (generated, never
+    shuffled wide), the join is EQUI on user_id with the interval
+    containment as a residual range predicate — per-user interval lists
+    are small, so the sort-merge join never fans out; nothing is
+    broadcast that grows with the event log."""
+    ev = _t(spark, sf_dir, "events")
+    iv = R.scd2_history(
+        ev, key_col="user_id", state_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    day0 = F.lit("2024-01-01").cast("date")
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(
+            spark.range(31).select(
+                F.unix_timestamp(
+                    F.date_add(day0, F.col("id").cast("int"))
+                ).alias("day_s")
+            )
+        )
+    )
+    return (
+        spine.join(
+            iv,
+            (spine.user_id == iv.user_id)
+            & (iv.valid_from_s <= spine.day_s)
+            & (iv.valid_to_s.isNull() | (spine.day_s < iv.valid_to_s)),
+            "left",
+        )
+        .select(
+            spine.user_id,
+            "day_s",
+            iv.state.alias("state"),
+            iv.n_events.cast("long").alias("run_events"),
+        )
+    )
+
+
+ORACLE_DAILY_SNAPSHOTS = """
+WITH ordered AS (
+  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS ts_s, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs0 AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM ordered
+),
+runs AS (
+  SELECT user_id, run, min(event_type) AS state,
+         min(ts_s) AS valid_from_s, count(*) AS n_events
+  FROM runs0 GROUP BY 1, 2
+),
+iv AS (
+  SELECT user_id, state, valid_from_s,
+         lead(valid_from_s) OVER w2 AS valid_to_s, n_events
+  FROM runs
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+),
+spine AS (
+  SELECT u.user_id,
+         floor(epoch(d.d))::BIGINT AS day_s
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                  TIMESTAMP '2024-01-31',
+                                  INTERVAL 1 DAY)) AS d
+  ) d
+)
+SELECT s.user_id, s.day_s, iv.state, iv.n_events::BIGINT AS run_events
+FROM spine s
+LEFT JOIN iv
+  ON iv.user_id = s.user_id
+ AND iv.valid_from_s <= s.day_s
+ AND (iv.valid_to_s IS NULL OR s.day_s < iv.valid_to_s)
+"""
+
+
+def skew_audit_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for orders.o_custkey — the pre-flight
+    diagnosis that decides between a plain shuffle join, AQE skew
+    handling, and explicit salting (operators/relational.py::
+    salted_aggregate): top-10 heaviest keys with their share of rows,
+    each row carrying the distribution-level stats (distinct keys,
+    rows-per-key coefficient of variation, max single-key share).
+
+    Shape: one key-count aggregate (map-side combined), one 1-row
+    distribution aggregate broadcast back, TakeOrdered-10 — the audit
+    itself never materializes more than |keys| rows."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    dist = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.round(
+            F.stddev_pop("cnt") / F.avg("cnt"), 6
+        ).alias("cv_rows_per_key"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(dist))
+        .select(
+            "o_custkey",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") * 100.0 / F.col("n_rows"), 6).alias("share_pct"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            "cv_rows_per_key",
+        )
+        .orderBy(F.col("cnt").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+ORACLE_SKEW_AUDIT = """
+WITH counts AS (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+),
+dist AS (
+  SELECT count(*) AS n_keys, sum(cnt) AS n_rows,
+         round(stddev_pop(cnt) / avg(cnt), 6) AS cv_rows_per_key
+  FROM counts
+)
+SELECT o_custkey, cnt::BIGINT AS cnt,
+       round(cnt * 100.0 / n_rows, 6) AS share_pct,
+       n_keys::BIGINT AS n_keys, cv_rows_per_key
+FROM counts, dist
+ORDER BY cnt DESC, o_custkey
+LIMIT 10
+"""
+
+
 def ridge_value_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form ridge regression of event value on (hour-of-day,
     day-index mod 7) via the normal equations
@@ -7130,6 +7274,8 @@ QUERIES: dict[str, Query] = {
     "seasonal_anomaly_events": seasonal_anomaly_events,
     "quarantine_documents": quarantine_documents,
     "scd2_user_state_history": scd2_user_state_history,
+    "daily_state_snapshots": daily_state_snapshots,
+    "skew_audit_orders_custkey": skew_audit_orders_custkey,
     "ridge_value_model": ridge_value_model,
     "naive_bayes_source_confusion": naive_bayes_source_confusion,
     "acf_value_by_type": acf_value_by_type,
@@ -7300,6 +7446,8 @@ ORACLES: dict[str, str] = {
     "seasonal_anomaly_events": ORACLE_SEASONAL_ANOMALY,
     "quarantine_documents": ORACLE_QUARANTINE,
     "scd2_user_state_history": ORACLE_SCD2,
+    "daily_state_snapshots": ORACLE_DAILY_SNAPSHOTS,
+    "skew_audit_orders_custkey": ORACLE_SKEW_AUDIT,
     "ridge_value_model": ORACLE_RIDGE,
     "naive_bayes_source_confusion": ORACLE_NAIVE_BAYES,
     "acf_value_by_type": ORACLE_ACF,
