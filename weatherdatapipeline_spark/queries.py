@@ -5893,6 +5893,107 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
 """
 
 
+def quantile_normalize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document length: each
+    doc's n_chars maps to the POOLED value at its within-source
+    percentile — the calibration that makes per-source quality/length
+    thresholds comparable when sources have different length
+    distributions (a real mixing-pipeline op: filter at "pooled p10",
+    not at a per-source absolute).
+
+    Grid-bucketed inverse-CDF in INTEGER arithmetic: percentiles become
+    bucket = (rows_strictly_below * G) div (n - 1) with G=1000, so no
+    float percent_rank ever crosses an engine boundary. Shapes: both
+    CDFs are value-collapsed aggregates (windows run over the bounded
+    distinct-length domain, never the corpus); the pooled inverse CDF
+    is a G-row cummax table broadcast into one map-only join back."""
+    G = 1000
+    docs = _t(spark, sf_dir, "documents")
+    # within-source CDF over the collapsed (source, length) domain
+    sv = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("_k"))
+    ws = Window.partitionBy("source").orderBy("n_chars")
+    src_cdf = sv.select(
+        "source",
+        "n_chars",
+        (
+            F.sum("_k").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("_k")
+        ).alias("_below"),
+        F.sum("_k").over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+    ).select(
+        "source",
+        "n_chars",
+        F.expr(f"(_below * {G}) div (_n - 1)").alias("src_bucket"),
+    )
+    # pooled inverse CDF: per-bucket max value, cummax over the G-row grid
+    pv = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("_k"))
+    wp = Window.orderBy("n_chars")
+    pooled = pv.select(
+        "n_chars",
+        (
+            F.sum("_k").over(wp.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("_k")
+        ).alias("_below"),
+        F.sum("_k").over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+    ).select(
+        "n_chars",
+        F.expr(f"(_below * {G}) div (_n - 1)").alias("_b"),
+    )
+    grid = spark.range(G + 1).select(F.col("id").alias("b"))
+    inv_cdf = (
+        grid.join(pooled, pooled["_b"] <= grid["b"])
+        .groupBy("b")
+        .agg(F.max("n_chars").alias("calibrated_n_chars"))
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(F.broadcast(src_cdf), ["source", "n_chars"])
+        .join(
+            F.broadcast(inv_cdf),
+            F.col("src_bucket") == F.col("b"),
+        )
+        .select("doc_id", "source", "n_chars", "src_bucket", "calibrated_n_chars")
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+WITH sv AS (
+  SELECT source, n_chars, count(*) AS k FROM documents GROUP BY 1, 2
+),
+src_cdf AS (
+  SELECT source, n_chars,
+         (sum(k) OVER (PARTITION BY source ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) - k) * 1000
+         // (sum(k) OVER (PARTITION BY source) - 1) AS src_bucket
+  FROM sv
+),
+pv AS (
+  SELECT n_chars, count(*) AS k FROM documents GROUP BY 1
+),
+pooled AS (
+  SELECT n_chars,
+         (sum(k) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) - k) * 1000
+         // (sum(k) OVER () - 1) AS b
+  FROM pv
+),
+inv_cdf AS (
+  SELECT g.b, max(p.n_chars) AS calibrated_n_chars
+  FROM (SELECT unnest(range(0, 1001)) AS b) g
+  JOIN pooled p ON p.b <= g.b
+  GROUP BY g.b
+)
+SELECT d.doc_id, d.source, d.n_chars, s.src_bucket::BIGINT AS src_bucket,
+       i.calibrated_n_chars
+FROM documents d
+JOIN src_cdf s ON s.source = d.source AND s.n_chars = d.n_chars
+JOIN inv_cdf i ON i.b = s.src_bucket
+"""
+
+
 def daily_state_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time snapshot reconstruction from the SCD2 interval
     table: a generated daily calendar spine (Jan 2024) per user,
@@ -7293,6 +7394,7 @@ QUERIES: dict[str, Query] = {
     "streaming_left_outer_join_unmatched": streaming_left_outer_join_unmatched,
     "join_view_orders_customer": join_view_orders_customer,
     "variant_props_stats": variant_props_stats,
+    "quantile_normalize_doc_lengths": quantile_normalize_doc_lengths,
 }
 
 ORACLES: dict[str, str] = {
@@ -7465,6 +7567,7 @@ ORACLES: dict[str, str] = {
     "streaming_left_outer_join_unmatched": ORACLE_STREAM_LOJ,
     "join_view_orders_customer": ORACLE_JOIN_VIEW,
     "variant_props_stats": ORACLE_VARIANT_PROPS,
+    "quantile_normalize_doc_lengths": ORACLE_QUANTILE_NORMALIZE,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
