@@ -137,3 +137,51 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             6,
         ).alias("clustering"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    a: str = "a",
+    b: str = "b",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge table: (node, dist) with
+    dist = minimum hop count from ANY seed, bounded at ``max_hops``.
+    Reference parity: the reference has no graph surface; this is the
+    k-hop reachability primitive a lineage/influence audit needs.
+
+    Scale design — frontier expansion, the textbook distributed BFS:
+    each level is ONE equi-join of the current frontier (|frontier| rows,
+    never |V|) against the symmetrized edge table, a distinct, and an
+    anti-join against the visited set. Level order guarantees first
+    discovery = minimum distance, so no per-path state is carried — the
+    visited set is (node, dist), |V| rows max, and AQE broadcasts the
+    frontier side of the join while it is small. localCheckpoint per
+    level truncates lineage so plan depth stays O(1) per level, not
+    O(level). Paths are never enumerated (a recursive-CTE UNION ALL walk
+    explodes combinatorially on dense graphs; this never does).
+    """
+    und = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    frontier = seeds.select(F.col(node).alias("n")).distinct()
+    visited = frontier.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("n")
+    for level in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["n"] == und["src"])
+            .select(F.col("dst").alias("n"))
+            .distinct()
+            .join(visited.select("n"), "n", "left_anti")
+            .withColumn("dist", F.lit(level))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("n")
+    return visited

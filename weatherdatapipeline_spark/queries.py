@@ -7211,6 +7211,56 @@ GROUP BY 1
 """
 
 
+def bfs_khop_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability: minimum co-supply hop distance (<= 3) from the
+    nation-0 supplier cohort — operators/graph.py::bfs_distances frontier
+    BFS over the same degree-bounded co-supply slice the triangle census
+    uses. The oracle walks the identical graph with a recursive CTE; the
+    Spark side never enumerates paths (frontier + visited anti-join), so
+    it survives dense graphs where a UNION ALL walk explodes."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    ps = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    edges = (
+        ps.alias("x")
+        .join(ps.alias("y"), "pk")
+        .filter(F.col("x.sk") < F.col("y.sk"))
+        .select(F.col("x.sk").alias("a"), F.col("y.sk").alias("b"))
+        .distinct()
+    )
+    seeds = sup.filter(F.col("s_nationkey") == 0).select(
+        F.col("s_suppkey").alias("node")
+    )
+    return G.bfs_distances(edges, seeds, max_hops=3).select(
+        F.col("n").cast("bigint").alias("s_suppkey"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+ORACLE_BFS_KHOP = """
+WITH RECURSIVE
+ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+       FROM lineitem WHERE l_quantity >= 48),
+e AS (
+  SELECT DISTINCT x.sk AS a, y.sk AS b
+  FROM ps x JOIN ps y USING (pk) WHERE x.sk <> y.sk
+),
+walk(n, dist) AS (
+  SELECT s_suppkey, 0 FROM supplier WHERE s_nationkey = 0
+  UNION
+  SELECT e.b, walk.dist + 1
+  FROM walk JOIN e ON e.a = walk.n
+  WHERE walk.dist < 3
+)
+SELECT n::BIGINT AS s_suppkey, min(dist)::BIGINT AS dist
+FROM walk GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -7395,6 +7445,7 @@ QUERIES: dict[str, Query] = {
     "join_view_orders_customer": join_view_orders_customer,
     "variant_props_stats": variant_props_stats,
     "quantile_normalize_doc_lengths": quantile_normalize_doc_lengths,
+    "bfs_khop_cosupply": bfs_khop_cosupply,
 }
 
 ORACLES: dict[str, str] = {
@@ -7568,6 +7619,7 @@ ORACLES: dict[str, str] = {
     "join_view_orders_customer": ORACLE_JOIN_VIEW,
     "variant_props_stats": ORACLE_VARIANT_PROPS,
     "quantile_normalize_doc_lengths": ORACLE_QUANTILE_NORMALIZE,
+    "bfs_khop_cosupply": ORACLE_BFS_KHOP,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
