@@ -7261,6 +7261,126 @@ FROM walk GROUP BY 1
 """
 
 
+def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / cumulative-distinct user counts — the growth
+    dashboard's hardest column (cumulative COUNT DISTINCT) computed the
+    scalable way: distinct-count per day is a hash agg, and "cumulative
+    distinct" is rewritten as the running SUM of FIRST-SEEN counts (each
+    user counted on their min day), so no day ever re-scans history. The
+    only window runs over the ~90-row day domain, never the event table."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    firsts = d.groupBy("user_id").agg(F.min("day").alias("day"))
+    nu = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    au = d.groupBy("day").agg(F.count(F.lit(1)).alias("active_users"))
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        au.join(nu, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.col("new_users").cast("bigint").alias("new_users"),
+            F.sum("new_users").over(wd).cast("bigint").alias("cum_users"),
+        )
+    )
+
+
+ORACLE_CUM_DISTINCT_USERS = """
+WITH d AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+firsts AS (SELECT user_id, min(day) AS day FROM d GROUP BY 1),
+nu AS (SELECT day, count(*) AS new_users FROM firsts GROUP BY 1),
+au AS (SELECT day, count(*) AS active_users FROM d GROUP BY 1)
+SELECT strftime(au.day, '%Y-%m-%d') AS day,
+       au.active_users::BIGINT AS active_users,
+       coalesce(nu.new_users, 0)::BIGINT AS new_users,
+       (sum(coalesce(nu.new_users, 0))
+          OVER (ORDER BY au.day ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_users
+FROM au LEFT JOIN nu USING (day)
+"""
+
+
+def activity_streaks_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active days per user.
+    The classic trick — day minus per-user row_number() is constant
+    within a consecutive island — turns streak detection into one window
+    over each user's DISTINCT active days (bounded by the calendar, not
+    by event volume) plus two hash aggs. No self-join, no per-day loop."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = d.withColumn("grp", F.date_sub("day", F.row_number().over(w)))
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("max_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+    )
+
+
+ORACLE_ACTIVITY_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+i AS (
+  SELECT user_id, day,
+         day - (row_number() OVER (PARTITION BY user_id ORDER BY day))::INT AS grp
+  FROM d
+),
+s AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2)
+SELECT user_id, max(len)::BIGINT AS max_streak,
+       count(*)::BIGINT AS n_streaks, sum(len)::BIGINT AS n_active_days
+FROM s GROUP BY 1
+"""
+
+
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-significant-
+    digit share vs the log10(1 + 1/d) expectation — the standard
+    anomaly/fraud screen for monetary columns. One map-side-combined agg
+    to 9 rows plus a 1-row total broadcast back; floor-to-BIGINT before
+    the string cast so both engines render the same digits (DuckDB's
+    floor() is DOUBLE and would stringify as '123.0')."""
+    o = _t(spark, sf_dir, "orders")
+    fd = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    counts = fd.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = fd.agg(F.count(F.lit(1)).alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("_total"), 6).alias("observed_share"),
+        F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("benford_share"),
+        F.round(
+            F.col("n") / F.col("_total") - F.log10(1 + 1 / F.col("digit")), 6
+        ).alias("excess"),
+    )
+
+
+ORACLE_BENFORD = """
+WITH fd AS (
+  SELECT substr((floor(o_totalprice)::BIGINT)::VARCHAR, 1, 1)::BIGINT AS digit
+  FROM orders
+),
+c AS (SELECT digit, count(*) AS n FROM fd GROUP BY 1),
+t AS (SELECT count(*) AS total FROM fd)
+SELECT digit, n::BIGINT AS n,
+       round(n / (total * 1.0), 6) AS observed_share,
+       round(log10(1 + 1.0 / digit), 6) AS benford_share,
+       round(n / (total * 1.0) - log10(1 + 1.0 / digit), 6) AS excess
+FROM c, t
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -7446,6 +7566,9 @@ QUERIES: dict[str, Query] = {
     "variant_props_stats": variant_props_stats,
     "quantile_normalize_doc_lengths": quantile_normalize_doc_lengths,
     "bfs_khop_cosupply": bfs_khop_cosupply,
+    "cumulative_distinct_users_daily": cumulative_distinct_users_daily,
+    "activity_streaks_by_user": activity_streaks_by_user,
+    "benford_first_digit_audit": benford_first_digit_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -7620,6 +7743,9 @@ ORACLES: dict[str, str] = {
     "variant_props_stats": ORACLE_VARIANT_PROPS,
     "quantile_normalize_doc_lengths": ORACLE_QUANTILE_NORMALIZE,
     "bfs_khop_cosupply": ORACLE_BFS_KHOP,
+    "cumulative_distinct_users_daily": ORACLE_CUM_DISTINCT_USERS,
+    "activity_streaks_by_user": ORACLE_ACTIVITY_STREAKS,
+    "benford_first_digit_audit": ORACLE_BENFORD,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
