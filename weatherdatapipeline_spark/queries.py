@@ -7381,6 +7381,125 @@ FROM c, t
 """
 
 
+def mutual_information_type_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event type and value band —
+    the feature-selection screen ("does this column carry signal about
+    that one?") computed as pure relational algebra: ONE hash agg to the
+    (type, band) contingency table (~50 cells), then marginals and N as
+    windows over that collapsed table, never over the event stream. The
+    map-side combine does all the heavy lifting; everything after the
+    agg is constant-sized regardless of corpus scale."""
+    ev = _t(spark, sf_dir, "events")
+    joint = (
+        ev.select(
+            "event_type", F.floor(F.col("value") / F.lit(50.0)).alias("band")
+        )
+        .groupBy("event_type", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    wb = Window.partitionBy("band")
+    wall = Window.partitionBy()
+    return joint.select(
+        "event_type",
+        F.col("band").cast("bigint").alias("band"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("n") / F.sum("n").over(wall))
+            * F.log(
+                (F.col("n") * F.sum("n").over(wall))
+                / (F.sum("n").over(wt) * F.sum("n").over(wb))
+            ),
+            6,
+        ).alias("mi_contrib"),
+        F.round(
+            (F.col("n") * F.sum("n").over(wall))
+            / (F.sum("n").over(wt) * F.sum("n").over(wb)),
+            6,
+        ).alias("lift"),
+    )
+
+
+ORACLE_MUTUAL_INFO = """
+WITH joint AS (
+  SELECT event_type, floor(value / 50.0)::BIGINT AS band, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, band, n::BIGINT AS n,
+       round((n * 1.0 / sum(n) OVER ()) *
+             ln((n * sum(n) OVER ()) * 1.0 /
+                (sum(n) OVER (PARTITION BY event_type) *
+                 sum(n) OVER (PARTITION BY band))), 6) AS mi_contrib,
+       round((n * sum(n) OVER ()) * 1.0 /
+             (sum(n) OVER (PARTITION BY event_type) *
+              sum(n) OVER (PARTITION BY band)), 6) AS lift
+FROM joint
+"""
+
+
+def table_fingerprint_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content fingerprint of the documents table: row count,
+    key range, and a COMMUTATIVE checksum (bit_xor of a 60-bit per-row
+    hash) — the replication-validation primitive for comparing two
+    copies of a 100 TB table across clusters without moving data. XOR is
+    order- and partitioning-independent and overflow-free, so the whole
+    manifest is ONE map-side-combined agg, zero joins; any engine can
+    recompute it (portable md5 family, dedup.py::portable_hash60)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        F.bit_xor(
+            D.portable_hash60("doc_id", "lang", "n_chars", "text")
+        ).alias("content_fp"),
+    )
+
+
+ORACLE_TABLE_FINGERPRINT = """
+SELECT source, count(*)::BIGINT AS n_rows,
+       min(doc_id)::BIGINT AS min_doc_id, max(doc_id)::BIGINT AS max_doc_id,
+       bit_xor(('0x' || substr(md5(doc_id::VARCHAR || '|' || lang || '|' ||
+                n_chars::VARCHAR || '|' || text), 1, 15))::BIGINT) AS content_fp
+FROM documents GROUP BY source
+"""
+
+
+LINEITEM_NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the lineitem measures — all six
+    pairs in ONE single-pass agg (each corr is a streaming moment
+    computation; Catalyst fuses them into one scan), then stack() turns
+    the wide row into (col_x, col_y, corr) rows. Rounded to 6 dp: the
+    distributed merge order perturbs only ~1e-14."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(LINEITEM_NUMERIC)
+        for b in LINEITEM_NUMERIC[i + 1 :]
+    ]
+    wide = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"_c_{a}_{b}")
+            for a, b in pairs
+        ]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', _c_{a}_{b}" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, corr)"
+    )
+
+
+ORACLE_CORR_MATRIX = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+    f"round(corr({a}, {b}), 6) AS corr FROM lineitem"
+    for i, a in enumerate(LINEITEM_NUMERIC)
+    for b in LINEITEM_NUMERIC[i + 1 :]
+)
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -7569,6 +7688,9 @@ QUERIES: dict[str, Query] = {
     "cumulative_distinct_users_daily": cumulative_distinct_users_daily,
     "activity_streaks_by_user": activity_streaks_by_user,
     "benford_first_digit_audit": benford_first_digit_audit,
+    "mutual_information_type_value": mutual_information_type_value,
+    "table_fingerprint_manifest": table_fingerprint_manifest,
+    "corr_matrix_lineitem": corr_matrix_lineitem,
 }
 
 ORACLES: dict[str, str] = {
@@ -7746,6 +7868,9 @@ ORACLES: dict[str, str] = {
     "cumulative_distinct_users_daily": ORACLE_CUM_DISTINCT_USERS,
     "activity_streaks_by_user": ORACLE_ACTIVITY_STREAKS,
     "benford_first_digit_audit": ORACLE_BENFORD,
+    "mutual_information_type_value": ORACLE_MUTUAL_INFO,
+    "table_fingerprint_manifest": ORACLE_TABLE_FINGERPRINT,
+    "corr_matrix_lineitem": ORACLE_CORR_MATRIX,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
