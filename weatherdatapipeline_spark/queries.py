@@ -7500,6 +7500,85 @@ ORACLE_CORR_MATRIX = "\nUNION ALL\n".join(
 )
 
 
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) marketing attribution: each
+    purchase's value is credited to the view/click touches in the 72 h
+    before it — 100% to a lone touch, 50/50 for two, else 40% first /
+    40% last / 20% split across middles. The touch-to-conversion pairing
+    is a user-keyed equi-join with a range predicate (bounded lookback,
+    so per-user blowup is capped by the window, exactly like the as-of
+    join); ranking runs per conversion, a naturally small partition.
+    Ordering ties break on event_id so both engines rank identically."""
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+        F.col("value").alias("conv_value"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    j = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 72 HOURS"))
+    )
+    wc = Window.partitionBy("conv_id")
+    wr = wc.orderBy("touch_ts", "touch_id")
+    ranked = j.select(
+        "touch_type",
+        "conv_id",
+        "conv_value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(F.col("rn") == 1, F.lit(0.4))
+        .when(F.col("rn") == F.col("k"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    return ranked.groupBy(F.col("touch_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.count_distinct("conv_id").cast("bigint").alias("n_conversions"),
+        F.round(F.sum(credit * F.col("conv_value")), 2).alias("credited_value"),
+    )
+
+
+ORACLE_ATTRIBUTION = """
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, ts AS conv_ts, value AS conv_value
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_id AS touch_id, event_type AS touch_type, ts AS touch_ts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT t.touch_type, c.conv_id, c.conv_value,
+         row_number() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.touch_ts, t.touch_id) AS rn,
+         count(*) OVER (PARTITION BY c.conv_id) AS k
+  FROM conv c JOIN touch t ON t.user_id = c.user_id
+  WHERE t.touch_ts < c.conv_ts
+    AND t.touch_ts >= c.conv_ts - INTERVAL 72 HOUR
+)
+SELECT touch_type AS event_type, count(*)::BIGINT AS n_touches,
+       count(DISTINCT conv_id)::BIGINT AS n_conversions,
+       round(sum(conv_value * CASE
+         WHEN k = 1 THEN 1.0
+         WHEN k = 2 THEN 0.5
+         WHEN rn = 1 THEN 0.4
+         WHEN rn = k THEN 0.4
+         ELSE 0.2 / (k - 2) END), 2) AS credited_value
+FROM j GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -7691,6 +7770,7 @@ QUERIES: dict[str, Query] = {
     "mutual_information_type_value": mutual_information_type_value,
     "table_fingerprint_manifest": table_fingerprint_manifest,
     "corr_matrix_lineitem": corr_matrix_lineitem,
+    "attribution_position_based": attribution_position_based,
 }
 
 ORACLES: dict[str, str] = {
@@ -7871,6 +7951,7 @@ ORACLES: dict[str, str] = {
     "mutual_information_type_value": ORACLE_MUTUAL_INFO,
     "table_fingerprint_manifest": ORACLE_TABLE_FINGERPRINT,
     "corr_matrix_lineitem": ORACLE_CORR_MATRIX,
+    "attribution_position_based": ORACLE_ATTRIBUTION,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
