@@ -82,3 +82,50 @@ def zscore_anomalies(
         return out[out["deviation"] > threshold]
 
     return df.select(key, ts_col, value_col).groupBy(key).applyInPandas(fn, out_schema)
+
+
+def capped_running_balance(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    delta_col: str,
+    cap: float,
+    floor: float = 0.0,
+) -> DataFrame:
+    """Running balance with clamping at every step:
+    ``bal_t = min(max(bal_{t-1} + delta_t, floor), cap)`` per key in
+    ``order_cols`` order (inventory / prepaid-credit semantics).
+
+    The clamp makes this a TRUE recurrence — unlike a plain cumulative
+    sum, no window frame computes it (each step depends on the clamped
+    previous value, not on any prefix aggregate). Same escape-hatch tier
+    as EWMA: one Arrow-batched applyInPandas per key, recurrence local
+    to the task, all keys in parallel. Unlike EWMA this one IS
+    SQL-expressible via a recursive CTE stepping row-by-row, so the
+    driver query carries a full DuckDB oracle (the CTE is the spec, not
+    the scale path — it iterates max-rows-per-key times).
+    """
+    out_schema = StructType(
+        [
+            df.schema[key],
+            df.schema[order_cols[-1]],
+            StructField("balance", DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        bal = 0.0
+        out = []
+        for d in pdf[delta_col].to_numpy():
+            # same op order as the oracle CTE: add, then floor, then cap
+            bal = min(max(bal + float(d), floor), cap)
+            out.append(bal)
+        pdf["balance"] = out
+        return pdf[[key, order_cols[-1], "balance"]]
+
+    return (
+        df.select(key, *order_cols, delta_col)
+        .groupBy(key)
+        .applyInPandas(fn, out_schema)
+    )

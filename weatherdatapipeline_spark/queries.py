@@ -7579,6 +7579,104 @@ FROM j GROUP BY 1
 """
 
 
+def capped_running_balance_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prepaid-credit balance per user: purchases credit value, clicks
+    debit it, clamped to [0, 500] at EVERY step — a true recurrence (the
+    clamp breaks prefix-sum decomposition, so no window frame computes
+    it). Spark side: operators/stateful.py::capped_running_balance, one
+    Arrow-batched applyInPandas per user. Oracle: a recursive CTE
+    stepping (user, rn) -> (user, rn+1) — the executable spec; identical
+    float op order (add, floor, cap) keeps the doubles bit-equal."""
+    from .operators.stateful import capped_running_balance
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        F.col("ts").alias("ts"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(-F.col("value"))
+        .alias("delta"),
+    )
+    out = capped_running_balance(
+        d, key="user_id", order_cols=["ts", "event_id"], delta_col="delta",
+        cap=500.0, floor=0.0,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.round("balance", 4).alias("balance"),
+    )
+
+
+ORACLE_CAPPED_BALANCE = """
+WITH RECURSIVE d AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'purchase' THEN value ELSE -value END AS delta,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+r(user_id, event_id, rn, bal) AS (
+  SELECT user_id, event_id, rn, least(greatest(0.0 + delta, 0.0), 500.0)
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.user_id, d.event_id, d.rn, least(greatest(r.bal + d.delta, 0.0), 500.0)
+  FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1
+)
+SELECT user_id, event_id::BIGINT AS event_id, round(bal, 4) AS balance FROM r
+"""
+
+
+def weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact price-weighted median of quantity per return flag: the
+    smallest quantity whose cumulative weight reaches half the total.
+    Scale design: the cumulative-weight window runs over the COLLAPSED
+    (flag, quantity) domain — quantity is bounded (1..50), so each
+    partition is <= 50 rows no matter the corpus; the raw table is only
+    touched by one map-side-combined agg. (For continuous domains use
+    the two-pass percentile ops — this rewrite needs a bounded domain.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum("l_extendedprice").alias("w")
+    )
+    wf = Window.partitionBy("l_returnflag").orderBy("l_quantity").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = g.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("w").over(wf).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").cast("bigint").alias("weighted_median_qty"),
+            F.round(F.max("tw"), 2).alias("total_weight"),
+        )
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH g AS (
+  SELECT l_returnflag, l_quantity, sum(l_extendedprice) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, l_quantity,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM g
+)
+SELECT l_returnflag, min(l_quantity)::BIGINT AS weighted_median_qty,
+       round(max(tw), 2) AS total_weight
+FROM cum WHERE cw >= tw / 2 GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -7771,6 +7869,8 @@ QUERIES: dict[str, Query] = {
     "table_fingerprint_manifest": table_fingerprint_manifest,
     "corr_matrix_lineitem": corr_matrix_lineitem,
     "attribution_position_based": attribution_position_based,
+    "capped_running_balance_by_user": capped_running_balance_by_user,
+    "weighted_median_quantity": weighted_median_quantity,
 }
 
 ORACLES: dict[str, str] = {
@@ -7952,6 +8052,8 @@ ORACLES: dict[str, str] = {
     "table_fingerprint_manifest": ORACLE_TABLE_FINGERPRINT,
     "corr_matrix_lineitem": ORACLE_CORR_MATRIX,
     "attribution_position_based": ORACLE_ATTRIBUTION,
+    "capped_running_balance_by_user": ORACLE_CAPPED_BALANCE,
+    "weighted_median_quantity": ORACLE_WEIGHTED_MEDIAN,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
