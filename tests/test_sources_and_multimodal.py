@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -250,3 +251,55 @@ def test_zorder_layout_improves_two_column_locality(spark, tmp_path):
     assert mean_extent("asorted", "b") > 0.9 * full
     # z-order beats the single-sort layout on the non-sorted column
     assert mean_extent("zorder", "b") < 0.7 * mean_extent("asorted", "b")
+
+
+def test_multimodal_resize_geometry(spark):
+    from weatherdatapipeline_spark.operators.multimodal import resize_images
+
+    media = synthetic_media(spark, n=12)
+    out = resize_images(media, max_side=16).collect()
+    images = media.filter("modality = 'image'").count()
+    assert len(out) == images and images > 0
+    for r in out:
+        # aspect-fit: longest side capped at 16, never upscaled, >= 1
+        assert max(r["target_w"], r["target_h"]) <= max(16, 1)
+        assert r["target_w"] >= 1 and r["target_h"] >= 1
+        scale = min(1.0, 16 / max(r["width"], r["height"]))
+        assert r["target_w"] == max(1, round(r["width"] * scale))
+        assert r["target_h"] == max(1, round(r["height"] * scale))
+        # synthetic blobs are not decodable images: blob passes through
+        if r["resized"] == "passthrough":
+            assert r["blob"] is not None and len(r["blob"]) == 64
+
+
+def test_multimodal_resize_real_pixels_with_pil(spark):
+    from weatherdatapipeline_spark.operators.multimodal import (
+        _pil_image_module,
+        resize_images,
+    )
+
+    Image = _pil_image_module()
+    if Image is None:
+        pytest.skip("PIL not installed in this sandbox")
+    import io
+
+    img = Image.new("RGB", (40, 20), color=(9, 8, 7))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    pdf = pd.DataFrame(
+        [
+            {
+                "media_id": 1, "modality": "image", "uri": None,
+                "blob": buf.getvalue(), "width": 40, "height": 20,
+                "duration_ms": None, "format": "png",
+            }
+        ]
+    )
+    from weatherdatapipeline_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+    row = resize_images(media, max_side=16).collect()[0]
+    assert row["resized"] == "pil"
+    assert (row["target_w"], row["target_h"]) == (16, 8)
+    back = Image.open(io.BytesIO(row["blob"]))
+    assert back.size == (16, 8)

@@ -192,3 +192,67 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_ts_ms"),
         F.col("uri"),
     )
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("target_w", IntegerType(), True),
+        StructField("target_h", IntegerType(), True),
+        StructField("blob", BinaryType(), True),
+        StructField("resized", StringType(), False),  # 'pil' | 'passthrough'
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Aspect-fit resize of image rows to ``max_side`` via mapInPandas.
+
+    The TARGET-GEOMETRY math (scale = max_side / longest side, rounded
+    dims, never upscale) is real and runs in both paths — it only needs
+    the metadata columns. The PIXEL work is the optional-import tier:
+    with PIL installed the blob is decoded, resized to (target_w,
+    target_h), and re-encoded PNG (``resized='pil'``); without it the
+    blob passes through untouched (``resized='passthrough'``) so the
+    operator is total in codec-free environments. Same no-shuffle,
+    Arrow-batched contract as extract_features."""
+
+    def geometry(w, h):
+        if w is None or h is None or w <= 0 or h <= 0:
+            return None, None
+        scale = min(1.0, max_side / max(w, h))
+        return max(1, round(w * scale)), max(1, round(h * scale))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil_image_module()  # once per task
+        import io
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "target_w": [], "target_h": [], "blob": [], "resized": [],
+            }
+            for row in pdf.itertuples(index=False):
+                tw, th = geometry(row.width, row.height)
+                blob, how = row.blob, "passthrough"
+                if Image is not None and blob is not None and tw and th:
+                    try:
+                        img = Image.open(io.BytesIO(blob)).resize((tw, th))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        blob, how = buf.getvalue(), "pil"
+                    except Exception:
+                        pass  # undecodable blob: keep passthrough
+                out["media_id"].append(row.media_id)
+                out["width"].append(row.width)
+                out["height"].append(row.height)
+                out["target_w"].append(tw)
+                out["target_h"].append(th)
+                out["blob"].append(blob)
+                out["resized"].append(how)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("modality") == "image").select(
+        "media_id", "width", "height", "blob", "modality"
+    ).mapInPandas(fn, RESIZE_SCHEMA)
