@@ -7677,6 +7677,62 @@ FROM cum WHERE cw >= tw / 2 GROUP BY 1
 """
 
 
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: recall@10 of cosine
+    search over the FIRST 16 of 64 dims vs full-dim exact search, per
+    query — the measurement that decides whether a truncated (4x
+    cheaper) index is good enough to serve. Both rankings are the same
+    one-corpus-scan broadcast k-NN (operators/similarity.py::knn_join,
+    rounded-cosine + vec_id tiebreak so both engines rank identically);
+    truncation is a map-only F.slice. Self-match anchors every query, so
+    recall is always > 0 and the join never drops a query row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q_full = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = S.knn_join(emb, q_full, k=10)
+    tr = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q_tr = tr.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    trunc = S.knn_join(tr, q_tr, k=10)
+    overlap = full.select("query_id", "vec_id").join(
+        trunc.select("query_id", "vec_id"), ["query_id", "vec_id"]
+    )
+    return overlap.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 4).alias("recall_at_10"),
+    )
+
+
+ORACLE_MATRYOSHKA = """
+WITH fullr AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6)
+           DESC, e.vec_id) AS rank
+  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q
+),
+trun AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           round(list_dot_product((e.embedding::DOUBLE[])[1:16], (q.embedding::DOUBLE[])[1:16])
+                 / (sqrt(list_dot_product((e.embedding::DOUBLE[])[1:16], (e.embedding::DOUBLE[])[1:16]))
+                    * sqrt(list_dot_product((q.embedding::DOUBLE[])[1:16], (q.embedding::DOUBLE[])[1:16]))), 6)
+           DESC, e.vec_id) AS rank
+  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q
+)
+SELECT f.query_id, count(*)::BIGINT AS n_overlap,
+       round(count(*) / 10.0, 4) AS recall_at_10
+FROM (SELECT query_id, vec_id FROM fullr WHERE rank <= 10) f
+JOIN (SELECT query_id, vec_id FROM trun WHERE rank <= 10) t
+  USING (query_id, vec_id)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -7871,6 +7927,7 @@ QUERIES: dict[str, Query] = {
     "attribution_position_based": attribution_position_based,
     "capped_running_balance_by_user": capped_running_balance_by_user,
     "weighted_median_quantity": weighted_median_quantity,
+    "embedding_matryoshka_recall": embedding_matryoshka_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -8054,6 +8111,7 @@ ORACLES: dict[str, str] = {
     "attribution_position_based": ORACLE_ATTRIBUTION,
     "capped_running_balance_by_user": ORACLE_CAPPED_BALANCE,
     "weighted_median_quantity": ORACLE_WEIGHTED_MEDIAN,
+    "embedding_matryoshka_recall": ORACLE_MATRYOSHKA,
     # rows-only (non-SQL-portable hashing/LSH/sketches):
     # dedup_minhash_pairs, dedup_simhash_pairs, similarity_lsh_topk,
     # embedding_near_dup_pairs, approx_distinct_users
