@@ -5927,21 +5927,34 @@ def quantile_normalize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFram
         "n_chars",
         F.expr(f"(_below * {G}) div (_n - 1)").alias("src_bucket"),
     )
-    # pooled inverse CDF: per-bucket max value, cummax over the G-row grid
+    # pooled CDF: banded two-level prefix sum (the skyline pattern) —
+    # within-band window partitions by the 256-wide length band, the
+    # cross-band prefix is a broadcast theta self-join over the bounded
+    # band list. No partition-less window anywhere in this plan.
     pv = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("_k"))
-    wp = Window.orderBy("n_chars")
-    pooled = pv.select(
-        "n_chars",
-        (
-            F.sum("_k").over(wp.rowsBetween(Window.unboundedPreceding, 0))
-            - F.col("_k")
-        ).alias("_below"),
-        F.sum("_k").over(
-            wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("_n"),
-    ).select(
-        "n_chars",
-        F.expr(f"(_below * {G}) div (_n - 1)").alias("_b"),
+    pv = pv.withColumn("_band", F.expr("n_chars div 256"))
+    wb = Window.partitionBy("_band").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = pv.select(
+        "n_chars", "_band", "_k", (F.sum("_k").over(wb) - F.col("_k")).alias("_wbelow")
+    )
+    btot = pv.groupBy("_band").agg(F.sum("_k").alias("_bk"))
+    bprefix = (
+        btot.select(F.col("_band").alias("_b1"))
+        .join(F.broadcast(btot), F.col("_band") < F.col("_b1"), "left")
+        .groupBy("_b1")
+        .agg(F.coalesce(F.sum("_bk"), F.lit(0)).alias("_pbelow"))
+        .withColumnRenamed("_b1", "_band")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_n"))
+    pooled = (
+        within.join(F.broadcast(bprefix), "_band")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_chars",
+            F.expr(f"((_wbelow + _pbelow) * {G}) div (_n - 1)").alias("_b"),
+        )
     )
     grid = spark.range(G + 1).select(F.col("id").alias("b"))
     inv_cdf = (
@@ -7267,25 +7280,29 @@ def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFra
     scalable way: distinct-count per day is a hash agg, and "cumulative
     distinct" is rewritten as the running SUM of FIRST-SEEN counts (each
     user counted on their min day), so no day ever re-scans history. The
-    only window runs over the ~90-row day domain, never the event table."""
+    prefix sum runs as a broadcast theta self-join over the ~90-row day
+    aggregate, NOT a partition-less window — the repo's no-global-window
+    sweep holds for every registered plan."""
     ev = _t(spark, sf_dir, "events")
     d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
     firsts = d.groupBy("user_id").agg(F.min("day").alias("day"))
     nu = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
     au = d.groupBy("day").agg(F.count(F.lit(1)).alias("active_users"))
-    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        au.select(F.col("day").alias("_d"))
+        .join(F.broadcast(nu), F.col("day") <= F.col("_d"), "left")
+        .groupBy("_d")
+        .agg(F.coalesce(F.sum("new_users"), F.lit(0)).alias("cum_users"))
+        .withColumnRenamed("_d", "day")
+    )
     return (
         au.join(nu, "day", "left")
-        .select(
-            "day",
-            "active_users",
-            F.coalesce("new_users", F.lit(0)).alias("new_users"),
-        )
+        .join(cum, "day")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.col("active_users").cast("bigint").alias("active_users"),
-            F.col("new_users").cast("bigint").alias("new_users"),
-            F.sum("new_users").over(wd).cast("bigint").alias("cum_users"),
+            F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+            F.col("cum_users").cast("bigint").alias("cum_users"),
         )
     )
 
