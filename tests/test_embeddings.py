@@ -365,3 +365,33 @@ def test_kmeans_excludes_nonfinite_vectors(spark):
     out = kmeans_lloyd(df, k=2, iters=2).collect()
     assert sorted(r["vec_id"] for r in out) == [0, 1, 2, 3]
     assert all(np.isfinite(r["sq_dist"]) for r in out)
+
+
+def test_kmeans_arrow_assign_bit_identical_to_fold(spark):
+    """kmeans_lloyd's Arrow assign path (_sq_dists_arrow_udf) must be
+    BITWISE equal to the HOF fold (_sq_dist_to_literal) — sequential
+    per-dim accumulation keeps the IEEE op sequence identical, which is
+    what keeps the SQL oracle hash stable across paths."""
+    import random
+
+    from weatherdatapipeline_spark.operators import embeddings as E
+
+    if not E.HAVE_ARROW:
+        pytest.skip("numpy/pandas absent")
+    random.seed(11)
+    rows = [(i, [random.uniform(-3, 3) for _ in range(19)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [r[1] for r in rows[:4]]
+
+    fold = df.select(
+        "vec_id",
+        F.array(
+            *[E._sq_dist_to_literal("embedding", c) for c in cents]
+        ).alias("d"),
+    )
+    arrow = df.select(
+        "vec_id", E._sq_dists_arrow_udf(cents)(F.col("embedding")).alias("d")
+    )
+    a = sorted((r["vec_id"], tuple(r["d"])) for r in arrow.collect())
+    h = sorted((r["vec_id"], tuple(r["d"])) for r in fold.collect())
+    assert a == h

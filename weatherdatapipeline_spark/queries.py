@@ -7416,21 +7416,24 @@ def mutual_information_type_value(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     wt = Window.partitionBy("event_type")
     wb = Window.partitionBy("band")
-    wall = Window.partitionBy()
-    return joint.select(
+    # grand total via a 1-row agg + broadcast cross join, NOT an empty
+    # partitionBy() window: a partition-less WindowExec moves the whole
+    # (albeit collapsed) table to one task and trips the scale-hazard WARN.
+    total = joint.agg(F.sum("n").alias("_N"))
+    return joint.crossJoin(F.broadcast(total)).select(
         "event_type",
         F.col("band").cast("bigint").alias("band"),
         F.col("n").cast("bigint").alias("n"),
         F.round(
-            (F.col("n") / F.sum("n").over(wall))
+            (F.col("n") / F.col("_N"))
             * F.log(
-                (F.col("n") * F.sum("n").over(wall))
+                (F.col("n") * F.col("_N"))
                 / (F.sum("n").over(wt) * F.sum("n").over(wb))
             ),
             6,
         ).alias("mi_contrib"),
         F.round(
-            (F.col("n") * F.sum("n").over(wall))
+            (F.col("n") * F.col("_N"))
             / (F.sum("n").over(wt) * F.sum("n").over(wb)),
             6,
         ).alias("lift"),
