@@ -28,11 +28,20 @@ def ewma(
     ts_col: str,
     value_col: str,
     alpha: float = 0.3,
+    seq_col: str | None = None,
 ) -> DataFrame:
-    """Exponentially-weighted moving average per key, ordered by ts.
+    """Exponentially-weighted moving average per key, ordered by ts
+    (ties broken by ``seq_col`` when given — REQUIRED for a deterministic
+    result whenever (key, ts) is not unique).
 
-    Matches pandas ``ewm(alpha=α, adjust=False)`` exactly (the recurrence
-    form) — the pytest oracle is hand-computed values.
+    The recurrence is an EXPLICIT loop — ``y = (1-α)·y + α·x`` with
+    ``(1-α)`` computed once — rather than pandas ``ewm``: pandas'
+    adjust=False kernel runs ``((1-α)·y + α·x) / ((1-α)+α)``, whose
+    trailing divide can differ from the plain recurrence in the last ulp.
+    Owning the op sequence is what lets the SQL oracle (a recursive CTE
+    running the IDENTICAL float64 ops — see queries.ORACLE_EWMA) hash
+    bitwise-equal instead of staying a rows-only check. Mathematically
+    both forms are pandas ewm(adjust=False).
     """
     out_schema = StructType(
         [
@@ -42,13 +51,22 @@ def ewma(
             StructField("ewma", DoubleType()),
         ]
     )
+    one_minus = 1.0 - alpha
+    sort_cols = [ts_col] + ([seq_col] if seq_col else [])
+    in_cols = [key, ts_col, value_col] + ([seq_col] if seq_col else [])
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
-        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        pdf = pdf.sort_values(sort_cols)
+        xs = pdf[value_col].astype("float64").to_numpy()
+        out = []
+        y = None
+        for x in xs:
+            y = float(x) if y is None else one_minus * y + alpha * float(x)
+            out.append(y)
+        pdf = pdf.assign(ewma=out)
         return pdf[[key, ts_col, value_col, "ewma"]]
 
-    return df.select(key, ts_col, value_col).groupBy(key).applyInPandas(fn, out_schema)
+    return df.select(*in_cols).groupBy(key).applyInPandas(fn, out_schema)
 
 
 def zscore_anomalies(

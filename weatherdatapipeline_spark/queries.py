@@ -3031,23 +3031,44 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom sequential operator (U2 escape hatch): per-user EWMA via
     Arrow-batched applyInPandas — a recurrence no window frame expresses.
 
-    Deliberately rows-only. A closed-form SQL oracle
-    (``y_t = r^t * cumsum(x_i-scaled terms)``) was tried in round 5 and is
-    algebraically exact, but structurally un-hashable: the inputs are
-    2-decimal values and alpha = 0.3, so early-sequence EWMAs land EXACTLY
-    on decimal rounding boundaries (e.g. 0.7*24.9455 + 0.3*34.05 =
-    27.67685), where the recurrence's and the closed form's last-ulp fp
-    noise flips the rounded digit — at EVERY rounding precision, because
-    the exact-decimal cascade always produces values one digit longer
-    than the previous step. Semantics are pinned instead by the
-    hand-computed pandas-ewm pytest golden."""
+    FULL oracle since round 7. The round-5 attempt mirrored the
+    recurrence with its CLOSED FORM (scaled cumsum) — algebraically
+    exact but a different float64 op sequence, whose last-ulp noise
+    flips rounded digits exactly on the decimal boundaries these
+    2-decimal inputs with alpha=0.3 keep landing on (e.g. 27.67685).
+    The fix is structural, not more precision: the oracle is now a
+    recursive CTE that executes the IDENTICAL op sequence —
+    ``(1.0-0.3)*y + 0.3*x`` per step, seeded y_1 = x_1 — over the same
+    (ts, event_id) order, and the Spark side owns its loop explicitly
+    (operators/stateful.py::ewma) instead of delegating to pandas ewm's
+    kernel. Identical IEEE inputs + identical op DAG = bitwise-equal
+    doubles, so ROUND agrees on every boundary."""
     from .operators.stateful import ewma
 
     ev = _t(spark, sf_dir, "events")
-    out = ewma(ev, "user_id", "ts", "value", alpha=0.3)
+    out = ewma(ev, "user_id", "ts", "value", alpha=0.3, seq_col="event_id")
     return out.select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "value", F.round("ewma", 4).alias("ewma")
     )
+
+
+ORACLE_EWMA = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, ts_us, value, value::DOUBLE AS y
+  FROM seq WHERE rn = 1
+  UNION ALL
+  -- same op sequence as the Spark loop: (1.0-0.3)*y then 0.3*x then add
+  SELECT s.user_id, s.rn, s.ts_us, s.value,
+         (1.0::DOUBLE - 0.3::DOUBLE) * r.y + 0.3::DOUBLE * s.value
+  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, ts_us, value, round(y, 4) AS ewma FROM r
+"""
 
 
 def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7951,6 +7972,7 @@ QUERIES: dict[str, Query] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
     "events_summary_stats": ORACLE_EVENTS_SUMMARY,
     "value_histogram_by_type": ORACLE_VALUE_HISTOGRAM,
