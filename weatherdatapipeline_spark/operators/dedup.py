@@ -1356,3 +1356,103 @@ def ppjoin_near_duplicates(
         .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
     )
     return out
+
+
+def fuzzy_decontaminate_portable(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash/LSH FUZZY decontamination: flag corpus docs NEAR-duplicate
+    to any eval/benchmark doc (exact-gram decontamination misses light
+    paraphrases; this is the standard next screen — the same
+    candidates->verify LSH shape as near-dup dedup, but joining corpus
+    band buckets against the EVAL side's instead of self-joining).
+
+    Returns verified (corpus id, eval id, jaccard >= threshold) pairs.
+    Portable md5 family throughout, so the whole path is
+    oracle-checkable (queries.ORACLE_FUZZY_DECON); the xxhash64 twin of
+    this screen is ``minhash_band_index`` + ``dedup_incremental_neardup``
+    probing. Scale: the band join is bounded by the EVAL side (thousands
+    of docs), so candidates ~ collisions against a small index — never
+    corpus x corpus.
+    """
+    rows = num_perm // bands
+
+    def sigs_of(docs: DataFrame) -> DataFrame:
+        based = portable_shingle_hashes(docs, id_col, text_col, n).withColumn(
+            "_hp", F.col("_h60") % _MH_PRIME
+        )
+        return _persist_scoped(
+            based.groupBy(id_col).agg(
+                *_affine_min_aggs(num_perm),
+                F.collect_list("_h60").alias("_sh"),
+            )
+        )
+
+    def bands_of(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    csigs, esigs = sigs_of(corpus), sigs_of(eval_docs)
+    cands = (
+        bands_of(csigs)
+        .select(F.col(id_col).alias("corpus_doc"), "band", "bucket")
+        .join(
+            bands_of(esigs).select(
+                F.col(id_col).alias("eval_doc"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("corpus_doc", "eval_doc")
+        .distinct()
+    )
+    joined = (
+        cands.join(
+            csigs.select(F.col(id_col).alias("corpus_doc"), F.col("_sh").alias("_sh_a")),
+            "corpus_doc",
+        )
+        .join(
+            esigs.select(F.col(id_col).alias("eval_doc"), F.col("_sh").alias("_sh_b")),
+            "eval_doc",
+        )
+        .select(
+            "corpus_doc",
+            "eval_doc",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).alias("common"),
+            F.size("_sh_a").alias("size_a"),
+            F.size("_sh_b").alias("size_b"),
+        )
+    )
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_doc", "eval_doc", "jaccard")
+    )

@@ -147,3 +147,61 @@ def capped_running_balance(
         .groupBy(key)
         .applyInPandas(fn, out_schema)
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key — TWO
+    coupled recurrences (level and trend), which no window frame or
+    single recursive column expresses:
+
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+
+    seeded l_1 = x_1, b_1 = 0.0. Like ``ewma``, the loop owns its exact
+    float64 op sequence ((1-α)/(1-β) computed once; products before
+    sums) so the recursive-CTE SQL oracle running the same ops is
+    bitwise-equal (queries.ORACLE_HOLT). applyInPandas per key: the
+    recurrence stays partition-local, keys process in parallel, each
+    key's series must fit one task (the same bounded-series contract as
+    every per-key recurrence here)."""
+    out_schema = StructType(
+        [
+            df.schema[key],
+            df.schema[ts_col],
+            df.schema[value_col],
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+        ]
+    )
+    one_minus_a = 1.0 - alpha
+    one_minus_b = 1.0 - beta
+    sort_cols = [ts_col] + ([seq_col] if seq_col else [])
+    in_cols = [key, ts_col, value_col] + ([seq_col] if seq_col else [])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        xs = pdf[value_col].astype("float64").to_numpy()
+        levels, trends = [], []
+        l = b = None
+        for x in xs:
+            x = float(x)
+            if l is None:
+                l, b = x, 0.0
+            else:
+                lp = l
+                l = alpha * x + one_minus_a * (lp + b)
+                b = beta * (l - lp) + one_minus_b * b
+            levels.append(l)
+            trends.append(b)
+        pdf = pdf.assign(level=levels, trend=trends)
+        return pdf[[key, ts_col, value_col, "level", "trend"]]
+
+    return df.select(*in_cols).groupBy(key).applyInPandas(fn, out_schema)

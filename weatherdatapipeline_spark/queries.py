@@ -3047,8 +3047,12 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     out = ewma(ev, "user_id", "ts", "value", alpha=0.3, seq_col="event_id")
+    # raw double, not round(_, 4): the two engines' ewma doubles are
+    # bitwise-identical, but their ROUND()s disagree on exact decimal
+    # boundaries (see holt_user_values) — rounding would REINTRODUCE the
+    # boundary flips the recursive oracle eliminated
     return out.select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "value", F.round("ewma", 4).alias("ewma")
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value", F.col("ewma")
     )
 
 
@@ -3067,7 +3071,7 @@ r AS (
          (1.0::DOUBLE - 0.3::DOUBLE) * r.y + 0.3::DOUBLE * s.value
   FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
 )
-SELECT user_id, ts_us, value, round(y, 4) AS ewma FROM r
+SELECT user_id, ts_us, value, y AS ewma FROM r
 """
 
 
@@ -7774,7 +7778,352 @@ GROUP BY 1
 """
 
 
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit over events: band day-of-month and
+    value into 16 fixed-width buckets each (value bounds from a 1-row
+    min/max broadcast — relational, no collect), interleave the bits
+    into a Z key, file rows by 4 consecutive Z values, and report each
+    file's row count plus [min,max] of BOTH dimension bands.
+
+    The narrow per-file ranges on both dims are what a lakehouse scan
+    prunes on (Delta/Iceberg OPTIMIZE ZORDER BY): a predicate on either
+    day OR value skips most files. Map-only integer arithmetic inside
+    whole-stage codegen + one hash agg; scales as a single corpus pass.
+    See operators/layout.py.
+    """
+    from .operators import layout as L
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vstats = ev.agg(
+        F.min(F.col("value").cast("double")).alias("_vmin"),
+        F.max(F.col("value").cast("double")).alias("_vmax"),
+    )
+    banded = ev.crossJoin(F.broadcast(vstats)).select(
+        L.fixed_width_bucket(
+            F.col("value").cast("double"), F.col("_vmin"), F.col("_vmax"), 16
+        ).alias("vb"),
+        # explicit floor: Spark's double->int cast truncates but DuckDB's
+        # rounds, so the band math must never rely on cast semantics
+        F.floor((F.dayofmonth("ts") - 1) / 2).cast("int").alias("db"),
+    )
+    out = L.zorder_file_summary(
+        banded, F.col("vb"), F.col("db"), id_cols=[], bits=4, rows_per_file_shift=2
+    )
+    return out.select(
+        F.col("zfile").cast("bigint").alias("zfile"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("min_a").cast("bigint").alias("min_vband"),
+        F.col("max_a").cast("bigint").alias("max_vband"),
+        F.col("min_b").cast("bigint").alias("min_dband"),
+        F.col("max_b").cast("bigint").alias("max_dband"),
+    )
+
+
+ORACLE_ZORDER = """
+WITH vstats AS (
+  SELECT min(value::DOUBLE) AS vmin, max(value::DOUBLE) AS vmax
+  FROM events WHERE value IS NOT NULL
+),
+banded AS (
+  SELECT
+    CASE WHEN (vmax - vmin) / 16.0 = 0 THEN 0
+         ELSE least(15, greatest(0,
+              floor((value::DOUBLE - vmin) / ((vmax - vmin) / 16.0))::INT))
+    END AS vb,
+    floor((date_part('day', ts) - 1) / 2)::INT AS db
+  FROM events, vstats WHERE value IS NOT NULL
+),
+z AS (
+  SELECT vb, db,
+    -- fully parenthesized: DuckDB's <<, &, | share one precedence tier
+    -- (left-assoc), unlike C/Spark where << binds tighter than |
+    ((((vb >> 0) & 1) << 0) | (((db >> 0) & 1) << 1) |
+     (((vb >> 1) & 1) << 2) | (((db >> 1) & 1) << 3) |
+     (((vb >> 2) & 1) << 4) | (((db >> 2) & 1) << 5) |
+     (((vb >> 3) & 1) << 6) | (((db >> 3) & 1) << 7)) AS zval
+  FROM banded
+)
+SELECT (zval >> 2)::BIGINT AS zfile, count(*)::BIGINT AS n,
+       min(vb)::BIGINT AS min_vband, max(vb)::BIGINT AS max_vband,
+       min(db)::BIGINT AS min_dband, max(db)::BIGINT AS max_dband
+FROM z GROUP BY 1
+"""
+
+
+def range_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeraSort-style balanced range sharding of orders by o_totalprice:
+    deterministic md5 sample -> sort ONLY the sample (bounded, the
+    RangePartitioner contract) -> lift 15 evenly spaced boundaries ->
+    assign every order by counting boundaries <= key via a broadcast
+    join. Per-shard row counts + key bounds are the balance audit: no
+    global sort of the corpus ever happens. See
+    operators/layout.py::sampled_range_shards."""
+    from .operators import layout as L
+
+    orders = _t(spark, sf_dir, "orders")
+    out = L.sampled_range_shards(
+        orders, F.col("o_totalprice").cast("double"), n_shards=16,
+        sample_mod=8, id_col="o_orderkey",
+    )
+    return out.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("min_key", 2).alias("min_key"),
+        F.round("max_key", 2).alias("max_key"),
+    )
+
+
+ORACLE_RANGE_SHARDS = """
+WITH keyed AS (
+  SELECT o_totalprice::DOUBLE AS k, o_orderkey AS id FROM orders
+),
+samp AS (
+  SELECT * FROM keyed
+  WHERE ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % 8 = 0
+),
+ranked AS (
+  SELECT k, row_number() OVER (ORDER BY k, id) AS rn FROM samp
+),
+st AS (
+  SELECT greatest((count(*) // 16), 1) AS step FROM samp
+),
+bounds AS (
+  SELECT r.k AS bound FROM ranked r, st
+  WHERE r.rn % st.step = 0 AND r.rn <= 15 * st.step
+),
+assigned AS (
+  SELECT keyed.k, keyed.id, count(b.bound) AS shard
+  FROM keyed LEFT JOIN bounds b ON b.bound <= keyed.k
+  GROUP BY 1, 2
+)
+SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n,
+       round(min(k), 2) AS min_key, round(max(k), 2) AS max_key
+FROM assigned GROUP BY 1
+"""
+
+
+def script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class composition audit (the script/charset
+    screen a multilingual ingest runs before language-ID): letter, digit,
+    whitespace and symbol fractions per doc — counted with the portable
+    length-difference idiom, map-only JVM regex — rolled up per source
+    with a count of "suspect" docs (digit- or symbol-heavy, the usual
+    markers of tables, code dumps and mojibake). One scan + one small
+    hash agg at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n = F.length(txt).cast("double")
+    letters = F.length(txt) - F.length(F.regexp_replace(txt, r"[A-Za-z]", ""))
+    digits = F.length(txt) - F.length(F.regexp_replace(txt, r"[0-9]", ""))
+    spaces = F.length(txt) - F.length(F.regexp_replace(txt, r"\s", ""))
+    per_doc = docs.filter(F.length(txt) > 0).select(
+        "source",
+        (letters / n).alias("lr"),
+        (digits / n).alias("dr"),
+        (spaces / n).alias("sr"),
+        ((n - letters - digits - spaces) / n).alias("or_"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("lr"), 6).alias("avg_letter_frac"),
+        F.round(F.avg("dr"), 6).alias("avg_digit_frac"),
+        F.round(F.avg("sr"), 6).alias("avg_space_frac"),
+        F.round(F.avg("or_"), 6).alias("avg_symbol_frac"),
+        F.sum(
+            ((F.col("dr") > 0.3) | (F.col("or_") > 0.3)).cast("long")
+        ).alias("n_suspect"),
+    )
+
+
+ORACLE_SCRIPT_MIX = r"""
+WITH per_doc AS (
+  SELECT source,
+    length(text)::DOUBLE AS n,
+    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS letters,
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS digits,
+    (length(text) - length(regexp_replace(text, '\s', '', 'g'))) AS spaces
+  FROM documents WHERE length(text) > 0
+),
+r AS (
+  SELECT source, letters / n AS lr, digits / n AS dr, spaces / n AS sr,
+         (n - letters - digits - spaces) / n AS orr
+  FROM per_doc
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  round(avg(lr), 6) AS avg_letter_frac,
+  round(avg(dr), 6) AS avg_digit_frac,
+  round(avg(sr), 6) AS avg_space_frac,
+  round(avg(orr), 6) AS avg_symbol_frac,
+  sum(CASE WHEN dr > 0.3 OR orr > 0.3 THEN 1 ELSE 0 END)::BIGINT AS n_suspect
+FROM r GROUP BY source
+"""
+
+
+def char_entropy_lowest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram character entropy per document, lowest 20 — the cheap
+    compression-ratio proxy for boilerplate/repetition filtering (a
+    near-zero-entropy doc is one repeated character pattern; natural
+    text sits near 4 bits/char). Relational shape: explode chars (one
+    shuffle on (doc, char) with map-side combine), per-doc -sum(p*log2 p),
+    TakeOrdered 20. Newlines are excluded by the '.' regex on BOTH
+    engines, keeping the char tokenizer portable."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"."), 0)).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    ent = (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("t"))
+                    * F.log2(F.col("c") / F.col("t"))
+                ),
+                4,
+            ).alias("entropy_bits"),
+            F.max("t").alias("n_chars_counted"),
+        )
+    )
+    return ent.orderBy("entropy_bits", "doc_id").limit(20)
+
+
+ORACLE_CHAR_ENTROPY = r"""
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, sum(c) AS t FROM counts GROUP BY 1
+),
+ent AS (
+  SELECT counts.doc_id,
+         round(-sum((c / t) * log2(c / t)), 4) AS entropy_bits,
+         max(t)::BIGINT AS n_chars_counted
+  FROM counts JOIN tot USING (doc_id)
+  GROUP BY 1
+)
+SELECT doc_id, entropy_bits, n_chars_counted
+FROM ent ORDER BY entropy_bits, doc_id LIMIT 20
+"""
+
+
+def holt_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per user — the
+    COUPLED-recurrence escape hatch (operators/stateful.py::holt_linear),
+    with a full recursive-CTE oracle: both engines execute the identical
+    float64 op sequence over the same (ts, event_id) order, so ROUND
+    agrees everywhere (same structural trick as ewma_user_values)."""
+    from .operators.stateful import holt_linear
+
+    ev = _t(spark, sf_dir, "events")
+    out = holt_linear(
+        ev, "user_id", "ts", "value", alpha=0.5, beta=0.3, seq_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        # NO rounding: both engines produce bitwise-identical doubles
+        # (same recursive op sequence), and engine ROUND()s disagree on
+        # exact decimal boundaries (DuckDB rounds 7.05164999..95 UP,
+        # Spark down) — raw doubles hash equal, rounded ones need not
+        F.col("level").alias("level"),
+        F.col("trend").alias("trend"),
+    )
+
+
+ORACLE_HOLT = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, ts_us, value, value::DOUBLE AS l, 0.0::DOUBLE AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  -- identical op sequence to the Spark loop: l' = 0.5*x + (1.0-0.5)*(l+b);
+  -- b' = 0.3*(l'-l) + (1.0-0.3)*b (l' recomputed textually: same ops,
+  -- same double)
+  SELECT s.user_id, s.rn, s.ts_us, s.value,
+         0.5::DOUBLE * s.value + (1.0::DOUBLE - 0.5::DOUBLE) * (r.l + r.b),
+         0.3::DOUBLE * ((0.5::DOUBLE * s.value
+             + (1.0::DOUBLE - 0.5::DOUBLE) * (r.l + r.b)) - r.l)
+           + (1.0::DOUBLE - 0.3::DOUBLE) * r.b
+  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, ts_us, value, l AS level, b AS trend
+FROM r
+"""
+
+
+def decontaminate_fuzzy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY (MinHash/LSH) decontamination: corpus docs near-duplicate to
+    any eval doc (doc_id % 7 == 0 plays the held-out benchmark set) at
+    Jaccard >= 0.2 — the paraphrase-tolerant complement of the exact
+    5-gram screen in decontaminate_corpus. Portable md5 family end to
+    end; see operators/dedup.py::fuzzy_decontaminate_portable."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 0)
+    evals = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    return D.fuzzy_decontaminate_portable(corpus, evals, threshold=0.2)
+
+
+ORACLE_FUZZY_DECON = rf"""
+WITH consts(i, a, b) AS (VALUES {_MH_CONSTS_SQL}),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS h60
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+),
+perms AS (
+  SELECT doc_id, c.i AS i, min((c.a * (s.h60 % 2147483647) + c.b) % 2147483647) AS h
+  FROM sh s CROSS JOIN consts c
+  GROUP BY doc_id, c.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(h AS VARCHAR), '|' ORDER BY i) AS bucket
+  FROM perms GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS corpus_doc, b.doc_id AS eval_doc
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 7 != 0 AND b.doc_id % 7 = 0
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.corpus_doc, c.eval_doc, count(*) AS common
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.corpus_doc
+  JOIN sh y ON y.doc_id = c.eval_doc AND y.h60 = x.h60
+  GROUP BY 1, 2
+)
+SELECT c.corpus_doc, c.eval_doc,
+       round(c.common / CAST(sa.sz + sb.sz - c.common AS DOUBLE), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.corpus_doc
+JOIN sizes sb ON sb.doc_id = c.eval_doc
+WHERE round(c.common / CAST(sa.sz + sb.sz - c.common AS DOUBLE), 6) >= 0.2
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "zorder_layout_events": zorder_layout_events,
+    "script_mix_profile": script_mix_profile,
+    "char_entropy_lowest": char_entropy_lowest,
+    "holt_user_values": holt_user_values,
+    "decontaminate_fuzzy_neardup": decontaminate_fuzzy_neardup,
+    "range_shard_balance": range_shard_balance,
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
     "value_histogram_by_type": value_histogram_by_type,
@@ -7972,6 +8321,12 @@ QUERIES: dict[str, Query] = {
 }
 
 ORACLES: dict[str, str] = {
+    "zorder_layout_events": ORACLE_ZORDER,
+    "script_mix_profile": ORACLE_SCRIPT_MIX,
+    "char_entropy_lowest": ORACLE_CHAR_ENTROPY,
+    "holt_user_values": ORACLE_HOLT,
+    "decontaminate_fuzzy_neardup": ORACLE_FUZZY_DECON,
+    "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
     "events_summary_stats": ORACLE_EVENTS_SUMMARY,
