@@ -69,6 +69,11 @@ HEADLINE = [
     "scd2_user_state_history",     # SCD2 run-length interval build
     "dedup_ppjoin_pairs",          # exact jaccard via prefix filtering
     "triangle_count_cosupply",     # degree-oriented triangle census
+    # r7 wave
+    "zorder_layout_events",        # Morton layout + per-file pruning audit
+    "range_shard_balance",         # sampled-boundary balanced range shards
+    "script_mix_profile",          # char-class composition screen
+    "char_entropy_lowest",         # unigram char entropy (boilerplate proxy)
 ]
 
 
@@ -144,6 +149,13 @@ SCALE_HEADLINE = [
     "scd2_user_state_history",
     "dedup_ppjoin_pairs",
     "triangle_count_cosupply",
+    # r7: all four are single-pass scans/aggs over replicated rows —
+    # linear by construction (zorder/script/entropy per-row + bounded
+    # aggs; range shards re-sample per copy)
+    "zorder_layout_events",
+    "range_shard_balance",
+    "script_mix_profile",
+    "char_entropy_lowest",
 ]
 
 # bump when build_scale_dir's transform changes so stale caches rebuild

@@ -964,16 +964,21 @@ def naive_bayes_confusion(
         F.sum("_cnt").alias("_tf")
     )
     ctot = ct.groupBy("_cls").agg(F.sum("_tf").alias("_T"))
-    vocab_v = ct.select("_tok").distinct().count()
-    n_docs = docs.count()
+    # vocab size and corpus size as 1-row broadcast aggregates, NOT
+    # driver-side .count() actions: the counts ride inside the single
+    # job (two fewer jobs, no lineage recomputation of the token stream)
+    vstats = ct.agg(F.count_distinct("_tok").cast("double").alias("_V"))
+    nstats = docs.agg(F.count(F.lit(1)).cast("double").alias("_N"))
     priors = (
         docs.groupBy(F.col(class_col).alias("_cls"))
         .agg(F.count(F.lit(1)).alias("_dc"))
         .join(ctot, "_cls")
+        .crossJoin(F.broadcast(vstats))
+        .crossJoin(F.broadcast(nstats))
         .select(
             "_cls",
-            F.log(F.col("_dc") / F.lit(float(n_docs))).alias("_prior"),
-            (F.col("_T") + F.lit(float(vocab_v))).alias("_denom"),
+            F.log(F.col("_dc") / F.col("_N")).alias("_prior"),
+            (F.col("_T") + F.col("_V")).alias("_denom"),
         )
     )
     sparse = (

@@ -8117,12 +8117,93 @@ WHERE round(c.common / CAST(sa.sz + sb.sz - c.common AS DOUBLE), 6) >= 0.2
 """
 
 
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (event_type,
+    day-of-week, value decile band): per equivalence class, its size and
+    whether it violates k=5 — plus the suppression cost (how many rows
+    sit in violating classes). The release-governance check a pipeline
+    runs before publishing event-level data: any class smaller than k
+    re-identifies its members. One hash agg to class sizes (map-side
+    combined), then a 1-row rollup joined back — never a per-row
+    window."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    classes = (
+        ev.select(
+            "event_type",
+            F.dayofweek("ts").alias("dow"),
+            F.least(F.lit(9), F.floor(F.col("value") / 10).cast("int")).alias(
+                "vband"
+            ),
+        )
+        .groupBy("event_type", "dow", "vband")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return classes.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("vband").cast("bigint").alias("vband"),
+        F.col("class_size").cast("bigint").alias("class_size"),
+        (F.col("class_size") < 5).alias("violates_k5"),
+    )
+
+
+ORACLE_K_ANON = """
+SELECT event_type, dow, vband, count(*)::BIGINT AS class_size,
+       (count(*) < 5) AS violates_k5
+FROM (
+  -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7
+  SELECT event_type, dayofweek(ts) + 1 AS dow,
+         least(9, floor(value / 10)::INT) AS vband
+  FROM events WHERE value IS NOT NULL
+)
+GROUP BY 1, 2, 3
+"""
+
+
+def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-window complement of window_rank_suite:
+    cume_dist (ties share the cumulative fraction), ntile(4) over a fully
+    tiebroken order (ntile assigns by ROW position, so the order must be
+    total for determinism), and nth_value(2) over the whole partition in
+    event-time order. All partitioned by user — no global window."""
+    ev = _t(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy("value")
+    wvt = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.cume_dist().over(wv), 6).alias("value_cume_dist"),
+        F.ntile(4).over(wvt).cast("long").alias("value_quartile"),
+        F.nth_value("value", 2).over(wt).alias("second_event_value"),
+    )
+
+
+ORACLE_WINDOW_DIST = """
+SELECT user_id, event_id,
+       round(cume_dist() OVER wv, 6) AS value_cume_dist,
+       ntile(4) OVER wvt AS value_quartile,
+       nth_value(value, 2) OVER wt AS second_event_value
+FROM events
+WINDOW wv AS (PARTITION BY user_id ORDER BY value),
+       wvt AS (PARTITION BY user_id ORDER BY value, event_id),
+       wt AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "window_distribution_suite": window_distribution_suite,
     "zorder_layout_events": zorder_layout_events,
     "script_mix_profile": script_mix_profile,
     "char_entropy_lowest": char_entropy_lowest,
     "holt_user_values": holt_user_values,
     "decontaminate_fuzzy_neardup": decontaminate_fuzzy_neardup,
+    "k_anonymity_audit": k_anonymity_audit,
     "range_shard_balance": range_shard_balance,
     "q1_pricing_summary": q1_pricing_summary,
     "events_summary_stats": events_summary_stats,
@@ -8326,6 +8407,8 @@ ORACLES: dict[str, str] = {
     "char_entropy_lowest": ORACLE_CHAR_ENTROPY,
     "holt_user_values": ORACLE_HOLT,
     "decontaminate_fuzzy_neardup": ORACLE_FUZZY_DECON,
+    "k_anonymity_audit": ORACLE_K_ANON,
+    "window_distribution_suite": ORACLE_WINDOW_DIST,
     "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
