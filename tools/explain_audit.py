@@ -56,6 +56,23 @@ CHECKS = {
         ("agg not window", lambda p: "max_by" in p or "HashAggregate" in p),
         ("no window exchange sort", lambda p: "Window" not in p),
     ],
+    "zorder_layout_events": [
+        # banding bounds ride a 1-row broadcast (BNLJ over one row), and the
+        # whole layout pass is scan -> band/interleave -> ONE final agg: the
+        # only exchanges are the 1-row stats agg and the zfile agg
+        ("broadcast banding bounds", r"BroadcastNestedLoopJoin"),
+        ("two exchanges only", lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 2),
+        ("no window", lambda p: "Window" not in p),
+    ],
+    "range_shard_balance": [
+        # boundaries are driver-collected literals (the RangePartitioner
+        # contract — only the bounded sample is sorted, distributed), so
+        # assignment compiles to a static comparison chain: NO join, NO
+        # window, one exchange for the final per-shard agg
+        ("no join at all", lambda p: "Join" not in p),
+        ("no window", lambda p: "Window" not in p),
+        ("single exchange", lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+    ],
     "embedding_quantize_int8": [
         # int8 quantization must compile to a map-only plan: array
         # transforms + posexplode pipeline with the scan, zero shuffles

@@ -27,7 +27,7 @@ the corpus a filter has to read.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -123,25 +123,27 @@ def sampled_range_shards(
 
     keyed = df.select(key.alias("k"), F.col(id_col).alias("_id"))
     sample = keyed.filter(hash_bucket(F.col("_id"), sample_mod) == 0)
-    # rank the sample in ONE partition: bounded by construction (the
-    # documented RangePartitioner contract), so the partition-less sort
-    # is over sample_size rows, never the corpus
-    w = Window.partitionBy(F.lit(0)).orderBy("k", "_id")
-    ranked = sample.select(
-        "k", F.row_number().over(w).alias("rn")
-    )
-    n_samp = sample.groupBy().agg(F.count(F.lit(1)).alias("ns"))
-    step = F.greatest(F.floor(F.col("ns") / n_shards).cast("long"), F.lit(1))
-    bounds = (
-        ranked.crossJoin(F.broadcast(n_samp))
-        .filter((F.col("rn") % step == 0) & (F.col("rn") <= (n_shards - 1) * step))
-        .select(F.col("k").alias("bound"))
-    )
-    assigned = keyed.join(
-        F.broadcast(bounds), F.col("bound") <= F.col("k"), "left"
-    ).groupBy("k", "_id").agg(F.count("bound").alias("shard"))
+    # DRIVER-collect the sorted sample — the literal RangePartitioner
+    # contract (its getRangeBounds does exactly this). The orderBy is a
+    # DISTRIBUTED range-partitioned sort of the bounded sample (no
+    # single-task window anywhere); only corpus/sample_mod keys ever
+    # reach the driver.
+    samp = sample.orderBy("k", "_id").select("k").collect()
+    ns = len(samp)
+    step = max(ns // n_shards, 1)
+    bound_vals = [
+        samp[j * step - 1]["k"]
+        for j in range(1, n_shards)
+        if j * step <= ns
+    ]
+    # assignment is a static comparison chain over <= n_shards-1 literals
+    # — pure whole-stage codegen, no join, no shuffle before the final agg
+    shard = F.lit(0)
+    for b in bound_vals:
+        shard = shard + (F.col("k") >= F.lit(b)).cast("int")
     return (
-        assigned.groupBy("shard")
+        keyed.select("k", shard.cast("bigint").alias("shard"))
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("k").alias("min_key"),
