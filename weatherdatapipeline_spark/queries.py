@@ -8196,8 +8196,112 @@ WINDOW wv AS (PARTITION BY user_id ORDER BY value),
 """
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (first 50 vectors), the single most-cosine-similar vector with a
+    DIFFERENT label — the "looks alike, isn't" example a retrieval/
+    embedding trainer wants in every batch. Broadcast the bounded anchor
+    set, score one corpus pass (Arrow cosine), argmax per anchor via a
+    partitioned row_number — the same plan skeleton as knn_join, plus
+    the label-mismatch predicate BEFORE the window so same-label rows
+    never reach the shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(
+                S.cosine_similarity(F.col("embedding"), F.col("anchor_vec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("anchor_label").cast("bigint").alias("anchor_label"),
+            "negative_id",
+            F.col("negative_label").cast("bigint").alias("negative_label"),
+            "cosine",
+        )
+    )
+
+
+ORACLE_HARD_NEG = """
+SELECT anchor_id, anchor_label, negative_id, negative_label, cosine FROM (
+  SELECT a.vec_id AS anchor_id, a.label::BIGINT AS anchor_label,
+         e.vec_id AS negative_id, e.label::BIGINT AS negative_label,
+         round(list_dot_product(e.embedding::DOUBLE[], a.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))), 6) AS cosine,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           round(list_dot_product(e.embedding::DOUBLE[], a.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))), 6) DESC,
+           e.vec_id) AS rk
+  FROM embeddings e, (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50) a
+  WHERE e.label != a.label
+) WHERE rk = 1
+"""
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity companion to k_anonymity_audit: per quasi-identifier
+    class, the number of DISTINCT sensitive values (user cohort band) —
+    a class can be k-anonymous yet still leak if every member shares the
+    sensitive value. Violation at l=3. Same single-agg shape: one
+    count_distinct hash agg, class-count-sized output."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.select(
+            "event_type",
+            F.dayofweek("ts").alias("dow"),
+            F.pmod(F.col("user_id"), F.lit(10)).alias("cohort"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct("cohort").alias("n_sensitive"),
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("class_size").cast("bigint").alias("class_size"),
+            F.col("n_sensitive").cast("bigint").alias("n_sensitive"),
+            (F.col("n_sensitive") < 3).alias("violates_l3"),
+        )
+    )
+
+
+ORACLE_L_DIVERSITY = """
+SELECT event_type, dow, count(*)::BIGINT AS class_size,
+       count(DISTINCT cohort)::BIGINT AS n_sensitive,
+       (count(DISTINCT cohort) < 3) AS violates_l3
+FROM (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, user_id % 10 AS cohort
+  FROM events WHERE value IS NOT NULL
+)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "window_distribution_suite": window_distribution_suite,
+    "hard_negative_mining": hard_negative_mining,
+    "l_diversity_audit": l_diversity_audit,
     "zorder_layout_events": zorder_layout_events,
     "script_mix_profile": script_mix_profile,
     "char_entropy_lowest": char_entropy_lowest,
@@ -8409,6 +8513,8 @@ ORACLES: dict[str, str] = {
     "decontaminate_fuzzy_neardup": ORACLE_FUZZY_DECON,
     "k_anonymity_audit": ORACLE_K_ANON,
     "window_distribution_suite": ORACLE_WINDOW_DIST,
+    "hard_negative_mining": ORACLE_HARD_NEG,
+    "l_diversity_audit": ORACLE_L_DIVERSITY,
     "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
