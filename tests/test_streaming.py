@@ -481,3 +481,44 @@ def test_streaming_rollup_matches_batch(spark, tmp_path_factory):
     got = {r["rollup_key"]: r for r in table.read().collect()}
     assert got["a|2024-03-01"]["n"] == 2 and got["a|2024-03-01"]["sum_value"] == 5.0
     assert got["b|2024-03-01"]["n"] == 1
+
+
+def test_stateful_holt_across_batches_matches_batch(spark, tmp_path_factory):
+    """The coupled (level, trend) state must carry across micro-batches:
+    two separate file-batches produce the same series as the BATCH
+    holt_linear over the concatenated input — bitwise, since both sides
+    run the identical op sequence."""
+    import time as _time
+
+    from weatherdatapipeline_spark.operators.stateful import holt_linear
+    from weatherdatapipeline_spark.streaming.jobs import holt_stateful
+
+    path = str(tmp_path_factory.mktemp("holt_in"))
+    batch1 = [(1, ts("2024-01-01T10:00:00"), "u1", 10.0), (2, ts("2024-01-01T10:01:00"), "u1", 20.0)]
+    batch2 = [(3, ts("2024-01-01T10:02:00"), "u1", 40.0), (4, ts("2024-01-01T10:03:00"), "u1", 5.0)]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    out = holt_stateful(
+        stream.select("user_id", "ts", "value"), "user_id", "ts", "value",
+        alpha=0.5, beta=0.3,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("holt_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["ts"]: (r["level"], r["trend"])
+        for r in spark.sql("SELECT * FROM holt_sink WHERE user_id='u1'").collect()
+    }
+    batch_df = spark.createDataFrame(batch1 + batch2, SCHEMA)
+    want = {
+        r["ts"]: (r["level"], r["trend"])
+        for r in holt_linear(
+            batch_df, "user_id", "ts", "value", alpha=0.5, beta=0.3
+        ).collect()
+    }
+    assert got == want and len(got) == 4

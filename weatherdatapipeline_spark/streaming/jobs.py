@@ -646,3 +646,71 @@ def _interval_ms(spec: str) -> int:
     mult = {"second": 1000, "seconds": 1000, "minute": 60_000,
             "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000}[unit]
     return int(qty) * mult
+
+
+def holt_stateful(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Streaming twin of operators/stateful.py::holt_linear: the COUPLED
+    (level, trend) recurrence carried across micro-batches via
+    applyInPandasWithState — per-key state is the two floats, so a
+    restarted or long-running stream continues the exact same smoothing
+    the batch operator would produce over the concatenated input
+    (asserted in tests/test_streaming.py). Same op-order discipline as
+    the batch loop, so batch and stream agree bitwise. State is bounded
+    (one 2-float struct per key); per-batch work is an Arrow-batched
+    fold."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            stream.schema[key],
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("l", DoubleType()), StructField("b", DoubleType())]
+    )
+    one_minus_a = 1.0 - alpha
+    one_minus_b = 1.0 - beta
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        l, b = (state.get[0], state.get[1]) if state.exists else (None, None)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            levels, trends = [], []
+            for v in pdf[value_col]:
+                x = float(v)
+                if l is None:
+                    l, b = x, 0.0
+                else:
+                    lp = l
+                    l = alpha * x + one_minus_a * (lp + b)
+                    b = beta * (l - lp) + one_minus_b * b
+                levels.append(l)
+                trends.append(b)
+            pdf = pdf.copy()
+            pdf["level"] = levels
+            pdf["trend"] = trends
+            yield pdf[
+                [c.name for c in out_schema.fields[:-2]] + ["level", "trend"]
+            ].assign(**{key: key_tuple[0]})
+        state.update((l, b))
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
