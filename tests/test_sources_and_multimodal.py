@@ -303,3 +303,40 @@ def test_multimodal_resize_real_pixels_with_pil(spark):
     assert (row["target_w"], row["target_h"]) == (16, 8)
     back = Image.open(io.BytesIO(row["blob"]))
     assert back.size == (16, 8)
+
+
+def test_audio_frame_features_known_signals(spark):
+    """PCM16 DSP path is REAL (no codec needed): a full-scale square wave
+    alternating every sample has rms=1, zcr=1, peak=1; silence has all zeros; a
+    half-scale constant has rms=peak=0.5, zcr=0."""
+    import numpy as np
+
+    from weatherdatapipeline_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+
+    sr, frame_ms = 1000, 100  # frame_len = 100 samples
+    square = (np.tile([32767, -32768], 150).astype("<i2"))  # 300 samples
+    silence = np.zeros(250, dtype="<i2")
+    half = np.full(120, 16384, dtype="<i2")
+    rows = [
+        (1, bytearray(square.tobytes())),
+        (2, bytearray(silence.tobytes())),
+        (3, bytearray(half.tobytes())),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, blob BINARY")
+    got = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in audio_frame_features(df, sample_rate=sr, frame_ms=frame_ms).collect()
+    }
+    # square: 3 full frames; alternating sign flips every sample
+    assert (1, 2) in got and (1, 3) not in got
+    r = got[(1, 0)]
+    assert r["peak"] == 1.0 and abs(r["rms"] - 1.0) < 1e-4
+    assert abs(r["zcr"] - (99 / 99)) < 0.02  # flips at every adjacent pair
+    # silence: 2 frames of zeros
+    assert got[(2, 0)]["rms"] == 0.0 and got[(2, 0)]["zcr"] == 0.0
+    assert got[(2, 1)]["peak"] == 0.0
+    # constant half scale: 1 frame (120 // 100), no crossings
+    assert (3, 1) not in got
+    assert abs(got[(3, 0)]["rms"] - 0.5) < 1e-4 and got[(3, 0)]["zcr"] == 0.0
