@@ -8298,10 +8298,81 @@ GROUP BY 1, 2
 """
 
 
+def phrase_search_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — the inverted-index primitive BM25-style
+    bag-of-words ranking can't express: find every occurrence of the
+    corpus's most frequent word bigram by joining positional postings
+    (term at position p) AND (next term at position p+1).
+
+    Pipeline, all relational: (1) one posexplode pass builds positional
+    postings; (2) adjacent-pair counts pick the top bigram (1-row
+    TakeOrdered, broadcast); (3) the phrase match is a self-join of
+    postings on (doc, position+1) filtered to the two broadcast terms.
+    At scale the postings table is the classic search-index layout
+    (shuffled once on term), and the phrase join touches only the two
+    terms' postings, never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "term"),
+    )
+    nxt = post.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("term2")
+    )
+    bigrams = (
+        post.join(nxt, ["doc_id", "pos"])
+        .groupBy("term", "term2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term", "term2")
+        .limit(1)
+        .select(F.col("term").alias("q1"), F.col("term2").alias("q2"))
+    )
+    hits = (
+        post.join(nxt, ["doc_id", "pos"])
+        .join(
+            F.broadcast(bigrams),
+            (F.col("term") == F.col("q1")) & (F.col("term2") == F.col("q2")),
+        )
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "term", "term2")
+    )
+    return hits.orderBy("doc_id", "pos").limit(200)
+
+
+ORACLE_PHRASE = r"""
+WITH post AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS term
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       t -> t != '') AS w
+    FROM documents
+  ), unnest(range(1, len(w) + 1)) AS t(i)
+),
+adj AS (
+  SELECT p.doc_id, p.pos, p.term, n.term AS term2
+  FROM post p JOIN post n ON n.doc_id = p.doc_id AND n.pos = p.pos + 1
+),
+top1 AS (
+  SELECT term AS q1, term2 AS q2
+  FROM adj GROUP BY term, term2
+  ORDER BY count(*) DESC, term, term2 LIMIT 1
+)
+SELECT doc_id, pos::BIGINT AS pos, term, term2
+FROM adj JOIN top1 ON term = q1 AND term2 = q2
+ORDER BY doc_id, pos LIMIT 200
+"""
+
+
 QUERIES: dict[str, Query] = {
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
     "l_diversity_audit": l_diversity_audit,
+    "phrase_search_top_bigram": phrase_search_top_bigram,
     "zorder_layout_events": zorder_layout_events,
     "script_mix_profile": script_mix_profile,
     "char_entropy_lowest": char_entropy_lowest,
@@ -8515,6 +8586,7 @@ ORACLES: dict[str, str] = {
     "window_distribution_suite": ORACLE_WINDOW_DIST,
     "hard_negative_mining": ORACLE_HARD_NEG,
     "l_diversity_audit": ORACLE_L_DIVERSITY,
+    "phrase_search_top_bigram": ORACLE_PHRASE,
     "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
