@@ -175,3 +175,50 @@ def test_write_zordered_prunes_both_dims(spark, tmp_path):
     assert zhit_d < ztot, "z-order must bound the second dimension"
     assert shit_d == stot, "single-dim sort cannot prune the other dim"
     assert zhit_d < shit_d
+
+
+def test_data_contract_audit_detects_planted_violations(spark, tmp_path, monkeypatch):
+    """The audit must DETECT, not vacuously pass: plant an FK orphan, a
+    null user, an out-of-range discount, a duplicate order key, and an
+    empty document in a miniature star schema and assert each counter."""
+    import os
+
+    from weatherdatapipeline_spark.queries import data_contract_audit
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 100.0, "1996-01-01")], "o_orderkey LONG, o_totalprice DOUBLE, o_orderdate STRING"
+    ).unionByName(
+        spark.createDataFrame([(1, 90.0, "1996-01-02")],
+                              "o_orderkey LONG, o_totalprice DOUBLE, o_orderdate STRING")
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 0.05), (999, 0.5)], "l_orderkey LONG, l_discount DOUBLE"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame([(7, 3)], "c_custkey LONG, c_nationkey LONG").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/customer.parquet")
+    spark.createDataFrame([(0,)], "n_nationkey LONG").write.mode("overwrite").parquet(
+        f"{d}/nation.parquet"
+    )
+    spark.createDataFrame(
+        [(1, None, 50.0), (2, 5, 500.0)],
+        "event_id LONG, user_id LONG, value DOUBLE",
+    ).selectExpr(
+        "event_id", "user_id", "value", "timestamp'2024-01-01' as ts"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [(1, "  "), (2, "real text")], "doc_id LONG, text STRING"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["constraint_name"]: r["n_violations"]
+        for r in data_contract_audit(spark, d).collect()
+    }
+    assert got["fk_lineitem_orderkey"] == 1      # l_orderkey=999 orphan
+    assert got["fk_customer_nationkey"] == 1     # nationkey=3 missing
+    assert got["not_null_events_user"] == 1
+    assert got["range_lineitem_discount"] == 1   # 0.5 > 0.1
+    assert got["unique_orders_orderkey"] == 1    # o_orderkey=1 twice
+    assert got["nonempty_documents_text"] == 1   # whitespace-only doc
+    assert got["range_events_value_0_100"] == 1  # value=500

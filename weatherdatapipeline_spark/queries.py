@@ -8368,11 +8368,110 @@ ORDER BY doc_id, pos LIMIT 200
 """
 
 
+def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style data-contract audit, one row per declared
+    constraint: referential integrity (anti-join orphan counts), not-null,
+    accepted-range, and key-uniqueness checks across the star schema.
+    Each check is its own bounded aggregate (anti-joins broadcast the PK
+    side where AQE sees fit); the union is of 1-row frames, so the report
+    costs one pass per audited table regardless of scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("constraint_name"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "fk_lineitem_orderkey",
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "fk_customer_nationkey",
+            cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "not_null_events_user",
+            ev.filter(F.col("user_id").isNull()).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "range_lineitem_discount",
+            li.filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "unique_orders_orderkey",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "nonempty_documents_text",
+            docs.filter(
+                F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        # a contract the shipped data actually VIOLATES (events.value runs
+        # past 100): proves the audit detects, not just vacuously passes
+        one(
+            "range_events_value_0_100",
+            ev.filter(
+                (F.col("value") < 0) | (F.col("value") > 100)
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+ORACLE_CONTRACTS = """
+SELECT 'fk_lineitem_orderkey' AS constraint_name,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+       )::BIGINT AS n_violations
+UNION ALL
+SELECT 'fk_customer_nationkey',
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))::BIGINT
+UNION ALL
+SELECT 'not_null_events_user',
+       (SELECT count(*) FROM events WHERE user_id IS NULL)::BIGINT
+UNION ALL
+SELECT 'range_lineitem_discount',
+       (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1)::BIGINT
+UNION ALL
+SELECT 'unique_orders_orderkey',
+       (SELECT count(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))::BIGINT
+UNION ALL
+SELECT 'nonempty_documents_text',
+       (SELECT count(*) FROM documents
+        WHERE text IS NULL OR length(trim(text)) = 0)::BIGINT
+UNION ALL
+SELECT 'range_events_value_0_100',
+       (SELECT count(*) FROM events WHERE value < 0 OR value > 100)::BIGINT
+"""
+
+
 QUERIES: dict[str, Query] = {
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
     "l_diversity_audit": l_diversity_audit,
     "phrase_search_top_bigram": phrase_search_top_bigram,
+    "data_contract_audit": data_contract_audit,
     "zorder_layout_events": zorder_layout_events,
     "script_mix_profile": script_mix_profile,
     "char_entropy_lowest": char_entropy_lowest,
@@ -8587,6 +8686,7 @@ ORACLES: dict[str, str] = {
     "hard_negative_mining": ORACLE_HARD_NEG,
     "l_diversity_audit": ORACLE_L_DIVERSITY,
     "phrase_search_top_bigram": ORACLE_PHRASE,
+    "data_contract_audit": ORACLE_CONTRACTS,
     "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
