@@ -220,3 +220,34 @@ def test_maintain_daily_rollup_equals_recompute(spark, tmp_path):
     # b3 touched only a|2024-03-01; the untouched b-key row must still
     # carry the b1+b2 combination (merge is key-scoped, not a rewrite)
     assert got["b|2024-03-01"]["n"] == 2 and got["b|2024-03-01"]["sum_value"] == 6.0
+
+
+def test_merge_optimistic_concurrency_conflict(spark, tmp_path):
+    """Delta/Iceberg-style optimistic concurrency: a merge pinned to the
+    reader's snapshot version must fail if another writer committed in
+    between, and succeed after refreshing — last-commit-wins only when
+    the caller opts out."""
+    import pytest as _pytest
+
+    from weatherdatapipeline_spark.sources.upsert import (
+        ConcurrentWriteError,
+        UpsertTable,
+    )
+
+    t = UpsertTable(spark, str(tmp_path / "occ"), "occ", key="k")
+    t.merge(spark.createDataFrame([(1, "a")], "k LONG, v STRING"))
+    seen = t.current_version
+
+    # writer B sneaks in a commit
+    t.merge(spark.createDataFrame([(2, "b")], "k LONG, v STRING"))
+
+    # writer A, still holding the old snapshot version, must conflict
+    upd = spark.createDataFrame([(1, "a2")], "k LONG, v STRING")
+    with _pytest.raises(ConcurrentWriteError):
+        t.merge(upd, expected_version=seen)
+
+    # CAS retry against the refreshed version succeeds
+    v = t.merge(upd, expected_version=t.current_version)
+    assert v == t.current_version
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a2", 2: "b"}

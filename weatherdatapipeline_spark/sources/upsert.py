@@ -39,6 +39,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Raised by ``UpsertTable.merge(expected_version=...)`` when another
+    writer committed between the caller's snapshot read and this commit —
+    the optimistic-concurrency conflict every lakehouse commit protocol
+    surfaces. Recovery is the standard CAS loop: re-read, re-derive the
+    updates against the new snapshot, retry."""
+
+
 class UpsertTable:
     """A MERGE-able Parquet table rooted at ``root/name``."""
 
@@ -146,7 +154,12 @@ class UpsertTable:
         rows = updates.select(self.partition_col).distinct().collect()
         return [str(r[0]) for r in rows]
 
-    def merge(self, updates: DataFrame, schema_evolution: bool = False) -> int:
+    def merge(
+        self,
+        updates: DataFrame,
+        schema_evolution: bool = False,
+        expected_version: int | None = None,
+    ) -> int:
         """Upsert ``updates``; returns the new version number.
 
         Only the partitions present in ``updates`` are re-written; all
@@ -156,8 +169,24 @@ class UpsertTable:
         columns: kept rows in rewritten partitions get NULLs, and
         partitions carried forward read as NULL via mergeSchema. Without
         it, a schema mismatch raises (unionByName strictness).
+
+        ``expected_version`` enables OPTIMISTIC CONCURRENCY (the Delta/
+        Iceberg commit protocol): pass the version your read snapshot was
+        taken at, and the merge raises ``ConcurrentWriteError`` if
+        another writer committed since — re-read and retry, like any CAS
+        loop. The check runs twice: before planning and again right
+        before the metadata commit, closing (best-effort, single
+        metastore) the window where a slow merge overlaps a fast one.
+        Without it, last-commit-wins (the old behavior).
         """
         meta = self._load_meta()
+        if expected_version is not None:
+            cur = None if meta is None else meta["version"]
+            if cur != expected_version:
+                raise ConcurrentWriteError(
+                    f"expected table version {expected_version}, found {cur}: "
+                    "another writer committed; re-read and retry"
+                )
         if meta is None:
             self._write_version(updates, 0)
             manifest = (
@@ -201,6 +230,14 @@ class UpsertTable:
                 )
             self._write_version(merged, version)
             new_manifest = {**manifest, **{p: version for p in touched}}
+        if expected_version is not None:
+            latest = self._load_meta()
+            cur = None if latest is None else latest["version"]
+            if cur != expected_version:
+                raise ConcurrentWriteError(
+                    f"table advanced to version {cur} during merge "
+                    f"(expected {expected_version}): aborting commit"
+                )
         meta["version"] = version
         meta["history"][str(version)] = new_manifest
         self._commit_meta(meta)
