@@ -8466,12 +8466,106 @@ SELECT 'range_events_value_0_100',
 """
 
 
+def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED LSH quality, not a claimed S-curve: MinHash(64)/16-band
+    pairs vs the exact ground truth (PPJoin, lossless prefix filtering,
+    no df-cut) at the same Jaccard 0.2 threshold — one row with truth/
+    predicted/hit counts, recall, and precision. Precision must be 1.0
+    BY CONSTRUCTION (candidates are exact-verified before emission), so
+    this doubles as an invariant check; recall quantifies what the
+    banding actually misses on this corpus. Both pipelines are the
+    production operators, not re-derivations."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = D.ppjoin_near_duplicates(docs, threshold=0.2).select("doc_a", "doc_b")
+    pred = D.minhash_near_duplicates_portable(docs, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    hit = truth.join(pred, ["doc_a", "doc_b"], "inner")
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(pred.agg(F.count(F.lit(1)).alias("n_pred")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.select(
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+        F.round(F.col("n_hit") / F.col("n_pred"), 6).alias("precision"),
+    )
+
+
+ORACLE_MINHASH_RECALL = rf"""
+WITH consts(i, a, b) AS (VALUES {{consts}}),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS h60
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+-- ground truth: brute-force exact jaccard over the full hashed sets
+tcommon AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM tcommon
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(c / CAST(sa.sz + sb.sz - c AS DOUBLE), 6) >= 0.2
+),
+-- predicted: the full MinHash/LSH pipeline (perms -> bands -> verify)
+perms AS (
+  SELECT doc_id, c.i AS i, min((c.a * (s.h60 % 2147483647) + c.b) % 2147483647) AS h
+  FROM sh s CROSS JOIN consts c
+  GROUP BY doc_id, c.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(h AS VARCHAR), '|' ORDER BY i) AS bucket
+  FROM perms GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+pcommon AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS c
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.h60 = x.h60
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT doc_a, doc_b FROM pcommon
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(c / CAST(sa.sz + sb.sz - c AS DOUBLE), 6) >= 0.2
+),
+hit AS (SELECT * FROM truth INTERSECT SELECT * FROM pred)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       (SELECT count(*) FROM pred)::BIGINT AS n_pred,
+       (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       round((SELECT count(*) FROM hit) / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
+       round((SELECT count(*) FROM hit) / CAST((SELECT count(*) FROM pred) AS DOUBLE), 6) AS precision
+"""
+
+
+ORACLE_MINHASH_RECALL = ORACLE_MINHASH_RECALL.replace("{consts}", _MH_CONSTS_SQL)
+
+
 QUERIES: dict[str, Query] = {
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
     "l_diversity_audit": l_diversity_audit,
     "phrase_search_top_bigram": phrase_search_top_bigram,
     "data_contract_audit": data_contract_audit,
+    "minhash_recall_audit": minhash_recall_audit,
     "zorder_layout_events": zorder_layout_events,
     "script_mix_profile": script_mix_profile,
     "char_entropy_lowest": char_entropy_lowest,
@@ -8687,6 +8781,7 @@ ORACLES: dict[str, str] = {
     "l_diversity_audit": ORACLE_L_DIVERSITY,
     "phrase_search_top_bigram": ORACLE_PHRASE,
     "data_contract_audit": ORACLE_CONTRACTS,
+    "minhash_recall_audit": ORACLE_MINHASH_RECALL,
     "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
