@@ -205,3 +205,60 @@ def holt_linear(
         return pdf[[key, ts_col, value_col, "level", "trend"]]
 
     return df.select(*in_cols).groupBy(key).applyInPandas(fn, out_schema)
+
+
+def kalman_1d(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    q: float = 1.0,
+    r: float = 25.0,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """1-D Kalman filter per key (random-walk state, noisy observation):
+
+        var_pred = var + Q               (predict)
+        K        = var_pred / (var_pred + R)
+        l        = l + K * (x - l)       (update)
+        var      = (1 - K) * var_pred
+
+    seeded l_1 = x_1, var_1 = R. Unlike EWMA/Holt the gain K ADAPTS —
+    large after quiet stretches (variance grew), small once the estimate
+    settles — which is why sensor-fusion pipelines use it over fixed-α
+    smoothing. Same escape-hatch contract as the other recurrences here:
+    explicit float64 op order so the recursive-CTE oracle
+    (queries.ORACLE_KALMAN) is bitwise-equal; applyInPandas keeps every
+    key parallel and the series task-local."""
+    out_schema = StructType(
+        [
+            df.schema[key],
+            df.schema[ts_col],
+            df.schema[value_col],
+            StructField("estimate", DoubleType()),
+            StructField("gain", DoubleType()),
+        ]
+    )
+    sort_cols = [ts_col] + ([seq_col] if seq_col else [])
+    in_cols = [key, ts_col, value_col] + ([seq_col] if seq_col else [])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        xs = pdf[value_col].astype("float64").to_numpy()
+        est, gains = [], []
+        l = var = None
+        for x in xs:
+            x = float(x)
+            if l is None:
+                l, var, k = x, r, 0.0
+            else:
+                var_pred = var + q
+                k = var_pred / (var_pred + r)
+                l = l + k * (x - l)
+                var = (1.0 - k) * var_pred
+            est.append(l)
+            gains.append(k)
+        pdf = pdf.assign(estimate=est, gain=gains)
+        return pdf[[key, ts_col, value_col, "estimate", "gain"]]
+
+    return df.select(*in_cols).groupBy(key).applyInPandas(fn, out_schema)

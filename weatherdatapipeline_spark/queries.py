@@ -8559,6 +8559,53 @@ SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
 ORACLE_MINHASH_RECALL = ORACLE_MINHASH_RECALL.replace("{consts}", _MH_CONSTS_SQL)
 
 
+def kalman_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter per user (adaptive gain, unlike fixed-α EWMA) —
+    third member of the recurrence family with a bitwise recursive-CTE
+    oracle; raw doubles out for the same ROUND-divergence reason as
+    ewma/holt. See operators/stateful.py::kalman_1d."""
+    from .operators.stateful import kalman_1d
+
+    ev = _t(spark, sf_dir, "events")
+    out = kalman_1d(
+        ev, "user_id", "ts", "value", q=1.0, r=25.0, seq_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.col("estimate"),
+        F.col("gain"),
+    )
+
+
+ORACLE_KALMAN = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, ts_us, value,
+         value::DOUBLE AS l, 25.0::DOUBLE AS var, 0.0::DOUBLE AS k
+  FROM seq WHERE rn = 1
+  UNION ALL
+  -- identical op sequence to the Spark loop: var_pred = var + 1.0;
+  -- k = var_pred/(var_pred + 25.0); l' = l + k*(x - l);
+  -- var' = (1.0 - k)*var_pred. k and l' are recomputed textually where
+  -- reused (same ops -> same doubles).
+  SELECT s.user_id, s.rn, s.ts_us, s.value,
+         r.l + ((r.var + 1.0::DOUBLE) / ((r.var + 1.0::DOUBLE) + 25.0::DOUBLE))
+               * (s.value - r.l),
+         (1.0::DOUBLE - ((r.var + 1.0::DOUBLE) / ((r.var + 1.0::DOUBLE) + 25.0::DOUBLE)))
+               * (r.var + 1.0::DOUBLE),
+         (r.var + 1.0::DOUBLE) / ((r.var + 1.0::DOUBLE) + 25.0::DOUBLE)
+  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, ts_us, value, l AS estimate, k AS gain FROM r
+"""
+
+
 QUERIES: dict[str, Query] = {
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
@@ -8566,6 +8613,7 @@ QUERIES: dict[str, Query] = {
     "phrase_search_top_bigram": phrase_search_top_bigram,
     "data_contract_audit": data_contract_audit,
     "minhash_recall_audit": minhash_recall_audit,
+    "kalman_user_values": kalman_user_values,
     "zorder_layout_events": zorder_layout_events,
     "script_mix_profile": script_mix_profile,
     "char_entropy_lowest": char_entropy_lowest,
@@ -8782,6 +8830,7 @@ ORACLES: dict[str, str] = {
     "phrase_search_top_bigram": ORACLE_PHRASE,
     "data_contract_audit": ORACLE_CONTRACTS,
     "minhash_recall_audit": ORACLE_MINHASH_RECALL,
+    "kalman_user_values": ORACLE_KALMAN,
     "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
