@@ -8606,6 +8606,206 @@ SELECT user_id, ts_us, value, l AS estimate, k AS gain FROM r
 """
 
 
+def rbo_ranking_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. TOIS'10) between two top-20
+    document rankings — the top-weighted "did my ranker change?" metric
+    plain set overlap can't give. Rankings: by length (n_chars) and by
+    vocabulary richness (distinct tokens), both deterministic with
+    doc_id tiebreaks.
+
+    Relational formulation with NO per-depth loop: a doc in both
+    rankings at ranks (ra, rb) contributes to every prefix depth
+    d >= max(ra, rb), so its total weight is the SUFFIX SUM
+    S(max(ra,rb)) of w_d = p^(d-1)/d — S precomputed as 20 literals.
+    One row out: overlap@20, rbo(p=0.9). Ranks are assigned by a
+    20x20 broadcast self-join count over each TakeOrdered top-20 (no
+    window, no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    k, p = 20, 0.9
+    top_a = docs.select("doc_id", F.col("n_chars").alias("s")).orderBy(
+        F.desc("s"), "doc_id"
+    ).limit(k)
+    top_b = (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(k)
+    )
+
+    def ranked(top: DataFrame, rank_name: str) -> DataFrame:
+        l = top.select(F.col("doc_id"), F.col("s"))
+        r = top.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2"))
+        return (
+            l.crossJoin(F.broadcast(r))
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.sum(
+                        (
+                            (F.col("s2") > F.col("s"))
+                            | ((F.col("s2") == F.col("s")) & (F.col("d2") < F.col("doc_id")))
+                        ).cast("long")
+                    )
+                    + 1
+                ).alias(rank_name)
+            )
+        )
+
+    ra = ranked(top_a, "ra")
+    rb = ranked(top_b, "rb")
+    # suffix sums S(m) = sum_{d=m..k} p^(d-1)/d as literals
+    w = [p ** (d - 1) / d for d in range(1, k + 1)]
+    suffix = [sum(w[m - 1 :]) for m in range(1, k + 2)]  # S(k+1) = 0
+    s_expr = F.element_at(
+        F.array(*[F.lit(float(x)) for x in suffix]),
+        F.greatest("ra", "rb").cast("int"),
+    )
+    joint = ra.join(rb, "doc_id", "inner")
+    return joint.agg(
+        F.count(F.lit(1)).cast("bigint").alias("overlap_at_20"),
+        F.round((1 - p) * F.sum(s_expr), 6).alias("rbo_p09"),
+    )
+
+
+def _rbo_suffix_sql(k: int = 20, p: float = 0.9) -> str:
+    w = [p ** (d - 1) / d for d in range(1, k + 1)]
+    suffix = [sum(w[m - 1 :]) for m in range(1, k + 2)]
+    return ",".join(f"({m},{s!r})" for m, s in enumerate(suffix, start=1))
+
+
+ORACLE_RBO = rf"""
+WITH ta AS (
+  SELECT doc_id, n_chars AS s FROM documents
+  ORDER BY s DESC, doc_id LIMIT 20
+),
+tb AS (
+  SELECT doc_id,
+         len(list_distinct(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), t -> t != ''))) AS s
+  FROM documents ORDER BY s DESC, doc_id LIMIT 20
+),
+ra AS (
+  SELECT l.doc_id,
+         1 + sum(CASE WHEN r.s > l.s OR (r.s = l.s AND r.doc_id < l.doc_id)
+                      THEN 1 ELSE 0 END) AS ra
+  FROM ta l CROSS JOIN ta r GROUP BY l.doc_id
+),
+rb AS (
+  SELECT l.doc_id,
+         1 + sum(CASE WHEN r.s > l.s OR (r.s = l.s AND r.doc_id < l.doc_id)
+                      THEN 1 ELSE 0 END) AS rb
+  FROM tb l CROSS JOIN tb r GROUP BY l.doc_id
+),
+sx(m, sfx) AS (VALUES {_rbo_suffix_sql()})
+SELECT count(*)::BIGINT AS overlap_at_20,
+       round((1.0::DOUBLE - 0.9::DOUBLE) * sum(sx.sfx), 6) AS rbo_p09
+FROM ra JOIN rb USING (doc_id)
+JOIN sx ON sx.m = greatest(ra.ra, rb.rb)
+"""
+
+
+def frequent_triples_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3 (Agrawal & Srikant VLDB'94) over (user, day)
+    baskets of event types — the CANDIDATE-PRUNING step pairwise
+    association rules stop short of: frequent pairs self-join on a
+    shared first item generates (A,B,C) candidates, the third subpair
+    (B,C) must itself be frequent (downward closure, a semi-join), and
+    only survivors are counted against the baskets (3-way equi-join on
+    the basket key). At scale the prune is the point: candidate count is
+    driven by the frequent-pair table, never by item-universe^3."""
+    ev = _t(spark, sf_dir, "events")
+    min_sup = 50
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    b1 = baskets
+    pairs = (
+        b1.alias("x")
+        .join(
+            b1.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.day") == F.col("y.day"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("t1"), F.col("y.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_sup)
+        .select("t1", "t2")
+    )
+    cand = (
+        pairs.alias("p")
+        .join(
+            pairs.alias("q"),
+            (F.col("p.t1") == F.col("q.t1")) & (F.col("p.t2") < F.col("q.t2")),
+        )
+        .select(
+            F.col("p.t1").alias("t1"),
+            F.col("p.t2").alias("t2"),
+            F.col("q.t2").alias("t3"),
+        )
+        # downward closure: (t2, t3) must also be frequent
+        .join(
+            pairs.select(
+                F.col("t1").alias("t2"), F.col("t2").alias("t3")
+            ),
+            ["t2", "t3"],
+            "left_semi",
+        )
+    )
+    support = (
+        cand.join(b1.select("user_id", "day", F.col("event_type").alias("t1")), "t1")
+        .join(
+            b1.select("user_id", "day", F.col("event_type").alias("t2")),
+            ["user_id", "day", "t2"],
+        )
+        .join(
+            b1.select("user_id", "day", F.col("event_type").alias("t3")),
+            ["user_id", "day", "t3"],
+        )
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_sup)
+    )
+    return support.select(
+        "t1", "t2", "t3", F.col("support").cast("bigint").alias("support")
+    )
+
+
+ORACLE_TRIPLES = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, ts::DATE AS day, event_type FROM events
+),
+pairs AS (
+  SELECT x.event_type AS t1, y.event_type AS t2
+  FROM baskets x JOIN baskets y
+    ON x.user_id = y.user_id AND x.day = y.day AND x.event_type < y.event_type
+  GROUP BY 1, 2 HAVING count(*) >= 50
+),
+cand AS (
+  SELECT p.t1, p.t2, q.t2 AS t3
+  FROM pairs p JOIN pairs q ON p.t1 = q.t1 AND p.t2 < q.t2
+  WHERE EXISTS (SELECT 1 FROM pairs z WHERE z.t1 = p.t2 AND z.t2 = q.t2)
+)
+SELECT c.t1, c.t2, c.t3, count(*)::BIGINT AS support
+FROM cand c
+JOIN baskets a ON a.event_type = c.t1
+JOIN baskets b ON b.event_type = c.t2 AND b.user_id = a.user_id AND b.day = a.day
+JOIN baskets d ON d.event_type = c.t3 AND d.user_id = a.user_id AND d.day = a.day
+GROUP BY 1, 2, 3 HAVING count(*) >= 50
+"""
+
+
 QUERIES: dict[str, Query] = {
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
@@ -8614,6 +8814,8 @@ QUERIES: dict[str, Query] = {
     "data_contract_audit": data_contract_audit,
     "minhash_recall_audit": minhash_recall_audit,
     "kalman_user_values": kalman_user_values,
+    "rbo_ranking_similarity": rbo_ranking_similarity,
+    "frequent_triples_events": frequent_triples_events,
     "zorder_layout_events": zorder_layout_events,
     "script_mix_profile": script_mix_profile,
     "char_entropy_lowest": char_entropy_lowest,
@@ -8831,6 +9033,8 @@ ORACLES: dict[str, str] = {
     "data_contract_audit": ORACLE_CONTRACTS,
     "minhash_recall_audit": ORACLE_MINHASH_RECALL,
     "kalman_user_values": ORACLE_KALMAN,
+    "rbo_ranking_similarity": ORACLE_RBO,
+    "frequent_triples_events": ORACLE_TRIPLES,
     "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
