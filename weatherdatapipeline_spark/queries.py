@@ -8806,6 +8806,126 @@ GROUP BY 1, 2, 3 HAVING count(*) >= 50
 """
 
 
+def kaplan_meier_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve of user lifetime (hours
+    from first to last event), censoring-aware: users still active in
+    the final 3 days of the observation window are CENSORED (they leave
+    the risk set without counting as churn) — the estimator naive
+    "average lifetime" stats get wrong. Survival at each event time t:
+    S(t) = prod_{t' <= t, d>0} (1 - d/n), computed as exp(sum(ln(...)))
+    over the COLLAPSED lifetime table (<= observation-window-days rows),
+    with risk sets and the cumulative product both derived by self-joins
+    over that tiny table — no partition-less window, corpus touched by
+    exactly one per-user aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(F.max(F.unix_micros("ts")).alias("_max_us"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.floor((F.col("last_us") - F.col("first_us")) / 3_600_000_000)
+            .alias("t"),
+            (
+                F.col("_max_us") - F.col("last_us") > 6 * 3_600_000_000
+            ).cast("int").alias("observed"),
+        )
+    )
+    lt = users.groupBy("t").agg(
+        F.sum("observed").alias("d"),
+        F.count(F.lit(1)).alias("all_n"),
+    )
+    total = users.agg(F.count(F.lit(1)).alias("_total"))
+    # risk set n(t) = total - (# users whose lifetime ended before t)
+    prior = (
+        lt.alias("a")
+        .join(lt.alias("b"), F.col("b.t") < F.col("a.t"), "left")
+        .groupBy(F.col("a.t").alias("t"))
+        .agg(F.coalesce(F.sum("b.all_n"), F.lit(0)).alias("ended_before"))
+    )
+    risk = (
+        lt.join(prior, "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t", "d", (F.col("_total") - F.col("ended_before")).alias("n")
+        )
+    )
+    # cumulative product via ln/exp over the collapsed table (self-join)
+    km = (
+        risk.alias("a")
+        .join(
+            risk.alias("b"),
+            (F.col("b.t") <= F.col("a.t")) & (F.col("b.d") > 0),
+            "left",
+        )
+        .groupBy(F.col("a.t").alias("t"), F.col("a.d").alias("d"), F.col("a.n").alias("n"))
+        .agg(
+            # d == n kills the whole risk set: survival hits exactly 0, and
+            # Spark's log(0) is NULL (not -inf), so that factor is flagged
+            # and handled outside the log-sum on BOTH engines
+            F.max((F.col("b.d") >= F.col("b.n")).cast("int")).alias("_dead"),
+            F.sum(
+                F.when(
+                    F.col("b.d") < F.col("b.n"),
+                    F.log(1.0 - F.col("b.d") / F.col("b.n")),
+                )
+            ).alias("_logsum"),
+        )
+        .select(
+            "t",
+            "d",
+            "n",
+            F.when(F.col("_dead") == 1, F.lit(0.0))
+            .otherwise(F.coalesce(F.exp("_logsum"), F.lit(1.0)))
+            .alias("_s"),
+        )
+    )
+    return km.select(
+        F.col("t").cast("bigint").alias("t_hours"),
+        F.col("d").cast("bigint").alias("churned"),
+        F.col("n").cast("bigint").alias("at_risk"),
+        F.round("_s", 6).alias("km_survival"),
+    )
+
+
+ORACLE_KM = """
+WITH span AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+users AS (
+  SELECT floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 3600000000) AS t,
+         CASE WHEN (SELECT max_us FROM span) - max(epoch_us(ts)) > 6 * 3600000000
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+lt AS (
+  SELECT t, sum(observed) AS d, count(*) AS all_n FROM users GROUP BY t
+),
+total AS (SELECT count(*) AS tot FROM users),
+prior AS (
+  SELECT a.t, coalesce(sum(b.all_n), 0) AS ended_before
+  FROM lt a LEFT JOIN lt b ON b.t < a.t GROUP BY a.t
+),
+risk AS (
+  SELECT lt.t, lt.d, (total.tot - prior.ended_before) AS n
+  FROM lt JOIN prior ON lt.t = prior.t, total
+),
+km AS (
+  SELECT a.t, a.d, a.n,
+         CASE WHEN max(CASE WHEN b.d >= b.n THEN 1 ELSE 0 END) = 1 THEN 0.0
+              ELSE coalesce(exp(sum(CASE WHEN b.d < b.n
+                   THEN ln(1.0 - b.d / CAST(b.n AS DOUBLE)) END)), 1.0)
+         END AS s
+  FROM risk a LEFT JOIN risk b ON b.t <= a.t AND b.d > 0
+  GROUP BY a.t, a.d, a.n
+)
+SELECT t::BIGINT AS t_hours, d::BIGINT AS churned, n::BIGINT AS at_risk,
+       round(s, 6) AS km_survival
+FROM km
+"""
+
+
 QUERIES: dict[str, Query] = {
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
@@ -8816,6 +8936,7 @@ QUERIES: dict[str, Query] = {
     "kalman_user_values": kalman_user_values,
     "rbo_ranking_similarity": rbo_ranking_similarity,
     "frequent_triples_events": frequent_triples_events,
+    "kaplan_meier_user_churn": kaplan_meier_user_churn,
     "zorder_layout_events": zorder_layout_events,
     "script_mix_profile": script_mix_profile,
     "char_entropy_lowest": char_entropy_lowest,
@@ -9035,6 +9156,7 @@ ORACLES: dict[str, str] = {
     "kalman_user_values": ORACLE_KALMAN,
     "rbo_ranking_similarity": ORACLE_RBO,
     "frequent_triples_events": ORACLE_TRIPLES,
+    "kaplan_meier_user_churn": ORACLE_KM,
     "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
