@@ -185,3 +185,50 @@ def bfs_distances(
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("n")
     return visited
+
+
+def minplus_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    a: str = "a",
+    b: str = "b",
+    w: str = "w",
+    node: str = "node",
+) -> DataFrame:
+    """Bounded-round Bellman-Ford: minimum WEIGHTED distance from any
+    seed, exact for all shortest paths of <= ``rounds`` edges (the
+    standard bounded-hop contract for iterative min-plus on a cluster —
+    rounds is the latency knob, not a heuristic).
+
+    Per round, one relaxation: dist' = min(dist, min over incoming
+    edges of dist[u] + w) — an equi-join of the CURRENT distance table
+    against the symmetrized edge list, a (node) min-aggregate, and a
+    min-merge with the previous table. localCheckpoint per round keeps
+    plan depth O(1). Weights should be integers for cross-engine
+    exactness (float min-plus ties differ in last-ulp across engines).
+    The oracle (queries.ORACLE_SSSP) UNROLLS the same rounds as CTE
+    stages — same joins, same integer arithmetic, same result.
+    """
+    und = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"), F.col(w).alias("_w"))
+        .union(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"), F.col(w).alias("_w"))
+        )
+        .distinct()
+    )
+    dist = (
+        seeds.select(F.col(node).alias("n")).distinct().withColumn("d", F.lit(0).cast("long"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(und, dist["n"] == und["src"])
+            .select(F.col("dst").alias("n"), (F.col("d") + F.col("_w")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("n")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

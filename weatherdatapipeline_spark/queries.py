@@ -8926,7 +8926,88 @@ FROM km
 """
 
 
+def sssp_weighted_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Bellman-Ford (4 relaxations) over the co-supply
+    graph with INTEGER edge weights w = greatest(1, 10 - shared_parts):
+    strongly-connected suppliers are cheap to traverse, weak links cost
+    more. Exact for all shortest paths of <= 4 edges (the bounded-hop
+    contract); seeds are the nation-0 supplier cohort. Integer min-plus
+    keeps every engine's arithmetic identical. See
+    operators/graph.py::minplus_sssp; oracle unrolls the same 4 rounds
+    as CTE stages."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    ps = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    edges = (
+        ps.alias("x")
+        .join(ps.alias("y"), "pk")
+        .filter(F.col("x.sk") < F.col("y.sk"))
+        .groupBy(F.col("x.sk").alias("a"), F.col("y.sk").alias("b"))
+        .agg(
+            F.greatest(F.lit(1), F.lit(10) - F.count(F.lit(1)))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    seeds = sup.filter(F.col("s_nationkey") == 0).select(
+        F.col("s_suppkey").alias("node")
+    )
+    out = G.minplus_sssp(edges, seeds, rounds=4)
+    return out.select(
+        F.col("n").cast("bigint").alias("s_suppkey"),
+        F.col("d").cast("bigint").alias("dist"),
+    )
+
+
+_SSSP_EDGES_CTES = """
+ps AS (
+  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+  FROM lineitem WHERE l_quantity >= 48
+),
+edges AS (
+  SELECT x.sk AS a, y.sk AS b, greatest(1, 10 - count(*)) AS w
+  FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk
+  GROUP BY x.sk, y.sk
+),
+und AS (
+  SELECT a AS src, b AS dst, w FROM edges
+  UNION SELECT b, a, w FROM edges
+),
+d0 AS (
+  SELECT s_suppkey AS n, 0::BIGINT AS d FROM supplier WHERE s_nationkey = 0
+)
+"""
+
+
+def _sssp_round_sql(k: int) -> str:
+    return f"""
+d{k} AS (
+  SELECT n, min(d) AS d FROM (
+    SELECT n, d FROM d{k-1}
+    UNION ALL
+    SELECT u.dst AS n, p.d + u.w AS d
+    FROM d{k-1} p JOIN und u ON u.src = p.n
+  ) GROUP BY n
+)"""
+
+
+ORACLE_SSSP = (
+    "WITH "
+    + _SSSP_EDGES_CTES
+    + ","
+    + ",".join(_sssp_round_sql(k) for k in (1, 2, 3, 4))
+    + """
+SELECT n::BIGINT AS s_suppkey, d::BIGINT AS dist FROM d4
+"""
+)
+
+
 QUERIES: dict[str, Query] = {
+    "sssp_weighted_cosupply": sssp_weighted_cosupply,
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
     "l_diversity_audit": l_diversity_audit,
@@ -9141,6 +9222,7 @@ QUERIES: dict[str, Query] = {
 }
 
 ORACLES: dict[str, str] = {
+    "sssp_weighted_cosupply": ORACLE_SSSP,
     "zorder_layout_events": ORACLE_ZORDER,
     "script_mix_profile": ORACLE_SCRIPT_MIX,
     "char_entropy_lowest": ORACLE_CHAR_ENTROPY,
