@@ -9006,8 +9006,52 @@ SELECT n::BIGINT AS s_suppkey, d::BIGINT AS dist FROM d4
 )
 
 
+def token_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): numbered token spans with character
+    offsets via a LATERAL table-function join — the annotation-pipeline
+    primitive that maps token-level findings (PII hits, NER tags) back
+    into document offsets; a plain split() loses them. Arrow-optimized
+    UDTF (operators/udtf.py::SegmentSpans, separator passed as an
+    argument); the oracle is the relational twin (split + per-doc
+    cumulative length window — partitioned by doc, no global window).
+    First 200 spans by (doc, seg_no)."""
+    from .operators.udtf import SegmentSpans
+
+    spark.udtf.register("segment_spans", SegmentSpans)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_docs_for_spans")
+    out = spark.sql(
+        """
+        SELECT d.doc_id, t.seg_no, t.start_char, t.end_char, t.seg
+        FROM _docs_for_spans d, LATERAL segment_spans(d.text, ' ') t
+        """
+    )
+    return out.orderBy("doc_id", "seg_no").limit(200)
+
+
+ORACLE_TOKEN_SPANS = r"""
+WITH segs AS (
+  SELECT doc_id, i - 1 AS seg_no, ls[i] AS seg,
+         sum(length(ls[i]) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_len
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS ls FROM documents
+  ), unnest(range(1, len(ls) + 1)) AS t(i)
+)
+SELECT doc_id, seg_no::INT AS seg_no,
+       coalesce(prev_len, 0)::BIGINT AS start_char,
+       (coalesce(prev_len, 0) + length(seg))::BIGINT AS end_char,
+       seg
+FROM segs
+ORDER BY doc_id, seg_no LIMIT 200
+"""
+
+
 QUERIES: dict[str, Query] = {
     "sssp_weighted_cosupply": sssp_weighted_cosupply,
+    "token_spans_udtf": token_spans_udtf,
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
     "l_diversity_audit": l_diversity_audit,
@@ -9223,6 +9267,7 @@ QUERIES: dict[str, Query] = {
 
 ORACLES: dict[str, str] = {
     "sssp_weighted_cosupply": ORACLE_SSSP,
+    "token_spans_udtf": ORACLE_TOKEN_SPANS,
     "zorder_layout_events": ORACLE_ZORDER,
     "script_mix_profile": ORACLE_SCRIPT_MIX,
     "char_entropy_lowest": ORACLE_CHAR_ENTROPY,
