@@ -9049,9 +9049,81 @@ ORDER BY doc_id, seg_no LIMIT 200
 """
 
 
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for the persistence forecast
+    (next value = last value), the distribution-free uncertainty wrapper
+    modern eval stacks put around ANY point forecaster: calibrate the
+    90% absolute-residual quantile on a deterministic md5 half of the
+    data, then measure empirical coverage on the other half — the output
+    row is the contract (coverage ~0.9 regardless of the residual
+    distribution). Residuals from a per-user lag window; the calibration
+    quantile is ONE exact-percentile aggregate broadcast into the test
+    scan (the winsorize percentile==quantile_cont parity convention)."""
+    from .operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    resid = (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.lag("value").over(w).alias("_prev"),
+        )
+        .filter(F.col("_prev").isNotNull())
+        .select("event_id", F.abs(F.col("value") - F.col("_prev")).alias("r"))
+    )
+    calib = resid.filter(hash_bucket(F.col("event_id"), 2) == 0)
+    test = resid.filter(hash_bucket(F.col("event_id"), 2) == 1)
+    q = calib.agg(
+        F.percentile(F.col("r"), F.lit(0.9)).alias("_q"),
+        F.count(F.lit(1)).alias("n_calib"),
+    )
+    return (
+        test.crossJoin(F.broadcast(q))
+        .agg(
+            F.max("n_calib").cast("bigint").alias("n_calib"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(F.max("_q"), 6).alias("q90_residual"),
+            F.round(
+                F.avg((F.col("r") <= F.col("_q")).cast("double")), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+ORACLE_CONFORMAL = """
+WITH resid AS (
+  SELECT event_id, abs(value - prev) AS r FROM (
+    SELECT event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+  ) WHERE prev IS NOT NULL
+),
+calib AS (
+  SELECT r FROM resid
+  WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 2 = 0
+),
+test AS (
+  SELECT r FROM resid
+  WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 2 = 1
+),
+q AS (
+  SELECT quantile_cont(r, 0.9) AS qv, count(*) AS n_calib FROM calib
+)
+SELECT q.n_calib::BIGINT AS n_calib,
+       (SELECT count(*) FROM test)::BIGINT AS n_test,
+       round(q.qv, 6) AS q90_residual,
+       round((SELECT avg(CASE WHEN r <= q.qv THEN 1.0 ELSE 0.0 END) FROM test, q), 6)
+         AS coverage
+FROM q
+"""
+
+
 QUERIES: dict[str, Query] = {
     "sssp_weighted_cosupply": sssp_weighted_cosupply,
     "token_spans_udtf": token_spans_udtf,
+    "conformal_interval_coverage": conformal_interval_coverage,
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
     "l_diversity_audit": l_diversity_audit,
@@ -9268,6 +9340,7 @@ QUERIES: dict[str, Query] = {
 ORACLES: dict[str, str] = {
     "sssp_weighted_cosupply": ORACLE_SSSP,
     "token_spans_udtf": ORACLE_TOKEN_SPANS,
+    "conformal_interval_coverage": ORACLE_CONFORMAL,
     "zorder_layout_events": ORACLE_ZORDER,
     "script_mix_profile": ORACLE_SCRIPT_MIX,
     "char_entropy_lowest": ORACLE_CHAR_ENTROPY,
