@@ -9120,10 +9120,85 @@ FROM q
 """
 
 
+def diff_in_diff_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the workhorse causal design
+    a product analytics stack runs on every staged rollout: treatment
+    cohort = even user ids, exposure period = the second half of the
+    observation window (midpoint from a 1-row min/max broadcast, no
+    collect), outcome = event value. One conditional-average pass yields
+    the four cell means; DiD = (T,post - T,pre) - (C,post - C,pre)
+    cancels both the cohort's level difference and the common time
+    trend. Output: the four cells (n + mean) and the estimate."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    span = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("_mid")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(span))
+        .select(
+            (F.pmod(F.col("user_id"), F.lit(2)) == 0).alias("treated"),
+            (F.unix_micros("ts") >= F.col("_mid")).alias("post"),
+            "value",
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg("value").alias("_m"),
+        )
+    )
+    # assemble the 2x2 via conditional aggregation over the 4-row frame
+    est = cells.agg(
+        F.sum(F.when(F.col("treated") & F.col("post"), F.col("_m"))).alias("t_post"),
+        F.sum(F.when(F.col("treated") & ~F.col("post"), F.col("_m"))).alias("t_pre"),
+        F.sum(F.when(~F.col("treated") & F.col("post"), F.col("_m"))).alias("c_post"),
+        F.sum(F.when(~F.col("treated") & ~F.col("post"), F.col("_m"))).alias("c_pre"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return est.select(
+        "n_total",
+        F.round("t_pre", 6).alias("treat_pre"),
+        F.round("t_post", 6).alias("treat_post"),
+        F.round("c_pre", 6).alias("control_pre"),
+        F.round("c_post", 6).alias("control_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+ORACLE_DID = """
+WITH span AS (
+  SELECT ((min(epoch_us(ts)) + max(epoch_us(ts))) / 2)::BIGINT AS mid FROM events
+),
+cells AS (
+  SELECT (user_id % 2 = 0) AS treated,
+         (epoch_us(ts) >= (SELECT mid FROM span)) AS post,
+         count(*) AS n, avg(value) AS m
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT sum(n)::BIGINT AS n_total,
+       round(sum(CASE WHEN treated AND NOT post THEN m END), 6) AS treat_pre,
+       round(sum(CASE WHEN treated AND post THEN m END), 6) AS treat_post,
+       round(sum(CASE WHEN NOT treated AND NOT post THEN m END), 6) AS control_pre,
+       round(sum(CASE WHEN NOT treated AND post THEN m END), 6) AS control_post,
+       round((sum(CASE WHEN treated AND post THEN m END)
+              - sum(CASE WHEN treated AND NOT post THEN m END))
+             - (sum(CASE WHEN NOT treated AND post THEN m END)
+                - sum(CASE WHEN NOT treated AND NOT post THEN m END)), 6)
+         AS did_estimate
+FROM cells
+"""
+
+
 QUERIES: dict[str, Query] = {
     "sssp_weighted_cosupply": sssp_weighted_cosupply,
     "token_spans_udtf": token_spans_udtf,
     "conformal_interval_coverage": conformal_interval_coverage,
+    "diff_in_diff_value": diff_in_diff_value,
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
     "l_diversity_audit": l_diversity_audit,
@@ -9341,6 +9416,7 @@ ORACLES: dict[str, str] = {
     "sssp_weighted_cosupply": ORACLE_SSSP,
     "token_spans_udtf": ORACLE_TOKEN_SPANS,
     "conformal_interval_coverage": ORACLE_CONFORMAL,
+    "diff_in_diff_value": ORACLE_DID,
     "zorder_layout_events": ORACLE_ZORDER,
     "script_mix_profile": ORACLE_SCRIPT_MIX,
     "char_entropy_lowest": ORACLE_CHAR_ENTROPY,
