@@ -9194,11 +9194,160 @@ FROM cells
 """
 
 
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. WSDM'13) — the variance-reduction trick every
+    large experimentation platform applies before reading an A/B test:
+    adjust each user's experiment-period metric by their PRE-period
+    metric, y' = y - theta*(x - mean(x)), theta = cov(x,y)/var(x).
+    Periods split at the window midpoint (1-row broadcast). Output: the
+    classic report — theta, raw and adjusted variance, and the measured
+    variance-reduction fraction (equals the squared pre/post correlation
+    when the estimator is exact). Population moments (/n), matching the
+    SQL mirror exactly; one per-user aggregate then 1-row math."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    span = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("_mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.unix_micros("ts") < F.col("_mid"), F.col("value"))).alias("x"),
+            F.avg(F.when(F.unix_micros("ts") >= F.col("_mid"), F.col("value"))).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+    )
+    return m.select(
+        "n_users",
+        F.round(
+            (F.col("mxy") - F.col("mx") * F.col("my"))
+            / (F.col("mxx") - F.col("mx") * F.col("mx")),
+            6,
+        ).alias("theta"),
+        F.round(F.col("myy") - F.col("my") * F.col("my"), 6).alias("var_raw"),
+        F.round(
+            (F.col("myy") - F.col("my") * F.col("my"))
+            - F.pow(F.col("mxy") - F.col("mx") * F.col("my"), 2)
+            / (F.col("mxx") - F.col("mx") * F.col("mx")),
+            6,
+        ).alias("var_cuped"),
+        F.round(
+            F.pow(F.col("mxy") - F.col("mx") * F.col("my"), 2)
+            / (
+                (F.col("mxx") - F.col("mx") * F.col("mx"))
+                * (F.col("myy") - F.col("my") * F.col("my"))
+            ),
+            6,
+        ).alias("variance_reduction"),
+    )
+
+
+ORACLE_CUPED = """
+WITH span AS (
+  SELECT ((min(epoch_us(ts)) + max(epoch_us(ts))) / 2)::BIGINT AS mid FROM events
+),
+per_user AS (
+  SELECT user_id,
+         avg(CASE WHEN epoch_us(ts) < (SELECT mid FROM span) THEN value END) AS x,
+         avg(CASE WHEN epoch_us(ts) >= (SELECT mid FROM span) THEN value END) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+),
+m AS (
+  SELECT count(*) AS n_users, avg(x) AS mx, avg(y) AS my,
+         avg(x*x) AS mxx, avg(y*y) AS myy, avg(x*y) AS mxy
+  FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
+)
+SELECT n_users::BIGINT AS n_users,
+       round((mxy - mx*my) / (mxx - mx*mx), 6) AS theta,
+       round(myy - my*my, 6) AS var_raw,
+       round((myy - my*my) - pow(mxy - mx*my, 2) / (mxx - mx*mx), 6) AS var_cuped,
+       round(pow(mxy - mx*my, 2) / ((mxx - mx*mx) * (myy - my*my)), 6)
+         AS variance_reduction
+FROM m
+"""
+
+
+def jackknife_ratio_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-user-out jackknife for a RATIO metric (value per event):
+    ratio metrics violate the i.i.d.-row assumption behind naive
+    standard errors because the unit of randomization is the USER, and
+    the jackknife is the standard fix (each replicate removes one user's
+    numerator and denominator). All replicates come from ONE per-user
+    aggregate plus 1-row totals broadcast back — no per-replicate scan:
+    theta_u = (S_num - num_u) / (S_den - den_u). Output: the point
+    estimate, jackknife SE, and user count."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.sum("value").alias("num"), F.count(F.lit(1)).cast("double").alias("den")
+    )
+    tot = per_user.agg(
+        F.sum("num").alias("S_num"),
+        F.sum("den").alias("S_den"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    reps = per_user.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "S_num",
+        "S_den",
+        ((F.col("S_num") - F.col("num")) / (F.col("S_den") - F.col("den"))).alias(
+            "theta_u"
+        ),
+    )
+    return reps.groupBy("n", "S_num", "S_den").agg(
+        F.avg("theta_u").alias("_tbar"),
+        F.sum(F.pow(F.col("theta_u"), 2)).alias("_t2"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("S_num") / F.col("S_den"), 6).alias("ratio_estimate"),
+        F.round(
+            F.sqrt(
+                (F.col("n") - 1)
+                / F.col("n")
+                * (F.col("_t2") - F.col("n") * F.col("_tbar") * F.col("_tbar"))
+            ),
+            6,
+        ).alias("jackknife_se"),
+    )
+
+
+ORACLE_JACKKNIFE = """
+WITH per_user AS (
+  SELECT user_id, sum(value) AS num, count(*)::DOUBLE AS den
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+tot AS (
+  SELECT sum(num) AS S_num, sum(den) AS S_den, count(*) AS n FROM per_user
+),
+reps AS (
+  SELECT n, S_num, S_den, (S_num - num) / (S_den - den) AS theta_u
+  FROM per_user, tot
+)
+SELECT n::BIGINT AS n_users,
+       round(S_num / S_den, 6) AS ratio_estimate,
+       round(sqrt((n - 1.0) / n * (sum(theta_u * theta_u)
+             - n * avg(theta_u) * avg(theta_u))), 6) AS jackknife_se
+FROM reps GROUP BY n, S_num, S_den
+"""
+
+
 QUERIES: dict[str, Query] = {
     "sssp_weighted_cosupply": sssp_weighted_cosupply,
     "token_spans_udtf": token_spans_udtf,
     "conformal_interval_coverage": conformal_interval_coverage,
     "diff_in_diff_value": diff_in_diff_value,
+    "cuped_variance_reduction": cuped_variance_reduction,
+    "jackknife_ratio_metric": jackknife_ratio_metric,
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
     "l_diversity_audit": l_diversity_audit,
@@ -9417,6 +9566,8 @@ ORACLES: dict[str, str] = {
     "token_spans_udtf": ORACLE_TOKEN_SPANS,
     "conformal_interval_coverage": ORACLE_CONFORMAL,
     "diff_in_diff_value": ORACLE_DID,
+    "cuped_variance_reduction": ORACLE_CUPED,
+    "jackknife_ratio_metric": ORACLE_JACKKNIFE,
     "zorder_layout_events": ORACLE_ZORDER,
     "script_mix_profile": ORACLE_SCRIPT_MIX,
     "char_entropy_lowest": ORACLE_CHAR_ENTROPY,
