@@ -9341,6 +9341,76 @@ FROM reps GROUP BY n, S_num, S_den
 """
 
 
+def eb_shrunk_user_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user mean value toward the grand
+    mean — the fix for "top users ranked by raw mean are just the
+    low-sample lucky ones". Method-of-moments normal-normal model:
+    within-user variance s2 = pooled mean of per-user sample variances,
+    between-user variance tau2 = max(0, var of user means - s2 * mean(1/n))
+    (both from ONE pass over the per-user aggregate), then each user
+    shrinks by factor B_u = tau2 / (tau2 + s2/n_u). Top 20 users by
+    shrunken mean, with raw mean and weight alongside so the
+    re-ranking is visible. Users need n >= 2 (sample variance)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    hyper = pu.agg(
+        F.avg("m").alias("grand"),
+        F.avg("v").alias("s2"),
+        F.var_samp("m").alias("vm"),
+        F.avg(1.0 / F.col("n")).alias("inv_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    ).select(
+        "grand",
+        "s2",
+        F.greatest(
+            F.lit(0.0), F.col("vm") - F.col("s2") * F.col("inv_n")
+        ).alias("tau2"),
+        "n_users",
+    )
+    scored = pu.crossJoin(F.broadcast(hyper)).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round("m", 6).alias("raw_mean"),
+        F.round(
+            F.col("tau2") / (F.col("tau2") + F.col("s2") / F.col("n")), 6
+        ).alias("shrink_weight"),
+        F.round(
+            F.col("grand")
+            + (F.col("tau2") / (F.col("tau2") + F.col("s2") / F.col("n")))
+            * (F.col("m") - F.col("grand")),
+            6,
+        ).alias("eb_mean"),
+    )
+    return scored.orderBy(F.desc("eb_mean"), "user_id").limit(20)
+
+
+ORACLE_EB_SHRINK = """
+WITH pu AS (
+  SELECT user_id, count(*)::DOUBLE AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= 2
+),
+hyper AS (
+  SELECT avg(m) AS grand, avg(v) AS s2,
+         greatest(0.0, var_samp(m) - avg(v) * avg(1.0 / n)) AS tau2
+  FROM pu
+)
+SELECT user_id, n::BIGINT AS n_events, round(m, 6) AS raw_mean,
+       round(tau2 / (tau2 + s2 / n), 6) AS shrink_weight,
+       round(grand + (tau2 / (tau2 + s2 / n)) * (m - grand), 6) AS eb_mean
+FROM pu, hyper
+ORDER BY eb_mean DESC, user_id LIMIT 20
+"""
+
+
 QUERIES: dict[str, Query] = {
     "sssp_weighted_cosupply": sssp_weighted_cosupply,
     "token_spans_udtf": token_spans_udtf,
@@ -9348,6 +9418,7 @@ QUERIES: dict[str, Query] = {
     "diff_in_diff_value": diff_in_diff_value,
     "cuped_variance_reduction": cuped_variance_reduction,
     "jackknife_ratio_metric": jackknife_ratio_metric,
+    "eb_shrunk_user_means": eb_shrunk_user_means,
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
     "l_diversity_audit": l_diversity_audit,
@@ -9568,6 +9639,7 @@ ORACLES: dict[str, str] = {
     "diff_in_diff_value": ORACLE_DID,
     "cuped_variance_reduction": ORACLE_CUPED,
     "jackknife_ratio_metric": ORACLE_JACKKNIFE,
+    "eb_shrunk_user_means": ORACLE_EB_SHRINK,
     "zorder_layout_events": ORACLE_ZORDER,
     "script_mix_profile": ORACLE_SCRIPT_MIX,
     "char_entropy_lowest": ORACLE_CHAR_ENTROPY,
