@@ -9411,6 +9411,65 @@ ORDER BY eb_mean DESC, user_id LIMIT 20
 """
 
 
+def bandit_arm_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive elimination over event-type "arms" (Even-Dar et al.
+    '02) — the fixed-confidence bandit screen for picking a winner
+    without a full A/B runout: each arm gets a Hoeffding confidence
+    interval mean +- sqrt(ln(N)/(2 n_a)) on its conversion rate
+    (value > 50), and an arm is ELIMINATED when its upper bound falls
+    below the best lower bound. Pure 1-pass relational: per-arm
+    conditional aggregate, 1-row totals broadcast, the max-LCB via a
+    bounded self-comparison (arms are few by construction)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    arms = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg((F.col("value") > 50).cast("double")).alias("mean"),
+    )
+    # "grand_n", not "N": Spark resolution is case-insensitive by
+    # default, so "N" would collide with the per-arm "n"
+    tot = arms.agg(F.sum("n").alias("grand_n"))
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "mean",
+        (F.col("mean") - F.sqrt(F.log(F.col("grand_n")) / (2.0 * F.col("n")))).alias("lcb"),
+        (F.col("mean") + F.sqrt(F.log(F.col("grand_n")) / (2.0 * F.col("n")))).alias("ucb"),
+    )
+    best = scored.agg(F.max("lcb").alias("best_lcb"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("mean", 6).alias("conv_rate"),
+            F.round("lcb", 6).alias("lcb"),
+            F.round("ucb", 6).alias("ucb"),
+            (F.col("ucb") < F.col("best_lcb")).alias("eliminated"),
+        )
+    )
+
+
+ORACLE_BANDIT = """
+WITH arms AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         avg(CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END) AS mean
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+tot AS (SELECT sum(n) AS N FROM arms),
+scored AS (
+  SELECT event_type, n, mean,
+         mean - sqrt(ln((SELECT N FROM tot)) / (2.0 * n)) AS lcb,
+         mean + sqrt(ln((SELECT N FROM tot)) / (2.0 * n)) AS ucb
+  FROM arms
+),
+best AS (SELECT max(lcb) AS best_lcb FROM scored)
+SELECT event_type, n::BIGINT AS n, round(mean, 6) AS conv_rate,
+       round(lcb, 6) AS lcb, round(ucb, 6) AS ucb,
+       (ucb < (SELECT best_lcb FROM best)) AS eliminated
+FROM scored
+"""
+
+
 QUERIES: dict[str, Query] = {
     "sssp_weighted_cosupply": sssp_weighted_cosupply,
     "token_spans_udtf": token_spans_udtf,
@@ -9419,6 +9478,7 @@ QUERIES: dict[str, Query] = {
     "cuped_variance_reduction": cuped_variance_reduction,
     "jackknife_ratio_metric": jackknife_ratio_metric,
     "eb_shrunk_user_means": eb_shrunk_user_means,
+    "bandit_arm_elimination": bandit_arm_elimination,
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
     "l_diversity_audit": l_diversity_audit,
@@ -9640,6 +9700,7 @@ ORACLES: dict[str, str] = {
     "cuped_variance_reduction": ORACLE_CUPED,
     "jackknife_ratio_metric": ORACLE_JACKKNIFE,
     "eb_shrunk_user_means": ORACLE_EB_SHRINK,
+    "bandit_arm_elimination": ORACLE_BANDIT,
     "zorder_layout_events": ORACLE_ZORDER,
     "script_mix_profile": ORACLE_SCRIPT_MIX,
     "char_entropy_lowest": ORACLE_CHAR_ENTROPY,
