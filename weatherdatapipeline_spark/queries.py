@@ -9470,6 +9470,74 @@ FROM scored
 """
 
 
+def calendar_effects_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way fixed-effects (ANOVA-style) decomposition of event value
+    into additive day-of-week and hour-of-day effects — the "is this
+    metric just seasonality?" screen run before any anomaly review:
+    fitted = grand + (dow_mean - grand) + (hour_mean - grand), with the
+    variance explained by dow alone vs dow+hour reported as R^2. The
+    effect tables are 7- and 24-row aggregates broadcast back into ONE
+    residual pass; nothing iterates."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.col("value").cast("double").alias("v"),
+    )
+    g = base.agg(F.avg("v").alias("grand"), F.count(F.lit(1)).alias("n_rows"))
+    dow = base.groupBy("dow").agg(F.avg("v").alias("m_dow"))
+    hr = base.groupBy("hr").agg(F.avg("v").alias("m_hr"))
+    scored = (
+        base.join(F.broadcast(dow), "dow")
+        .join(F.broadcast(hr), "hr")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "n_rows",
+            (F.col("v") - F.col("grand")).alias("dt"),
+            (F.col("v") - F.col("m_dow")).alias("rd"),
+            (
+                F.col("v")
+                - (F.col("m_dow") + F.col("m_hr") - F.col("grand"))
+            ).alias("rdh"),
+        )
+    )
+    return scored.groupBy("n_rows").agg(
+        F.round(F.sum(F.col("dt") * F.col("dt")), 4).alias("ss_total"),
+        F.round(
+            1.0 - F.sum(F.col("rd") * F.col("rd")) / F.sum(F.col("dt") * F.col("dt")),
+            6,
+        ).alias("r2_dow"),
+        F.round(
+            1.0 - F.sum(F.col("rdh") * F.col("rdh")) / F.sum(F.col("dt") * F.col("dt")),
+            6,
+        ).alias("r2_dow_hour"),
+    ).select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "ss_total",
+        "r2_dow",
+        "r2_dow_hour",
+    )
+
+
+ORACLE_CALENDAR_FX = """
+WITH base AS (
+  SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr, value::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL
+),
+g AS (SELECT avg(v) AS grand, count(*) AS n_rows FROM base),
+d AS (SELECT dow, avg(v) AS m_dow FROM base GROUP BY dow),
+h AS (SELECT hr, avg(v) AS m_hr FROM base GROUP BY hr)
+SELECT g.n_rows::BIGINT AS n_rows,
+       round(sum((v - grand) * (v - grand)), 4) AS ss_total,
+       round(1.0 - sum((v - m_dow) * (v - m_dow))
+                 / sum((v - grand) * (v - grand)), 6) AS r2_dow,
+       round(1.0 - sum((v - (m_dow + m_hr - grand)) * (v - (m_dow + m_hr - grand)))
+                 / sum((v - grand) * (v - grand)), 6) AS r2_dow_hour
+FROM base JOIN d USING (dow) JOIN h USING (hr), g
+GROUP BY g.n_rows
+"""
+
+
 QUERIES: dict[str, Query] = {
     "sssp_weighted_cosupply": sssp_weighted_cosupply,
     "token_spans_udtf": token_spans_udtf,
@@ -9479,6 +9547,7 @@ QUERIES: dict[str, Query] = {
     "jackknife_ratio_metric": jackknife_ratio_metric,
     "eb_shrunk_user_means": eb_shrunk_user_means,
     "bandit_arm_elimination": bandit_arm_elimination,
+    "calendar_effects_decomposition": calendar_effects_decomposition,
     "window_distribution_suite": window_distribution_suite,
     "hard_negative_mining": hard_negative_mining,
     "l_diversity_audit": l_diversity_audit,
@@ -9701,6 +9770,7 @@ ORACLES: dict[str, str] = {
     "jackknife_ratio_metric": ORACLE_JACKKNIFE,
     "eb_shrunk_user_means": ORACLE_EB_SHRINK,
     "bandit_arm_elimination": ORACLE_BANDIT,
+    "calendar_effects_decomposition": ORACLE_CALENDAR_FX,
     "zorder_layout_events": ORACLE_ZORDER,
     "script_mix_profile": ORACLE_SCRIPT_MIX,
     "char_entropy_lowest": ORACLE_CHAR_ENTROPY,
