@@ -9538,7 +9538,383 @@ GROUP BY g.n_rows
 """
 
 
+def spearman_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation for all six lineitem measure pairs —
+    the robust (monotone-invariant) twin of corr_matrix_lineitem. The
+    hard part at scale is the EXACT global average rank without a
+    single-task sort; strategy is cardinality-adaptive:
+
+    - low-cardinality columns (quantity/discount/tax: tens of distinct
+      values no matter the corpus size): distinct-value decomposition —
+      per-value counts, a bounded O(k^2) self-join for the
+      cumulative-below count, then a broadcast join back. Identical to
+      the zipf_slope_vocab rank trick.
+    - high-cardinality columns (extendedprice): TeraSort-style range
+      shards — equal-width buckets from a 1-row min/max agg (a value
+      function, so ties always co-locate), per-shard partitioned
+      windows for local min-rank + tie counts, shard offsets from a
+      bounded 32^2 self-join broadcast back. No partition-less window
+      anywhere.
+
+    avg_rank = below + (ties + 1)/2 in both paths; then one single-pass
+    agg computes all six corr() moments over the rank columns."""
+    li = _t(spark, sf_dir, "lineitem").select(*LINEITEM_NUMERIC)
+    low = ["l_quantity", "l_discount", "l_tax"]
+    high = "l_extendedprice"
+    df = li
+    for c in low:
+        dv = li.groupBy(c).agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        dv2 = dv.select(F.col(c).alias("_v2"), F.col("_n").alias("_n2"))
+        rank_map = (
+            dv.join(F.broadcast(dv2), F.col("_v2") < F.col(c), "left")
+            .groupBy(c, "_n")
+            .agg(F.coalesce(F.sum("_n2"), F.lit(0.0)).alias("_lt"))
+            .select(
+                c,
+                (F.col("_lt") + (F.col("_n") + 1.0) / 2.0).alias(f"_r_{c}"),
+            )
+        )
+        df = df.join(F.broadcast(rank_map), c)
+    mm = li.agg(
+        F.min(high).cast("double").alias("mn"),
+        F.max(high).cast("double").alias("mx"),
+    ).first()
+    n_shards = 32
+    df = df.withColumn(
+        "_sh",
+        F.width_bucket(
+            F.col(high).cast("double"),
+            F.lit(float(mm["mn"])),
+            F.lit(float(mm["mx"])),
+            F.lit(n_shards),
+        ),
+    )
+    counts = df.groupBy("_sh").agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    c2 = counts.select(F.col("_sh").alias("_sh2"), F.col("_c").alias("_c2"))
+    offs = (
+        counts.join(F.broadcast(c2), F.col("_sh2") < F.col("_sh"), "left")
+        .groupBy("_sh")
+        .agg(F.coalesce(F.sum("_c2"), F.lit(0.0)).alias("_off"))
+    )
+    w_rank = Window.partitionBy("_sh").orderBy(high)
+    w_tie = Window.partitionBy("_sh", high)
+    df = df.join(F.broadcast(offs), "_sh").withColumn(
+        f"_r_{high}",
+        F.col("_off")
+        + F.rank().over(w_rank)
+        + (F.count(F.lit(1)).over(w_tie) - 1.0) / 2.0,
+    )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(LINEITEM_NUMERIC)
+        for b in LINEITEM_NUMERIC[i + 1 :]
+    ]
+    wide = df.agg(
+        *[
+            F.round(F.corr(f"_r_{a}", f"_r_{b}"), 6).alias(f"_c_{a}_{b}")
+            for a, b in pairs
+        ]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', _c_{a}_{b}" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, spearman)"
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH r AS (
+  SELECT
+    rank() OVER (ORDER BY l_quantity)
+      + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS r_l_quantity,
+    rank() OVER (ORDER BY l_extendedprice)
+      + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS r_l_extendedprice,
+    rank() OVER (ORDER BY l_discount)
+      + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS r_l_discount,
+    rank() OVER (ORDER BY l_tax)
+      + (count(*) OVER (PARTITION BY l_tax) - 1) / 2.0 AS r_l_tax
+  FROM lineitem
+)
+""" + "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+    f"round(corr(r_{a}, r_{b}), 6) AS spearman FROM r"
+    for i, a in enumerate(LINEITEM_NUMERIC)
+    for b in LINEITEM_NUMERIC[i + 1 :]
+)
+
+
+def theil_sen_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope + Mann-Kendall trend test per event type —
+    the outlier-resistant "is this metric trending?" screen. The raw
+    stream is first collapsed to a daily-mean series (rounded to 6 dp in
+    BOTH engines so the pairwise math starts from identical doubles), so
+    the pairwise stage is bounded by days^2 per type regardless of
+    corpus size — the classic pre-aggregate-then-quadratic pattern. The
+    tiny daily table broadcasts; median slope is the exact interpolated
+    percentile; MK S = sum of pairwise signs, tau = S / n_pairs."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    d2 = daily.select(
+        F.col("event_type").alias("event_type2"),
+        F.col("day").alias("day2"),
+        F.col("v").alias("v2"),
+    )
+    pairs = daily.join(
+        F.broadcast(d2),
+        (F.col("event_type") == F.col("event_type2"))
+        & (F.col("day") < F.col("day2")),
+    ).select(
+        "event_type",
+        ((F.col("v2") - F.col("v")) / F.datediff("day2", "day")).alias("slope"),
+        F.signum(F.col("v2") - F.col("v")).alias("sgn"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theil_sen_slope"),
+        F.sum("sgn").cast("bigint").alias("mk_s"),
+        F.round(F.sum("sgn") / F.count(F.lit(1)), 6).alias("kendall_tau"),
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, round(avg(value), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT a.event_type,
+       count(*)::BIGINT AS n_pairs,
+       round(quantile_cont((b.v - a.v) / date_diff('day', a.day, b.day), 0.5), 6)
+         AS theil_sen_slope,
+       sum(sign(b.v - a.v))::BIGINT AS mk_s,
+       round(sum(sign(b.v - a.v)) / count(*), 6) AS kendall_tau
+FROM daily a JOIN daily b
+  ON a.event_type = b.event_type AND a.day < b.day
+GROUP BY 1
+"""
+
+
+def ndcg_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking — the retrieval-eval metric that
+    closes the search loop (bm25_search_top20 produces a ranking; this
+    grades it). Graded relevance is deterministic: rel(doc) = number of
+    query terms matched (0..3), the natural label the corpus itself
+    yields. DCG positions come from the same dominance-count trick as
+    hybrid_rrf_top10 (rank = 1 + #rows strictly ahead, over the 10-row
+    shortlist), so no partition-less window; the ideal ranking re-sorts
+    the SAME candidate set by rel. Scale shape: two TakeOrdered cuts,
+    then 10x10 joins and 1-row aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = T.bm25_scores(docs, BM25_TERMS).select(
+        "doc_id",
+        F.col("n_terms_matched").cast("double").alias("rel"),
+        F.round("bm25", 6).alias("s"),
+    )
+    k = 10
+
+    def dcg_of(order_col: str) -> DataFrame:
+        short = scored.orderBy(F.desc(order_col), "doc_id").limit(k)
+        o = short.select(
+            F.col("doc_id").alias("_od"), F.col(order_col).alias("_os")
+        )
+        ahead = (F.col("_os") > F.col(order_col)) | (
+            (F.col("_os") == F.col(order_col))
+            & (F.col("_od") < F.col("doc_id"))
+        )
+        pos = (
+            short.join(o, ahead, "left")
+            .groupBy("doc_id", "rel")
+            .agg((1 + F.count("_od")).cast("double").alias("pos"))
+        )
+        return pos.agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("pos") + 1.0)
+            ).alias(f"dcg_{order_col}")
+        )
+    n_cand = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    return (
+        dcg_of("s")
+        .crossJoin(dcg_of("rel"))
+        .crossJoin(n_cand)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_candidates",
+            F.round("dcg_s", 6).alias("dcg"),
+            F.round("dcg_rel", 6).alias("idcg"),
+            F.round(F.col("dcg_s") / F.col("dcg_rel"), 6).alias("ndcg"),
+        )
+    )
+
+
+ORACLE_NDCG = (
+    "WITH "
+    + _SQL_BM25_CTES
+    + """,
+scored AS (
+  SELECT doc_id, n_terms_matched::DOUBLE AS rel, bm25 AS s FROM bm
+),
+top AS (
+  SELECT rel, row_number() OVER (ORDER BY s DESC, doc_id) AS pos
+  FROM scored ORDER BY s DESC, doc_id LIMIT 10
+),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+  FROM scored ORDER BY rel DESC, doc_id LIMIT 10
+),
+d AS (SELECT sum((pow(2.0, rel) - 1) / log2(pos + 1.0)) AS dcg FROM top),
+i AS (SELECT sum((pow(2.0, rel) - 1) / log2(pos + 1.0)) AS idcg FROM ideal),
+n AS (SELECT count(*)::BIGINT AS n_candidates FROM scored)
+SELECT 10::INT AS k, n_candidates, round(dcg, 6) AS dcg,
+       round(idcg, 6) AS idcg, round(dcg / idcg, 6) AS ndcg
+FROM d, i, n
+"""
+)
+
+
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between categorical pairs — the
+    feature-redundancy screen a training pipeline runs before one-hot
+    encoding (V ~ 1 means the columns carry the same signal). Full
+    chi-square over the COMPLETE contingency grid: marginals cross-join
+    (categories x categories, tiny by construction) left-joined with
+    observed cells so zero cells contribute their expected mass, a
+    broadcast 1-row stats join, one sum. Pairs audited:
+    documents lang x source and events event_type x day-of-week."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+
+    def cv(df: DataFrame, a, b, pair_name: str) -> DataFrame:
+        base = df.select(a.alias("_a"), b.alias("_b"))
+        obs = base.groupBy("_a", "_b").agg(
+            F.count(F.lit(1)).cast("double").alias("_o")
+        )
+        ra = base.groupBy("_a").agg(F.count(F.lit(1)).cast("double").alias("_ra"))
+        cb = base.groupBy("_b").agg(F.count(F.lit(1)).cast("double").alias("_cb"))
+        stats = base.agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.count_distinct("_a").cast("double").alias("_r"),
+            F.count_distinct("_b").cast("double").alias("_c"),
+        )
+        cells = (
+            ra.crossJoin(cb)
+            .join(obs, ["_a", "_b"], "left")
+            .na.fill({"_o": 0.0})
+            .crossJoin(F.broadcast(stats))
+        )
+        term = (
+            (F.col("_o") - F.col("_ra") * F.col("_cb") / F.col("_n")) ** 2
+            / (F.col("_ra") * F.col("_cb") / F.col("_n"))
+        )
+        return (
+            cells.groupBy("_n", "_r", "_c")
+            .agg(F.sum(term).alias("_chi2"))
+            .select(
+                F.lit(pair_name).alias("pair"),
+                F.col("_n").cast("bigint").alias("n"),
+                ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("int").alias("dof"),
+                F.round("_chi2", 4).alias("chi2"),
+                F.round(
+                    F.sqrt(
+                        F.col("_chi2")
+                        / (F.col("_n") * F.least(F.col("_r") - 1, F.col("_c") - 1))
+                    ),
+                    6,
+                ).alias("cramers_v"),
+            )
+        )
+
+    return cv(docs, F.col("lang"), F.col("source"), "documents_lang_source").unionAll(
+        cv(ev, F.col("event_type"), F.dayofweek("ts"), "events_type_dow")
+    )
+
+
+ORACLE_CRAMERS_V = """
+WITH d1 AS (SELECT lang AS a, source AS b FROM documents),
+d2 AS (SELECT event_type AS a, dayofweek(ts) + 1 AS b FROM events),
+res AS (
+  SELECT 'documents_lang_source' AS pair, n, r, c, chi2 FROM (
+    WITH obs AS (SELECT a, b, count(*)::DOUBLE AS o FROM d1 GROUP BY 1, 2),
+    ra AS (SELECT a, count(*)::DOUBLE AS ra FROM d1 GROUP BY 1),
+    cb AS (SELECT b, count(*)::DOUBLE AS cb FROM d1 GROUP BY 1),
+    st AS (SELECT count(*)::DOUBLE AS n, count(DISTINCT a)::DOUBLE AS r,
+                  count(DISTINCT b)::DOUBLE AS c FROM d1)
+    SELECT st.n, st.r, st.c,
+           sum(pow(coalesce(o, 0.0) - ra.ra * cb.cb / st.n, 2)
+               / (ra.ra * cb.cb / st.n)) AS chi2
+    FROM ra CROSS JOIN cb LEFT JOIN obs USING (a, b) CROSS JOIN st
+    GROUP BY 1, 2, 3
+  )
+  UNION ALL
+  SELECT 'events_type_dow' AS pair, n, r, c, chi2 FROM (
+    WITH obs AS (SELECT a, b, count(*)::DOUBLE AS o FROM d2 GROUP BY 1, 2),
+    ra AS (SELECT a, count(*)::DOUBLE AS ra FROM d2 GROUP BY 1),
+    cb AS (SELECT b, count(*)::DOUBLE AS cb FROM d2 GROUP BY 1),
+    st AS (SELECT count(*)::DOUBLE AS n, count(DISTINCT a)::DOUBLE AS r,
+                  count(DISTINCT b)::DOUBLE AS c FROM d2)
+    SELECT st.n, st.r, st.c,
+           sum(pow(coalesce(o, 0.0) - ra.ra * cb.cb / st.n, 2)
+               / (ra.ra * cb.cb / st.n)) AS chi2
+    FROM ra CROSS JOIN cb LEFT JOIN obs USING (a, b) CROSS JOIN st
+    GROUP BY 1, 2, 3
+  )
+)
+SELECT pair, n::BIGINT AS n, ((r - 1) * (c - 1))::INT AS dof,
+       round(chi2, 4) AS chi2,
+       round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+FROM res
+"""
+
+
+def gini_concentration_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event-value concentration per event type —
+    the inequality audit ("do 1% of events carry 90% of the value?").
+    Rank-sum formula G = 2*sum(i*v)/(n*sum(v)) - (n+1)/n over values
+    sorted ascending; the row_number window is PARTITIONED by type so
+    no global sort exists, and ties order by event_id — G is invariant
+    to permutations within a tie block (sum i over the block is fixed),
+    so the tiebreak is for engine determinism, not semantics."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.row_number().over(w).cast("double").alias("i"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("v"))
+            / (F.count(F.lit(1)) * F.sum("v"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+ORACLE_GINI = """
+WITH r AS (
+  SELECT event_type, value::DOUBLE AS v,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value, event_id
+         )::DOUBLE AS i
+  FROM events WHERE value IS NOT NULL AND value > 0
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(2.0 * sum(i * v) / (count(*) * sum(v))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "spearman_corr_lineitem": spearman_corr_lineitem,
+    "theil_sen_trend_by_type": theil_sen_trend_by_type,
+    "ndcg_bm25_eval": ndcg_bm25_eval,
+    "cramers_v_matrix": cramers_v_matrix,
+    "gini_concentration_by_type": gini_concentration_by_type,
     "sssp_weighted_cosupply": sssp_weighted_cosupply,
     "token_spans_udtf": token_spans_udtf,
     "conformal_interval_coverage": conformal_interval_coverage,
@@ -9762,6 +10138,11 @@ QUERIES: dict[str, Query] = {
 }
 
 ORACLES: dict[str, str] = {
+    "spearman_corr_lineitem": ORACLE_SPEARMAN,
+    "theil_sen_trend_by_type": ORACLE_THEIL_SEN,
+    "ndcg_bm25_eval": ORACLE_NDCG,
+    "cramers_v_matrix": ORACLE_CRAMERS_V,
+    "gini_concentration_by_type": ORACLE_GINI,
     "sssp_weighted_cosupply": ORACLE_SSSP,
     "token_spans_udtf": ORACLE_TOKEN_SPANS,
     "conformal_interval_coverage": ORACLE_CONFORMAL,
