@@ -74,6 +74,9 @@ HEADLINE = [
     "range_shard_balance",         # sampled-boundary balanced range shards
     "script_mix_profile",          # char-class composition screen
     "char_entropy_lowest",         # unigram char entropy (boilerplate proxy)
+    # r7 wave 3
+    "link_prediction_cosupply",    # wedge-join CN/Jaccard/Adamic-Adar
+    "logistic_newton_purchase",    # 4-pass Newton IRLS (iterative ML shape)
 ]
 
 
@@ -156,6 +159,11 @@ SCALE_HEADLINE = [
     "range_shard_balance",
     "script_mix_profile",
     "char_entropy_lowest",
+    # r7 wave 3: shifted supp keys keep each copy's co-supply graph an
+    # independent component (wedge work linear); Newton is k fixed passes
+    # over replicated rows (linear by construction)
+    "link_prediction_cosupply",
+    "logistic_newton_purchase",
 ]
 
 # bump when build_scale_dir's transform changes so stale caches rebuild

@@ -9909,7 +9909,915 @@ FROM r GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Round-7 wave 2: classical inference + decomposition + link prediction
+# --------------------------------------------------------------------------
+
+
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types — classic F plus
+    Welch's heteroscedasticity-robust F (Welch 1951). Two hash aggs:
+    events -> per-type (n, sum, sumsq) [map-side combined, k rows], then
+    k rows -> 1. The Welch lambda term Σ(1-w/W)²/(n-1) is expanded to
+    W-free inner sums (Σ1/(n-1), Σw/(n-1), Σw²/(n-1)) so ONE pass over
+    the k per-group rows suffices — no join-back of the total. At 100 TB
+    this is a pure tree-reduce: no shuffle wider than k rows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("value").cast("double")).alias("s"),
+            F.sum(F.col("value").cast("double") * F.col("value")).alias("ss"),
+        )
+        .select(
+            "n",
+            (F.col("s") / F.col("n")).alias("m"),
+            ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias(
+                "v"
+            ),
+        )
+    )
+    one = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("bign"),
+        F.sum(F.col("n") * F.col("m")).alias("snm"),
+        F.sum(F.col("n") * F.col("m") * F.col("m")).alias("snm2"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+        F.sum(F.col("n") / F.col("v")).alias("w"),
+        F.sum(F.col("n") / F.col("v") * F.col("m")).alias("swm"),
+        F.sum(F.col("n") / F.col("v") * F.col("m") * F.col("m")).alias("swm2"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("t1"),
+        F.sum(F.col("n") / F.col("v") / (F.col("n") - 1)).alias("t2"),
+        F.sum(F.col("n") / F.col("v") * (F.col("n") / F.col("v")) / (F.col("n") - 1)).alias(
+            "t3"
+        ),
+    )
+    ssb = F.col("snm2") - F.col("snm") * F.col("snm") / F.col("bign")
+    lam = F.col("t1") - 2.0 * F.col("t2") / F.col("w") + F.col("t3") / (
+        F.col("w") * F.col("w")
+    )
+    a_w = (F.col("swm2") - F.col("swm") * F.col("swm") / F.col("w")) / (F.col("k") - 1)
+    b_w = 1.0 + (2.0 * (F.col("k") - 2) / (F.col("k") * F.col("k") - 1)) * lam
+    return one.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("bign").cast("bigint").alias("n"),
+        F.round((ssb / (F.col("k") - 1)) / (F.col("ssw") / (F.col("bign") - F.col("k"))), 4).alias(
+            "f_classic"
+        ),
+        F.round(ssb / (ssb + F.col("ssw")), 6).alias("eta_sq"),
+        F.round(a_w / b_w, 4).alias("f_welch"),
+        F.round((F.col("k") * F.col("k") - 1) / (3.0 * lam), 4).alias("welch_df2"),
+    )
+
+
+ORACLE_ANOVA = """
+WITH g AS (
+  SELECT event_type, count(*)::DOUBLE AS n, sum(value::DOUBLE) AS s,
+         sum(value::DOUBLE * value::DOUBLE) AS ss
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+p AS (
+  SELECT n, s / n AS m, (ss - s * s / n) / (n - 1) AS v FROM g
+),
+one AS (
+  SELECT count(*)::DOUBLE AS k, sum(n) AS bign,
+         sum(n * m) AS snm, sum(n * m * m) AS snm2,
+         sum((n - 1) * v) AS ssw,
+         sum(n / v) AS w, sum(n / v * m) AS swm, sum(n / v * m * m) AS swm2,
+         sum(1.0 / (n - 1)) AS t1, sum(n / v / (n - 1)) AS t2,
+         sum(n / v * (n / v) / (n - 1)) AS t3
+  FROM p
+)
+SELECT k::BIGINT AS k_groups, bign::BIGINT AS n,
+       round(((snm2 - snm * snm / bign) / (k - 1)) / (ssw / (bign - k)), 4)
+         AS f_classic,
+       round((snm2 - snm * snm / bign)
+             / ((snm2 - snm * snm / bign) + ssw), 6) AS eta_sq,
+       round(((swm2 - swm * swm / w) / (k - 1))
+             / (1.0 + (2.0 * (k - 2) / (k * k - 1))
+                * (t1 - 2.0 * t2 / w + t3 / (w * w))), 4) AS f_welch,
+       round((k * k - 1) / (3.0 * (t1 - 2.0 * t2 / w + t3 / (w * w))), 4)
+         AS welch_df2
+FROM one
+"""
+
+
+def _phi_tail_p(z_abs):
+    """Two-sided normal p-value 2*(1-Phi(|z|)) as a Column, via the
+    Abramowitz & Stegun 7.1.26 erf polynomial (max abs error 1.5e-7 —
+    public-domain approximation). Written as the identical Horner form
+    the oracle uses so both engines run the same IEEE arithmetic:
+    p = poly(t) * exp(-u^2), u = |z|/sqrt(2), t = 1/(1+0.3275911*u)."""
+    u = z_abs / 1.4142135623730951
+    t = 1.0 / (1.0 + 0.3275911 * u)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return poly * F.exp(-u * u)
+
+
+def bh_fdr_type_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing screen: per event type, a two-sided Welch z-test
+    of its mean value against the complement, then Benjamini-Hochberg
+    step-up control at q=0.05 across the k hypotheses. The complement's
+    moments come from the global totals (one extra 1-row agg, broadcast
+    cross-join) — never a second scan per type. p-values use a portable
+    erf polynomial (identical Horner form both engines) and the BH
+    decision is computed from the ROUNDED p so the verdict is engine-
+    deterministic. Windows run over the k aggregated rows only."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n1"),
+        F.sum(F.col("value").cast("double")).alias("s1"),
+        F.sum(F.col("value").cast("double") * F.col("value")).alias("ss1"),
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("bign"),
+        F.sum(F.col("value").cast("double")).alias("s"),
+        F.sum(F.col("value").cast("double") * F.col("value")).alias("ss"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    m1 = F.col("s1") / F.col("n1")
+    v1 = (F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    n0 = F.col("bign") - F.col("n1")
+    m0 = (F.col("s") - F.col("s1")) / n0
+    v0 = (F.col("ss") - F.col("ss1") - n0 * m0 * m0) / (n0 - 1)
+    z = (m1 - m0) / F.sqrt(v1 / F.col("n1") + v0 / n0)
+    scored = j.select(
+        "event_type",
+        F.round(z, 4).alias("z"),
+        F.round(_phi_tail_p(F.abs(z)), 6).alias("p_value"),
+    )
+    w_rank = Window.orderBy("p_value", "event_type")
+    w_all = Window.partitionBy()
+    ranked = scored.select(
+        "event_type",
+        "z",
+        "p_value",
+        F.row_number().over(w_rank).cast("double").alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("double").alias("m"),
+    ).withColumn(
+        "i_star",
+        F.max(
+            F.when(F.col("p_value") <= 0.05 * F.col("i") / F.col("m"), F.col("i")).otherwise(
+                0.0
+            )
+        ).over(w_all),
+    )
+    return ranked.select(
+        "event_type",
+        "z",
+        "p_value",
+        F.col("i").cast("bigint").alias("bh_rank"),
+        (F.col("i") <= F.col("i_star")).cast("bigint").alias("rejected"),
+    )
+
+
+ORACLE_BH_FDR = """
+WITH per AS (
+  SELECT event_type, count(*)::DOUBLE AS n1, sum(value::DOUBLE) AS s1,
+         sum(value::DOUBLE * value::DOUBLE) AS ss1
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::DOUBLE AS bign, sum(value::DOUBLE) AS s,
+         sum(value::DOUBLE * value::DOUBLE) AS ss
+  FROM events WHERE value IS NOT NULL
+),
+zed AS (
+  SELECT event_type,
+         ((s1 / n1) - ((s - s1) / (bign - n1)))
+         / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                + ((ss - ss1 - (bign - n1) * ((s - s1) / (bign - n1))
+                    * ((s - s1) / (bign - n1))) / (bign - n1 - 1))
+                  / (bign - n1)) AS z
+  FROM per CROSS JOIN tot
+),
+scored AS (
+  SELECT event_type, round(z, 4) AS z,
+         round(
+           (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)))
+           * (0.254829592
+              + (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)))
+              * (-0.284496736
+                 + (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)))
+                 * (1.421413741
+                    + (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)))
+                    * (-1.453152027
+                       + (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)))
+                       * 1.061405429))))
+           * exp(-(abs(z) / 1.4142135623730951) * (abs(z) / 1.4142135623730951)),
+           6) AS p_value
+  FROM zed
+),
+ranked AS (
+  SELECT event_type, z, p_value,
+         row_number() OVER (ORDER BY p_value, event_type)::DOUBLE AS i,
+         count(*) OVER ()::DOUBLE AS m
+  FROM scored
+),
+star AS (
+  SELECT *, max(CASE WHEN p_value <= 0.05 * i / m THEN i ELSE 0.0 END)
+              OVER () AS i_star
+  FROM ranked
+)
+SELECT event_type, z, p_value, i::BIGINT AS bh_rank,
+       (i <= i_star)::BIGINT AS rejected
+FROM star
+"""
+
+
+def seasonal_strength_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of the per-type daily mean value
+    into trend (centered 7-day moving average), day-of-week seasonal
+    indices, and residual — reported as Hyndman's trend/seasonal
+    STRENGTH statistics F_T = max(0, 1 - var(R)/var(T+R)) and
+    F_S = max(0, 1 - var(R)/var(S+R)). All windows are PARTITIONED by
+    event type and the series is the DAILY aggregate, so window state is
+    days-per-type, never event-rows; the edge days without a full 7-day
+    window are excluded exactly like a centered MA leaves NaN edges."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.avg(F.col("value").cast("double")).alias("y"))
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    t = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.avg("y").over(w7).alias("trend"),
+        F.count(F.lit(1)).over(w7).alias("wcnt"),
+    ).filter(F.col("wcnt") == 7)
+    wdow = Window.partitionBy("event_type", F.weekday("day"))
+    d = t.withColumn("detr", F.col("y") - F.col("trend")).withColumn(
+        "seas", F.avg("detr").over(wdow)
+    )
+    d = d.withColumn("resid", F.col("detr") - F.col("seas"))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("resid").alias("sr"),
+        F.sum(F.col("resid") * F.col("resid")).alias("srr"),
+        F.sum("detr").alias("sd"),
+        F.sum(F.col("detr") * F.col("detr")).alias("sdd"),
+        F.sum(F.col("y") - F.col("seas")).alias("st"),
+        F.sum((F.col("y") - F.col("seas")) * (F.col("y") - F.col("seas"))).alias("stt"),
+    )
+    vr = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n")) / (F.col("n") - 1)
+    vd = (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n")) / (F.col("n") - 1)
+    vt = (F.col("stt") - F.col("st") * F.col("st") / F.col("n")) / (F.col("n") - 1)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - vr / vt), 6).alias("trend_strength"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - vr / vd), 6).alias("seasonal_strength"),
+    )
+
+
+ORACLE_SEASONAL_STRENGTH = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, avg(value::DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, day, y,
+         avg(y) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+         count(*) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wcnt
+  FROM daily
+),
+d AS (
+  SELECT event_type, day, y, trend, y - trend AS detr,
+         avg(y - trend) OVER (PARTITION BY event_type, isodow(day) - 1) AS seas
+  FROM t WHERE wcnt = 7
+),
+agg AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(detr - seas) AS sr, sum((detr - seas) * (detr - seas)) AS srr,
+         sum(detr) AS sd, sum(detr * detr) AS sdd,
+         sum(y - seas) AS st, sum((y - seas) * (y - seas)) AS stt
+  FROM d
+  GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n_days,
+       round(greatest(0.0, 1.0 -
+         ((srr - sr * sr / n) / (n - 1)) / ((stt - st * st / n) / (n - 1))), 6)
+         AS trend_strength,
+       round(greatest(0.0, 1.0 -
+         ((srr - sr * sr / n) / (n - 1)) / ((sdd - sd * sd / n) / (n - 1))), 6)
+         AS seasonal_strength
+FROM agg
+"""
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit (Li, Li, Venkatasubramanian, ICDE 2007)
+    completing the k-anonymity / l-diversity governance trio: for each
+    quasi-identifier class (event_type, day-of-week), the total-variation
+    distance between the class's distribution over the SENSITIVE value
+    band and the global band distribution; classes with TVD > t=0.2 leak
+    more about members than the corpus does. Zero-count (class, band)
+    cells contribute |0 - p_global| — materialized via a classes×bands
+    grid cross-join, which is bounded by the QI-space size (|types|·7 ·
+    10 bands), NOT the row count, so the grid stays tiny at any scale;
+    the only data-scale pass is the one counting hash-agg."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cell = ev.select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.least(F.lit(9), F.floor(F.col("value") / 10).cast("int")).alias("vband"),
+    )
+    counts = cell.groupBy("event_type", "dow", "vband").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    classes = counts.groupBy("event_type", "dow").agg(F.sum("c").alias("nc"))
+    bands = counts.groupBy("vband").agg(F.sum("c").alias("gb"))
+    total = counts.agg(F.sum("c").alias("bign"))
+    grid = classes.crossJoin(F.broadcast(bands)).crossJoin(F.broadcast(total))
+    full = grid.join(counts, ["event_type", "dow", "vband"], "left").fillna(
+        0.0, subset=["c"]
+    )
+    return (
+        full.groupBy("event_type", "dow", "nc")
+        .agg(
+            F.round(
+                0.5 * F.sum(F.abs(F.col("c") / F.col("nc") - F.col("gb") / F.col("bign"))),
+                6,
+            ).alias("tvd")
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("nc").cast("bigint").alias("class_size"),
+            "tvd",
+            (F.col("tvd") > 0.2).cast("bigint").alias("violates_t"),
+        )
+    )
+
+
+ORACLE_T_CLOSENESS = """
+WITH cell AS (
+  -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7
+  SELECT event_type, dayofweek(ts) + 1 AS dow,
+         least(9, floor(value / 10)::INTEGER) AS vband
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT event_type, dow, vband, count(*)::DOUBLE AS c
+  FROM cell GROUP BY 1, 2, 3
+),
+classes AS (SELECT event_type, dow, sum(c) AS nc FROM counts GROUP BY 1, 2),
+bands AS (SELECT vband, sum(c) AS gb FROM counts GROUP BY 1),
+total AS (SELECT sum(c) AS bign FROM counts),
+grid AS (
+  SELECT cl.event_type, cl.dow, cl.nc, b.vband, b.gb, t.bign,
+         coalesce(co.c, 0.0) AS c
+  FROM classes cl CROSS JOIN bands b CROSS JOIN total t
+  LEFT JOIN counts co
+    ON co.event_type = cl.event_type AND co.dow = cl.dow
+   AND co.vband = b.vband
+)
+SELECT event_type, dow::BIGINT AS dow, nc::BIGINT AS class_size,
+       round(0.5 * sum(abs(c / nc - gb / bign)), 6) AS tvd,
+       (round(0.5 * sum(abs(c / nc - gb / bign)), 6) > 0.2)::BIGINT
+         AS violates_t
+FROM grid GROUP BY event_type, dow, nc
+"""
+
+
+def link_prediction_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the supplier co-supply graph (same
+    high-quantity edge slice as triangle_count_cosupply): for supplier
+    pairs at distance 2 that are NOT already edges, the three classical
+    scores — common-neighbor count, Jaccard, Adamic-Adar Σ 1/ln(deg z)
+    (Adamic & Adar 2003) — top-20 by Adamic-Adar. Candidate generation
+    is the wedge self-join on the shared neighbor (O(Σ deg²), the same
+    bound as triangle counting — at 100 TB you additionally degree-cap
+    hub nodes before the wedge join, which the quantity slice already
+    approximates here); scoring data (degrees) joins in on the bounded
+    node table. A common neighbor has degree ≥ 2, so ln(deg) > 0."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    e = (
+        ps.alias("x")
+        .join(ps.alias("y"), "pk")
+        .filter(F.col("x.sk") < F.col("y.sk"))
+        .select(F.col("x.sk").alias("a"), F.col("y.sk").alias("b"))
+        .distinct()
+    )
+    adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    wz = adj.select(F.col("a").alias("z"), F.col("b").alias("u")).join(
+        deg.select(F.col("node").alias("z"), F.col("deg").alias("degz")), "z"
+    )
+    wedges = (
+        wz.alias("l")
+        .join(wz.alias("r"), "z")
+        .filter(F.col("l.u") < F.col("r.u"))
+        .select(
+            F.col("l.u").alias("a"), F.col("r.u").alias("b"), F.col("l.degz").alias("degz")
+        )
+    )
+    cand = (
+        wedges.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("cn"),
+            F.sum(1.0 / F.log(F.col("degz"))).alias("aa"),
+        )
+        .join(e, ["a", "b"], "left_anti")
+    )
+    scored = (
+        cand.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("dega")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("degb")), "b")
+        .select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(F.col("cn") / (F.col("dega") + F.col("degb") - F.col("cn")), 6).alias(
+                "jaccard"
+            ),
+            F.round(F.col("aa"), 6).alias("adamic_adar"),
+        )
+    )
+    return scored.orderBy(F.col("adamic_adar").desc(), "a", "b").limit(20)
+
+
+ORACLE_LINK_PREDICTION = """
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+            FROM lineitem WHERE l_quantity >= 48),
+e AS (
+  SELECT DISTINCT x.sk AS a, y.sk AS b
+  FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk
+),
+adj AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS node, count(*)::DOUBLE AS deg FROM adj GROUP BY 1),
+wz AS (
+  SELECT adj.a AS z, adj.b AS u, d.deg AS degz
+  FROM adj JOIN deg d ON d.node = adj.a
+),
+cand AS (
+  SELECT l.u AS a, r.u AS b, count(*)::DOUBLE AS cn,
+         sum(1.0 / ln(l.degz)) AS aa
+  FROM wz l JOIN wz r ON l.z = r.z AND l.u < r.u
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT c.* FROM cand c ANTI JOIN e ON e.a = c.a AND e.b = c.b
+)
+SELECT ne.a::BIGINT AS a, ne.b::BIGINT AS b, ne.cn::BIGINT AS common_neighbors,
+       round(ne.cn / (da.deg + db.deg - ne.cn), 6) AS jaccard,
+       round(ne.aa, 6) AS adamic_adar
+FROM nonedge ne
+JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
+ORDER BY adamic_adar DESC, a, b LIMIT 20
+"""
+
+
+_LOGISTIC_STEPS = 4
+
+
+def logistic_newton_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-feature logistic regression (is the event a purchase, from
+    the standardized value) fit with 4 Newton-Raphson steps — the
+    canonical ITERATIVE-ML-on-Spark shape: each step is ONE full pass
+    producing a 7-double gradient/Hessian row (map-side combined tree
+    reduce), the 2×2 solve happens on the driver, and the betas are
+    shipped back as literals. k iterations = k passes, never a
+    per-row UDF and never data on the driver beyond the 1-row
+    aggregates. The oracle unrolls the identical recurrence as chained
+    CTEs. Newton's quadratic convergence makes both engines land on the
+    same MLE to well past the 6-dp rounding despite float-sum order
+    differing."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mrow = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("double")).alias("s"),
+        F.sum(F.col("value").cast("double") * F.col("value")).alias("ss"),
+    ).first()
+    mu = mrow["s"] / mrow["n"]
+    sd = (mrow["ss"] / mrow["n"] - mu * mu) ** 0.5
+    base = ev.select(
+        ((F.col("value").cast("double") - F.lit(mu)) / F.lit(sd)).alias("x"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    b0, b1 = 0.0, 0.0
+    for _ in range(_LOGISTIC_STEPS):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+        g = base.agg(
+            F.sum(p - F.col("y")).alias("g0"),
+            F.sum((p - F.col("y")) * F.col("x")).alias("g1"),
+            F.sum(p * (1.0 - p)).alias("h00"),
+            F.sum(p * (1.0 - p) * F.col("x")).alias("h01"),
+            F.sum(p * (1.0 - p) * F.col("x") * F.col("x")).alias("h11"),
+        ).first()
+        det = g["h00"] * g["h11"] - g["h01"] * g["h01"]
+        b0 -= (g["h11"] * g["g0"] - g["h01"] * g["g1"]) / det
+        b1 -= (g["h00"] * g["g1"] - g["h01"] * g["g0"]) / det
+    p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+    return base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.lit(round(b0, 6)).alias("b0"),
+        F.lit(round(b1, 6)).alias("b1"),
+        F.round(
+            -F.avg(F.col("y") * F.log(p) + (1.0 - F.col("y")) * F.log(1.0 - p)), 6
+        ).alias("log_loss"),
+        F.round(
+            F.avg(((p >= 0.5).cast("double") == F.col("y")).cast("double")), 6
+        ).alias("accuracy"),
+    )
+
+
+def _logistic_oracle_sql(steps: int) -> str:
+    """Unrolled-CTE mirror of logistic_newton_purchase: b{i} carries the
+    betas after step i; each step re-aggregates the base CTE with the
+    previous betas via a cross join (1 row × N rows)."""
+    parts = [
+        """WITH stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(value::DOUBLE) AS s,
+         sum(value::DOUBLE * value::DOUBLE) AS ss
+  FROM events WHERE value IS NOT NULL
+),
+base AS (
+  SELECT (value::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS x,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events CROSS JOIN stats WHERE value IS NOT NULL
+),
+b0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"""
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            f""",
+b{i} AS (
+  SELECT b0 - (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+         b1 - (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+  FROM (
+    SELECT max(b0) AS b0, max(b1) AS b1,
+           sum(p - y) AS g0, sum((p - y) * x) AS g1,
+           sum(p * (1 - p)) AS h00, sum(p * (1 - p) * x) AS h01,
+           sum(p * (1 - p) * x * x) AS h11
+    FROM (SELECT x, y, b0, b1,
+                 1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p
+          FROM base CROSS JOIN b{i - 1})
+  )
+)"""
+        )
+    parts.append(
+        f"""
+SELECT count(*)::BIGINT AS n, round(max(b0), 6) AS b0, round(max(b1), 6) AS b1,
+       round(-avg(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6) AS log_loss,
+       round(avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6)
+         AS accuracy
+FROM (SELECT x, y, b0, b1, 1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p
+      FROM base CROSS JOIN b{steps})"""
+    )
+    return "".join(parts)
+
+
+ORACLE_LOGISTIC_NEWTON = _logistic_oracle_sql(_LOGISTIC_STEPS)
+
+
+def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving path end-to-end (operators/embeddings.py::pq_adc_topk):
+    encode the corpus once to packed 8-byte codes, then answer a query
+    (vec_id 0's vector) from the CODES ONLY via the asymmetric-distance
+    lookup tables — plus a per-result `exact_hit` flag against the exact
+    L2 top-10 so the recall of the compressed index is measured in the
+    same result. The LUT is m·k=128 floats computed driver-side; per-row
+    serving cost is 8 literal-array lookups, no vector math — the whole
+    point of PQ at 100 TB is that the original floats are never
+    rescanned. Exact side is the documented-exact baseline on the same
+    filtered corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = E.pq_codebooks_from_seed_rows(emb, m=8, k=16)
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    codes = E.pq_encode_packed(corpus, cbs)
+    top = E.pq_adc_topk(codes, cbs, qvec, topk=10)
+    exact_ids = (
+        corpus.select(
+            "vec_id", E._sq_dist_to_literal("embedding", qvec).alias("d")
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    flagged = top.join(
+        F.broadcast(exact_ids.withColumn("hit", F.lit(1))), "vec_id", "left"
+    )
+    w = Window.orderBy("adc_distance", "vec_id")
+    return flagged.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "adc_distance",
+        F.coalesce(F.col("hit"), F.lit(0)).cast("bigint").alias("exact_hit"),
+    )
+
+
+ORACLE_PQ_ADC = """
+WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM x WHERE vec_id = 0),
+seeds AS (SELECT vec_id AS code, v FROM x WHERE vec_id < 16),
+lut AS (
+  SELECT j.j AS subspace, s.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (q.v[CAST(j.j * 8 + i AS INTEGER)]
+                 - s.v[CAST(j.j * 8 + i AS INTEGER)]) ^ 2)) AS d
+  FROM seeds s CROSS JOIN q, unnest(range(0, 8)) AS j(j)
+),
+dists AS (
+  SELECT e.vec_id, j.j AS subspace, s.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (e.v[CAST(j.j * 8 + i AS INTEGER)]
+                 - s.v[CAST(j.j * 8 + i AS INTEGER)]) ^ 2)) AS dist
+  FROM x e CROSS JOIN seeds s, unnest(range(0, 8)) AS j(j)
+  WHERE e.vec_id != 0
+),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code,
+           row_number() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY dist, code) AS rk
+    FROM dists
+  ) WHERE rk = 1
+),
+adc AS (
+  SELECT c.vec_id, round(sum(l.d), 6) AS adc_distance
+  FROM codes c JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+  GROUP BY 1
+),
+top AS (
+  SELECT vec_id, adc_distance FROM adc
+  ORDER BY adc_distance, vec_id LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id
+  FROM x e CROSS JOIN q
+  WHERE e.vec_id != 0
+  ORDER BY list_sum(list_transform(range(1, 65),
+             i -> (e.v[CAST(i AS INTEGER)] - q.v[CAST(i AS INTEGER)]) ^ 2)),
+           e.vec_id
+  LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY t.adc_distance, t.vec_id)::BIGINT AS rank,
+       t.vec_id::BIGINT AS vec_id, t.adc_distance,
+       (ex.vec_id IS NOT NULL)::BIGINT AS exact_hit
+FROM top t LEFT JOIN exact ex ON ex.vec_id = t.vec_id
+"""
+
+
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift detection (Page 1954, Biometrika)
+    on the per-type DAILY mean value: S_t = Σ_{i≤t} (x_i - x̄_i - δ)
+    with x̄_i the running mean, PH_t = S_t - min_{i≤t} S_i; drift is
+    flagged when max PH exceeds λ. The recurrence is NOT iterative here
+    — running mean, running sum, and running min are all plain window
+    functions over the days-per-type series, so the whole detector is
+    one windowed pass over the (bounded) daily aggregate. All windows
+    are type-partitioned."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg(F.col("value").cast("double")).alias("x")
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = daily.withColumn(
+        "step", F.col("x") - F.avg("x").over(wrun) - 0.01
+    ).withColumn("s", F.sum("step").over(wrun))
+    ph = stepped.withColumn("ph", F.col("s") - F.min("s").over(wrun))
+    wbest = Window.partitionBy("event_type").orderBy(F.col("ph").desc(), "day")
+    best = ph.withColumn("rk", F.row_number().over(wbest)).filter(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.round(F.col("ph"), 6).alias("max_ph"),
+        F.date_format("day", "yyyy-MM-dd").alias("drift_day"),
+        (F.round(F.col("ph"), 6) > 10.0).cast("bigint").alias("detected"),
+    )
+
+
+ORACLE_PAGE_HINKLEY = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, avg(value::DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+stepped AS (
+  SELECT event_type, day,
+         x - avg(x) OVER w - 0.01 AS step
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type, day,
+         sum(step) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM stepped
+),
+ph AS (
+  SELECT event_type, day,
+         s - min(s) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+  FROM s
+),
+best AS (
+  SELECT event_type, ph, day,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ph DESC, day) AS rk
+  FROM ph
+)
+SELECT event_type, round(ph, 6) AS max_ph,
+       strftime(day, '%Y-%m-%d') AS drift_day,
+       (round(ph, 6) > 10.0)::BIGINT AS detected
+FROM best WHERE rk = 1
+"""
+
+
+def nbinom_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion audit of per-type DAILY event counts against the
+    Poisson null: dispersion index D = var/mean and the normal
+    approximation z = (D-1)·sqrt((n-1)/2) of the chi-square index test
+    — the screen that decides whether a count model needs a negative
+    binomial. Daily counts are one hash agg; the moments are a k-row
+    second agg (manual Σ/Σx² so both engines run identical algebra)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    m = F.col("s") / F.col("n")
+    v = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    d = v / m
+    z = (d - 1.0) * F.sqrt((F.col("n") - 1.0) / 2.0)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(m, 4).alias("mean_daily"),
+        F.round(v, 4).alias("var_daily"),
+        F.round(d, 6).alias("dispersion_index"),
+        F.round(z, 4).alias("z"),
+        (F.round(z, 4) > 1.645).cast("bigint").alias("overdispersed"),
+    )
+
+
+ORACLE_NBINOM = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*)::DOUBLE AS n, sum(c) AS s, sum(c * c) AS ss
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n_days,
+       round(s / n, 4) AS mean_daily,
+       round((ss - s * s / n) / (n - 1), 4) AS var_daily,
+       round(((ss - s * s / n) / (n - 1)) / (s / n), 6) AS dispersion_index,
+       round((((ss - s * s / n) / (n - 1)) / (s / n) - 1.0)
+             * sqrt((n - 1.0) / 2.0), 4) AS z,
+       (round((((ss - s * s / n) / (n - 1)) / (s / n) - 1.0)
+              * sqrt((n - 1.0) / 2.0), 4) > 1.645)::BIGINT AS overdispersed
+FROM agg
+"""
+
+
+def dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private release of the event-type histogram
+    (Dwork et al. 2006): true counts plus Laplace(Δ/ε) noise, Δ=1
+    (count query), ε=1. The noise draw is the repo's portable md5
+    uniform — u = md5(type||salt)[:8] as a 32-bit fraction, mapped
+    through the inverse-CDF −b·sign(u−½)·ln(1−2|u−½|) — so the
+    'randomness' is deterministic, engine-portable, and oracle-checkable
+    while exercising the exact release mechanism. Completes the privacy
+    suite (k-anonymity, l-diversity, t-closeness → DP). One hash agg;
+    noise math is per-GROUP, not per-row."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("event_type"), F.lit("|dp-salt-1"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    centered = u - 0.5
+    noise = (
+        -1.0
+        * F.when(centered < 0, -1.0).otherwise(1.0)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return counts.select(
+        "event_type",
+        F.col("c").cast("bigint").alias("true_count"),
+        F.round(noise, 6).alias("laplace_noise"),
+        F.round(F.col("c") + noise, 6).alias("released_count"),
+    )
+
+
+ORACLE_DP_HISTOGRAM = """
+WITH counts AS (
+  SELECT event_type, count(*)::DOUBLE AS c FROM events GROUP BY 1
+),
+noised AS (
+  SELECT event_type, c,
+         ('0x' || substr(md5(event_type || '|dp-salt-1'), 1, 8))::BIGINT
+           / 4294967296.0 - 0.5 AS centered
+  FROM counts
+)
+SELECT event_type, c::BIGINT AS true_count,
+       round(-1.0 * (CASE WHEN centered < 0 THEN -1.0 ELSE 1.0 END)
+             * ln(1.0 - 2.0 * abs(centered)), 6) AS laplace_noise,
+       round(c + -1.0 * (CASE WHEN centered < 0 THEN -1.0 ELSE 1.0 END)
+             * ln(1.0 - 2.0 * abs(centered)), 6) AS released_count
+FROM noised
+"""
+
+
+def rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 7-day rolling OLS slope of the daily mean value against
+    the day index — the local-trend feature a forecasting pipeline
+    derives per series. Day index is days-since-epoch (no per-type min
+    lookup needed, slope is shift-invariant in t); the five rolling sums
+    (n, Σt, Σy, Σty, Σt²) come from ONE type-partitioned window and the
+    closed form (nΣty − ΣtΣy)/(nΣt² − (Σt)²) needs no second pass.
+    Partial leading windows are excluded like a centered MA's edges."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg(F.col("value").cast("double")).alias("y")
+    )
+    t = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast("double")
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    rolled = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum(t).over(w).alias("st"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(t * F.col("y")).over(w).alias("sty"),
+        F.sum(t * t).over(w).alias("stt"),
+    ).filter(F.col("n") == 7)
+    return rolled.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(
+            (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+            / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")),
+            6,
+        ).alias("slope_7d"),
+    )
+
+
+ORACLE_ROLLING_SLOPE = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, avg(value::DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+rolled AS (
+  SELECT event_type, day,
+         count(*) OVER w::DOUBLE AS n,
+         sum(date_diff('day', DATE '1970-01-01', day)::DOUBLE) OVER w AS st,
+         sum(y) OVER w AS sy,
+         sum(date_diff('day', DATE '1970-01-01', day)::DOUBLE * y) OVER w AS sty,
+         sum(date_diff('day', DATE '1970-01-01', day)::DOUBLE
+             * date_diff('day', DATE '1970-01-01', day)::DOUBLE) OVER w AS stt
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       round((n * sty - st * sy) / (n * stt - st * st), 6) AS slope_7d
+FROM rolled WHERE n = 7
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "page_hinkley_drift": page_hinkley_drift,
+    "nbinom_overdispersion": nbinom_overdispersion,
+    "dp_histogram_release": dp_histogram_release,
+    "rolling_regression_slope": rolling_regression_slope,
+    "anova_value_by_type": anova_value_by_type,
+    "bh_fdr_type_screen": bh_fdr_type_screen,
+    "seasonal_strength_by_type": seasonal_strength_by_type,
+    "t_closeness_audit": t_closeness_audit,
+    "link_prediction_cosupply": link_prediction_cosupply,
+    "logistic_newton_purchase": logistic_newton_purchase,
+    "pq_adc_topk": pq_adc_topk_query,
     "spearman_corr_lineitem": spearman_corr_lineitem,
     "theil_sen_trend_by_type": theil_sen_trend_by_type,
     "ndcg_bm25_eval": ndcg_bm25_eval,
@@ -10138,6 +11046,17 @@ QUERIES: dict[str, Query] = {
 }
 
 ORACLES: dict[str, str] = {
+    "page_hinkley_drift": ORACLE_PAGE_HINKLEY,
+    "nbinom_overdispersion": ORACLE_NBINOM,
+    "dp_histogram_release": ORACLE_DP_HISTOGRAM,
+    "rolling_regression_slope": ORACLE_ROLLING_SLOPE,
+    "anova_value_by_type": ORACLE_ANOVA,
+    "bh_fdr_type_screen": ORACLE_BH_FDR,
+    "seasonal_strength_by_type": ORACLE_SEASONAL_STRENGTH,
+    "t_closeness_audit": ORACLE_T_CLOSENESS,
+    "link_prediction_cosupply": ORACLE_LINK_PREDICTION,
+    "logistic_newton_purchase": ORACLE_LOGISTIC_NEWTON,
+    "pq_adc_topk": ORACLE_PQ_ADC,
     "spearman_corr_lineitem": ORACLE_SPEARMAN,
     "theil_sen_trend_by_type": ORACLE_THEIL_SEN,
     "ndcg_bm25_eval": ORACLE_NDCG,
