@@ -301,3 +301,41 @@ def test_rolling_slope_recovers_planted_line(spark, tmp_path):
     got = rolling_regression_slope(spark, str(tmp_path)).collect()
     assert len(got) == 8  # 14 days - 6 partial leading windows
     assert all(r["slope_7d"] == 2.0 for r in got)
+
+
+def test_holt_winters_constant_series_fixed_point(spark, tmp_path):
+    """A constant daily series is a fixed point of additive HW with
+    zero seasonal init: level = c, trend = 0, seasonal = 0 at every
+    step, exactly (each update reproduces the state bit-for-bit)."""
+    from weatherdatapipeline_spark.queries import holt_winters_daily
+
+    rows = []
+    for i in range(21):
+        day = dt.date(2024, 1, 1) + dt.timedelta(days=i)
+        rows.append((i, f"{day.isoformat()}T12:00:00", 1, 42.0, "click"))
+    _write_events(spark, str(tmp_path), rows)
+    got = holt_winters_daily(spark, str(tmp_path)).collect()
+    assert len(got) == 21
+    for r in got:
+        assert r["level"] == 42.0
+        assert r["trend"] == 0.0
+        assert r["seasonal"] == 0.0
+
+
+def test_holt_winters_learns_weekly_pattern(spark, tmp_path):
+    """Pure weekly signal (no trend): after a burn-in season the
+    seasonal state must separate the planted high dow from the low dow
+    in the right direction."""
+    from weatherdatapipeline_spark.queries import holt_winters_daily
+
+    pattern = [0.0, 20.0, 0.0, 0.0, 0.0, 0.0, -20.0]
+    rows = []
+    for i in range(42):
+        day = dt.date(2024, 1, 1) + dt.timedelta(days=i)
+        rows.append((i, f"{day.isoformat()}T12:00:00", 1,
+                     50.0 + pattern[day.weekday()], "click"))
+    _write_events(spark, str(tmp_path), rows)
+    got = {r["day"]: r for r in holt_winters_daily(spark, str(tmp_path)).collect()}
+    # 2024-02-06 is a Tuesday (pattern +20), 2024-02-11 a Sunday (-20)
+    assert got["2024-02-06"]["seasonal"] > 5.0
+    assert got["2024-02-11"]["seasonal"] < -5.0

@@ -262,3 +262,71 @@ def kalman_1d(
         return pdf[[key, ts_col, value_col, "estimate", "gain"]]
 
     return df.select(*in_cols).groupBy(key).applyInPandas(fn, out_schema)
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_col: str,
+    m: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing per key —
+    THREE coupled recurrences (level, trend, and an m-slot seasonal
+    ring), the fully stateful end of the smoothing family (EWMA → Holt
+    → Holt-Winters):
+
+        l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+
+    seeded l_1 = x_1, b_1 = 0 and s_i = 0 for i ≤ 0 (zero seasonal
+    burn-in — a deterministic convention both engines replicate, so the
+    first season is a warm-up rather than a fitted init). The loop owns
+    its exact float64 op sequence; the recursive-CTE oracle
+    (queries.ORACLE_HOLT_WINTERS) carries the m-slot seasonal state as
+    a DOUBLE[] column and runs the identical ops, so raw doubles hash
+    equal with NO rounding. applyInPandas per key: the recurrence is
+    partition-local; each key's series (here: days, not events) must
+    fit one task."""
+    out_schema = StructType(
+        [
+            df.schema[key],
+            df.schema[order_col],
+            df.schema[value_col],
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("seasonal", DoubleType()),
+        ]
+    )
+    one_minus_a = 1.0 - alpha
+    one_minus_b = 1.0 - beta
+    one_minus_g = 1.0 - gamma
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([order_col])
+        xs = pdf[value_col].astype("float64").to_numpy()
+        levels, trends, seasonals = [], [], []
+        l = b = None
+        ring = [0.0] * m
+        for x in xs:
+            x = float(x)
+            if l is None:
+                l, b, s = x, 0.0, 0.0
+            else:
+                s_old = ring[0]
+                lp = l
+                l = alpha * (x - s_old) + one_minus_a * (lp + b)
+                b = beta * (l - lp) + one_minus_b * b
+                s = gamma * (x - l) + one_minus_g * s_old
+            ring = ring[1:] + [s]
+            levels.append(l)
+            trends.append(b)
+            seasonals.append(s)
+        pdf = pdf.assign(level=levels, trend=trends, seasonal=seasonals)
+        return pdf[[key, order_col, value_col, "level", "trend", "seasonal"]]
+
+    return df.select(key, order_col, value_col).groupBy(key).applyInPandas(fn, out_schema)

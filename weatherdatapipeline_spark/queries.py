@@ -10806,7 +10806,77 @@ FROM rolled WHERE n = 7
 """
 
 
+def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + 7-slot weekly seasonal
+    ring) on the per-type DAILY mean value — the fully stateful end of
+    the smoothing family (operators/stateful.py::holt_winters_additive).
+    The recursion input is the daily mean ROUNDED to 6dp on both sides
+    (aggregate float-sum order differs between engines; rounding pins
+    the recursion inputs), after which both engines run the identical
+    float64 op sequence — level/trend/seasonal hash equal as RAW
+    doubles, the same bitwise-recursive-oracle contract as EWMA / Holt /
+    Kalman. The oracle carries the m-slot seasonal state as a DOUBLE[]
+    column through a recursive CTE."""
+    from .operators.stateful import holt_winters_additive
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.avg(F.col("value").cast("double")), 6).alias("y")
+    )
+    out = holt_winters_additive(
+        daily, "event_type", "day", "y", m=7, alpha=0.3, beta=0.1, gamma=0.2
+    )
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "y",
+        "level",
+        "trend",
+        "seasonal",
+    )
+
+
+ORACLE_HOLT_WINTERS = """
+WITH RECURSIVE seq AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM (
+    SELECT event_type, ts::DATE AS day, round(avg(value::DOUBLE), 6) AS y
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+  )
+),
+r AS (
+  SELECT event_type, rn, day, y,
+         y AS l, 0.0::DOUBLE AS b, 0.0::DOUBLE AS s,
+         [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS st
+  FROM seq WHERE rn = 1
+  UNION ALL
+  -- identical op sequence to the Spark loop; l' is recomputed textually
+  -- inside b' and s' (same ops -> same double as computing it once)
+  SELECT s2.event_type, s2.rn, s2.day, s2.y,
+         0.3::DOUBLE * (s2.y - r.st[1])
+           + (1.0::DOUBLE - 0.3::DOUBLE) * (r.l + r.b),
+         0.1::DOUBLE * ((0.3::DOUBLE * (s2.y - r.st[1])
+             + (1.0::DOUBLE - 0.3::DOUBLE) * (r.l + r.b)) - r.l)
+           + (1.0::DOUBLE - 0.1::DOUBLE) * r.b,
+         0.2::DOUBLE * (s2.y - (0.3::DOUBLE * (s2.y - r.st[1])
+             + (1.0::DOUBLE - 0.3::DOUBLE) * (r.l + r.b)))
+           + (1.0::DOUBLE - 0.2::DOUBLE) * r.st[1],
+         r.st[2:7] || [
+           0.2::DOUBLE * (s2.y - (0.3::DOUBLE * (s2.y - r.st[1])
+               + (1.0::DOUBLE - 0.3::DOUBLE) * (r.l + r.b)))
+             + (1.0::DOUBLE - 0.2::DOUBLE) * r.st[1]
+         ]
+  FROM r JOIN seq s2 ON s2.event_type = r.event_type AND s2.rn = r.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, y, l AS level,
+       b AS trend, s AS seasonal
+FROM r
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "holt_winters_daily": holt_winters_daily,
     "page_hinkley_drift": page_hinkley_drift,
     "nbinom_overdispersion": nbinom_overdispersion,
     "dp_histogram_release": dp_histogram_release,
@@ -11046,6 +11116,7 @@ QUERIES: dict[str, Query] = {
 }
 
 ORACLES: dict[str, str] = {
+    "holt_winters_daily": ORACLE_HOLT_WINTERS,
     "page_hinkley_drift": ORACLE_PAGE_HINKLEY,
     "nbinom_overdispersion": ORACLE_NBINOM,
     "dp_histogram_release": ORACLE_DP_HISTOGRAM,
