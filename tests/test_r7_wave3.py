@@ -339,3 +339,25 @@ def test_holt_winters_learns_weekly_pattern(spark, tmp_path):
     # 2024-02-06 is a Tuesday (pattern +20), 2024-02-11 a Sunday (-20)
     assert got["2024-02-06"]["seasonal"] > 5.0
     assert got["2024-02-11"]["seasonal"] < -5.0
+
+
+def test_propensity_ate_recovers_constant_effect(spark, tmp_path):
+    """Every hour has the same weekend fraction, so the propensity is
+    constant, all rows fall into one stratum, and with a planted uniform
+    +10 weekend effect the stratified ATE is exactly 10."""
+    from weatherdatapipeline_spark.queries import propensity_stratified_ate
+
+    rows, eid = [], 0
+    for h in range(6):
+        for d in ["2024-01-01", "2024-01-02"]:  # Mon, Tue (control)
+            rows.append((eid, f"{d}T{h:02d}:30:00", 1, float(h), "click"))
+            eid += 1
+        rows.append((eid, f"2024-01-06T{h:02d}:30:00", 1, float(h) + 10.0, "click"))
+        eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = propensity_stratified_ate(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == 18
+    assert r["diff"] == 10.0
+    assert r["ate_overall"] == 10.0

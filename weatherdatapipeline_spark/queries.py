@@ -10410,19 +10410,7 @@ def logistic_newton_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("value").cast("double") - F.lit(mu)) / F.lit(sd)).alias("x"),
         F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
     )
-    b0, b1 = 0.0, 0.0
-    for _ in range(_LOGISTIC_STEPS):
-        p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
-        g = base.agg(
-            F.sum(p - F.col("y")).alias("g0"),
-            F.sum((p - F.col("y")) * F.col("x")).alias("g1"),
-            F.sum(p * (1.0 - p)).alias("h00"),
-            F.sum(p * (1.0 - p) * F.col("x")).alias("h01"),
-            F.sum(p * (1.0 - p) * F.col("x") * F.col("x")).alias("h11"),
-        ).first()
-        det = g["h00"] * g["h11"] - g["h01"] * g["h01"]
-        b0 -= (g["h11"] * g["g0"] - g["h01"] * g["g1"]) / det
-        b1 -= (g["h00"] * g["g1"] - g["h01"] * g["g0"]) / det
+    b0, b1 = _fit_logistic_1d(base, _LOGISTIC_STEPS)
     p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
     return base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -10437,23 +10425,11 @@ def logistic_newton_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logistic_oracle_sql(steps: int) -> str:
-    """Unrolled-CTE mirror of logistic_newton_purchase: b{i} carries the
-    betas after step i; each step re-aggregates the base CTE with the
-    previous betas via a cross join (1 row × N rows)."""
-    parts = [
-        """WITH stats AS (
-  SELECT count(*)::DOUBLE AS n, sum(value::DOUBLE) AS s,
-         sum(value::DOUBLE * value::DOUBLE) AS ss
-  FROM events WHERE value IS NOT NULL
-),
-base AS (
-  SELECT (value::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS x,
-         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
-  FROM events CROSS JOIN stats WHERE value IS NOT NULL
-),
-b0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"""
-    ]
+def _newton_cte_chain(steps: int) -> str:
+    """The b1..b{steps} CTE chain of the unrolled Newton recurrence —
+    shared by every logistic-fit oracle; expects CTEs named `base`
+    (columns x, y, extras allowed) and `b0` (initial betas) upstream."""
+    parts = []
     for i in range(1, steps + 1):
         parts.append(
             f""",
@@ -10471,6 +10447,49 @@ b{i} AS (
   )
 )"""
         )
+    return "".join(parts)
+
+
+def _fit_logistic_1d(base: DataFrame, steps: int) -> tuple[float, float]:
+    """Fit y ~ sigmoid(b0 + b1·x) over a DataFrame with columns x, y by
+    `steps` Newton-Raphson iterations. Each iteration is ONE full pass
+    producing a 7-double row (map-side combined); the 2×2 solve runs on
+    the driver and the betas return as Python floats for literal
+    re-injection — the k-pass iterative-ML shape, no per-row UDF."""
+    b0, b1 = 0.0, 0.0
+    for _ in range(steps):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+        g = base.agg(
+            F.sum(p - F.col("y")).alias("g0"),
+            F.sum((p - F.col("y")) * F.col("x")).alias("g1"),
+            F.sum(p * (1.0 - p)).alias("h00"),
+            F.sum(p * (1.0 - p) * F.col("x")).alias("h01"),
+            F.sum(p * (1.0 - p) * F.col("x") * F.col("x")).alias("h11"),
+        ).first()
+        det = g["h00"] * g["h11"] - g["h01"] * g["h01"]
+        b0 -= (g["h11"] * g["g0"] - g["h01"] * g["g1"]) / det
+        b1 -= (g["h00"] * g["g1"] - g["h01"] * g["g0"]) / det
+    return b0, b1
+
+
+def _logistic_oracle_sql(steps: int) -> str:
+    """Unrolled-CTE mirror of logistic_newton_purchase: b{i} carries the
+    betas after step i; each step re-aggregates the base CTE with the
+    previous betas via a cross join (1 row × N rows)."""
+    parts = [
+        """WITH stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(value::DOUBLE) AS s,
+         sum(value::DOUBLE * value::DOUBLE) AS ss
+  FROM events WHERE value IS NOT NULL
+),
+base AS (
+  SELECT (value::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS x,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events CROSS JOIN stats WHERE value IS NOT NULL
+),
+b0 AS (SELECT 0.0 AS b0, 0.0 AS b1)""",
+        _newton_cte_chain(steps),
+    ]
     parts.append(
         f"""
 SELECT count(*)::BIGINT AS n, round(max(b0), 6) AS b0, round(max(b1), 6) AS b1,
@@ -10875,7 +10894,120 @@ FROM r
 """
 
 
+def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational causal estimate via propensity-score stratification
+    (Rosenbaum & Rubin 1983): treatment = weekend event, outcome =
+    value, confounder = hour-of-day. The propensity model is the same
+    4-pass Newton logistic fit (_fit_logistic_1d) on standardized hour;
+    scores are rounded to 6dp BOTH SIDES to pin the strata, quintile
+    boundaries come from one exact-percentile 1-row aggregate
+    (broadcast), and the ATE is the stratum-size-weighted mean of
+    within-stratum treated−control differences. Composition of three
+    already-verified primitives — iterative fit, percentile banding,
+    grouped conditional means — in two data passes + k fit passes."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hstats = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.hour("ts").cast("double")).alias("s"),
+        F.sum(F.hour("ts").cast("double") * F.hour("ts")).alias("ss"),
+    ).first()
+    mu = hstats["s"] / hstats["n"]
+    sd = (hstats["ss"] / hstats["n"] - mu * mu) ** 0.5
+    base = ev.select(
+        ((F.hour("ts").cast("double") - F.lit(mu)) / F.lit(sd)).alias("x"),
+        F.dayofweek("ts").isin(1, 7).cast("double").alias("y"),
+        F.col("value").cast("double").alias("outcome"),
+    )
+    b0, b1 = _fit_logistic_1d(base, _LOGISTIC_STEPS)
+    scored = base.select(
+        "outcome",
+        F.col("y").alias("t"),
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x")))), 6
+        ).alias("p"),
+    )
+    bnd = scored.agg(
+        *[
+            F.round(F.percentile("p", F.lit(q)), 6).alias(f"_q{i}")
+            for i, q in enumerate([0.2, 0.4, 0.6, 0.8], start=1)
+        ]
+    )
+    stratum = sum(
+        F.when(F.col("p") >= F.col(f"_q{i}"), 1).otherwise(0) for i in range(1, 5)
+    )
+    per = (
+        scored.crossJoin(F.broadcast(bnd))
+        .select(stratum.alias("stratum"), "outcome", "t")
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg(F.when(F.col("t") == 1.0, F.col("outcome"))).alias("mt"),
+            F.avg(F.when(F.col("t") == 0.0, F.col("outcome"))).alias("mc"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        F.col("stratum").cast("bigint").alias("stratum"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("mt"), 4).alias("mean_treated"),
+        F.round(F.col("mc"), 4).alias("mean_control"),
+        F.round(F.col("mt") - F.col("mc"), 4).alias("diff"),
+        F.round(
+            F.sum(F.col("n") * (F.col("mt") - F.col("mc"))).over(w_all)
+            / F.sum("n").over(w_all),
+            4,
+        ).alias("ate_overall"),
+    )
+
+
+ORACLE_PROPENSITY_ATE = (
+    """WITH stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(hour(ts)::DOUBLE) AS s,
+         sum(hour(ts)::DOUBLE * hour(ts)::DOUBLE) AS ss
+  FROM events WHERE value IS NOT NULL
+),
+base AS (
+  SELECT (hour(ts)::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS x,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1.0 ELSE 0.0 END AS y,
+         value::DOUBLE AS outcome
+  FROM events CROSS JOIN stats WHERE value IS NOT NULL
+),
+b0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"""
+    + _newton_cte_chain(_LOGISTIC_STEPS)
+    + f""",
+scored AS (
+  SELECT outcome, y AS t,
+         round(1.0 / (1.0 + exp(-(b0 + b1 * x))), 6) AS p
+  FROM base CROSS JOIN b{_LOGISTIC_STEPS}
+),
+bnd AS (
+  SELECT round(quantile_cont(p, 0.2), 6) AS q1,
+         round(quantile_cont(p, 0.4), 6) AS q2,
+         round(quantile_cont(p, 0.6), 6) AS q3,
+         round(quantile_cont(p, 0.8), 6) AS q4
+  FROM scored
+),
+per AS (
+  SELECT (CASE WHEN p >= q1 THEN 1 ELSE 0 END
+        + CASE WHEN p >= q2 THEN 1 ELSE 0 END
+        + CASE WHEN p >= q3 THEN 1 ELSE 0 END
+        + CASE WHEN p >= q4 THEN 1 ELSE 0 END) AS stratum,
+         count(*)::DOUBLE AS n,
+         avg(CASE WHEN t = 1.0 THEN outcome END) AS mt,
+         avg(CASE WHEN t = 0.0 THEN outcome END) AS mc
+  FROM scored CROSS JOIN bnd
+  GROUP BY 1
+)
+SELECT stratum::BIGINT AS stratum, n::BIGINT AS n,
+       round(mt, 4) AS mean_treated, round(mc, 4) AS mean_control,
+       round(mt - mc, 4) AS diff,
+       round(sum(n * (mt - mc)) OVER () / sum(n) OVER (), 4) AS ate_overall
+FROM per"""
+)
+
+
 QUERIES: dict[str, Query] = {
+    "propensity_stratified_ate": propensity_stratified_ate,
     "holt_winters_daily": holt_winters_daily,
     "page_hinkley_drift": page_hinkley_drift,
     "nbinom_overdispersion": nbinom_overdispersion,
@@ -11116,6 +11248,7 @@ QUERIES: dict[str, Query] = {
 }
 
 ORACLES: dict[str, str] = {
+    "propensity_stratified_ate": ORACLE_PROPENSITY_ATE,
     "holt_winters_daily": ORACLE_HOLT_WINTERS,
     "page_hinkley_drift": ORACLE_PAGE_HINKLEY,
     "nbinom_overdispersion": ORACLE_NBINOM,
