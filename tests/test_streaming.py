@@ -522,3 +522,110 @@ def test_stateful_holt_across_batches_matches_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got == want and len(got) == 4
+
+
+def _have_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def test_token_quota_gate_plan_and_schema(spark):
+    """transformWithStateInPandas plan construction works without the
+    optional protobuf runtime dep: streaming flag + output schema."""
+    from weatherdatapipeline_spark.streaming.jobs import token_quota_gate_stateful
+
+    doc_schema = "source string, ts timestamp, doc_id long, n_tokens long"
+    stream = (
+        spark.readStream.format("rate").load()
+        .select(
+            F.lit("web").alias("source"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("doc_id"),
+            (F.col("value") % 100).alias("n_tokens"),
+        )
+    )
+    out = token_quota_gate_stateful(stream, "source", "ts", "doc_id", "n_tokens", 100)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "source", "ts", "doc_id", "n_tokens", "cum_tokens", "admitted",
+    ]
+    assert "TransformWithStateInPySpark" in out._jdf.queryExecution().analyzed().toString()
+
+
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="protobuf not installed: transformWithState state protocol unavailable",
+)
+def test_token_quota_gate_transformwithstate(spark, tmp_path_factory):
+    """Spark 4 StatefulProcessor v2 (transformWithStateInPandas): the
+    per-source token-budget gate must (a) carry the cumulative count
+    across micro-batches and (b) equal the batch prefix rule
+    sum(tokens) OVER (PARTITION BY source ORDER BY ts, doc) <= budget."""
+    import time as _time
+
+    from weatherdatapipeline_spark.streaming.jobs import (
+        token_quota_gate_stateful,
+        use_rocksdb_state,
+    )
+
+    doc_schema = "source string, ts timestamp, doc_id long, n_tokens long"
+    path = str(tmp_path_factory.mktemp("quota_in"))
+    b1 = [
+        ("web", ts("2024-01-01T10:00:00"), 1, 40),
+        ("web", ts("2024-01-01T10:01:00"), 2, 50),
+        ("books", ts("2024-01-01T10:00:30"), 3, 90),
+    ]
+    b2 = [
+        ("web", ts("2024-01-01T10:02:00"), 4, 20),   # 40+50+20 > 100 -> reject
+        ("web", ts("2024-01-01T10:03:00"), 5, 5),    # prefix rule: still rejected
+        ("books", ts("2024-01-01T10:02:30"), 6, 10), # 90+10 <= 100 -> admit
+    ]
+    spark.createDataFrame(b1, doc_schema).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    spark.createDataFrame(b2, doc_schema).coalesce(1).write.mode("append").parquet(path)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)  # transformWithState requires RocksDB
+    try:
+        stream = spark.readStream.schema(doc_schema).option("maxFilesPerTrigger", 1).parquet(path)
+        out = token_quota_gate_stateful(
+            stream, "source", "ts", "doc_id", "n_tokens", budget=100
+        )
+        q = (
+            out.writeStream.format("memory").queryName("quota_sink")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = {
+            r["doc_id"]: (r["cum_tokens"], r["admitted"])
+            for r in spark.sql("SELECT * FROM quota_sink").collect()
+        }
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert got == {
+        1: (40, 1), 2: (90, 1), 3: (90, 1),
+        4: (110, 0), 5: (115, 0), 6: (100, 1),
+    }
+
+    # batch twin: identical admitted set from a window cumulative sum
+    from pyspark.sql import Window
+
+    allrows = spark.createDataFrame(b1 + b2, doc_schema)
+    w = Window.partitionBy("source").orderBy("ts", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    batch = allrows.select(
+        "doc_id",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        (F.sum("n_tokens").over(w) <= 100).cast("int").alias("admitted"),
+    )
+    batch_map = {r["doc_id"]: (r["cum_tokens"], r["admitted"]) for r in batch.collect()}
+    assert batch_map == got

@@ -813,6 +813,72 @@ GROUP BY token ORDER BY tf DESC, token LIMIT 50
 """
 
 
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (operators/bpe.py — Sennrich 2016,
+    map-reduce formulation) over the documents corpus: 16 merge rounds,
+    each ONE vocab-bounded adjacent-pair aggregate + a 1-row driver
+    argmax + one Arrow-batched symbol rewrite. The corpus itself is
+    scanned exactly once (word counts); everything after is O(rounds ·
+    |vocab|). Deterministic: integer pair counts, lexicographic
+    tiebreak. rows-only driver check BY DESIGN (per-round argmax +
+    sequential rewrite is not reasonably SQL-expressible);
+    tests/test_bpe.py replays the identical algorithm in pure Python
+    over the same word counts and asserts table equality."""
+    from .operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    return B.bpe_merges_df(spark, docs, n_merges=16)
+
+
+def collated_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive vocabulary via Spark 4 COLLATIONS: tokens group
+    under the UTF8_LCASE collation (engine-native case folding in the
+    hash aggregate — no lower() materialization of the grouping key),
+    reporting per-class total count, #case variants, and the binary-min
+    variant as the deterministic representative. Tokens are restricted
+    to ASCII alpha so UTF8_LCASE equality coincides exactly with
+    lower()-equality, which is what the oracle mirrors (DuckDB has no
+    collation-grouping; lower() is the relational twin for this
+    alphabet). Top-20 by count with a lexicographic tiebreak. Same
+    map-side-combined wordcount shape as vocabulary_top50 — the
+    collation rides inside the group key, costing nothing extra at
+    100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok").rlike("^[A-Za-z]+$"))
+    g = tok.groupBy(F.collate(F.col("tok"), "UTF8_LCASE").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("tok").cast("bigint").alias("n_variants"),
+        F.min("tok").alias("first_variant"),
+    )
+    return (
+        g.select(
+            F.lower("first_variant").alias("token_lc"),
+            "first_variant",
+            "n_variants",
+            "n",
+        )
+        .orderBy(F.desc("n"), "token_lc")
+        .limit(20)
+    )
+
+
+ORACLE_COLLATED_TOKENS = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+),
+f AS (SELECT tok FROM toks WHERE regexp_full_match(tok, '[A-Za-z]+')),
+g AS (
+  SELECT lower(tok) AS token_lc, min(tok) AS first_variant,
+         count(DISTINCT tok)::BIGINT AS n_variants, count(*)::BIGINT AS n
+  FROM f GROUP BY 1
+)
+SELECT token_lc, first_variant, n_variants, n
+FROM g ORDER BY n DESC, token_lc LIMIT 20
+"""
+
+
 def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signal: 1 - distinct_trigrams/total_trigrams per
     document (high = repeated boilerplate — a standard pretraining-quality
@@ -3799,6 +3865,130 @@ SELECT user_id, session_no,
        count(*) AS n_events,
        max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS duration_s
 FROM s GROUP BY user_id, session_no
+"""
+
+
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent SESSIONS per day — the capacity-planning number —
+    via a distributed sweep line over session intervals. Sessions are
+    the 30-min-gap islands (same construction as sessionize_events_batch,
+    user-partitioned windows); a session is active on [start, end]
+    seconds inclusive, i.e. the half-open delta pair (+1 at start, -1
+    at end+1).
+
+    Scale design — NO global ordering anywhere: deltas aggregate by
+    exact boundary second (hash agg, kills tie-order ambiguity), the
+    running sum is a window PARTITIONED BY DAY over in-day boundary
+    points only, and the cross-midnight contribution is a CARRY count
+    per day (sessions straddling the midnight) computed with a
+    broadcast of the bounded day list — sessions × #days comparisons,
+    never a timeline-wide sort. peak(D) = carry(D) + max(0, max in-day
+    running sum): the max(0,·) covers the instant after midnight before
+    the first in-day boundary. Integer arithmetic throughout —
+    schedule-independent."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn("is_break", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "session_no",
+            F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("s"),
+            F.max(F.unix_timestamp("ts")).alias("e"),
+        )
+    )
+    deltas = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy("t").agg(F.sum("d").alias("d"))
+    in_day = per_t.withColumn("day_idx", F.floor(F.col("t") / F.lit(86400)))
+    wd = Window.partitionBy("day_idx").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rel = (
+        in_day.withColumn("cum", F.sum("d").over(wd))
+        .groupBy("day_idx")
+        .agg(F.max("cum").alias("max_rel"))
+    )
+    days = ev.select(
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("day_idx")
+    ).distinct()
+    carry = (
+        sess.crossJoin(F.broadcast(days))
+        .filter(
+            (F.col("s") < F.col("day_idx") * 86400)
+            & (F.col("e") + 1 > F.col("day_idx") * 86400)
+        )
+        .groupBy("day_idx")
+        .agg(F.count(F.lit(1)).alias("carry"))
+    )
+    out = (
+        days.join(rel, "day_idx", "left")
+        .join(carry, "day_idx", "left")
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_idx").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            (
+                F.coalesce(F.col("carry"), F.lit(0)).cast("long")
+                + F.greatest(F.lit(0).cast("long"), F.coalesce(F.col("max_rel"), F.lit(0)).cast("long"))
+            ).cast("bigint").alias("peak_sessions"),
+        )
+    )
+    return out
+
+
+ORACLE_PEAK_CONCURRENCY = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS is_break
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sn AS (
+  SELECT user_id, ts,
+         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_no,
+         min(floor(epoch(ts))::BIGINT) AS s, max(floor(epoch(ts))::BIGINT) AS e
+  FROM sn GROUP BY 1, 2
+),
+deltas AS (
+  SELECT s AS t, 1 AS d FROM sess
+  UNION ALL SELECT e + 1 AS t, -1 AS d FROM sess
+),
+per_t AS (SELECT t, sum(d) AS d FROM deltas GROUP BY 1),
+rel AS (
+  SELECT day_idx, max(cum) AS max_rel FROM (
+    SELECT t // 86400 AS day_idx, d,
+           sum(d) OVER (PARTITION BY t // 86400 ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM per_t
+  ) GROUP BY 1
+),
+days AS (SELECT DISTINCT floor(epoch(ts))::BIGINT // 86400 AS day_idx FROM events),
+carry AS (
+  SELECT dy.day_idx, count(*) AS carry
+  FROM sess CROSS JOIN days dy
+  WHERE sess.s < dy.day_idx * 86400 AND sess.e + 1 > dy.day_idx * 86400
+  GROUP BY 1
+)
+SELECT strftime(DATE '1970-01-01' + (dy.day_idx::INT), '%Y-%m-%d') AS day,
+       (coalesce(c.carry, 0) + greatest(0, coalesce(r.max_rel, 0)))::BIGINT
+         AS peak_sessions
+FROM days dy
+LEFT JOIN rel r ON r.day_idx = dy.day_idx
+LEFT JOIN carry c ON c.day_idx = dy.day_idx
 """
 
 
@@ -11599,6 +11789,8 @@ QUERIES: dict[str, Query] = {
     "text_profile": text_profile,
     "token_stats_by_source": token_stats_by_source,
     "vocabulary_top50": vocabulary_top50,
+    "collated_token_counts": collated_token_counts,
+    "bpe_learned_merges": bpe_learned_merges,
     "doc_repetition_scores": doc_repetition_scores,
     "remove_boilerplate_chunks": remove_boilerplate_chunks,
     "winnow_doc_fingerprints": winnow_doc_fingerprints,
@@ -11674,6 +11866,7 @@ QUERIES: dict[str, Query] = {
     "split_sizes_3way": split_sizes_3way,
     "mixture_sample_counts": mixture_sample_counts,
     "sessionize_events_batch": sessionize_events_batch,
+    "peak_concurrency_daily": peak_concurrency_daily,
     "grouping_sets_lineitem": grouping_sets_lineitem,
     "gapfill_locf_series": gapfill_locf_series,
     "gapfill_interpolate_series": gapfill_interpolate_series,
@@ -11847,6 +12040,7 @@ ORACLES: dict[str, str] = {
     "text_profile": ORACLE_TEXT_PROFILE,
     "token_stats_by_source": ORACLE_TOKEN_STATS,
     "vocabulary_top50": ORACLE_VOCAB,
+    "collated_token_counts": ORACLE_COLLATED_TOKENS,
     "doc_repetition_scores": ORACLE_REPETITION,
     "remove_boilerplate_chunks": ORACLE_BOILERPLATE,
     "winnow_doc_fingerprints": ORACLE_WINNOW,
@@ -11913,6 +12107,7 @@ ORACLES: dict[str, str] = {
     "dedup_cluster_assignments_star": ORACLE_CC,
     "dedup_canonical_corpus": ORACLE_CANONICAL,
     "sessionize_events_batch": ORACLE_SESSIONIZE,
+    "peak_concurrency_daily": ORACLE_PEAK_CONCURRENCY,
     "grouping_sets_lineitem": ORACLE_GROUPING_SETS,
     "gapfill_locf_series": ORACLE_GAPFILL,
     "gapfill_interpolate_series": ORACLE_GAPFILL_INTERP,

@@ -714,3 +714,88 @@ def holt_stateful(
     return stream.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def token_quota_gate_stateful(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    doc_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Streaming per-source token-budget gate via the Spark 4
+    StatefulProcessor v2 API (transformWithStateInPandas): per-key
+    ValueState carries the cumulative token count across micro-batches;
+    a document is ADMITTED while the running prefix total (itself
+    included) stays within ``budget`` and flagged rejected after — the
+    PREFIX rule, so the batch twin is exactly `sum(tokens) OVER
+    (PARTITION BY key ORDER BY ts, doc) <= budget` (asserted by the
+    stream==batch equivalence test). The corpus-ingest shape every
+    budgeted pretraining mix needs at the streaming edge: stop taking
+    from a source the moment its quota fills, keep an auditable
+    rejected stream.
+
+    Scale: state is ONE long per source key; rows sort by (ts, doc)
+    inside each batch so admission is schedule-deterministic given the
+    batch sequence. transformWithState requires the RocksDB state store
+    (use_rocksdb_state) — which is also the 100 TB-correct choice.
+
+    Optional-dep gate: EXECUTING the query needs the `protobuf` package
+    (Spark's TransformWithState Python state-server protocol), absent
+    from this sandbox — plan construction and schema are tested
+    unconditionally, the live run is a skip-marked test that activates
+    wherever protobuf is installed (same contract as the PIL image
+    path and the MLflow registry backend).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            stream.schema[key],
+            stream.schema[ts_col],
+            stream.schema[doc_col],
+            StructField(tokens_col, LongType()),
+            StructField("cum_tokens", LongType()),
+            StructField("admitted", IntegerType()),
+        ]
+    )
+
+    class _QuotaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cum = handle.getValueState("cum", "total LONG")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            total = int(self._cum.get()[0]) if self._cum.exists() else 0
+            for pdf in rows:
+                pdf = pdf.sort_values([ts_col, doc_col])
+                toks = pdf[tokens_col].astype("int64")
+                cums = total + toks.cumsum()
+                out = pdf.copy()
+                out[tokens_col] = toks
+                out["cum_tokens"] = cums
+                out["admitted"] = (cums <= budget).astype("int32")
+                out[key] = key_tuple[0]
+                if len(cums):
+                    total = int(cums.iloc[-1])
+                yield out[[f.name for f in out_schema.fields]]
+            self._cum.update((total,))
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=_QuotaProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )
