@@ -77,6 +77,9 @@ HEADLINE = [
     # r7 wave 3
     "link_prediction_cosupply",    # wedge-join CN/Jaccard/Adamic-Adar
     "logistic_newton_purchase",    # 4-pass Newton IRLS (iterative ML shape)
+    # r8
+    "peak_concurrency_daily",      # sweep line, day-partitioned, no global order
+    "hll_distinct_users_explicit", # explicit HLL sketch, exact-integer registers
 ]
 
 
@@ -164,6 +167,10 @@ SCALE_HEADLINE = [
     # over replicated rows (linear by construction)
     "link_prediction_cosupply",
     "logistic_newton_purchase",
+    # r8: session deltas and HLL registers are per-copy independent
+    # (shifted user keys); both are one-or-two hash-agg scans — linear
+    "peak_concurrency_daily",
+    "hll_distinct_users_explicit",
 ]
 
 # bump when build_scale_dir's transform changes so stale caches rebuild

@@ -813,6 +813,156 @@ GROUP BY token ORDER BY tf DESC, token LIMIT 50
 """
 
 
+# HLL constants: m = 2^8 registers, 52-bit register stream (13 hex chars
+# of the portable md5 — the same cross-engine hash idiom as the MinHash
+# portable family), alpha_256 per Flajolet et al. 2007. The numerator
+# alpha·m²·2^53 is ONE Python-computed double literal injected into both
+# engines so no constant-folding order can differ.
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(2**53)
+
+
+def hll_distinct_users_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007)
+    per event type — unlike approx_count_distinct (whose HLL++ sketch
+    bytes are engine-private, hence rows-only), every step here is
+    deterministic relational algebra the oracle replays bit-for-bit:
+    portable md5 → (8-bit register index, 52-bit stream), rho from the
+    INTEGER binary length (no float log2 — engine libm differences
+    can't flip a boundary), register maxima via hash agg, and the
+    harmonic denominator summed as Σ 2^(53-rho) in EXACT BIGINT (dyadic
+    doubles would round order-dependently past 53 bits). Small-range
+    correction m·ln(m/V) when E ≤ 2.5m and empty registers exist.
+    Output: HLL estimate, exact count, relative error — the sketch
+    audit a 100 TB pipeline runs on a sample before trusting the
+    sketch fleet-wide. Scale: two hash aggs, k·m rows max in flight."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hx = F.md5(F.col("user_id").cast("string"))
+    j = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    regs = (
+        ev.select("event_type", j.alias("j"), rho.alias("rho"))
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("r"))
+    )
+    per = regs.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("r")).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    v = F.lit(_HLL_M) - F.col("present")
+    denom = (F.col("s") + v * F.lit(2**53)).cast("double")
+    e_raw = F.lit(_HLL_NUM) / denom
+    est = F.when(
+        (e_raw <= 2.5 * _HLL_M) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    out = per.join(exact, "event_type").select(
+        "event_type",
+        F.round(est, 4).alias("hll_users"),
+        "exact_users",
+        F.round(F.abs(F.round(est, 4) - F.col("exact_users")) / F.col("exact_users"), 4).alias(
+            "rel_err"
+        ),
+    )
+    return out
+
+
+ORACLE_HLL_EXPLICIT = f"""
+WITH b AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::INT AS j,
+         ('0x' || substr(md5(user_id::VARCHAR), 3, 13))::BIGINT AS w
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT event_type, j,
+         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
+  FROM b GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type, sum((2 ** (53 - r))::BIGINT)::BIGINT AS s,
+         count(*)::BIGINT AS present
+  FROM regs GROUP BY 1
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+est AS (
+  SELECT p.event_type, ex.exact_users,
+         CASE WHEN ({_HLL_NUM!r} / (p.s + ({_HLL_M} - p.present) * {2**53})::DOUBLE)
+                   <= {2.5 * _HLL_M}
+               AND ({_HLL_M} - p.present) > 0
+              THEN {float(_HLL_M)!r}
+                   * ln({float(_HLL_M)!r} / ({_HLL_M} - p.present)::DOUBLE)
+              ELSE {_HLL_NUM!r} / (p.s + ({_HLL_M} - p.present) * {2**53})::DOUBLE
+         END AS e
+  FROM per p JOIN ex ON ex.event_type = p.event_type
+)
+SELECT event_type, round(e, 4) AS hll_users, exact_users,
+       round(abs(round(e, 4) - exact_users) / exact_users, 4) AS rel_err
+FROM est
+"""
+
+
+def recursive_cte_ancestor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (new SQL surface in Spark 4, SPARK-24497) —
+    the same WITH RECURSIVE text runs on both engines: every user walks
+    its ancestor chain in the implicit binary hierarchy (parent =
+    node DIV 2 — deterministic, acyclic, log-depth), reporting chain
+    depth, chain length, and the event-count rollup along the chain.
+
+    Termination/scale: the frontier HALVES each level, so recursion
+    depth is log2(max uid) (~11 at sf0.1, limit 100 default) and total
+    recursive rows are n·log n — each level is one self-union join,
+    never a path enumeration (no cycles, no combinatorial blowup; this
+    is the spec-level twin of the checkpointed-loop operators in
+    operators/graph.py, which remain the 100 TB path for general
+    graphs). Oracle: the identical recursion in DuckDB (// for DIV)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("v_events_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE uc AS (
+          SELECT user_id AS uid, count(*) AS c FROM v_events_rec GROUP BY user_id
+        ),
+        walk AS (
+          SELECT uid AS u, uid AS node, 0 AS depth FROM uc
+          UNION ALL
+          SELECT u, node DIV 2, depth + 1 FROM walk WHERE node > 1
+        )
+        SELECT u AS user_id,
+               CAST(max(depth) AS BIGINT) AS depth,
+               CAST(count(*) AS BIGINT) AS chain_len,
+               CAST(sum(coalesce(c, 0)) AS BIGINT) AS chain_events
+        FROM walk LEFT JOIN uc ON uc.uid = walk.node
+        GROUP BY u
+        """
+    )
+
+
+ORACLE_RECURSIVE_ROLLUP = """
+WITH RECURSIVE uc AS (
+  SELECT user_id AS uid, count(*) AS c FROM events GROUP BY user_id
+),
+walk AS (
+  SELECT uid AS u, uid AS node, 0 AS depth FROM uc
+  UNION ALL
+  SELECT u, node // 2, depth + 1 FROM walk WHERE node > 1
+)
+SELECT u AS user_id,
+       max(depth)::BIGINT AS depth,
+       count(*)::BIGINT AS chain_len,
+       sum(coalesce(c, 0))::BIGINT AS chain_events
+FROM walk LEFT JOIN uc ON uc.uid = walk.node
+GROUP BY u
+"""
+
+
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-table training (operators/bpe.py — Sennrich 2016,
     map-reduce formulation) over the documents corpus: 16 merge rounds,
@@ -11791,6 +11941,8 @@ QUERIES: dict[str, Query] = {
     "vocabulary_top50": vocabulary_top50,
     "collated_token_counts": collated_token_counts,
     "bpe_learned_merges": bpe_learned_merges,
+    "recursive_cte_ancestor_rollup": recursive_cte_ancestor_rollup,
+    "hll_distinct_users_explicit": hll_distinct_users_explicit,
     "doc_repetition_scores": doc_repetition_scores,
     "remove_boilerplate_chunks": remove_boilerplate_chunks,
     "winnow_doc_fingerprints": winnow_doc_fingerprints,
@@ -12041,6 +12193,8 @@ ORACLES: dict[str, str] = {
     "token_stats_by_source": ORACLE_TOKEN_STATS,
     "vocabulary_top50": ORACLE_VOCAB,
     "collated_token_counts": ORACLE_COLLATED_TOKENS,
+    "recursive_cte_ancestor_rollup": ORACLE_RECURSIVE_ROLLUP,
+    "hll_distinct_users_explicit": ORACLE_HLL_EXPLICIT,
     "doc_repetition_scores": ORACLE_REPETITION,
     "remove_boilerplate_chunks": ORACLE_BOILERPLATE,
     "winnow_doc_fingerprints": ORACLE_WINNOW,
