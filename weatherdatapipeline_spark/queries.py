@@ -6102,6 +6102,359 @@ FROM agg
 """
 
 
+def bayes_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian readout of the same md5-assigned A/B experiment
+    (ab_test_conversion's frequentist twin): Beta(1+conv, 1+n-conv)
+    posteriors per arm and P(treatment beats control) via the
+    moment-matched normal approximation of the posterior difference —
+    evaluated with the SAME portable Horner erf polynomial as the
+    z-test family, so both engines run identical IEEE arithmetic.
+    Everything derives from the 4 exact integers of the pooled agg —
+    one user-keyed agg + 1-row math, no join, schedule-independent."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    agg = per_user.select(arm.alias("v"), "conv").agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("bigint").alias("n_control"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("bigint").alias("n_treatment"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0)).cast("bigint").alias("conv_control"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0)).cast("bigint").alias("conv_treatment"),
+    )
+    aa = 1.0 + F.col("conv_control")
+    ba = 1.0 + F.col("n_control") - F.col("conv_control")
+    at = 1.0 + F.col("conv_treatment")
+    bt = 1.0 + F.col("n_treatment") - F.col("conv_treatment")
+    ma = aa / (aa + ba)
+    mt = at / (at + bt)
+    va = aa * ba / ((aa + ba) * (aa + ba) * (aa + ba + 1.0))
+    vt = at * bt / ((at + bt) * (at + bt) * (at + bt + 1.0))
+    z = (mt - ma) / F.sqrt(va + vt)
+    tail = _phi_tail_p(F.abs(z))
+    p_beats = F.when(z >= 0, 1.0 - tail / 2.0).otherwise(tail / 2.0)
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        "conv_control",
+        "conv_treatment",
+        F.round(ma, 6).alias("posterior_mean_control"),
+        F.round(mt, 6).alias("posterior_mean_treatment"),
+        F.round(p_beats, 6).alias("prob_treatment_beats_control"),
+    )
+
+
+_SQL_HORNER_ERF_TAIL = """
+  (1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951)))
+  * (0.254829592
+     + (1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951)))
+     * (-0.284496736
+        + (1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951)))
+        * (1.421413741
+           + (1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951)))
+           * (-1.453152027
+              + (1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951)))
+              * 1.061405429))))
+  * exp(-(abs({z}) / 1.4142135623730951) * (abs({z}) / 1.4142135623730951))
+"""
+
+ORACLE_BAYES_AB = (
+    """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS v, conv
+  FROM per_user
+),
+agg AS (
+  SELECT sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_control,
+         sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treatment,
+         sum(CASE WHEN v = 0 THEN conv ELSE 0 END)::BIGINT AS conv_control,
+         sum(CASE WHEN v = 1 THEN conv ELSE 0 END)::BIGINT AS conv_treatment
+  FROM a
+),
+m AS (
+  SELECT *,
+         (1.0 + conv_control) / ((1.0 + conv_control) + (1.0 + n_control - conv_control)) AS ma,
+         (1.0 + conv_treatment) / ((1.0 + conv_treatment) + (1.0 + n_treatment - conv_treatment)) AS mt,
+         (1.0 + conv_control) * (1.0 + n_control - conv_control)
+           / (((1.0 + conv_control) + (1.0 + n_control - conv_control))
+              * ((1.0 + conv_control) + (1.0 + n_control - conv_control))
+              * ((1.0 + conv_control) + (1.0 + n_control - conv_control) + 1.0)) AS va,
+         (1.0 + conv_treatment) * (1.0 + n_treatment - conv_treatment)
+           / (((1.0 + conv_treatment) + (1.0 + n_treatment - conv_treatment))
+              * ((1.0 + conv_treatment) + (1.0 + n_treatment - conv_treatment))
+              * ((1.0 + conv_treatment) + (1.0 + n_treatment - conv_treatment) + 1.0)) AS vt
+  FROM agg
+),
+zed AS (SELECT *, (mt - ma) / sqrt(va + vt) AS z FROM m)
+SELECT n_control, n_treatment, conv_control, conv_treatment,
+       round(ma, 6) AS posterior_mean_control,
+       round(mt, 6) AS posterior_mean_treatment,
+       round(CASE WHEN z >= 0 THEN 1.0 - ("""
+    + _SQL_HORNER_ERF_TAIL.format(z="z")
+    + """) / 2.0
+            ELSE ("""
+    + _SQL_HORNER_ERF_TAIL.format(z="z")
+    + """) / 2.0 END, 6) AS prob_treatment_beats_control
+FROM zed
+"""
+)
+
+
+_PERM_B = 100
+
+
+def permutation_test_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test (Fisher randomization) for the weekend-vs-weekday
+    mean-value difference: B=100 DETERMINISTIC pseudo-permutations —
+    permutation b reassigns each row by md5(event_id|b) % 2, the same
+    portable-hash idiom as the A/B assignment — and the one-row readout
+    is p = (1 + #{|stat_b| >= |obs|}) / (B+1) (the add-one Monte-Carlo
+    estimator, Davison & Hinkley). All group sums accumulate as
+    DECIMAL(38,12) (r8 determinism contract) so every stat_b is
+    schedule-independent. Cost: one explode ×B → ONE hash agg keyed by
+    b — embarrassingly parallel, the permutation axis is just another
+    group key; no resampling pass per permutation."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("g"),
+    )
+    def _stat(df, gcol):
+        s1 = F.sum(F.when(F.col(gcol) == 1, F.col("v")).cast(dec)).cast("double")
+        n1 = F.count(F.when(F.col(gcol) == 1, 1))
+        s0 = F.sum(F.when(F.col(gcol) == 0, F.col("v")).cast(dec)).cast("double")
+        n0 = F.count(F.when(F.col(gcol) == 0, 1))
+        return (s1 / n1 - s0 / n0).alias("stat")
+
+    obs = base.agg(_stat(base, "g"))
+    perm_g = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("event_id").cast("string"), F.col("b").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).cast("int")
+    perms = (
+        base.select(
+            "event_id", "v", F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b")
+        )
+        .withColumn("pg", perm_g)
+        .groupBy("b")
+        .agg(_stat(base, "pg"))
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs.select(F.col("stat").alias("obs_stat"))))
+        .agg(
+            F.round(F.max("obs_stat"), 6).alias("obs_diff"),
+            F.sum(
+                (F.abs(F.col("stat")) >= F.abs(F.col("obs_stat"))).cast("long")
+            ).alias("b_exceed"),
+        )
+        .select(
+            "obs_diff",
+            "b_exceed",
+            F.round((1.0 + F.col("b_exceed")) / (1.0 + _PERM_B), 6).alias("p_value"),
+        )
+    )
+
+
+ORACLE_PERMUTATION_TEST = f"""
+WITH base AS (
+  SELECT event_id, value::DOUBLE AS v,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS g
+  FROM events WHERE value IS NOT NULL
+),
+obs AS (
+  SELECT sum(CAST(CASE WHEN g = 1 THEN v END AS DECIMAL(38,12)))::DOUBLE
+           / count(CASE WHEN g = 1 THEN 1 END)
+         - sum(CAST(CASE WHEN g = 0 THEN v END AS DECIMAL(38,12)))::DOUBLE
+           / count(CASE WHEN g = 0 THEN 1 END) AS obs_stat
+  FROM base
+),
+perms AS (
+  SELECT b.b,
+         sum(CAST(CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || '|' || b.b::VARCHAR), 1, 8))::BIGINT % 2 = 1
+                  THEN v END AS DECIMAL(38,12)))::DOUBLE
+           / count(CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || '|' || b.b::VARCHAR), 1, 8))::BIGINT % 2 = 1
+                   THEN 1 END)
+         - sum(CAST(CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || '|' || b.b::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                  THEN v END AS DECIMAL(38,12)))::DOUBLE
+           / count(CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || '|' || b.b::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                   THEN 1 END) AS stat
+  FROM base CROSS JOIN (SELECT unnest(range(0, {_PERM_B})) AS b) b
+  GROUP BY b.b
+)
+SELECT round(max(obs_stat), 6) AS obs_diff,
+       sum((abs(stat) >= abs(obs_stat))::BIGINT)::BIGINT AS b_exceed,
+       round((1.0 + sum((abs(stat) >= abs(obs_stat))::BIGINT)) / (1.0 + {_PERM_B}), 6)
+         AS p_value
+FROM perms CROSS JOIN obs
+"""
+
+
+_FEATURE_HASH_K = 64
+
+
+def hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009): tokens project
+    into a fixed K=64-dim space via bucket = md5(token) % K with a
+    second independent hash choosing the ±1 sign (the collision-bias
+    killer), emitted as SPARSE rows (doc, bucket, weight, n_tokens) —
+    the relational form a 100 TB feature pipeline actually materializes
+    (dense vectors would be K columns of mostly zeros). Map-only until
+    ONE hash agg; integer weights — exact. Bounded to the first 50 docs
+    so the audit output stays reviewable (filter pushed to the scan)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % _FEATURE_HASH_K
+    )
+    sign = (
+        F.conv(F.substring(F.md5(F.concat(F.col("tok"), F.lit("#s"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    ) * 2 - 1
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sign").cast("bigint").alias("weight"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_HASHING_TRICK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_FEATURE_HASH_K} AS bucket,
+       sum((('0x' || substr(md5(tok || '#s'), 1, 8))::BIGINT % 2) * 2 - 1)::BIGINT
+         AS weight,
+       count(*)::BIGINT AS n_tokens
+FROM tok WHERE tok != ''
+GROUP BY 1, 2
+"""
+
+
+# two-sided alpha=0.05 and power=0.80 normal quantiles as fixed literals
+# (no inverse-CDF evaluation — the design constants every power formula
+# table uses, identical text both engines)
+_Z_ALPHA = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+
+
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-design power analysis from OBSERVED data: baseline
+    conversion p1 = control arm's rate, target p2 = +10% relative lift,
+    required n per arm from the classic two-proportion formula
+    n = (z_a·sqrt(2·p̄(1-p̄)) + z_b·sqrt(p1(1-p1)+p2(1-p2)))² / (p2-p1)²
+    (Fleiss, Statistical Methods for Rates and Proportions) at
+    alpha=0.05 two-sided / power=0.80 — quantiles as fixed literals, so
+    the whole readout is closed-form IEEE arithmetic over the pooled
+    agg's exact integers; `powered` flags whether the CURRENT arm sizes
+    already meet the requirement. The analysis unit is the USER-DAY
+    activation (did the user purchase that day — rate ≈ 0.4 here; the
+    per-user ever-purchased rate saturates at 1.0 in this corpus, a
+    degenerate design input), with arms still assigned by user. One
+    keyed agg + 1-row math."""
+    ev = _t(spark, sf_dir, "events")
+    per_unit = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    agg = per_unit.select(arm.alias("v"), "conv").agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("bigint").alias("n_control"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("bigint").alias("n_treatment"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0)).cast("bigint").alias("conv_control"),
+    )
+    p1 = F.col("conv_control") / F.col("n_control").cast("double")
+    p2 = p1 * 1.1
+    pbar = (p1 + p2) / 2.0
+    num = (
+        F.lit(_Z_ALPHA) * F.sqrt(2.0 * pbar * (1.0 - pbar))
+        + F.lit(_Z_BETA) * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    )
+    n_req = F.ceil(num * num / ((p2 - p1) * (p2 - p1))).cast("bigint")
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        F.round(p1, 6).alias("baseline_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        n_req.alias("n_required_per_arm"),
+        (
+            (F.col("n_control") >= n_req) & (F.col("n_treatment") >= n_req)
+        ).cast("bigint").alias("powered"),
+    )
+
+
+ORACLE_AB_POWER = f"""
+WITH per_unit AS (
+  SELECT user_id, ts::DATE AS d,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+),
+a AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS v, conv
+  FROM per_unit
+),
+agg AS (
+  SELECT sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_control,
+         sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treatment,
+         sum(CASE WHEN v = 0 THEN conv ELSE 0 END)::BIGINT AS conv_control
+  FROM a
+),
+p AS (
+  SELECT *, conv_control / n_control::DOUBLE AS p1,
+         (conv_control / n_control::DOUBLE) * 1.1 AS p2
+  FROM agg
+),
+r AS (
+  SELECT *,
+         ceil(
+           ({_Z_ALPHA!r} * sqrt(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+            + {_Z_BETA!r} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+           * ({_Z_ALPHA!r} * sqrt(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+              + {_Z_BETA!r} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+           / ((p2 - p1) * (p2 - p1))
+         )::BIGINT AS n_req
+  FROM p
+)
+SELECT n_control, n_treatment,
+       round(p1, 6) AS baseline_rate, round(p2, 6) AS target_rate,
+       n_req AS n_required_per_arm,
+       (n_control >= n_req AND n_treatment >= n_req)::BIGINT AS powered
+FROM r
+"""
+
+
 def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the user-journey transition graph (the same edges as
     event_transition_matrix, row-normalized) — 5 iterations, damping 0.85
@@ -12076,6 +12429,10 @@ QUERIES: dict[str, Query] = {
     "burst_hours_by_type": burst_hours_by_type,
     "hybrid_rrf_top10": hybrid_rrf_top10,
     "ab_test_conversion": ab_test_conversion,
+    "bayes_ab_conversion": bayes_ab_conversion,
+    "ab_power_analysis": ab_power_analysis,
+    "permutation_test_weekend_value": permutation_test_weekend_value,
+    "hashing_trick_features": hashing_trick_features,
     "pagerank_event_types": pagerank_event_types,
     "seasonal_anomaly_events": seasonal_anomaly_events,
     "quarantine_documents": quarantine_documents,
@@ -12315,6 +12672,10 @@ ORACLES: dict[str, str] = {
     "burst_hours_by_type": ORACLE_BURSTS,
     "hybrid_rrf_top10": ORACLE_RRF,
     "ab_test_conversion": ORACLE_AB_TEST,
+    "bayes_ab_conversion": ORACLE_BAYES_AB,
+    "ab_power_analysis": ORACLE_AB_POWER,
+    "permutation_test_weekend_value": ORACLE_PERMUTATION_TEST,
+    "hashing_trick_features": ORACLE_HASHING_TRICK,
     "pagerank_event_types": ORACLE_PAGERANK,
     "seasonal_anomaly_events": ORACLE_SEASONAL_ANOMALY,
     "quarantine_documents": ORACLE_QUARANTINE,
