@@ -9619,6 +9619,159 @@ FROM km
 """
 
 
+def logrank_churn_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel-Cox) comparing the churn survival curves of
+    the two md5-assigned experiment arms — the standard significance
+    test on top of kaplan_meier_user_churn, same lifetime/censoring
+    conventions (hours first→last event; active in the final 6h =
+    censored). Per distinct death time t: O-E contribution
+    d1 - d·n1/n and hypergeometric variance d·(n1/n)(1-n1/n)(n-d)/(n-1);
+    χ² = (ΣO-E)²/ΣV with 1 dof, p = 2(1-Φ(√χ²)) via the portable
+    Horner erf. Risk sets come from self-joins over the COLLAPSED
+    lifetime table (≤ observation-window rows) — the corpus is touched
+    by exactly one per-user aggregate; the cross-time sums are
+    decimal-hardened (r8 determinism contract)."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(F.max(F.unix_micros("ts")).alias("_max_us"))
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            arm.alias("g"),
+            F.floor((F.col("last_us") - F.col("first_us")) / 3_600_000_000).alias("t"),
+            (F.col("_max_us") - F.col("last_us") > 6 * 3_600_000_000)
+            .cast("int")
+            .alias("observed"),
+        )
+    )
+    lt = users.groupBy("t").agg(
+        F.sum("observed").alias("d"),
+        F.count(F.lit(1)).alias("all_n"),
+        F.sum(F.when(F.col("g") == 1, F.col("observed")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("all_n1"),
+    )
+    total = users.agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("_total1"),
+        F.sum("observed").alias("_deaths"),
+        F.sum(F.when(F.col("g") == 1, F.col("observed")).otherwise(0)).alias("_deaths1"),
+    )
+    prior = (
+        lt.alias("a")
+        .join(lt.alias("b"), F.col("b.t") < F.col("a.t"), "left")
+        .groupBy(F.col("a.t").alias("t"))
+        .agg(
+            F.coalesce(F.sum("b.all_n"), F.lit(0)).alias("ended_before"),
+            F.coalesce(F.sum("b.all_n1"), F.lit(0)).alias("ended_before1"),
+        )
+    )
+    risk = (
+        lt.join(prior, "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            "d1",
+            (F.col("_total") - F.col("ended_before")).cast("double").alias("n"),
+            (F.col("_total1") - F.col("ended_before1")).cast("double").alias("n1"),
+            "_total",
+            "_total1",
+            "_deaths",
+            "_deaths1",
+        )
+        .filter(F.col("d") > 0)
+    )
+    oe = F.when(
+        F.col("n") > 1, F.col("d1") - F.col("d") * F.col("n1") / F.col("n")
+    ).otherwise(0.0)
+    var = F.when(
+        F.col("n") > 1,
+        F.col("d")
+        * (F.col("n1") / F.col("n"))
+        * (1.0 - F.col("n1") / F.col("n"))
+        * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1.0),
+    ).otherwise(0.0)
+    agg = risk.groupBy("_total", "_total1", "_deaths", "_deaths1").agg(
+        F.sum(oe.cast(dec)).cast("double").alias("oe"),
+        F.sum(var.cast(dec)).cast("double").alias("v"),
+    )
+    chi2 = F.col("oe") * F.col("oe") / F.col("v")
+    return agg.select(
+        (F.col("_total") - F.col("_total1")).cast("bigint").alias("n_control"),
+        F.col("_total1").cast("bigint").alias("n_treatment"),
+        (F.col("_deaths") - F.col("_deaths1")).cast("bigint").alias("churned_control"),
+        F.col("_deaths1").cast("bigint").alias("churned_treatment"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(_phi_tail_p(F.sqrt(chi2)), 6).alias("p_value"),
+    )
+
+
+ORACLE_LOGRANK = (
+    """
+WITH span AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+users AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS g,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS t,
+         CASE WHEN (SELECT max_us FROM span) - max(epoch_us(ts)) > 6 * 3600000000
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+lt AS (
+  SELECT t, sum(observed) AS d, count(*) AS all_n,
+         sum(CASE WHEN g = 1 THEN observed ELSE 0 END) AS d1,
+         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS all_n1
+  FROM users GROUP BY 1
+),
+total AS (
+  SELECT count(*) AS total, sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS total1,
+         sum(observed) AS deaths,
+         sum(CASE WHEN g = 1 THEN observed ELSE 0 END) AS deaths1
+  FROM users
+),
+prior AS (
+  SELECT a.t, coalesce(sum(b.all_n), 0) AS ended_before,
+         coalesce(sum(b.all_n1), 0) AS ended_before1
+  FROM lt a LEFT JOIN lt b ON b.t < a.t
+  GROUP BY a.t
+),
+risk AS (
+  SELECT lt.d, lt.d1,
+         (total.total - prior.ended_before)::DOUBLE AS n,
+         (total.total1 - prior.ended_before1)::DOUBLE AS n1,
+         total.total, total.total1, total.deaths, total.deaths1
+  FROM lt JOIN prior ON prior.t = lt.t CROSS JOIN total
+  WHERE lt.d > 0
+),
+agg AS (
+  SELECT total, total1, deaths, deaths1,
+         sum(CAST(CASE WHEN n > 1 THEN d1 - d * n1 / n ELSE 0.0 END
+                  AS DECIMAL(38,12)))::DOUBLE AS oe,
+         sum(CAST(CASE WHEN n > 1
+                  THEN d * (n1 / n) * (1.0 - n1 / n) * (n - d) / (n - 1.0)
+                  ELSE 0.0 END AS DECIMAL(38,12)))::DOUBLE AS v
+  FROM risk GROUP BY 1, 2, 3, 4
+)
+SELECT (total - total1)::BIGINT AS n_control, total1::BIGINT AS n_treatment,
+       (deaths - deaths1)::BIGINT AS churned_control,
+       deaths1::BIGINT AS churned_treatment,
+       round(oe * oe / v, 4) AS chi2,
+       round(("""
+    + _SQL_HORNER_ERF_TAIL.format(z="sqrt(oe * oe / v)")
+    + """), 6) AS p_value
+FROM agg
+"""
+)
+
+
 def sssp_weighted_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-round Bellman-Ford (4 relaxations) over the co-supply
     graph with INTEGER edge weights w = greatest(1, 10 - shared_parts):
@@ -11301,15 +11454,17 @@ def logistic_newton_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _newton_cte_chain(steps: int) -> str:
-    """The b1..b{steps} CTE chain of the unrolled Newton recurrence —
-    shared by every logistic-fit oracle; expects CTEs named `base`
-    (columns x, y, extras allowed) and `b0` (initial betas) upstream."""
+def _newton_cte_chain(steps: int, prefix: str = "b", base: str = "base") -> str:
+    """The {prefix}1..{prefix}{steps} CTE chain of the unrolled Newton
+    recurrence — shared by every logistic-fit oracle; expects CTEs named
+    ``base`` (columns x, y, extras allowed) and ``{prefix}0`` (initial
+    betas) upstream. ``prefix``/``base`` let two independent fits (the
+    uplift T-learner's treated/control models) coexist in one query."""
     parts = []
     for i in range(1, steps + 1):
         parts.append(
             f""",
-b{i} AS (
+{prefix}{i} AS (
   SELECT b0 - (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
          b1 - (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
   FROM (
@@ -11319,7 +11474,7 @@ b{i} AS (
            sum(p * (1 - p) * x * x) AS h11
     FROM (SELECT x, y, b0, b1,
                  1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p
-          FROM base CROSS JOIN b{i - 1})
+          FROM {base} CROSS JOIN {prefix}{i - 1})
   )
 )"""
         )
@@ -11379,6 +11534,94 @@ FROM (SELECT x, y, b0, b1, 1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p
 
 
 ORACLE_LOGISTIC_NEWTON = _logistic_oracle_sql(_LOGISTIC_STEPS)
+
+
+def uplift_tlearner_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift T-learner (the two-model meta-learner, Künzel et al. PNAS
+    2019): fit P(purchase | hour, T=weekend) on weekend rows and
+    P(purchase | hour, T=weekday) on weekday rows as two INDEPENDENT
+    4-pass Newton logistic fits (the shared _fit_logistic_1d primitive
+    — 8 tree-reduce passes total, betas return as literals), then
+    report CATE(x) = p̂₁(x) − p̂₀(x) per hour-of-day — the heterogeneous
+    treatment-effect readout a targeting policy consumes. Hour moments
+    are exact integer sums (deterministic standardization); the final
+    per-hour table is one grouped count cross-joined with the four beta
+    literals. Oracle: TWO unrolled Newton CTE chains (prefixes t/c)."""
+    ev = _t(spark, sf_dir, "events")
+    hstats = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.hour("ts").cast("double")).alias("s"),
+        F.sum(F.hour("ts").cast("double") * F.hour("ts")).alias("ss"),
+    ).first()
+    mu = hstats["s"] / hstats["n"]
+    sd = (hstats["ss"] / hstats["n"] - mu * mu) ** 0.5
+    base = ev.select(
+        ((F.hour("ts").cast("double") - F.lit(mu)) / F.lit(sd)).alias("x"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+        F.dayofweek("ts").isin(1, 7).alias("t"),
+    )
+    b0t, b1t = _fit_logistic_1d(base.filter(F.col("t")).select("x", "y"), _LOGISTIC_STEPS)
+    b0c, b1c = _fit_logistic_1d(base.filter(~F.col("t")).select("x", "y"), _LOGISTIC_STEPS)
+    hours = ev.groupBy(F.hour("ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    xh = (F.col("hour").cast("double") - F.lit(mu)) / F.lit(sd)
+    pt = 1.0 / (1.0 + F.exp(-(F.lit(b0t) + F.lit(b1t) * xh)))
+    pc = 1.0 / (1.0 + F.exp(-(F.lit(b0c) + F.lit(b1c) * xh)))
+    return hours.select(
+        F.col("hour").cast("bigint").alias("hour"),
+        "n_events",
+        F.round(pt, 6).alias("p_weekend"),
+        F.round(pc, 6).alias("p_weekday"),
+        F.round(pt - pc, 6).alias("uplift"),
+    )
+
+
+ORACLE_UPLIFT_TLEARNER = (
+    """WITH stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(hour(ts)::DOUBLE) AS s,
+         sum(hour(ts)::DOUBLE * hour(ts)::DOUBLE) AS ss
+  FROM events
+),
+base_t AS (
+  SELECT (hour(ts)::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS x,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events CROSS JOIN stats WHERE dayofweek(ts) IN (0, 6)
+),
+base_c AS (
+  SELECT (hour(ts)::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS x,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events CROSS JOIN stats WHERE dayofweek(ts) NOT IN (0, 6)
+),
+t0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"""
+    + _newton_cte_chain(_LOGISTIC_STEPS, prefix="t", base="base_t")
+    + """,
+c0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"""
+    + _newton_cte_chain(_LOGISTIC_STEPS, prefix="c", base="base_c")
+    + f""",
+hours AS (
+  SELECT hour(ts)::BIGINT AS hour, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+),
+betas AS (
+  SELECT t.b0 AS tb0, t.b1 AS tb1, c.b0 AS cb0, c.b1 AS cb1
+  FROM t{_LOGISTIC_STEPS} t CROSS JOIN c{_LOGISTIC_STEPS} c
+)
+SELECT hour, n_events,
+       round(1.0 / (1.0 + exp(-(tb0 + tb1
+             * ((hour::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n)))))), 6)
+         AS p_weekend,
+       round(1.0 / (1.0 + exp(-(cb0 + cb1
+             * ((hour::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n)))))), 6)
+         AS p_weekday,
+       round(1.0 / (1.0 + exp(-(tb0 + tb1
+             * ((hour::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n))))))
+             - 1.0 / (1.0 + exp(-(cb0 + cb1
+             * ((hour::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n)))))), 6)
+         AS uplift
+FROM hours CROSS JOIN betas CROSS JOIN stats
+"""
+)
 
 
 def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12232,6 +12475,7 @@ QUERIES: dict[str, Query] = {
     "link_prediction_cosupply": link_prediction_cosupply,
     "link_prediction_hub_audit": link_prediction_hub_audit,
     "logistic_newton_purchase": logistic_newton_purchase,
+    "uplift_tlearner_by_hour": uplift_tlearner_by_hour,
     "pq_adc_topk": pq_adc_topk_query,
     "spearman_corr_lineitem": spearman_corr_lineitem,
     "theil_sen_trend_by_type": theil_sen_trend_by_type,
@@ -12258,6 +12502,7 @@ QUERIES: dict[str, Query] = {
     "rbo_ranking_similarity": rbo_ranking_similarity,
     "frequent_triples_events": frequent_triples_events,
     "kaplan_meier_user_churn": kaplan_meier_user_churn,
+    "logrank_churn_by_arm": logrank_churn_by_arm,
     "zorder_layout_events": zorder_layout_events,
     "script_mix_profile": script_mix_profile,
     "char_entropy_lowest": char_entropy_lowest,
@@ -12488,6 +12733,7 @@ ORACLES: dict[str, str] = {
     "link_prediction_cosupply": ORACLE_LINK_PREDICTION,
     "link_prediction_hub_audit": ORACLE_LINK_PREDICTION_HUB_AUDIT,
     "logistic_newton_purchase": ORACLE_LOGISTIC_NEWTON,
+    "uplift_tlearner_by_hour": ORACLE_UPLIFT_TLEARNER,
     "pq_adc_topk": ORACLE_PQ_ADC,
     "spearman_corr_lineitem": ORACLE_SPEARMAN,
     "theil_sen_trend_by_type": ORACLE_THEIL_SEN,
@@ -12520,6 +12766,7 @@ ORACLES: dict[str, str] = {
     "rbo_ranking_similarity": ORACLE_RBO,
     "frequent_triples_events": ORACLE_TRIPLES,
     "kaplan_meier_user_churn": ORACLE_KM,
+    "logrank_churn_by_arm": ORACLE_LOGRANK,
     "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
