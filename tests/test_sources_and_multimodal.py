@@ -340,3 +340,62 @@ def test_audio_frame_features_known_signals(spark):
     # constant half scale: 1 frame (120 // 100), no crossings
     assert (3, 1) not in got
     assert abs(got[(3, 0)]["rms"] - 0.5) < 1e-4 and got[(3, 0)]["zcr"] == 0.0
+
+
+def _wav_bytes(n_frames=800, rate=8000, ch=1, amp=0.5):
+    """Real WAV bytes via the stdlib wave module — ground truth for the
+    RIFF parser."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(ch)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    frames = b"".join(
+        struct.pack(
+            "<" + "h" * ch,
+            *([int(amp * 32767 * math.sin(2 * math.pi * 440 * i / rate))] * ch),
+        )
+        for i in range(n_frames)
+    )
+    w.writeframes(frames)
+    w.close()
+    return buf.getvalue()
+
+
+def test_wav_metadata_parses_stdlib_written_files(spark):
+    from weatherdatapipeline_spark.operators.multimodal import parse_wav_metadata
+
+    rows = [
+        (1, _wav_bytes(n_frames=800, rate=8000, ch=1)),
+        (2, _wav_bytes(n_frames=4410, rate=44100, ch=2)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["media_id"]: r.asDict() for r in parse_wav_metadata(media).collect()}
+    assert got[1]["valid"] == 1
+    assert (got[1]["n_channels"], got[1]["sample_rate"], got[1]["bits_per_sample"]) == (1, 8000, 16)
+    assert got[1]["n_frames"] == 800
+    assert abs(got[1]["duration_ms"] - 100.0) < 1e-9
+    assert (got[2]["n_channels"], got[2]["sample_rate"]) == (2, 44100)
+    assert got[2]["n_frames"] == 4410
+    assert abs(got[2]["duration_ms"] - 100.0) < 1e-9
+
+
+def test_wav_metadata_total_on_garbage(spark):
+    from weatherdatapipeline_spark.operators.multimodal import parse_wav_metadata
+
+    wav = _wav_bytes()
+    rows = [
+        (1, b"not a wav at all, definitely not 44 bytes of riff"),
+        (2, None),
+        (3, wav[:30]),          # truncated header
+        (4, b"RIFF" + wav[4:8] + b"AIFF" + wav[12:]),  # wrong form type
+        (5, wav),               # one good row among the wreckage
+    ]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["media_id"]: r["valid"] for r in parse_wav_metadata(media).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0, 5: 1}

@@ -823,6 +823,19 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
 _HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(2**53)
 
 
+def _hll_estimate_col(s, present):
+    """HLL estimate as a Column from (Σ 2^(53-r) BIGINT, #present
+    registers): raw harmonic mean with the linear-counting small-range
+    correction — shared by the per-type sketch and the union audit."""
+    v = F.lit(_HLL_M) - present
+    denom = (s + v * F.lit(2**53)).cast("double")
+    e_raw = F.lit(_HLL_NUM) / denom
+    return F.when(
+        (e_raw <= 2.5 * _HLL_M) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+
+
 def hll_distinct_users_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXPLICIT HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007)
     per event type — unlike approx_count_distinct (whose HLL++ sketch
@@ -854,13 +867,7 @@ def hll_distinct_users_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("exact_users")
     )
-    v = F.lit(_HLL_M) - F.col("present")
-    denom = (F.col("s") + v * F.lit(2**53)).cast("double")
-    e_raw = F.lit(_HLL_NUM) / denom
-    est = F.when(
-        (e_raw <= 2.5 * _HLL_M) & (v > 0),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
-    ).otherwise(e_raw)
+    est = _hll_estimate_col(F.col("s"), F.col("present"))
     out = per.join(exact, "event_type").select(
         "event_type",
         F.round(est, 4).alias("hll_users"),
@@ -906,6 +913,111 @@ est AS (
 )
 SELECT event_type, round(e, 4) AS hll_users, exact_users,
        round(abs(round(e, 4) - exact_users) / exact_users, 4) AS rel_err
+FROM est
+"""
+
+
+def hll_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY — the property that makes sketches matter at
+    100 TB: the union sketch of two key sets is the ELEMENTWISE MAX of
+    their registers, so per-partition/per-day/per-type sketches roll up
+    without ever revisiting raw data. For every unordered pair of event
+    types: estimate |users(a) ∪ users(b)| from the two types' register
+    tables alone (one groupBy-max over k·m register rows — never the
+    corpus) next to the exact distinct-user count of the union and the
+    relative error. The corpus is scanned twice total (registers,
+    exact) regardless of how many pairs are audited."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hx = F.md5(F.col("user_id").cast("string"))
+    j = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    regs = (
+        ev.select("event_type", j.alias("j"), rho.alias("rho"))
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("r"))
+    )
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(F.broadcast(types.select(F.col("event_type").alias("tb"))))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    merged = (
+        F.broadcast(pairs)
+        .join(regs, (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")))
+        .groupBy("ta", "tb", "j")
+        .agg(F.max("r").alias("r"))
+    )
+    per = merged.groupBy("ta", "tb").agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("r")).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    exact = (
+        F.broadcast(pairs)
+        .join(ev, (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")))
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_union"))
+    )
+    est = _hll_estimate_col(F.col("s"), F.col("present"))
+    return per.join(exact, ["ta", "tb"]).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.round(est, 4).alias("hll_union"),
+        "exact_union",
+        F.round(F.abs(F.round(est, 4) - F.col("exact_union")) / F.col("exact_union"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+ORACLE_HLL_UNION = f"""
+WITH b AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::INT AS j,
+         ('0x' || substr(md5(user_id::VARCHAR), 3, 13))::BIGINT AS w
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT event_type, j,
+         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
+  FROM b GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM regs),
+pairs AS (
+  SELECT a.event_type AS ta, c.event_type AS tb
+  FROM types a JOIN types c ON a.event_type < c.event_type
+),
+merged AS (
+  SELECT p.ta, p.tb, regs.j, max(regs.r) AS r
+  FROM pairs p JOIN regs ON regs.event_type = p.ta OR regs.event_type = p.tb
+  GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT ta, tb, sum((2 ** (53 - r))::BIGINT)::BIGINT AS s,
+         count(*)::BIGINT AS present
+  FROM merged GROUP BY 1, 2
+),
+ex AS (
+  SELECT p.ta, p.tb, count(DISTINCT e.user_id)::BIGINT AS exact_union
+  FROM pairs p JOIN events e
+    ON (e.event_type = p.ta OR e.event_type = p.tb)
+  WHERE e.user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT per.ta, per.tb, ex.exact_union,
+         CASE WHEN ({_HLL_NUM!r} / (per.s + ({_HLL_M} - per.present) * {2**53})::DOUBLE)
+                   <= {2.5 * _HLL_M}
+               AND ({_HLL_M} - per.present) > 0
+              THEN {float(_HLL_M)!r}
+                   * ln({float(_HLL_M)!r} / ({_HLL_M} - per.present)::DOUBLE)
+              ELSE {_HLL_NUM!r} / (per.s + ({_HLL_M} - per.present) * {2**53})::DOUBLE
+         END AS e
+  FROM per JOIN ex ON ex.ta = per.ta AND ex.tb = per.tb
+)
+SELECT ta AS type_a, tb AS type_b, round(e, 4) AS hll_union, exact_union,
+       round(abs(round(e, 4) - exact_union) / exact_union, 4) AS rel_err
 FROM est
 """
 
@@ -12541,6 +12653,7 @@ QUERIES: dict[str, Query] = {
     "bpe_learned_merges": bpe_learned_merges,
     "recursive_cte_ancestor_rollup": recursive_cte_ancestor_rollup,
     "hll_distinct_users_explicit": hll_distinct_users_explicit,
+    "hll_union_audit": hll_union_audit,
     "doc_repetition_scores": doc_repetition_scores,
     "remove_boilerplate_chunks": remove_boilerplate_chunks,
     "winnow_doc_fingerprints": winnow_doc_fingerprints,
@@ -12799,6 +12912,7 @@ ORACLES: dict[str, str] = {
     "collated_token_counts": ORACLE_COLLATED_TOKENS,
     "recursive_cte_ancestor_rollup": ORACLE_RECURSIVE_ROLLUP,
     "hll_distinct_users_explicit": ORACLE_HLL_EXPLICIT,
+    "hll_union_audit": ORACLE_HLL_UNION,
     "doc_repetition_scores": ORACLE_REPETITION,
     "remove_boilerplate_chunks": ORACLE_BOILERPLATE,
     "winnow_doc_fingerprints": ORACLE_WINNOW,
