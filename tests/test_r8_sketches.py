@@ -97,3 +97,32 @@ def test_recursive_cte_chain_semantics(spark, sf_dir):
     assert got[12] == 4  # 12,6,3,1 all present
     assert got[5] == 2   # 5 -> 2(absent) -> 1
     assert got[1] == 1
+
+
+def test_cox_newton_matches_closed_form(spark):
+    """One-covariate Cox MLE with a hand-solvable score equation:
+    risk table {(d=1,d1=1,n1=2,n0=2), (d=1,d1=0,n1=1,n0=2)} gives
+    u/(1+u) + u/(2+u) = 1 with u = e^beta  =>  u = sqrt(2),
+    beta = ln(2)/2. Four Newton steps must land on it."""
+    import math
+
+    from weatherdatapipeline_spark.queries import _cox_newton_binary
+
+    risk = spark.createDataFrame(
+        [(1.0, 1.0, 2.0, 2.0), (1.0, 0.0, 1.0, 2.0)],
+        "d double, d1 double, n1 double, n0 double",
+    )
+    beta = _cox_newton_binary(risk, steps=4)
+    assert abs(beta - math.log(2) / 2) < 1e-8
+
+
+def test_cox_newton_zero_effect_on_balanced_table(spark):
+    """Perfectly balanced deaths/risk across arms => beta = 0 exactly
+    (the score at 0 is already 0, Newton stays put)."""
+    from weatherdatapipeline_spark.queries import _cox_newton_binary
+
+    risk = spark.createDataFrame(
+        [(2.0, 1.0, 5.0, 5.0), (2.0, 1.0, 3.0, 3.0)],
+        "d double, d1 double, n1 double, n0 double",
+    )
+    assert _cox_newton_binary(risk, steps=4) == 0.0

@@ -9884,6 +9884,199 @@ FROM agg
 )
 
 
+_COX_STEPS = 4
+
+
+def _cox_newton_binary(risk: DataFrame, steps: int) -> float:
+    """Newton on the Breslow partial likelihood for ONE binary covariate,
+    over a (d, d1, n1, n0) per-death-time risk table: each step is one
+    tiny aggregate (decimal-hardened g/h sums), beta reinjected as a
+    literal. Returns the fitted beta."""
+    import math
+
+    dec = "decimal(38,12)"
+    beta = 0.0
+    for _ in range(steps):
+        eb = float(math.exp(beta))
+        denom = F.col("n0") + F.col("n1") * F.lit(eb)
+        gh = risk.agg(
+            F.sum(
+                (F.col("d1") - F.col("d") * F.col("n1") * F.lit(eb) / denom).cast(dec)
+            ).cast("double").alias("g"),
+            F.sum(
+                (-F.col("d") * F.col("n1") * F.lit(eb) * F.col("n0") / (denom * denom)).cast(dec)
+            ).cast("double").alias("h"),
+        ).first()
+        beta = beta - gh["g"] / gh["h"]
+    return beta
+
+
+def cox_ph_churn_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards fit (one binary covariate = the md5
+    experiment arm) on user churn — the effect-size companion to
+    logrank_churn_by_arm (same lifetimes, same censoring): maximize the
+    Breslow partial likelihood l(β) = Σ_t [d1·β − d·ln(n0 + n1·e^β)]
+  	by 4 Newton steps. EVERYTHING after one per-user aggregate runs on
+    the COLLAPSED per-death-time risk table (≤ observation-window rows,
+    eagerly checkpointed once), so each Newton step is a tiny job —
+    gradient Σ d1 − d·n1e^β/(n0+n1e^β) and Hessian −Σ d·n1e^β·n0/(…)²
+    as decimal-hardened sums, β reinjected as a literal (the same
+    k-pass iterative-ML shape as the logistic fits; quadratic
+    convergence puts both engines on the same MLE well past the 6dp
+    rounding). Output: β, hazard ratio e^β, SE = 1/√(−H), Wald z and
+    its erf-polynomial p."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(F.max(F.unix_micros("ts")).alias("_max_us"))
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            arm.alias("g"),
+            F.floor((F.col("last_us") - F.col("first_us")) / 3_600_000_000).alias("t"),
+            (F.col("_max_us") - F.col("last_us") > 6 * 3_600_000_000)
+            .cast("int")
+            .alias("observed"),
+        )
+    )
+    lt = users.groupBy("t").agg(
+        F.sum("observed").alias("d"),
+        F.count(F.lit(1)).alias("all_n"),
+        F.sum(F.when(F.col("g") == 1, F.col("observed")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("all_n1"),
+    )
+    total = users.agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("_total1"),
+    )
+    prior = (
+        lt.alias("a")
+        .join(lt.alias("b"), F.col("b.t") < F.col("a.t"), "left")
+        .groupBy(F.col("a.t").alias("t"))
+        .agg(
+            F.coalesce(F.sum("b.all_n"), F.lit(0)).alias("ended_before"),
+            F.coalesce(F.sum("b.all_n1"), F.lit(0)).alias("ended_before1"),
+        )
+    )
+    risk = (
+        lt.join(prior, "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("d").cast("double").alias("d"),
+            F.col("d1").cast("double").alias("d1"),
+            (F.col("_total1") - F.col("ended_before1")).cast("double").alias("n1"),
+            (F.col("_total") - F.col("ended_before") - (F.col("_total1") - F.col("ended_before1")))
+            .cast("double")
+            .alias("n0"),
+        )
+        .filter(F.col("d") > 0)
+        .localCheckpoint(eager=True)  # bounded table; Newton never rescans the corpus
+    )
+    beta = _cox_newton_binary(risk, _COX_STEPS)
+    # one last Hessian eval AT the fitted beta for the standard error
+    eb = float(__import__("math").exp(beta))
+    denom = F.col("n0") + F.col("n1") * F.lit(eb)
+    fin = risk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_death_times"),
+        F.sum(
+            (-F.col("d") * F.col("n1") * F.lit(eb) * F.col("n0") / (denom * denom)).cast(dec)
+        ).cast("double").alias("h"),
+    )
+    se = 1.0 / F.sqrt(-F.col("h"))
+    z = F.lit(beta) / se
+    return fin.select(
+        "n_death_times",
+        F.round(F.lit(beta), 6).alias("beta"),
+        F.round(F.exp(F.lit(beta)), 6).alias("hazard_ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 4).alias("wald_z"),
+        F.round(_phi_tail_p(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+def _cox_oracle_sql(steps: int) -> str:
+    head = """WITH span AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+users AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS g,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS t,
+         CASE WHEN (SELECT max_us FROM span) - max(epoch_us(ts)) > 6 * 3600000000
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+lt AS (
+  SELECT t, sum(observed) AS d, count(*) AS all_n,
+         sum(CASE WHEN g = 1 THEN observed ELSE 0 END) AS d1,
+         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS all_n1
+  FROM users GROUP BY 1
+),
+total AS (
+  SELECT count(*) AS total, sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS total1
+  FROM users
+),
+prior AS (
+  SELECT a.t, coalesce(sum(b.all_n), 0) AS ended_before,
+         coalesce(sum(b.all_n1), 0) AS ended_before1
+  FROM lt a LEFT JOIN lt b ON b.t < a.t
+  GROUP BY a.t
+),
+risk AS MATERIALIZED (
+  SELECT lt.d::DOUBLE AS d, lt.d1::DOUBLE AS d1,
+         (total.total1 - prior.ended_before1)::DOUBLE AS n1,
+         (total.total - prior.ended_before
+          - (total.total1 - prior.ended_before1))::DOUBLE AS n0
+  FROM lt JOIN prior ON prior.t = lt.t CROSS JOIN total
+  WHERE lt.d > 0
+),
+cb0 AS (SELECT 0.0::DOUBLE AS beta)"""
+    steps_sql = []
+    for i in range(1, steps + 1):
+        steps_sql.append(
+            f""",
+cb{i} AS (
+  SELECT beta - g / h AS beta FROM (
+    SELECT max(beta) AS beta,
+           sum(CAST(d1 - d * n1 * exp(beta) / (n0 + n1 * exp(beta))
+                    AS DECIMAL(38,12)))::DOUBLE AS g,
+           sum(CAST(-d * n1 * exp(beta) * n0
+                    / ((n0 + n1 * exp(beta)) * (n0 + n1 * exp(beta)))
+                    AS DECIMAL(38,12)))::DOUBLE AS h
+    FROM risk CROSS JOIN cb{i - 1}
+  )
+)"""
+        )
+    tail = f""",
+fin AS (
+  SELECT count(*)::BIGINT AS n_death_times, max(beta) AS beta,
+         sum(CAST(-d * n1 * exp(beta) * n0
+                  / ((n0 + n1 * exp(beta)) * (n0 + n1 * exp(beta)))
+                  AS DECIMAL(38,12)))::DOUBLE AS h
+  FROM risk CROSS JOIN cb{steps}
+),
+zed AS (
+  SELECT n_death_times, beta, 1.0 / sqrt(-h) AS se,
+         beta / (1.0 / sqrt(-h)) AS z
+  FROM fin
+)
+SELECT n_death_times, round(beta, 6) AS beta,
+       round(exp(beta), 6) AS hazard_ratio, round(se, 6) AS se,
+       round(z, 4) AS wald_z,
+       round(({_SQL_HORNER_ERF_TAIL.format(z="z")}), 6) AS p_value
+FROM zed
+"""
+    return head + "".join(steps_sql) + tail
+
+
+ORACLE_COX_PH = _cox_oracle_sql(_COX_STEPS)
+
+
 def sssp_weighted_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-round Bellman-Ford (4 relaxations) over the co-supply
     graph with INTEGER edge weights w = greatest(1, 10 - shared_parts):
@@ -12615,6 +12808,7 @@ QUERIES: dict[str, Query] = {
     "frequent_triples_events": frequent_triples_events,
     "kaplan_meier_user_churn": kaplan_meier_user_churn,
     "logrank_churn_by_arm": logrank_churn_by_arm,
+    "cox_ph_churn_by_arm": cox_ph_churn_by_arm,
     "zorder_layout_events": zorder_layout_events,
     "script_mix_profile": script_mix_profile,
     "char_entropy_lowest": char_entropy_lowest,
@@ -12880,6 +13074,7 @@ ORACLES: dict[str, str] = {
     "frequent_triples_events": ORACLE_TRIPLES,
     "kaplan_meier_user_churn": ORACLE_KM,
     "logrank_churn_by_arm": ORACLE_LOGRANK,
+    "cox_ph_churn_by_arm": ORACLE_COX_PH,
     "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
