@@ -126,3 +126,25 @@ def test_cox_newton_zero_effect_on_balanced_table(spark):
         "d double, d1 double, n1 double, n0 double",
     )
     assert _cox_newton_binary(risk, steps=4) == 0.0
+
+
+def test_als_rank1_recovers_planted_factorization(spark):
+    """Exactly rank-1 matrix r_ij = a_i * b_j: ALS must reconstruct it
+    perfectly (u x v == r cellwise) after the first full round."""
+    from weatherdatapipeline_spark.queries import _als_rank1
+
+    a = {10: 1.0, 11: 2.0, 12: 0.5}
+    b = {"x": 3.0, "y": 1.5, "z": 6.0}
+    rows = [(ui, tj, av * bv) for ui, av in a.items() for tj, bv in b.items()]
+    cells = spark.createDataFrame(rows, "user_id long, event_type string, r double")
+    u, v = _als_rank1(cells, rounds=3)
+    um = {r["user_id"]: r["u"] for r in u.collect()}
+    vm = {r["event_type"]: r["v"] for r in v.collect()}
+    for (ui, tj, r) in rows:
+        assert abs(um[ui] * vm[tj] - r) < 1e-9
+    # factors are the planted ones up to the shared scale ambiguity
+    scale = um[10] / a[10]
+    for ui, av in a.items():
+        assert abs(um[ui] - av * scale) < 1e-9
+    for tj, bv in b.items():
+        assert abs(vm[tj] - bv / scale) < 1e-9

@@ -9884,6 +9884,124 @@ FROM agg
 )
 
 
+_ALS_ROUNDS = 3
+
+
+def _als_rank1(cells: DataFrame, rounds: int):
+    """Alternating closed-form rank-1 updates over (user_id, event_type,
+    r) cells from v≡1; returns the (user_id, u) and (event_type, v)
+    factor tables. Each half-round: one join + one grouped aggregate
+    with decimal-hardened sums."""
+    dec = "decimal(38,12)"
+    v = cells.select("event_type").distinct().withColumn("v", F.lit(1.0))
+    u = None
+    for _ in range(rounds):
+        u = (
+            cells.join(v, "event_type")
+            .groupBy("user_id")
+            .agg(
+                (
+                    F.sum((F.col("r") * F.col("v")).cast(dec)).cast("double")
+                    / F.sum((F.col("v") * F.col("v")).cast(dec)).cast("double")
+                ).alias("u")
+            )
+        )
+        v = (
+            cells.join(u, "user_id")
+            .groupBy("event_type")
+            .agg(
+                (
+                    F.sum((F.col("r") * F.col("u")).cast(dec)).cast("double")
+                    / F.sum((F.col("u") * F.col("u")).cast(dec)).cast("double")
+                ).alias("v")
+            )
+        )
+    return u, v
+
+
+def als_rank1_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS matrix factorization (Koren/Bell/Volinsky's
+    alternating least squares, the 1-latent-dim teaching case) of the
+    user × event-type mean-value matrix: r̂_ij = u_i·v_j, alternating
+    CLOSED-FORM updates u_i = Σr·v/Σv², v_j = Σr·u/Σu² over observed
+    cells for 3 rounds from v≡1 — the canonical recommender iteration
+    as pure relational algebra: each half-round is one join + one
+    grouped aggregate on the CELLS table (|users|·|types| bounded,
+    checkpointed once; the raw corpus is scanned exactly once). All
+    cross-cell sums decimal-hardened (r8 determinism contract). Output:
+    the fitted type factors and the reconstruction RMSE. Oracle:
+    unrolled u1/v1..u3/v3 CTE chain over a MATERIALIZED cells CTE."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("double").cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("r")
+        )
+        .localCheckpoint(eager=True)
+    )
+    u, v = _als_rank1(cells, _ALS_ROUNDS)
+    recon = cells.join(u, "user_id").join(v, "event_type")
+    rmse = recon.agg(
+        F.round(
+            F.sqrt(
+                F.sum(
+                    ((F.col("r") - F.col("u") * F.col("v")) * (F.col("r") - F.col("u") * F.col("v"))).cast(dec)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("rmse")
+    )
+    return (
+        v.crossJoin(F.broadcast(rmse))
+        .select("event_type", F.round("v", 6).alias("v_factor"), "rmse")
+    )
+
+
+def _als_oracle_sql(rounds: int) -> str:
+    head = """WITH cells AS MATERIALIZED (
+  SELECT user_id, event_type,
+         sum(CAST(value::DOUBLE AS DECIMAL(38,12)))::DOUBLE / count(*) AS r
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+v0 AS (SELECT DISTINCT event_type, 1.0::DOUBLE AS v FROM cells)"""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+u{i} AS MATERIALIZED (
+  SELECT c.user_id,
+         sum(CAST(c.r * v.v AS DECIMAL(38,12)))::DOUBLE
+         / sum(CAST(v.v * v.v AS DECIMAL(38,12)))::DOUBLE AS u
+  FROM cells c JOIN v{i - 1} v USING (event_type) GROUP BY 1
+),
+v{i} AS MATERIALIZED (
+  SELECT c.event_type,
+         sum(CAST(c.r * u.u AS DECIMAL(38,12)))::DOUBLE
+         / sum(CAST(u.u * u.u AS DECIMAL(38,12)))::DOUBLE AS v
+  FROM cells c JOIN u{i} u USING (user_id) GROUP BY 1
+)"""
+        )
+    tail = f""",
+rmse AS (
+  SELECT round(sqrt(
+           sum(CAST((c.r - u.u * v.v) * (c.r - u.u * v.v) AS DECIMAL(38,12)))::DOUBLE
+           / count(*)), 6) AS rmse
+  FROM cells c JOIN u{rounds} u USING (user_id) JOIN v{rounds} v USING (event_type)
+)
+SELECT v.event_type, round(v.v, 6) AS v_factor, rmse.rmse
+FROM v{rounds} v CROSS JOIN rmse
+"""
+    return head + "".join(parts) + tail
+
+
+ORACLE_ALS_RANK1 = _als_oracle_sql(_ALS_ROUNDS)
+
+
 _COX_STEPS = 4
 
 
@@ -12809,6 +12927,7 @@ QUERIES: dict[str, Query] = {
     "kaplan_meier_user_churn": kaplan_meier_user_churn,
     "logrank_churn_by_arm": logrank_churn_by_arm,
     "cox_ph_churn_by_arm": cox_ph_churn_by_arm,
+    "als_rank1_user_type": als_rank1_user_type,
     "zorder_layout_events": zorder_layout_events,
     "script_mix_profile": script_mix_profile,
     "char_entropy_lowest": char_entropy_lowest,
@@ -13075,6 +13194,7 @@ ORACLES: dict[str, str] = {
     "kaplan_meier_user_churn": ORACLE_KM,
     "logrank_churn_by_arm": ORACLE_LOGRANK,
     "cox_ph_churn_by_arm": ORACLE_COX_PH,
+    "als_rank1_user_type": ORACLE_ALS_RANK1,
     "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
