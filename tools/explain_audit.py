@@ -330,6 +330,45 @@ CHECKS = {
         # straight projection, no window, no residual wide join
         ("no window", lambda p: "Window" not in p),
     ],
+    # --- r8 wave 2 ---------------------------------------------------------
+    "peak_concurrency_daily": [
+        # the sweep line's running sum is day-partitioned; the carry
+        # rides a broadcast of the bounded day list
+        ("day-partitioned running sum", r"windowspecdefinition\(day_idx"),
+        ("bounded-days broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+    ],
+    "hll_distinct_users_explicit": [
+        # sketch = two hash aggs; no window, no sort of the corpus
+        ("no window", lambda p: "Window" not in p),
+        ("register aggregation", r"HashAggregate"),
+    ],
+    "permutation_test_weekend_value": [
+        # permutation axis is a GROUP KEY (explode + one agg), never a loop
+        ("no window", lambda p: "Window" not in p),
+        ("explode fan-out", r"Generate|Expand"),
+    ],
+    "als_rank1_user_type": [
+        # factor tables derive from the checkpointed cells table;
+        # half-rounds are joins + aggs, no window
+        ("no window", lambda p: "Window" not in p),
+    ],
+    "cox_ph_churn_by_arm": [
+        # Newton ran at plan-build over the checkpointed risk table; the
+        # visible plan is the final bounded aggregate
+        ("no window", lambda p: "Window" not in p),
+        ("final 1-row agg", r"HashAggregate"),
+    ],
+    "token_budget_admission": [
+        # the prefix gate is exactly ONE source-partitioned window
+        ("source-partitioned prefix sum", r"windowspecdefinition\(source"),
+        ("single exchange", lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+    ],
+    "uplift_tlearner_by_hour": [
+        # both fits happened at plan-build (literal betas); final plan is
+        # one grouped count over the scan
+        ("no window", lambda p: "Window" not in p),
+        ("no join at all", lambda p: "Join" not in p),
+    ],
 }
 
 

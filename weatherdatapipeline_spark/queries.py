@@ -9884,6 +9884,54 @@ FROM agg
 )
 
 
+_TOKEN_QUOTA = 20_000
+
+
+def token_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming token-quota gate
+    (streaming/jobs.py::token_quota_gate_stateful): per source, admit
+    documents in doc_id order while the running token prefix total
+    (whitespace tokens, itself included) stays within the budget; after
+    the first overflow everything is rejected — the PREFIX rule, so the
+    whole gate is ONE source-partitioned cumulative window (the
+    streaming ValueState replays exactly this). Output keeps the
+    rejected rows with their running totals — the auditable discard
+    stream, never a silent drop."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        (cum <= _TOKEN_QUOTA).cast("bigint").alias("admitted"),
+    )
+
+
+ORACLE_TOKEN_BUDGET_ADMISSION = f"""
+SELECT doc_id, source, n_tokens,
+       sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_tokens,
+       (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        <= {_TOKEN_QUOTA})::BIGINT AS admitted
+FROM (
+  SELECT doc_id, source,
+         length(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+)
+"""
+
+
 _ALS_ROUNDS = 3
 
 
@@ -12928,6 +12976,7 @@ QUERIES: dict[str, Query] = {
     "logrank_churn_by_arm": logrank_churn_by_arm,
     "cox_ph_churn_by_arm": cox_ph_churn_by_arm,
     "als_rank1_user_type": als_rank1_user_type,
+    "token_budget_admission": token_budget_admission,
     "zorder_layout_events": zorder_layout_events,
     "script_mix_profile": script_mix_profile,
     "char_entropy_lowest": char_entropy_lowest,
@@ -13195,6 +13244,7 @@ ORACLES: dict[str, str] = {
     "logrank_churn_by_arm": ORACLE_LOGRANK,
     "cox_ph_churn_by_arm": ORACLE_COX_PH,
     "als_rank1_user_type": ORACLE_ALS_RANK1,
+    "token_budget_admission": ORACLE_TOKEN_BUDGET_ADMISSION,
     "range_shard_balance": ORACLE_RANGE_SHARDS,
     "ewma_user_values": ORACLE_EWMA,
     "q1_pricing_summary": ORACLE_Q1,
