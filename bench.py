@@ -383,6 +383,34 @@ def main() -> None:
     # persist the full object in-repo: the driver's tail-capture can truncate
     # the one-line print, so per-query history must survive independently
     out["machine"]["loadavg_end"] = round(os.getloadavg()[0], 2)
+    _persist_ladder(out)
+    print(json.dumps(out))
+
+
+def ladder_path(
+    root: str, rnd: str, loadavg_start: float, calibration_sec: float
+) -> str:
+    """Where this run's full bench object belongs.
+
+    Ladder protection (VERDICT r7 item 4, tightened per r8 item 3): ANY
+    run on an evidently loaded machine is diagnostic data, not a new
+    ladder point — route it to a ``-contended`` sidecar whenever a
+    committed ladder file already exists, regardless of how much slower
+    it came out (in r8 a loadavg-10.94 driver rerun at only 1.21x
+    clobbered the idle per-query history because the old guard also
+    required a 1.5x slowdown). An idle run — faster OR slower — always
+    lands in the main file: an idle-but-slower run is a genuine
+    regression and belongs in the ladder.
+    """
+    path = os.path.join(root, f"bench_local_r{rnd}.json")
+    if os.path.exists(path):
+        loaded = loadavg_start > (os.cpu_count() or 8) / 4 or calibration_sec > 2.0
+        if loaded:
+            path = os.path.join(root, f"bench_local_r{rnd}-contended.json")
+    return path
+
+
+def _persist_ladder(out: dict) -> None:
     try:
         root = os.path.dirname(os.path.abspath(__file__))
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
@@ -396,29 +424,17 @@ def main() -> None:
                 if m
             ]
             rnd = f"{(max(prior) + 1) if prior else 0:02d}"
-        path = os.path.join(root, f"bench_local_r{rnd}.json")
-        # ladder protection (VERDICT r7 item 4): a contended run — total
-        # >1.5x the already-recorded one AND an evidently loaded machine —
-        # is diagnostic data, not a new ladder point; write it to a
-        # -contended sidecar instead of clobbering per-query history
-        if os.path.exists(path):
-            try:
-                with open(path) as fh:
-                    prev_total = float(json.load(fh).get("value") or 0.0)
-            except Exception:
-                prev_total = 0.0
-            loaded = (
-                out["machine"]["loadavg_start"] > (os.cpu_count() or 8) / 4
-                or out["machine"]["calibration_sec"] > 2.0
-            )
-            if prev_total and total > 1.5 * prev_total and loaded:
-                path = os.path.join(root, f"bench_local_r{rnd}-contended.json")
+        path = ladder_path(
+            root,
+            rnd,
+            out["machine"]["loadavg_start"],
+            out["machine"]["calibration_sec"],
+        )
         with open(path, "w") as fh:
             json.dump(out, fh, indent=2)
             fh.write("\n")
     except Exception:
         pass  # never let bookkeeping kill the bench line
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

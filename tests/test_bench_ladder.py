@@ -1,0 +1,47 @@
+"""Bench ladder-protection routing (bench.py::ladder_path).
+
+The committed per-round bench artifact (``bench_local_rNN.json``) is the
+idle-machine per-query history; VERDICT r8 item 3 documented a loaded
+driver rerun (loadavg 10.94, only 1.21x slower) clobbering it because the
+old guard also required a 1.5x slowdown. The contract now: with an
+existing ladder file, a LOADED machine always routes to the ``-contended``
+sidecar (no ratio test); an idle machine always writes the main file —
+idle-but-slower is a genuine regression that belongs in the ladder.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import ladder_path  # noqa: E402
+
+IDLE_LOAD = 0.5
+LOADED = (os.cpu_count() or 8)  # way above the cpu/4 threshold
+
+
+def test_first_run_always_writes_main_file(tmp_path):
+    # nothing committed yet: even a loaded run creates the main file
+    # (some artifact beats no artifact; the next idle run replaces it)
+    p = ladder_path(str(tmp_path), "09", LOADED, 9.9)
+    assert p.endswith("bench_local_r09.json")
+
+
+def test_loaded_rerun_routes_to_sidecar_regardless_of_ratio(tmp_path):
+    (tmp_path / "bench_local_r09.json").write_text('{"value": 44.8}\n')
+    # loadavg alone trips the guard — no slowdown-ratio escape hatch
+    p = ladder_path(str(tmp_path), "09", LOADED, 0.1)
+    assert p.endswith("bench_local_r09-contended.json")
+    # a slow calibration probe alone also trips it
+    p = ladder_path(str(tmp_path), "09", IDLE_LOAD, 2.5)
+    assert p.endswith("bench_local_r09-contended.json")
+
+
+def test_idle_rerun_overwrites_main_file(tmp_path):
+    (tmp_path / "bench_local_r09.json").write_text('{"value": 44.8}\n')
+    # idle machine: main file, even though this could be a slower run —
+    # an idle regression is real data, not contention noise
+    p = ladder_path(str(tmp_path), "09", IDLE_LOAD, 0.1)
+    assert p.endswith("bench_local_r09.json")

@@ -73,8 +73,8 @@ def test_bh_fdr_null_all_accepted(spark, tmp_path):
     got = {r["event_type"]: r for r in bh_fdr_type_screen(spark, str(tmp_path)).collect()}
     assert len(got) == 5
     for r in got.values():
-        assert r["z"] == 0.0
-        assert r["p_value"] == 1.0
+        assert r["z_q4"] == 0
+        assert r["p_q6"] == 1_000_000
         assert r["rejected"] == 0
 
 
@@ -95,7 +95,7 @@ def test_bh_fdr_flags_planted_shift(spark, tmp_path):
     _write_events(spark, str(tmp_path), rows)
     got = {r["event_type"]: r for r in bh_fdr_type_screen(spark, str(tmp_path)).collect()}
     assert got["purchase"]["bh_rank"] == 1
-    assert got["purchase"]["p_value"] < 1e-5
+    assert got["purchase"]["p_q6"] < 10  # p < 1e-5 at the 1e-6 grid
     assert got["purchase"]["rejected"] == 1
 
 
@@ -286,6 +286,15 @@ def test_dp_histogram_deterministic_release(spark, tmp_path):
     for r in a:
         assert abs((r["released_count"] - r["true_count"]) - r["laplace_noise"]) < 2e-6
         assert r["laplace_noise"] != 0.0  # the mechanism actually perturbs
+    # injectable secret salt (r8 ADVICE): a different salt yields a
+    # DIFFERENT noise draw over the same exact true counts — the knob a
+    # real release uses to make the draw non-recomputable
+    c = {
+        r["event_type"]: r
+        for r in dp_histogram_release(spark, str(tmp_path), salt="s3cr3t").collect()
+    }
+    assert {t: c[t]["true_count"] for t in c} == {"click": 7, "view": 3}
+    assert any(c[t]["laplace_noise"] != by_type[t]["laplace_noise"] for t in c)
 
 
 def test_rolling_slope_recovers_planted_line(spark, tmp_path):

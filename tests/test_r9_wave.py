@@ -1,0 +1,136 @@
+"""Planted-case tests for the round-9 wave: KMV sketches (distinct +
+mergeability), bottom-k quantile sampling, Cohen's kappa, source capping.
+Each query also carries a full DuckDB oracle (strict-checked in
+validate.sh step 2); these tests pin the SEMANTICS on constructed inputs
+where the right answer is known in closed form."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, user_id, value, event_type)."""
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 0, 0, 0), u, float(v), t, "{}")
+            for i, u, v, t in rows
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, "
+        "event_type STRING, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def _write_documents(spark, path, rows):
+    """rows: (doc_id, text, source)."""
+    df = spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, t, src in rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_kmv_small_groups_are_exact(spark, tmp_path):
+    """Types with fewer than k=64 distinct users: the sketch holds the
+    whole set, so est == exact and the quantized error is 0."""
+    from weatherdatapipeline_spark.queries import kmv_distinct_users
+
+    rows = [(i, 1000 + (i % 10), 1.0, "click") for i in range(50)]
+    rows += [(100 + i, 2000 + (i % 30), 1.0, "view") for i in range(90)]
+    _write_events(spark, str(tmp_path), rows)
+    got = {r["event_type"]: r for r in kmv_distinct_users(spark, str(tmp_path)).collect()}
+    assert got["click"]["exact_distinct"] == 10
+    assert got["click"]["est_distinct"] == 10
+    assert got["click"]["rel_err_q4"] == 0
+    assert got["view"]["exact_distinct"] == 30
+    assert got["view"]["est_distinct"] == 30
+
+
+def test_kmv_estimates_large_group_within_bound(spark, tmp_path):
+    """2000 distinct users >> k=64: the estimate must land within the
+    ~4-sigma KMV band (sigma ≈ D/sqrt(k-2) ≈ 254 here)."""
+    from weatherdatapipeline_spark.queries import kmv_distinct_users
+
+    rows = [(i, i, 1.0, "click") for i in range(2000)]
+    _write_events(spark, str(tmp_path), rows)
+    [r] = kmv_distinct_users(spark, str(tmp_path)).collect()
+    assert r["exact_distinct"] == 2000
+    assert abs(r["est_distinct"] - 2000) < 1020  # 4 sigma
+
+
+def test_kmv_merge_identity_holds(spark, tmp_path):
+    """bottom-k(A ∪ B) == bottom-k(sketch(A) ∪ sketch(B)) on overlapping
+    type populations — every pair must report sketches_equal=1 and
+    identical estimates from both arms."""
+    from weatherdatapipeline_spark.queries import kmv_union_merge_audit
+
+    rows = [(i, i % 300, 1.0, "click") for i in range(300)]
+    rows += [(1000 + i, 150 + (i % 300), 1.0, "view") for i in range(300)]
+    rows += [(5000 + i, i % 40, 1.0, "error") for i in range(40)]
+    _write_events(spark, str(tmp_path), rows)
+    got = kmv_union_merge_audit(spark, str(tmp_path)).collect()
+    assert len(got) == 3  # 3 unordered pairs of 3 types
+    for r in got:
+        assert r["sketches_equal"] == 1, (r["type_a"], r["type_b"])
+        assert r["est_direct"] == r["est_merged"]
+
+
+def test_bottomk_quantile_exact_when_sample_covers(spark, tmp_path):
+    """n <= k=128 rows per type: the 'sample' is the population, so the
+    p50 estimate equals the exact p50 and the reported error is 0."""
+    from weatherdatapipeline_spark.queries import bottomk_quantile_sketch
+
+    rows = [(i, i, v, "click") for i, v in enumerate(range(1, 102))]  # 1..101
+    _write_events(spark, str(tmp_path), rows)
+    [r] = bottomk_quantile_sketch(spark, str(tmp_path)).collect()
+    assert r["n_sample"] == 101
+    assert r["est_p50_q4"] == 51 * 10_000
+    assert r["exact_p50_q4"] == 51 * 10_000
+    assert r["p50_abs_err_q4"] == 0
+    assert r["est_p25_q4"] == 26 * 10_000 and r["est_p75_q4"] == 76 * 10_000
+
+
+def test_cohens_kappa_perfect_and_inverse(spark, tmp_path):
+    """Kappa closed forms: raters that always agree → kappa = 1; raters
+    that always disagree on a balanced table → kappa = -1."""
+    from weatherdatapipeline_spark.queries import cohens_kappa_quality_raters
+
+    rich = "alpha beta gamma delta epsilon zeta eta theta"  # ttr = 1
+    long_rich = " ".join(f"word{i:03d}" for i in range(60))  # 479 chars, ttr = 1
+    poor = "spam " * 80  # ttr ~ 1/80
+    # perfect agreement: long docs are rich, short docs are poor
+    docs = [(i, long_rich, "s") for i in range(5)]
+    docs += [(10 + i, poor[:200], "s") for i in range(5)]
+    _write_documents(spark, str(tmp_path), docs)
+    [r] = cohens_kappa_quality_raters(spark, str(tmp_path)).collect()
+    assert (r["n11"], r["n00"], r["n10"], r["n01"]) == (5, 5, 0, 0)
+    assert r["po_q6"] == 1_000_000 and r["kappa_q6"] == 1_000_000
+    # perfect disagreement: long docs are poor, short docs are rich
+    docs = [(i, (poor * 3)[:400], "s") for i in range(5)]
+    docs += [(10 + i, rich[:47], "s") for i in range(5)]
+    _write_documents(spark, str(tmp_path), docs)
+    [r] = cohens_kappa_quality_raters(spark, str(tmp_path)).collect()
+    assert (r["n11"], r["n00"]) == (0, 0)
+    assert r["kappa_q6"] == -1_000_000
+
+
+def test_source_cap_audit_counts_and_checksums(spark, tmp_path):
+    """A 25-doc source keeps exactly 20 and drops 5; an under-cap source
+    keeps everything; kept+dropped checksums partition the id sum."""
+    from weatherdatapipeline_spark.queries import source_cap_audit
+
+    docs = [(i, f"text {i}", "big") for i in range(25)]
+    docs += [(100 + i, f"text {i}", "small") for i in range(7)]
+    _write_documents(spark, str(tmp_path), docs)
+    got = {r["source"]: r for r in source_cap_audit(spark, str(tmp_path)).collect()}
+    big, small = got["big"], got["small"]
+    assert (big["n_total"], big["n_kept"], big["n_dropped"]) == (25, 20, 5)
+    assert big["kept_checksum"] + big["dropped_checksum"] == sum(range(25))
+    assert (small["n_total"], small["n_kept"], small["n_dropped"]) == (7, 7, 0)
+    assert small["dropped_checksum"] == 0
+    # determinism: the same parquet yields the same kept subset
+    again = {r["source"]: r for r in source_cap_audit(spark, str(tmp_path)).collect()}
+    assert again["big"]["kept_checksum"] == big["kept_checksum"]

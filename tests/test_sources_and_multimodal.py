@@ -150,40 +150,40 @@ def _have_pil() -> bool:
         return False
 
 
-@pytest.mark.skipif(_have_pil(), reason="PIL installed: the stub path is dormant")
-def test_decode_stub_raises_without_pil():
+@pytest.mark.skipif(_have_pil(), reason="PIL installed: stdlib-only errors dormant")
+def test_decode_strict_errors_without_pil():
+    # non-PNG formats have no stdlib codec → NotImplementedError
     with pytest.raises(NotImplementedError):
+        decode_image_strict(b"\xff\xd8\xff\xe0fakejpeg")
+    # a PNG-signature-prefixed but truncated stream is a corrupt PNG
+    with pytest.raises(ValueError):
         decode_image_strict(b"\x89PNG")
 
 
-@pytest.mark.skipif(not _have_pil(), reason="PIL not installed in this sandbox")
-def test_decode_real_image_with_pil():
-    import io
+def test_decode_real_image_any_backend():
+    # real decode runs in-sandbox: the PNG is generated by the stdlib
+    # encoder and decoded through whichever backend resolves (PIL when
+    # installed, operators/png.py otherwise)
+    from weatherdatapipeline_spark.operators.png import encode_png
 
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("RGB", (4, 3), (10, 200, 30)).save(buf, format="PNG")
-    img = decode_image_strict(buf.getvalue())
+    blob = encode_png(4, 3, "RGB", bytes([10, 200, 30]) * 12)
+    img = decode_image_strict(blob)
     assert img.size == (4, 3)
+    # ITU-R 601 luma of (10, 200, 30) ≈ 124; backends may round ±1
+    luma = list(img.convert("L").getdata())[0]
+    assert abs(luma - 124) <= 1
 
 
-@pytest.mark.skipif(not _have_pil(), reason="PIL not installed in this sandbox")
-def test_extract_features_real_path_with_pil(spark):
-    # a valid PNG flows through the PIL branch: features are normalized
-    # grayscale pixels, NOT the byte-fold stand-in of the same blob
-    import io
-
-    from PIL import Image
-
+def test_extract_features_real_decode_path(spark):
+    # a valid PNG flows through the REAL decode branch: features are
+    # normalized grayscale pixels, NOT the byte-fold stand-in of the blob
     from weatherdatapipeline_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         _fake_feature,
     )
+    from weatherdatapipeline_spark.operators.png import encode_png
 
-    buf = io.BytesIO()
-    Image.new("L", (8, 1), 255).save(buf, format="PNG")
-    blob = buf.getvalue()
+    blob = encode_png(8, 1, "L", b"\xff" * 8)
     media = spark.createDataFrame(
         [(0, "image", None, bytearray(blob), 8, 1, None, "png")], MEDIA_SCHEMA
     )
@@ -272,15 +272,15 @@ def test_multimodal_resize_geometry(spark):
             assert r["blob"] is not None and len(r["blob"]) == 64
 
 
-def test_multimodal_resize_real_pixels_with_pil(spark):
+def test_multimodal_resize_real_pixels(spark):
+    # runs against whichever backend resolves: PIL when installed, the
+    # stdlib PNG codec otherwise — never skipped
     from weatherdatapipeline_spark.operators.multimodal import (
         _pil_image_module,
         resize_images,
     )
 
     Image = _pil_image_module()
-    if Image is None:
-        pytest.skip("PIL not installed in this sandbox")
     import io
 
     img = Image.new("RGB", (40, 20), color=(9, 8, 7))
@@ -299,7 +299,7 @@ def test_multimodal_resize_real_pixels_with_pil(spark):
 
     media = spark.createDataFrame(pdf, MEDIA_SCHEMA)
     row = resize_images(media, max_side=16).collect()[0]
-    assert row["resized"] == "pil"
+    assert row["resized"] == "decoded"
     assert (row["target_w"], row["target_h"]) == (16, 8)
     back = Image.open(io.BytesIO(row["blob"]))
     assert back.size == (16, 8)

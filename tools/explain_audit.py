@@ -369,6 +369,32 @@ CHECKS = {
         ("no window", lambda p: "Window" not in p),
         ("no join at all", lambda p: "Join" not in p),
     ],
+    # --- r9 wave ---
+    "kmv_distinct_users": [
+        # the k-smallest rank is type-partitioned, never a global sort
+        ("partitioned rank window", r"windowspecdefinition\(event_type"),
+        ("pruned events scan", r"ReadSchema:[^\n]*user_id"),
+    ],
+    "kmv_union_merge_audit": [
+        # the |types|^2 pair table rides broadcast into both arms
+        ("broadcast pair fan-out", r"BroadcastNestedLoopJoin"),
+        ("partitioned rank windows", r"windowspecdefinition\(type_a"),
+    ],
+    "bottomk_quantile_sketch": [
+        ("partitioned sample window", r"windowspecdefinition\(event_type"),
+        ("pushdown value filter", r"PushedFilters: \[.*IsNotNull\(value"),
+    ],
+    "cohens_kappa_quality_raters": [
+        # per-doc rater math stays in codegen; one 1-row aggregate, no join
+        ("single aggregate no join", lambda p: "Join" not in p),
+        ("pruned docs scan", lambda p: "doc_id" not in re.search(
+            r"ReadSchema:[^\n]*", p).group(0)),
+    ],
+    "source_cap_audit": [
+        ("source-partitioned rank", r"windowspecdefinition\(source"),
+        ("pruned docs scan", lambda p: "text" not in re.search(
+            r"ReadSchema:[^\n]*", p).group(0)),
+    ],
 }
 
 

@@ -7,8 +7,12 @@ cd "$(dirname "$0")/.."
 echo "== 1/4 pytest =="
 python -m pytest tests/ -q
 
-echo "== 2/4 oracle differential (sf0.01) =="
-python tools/check_oracle.py /root/testdata/sf0.01
+echo "== 2/4 oracle differential, driver-strict (sf0.01) =="
+# --strict compares the pandas/Arrow-converted frames at FULL precision
+# and asserts pandas dtype parity per column — the surface the driver's
+# hash actually sees (VERDICT r8 items 1/2/7; both r8 driver-red rows
+# passed the loose check and fail only under --strict)
+python tools/check_oracle.py --strict /root/testdata/sf0.01
 
 echo "== 3/4 physical-plan audit =="
 python tools/explain_audit.py

@@ -1352,7 +1352,7 @@ def ppjoin_near_duplicates(
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("_set_a", "_set_b")).alias("common"),
+            F.size(F.array_intersect("_set_a", "_set_b")).cast("long").alias("common"),
             "size_a",
             "size_b",
         )

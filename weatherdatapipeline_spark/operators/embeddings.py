@@ -322,7 +322,10 @@ def covariance_pairs(
         F.col("sj") / F.col("n")
     )
     if round_digits is not None:
-        cov = F.round(cov, round_digits)
+        # + 0.0 normalizes IEEE signed zero: a tiny negative covariance
+        # rounds to -0.0, whose hash text differs from 0.0 (r9 strict
+        # sweep caught exactly this cell drift vs DuckDB)
+        cov = F.round(cov, round_digits) + F.lit(0.0)
     return agg.select("i", "j", cov.alias("cov"))
 
 

@@ -852,8 +852,8 @@ def exact_shared_spans(
     return (
         runs.groupBy("doc_a", "doc_b", "diag", "grp")
         .agg(
-            F.min("ia").alias("start_a"),
-            F.min("ib").alias("start_b"),
+            F.min("ia").cast("long").alias("start_a"),
+            F.min("ib").cast("long").alias("start_b"),
             (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_chars"),
         )
         .filter(F.col("span_chars") >= min_span)
