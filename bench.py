@@ -80,6 +80,9 @@ HEADLINE = [
     # r8
     "peak_concurrency_daily",      # sweep line, day-partitioned, no global order
     "hll_distinct_users_explicit", # explicit HLL sketch, exact-integer registers
+    # r9
+    "kmv_distinct_users",          # bottom-k KMV distinct sketch per group
+    "source_cap_audit",            # per-source cap + dropped-mass audit
 ]
 
 

@@ -134,3 +134,31 @@ def test_source_cap_audit_counts_and_checksums(spark, tmp_path):
     # determinism: the same parquet yields the same kept subset
     again = {r["source"]: r for r in source_cap_audit(spark, str(tmp_path)).collect()}
     assert again["big"]["kept_checksum"] == big["kept_checksum"]
+
+
+def test_kmv_intersection_exact_when_under_k(spark, tmp_path):
+    """Populations small enough that the union sketch holds everything:
+    the ratio estimator degenerates to the exact intersection."""
+    from weatherdatapipeline_spark.queries import kmv_intersection_estimate
+
+    # click users 0..29, view users 20..49 → intersection 20..29 = 10
+    rows = [(i, i, 1.0, "click") for i in range(30)]
+    rows += [(1000 + i, 20 + i, 1.0, "view") for i in range(30)]
+    _write_events(spark, str(tmp_path), rows)
+    [r] = kmv_intersection_estimate(spark, str(tmp_path)).collect()
+    assert (r["type_a"], r["type_b"]) == ("click", "view")
+    assert r["exact_intersection"] == 10
+    assert r["est_intersection"] == 10  # union |A∪B|=50 < k=64: sketch exact
+    assert r["rel_err_q4"] == 0
+
+
+def test_kmv_intersection_disjoint_is_zero(spark, tmp_path):
+    """Disjoint populations: n_both = 0 in the union sketch, estimate 0."""
+    from weatherdatapipeline_spark.queries import kmv_intersection_estimate
+
+    rows = [(i, i, 1.0, "click") for i in range(200)]
+    rows += [(1000 + i, 10_000 + i, 1.0, "view") for i in range(200)]
+    _write_events(spark, str(tmp_path), rows)
+    [r] = kmv_intersection_estimate(spark, str(tmp_path)).collect()
+    assert r["n_both"] == 0
+    assert r["est_intersection"] == 0 and r["exact_intersection"] == 0

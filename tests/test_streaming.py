@@ -629,3 +629,46 @@ def test_token_quota_gate_transformwithstate(spark, tmp_path_factory):
     )
     batch_map = {r["doc_id"]: (r["cum_tokens"], r["admitted"]) for r in batch.collect()}
     assert batch_map == got
+
+
+def test_streaming_kmv_sketch_equals_batch(spark, tmp_path_factory):
+    """KMV maintained over two drained micro-batches must be ROW-IDENTICAL
+    to the batch sketch over the concatenated data (the bottom-k merge
+    identity), stay bounded at k rows per group, and the estimates must
+    be exact for under-k groups."""
+    from weatherdatapipeline_spark.operators.stats import kmv_bottom_k, kmv_estimate
+    from weatherdatapipeline_spark.streaming.jobs import streaming_kmv_sketch
+
+    src = str(tmp_path_factory.mktemp("kmv_src"))
+    sk = str(tmp_path_factory.mktemp("kmv_sk")) + "/sketch"
+    ckpt = str(tmp_path_factory.mktemp("kmv_ckpt"))
+    schema = "event_type STRING, user_id LONG"
+    # 'click' exceeds k=16 across the two batches (with overlap);
+    # 'view' stays under k so its estimate must be exact
+    b1 = [("click", i) for i in range(30)] + [("view", 100 + i) for i in range(5)]
+    b2 = [("click", 20 + i) for i in range(30)] + [("view", 103 + i) for i in range(4)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = streaming_kmv_sketch(
+        stream, sk, checkpoint=ckpt, k=16, available_now=True
+    )
+    q.awaitTermination()
+
+    stored = spark.read.parquet(sk).select("event_type", "user_id", "h")
+    ref = kmv_bottom_k(
+        spark.createDataFrame(b1 + b2, schema), "event_type", "user_id", k=16
+    )
+    got = {tuple(r) for r in stored.collect()}
+    want = {tuple(r) for r in ref.collect()}
+    assert got == want  # bit-identical sketch rows, not just close estimates
+    per_group = {r["event_type"]: r["n_sketch"] for r in
+                 kmv_estimate(stored, "event_type", k=16).collect()}
+    assert per_group["click"] == 16  # bounded at k
+    est = {r["event_type"]: r["est_distinct"] for r in
+           kmv_estimate(stored, "event_type", k=16).collect()}
+    assert est["view"] == 7  # under-k group: sketch IS the set, exact
+    assert est["click"] > 16  # full sketch extrapolates beyond k

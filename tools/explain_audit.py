@@ -380,6 +380,10 @@ CHECKS = {
         ("broadcast pair fan-out", r"BroadcastNestedLoopJoin"),
         ("partitioned rank windows", r"windowspecdefinition\(type_a"),
     ],
+    "kmv_intersection_estimate": [
+        ("broadcast pair fan-out", r"BroadcastNestedLoopJoin"),
+        ("pair-partitioned union-sketch rank", r"windowspecdefinition\(type_a"),
+    ],
     "bottomk_quantile_sketch": [
         ("partitioned sample window", r"windowspecdefinition\(event_type"),
         ("pushdown value filter", r"PushedFilters: \[.*IsNotNull\(value"),

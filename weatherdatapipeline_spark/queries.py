@@ -13923,3 +13923,145 @@ ORACLES.update(
         "source_cap_audit": ORACLE_SOURCE_CAP,
     }
 )
+
+
+def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-INTERSECTION estimation from KMV sketches — the operation HLL
+    registers cannot express, and the reason the sketch suite carries
+    both: for each unordered event-type pair, build the k=64-row union
+    sketch (merge of the per-type sketches), count how many of its
+    members belong to both types (ρ = overlap fraction), and estimate
+    |A∩B| ≈ ρ · est(|A∪B|) (Beyer et al. SIGMOD'07 ratio estimator).
+    The exact intersection rides along with the quantized relative
+    error, so the query self-reports its accuracy like the other sketch
+    audits.
+
+    Scale: per-type membership of union-sketch members is a semi-join of
+    k·|pairs| sketch rows against the distinct (type, user) table —
+    sketch-sized, never corpus-sized; everything else is the KMV merge
+    shape already audited by kmv_union_merge_audit."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    hashed = du.withColumn("h", _md5_h32(F.col("user_id")))
+    types = du.select("event_type").distinct()
+    pairs = F.broadcast(
+        types.select(F.col("event_type").alias("type_a")).join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    in_pair = (F.col("event_type") == F.col("type_a")) | (
+        F.col("event_type") == F.col("type_b")
+    )
+    # union sketch per pair: k smallest distinct user hashes across A∪B
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h", "user_id")
+    union_k = (
+        hashed.join(pairs, in_pair)
+        .select("type_a", "type_b", "user_id", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    # membership flags: is each union-sketch member in A? in B? (semi-join
+    # via aggregated flags over the pair-joined distinct rows)
+    flags = (
+        hashed.join(pairs, in_pair)
+        .select(
+            "type_a",
+            "type_b",
+            "user_id",
+            (F.col("event_type") == F.col("type_a")).cast("int").alias("in_a"),
+            (F.col("event_type") == F.col("type_b")).cast("int").alias("in_b"),
+        )
+        .groupBy("type_a", "type_b", "user_id")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    sk = union_k.join(flags, ["type_a", "type_b", "user_id"])
+    est_union = F.when(
+        F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)).cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(4294967296.0) / F.max("h"))
+    per_pair = sk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.round(
+            est_union * F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("est_intersection"),
+    )
+    exact = (
+        flags.filter((F.col("in_a") == 1) & (F.col("in_b") == 1))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return per_pair.join(exact, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        F.col("n_both").cast("bigint").alias("n_both"),
+        "est_intersection",
+        F.coalesce("exact_intersection", F.lit(0)).cast("bigint").alias(
+            "exact_intersection"
+        ),
+        F.round(
+            F.abs(
+                F.col("est_intersection")
+                - F.coalesce("exact_intersection", F.lit(0))
+            )
+            / F.greatest(F.coalesce("exact_intersection", F.lit(0)), F.lit(1))
+            * 1e4
+        )
+        .cast("bigint")
+        .alias("rel_err_q4"),
+    )
+
+
+ORACLE_KMV_INTERSECTION = f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type, user_id,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM du
+),
+types AS (SELECT DISTINCT event_type FROM du),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+member AS (
+  SELECT p.type_a, p.type_b, h.user_id, h.h,
+         max((h.event_type = p.type_a)::INT) AS in_a,
+         max((h.event_type = p.type_b)::INT) AS in_b
+  FROM h JOIN pairs p ON h.event_type IN (p.type_a, p.type_b)
+  GROUP BY 1, 2, 3, 4
+),
+union_k AS (
+  SELECT * FROM (
+    SELECT type_a, type_b, user_id, h, in_a, in_b,
+           row_number() OVER (PARTITION BY type_a, type_b
+                              ORDER BY h, user_id) AS rn
+    FROM member
+  ) WHERE rn <= {_KMV_K}
+),
+per_pair AS (
+  SELECT type_a, type_b, count(*) AS n_sketch,
+         sum(in_a * in_b)::BIGINT AS n_both,
+         round(CASE WHEN count(*) < {_KMV_K} THEN count(*)::DOUBLE
+                    ELSE {_KMV_K - 1}.0 * 4294967296.0 / max(h) END
+               * sum(in_a * in_b) / count(*))::BIGINT AS est_intersection
+  FROM union_k GROUP BY 1, 2
+),
+exact AS (
+  SELECT type_a, type_b, count(*)::BIGINT AS exact_intersection
+  FROM member WHERE in_a = 1 AND in_b = 1 GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both, p.est_intersection,
+       coalesce(x.exact_intersection, 0)::BIGINT AS exact_intersection,
+       round(abs(p.est_intersection - coalesce(x.exact_intersection, 0))
+             / greatest(coalesce(x.exact_intersection, 0), 1) * 1e4)::BIGINT
+         AS rel_err_q4
+FROM per_pair p LEFT JOIN exact x USING (type_a, type_b)
+"""
+
+
+QUERIES["kmv_intersection_estimate"] = kmv_intersection_estimate
+ORACLES["kmv_intersection_estimate"] = ORACLE_KMV_INTERSECTION

@@ -799,3 +799,62 @@ def token_quota_gate_stateful(
         outputMode="append",
         timeMode="None",
     )
+
+
+def streaming_kmv_sketch(
+    row_stream: DataFrame,
+    sketch_path: str,
+    checkpoint: str | None = None,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 64,
+    available_now: bool = False,
+):
+    """Maintain per-group KMV distinct-count sketches over a stream: each
+    micro-batch's local bottom-k (operators/stats.py::kmv_bottom_k)
+    merges into the stored sketch by "union rows, keep the k smallest
+    distinct again" — the exact identity the batch-side
+    kmv_union_merge_audit query verifies, here driving unbounded-stream
+    state. State is the k·|groups|-row parquet table — constant-size no
+    matter how much data has streamed — so a streaming COUNT(DISTINCT)
+    (not expressible as a native streaming agg without keeping every key)
+    becomes a bounded-state job whose estimates are bit-identical to a
+    batch sketch over the same rows (pytest pins stream == batch).
+
+    Same foreachBatch read-modify-write contract as streaming_cms_sketch:
+    the stored table carries ``_last_batch_id``; a replayed batch is
+    skipped, a genuinely unreadable store raises (never silently resets
+    state)."""
+    from ..operators.stats import kmv_bottom_k
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        partial = kmv_bottom_k(batch_df, group_col, id_col, k=k)
+        import os
+
+        if os.path.exists(sketch_path):
+            prior = spark.read.parquet(sketch_path)
+            last = prior.agg(F.max("_last_batch_id")).collect()[0][0]
+            if last is not None and last >= batch_id:
+                return  # replayed batch: already merged
+            both = prior.select(group_col, id_col, "h").unionByName(partial)
+            # the merge IS another bottom-k: distinct ids, k smallest
+            merged = kmv_bottom_k(both, group_col, id_col, k=k)
+        else:  # first batch: nothing stored yet
+            merged = partial
+        out = merged.withColumn("_last_batch_id", F.lit(batch_id))
+        # bounded table: collect-and-rewrite avoids reading the file being
+        # overwritten (k rows per group by construction)
+        rows = out.collect()
+        spark.createDataFrame(rows, out.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sketch_path)
+
+    writer = row_stream.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
