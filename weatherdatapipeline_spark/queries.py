@@ -14065,3 +14065,74 @@ FROM per_pair p LEFT JOIN exact x USING (type_a, type_b)
 
 QUERIES["kmv_intersection_estimate"] = kmv_intersection_estimate
 ORACLES["kmv_intersection_estimate"] = ORACLE_KMV_INTERSECTION
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the L2 distance between
+    the label's centroid and the GLOBAL centroid — the embedding
+    analogue of the text-side source_kl_drift, and the number a curation
+    pipeline watches to catch a source/label whose representation is
+    sliding (new scraper, domain shift, encoder regression).
+
+    Determinism hardening (the r8 decimal pattern): per-dim component
+    sums AND the cross-dim sum of squared centroid deltas accumulate as
+    DECIMAL(38,12) — exact, hence schedule-independent — so the final
+    1e6-quantized BIGINT distance is bit-stable across partitionings and
+    engines. Shuffle cardinality is |labels|·d + d (never corpus-sized
+    after the component aggregate); distance is non-negative so no
+    signed-zero exposure."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dec = "decimal(38,12)"
+    comp = emb.select("label", F.posexplode("embedding").alias("dim", "x")).select(
+        F.col("label").cast("long").alias("label"),
+        F.col("dim").cast("long").alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    per = comp.groupBy("label", "dim").agg(
+        F.sum(F.col("x").cast(dec)).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = comp.groupBy("dim").agg(
+        F.sum(F.col("x").cast(dec)).cast("double").alias("gs"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    delta = F.col("s") / F.col("n") - F.col("gs") / F.col("gn")
+    d = per.join(F.broadcast(tot), "dim").select(
+        "label", "n", (delta * delta).cast(dec).alias("d2")
+    )
+    return d.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        F.round(F.sqrt(F.sum("d2").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("dist_q6"),
+    )
+
+
+ORACLE_CENTROID_DRIFT = """
+WITH comp AS (
+  SELECT label::BIGINT AS label, CAST(t.i - 1 AS BIGINT) AS dim,
+         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+per AS (
+  SELECT label, dim, sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS s,
+         count(*) AS n
+  FROM comp GROUP BY 1, 2
+),
+tot AS (
+  SELECT dim, sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS gs, count(*) AS gn
+  FROM comp GROUP BY 1
+),
+d AS (
+  SELECT label, n,
+         CAST((s / n - gs / gn) * (s / n - gs / gn) AS DECIMAL(38,12)) AS d2
+  FROM per JOIN tot USING (dim)
+)
+SELECT label, max(n)::BIGINT AS n_vectors,
+       round(sqrt(sum(d2)::DOUBLE) * 1e6)::BIGINT AS dist_q6
+FROM d GROUP BY label
+"""
+
+
+QUERIES["embedding_centroid_drift"] = embedding_centroid_drift
+ORACLES["embedding_centroid_drift"] = ORACLE_CENTROID_DRIFT
