@@ -14136,3 +14136,56 @@ FROM d GROUP BY label
 
 QUERIES["embedding_centroid_drift"] = embedding_centroid_drift
 ORACLES["embedding_centroid_drift"] = ORACLE_CENTROID_DRIFT
+
+
+def sql_udf_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDF (CREATE TEMPORARY FUNCTION ... RETURN <expr>):
+    banding logic registered ONCE as a catalog function and reused by
+    name — the governance surface a shared lakehouse uses so every team
+    applies the same business rule, instead of copy-pasted CASE
+    expressions drifting apart. The function body is pure SQL, so
+    Catalyst inlines it into whole-stage codegen: zero UDF-call
+    overhead, full pushdown/pruning — unlike a Python UDF with the same
+    signature. The oracle inlines the identical CASE (DuckDB has no
+    shared catalog; the semantic twin is the point).
+
+    Group sums accumulate as DECIMAL(38,12) (r8 determinism pattern) and
+    leave as 1e2-quantized BIGINTs — integer hashed surface."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_ev_sqludf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION value_band(v DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN v IS NULL THEN 'null'
+                    WHEN v < 10 THEN 'small'
+                    WHEN v < 100 THEN 'mid'
+                    ELSE 'large' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT value_band(value) AS band,
+               count(*) AS n,
+               CAST(round(sum(CAST(coalesce(value, 0.0) AS DECIMAL(38,12)))
+                          * 100) AS BIGINT) AS sum_q2
+        FROM _ev_sqludf
+        GROUP BY value_band(value)
+        """
+    )
+
+
+ORACLE_SQL_UDF_BANDS = """
+SELECT CASE WHEN value IS NULL THEN 'null'
+            WHEN value < 10 THEN 'small'
+            WHEN value < 100 THEN 'mid'
+            ELSE 'large' END AS band,
+       count(*) AS n,
+       CAST(round(sum(CAST(coalesce(value, 0.0) AS DECIMAL(38,12))) * 100)
+            AS BIGINT) AS sum_q2
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES["sql_udf_value_bands"] = sql_udf_value_bands
+ORACLES["sql_udf_value_bands"] = ORACLE_SQL_UDF_BANDS
