@@ -202,3 +202,53 @@ def test_sql_udf_inlines_and_bands(spark, tmp_path):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Python" not in plan  # inlined SQL, not a UDF call boundary
+
+
+def test_simpsons_paradox_flags_planted_reversal(spark, tmp_path):
+    """Pooled effect positive, one stratum negative: only that stratum is
+    flagged. Construction: 'big' is weekend-heavy with high values
+    (drives the pooled sign positive); 'flip' has weekend < weekday."""
+    import datetime as _dt
+
+    from weatherdatapipeline_spark.queries import simpsons_paradox_screen
+
+    sat, mon = _dt.datetime(2024, 1, 6), _dt.datetime(2024, 1, 8)
+    rows = []
+    eid = 0
+    for v, day in [(100.0, sat)] * 20 + [(1.0, mon)] * 5:
+        rows.append((eid, day, 1, v, "big")); eid += 1
+    for v, day in [(1.0, sat)] * 10 + [(5.0, mon)] * 10:
+        rows.append((eid, day, 1, v, "flip")); eid += 1
+    df = spark.createDataFrame(
+        [(i, ts, u, float(v), t, "{}") for i, ts, u, v, t in rows],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, "
+        "event_type STRING, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["event_type"]: r for r in simpsons_paradox_screen(spark, str(tmp_path)).collect()}
+    assert got["big"]["pooled_q4"] > 0  # pooled: weekends look great
+    assert got["big"]["sign_reversed"] == 0
+    assert got["flip"]["effect_q4"] == -4 * 10_000  # 1 - 5
+    assert got["flip"]["sign_reversed"] == 1
+
+
+def test_neyman_allocation_closed_form_and_budget(spark, tmp_path):
+    """Two strata, equal sizes, sigma 2:1 → allocation 2:1 (667/333 after
+    largest-remainder); allocations always sum exactly to the budget;
+    a zero-variance stratum gets zero."""
+    from weatherdatapipeline_spark.queries import neyman_allocation_by_type
+
+    rows = []
+    eid = 0
+    for v in ([10.0, 30.0] * 50):  # sigma = 10, n = 100
+        rows.append((eid, 1, v, "wide")); eid += 1
+    for v in ([10.0, 20.0] * 50):  # sigma = 5, n = 100
+        rows.append((eid, 1, v, "narrow")); eid += 1
+    for _ in range(100):  # sigma = 0: no budget needed
+        rows.append((eid, 1, 7.0, "constant")); eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {r["event_type"]: r["alloc"] for r in
+           neyman_allocation_by_type(spark, str(tmp_path)).collect()}
+    assert got["constant"] == 0
+    assert got["wide"] + got["narrow"] + got["constant"] == 1000
+    assert got["wide"] == 667 and got["narrow"] == 333

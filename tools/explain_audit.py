@@ -384,6 +384,17 @@ CHECKS = {
         ("broadcast pair fan-out", r"BroadcastNestedLoopJoin"),
         ("pair-partitioned union-sketch rank", r"windowspecdefinition\(type_a"),
     ],
+    "simpsons_paradox_screen": [
+        # pooled row rides a 1-row broadcast; no window anywhere
+        ("no window at all", lambda p: "Window" not in p),
+        ("broadcast pooled join", r"BroadcastNestedLoopJoin"),
+    ],
+    "neyman_allocation_by_type": [
+        # Hamilton rank over k stratum rows = broadcast self-join count,
+        # same no-global-window shape as bh_fdr
+        ("no window at all", lambda p: "Window" not in p),
+        ("broadcast rank join", r"BroadcastNestedLoopJoin"),
+    ],
     "bottomk_quantile_sketch": [
         ("partitioned sample window", r"windowspecdefinition\(event_type"),
         ("pushdown value filter", r"PushedFilters: \[.*IsNotNull\(value"),

@@ -14189,3 +14189,216 @@ GROUP BY 1
 
 QUERIES["sql_udf_value_bands"] = sql_udf_value_bands
 ORACLES["sql_udf_value_bands"] = ORACLE_SQL_UDF_BANDS
+
+
+def simpsons_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen over the weekend-vs-weekday value effect:
+    the aggregate effect direction vs the within-stratum direction for
+    every event type, flagging strata whose sign REVERSES the pooled
+    conclusion — the classic confounding audit an experimentation
+    platform runs before anyone acts on a pooled mean (Simpson 1951;
+    the flagged stratum is where 'weekends raise value' is false).
+
+    One grouped aggregate (type × weekend-indicator moments as
+    DECIMAL(38,12) — exact, schedule-independent) + one 1-row pooled
+    aggregate broadcast back; effects leave as 1e4-quantized BIGINTs,
+    the sign columns as exact -1/0/1 integers."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("g"),
+    )
+
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.sum(F.when(F.col("g") == 1, F.col("v")).otherwise(0.0).cast(dec))
+            .cast("double")
+            .alias("sw"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("nw"),
+            F.sum(F.when(F.col("g") == 0, F.col("v")).otherwise(0.0).cast(dec))
+            .cast("double")
+            .alias("sd"),
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("nd"),
+        )
+
+    eff = (F.col("sw") / F.col("nw")) - (F.col("sd") / F.col("nd"))
+    per = moments(base, ["event_type"]).select(
+        "event_type",
+        (F.col("nw") + F.col("nd")).cast("bigint").alias("n"),
+        F.round(eff * 1e4).cast("bigint").alias("effect_q4"),
+        F.signum(F.round(eff * 1e4)).cast("bigint").alias("effect_sign"),
+    )
+    pooled = moments(base, []).select(
+        F.round(eff * 1e4).cast("bigint").alias("pooled_q4"),
+        F.signum(F.round(eff * 1e4)).cast("bigint").alias("pooled_sign"),
+    )
+    return per.crossJoin(F.broadcast(pooled)).select(
+        "event_type",
+        "n",
+        "effect_q4",
+        "pooled_q4",
+        (
+            (F.col("effect_sign") * F.col("pooled_sign") < 0)
+        )
+        .cast("bigint")
+        .alias("sign_reversed"),
+    )
+
+
+ORACLE_SIMPSONS = """
+WITH base AS (
+  SELECT event_type, value::DOUBLE AS v,
+         (dayofweek(ts) IN (0, 6))::INT AS g
+  FROM events WHERE value IS NOT NULL
+),
+per AS (
+  SELECT event_type,
+         sum(CASE WHEN g = 1 THEN CAST(v AS DECIMAL(38,12))
+                  ELSE CAST(0.0 AS DECIMAL(38,12)) END)::DOUBLE AS sw,
+         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS nw,
+         sum(CASE WHEN g = 0 THEN CAST(v AS DECIMAL(38,12))
+                  ELSE CAST(0.0 AS DECIMAL(38,12)) END)::DOUBLE AS sd,
+         sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS nd
+  FROM base GROUP BY 1
+),
+pooled AS (
+  SELECT sum(CASE WHEN g = 1 THEN CAST(v AS DECIMAL(38,12))
+                  ELSE CAST(0.0 AS DECIMAL(38,12)) END)::DOUBLE AS sw,
+         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS nw,
+         sum(CASE WHEN g = 0 THEN CAST(v AS DECIMAL(38,12))
+                  ELSE CAST(0.0 AS DECIMAL(38,12)) END)::DOUBLE AS sd,
+         sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS nd
+  FROM base
+)
+SELECT p.event_type, (p.nw + p.nd)::BIGINT AS n,
+       round((p.sw / p.nw - p.sd / p.nd) * 1e4)::BIGINT AS effect_q4,
+       round((g.sw / g.nw - g.sd / g.nd) * 1e4)::BIGINT AS pooled_q4,
+       (sign(round((p.sw / p.nw - p.sd / p.nd) * 1e4))
+        * sign(round((g.sw / g.nw - g.sd / g.nd) * 1e4)) < 0)::BIGINT
+         AS sign_reversed
+FROM per p CROSS JOIN pooled g
+"""
+
+
+QUERIES["simpsons_paradox_screen"] = simpsons_paradox_screen
+ORACLES["simpsons_paradox_screen"] = ORACLE_SIMPSONS
+
+
+_NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation (Neyman 1934): split
+    a total labeling/inspection budget of n=1000 across event-type
+    strata proportionally to N_h·σ_h — the allocation that minimizes
+    the variance of the stratified mean estimator, i.e. spend budget
+    where strata are BIG and NOISY. The design step a data-curation
+    pipeline runs before human eval sampling.
+
+    Integer-exact by construction: stratum weights quantize to BIGINT
+    (w_q6 = round(N_h·σ_h·1e6)); raw shares quantize at 1e9; the
+    largest-remainder rounding (Hamilton apportionment) runs on those
+    integers with a bh_fdr-style broadcast self-join rank over the k
+    stratum rows — no partition-less window, no double on the hashed
+    surface, and the allocations sum EXACTLY to the budget. σ uses
+    DECIMAL(38,12) moment sums (r8 determinism contract)."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.col("value").cast("double")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(v.cast(dec)).cast("double").alias("s"),
+        F.sum((v * v).cast(dec)).cast("double").alias("ss"),
+    )
+    sigma = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n_h")) / F.col("n_h")
+    )
+    w = per.select(
+        "event_type",
+        F.col("n_h").cast("bigint").alias("n_h"),
+        F.round(F.col("n_h") * sigma * 1e6).cast("bigint").alias("w_q6"),
+    )
+    tot = w.agg(F.sum("w_q6").alias("w_tot"))
+    shared = w.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_h",
+        "w_q6",
+        F.round(
+            F.lit(float(_NEYMAN_BUDGET)) * F.col("w_q6") / F.col("w_tot") * 1e9
+        )
+        .cast("bigint")
+        .alias("a_q9"),
+    )
+    base = (F.col("a_q9") / F.lit(1_000_000_000)).cast("bigint")
+    rem = F.col("a_q9") % 1_000_000_000
+    scored = shared.select(
+        "event_type", "n_h", "w_q6", base.alias("base"), rem.alias("rem")
+    )
+    # Hamilton rank via broadcast self-join count (no global window):
+    # rank i = #strata with (rem, type) >= mine under (rem DESC, type ASC)
+    other = F.broadcast(
+        scored.select(F.col("rem").alias("_r"), F.col("event_type").alias("_et"))
+    )
+    ranked = (
+        scored.join(
+            other,
+            (F.col("_r") > F.col("rem"))
+            | ((F.col("_r") == F.col("rem")) & (F.col("_et") <= F.col("event_type"))),
+        )
+        .groupBy("event_type", "n_h", "w_q6", "base", "rem")
+        .agg(F.count(F.lit(1)).alias("rk"))
+    )
+    deficit = ranked.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base")).cast("bigint").alias("deficit")
+    )
+    return ranked.crossJoin(F.broadcast(deficit)).select(
+        "event_type",
+        "n_h",
+        "w_q6",
+        (F.col("base") + (F.col("rk") <= F.col("deficit")).cast("bigint"))
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+ORACLE_NEYMAN = f"""
+WITH per AS (
+  SELECT event_type, count(*)::BIGINT AS n_h,
+         sum(CAST(value::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s,
+         sum(CAST(value::DOUBLE * value::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS ss
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+w AS (
+  SELECT event_type, n_h,
+         round(n_h * sqrt((ss - s * s / n_h) / n_h) * 1e6)::BIGINT AS w_q6
+  FROM per
+),
+shared AS (
+  SELECT event_type, n_h, w_q6,
+         round({_NEYMAN_BUDGET}.0 * w_q6 / (SELECT sum(w_q6) FROM w) * 1e9)::BIGINT
+           AS a_q9
+  FROM w
+),
+scored AS (
+  SELECT event_type, n_h, w_q6,
+         a_q9 // 1000000000 AS base, a_q9 % 1000000000 AS rem
+  FROM shared
+),
+ranked AS (
+  SELECT s.event_type, s.n_h, s.w_q6, s.base, s.rem,
+         count(*) AS rk
+  FROM scored s JOIN scored o
+    ON (o.rem > s.rem) OR (o.rem = s.rem AND o.event_type <= s.event_type)
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT event_type, n_h, w_q6,
+       (base + (rk <= {_NEYMAN_BUDGET} - (SELECT sum(base) FROM ranked))::INT)::BIGINT
+         AS alloc
+FROM ranked
+"""
+
+
+QUERIES["neyman_allocation_by_type"] = neyman_allocation_by_type
+ORACLES["neyman_allocation_by_type"] = ORACLE_NEYMAN
