@@ -136,3 +136,74 @@ def test_quantize_roundtrip_error_bound_property(spark, vecs):
         v = np.asarray(vec, dtype=np.float32).astype(np.float64)
         err = np.abs(np.asarray(r["embedding"]) - v)
         assert err.max() <= r["scale"] / 2 + 1e-9 * max(1.0, r["scale"])
+
+
+# --- r9: PNG codec + KMV merge identity properties -------------------------
+
+PNG_SETTINGS = settings(max_examples=40, deadline=None)  # pure Python, cheap
+
+
+@PNG_SETTINGS
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    mode=st.sampled_from(["L", "LA", "RGB", "RGBA"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, mode, seed):
+    """encode_png → decode_png is the identity for ANY raster geometry,
+    mode, and pixel content (stdlib codec, no Spark)."""
+    from weatherdatapipeline_spark.operators.png import (
+        _MODE_CHANNELS,
+        decode_png,
+        encode_png,
+    )
+
+    n = w * h * _MODE_CHANNELS[mode]
+    data = bytes((seed + 97 * i) % 256 for i in range(n))
+    img = decode_png(encode_png(w, h, mode, data))
+    assert (img.width, img.height, img.mode) == (w, h, mode)
+    assert img.tobytes() == data
+
+
+@PNG_SETTINGS
+@given(
+    w=st.integers(min_value=1, max_value=10),
+    h=st.integers(min_value=2, max_value=8),
+    filters=st.lists(st.integers(min_value=0, max_value=4), min_size=2, max_size=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_unfilter_property(w, h, filters, seed):
+    """The decoder inverts ANY per-row mix of the five spec filters."""
+    from tests.test_png_codec import _png_with_filters
+    from weatherdatapipeline_spark.operators.png import decode_png
+
+    filters = (filters * h)[:h]
+    data = bytes((seed + 31 * i) % 256 for i in range(w * h * 3))
+    assert decode_png(_png_with_filters(w, h, "RGB", data, filters)).tobytes() == data
+
+
+@SETTINGS
+@given(
+    ids_a=st.lists(st.integers(min_value=0, max_value=400), min_size=0, max_size=60),
+    ids_b=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    k=st.sampled_from([4, 16]),
+)
+def test_kmv_merge_identity_property(spark, ids_a, ids_b, k):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) for ANY id
+    multisets and sketch size — the mergeability theorem the streaming
+    maintenance relies on, checked against the Spark operator."""
+    from weatherdatapipeline_spark.operators.stats import kmv_bottom_k
+
+    rows = [("a", i) for i in ids_a] + [("b", i) for i in ids_b]
+    df = spark.createDataFrame(rows, "g STRING, id LONG")
+    union_direct = kmv_bottom_k(
+        df.select(F.lit("u").alias("g"), "id"), "g", "id", k=k
+    )
+    per_group = kmv_bottom_k(df, "g", "id", k=k)
+    union_merged = kmv_bottom_k(
+        per_group.select(F.lit("u").alias("g"), "id"), "g", "id", k=k
+    )
+    got = sorted(tuple(r) for r in union_merged.collect())
+    want = sorted(tuple(r) for r in union_direct.collect())
+    assert got == want
