@@ -252,3 +252,31 @@ def test_neyman_allocation_closed_form_and_budget(spark, tmp_path):
     assert got["constant"] == 0
     assert got["wide"] + got["narrow"] + got["constant"] == 1000
     assert got["wide"] == 667 and got["narrow"] == 333
+
+
+def test_bpe_fertility_closed_form(spark, tmp_path):
+    """Corpus of one repeated word: BPE fully merges it, so fertility is
+    exactly 1 token/word; a source of never-merged singleton chars pays
+    chars+1 tokens per word."""
+    from weatherdatapipeline_spark.queries import bpe_fertility_by_source
+
+    # 'hot' dominates → its merges are learned fully: h+o, ho+t, hot+</w>
+    docs = [(i, "hot " * 50, "hotsrc") for i in range(6)]
+    # one rare 20-distinct-char word: fully merging it needs 20 merges,
+    # but only 13 remain after 'hot' consumes 3 — it CANNOT reach 1 token
+    docs += [(100, "abcdefghijklmnopqrst", "raresrc")]
+    df = spark.createDataFrame(
+        [(i, t.strip(), "en", s, len(t.strip())) for i, t, s in docs],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["source"]: r for r in bpe_fertility_by_source(spark, str(tmp_path)).collect()}
+    hot = got["hotsrc"]
+    assert hot["n_words"] == 300
+    assert hot["n_tokens"] == 300  # fully merged single token per word
+    assert hot["tokens_per_word_q4"] == 10_000
+    # 'hot'+</w> = 4 chars-equivalents → tokens/char = 1/4
+    assert hot["tokens_per_char_q4"] == 2500
+    rare = got["raresrc"]
+    assert rare["n_words"] == 1
+    assert rare["tokens_per_word_q4"] > 10_000  # strictly worse fertility

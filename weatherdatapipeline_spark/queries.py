@@ -14402,3 +14402,70 @@ FROM ranked
 
 QUERIES["neyman_allocation_by_type"] = neyman_allocation_by_type
 ORACLES["neyman_allocation_by_type"] = ORACLE_NEYMAN
+
+
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report: train the 16-merge BPE table on the
+    corpus (operators/bpe.py), encode the DISTINCT word vocabulary once,
+    then join the (word → token count) map back to per-source word
+    frequencies — tokens/word and tokens/char per source, the metric
+    that tells you which slice of a training mixture the tokenizer
+    serves poorly (high fertility = more sequence budget burned per
+    character; the canonical multilingual-tokenizer audit).
+
+    Scale shape: corpus scanned once for per-source word counts; the
+    encoder runs over the vocabulary (distinct words), never raw text;
+    the merge table rides the UDF closure (n_merges entries). rows-only
+    driver check BY DESIGN, same contract as bpe_learned_merges (the
+    per-round argmax is not one SQL statement); tests pin fertility
+    closed forms on constructed corpora."""
+    from .operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = B.bpe_train(docs, n_merges=16)
+    per_source_words = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = per_source_words.select("word").distinct().withColumn(
+        "cnt", F.lit(1).cast("long")
+    )
+    encoded = B.bpe_encode_words(vocab, merges).select(
+        "word", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    joined = per_source_words.join(encoded, "word")
+    dec = "decimal(38,12)"
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tokens")).cast("bigint").alias("n_tokens"),
+            F.sum(
+                (F.col("cnt") * (F.length("word") + 1)).cast(dec)
+            )
+            .cast("bigint")
+            .alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_words") * 1e4)
+            .cast("bigint")
+            .alias("tokens_per_word_q4"),
+            F.round(F.col("n_tokens") / F.col("n_chars") * 1e4)
+            .cast("bigint")
+            .alias("tokens_per_char_q4"),
+        )
+    )
+
+
+QUERIES["bpe_fertility_by_source"] = bpe_fertility_by_source
+# rows-only BY DESIGN: inherits bpe_learned_merges' non-SQL-expressible
+# training loop (per-round argmax + sequential rewrite); semantics pinned
+# by closed-form pytest instead.
