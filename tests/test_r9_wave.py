@@ -280,3 +280,76 @@ def test_bpe_fertility_closed_form(spark, tmp_path):
     rare = got["raresrc"]
     assert rare["n_words"] == 1
     assert rare["tokens_per_word_q4"] > 10_000  # strictly worse fertility
+
+
+def test_iv_wald_perfect_compliance_closed_form(spark, tmp_path):
+    """Perfect compliance: every encouraged (z=1) user purchases with
+    y=20, every control user doesn't with y=10 → ITT = 10, first stage
+    = 1, β_IV = ITT/1 = 10 exactly."""
+    import hashlib
+
+    from weatherdatapipeline_spark.queries import iv_wald_estimate
+
+    def z(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    rows, eid = [], 0
+    for uid in range(200):
+        if z(uid):
+            rows.append((eid, uid, 20.0, "purchase")); eid += 1
+        else:
+            rows.append((eid, uid, 10.0, "click")); eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    [r] = iv_wald_estimate(spark, str(tmp_path)).collect()
+    assert r["n_encouraged"] + r["n_control"] == 200
+    assert r["itt_q4"] == 10 * 10_000
+    assert r["first_stage_q4"] == 10_000
+    assert r["beta_iv_q4"] == 10 * 10_000
+
+
+def test_iv_wald_null_instrument_reports_no_power(spark, tmp_path):
+    """Nobody purchases regardless of z: the first stage is 0 and β_IV
+    is NULL (reported, never a division blow-up)."""
+    from weatherdatapipeline_spark.queries import iv_wald_estimate
+
+    rows = [(i, i, 5.0, "click") for i in range(100)]
+    _write_events(spark, str(tmp_path), rows)
+    [r] = iv_wald_estimate(spark, str(tmp_path)).collect()
+    assert r["first_stage_q4"] == 0
+    assert r["beta_iv_q4"] is None
+
+
+def test_ipf_raking_hits_uniform_margins(spark, tmp_path):
+    """After 6 IPF rounds on a deliberately skewed 2x2 table, both raked
+    margins must match the uniform targets (total/2 each) to within the
+    quantization grid, while cells stay positive and keep the table's
+    interaction structure."""
+    import datetime as _dt
+
+    from weatherdatapipeline_spark.queries import ipf_raking_type_dow
+
+    mon, tue = _dt.datetime(2024, 1, 1), _dt.datetime(2024, 1, 2)
+    rows, eid = [], 0
+    for day, t, k in [(mon, "a", 70), (mon, "b", 10), (tue, "a", 10), (tue, "b", 10)]:
+        for _ in range(k):
+            rows.append((eid, day, 1, 1.0, t)); eid += 1
+    df = spark.createDataFrame(
+        [(i, ts, u, v, t, "{}") for i, ts, u, v, t in rows],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, "
+        "event_type STRING, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    cells = ipf_raking_type_dow(spark, str(tmp_path)).collect()
+    assert len(cells) == 4 and all(r["weight_q6"] > 0 for r in cells)
+    total = 100 * 1_000_000
+    row_m, col_m = {}, {}
+    for r in cells:
+        row_m[r["i"]] = row_m.get(r["i"], 0) + r["weight_q6"]
+        col_m[r["j"]] = col_m.get(r["j"], 0) + r["weight_q6"]
+    # the LAST half-step fits the column axis, so those margins are exact
+    # up to the 1e-6 quantization; the row axis carries the geometric IPF
+    # residual (this 7:1-skewed table leaves ~0.003 after 6 rounds)
+    for m in col_m.values():
+        assert abs(m - total / 2) <= 10
+    for m in row_m.values():
+        assert abs(m - total / 2) < 5000

@@ -14469,3 +14469,216 @@ QUERIES["bpe_fertility_by_source"] = bpe_fertility_by_source
 # rows-only BY DESIGN: inherits bpe_learned_merges' non-SQL-expressible
 # training loop (per-round argmax + sequential rewrite); semantics pinned
 # by closed-form pytest instead.
+
+
+def iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable (Wald 1940) estimate — the causal design for
+    when treatment uptake is self-selected but an ENCOURAGEMENT was
+    randomized: instrument Z = md5-deterministic user assignment (the
+    repo's A/B idiom, as-good-as-random), endogenous exposure D =
+    whether the user actually produced a purchase event, outcome Y =
+    the user's mean event value. β_IV = (E[Y|Z=1] − E[Y|Z=0]) /
+    (E[D|Z=1] − E[D|Z=0]) — intent-to-treat effect scaled by first-stage
+    compliance; with a null instrument the first stage is the
+    self-report that the design has no power (reported, not hidden).
+
+    One user-level collapse, one 2-cell conditional aggregate
+    (DECIMAL(38,12) moment sums, r8 contract); outputs are counts plus
+    1e4-quantized BIGINTs for ITT, first stage, and β_IV — integer
+    hashed surface."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("y"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("d"),
+    )
+    z = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    ).alias("z")
+    cells = users.select(z, "y", "d").groupBy().agg(
+        F.sum(F.when(F.col("z") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("z") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("z") == 1, F.col("y")).otherwise(0.0).cast(dec))
+        .cast("double")
+        .alias("sy1"),
+        F.sum(F.when(F.col("z") == 0, F.col("y")).otherwise(0.0).cast(dec))
+        .cast("double")
+        .alias("sy0"),
+        F.sum(F.when(F.col("z") == 1, F.col("d")).otherwise(0)).alias("sd1"),
+        F.sum(F.when(F.col("z") == 0, F.col("d")).otherwise(0)).alias("sd0"),
+    )
+    itt = F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0")
+    first = (
+        F.col("sd1").cast("double") / F.col("n1")
+        - F.col("sd0").cast("double") / F.col("n0")
+    )
+    return cells.select(
+        F.col("n1").cast("bigint").alias("n_encouraged"),
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.round(itt * 1e4).cast("bigint").alias("itt_q4"),
+        F.round(first * 1e4).cast("bigint").alias("first_stage_q4"),
+        F.when(
+            F.round(first * 1e4) == 0, F.lit(None).cast("bigint")
+        )
+        .otherwise(F.round(itt / first * 1e4).cast("bigint"))
+        .alias("beta_iv_q4"),
+    )
+
+
+ORACLE_IV_WALD = """
+WITH users AS (
+  SELECT user_id,
+         sum(CAST(value::DOUBLE AS DECIMAL(38,12)))::DOUBLE / count(*) AS y,
+         max((event_type = 'purchase')::INT) AS d
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+zd AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS z, y, d
+  FROM users
+),
+cells AS (
+  SELECT sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN z = 1 THEN CAST(y AS DECIMAL(38,12))
+                  ELSE CAST(0.0 AS DECIMAL(38,12)) END)::DOUBLE AS sy1,
+         sum(CASE WHEN z = 0 THEN CAST(y AS DECIMAL(38,12))
+                  ELSE CAST(0.0 AS DECIMAL(38,12)) END)::DOUBLE AS sy0,
+         sum(CASE WHEN z = 1 THEN d ELSE 0 END) AS sd1,
+         sum(CASE WHEN z = 0 THEN d ELSE 0 END) AS sd0
+  FROM zd
+)
+SELECT n1::BIGINT AS n_encouraged, n0::BIGINT AS n_control,
+       round((sy1 / n1 - sy0 / n0) * 1e4)::BIGINT AS itt_q4,
+       round((sd1::DOUBLE / n1 - sd0::DOUBLE / n0) * 1e4)::BIGINT
+         AS first_stage_q4,
+       CASE WHEN round((sd1::DOUBLE / n1 - sd0::DOUBLE / n0) * 1e4) = 0
+            THEN NULL
+            ELSE round((sy1 / n1 - sy0 / n0)
+                       / (sd1::DOUBLE / n1 - sd0::DOUBLE / n0) * 1e4)::BIGINT
+       END AS beta_iv_q4
+FROM cells
+"""
+
+
+QUERIES["iv_wald_estimate"] = iv_wald_estimate
+ORACLES["iv_wald_estimate"] = ORACLE_IV_WALD
+
+
+_IPF_ROUNDS = 6
+
+
+def ipf_raking_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming & Stephan 1940):
+    rake the observed event_type × weekday contingency table to UNIFORM
+    target margins on both axes — the survey-weighting step that turns a
+    skewed collection into one whose marginal composition matches a
+    design, while preserving the table's interaction structure (odds
+    ratios). 6 full IPF rounds; each half-step rescales every cell by
+    target/current-margin and rounds to 9dp (the pca_power trajectory-
+    pinning pattern, so DuckDB replays the identical float path);
+    margin sums accumulate as DECIMAL(38,12).
+
+    Scale: ONE corpus scan for the |types|×7 counts; the iteration
+    lives entirely on that vocabulary-bounded cell table (broadcast
+    margin joins, no window, no collect). Output: cells with observed
+    count + final 1e6-quantized weight — a pytest asserts both raked
+    margins hit the uniform targets."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("i"), F.weekday("ts").cast("long").alias("j")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.countDistinct("i").cast("double").alias("ti"),
+        F.countDistinct("j").cast("double").alias("tj"),
+    )
+    # localCheckpoint per round (graph-operator contract): the cell table
+    # is vocabulary-bounded, but 12 stacked join levels make Catalyst
+    # re-optimize a doubling plan each round without truncation
+    w = cells.crossJoin(F.broadcast(tot)).select(
+        "i",
+        "j",
+        "n",
+        F.col("n").cast("double").alias("w"),
+        (F.col("total") / F.col("ti")).alias("rt"),
+        (F.col("total") / F.col("tj")).alias("ct"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_IPF_ROUNDS):
+        rm = w.groupBy("i").agg(
+            F.sum(F.col("w").cast(dec)).cast("double").alias("rs")
+        )
+        w = w.join(F.broadcast(rm), "i").select(
+            "i", "j", "n", F.round(F.col("w") * F.col("rt") / F.col("rs"), 9).alias("w"),
+            "rt", "ct",
+        )
+        cm = w.groupBy("j").agg(
+            F.sum(F.col("w").cast(dec)).cast("double").alias("cs")
+        )
+        w = w.join(F.broadcast(cm), "j").select(
+            "i", "j", "n", F.round(F.col("w") * F.col("ct") / F.col("cs"), 9).alias("w"),
+            "rt", "ct",
+        ).localCheckpoint(eager=True)
+    return w.select(
+        "i",
+        "j",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("w") * 1e6).cast("bigint").alias("weight_q6"),
+    )
+
+
+def _ipf_oracle(rounds: int = _IPF_ROUNDS) -> str:
+    ctes = [
+        """cells AS MATERIALIZED (
+  SELECT event_type AS i, (isodow(ts) - 1)::BIGINT AS j, count(*) AS n
+  FROM events GROUP BY 1, 2
+)""",
+        """t AS MATERIALIZED (
+  SELECT sum(n)::DOUBLE AS total, count(DISTINCT i)::DOUBLE AS ti,
+         count(DISTINCT j)::DOUBLE AS tj
+  FROM cells
+)""",
+        """w0 AS MATERIALIZED (
+  SELECT i, j, n, n::DOUBLE AS w, total / ti AS rt, total / tj AS ct
+  FROM cells CROSS JOIN t
+)""",
+    ]
+    prev = "w0"
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT i, j, n, round(w * rt / rs, 9) AS w, rt, ct FROM (
+    SELECT *, (sum(CAST(w AS DECIMAL(38,12))) OVER (PARTITION BY i))::DOUBLE AS rs
+    FROM {prev}
+  )
+)"""
+        )
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT i, j, n, round(w * ct / cs, 9) AS w, rt, ct FROM (
+    SELECT *, (sum(CAST(w AS DECIMAL(38,12))) OVER (PARTITION BY j))::DOUBLE AS cs
+    FROM r{k}
+  )
+)"""
+        )
+        prev = f"c{k}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT i, j, n::BIGINT AS n, round(w * 1e6)::BIGINT AS weight_q6
+FROM {prev}
+"""
+    )
+
+
+ORACLE_IPF_RAKING = _ipf_oracle()
+
+
+QUERIES["ipf_raking_type_dow"] = ipf_raking_type_dow
+ORACLES["ipf_raking_type_dow"] = ORACLE_IPF_RAKING
