@@ -353,3 +353,29 @@ def test_ipf_raking_hits_uniform_margins(spark, tmp_path):
         assert abs(m - total / 2) <= 10
     for m in row_m.values():
         assert abs(m - total / 2) < 5000
+
+
+def test_mase_backtest_closed_forms(spark, tmp_path):
+    """A perfect weekly pattern: the seasonal-naive lag-7 is EXACT
+    (mae_seas=0 days excluded? no — both defined ⇒ mase denominator 0).
+    Use instead: linear ramp y=day → persistence err = 1 every day,
+    seasonal err = 7 every day ⇒ MASE = 1/7 exactly."""
+    import datetime as _dt
+
+    from weatherdatapipeline_spark.queries import forecast_mase_backtest
+
+    rows, eid = [], 0
+    for d in range(21):
+        day = _dt.datetime(2024, 1, 1) + _dt.timedelta(days=d)
+        rows.append((eid, day, 1, float(d), "ramp")); eid += 1
+    df = spark.createDataFrame(
+        [(i, ts_, u, v, t, "{}") for i, ts_, u, v, t in rows],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, "
+        "event_type STRING, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    [r] = forecast_mase_backtest(spark, str(tmp_path)).collect()
+    assert r["n_days"] == 14  # days 8..21 have both lags
+    assert r["mae_pers_q4"] == 10_000       # |y - lag1| = 1
+    assert r["mae_seas_q4"] == 7 * 10_000   # |y - lag7| = 7
+    assert r["mase_q4"] == round(1 / 7 * 1e4)  # 1429

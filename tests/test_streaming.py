@@ -672,3 +672,46 @@ def test_streaming_kmv_sketch_equals_batch(spark, tmp_path_factory):
            kmv_estimate(stored, "event_type", k=16).collect()}
     assert est["view"] == 7  # under-k group: sketch IS the set, exact
     assert est["click"] > 16  # full sketch extrapolates beyond k
+
+
+def test_stateful_page_hinkley_across_batches(spark, tmp_path_factory):
+    """The PH recurrence must carry across micro-batches: a mean step
+    change that happens IN THE SECOND batch is detected with exactly the
+    statistic a single-pass Python replay computes over all rows."""
+    import time as _time
+
+    from weatherdatapipeline_spark.streaming.jobs import page_hinkley_stateful
+
+    path = str(tmp_path_factory.mktemp("ph_in"))
+    flat = [(i, ts(f"2024-01-01T10:0{i}:00"), "u1", 10.0) for i in range(5)]
+    jump = [(5 + i, ts(f"2024-01-01T11:0{i}:00"), "u1", 50.0) for i in range(5)]
+    spark.createDataFrame(flat, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame(jump, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    out = page_hinkley_stateful(
+        stream.select("user_id", "ts", "value"), "user_id", "ts", "value", delta=0.01
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ph_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM ph_sink ORDER BY ts").collect()
+    assert len(rows) == 10
+
+    # single-pass replay over ALL rows — state must have crossed batches
+    n = tot = s = 0.0
+    min_s, max_ph, want = float("inf"), 0.0, []
+    for v in [10.0] * 5 + [50.0] * 5:
+        n += 1
+        tot += v
+        s += v - tot / n - 0.01
+        min_s = min(min_s, s)
+        max_ph = max(max_ph, s - min_s)
+        want.append((s - min_s, max_ph))
+    for r, (ph, mph) in zip(rows, want):
+        assert abs(r["ph"] - ph) < 1e-9 and abs(r["max_ph"] - mph) < 1e-9
+    # the jump IS detected: PH grows once the mean shifts
+    assert rows[-1]["max_ph"] > 50 and rows[4]["max_ph"] < 1.0

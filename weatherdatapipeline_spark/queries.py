@@ -14682,3 +14682,87 @@ ORACLE_IPF_RAKING = _ipf_oracle()
 
 QUERIES["ipf_raking_type_dow"] = ipf_raking_type_dow
 ORACLES["ipf_raking_type_dow"] = ORACLE_IPF_RAKING
+
+
+def forecast_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE forecast backtest (Hyndman & Koehler 2006) on the per-type
+    daily mean-value series: one-step PERSISTENCE (yesterday's value)
+    scored against the SEASONAL-NAIVE scale (the value 7 days earlier) —
+    MASE = MAE_persistence / MAE_seasonal-naive, the scale-free metric
+    that makes forecast quality comparable across series of different
+    magnitudes (MASE < 1 ⟺ the model beats the seasonal-naive yardstick
+    on this window). Both "models" are lag projections, so the whole
+    backtest — including the metric — is exactly replayable in SQL.
+
+    Evaluation is restricted to days where BOTH lags exist (a shared
+    window, so neither MAE gets free easy days). Daily collapse first:
+    windows are type-partitioned over ~30 day rows, never event rows;
+    absolute errors sum as DECIMAL(38,12); outputs 1e4-quantized
+    BIGINTs."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast(dec)).cast("double") / F.count(F.lit(1))).alias(
+            "y"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("p1"),
+        F.lag("y", 7).over(w).alias("p7"),
+    ).filter(F.col("p1").isNotNull() & F.col("p7").isNotNull())
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (
+            F.sum(F.abs(F.col("y") - F.col("p1")).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_pers"),
+        (
+            F.sum(F.abs(F.col("y") - F.col("p7")).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_seas"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("mae_pers") * 1e4).cast("bigint").alias("mae_pers_q4"),
+        F.round(F.col("mae_seas") * 1e4).cast("bigint").alias("mae_seas_q4"),
+        F.round(F.col("mae_pers") / F.col("mae_seas") * 1e4)
+        .cast("bigint")
+        .alias("mase_q4"),
+    )
+
+
+ORACLE_MASE = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day,
+         sum(CAST(value::DOUBLE AS DECIMAL(38,12)))::DOUBLE / count(*) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, y,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS p7
+  FROM daily
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_days,
+         sum(CAST(abs(y - p1) AS DECIMAL(38,12)))::DOUBLE / count(*) AS mae_pers,
+         sum(CAST(abs(y - p7) AS DECIMAL(38,12)))::DOUBLE / count(*) AS mae_seas
+  FROM scored WHERE p1 IS NOT NULL AND p7 IS NOT NULL
+  GROUP BY 1
+)
+SELECT event_type, n_days,
+       round(mae_pers * 1e4)::BIGINT AS mae_pers_q4,
+       round(mae_seas * 1e4)::BIGINT AS mae_seas_q4,
+       round(mae_pers / mae_seas * 1e4)::BIGINT AS mase_q4
+FROM agg
+"""
+
+
+QUERIES["forecast_mase_backtest"] = forecast_mase_backtest
+ORACLES["forecast_mase_backtest"] = ORACLE_MASE

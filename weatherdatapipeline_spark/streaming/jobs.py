@@ -858,3 +858,77 @@ def streaming_kmv_sketch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def page_hinkley_stateful(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    delta: float = 0.01,
+):
+    """Streaming Page-Hinkley drift detector via applyInPandasWithState —
+    the stateful twin of the batch ``page_hinkley_drift`` query, whose
+    recurrence (running mean / cumulative deviation / running min)
+    becomes five floats of per-key state carried across micro-batches:
+    (n, Σx, S, min S, max PH). Emits one row per observation with the
+    PH statistic at that point, so an alerting sink can trigger the
+    moment PH crosses λ rather than at end-of-day batch cadence.
+
+    Same per-key event-time-order assumption as ewma_stateful (replayed
+    logs / per-entity ordered sources); state is O(1) per key forever —
+    the defining property that makes sequential detectors streamable."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            stream.schema[key],
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("ph", DoubleType()),
+            StructField("max_ph", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", DoubleType()),
+            StructField("sum", DoubleType()),
+            StructField("s", DoubleType()),
+            StructField("min_s", DoubleType()),
+            StructField("max_ph", DoubleType()),
+        ]
+    )
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        n, tot, s, min_s, max_ph = (
+            state.get if state.exists else (0.0, 0.0, 0.0, float("inf"), 0.0)
+        )
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            phs, maxes = [], []
+            for v in pdf[value_col]:
+                x = float(v)
+                n += 1.0
+                tot += x
+                s += x - tot / n - delta
+                min_s = min(min_s, s)
+                ph = s - min_s
+                max_ph = max(max_ph, ph)
+                phs.append(ph)
+                maxes.append(max_ph)
+            out = pdf.copy()
+            out["ph"] = phs
+            out["max_ph"] = maxes
+            out[key] = key_tuple[0]
+            yield out[[f.name for f in out_schema.fields]]
+        state.update((n, tot, s, min_s, max_ph))
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
