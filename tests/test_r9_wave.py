@@ -379,3 +379,44 @@ def test_mase_backtest_closed_forms(spark, tmp_path):
     assert r["mae_pers_q4"] == 10_000       # |y - lag1| = 1
     assert r["mae_seas_q4"] == 7 * 10_000   # |y - lag7| = 7
     assert r["mase_q4"] == round(1 / 7 * 1e4)  # 1429
+
+
+def test_group_sequential_obf_planted_effect(spark, tmp_path):
+    """A massive planted conversion gap crosses the OBF boundary by the
+    final look; boundaries decrease monotonically (strict early, loose
+    late) and end at the fixed-horizon critical value C at look K."""
+    import datetime as _dt
+    import hashlib
+
+    from weatherdatapipeline_spark.queries import (
+        _GST_OBF_C,
+        group_sequential_obrien_fleming,
+    )
+
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    rows, eid = [], 0
+    for d in range(10):  # spread over time so looks are non-degenerate
+        day = _dt.datetime(2024, 1, 1) + _dt.timedelta(days=d)
+        for uid in range(60):
+            t = "purchase" if (arm(uid) == 1 and uid % 2 == 0) else "click"
+            rows.append((eid, day, uid, 1.0, t)); eid += 1
+    df = spark.createDataFrame(
+        [(i, ts_, u, v, t, "{}") for i, ts_, u, v, t in rows],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, "
+        "event_type STRING, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    looks = sorted(
+        group_sequential_obrien_fleming(spark, str(tmp_path)).collect(),
+        key=lambda r: r["look"],
+    )
+    assert [r["look"] for r in looks] == [1, 2, 3, 4, 5]
+    bounds = [r["boundary_q4"] for r in looks]
+    assert bounds == sorted(bounds, reverse=True)  # strict early, loose late
+    assert bounds[-1] == round(_GST_OBF_C * 1e4)  # final look = C exactly
+    assert looks[-1]["crossed"] == 1  # ~50% vs 0% conversion: crossed
+    # sample accumulates monotonically across looks in both arms
+    for a, b in zip(looks, looks[1:]):
+        assert b["n_treat"] >= a["n_treat"] and b["n_control"] >= a["n_control"]

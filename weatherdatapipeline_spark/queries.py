@@ -14766,3 +14766,136 @@ FROM agg
 
 QUERIES["forecast_mase_backtest"] = forecast_mase_backtest
 ORACLES["forecast_mase_backtest"] = ORACLE_MASE
+
+
+_GST_LOOKS = 5
+_GST_OBF_C = 2.0401  # O'Brien-Fleming constant, K=5 looks, two-sided alpha=0.05
+#                      (Pocock/OBF table value; a literal by design so both
+#                      engines compare against the identical boundary)
+
+
+def group_sequential_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring (O'Brien & Fleming 1979): the
+    purchase-conversion z-statistic between the md5 arms evaluated at 5
+    equal-information LOOKS (event-time quintiles from one exact-
+    percentile aggregate), each compared against the OBF spending
+    boundary u_k = C·√(K/k) — strict early, loose late, so peeking 5
+    times still spends only α overall. The readout an experimentation
+    platform shows while a test runs: per look, cumulative n per arm,
+    z, the boundary, and whether it was crossed.
+
+    Shape: one corpus scan bucketed by broadcast quantile literals, a
+    5-row-per-arm cumulative (arm-partitioned window over looks), and
+    integer-derived z math quantized to BIGINT. No global window."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    probs = [k / _GST_LOOKS for k in range(1, _GST_LOOKS)]
+    b = ev.agg(
+        *[
+            F.round(F.percentile(epoch, F.lit(p)), 4).alias(f"_q{i}")
+            for i, p in enumerate(probs, start=1)
+        ]
+    )
+    look = F.lit(_GST_LOOKS)
+    for i in range(len(probs), 0, -1):
+        look = F.when(epoch <= F.col(f"_q{i}"), F.lit(i)).otherwise(look)
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        look.cast("bigint").alias("look"),
+        arm.alias("arm"),
+        (F.col("event_type") == "purchase").cast("long").alias("conv"),
+    )
+    per = tagged.groupBy("look", "arm").agg(
+        F.count(F.lit(1)).alias("dn"), F.sum("conv").alias("dc")
+    )
+    w = Window.partitionBy("arm").orderBy("look").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "look",
+        "arm",
+        F.sum("dn").over(w).alias("n"),
+        F.sum("dc").over(w).alias("c"),
+    )
+    a1 = cum.filter(F.col("arm") == 1).select(
+        "look", F.col("n").alias("n1"), F.col("c").alias("c1")
+    )
+    a0 = cum.filter(F.col("arm") == 0).select(
+        "look", F.col("n").alias("n0"), F.col("c").alias("c0")
+    )
+    j = a1.join(a0, "look")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    pp = (F.col("c1") + F.col("c0")).cast("double") / (F.col("n1") + F.col("n0"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n0"))
+    )
+    bound = F.lit(_GST_OBF_C) * F.sqrt(F.lit(float(_GST_LOOKS)) / F.col("look"))
+    return j.select(
+        "look",
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.round(z * 1e4).cast("bigint").alias("z_q4"),
+        F.round(bound * 1e4).cast("bigint").alias("boundary_q4"),
+        (F.abs(F.round(z * 1e4)) >= F.round(bound * 1e4))
+        .cast("bigint")
+        .alias("crossed"),
+    )
+
+
+ORACLE_GST_OBF = f"""
+WITH qs AS (
+  SELECT round(quantile_cont(epoch(ts), 0.2), 4) AS q1,
+         round(quantile_cont(epoch(ts), 0.4), 4) AS q2,
+         round(quantile_cont(epoch(ts), 0.6), 4) AS q3,
+         round(quantile_cont(epoch(ts), 0.8), 4) AS q4
+  FROM events
+),
+tagged AS (
+  SELECT CASE WHEN epoch(ts) <= q1 THEN 1 WHEN epoch(ts) <= q2 THEN 2
+              WHEN epoch(ts) <= q3 THEN 3 WHEN epoch(ts) <= q4 THEN 4
+              ELSE 5 END::BIGINT AS look,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS arm,
+         (event_type = 'purchase')::BIGINT AS conv
+  FROM events CROSS JOIN qs
+),
+per AS (
+  SELECT look, arm, count(*) AS dn, sum(conv) AS dc
+  FROM tagged GROUP BY 1, 2
+),
+cum AS (
+  SELECT look, arm,
+         sum(dn) OVER (PARTITION BY arm ORDER BY look
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+         sum(dc) OVER (PARTITION BY arm ORDER BY look
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM per
+),
+j AS (
+  SELECT a.look, a.n AS n1, a.c AS c1, b.n AS n0, b.c AS c0
+  FROM (SELECT * FROM cum WHERE arm = 1) a
+  JOIN (SELECT * FROM cum WHERE arm = 0) b USING (look)
+),
+zs AS (
+  SELECT look, n1, n0,
+         (c1::DOUBLE / n1 - c0::DOUBLE / n0)
+         / sqrt(((c1 + c0)::DOUBLE / (n1 + n0))
+                * (1.0 - (c1 + c0)::DOUBLE / (n1 + n0))
+                * (1.0 / n1 + 1.0 / n0)) AS z,
+         {_GST_OBF_C} * sqrt({_GST_LOOKS}.0 / look) AS bound
+  FROM j
+)
+SELECT look, n1::BIGINT AS n_treat, n0::BIGINT AS n_control,
+       round(z * 1e4)::BIGINT AS z_q4,
+       round(bound * 1e4)::BIGINT AS boundary_q4,
+       (abs(round(z * 1e4)) >= round(bound * 1e4))::BIGINT AS crossed
+FROM zs
+"""
+
+
+QUERIES["group_sequential_obrien_fleming"] = group_sequential_obrien_fleming
+ORACLES["group_sequential_obrien_fleming"] = ORACLE_GST_OBF
