@@ -420,3 +420,36 @@ def test_group_sequential_obf_planted_effect(spark, tmp_path):
     # sample accumulates monotonically across looks in both arms
     for a, b in zip(looks, looks[1:]):
         assert b["n_treat"] >= a["n_treat"] and b["n_control"] >= a["n_control"]
+
+
+def test_scd2_pit_join_planted_intervals(spark, tmp_path):
+    """Purchases must look up the browsing state valid AT their instant:
+    user browses 'view' then 'click'; a purchase during each phase
+    resolves to that phase, and the view-phase lookup comes from a
+    since-closed interval."""
+    import datetime as _dt
+
+    from weatherdatapipeline_spark.queries import scd2_point_in_time_join
+
+    t = lambda m: _dt.datetime(2024, 1, 1, 10, m)
+    rows = [
+        (0, t(0), 1, 1.0, "view"),
+        (1, t(10), 1, 1.0, "view"),
+        (2, t(5), 1, 1.0, "purchase"),   # during the view phase
+        (3, t(20), 1, 1.0, "click"),
+        (4, t(25), 1, 1.0, "purchase"),  # during the (current) click phase
+    ]
+    df = spark.createDataFrame(
+        [(i, ts_, u, v, ty, "{}") for i, ts_, u, v, ty in rows],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, "
+        "event_type STRING, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["state_at_purchase"]: r
+           for r in scd2_point_in_time_join(spark, str(tmp_path)).collect()}
+    assert got["view"]["n_purchases"] == 1
+    assert got["view"]["from_closed_intervals"] == 1  # view ended at t(20)
+    assert got["view"]["event_checksum"] == 2
+    assert got["click"]["n_purchases"] == 1
+    assert got["click"]["from_closed_intervals"] == 0  # click is current
+    assert got["click"]["event_checksum"] == 4

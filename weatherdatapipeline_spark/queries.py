@@ -14899,3 +14899,87 @@ FROM zs
 
 QUERIES["group_sequential_obrien_fleming"] = group_sequential_obrien_fleming
 ORACLES["group_sequential_obrien_fleming"] = ORACLE_GST_OBF
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of-dimension) lookup against the SCD2 history —
+    the leak-free feature-store join: every purchase event is enriched
+    with the state interval VALID AT that instant (user match + half-open
+    [valid_from, valid_to) containment), never the current row — joining
+    is_current would leak the future into training features. Output:
+    purchases per looked-up state with how many came from since-closed
+    (historical) intervals, plus an integer event-id checksum.
+
+    Plan shape: both sides key on user_id, so the range predicate
+    evaluates inside a user-co-partitioned join (per-user interval count
+    is small by construction); purchases that predate the first interval
+    simply don't match — inner join, auditable via the count. The
+    dimension is built from the NON-purchase activity stream (the
+    browsing state), so the lookup answers 'what was the user doing when
+    they bought' — probing a dimension built from the probe events
+    themselves would be a tautology."""
+    ev = _t(spark, sf_dir, "events")
+    dim = R.scd2_history(
+        ev.filter(F.col("event_type") != "purchase"),
+        key_col="user_id", state_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp("ts").alias("ts_s"), "event_id"
+    )
+    j = probes.join(dim, "user_id").filter(
+        (F.col("ts_s") >= F.col("valid_from_s"))
+        & (F.col("valid_to_s").isNull() | (F.col("ts_s") < F.col("valid_to_s")))
+    )
+    return j.groupBy(F.col("state").alias("state_at_purchase")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.col("valid_to_s").isNotNull().cast("long"))
+        .cast("bigint")
+        .alias("from_closed_intervals"),
+        F.sum("event_id").cast("bigint").alias("event_checksum"),
+    )
+
+
+ORACLE_SCD2_PIT = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, floor(epoch(ts))::BIGINT AS ts_s, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs0 AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM ordered
+),
+runs AS (
+  SELECT user_id, run, min(event_type) AS state,
+         min(ts_s) AS valid_from_s
+  FROM runs0 GROUP BY 1, 2
+),
+dim AS (
+  SELECT user_id, state, valid_from_s,
+         lead(valid_from_s) OVER (PARTITION BY user_id ORDER BY run)
+           AS valid_to_s
+  FROM runs
+),
+probes AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s, event_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT d.state AS state_at_purchase,
+       count(*)::BIGINT AS n_purchases,
+       sum((d.valid_to_s IS NOT NULL)::INT)::BIGINT AS from_closed_intervals,
+       sum(p.event_id)::BIGINT AS event_checksum
+FROM probes p JOIN dim d
+  ON p.user_id = d.user_id
+ AND p.ts_s >= d.valid_from_s
+ AND (d.valid_to_s IS NULL OR p.ts_s < d.valid_to_s)
+GROUP BY 1
+"""
+
+
+QUERIES["scd2_point_in_time_join"] = scd2_point_in_time_join
+ORACLES["scd2_point_in_time_join"] = ORACLE_SCD2_PIT
