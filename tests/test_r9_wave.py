@@ -453,3 +453,30 @@ def test_scd2_pit_join_planted_intervals(spark, tmp_path):
     assert got["click"]["n_purchases"] == 1
     assert got["click"]["from_closed_intervals"] == 0  # click is current
     assert got["click"]["event_checksum"] == 4
+
+
+def test_merkle_bucket_diff_localizes_missing_rows(spark, tmp_path):
+    """Every bucket's missing_rows must equal the number of gated-out ids
+    hashing to it, differing + equal buckets must partition the 256, and
+    total missing_rows must equal the planted drop count."""
+    import hashlib
+
+    from weatherdatapipeline_spark.queries import _MERKLE_BUCKETS, merkle_bucket_diff
+
+    n = 3000
+    rows = [(i, 1, 1.0, "click") for i in range(n)]
+    _write_events(spark, str(tmp_path), rows)
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    dropped = [i for i in range(n) if h32(f"{i}|b") % 100 < 2]
+    per_bucket = {}
+    for i in dropped:
+        per_bucket[h32(str(i)) % _MERKLE_BUCKETS] = (
+            per_bucket.get(h32(str(i)) % _MERKLE_BUCKETS, 0) + 1
+        )
+    got = merkle_bucket_diff(spark, str(tmp_path)).collect()
+    assert {r["bucket"]: r["missing_rows"] for r in got} == per_bucket
+    assert sum(r["missing_rows"] for r in got) == len(dropped)
+    assert all(r["n_equal_total"] == _MERKLE_BUCKETS - len(per_bucket) for r in got)

@@ -14983,3 +14983,104 @@ GROUP BY 1
 
 QUERIES["scd2_point_in_time_join"] = scd2_point_in_time_join
 ORACLES["scd2_point_in_time_join"] = ORACLE_SCD2_PIT
+
+
+_MERKLE_BUCKETS = 256
+
+
+def merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style replica reconciliation: to sync a 100 TB table you
+    never diff rows — you diff per-bucket fingerprints and ship only the
+    buckets whose checksums disagree (the Dynamo/Cassandra anti-entropy
+    pattern). Replica A = events; replica B = events with a
+    deterministic ~2% of rows missing (md5 gate — simulated lost
+    mutations). Each side folds into 256 (bucket, count, checksum) rows
+    — checksum = Σ per-row md5-derived 32-bit words, order-independent
+    and mergeable, so each partition folds locally and the compare
+    touches only 2·256 fingerprint rows regardless of table size.
+    Output: one row per DIFFERING bucket (count deltas) plus bucket 0-
+    padding is unnecessary — matching buckets are the absent rows, and
+    the audit column n_equal_total carries how many of the 256 agreed."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    rows = ev.select(
+        "event_id",
+        (h % _MERKLE_BUCKETS).alias("bucket"),
+        h.alias("word"),
+    )
+
+    def fingerprints(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{side}"),
+            F.sum("word").cast("bigint").alias(f"sum_{side}"),
+        )
+    a = fingerprints(rows, "a")
+    # replica B: drop rows whose SECOND md5 word falls under the 2% gate
+    drop_gate = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit("|b"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    ) < 2
+    b = fingerprints(rows.filter(~drop_gate), "b")
+    j = a.join(b, "bucket", "full")
+    diff = j.filter(
+        (F.coalesce("n_a", F.lit(0)) != F.coalesce("n_b", F.lit(0)))
+        | (F.coalesce("sum_a", F.lit(0)) != F.coalesce("sum_b", F.lit(0)))
+    )
+    n_equal = j.filter(
+        (F.coalesce("n_a", F.lit(0)) == F.coalesce("n_b", F.lit(0)))
+        & (F.coalesce("sum_a", F.lit(0)) == F.coalesce("sum_b", F.lit(0)))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_equal_total"))
+    return diff.crossJoin(F.broadcast(n_equal)).select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        (F.coalesce("n_a", F.lit(0)) - F.coalesce("n_b", F.lit(0)))
+        .cast("bigint")
+        .alias("missing_rows"),
+        "n_equal_total",
+    )
+
+
+ORACLE_MERKLE_DIFF = f"""
+WITH rows_ AS (
+  SELECT event_id,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT AS word,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
+           % {_MERKLE_BUCKETS} AS bucket
+  FROM events
+),
+a AS (
+  SELECT bucket, count(*)::BIGINT AS n_a, sum(word)::BIGINT AS sum_a
+  FROM rows_ GROUP BY 1
+),
+b AS (
+  SELECT bucket, count(*)::BIGINT AS n_b, sum(word)::BIGINT AS sum_b
+  FROM rows_
+  WHERE ('0x' || substr(md5(event_id::VARCHAR || '|b'), 1, 8))::BIGINT
+          % 100 >= 2
+  GROUP BY 1
+),
+j AS (SELECT * FROM a FULL JOIN b USING (bucket)),
+eq AS (
+  SELECT count(*)::BIGINT AS n_equal_total FROM j
+  WHERE coalesce(n_a, 0) = coalesce(n_b, 0)
+    AND coalesce(sum_a, 0) = coalesce(sum_b, 0)
+)
+SELECT bucket, coalesce(n_a, 0)::BIGINT AS n_a,
+       coalesce(n_b, 0)::BIGINT AS n_b,
+       (coalesce(n_a, 0) - coalesce(n_b, 0))::BIGINT AS missing_rows,
+       eq.n_equal_total
+FROM j CROSS JOIN eq
+WHERE coalesce(n_a, 0) <> coalesce(n_b, 0)
+   OR coalesce(sum_a, 0) <> coalesce(sum_b, 0)
+"""
+
+
+QUERIES["merkle_bucket_diff"] = merkle_bucket_diff
+ORACLES["merkle_bucket_diff"] = ORACLE_MERKLE_DIFF
