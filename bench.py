@@ -83,6 +83,9 @@ HEADLINE = [
     # r9
     "kmv_distinct_users",          # bottom-k KMV distinct sketch per group
     "source_cap_audit",            # per-source cap + dropped-mass audit
+    "merkle_bucket_diff",          # anti-entropy fingerprint reconciliation
+    "group_sequential_obrien_fleming",  # 5-look OBF experiment monitor
+    "ipf_raking_type_dow",         # iterative proportional fitting (12 steps)
 ]
 
 
