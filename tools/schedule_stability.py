@@ -1,0 +1,107 @@
+"""Schedule-stability harness: assert query outputs are BIT-IDENTICAL
+across task schedules.
+
+The r7/r8 driver-red saga was partition-order dependence: a double sum
+accumulates in task-completion order, flips a last ulp, and a rounded
+output crosses a digit boundary — invisible at one partition count,
+red at another. The repo's defense is exact DECIMAL(38,12) accumulation
+(plus integer-quantized outputs), and THIS tool is the proof: it runs
+each query under several ``spark.sql.shuffle.partitions`` settings and
+compares the strict (full-precision, type-tagged) row multisets. Any
+difference means a schedule-dependent expression slipped back in.
+
+By default it sweeps the statistics-heavy queries (the class that
+regressed historically); pass names to check specific ones, or --all
+for the whole registry (slow: |queries| × |settings| runs).
+
+Usage: python tools/schedule_stability.py [--all] [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check_oracle import strict_cell  # noqa: E402
+
+PARTITION_SETTINGS = ["1", "7", "32"]
+
+# statistical / iterative queries whose outputs are derived from
+# cross-row float math — the historically schedule-sensitive class
+DEFAULT_QUERIES = [
+    "bh_fdr_type_screen",
+    "anova_value_by_type",
+    "cuped_variance_reduction",
+    "propensity_stratified_ate",
+    "bayes_ab_conversion",
+    "cox_ph_churn_by_arm",
+    "logrank_churn_by_arm",
+    "uplift_tlearner_by_hour",
+    "permutation_test_weekend_value",
+    "embedding_covariance",
+    "embedding_centroid_drift",
+    "simpsons_paradox_screen",
+    "neyman_allocation_by_type",
+    "iv_wald_estimate",
+    "ipf_raking_type_dow",
+    "forecast_mase_backtest",
+    "group_sequential_obrien_fleming",
+    "holt_winters_daily",
+    "kalman_user_values",
+    "als_rank1_user_type",
+]
+
+
+def multiset(df) -> Counter:
+    cols = sorted(df.columns)
+    pdf = df.toPandas()
+    return Counter(
+        tuple(strict_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+
+
+def main() -> int:
+    argv = [a for a in sys.argv[1:]]
+    check_all = "--all" in argv
+    argv = [a for a in argv if a != "--all"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:]
+
+    import __spark_entry__ as e
+    from weatherdatapipeline_spark.session import get_spark
+
+    qs = e.queries()
+    if not names:
+        names = list(qs) if check_all else [n for n in DEFAULT_QUERIES if n in qs]
+
+    spark = get_spark("schedule-stability")
+    failures = 0
+    for name in names:
+        results = {}
+        try:
+            for setting in PARTITION_SETTINGS:
+                spark.conf.set("spark.sql.shuffle.partitions", setting)
+                results[setting] = multiset(qs[name](spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001
+            failures += 1
+            print(f"FAIL  {name}: error: {ex}")
+            continue
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        base = results[PARTITION_SETTINGS[0]]
+        bad = [s for s in PARTITION_SETTINGS[1:] if results[s] != base]
+        if bad:
+            failures += 1
+            diff = (results[bad[0]] - base) + (base - results[bad[0]])
+            print(f"FAIL  {name}: differs at partitions={bad}; e.g. {list(diff)[:2]}")
+        else:
+            print(f"ok    {name}: bit-stable across partitions {PARTITION_SETTINGS}")
+    print(f"\n{len(names) - failures}/{len(names)} schedule-stable")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -14,6 +14,11 @@ echo "== 2/4 oracle differential, driver-strict (sf0.01) =="
 # passed the loose check and fail only under --strict)
 python tools/check_oracle.py --strict /root/testdata/sf0.01
 
+echo "== 2b/4 schedule stability (statistical set) =="
+# bit-identical outputs across shuffle-partition settings — the defense
+# against the r7/r8 partition-order float drift class (VERDICT history)
+python tools/schedule_stability.py /root/testdata/sf0.01
+
 echo "== 3/4 physical-plan audit =="
 python tools/explain_audit.py
 
