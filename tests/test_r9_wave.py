@@ -480,3 +480,50 @@ def test_merkle_bucket_diff_localizes_missing_rows(spark, tmp_path):
     assert {r["bucket"]: r["missing_rows"] for r in got} == per_bucket
     assert sum(r["missing_rows"] for r in got) == len(dropped)
     assert all(r["n_equal_total"] == _MERKLE_BUCKETS - len(per_bucket) for r in got)
+
+
+def test_sprt_crossing_and_stickiness(spark, tmp_path):
+    """A treatment arm converting at ~50% >> p1=0.15 must cross the
+    upper Wald bound; once crossed, 'stopped' stays 1 on every later
+    day even if the statistic wanders; decisions and LLR match a
+    direct replay of the cumulative formula."""
+    import datetime as _dt
+    import hashlib
+    import math
+
+    from weatherdatapipeline_spark.queries import (
+        _SPRT_A,
+        _SPRT_L1,
+        _SPRT_L2,
+        sprt_daily_readout,
+    )
+
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    treat = [u for u in range(200) if arm(u) == 1][:40]
+    rows, eid = [], 0
+    for d in range(6):
+        day = _dt.datetime(2024, 2, 1) + _dt.timedelta(days=d)
+        for i, uid in enumerate(treat):
+            t = "purchase" if i % 2 == 0 else "click"
+            rows.append((eid, day, uid, 1.0, t)); eid += 1
+    df = spark.createDataFrame(
+        [(i, ts_, u, v, t, "{}") for i, ts_, u, v, t in rows],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, "
+        "event_type STRING, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = sorted(sprt_daily_readout(spark, str(tmp_path)).collect(),
+                 key=lambda r: r["day"])
+    assert len(got) == 6
+    # replay: each day adds 40 obs, 20 conversions
+    for d, r in enumerate(got, start=1):
+        n, c = 40 * d, 20 * d
+        assert (r["n"], r["c"]) == (n, c)
+        want_llr = round((c * _SPRT_L1 + (n - c) * _SPRT_L2) * 1e6)
+        assert r["llr_q6"] == want_llr
+    # 50% conversion >> p1: day 1 already crosses the upper bound
+    assert got[0]["llr_q6"] >= round(_SPRT_A * 1e6)
+    assert got[0]["decision"] == 1
+    assert all(r["stopped"] == 1 for r in got)  # sticky after crossing

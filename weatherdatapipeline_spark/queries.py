@@ -15084,3 +15084,121 @@ WHERE coalesce(n_a, 0) <> coalesce(n_b, 0)
 
 QUERIES["merkle_bucket_diff"] = merkle_bucket_diff
 ORACLES["merkle_bucket_diff"] = ORACLE_MERKLE_DIFF
+
+
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.10, 0.15  # H0/H1 conversion rates (MDE design)
+_SPRT_L1 = _math.log(_SPRT_P1 / _SPRT_P0)  # per-conversion LLR increment
+_SPRT_L2 = _math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))  # per-miss increment
+_SPRT_A = _math.log(0.95 / 0.05)  # upper bound: reject H0 (alpha=beta=0.05)
+_SPRT_B = _math.log(0.05 / 0.95)  # lower bound: accept H0
+
+
+def sprt_daily_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (1945) on the treatment
+    arm's purchase conversion, read out daily — the fully-sequential
+    complement to the group-sequential OBF monitor: instead of K
+    scheduled looks, the cumulative log-likelihood ratio
+    LLR_d = c_d·ln(p1/p0) + (n_d−c_d)·ln((1−p1)/(1−p0)) is compared to
+    the Wald bounds ln((1−β)/α) / ln(β/(1−α)) after EVERY day, and the
+    test stops the first day either is crossed. LLR increments are
+    Python-literal constants injected into BOTH engines, so the math is
+    identical-by-construction; counts are exact integers.
+
+    No partition-less window: the daily table is bounded (~30 rows), so
+    cumulative counts and the first-crossing flag come from a broadcast
+    non-equi self-join (the bh_fdr rank pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    arm1 = ev.filter(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 2
+        )
+        == 1
+    )
+    daily = arm1.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("dc"),
+    )
+    other = F.broadcast(
+        daily.select(
+            F.col("day").alias("_d"), F.col("dn").alias("_dn"), F.col("dc").alias("_dc")
+        )
+    )
+    cum = (
+        daily.join(other, F.col("_d") <= F.col("day"))
+        .groupBy("day")
+        .agg(F.sum("_dn").alias("n"), F.sum("_dc").alias("c"))
+    )
+    llr = (
+        F.col("c") * F.lit(_SPRT_L1)
+        + (F.col("n") - F.col("c")) * F.lit(_SPRT_L2)
+    )
+    scored = cum.select(
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("c").cast("bigint").alias("c"),
+        F.round(llr * 1e6).cast("bigint").alias("llr_q6"),
+        F.when(F.round(llr * 1e6) >= F.round(F.lit(_SPRT_A) * 1e6), 1)
+        .when(F.round(llr * 1e6) <= F.round(F.lit(_SPRT_B) * 1e6), -1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("decision"),
+    )
+    dother = F.broadcast(
+        scored.select(F.col("day").alias("_d"), F.col("decision").alias("_dec"))
+    )
+    return (
+        scored.join(dother, F.col("_d") <= F.col("day"))
+        .groupBy("day", "n", "c", "llr_q6", "decision")
+        .agg(
+            F.max(F.abs(F.col("_dec"))).cast("bigint").alias("stopped")
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "c",
+            "llr_q6",
+            "decision",
+            "stopped",
+        )
+    )
+
+
+ORACLE_SPRT = f"""
+WITH arm1 AS (
+  SELECT ts, event_type FROM events
+  WHERE ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 = 1
+),
+daily AS (
+  SELECT ts::DATE AS day, count(*) AS dn,
+         sum((event_type = 'purchase')::BIGINT) AS dc
+  FROM arm1 GROUP BY 1
+),
+cum AS (
+  SELECT a.day, sum(b.dn)::BIGINT AS n, sum(b.dc)::BIGINT AS c
+  FROM daily a JOIN daily b ON b.day <= a.day
+  GROUP BY 1
+),
+scored AS (
+  SELECT day, n, c,
+         round((c * {_SPRT_L1!r} + (n - c) * {_SPRT_L2!r}) * 1e6)::BIGINT
+           AS llr_q6,
+         CASE WHEN round((c * {_SPRT_L1!r} + (n - c) * {_SPRT_L2!r}) * 1e6)
+                   >= round({_SPRT_A!r} * 1e6) THEN 1
+              WHEN round((c * {_SPRT_L1!r} + (n - c) * {_SPRT_L2!r}) * 1e6)
+                   <= round({_SPRT_B!r} * 1e6) THEN -1
+              ELSE 0 END::BIGINT AS decision
+  FROM cum
+)
+SELECT strftime(a.day, '%Y-%m-%d') AS day, a.n, a.c, a.llr_q6, a.decision,
+       max(abs(b.decision))::BIGINT AS stopped
+FROM scored a JOIN scored b ON b.day <= a.day
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+QUERIES["sprt_daily_readout"] = sprt_daily_readout
+ORACLES["sprt_daily_readout"] = ORACLE_SPRT
