@@ -570,3 +570,36 @@ def test_referential_integrity_flags_planted_orphans(spark, tmp_path):
     assert lo["intact"] == 0
     assert got["lineitem.l_partkey->part"]["intact"] == 1
     assert got["orders.o_custkey->customer"]["intact"] == 1
+
+
+def test_yuen_trimmed_test_ignores_planted_outliers(spark, tmp_path):
+    """Identical bulk distributions plus extreme weekend-only outliers:
+    the untrimmed mean difference would be huge, but the [P20, P80]
+    trim removes the outliers entirely → trimmed diff exactly 0."""
+    import datetime as _dt
+
+    from weatherdatapipeline_spark.queries import yuen_trimmed_weekend_test
+
+    sat, mon = _dt.datetime(2024, 1, 6), _dt.datetime(2024, 1, 8)
+    rows, eid = [], 0
+    bulk = [float(v) for v in range(1, 26)]  # 1..25 identical both groups
+    for day in (sat, mon):
+        for v in bulk:
+            rows.append((eid, day, 1, v, "click")); eid += 1
+    for _ in range(3):  # weekend-only extreme outliers, trimmed away
+        rows.append((eid, sat, 1, 1e6, "click")); eid += 1
+    df = spark.createDataFrame(
+        [(i, ts_, u, v, t, "{}") for i, ts_, u, v, t in rows],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, "
+        "event_type STRING, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    [r] = yuen_trimmed_weekend_test(spark, str(tmp_path)).collect()
+    # untrimmed weekend mean is inflated by ~3e6/28 ≈ +107_000; the
+    # trimmed diff must collapse that by >4 orders of magnitude (the
+    # residual ~1.5 comes from the outliers shifting the weekend's own
+    # P20/P80 thresholds — inherent to any 20% trim, rank or threshold)
+    untrimmed_diff = (sum(bulk) + 3e6) / 28 - sum(bulk) / 25
+    assert untrimmed_diff > 100_000
+    assert abs(r["trimmed_diff_q6"]) <= 2_000_000  # |trimmed diff| <= 2.0
+    assert r["n_weekday_trimmed"] > 0 and r["n_weekend_trimmed"] > 0

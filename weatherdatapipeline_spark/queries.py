@@ -15295,3 +15295,109 @@ FROM (
 
 QUERIES["referential_integrity_audit"] = referential_integrity_audit
 ORACLES["referential_integrity_audit"] = ORACLE_REF_INTEGRITY
+
+
+def yuen_trimmed_weekend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (Yuen 1974-style) weekend-vs-weekday comparison of event
+    values: both samples are trimmed at their own [P20, P80] before the
+    Welch-type test, so a handful of extreme values cannot manufacture
+    or mask an effect the way they can in the plain t/z readout
+    (`ab_test_conversion` / `permutation_test_weekend_value` pin the
+    untrimmed variants — this completes the robust arm).
+
+    Scale note: classic Yuen trims by RANK, which needs a per-group
+    order statistic — a near-global sort at 100 TB. Here trimming is by
+    the groups' own exact PERCENTILE THRESHOLDS (one grouped percentile
+    aggregate, broadcast back), identical up to ties and fully
+    relational: one pass for thresholds, one trimmed-moment pass.
+    Moments accumulate as DECIMAL(38,12); outputs are 1e4/1e6-quantized
+    BIGINTs."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("g"),
+        F.col("value").cast("double").alias("v"),
+    )
+    cuts = base.groupBy("g").agg(
+        F.round(F.percentile("v", F.lit(0.2)), 6).alias("lo"),
+        F.round(F.percentile("v", F.lit(0.8)), 6).alias("hi"),
+    )
+    trimmed = base.join(F.broadcast(cuts), "g").filter(
+        (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    )
+    m = trimmed.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(dec)).cast("double").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).cast("double").alias("ss"),
+    )
+    a = m.filter(F.col("g") == 1).select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
+    )
+    b = m.filter(F.col("g") == 0).select(
+        F.col("n").alias("n0"), F.col("s").alias("s0"), F.col("ss").alias("ss0")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    m1, m0 = F.col("s1") / F.col("n1"), F.col("s0") / F.col("n0")
+    v1 = (F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    v0 = (F.col("ss0") - F.col("s0") * F.col("s0") / F.col("n0")) / (F.col("n0") - 1)
+    se2 = v1 / F.col("n1") + v0 / F.col("n0")
+    t = (m1 - m0) / F.sqrt(se2)
+    df_ = (se2 * se2) / (
+        (v1 / F.col("n1")) * (v1 / F.col("n1")) / (F.col("n1") - 1)
+        + (v0 / F.col("n0")) * (v0 / F.col("n0")) / (F.col("n0") - 1)
+    )
+    return j.select(
+        F.col("n1").cast("bigint").alias("n_weekend_trimmed"),
+        F.col("n0").cast("bigint").alias("n_weekday_trimmed"),
+        F.round((m1 - m0) * 1e6).cast("bigint").alias("trimmed_diff_q6"),
+        F.round(t * 1e4).cast("bigint").alias("t_q4"),
+        F.round(df_ * 1e2).cast("bigint").alias("df_q2"),
+    )
+
+
+ORACLE_YUEN = """
+WITH base AS (
+  SELECT (dayofweek(ts) IN (0, 6))::INT AS g, value::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL
+),
+cuts AS (
+  SELECT g, round(quantile_cont(v, 0.2), 6) AS lo,
+         round(quantile_cont(v, 0.8), 6) AS hi
+  FROM base GROUP BY 1
+),
+trimmed AS (
+  SELECT base.g, v FROM base JOIN cuts USING (g)
+  WHERE v >= lo AND v <= hi
+),
+m AS (
+  SELECT g, count(*) AS n,
+         sum(CAST(v AS DECIMAL(38,12)))::DOUBLE AS s,
+         sum(CAST(v * v AS DECIMAL(38,12)))::DOUBLE AS ss
+  FROM trimmed GROUP BY 1
+),
+j AS (
+  SELECT a.n AS n1, a.s AS s1, a.ss AS ss1,
+         b.n AS n0, b.s AS s0, b.ss AS ss0
+  FROM (SELECT * FROM m WHERE g = 1) a CROSS JOIN (SELECT * FROM m WHERE g = 0) b
+)
+SELECT n1::BIGINT AS n_weekend_trimmed, n0::BIGINT AS n_weekday_trimmed,
+       round((s1 / n1 - s0 / n0) * 1e6)::BIGINT AS trimmed_diff_q6,
+       round((s1 / n1 - s0 / n0)
+             / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                    + ((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0) * 1e4)::BIGINT
+         AS t_q4,
+       round((((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+              + ((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0)
+             * (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                + ((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0)
+             / ((((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)
+                * (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+                + (((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0)
+                * (((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0) / (n0 - 1))
+             * 1e2)::BIGINT AS df_q2
+FROM j
+"""
+
+
+QUERIES["yuen_trimmed_weekend_test"] = yuen_trimmed_weekend_test
+ORACLES["yuen_trimmed_weekend_test"] = ORACLE_YUEN
