@@ -603,3 +603,30 @@ def test_yuen_trimmed_test_ignores_planted_outliers(spark, tmp_path):
     assert untrimmed_diff > 100_000
     assert abs(r["trimmed_diff_q6"]) <= 2_000_000  # |trimmed diff| <= 2.0
     assert r["n_weekday_trimmed"] > 0 and r["n_weekend_trimmed"] > 0
+
+
+def test_ridge_importance_planted_feature_signal(spark, tmp_path):
+    """y depends ONLY on hour: dropping hour must cost a large MSE delta,
+    dropping day essentially none; the full model's MSE must be near 0
+    (ridge shrinkage keeps it marginally positive)."""
+    import datetime as _dt
+
+    from weatherdatapipeline_spark.queries import ridge_drop_column_importance
+
+    rows, eid = [], 0
+    for d in range(14):
+        for h in range(24):
+            t = _dt.datetime(2024, 3, 1 + d, h, 30)
+            rows.append((eid, t, 1, 5.0 * h + 3.0, "click")); eid += 1
+    df = spark.createDataFrame(
+        [(i, ts_, u, v, ty, "{}") for i, ts_, u, v, ty in rows],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, "
+        "event_type STRING, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["model"]: r for r in ridge_drop_column_importance(spark, str(tmp_path)).collect()}
+    assert got["full"]["delta_vs_full_q6"] == 0
+    assert got["full"]["mse_q6"] < 100_000  # near-perfect linear fit
+    # hour carries all the signal: var(5h) over h=0..23 ≈ 1197
+    assert got["drop_hour"]["delta_vs_full_q6"] > 1_000 * 1_000_000
+    assert got["drop_day"]["delta_vs_full_q6"] < 10_000  # day adds nothing

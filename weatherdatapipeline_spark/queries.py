@@ -15401,3 +15401,198 @@ FROM j
 
 QUERIES["yuen_trimmed_weekend_test"] = yuen_trimmed_weekend_test
 ORACLES["yuen_trimmed_weekend_test"] = ORACLE_YUEN
+
+
+def ridge_drop_column_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-column feature importance for the closed-form ridge model —
+    importance(f) = MSE(model without f) − MSE(full model) — computed
+    WITHOUT any refit pass: all three models (full, no-hour, no-day)
+    solve in column arithmetic from the SAME ten sufficient statistics
+    (the normal-equations moments plus Σy²), so the entire importance
+    table costs ONE corpus aggregate. The honest variant of permutation
+    importance for linear models, and the one that distributes: no
+    per-feature shuffled copies of a 100 TB table.
+
+    Moments accumulate as DECIMAL(38,12) (r8 contract); MSEs and deltas
+    leave as 1e6-quantized BIGINTs."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    epoch = F.unix_timestamp("ts")
+    x1 = ((epoch / 3600).cast("bigint") % 24).cast("double")
+    x2 = ((epoch / 86400).cast("bigint") % 7).cast("double")
+    y = F.col("value").cast("double")
+    mom = ev.select(x1.alias("x1"), x2.alias("x2"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[
+            F.sum(expr.cast(dec)).cast("double").alias(name)
+            for name, expr in [
+                ("s1", F.col("x1")), ("s2", F.col("x2")),
+                ("s11", F.col("x1") * F.col("x1")),
+                ("s12", F.col("x1") * F.col("x2")),
+                ("s22", F.col("x2") * F.col("x2")),
+                ("sy", F.col("y")), ("s1y", F.col("x1") * F.col("y")),
+                ("s2y", F.col("x2") * F.col("y")),
+                ("syy", F.col("y") * F.col("y")),
+            ]
+        ],
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    a00, a11, a22 = n + 1.0, s11 + 1.0, s22 + 1.0
+    det = (
+        a00 * (a11 * a22 - s12 * s12)
+        - s1 * (s1 * a22 - s12 * s2)
+        + s2 * (s1 * s12 - a11 * s2)
+    )
+    b0 = (
+        sy * (a11 * a22 - s12 * s12)
+        - s1 * (s1y * a22 - s12 * s2y)
+        + s2 * (s1y * s12 - a11 * s2y)
+    ) / det
+    b1 = (
+        a00 * (s1y * a22 - s2y * s12)
+        - sy * (s1 * a22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    ) / det
+    b2 = (
+        a00 * (a11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - a11 * s2)
+    ) / det
+    mse_full = (
+        syy
+        - 2.0 * (b0 * sy + b1 * s1y + b2 * s2y)
+        + (
+            b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
+            + 2.0 * (b0 * b1 * s1 + b0 * b2 * s2 + b1 * b2 * s12)
+        )
+    ) / n
+
+    def one_feature_mse(sf, sff, sfy):
+        d = a00 * (sff + 1.0) - sf * sf
+        c0 = (sy * (sff + 1.0) - sf * sfy) / d
+        c1 = (a00 * sfy - sf * sy) / d
+        return (
+            syy - 2.0 * (c0 * sy + c1 * sfy)
+            + (c0 * c0 * n + c1 * c1 * sff + 2.0 * c0 * c1 * sf)
+        ) / n
+
+    mse_no_day = one_feature_mse(s1, s11, s1y)  # keeps hour only
+    mse_no_hour = one_feature_mse(s2, s22, s2y)  # keeps day only
+    q = lambda c: F.round(c * 1e6).cast("bigint")
+    rows = mom.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("full").alias("model"),
+                    q(mse_full).alias("mse_q6"),
+                    F.lit(0).cast("bigint").alias("delta_vs_full_q6"),
+                ),
+                F.struct(
+                    F.lit("drop_hour").alias("model"),
+                    q(mse_no_hour).alias("mse_q6"),
+                    (q(mse_no_hour) - q(mse_full)).alias("delta_vs_full_q6"),
+                ),
+                F.struct(
+                    F.lit("drop_day").alias("model"),
+                    q(mse_no_day).alias("mse_q6"),
+                    (q(mse_no_day) - q(mse_full)).alias("delta_vs_full_q6"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select("r.model", "r.mse_q6", "r.delta_vs_full_q6")
+
+
+ORACLE_RIDGE_IMPORTANCE = """
+WITH feat AS (
+  SELECT ((floor(epoch(ts))::BIGINT // 3600) % 24)::DOUBLE AS x1,
+         ((floor(epoch(ts))::BIGINT // 86400) % 7)::DOUBLE AS x2,
+         value::DOUBLE AS y
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(CAST(x1 AS DECIMAL(38,12)))::DOUBLE AS s1,
+         sum(CAST(x2 AS DECIMAL(38,12)))::DOUBLE AS s2,
+         sum(CAST(x1 * x1 AS DECIMAL(38,12)))::DOUBLE AS s11,
+         sum(CAST(x1 * x2 AS DECIMAL(38,12)))::DOUBLE AS s12,
+         sum(CAST(x2 * x2 AS DECIMAL(38,12)))::DOUBLE AS s22,
+         sum(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy,
+         sum(CAST(x1 * y AS DECIMAL(38,12)))::DOUBLE AS s1y,
+         sum(CAST(x2 * y AS DECIMAL(38,12)))::DOUBLE AS s2y,
+         sum(CAST(y * y AS DECIMAL(38,12)))::DOUBLE AS syy
+  FROM feat
+),
+full_m AS (
+  SELECT *,
+         (n + 1.0) * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s12 - (s11 + 1.0) * s2) AS det
+  FROM s
+),
+betas AS (
+  SELECT *,
+         (sy * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+          - s1 * (s1y * (s22 + 1.0) - s12 * s2y)
+          + s2 * (s1y * s12 - (s11 + 1.0) * s2y)) / det AS b0,
+         ((n + 1.0) * (s1y * (s22 + 1.0) - s2y * s12)
+          - sy * (s1 * (s22 + 1.0) - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
+         ((n + 1.0) * ((s11 + 1.0) * s2y - s1y * s12)
+          - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - (s11 + 1.0) * s2)) / det AS b2
+  FROM full_m
+),
+mses AS (
+  SELECT
+    (syy - 2.0 * (b0 * sy + b1 * s1y + b2 * s2y)
+     + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
+        + 2.0 * (b0 * b1 * s1 + b0 * b2 * s2 + b1 * b2 * s12))) / n AS mse_full,
+    (syy - 2.0 * (((sy * (s11 + 1.0) - s1 * s1y)
+                    / ((n + 1.0) * (s11 + 1.0) - s1 * s1)) * sy
+                  + (((n + 1.0) * s1y - s1 * sy)
+                     / ((n + 1.0) * (s11 + 1.0) - s1 * s1)) * s1y)
+     + (((sy * (s11 + 1.0) - s1 * s1y) / ((n + 1.0) * (s11 + 1.0) - s1 * s1))
+        * ((sy * (s11 + 1.0) - s1 * s1y) / ((n + 1.0) * (s11 + 1.0) - s1 * s1))
+        * n
+        + (((n + 1.0) * s1y - s1 * sy) / ((n + 1.0) * (s11 + 1.0) - s1 * s1))
+          * (((n + 1.0) * s1y - s1 * sy) / ((n + 1.0) * (s11 + 1.0) - s1 * s1))
+          * s11
+        + 2.0 * ((sy * (s11 + 1.0) - s1 * s1y)
+                 / ((n + 1.0) * (s11 + 1.0) - s1 * s1))
+              * (((n + 1.0) * s1y - s1 * sy)
+                 / ((n + 1.0) * (s11 + 1.0) - s1 * s1)) * s1)) / n AS mse_no_day,
+    (syy - 2.0 * (((sy * (s22 + 1.0) - s2 * s2y)
+                    / ((n + 1.0) * (s22 + 1.0) - s2 * s2)) * sy
+                  + (((n + 1.0) * s2y - s2 * sy)
+                     / ((n + 1.0) * (s22 + 1.0) - s2 * s2)) * s2y)
+     + (((sy * (s22 + 1.0) - s2 * s2y) / ((n + 1.0) * (s22 + 1.0) - s2 * s2))
+        * ((sy * (s22 + 1.0) - s2 * s2y) / ((n + 1.0) * (s22 + 1.0) - s2 * s2))
+        * n
+        + (((n + 1.0) * s2y - s2 * sy) / ((n + 1.0) * (s22 + 1.0) - s2 * s2))
+          * (((n + 1.0) * s2y - s2 * sy) / ((n + 1.0) * (s22 + 1.0) - s2 * s2))
+          * s22
+        + 2.0 * ((sy * (s22 + 1.0) - s2 * s2y)
+                 / ((n + 1.0) * (s22 + 1.0) - s2 * s2))
+              * (((n + 1.0) * s2y - s2 * sy)
+                 / ((n + 1.0) * (s22 + 1.0) - s2 * s2)) * s2)) / n AS mse_no_hour
+  FROM betas
+)
+SELECT 'full' AS model, round(mse_full * 1e6)::BIGINT AS mse_q6,
+       0::BIGINT AS delta_vs_full_q6
+FROM mses
+UNION ALL
+SELECT 'drop_hour', round(mse_no_hour * 1e6)::BIGINT,
+       (round(mse_no_hour * 1e6) - round(mse_full * 1e6))::BIGINT
+FROM mses
+UNION ALL
+SELECT 'drop_day', round(mse_no_day * 1e6)::BIGINT,
+       (round(mse_no_day * 1e6) - round(mse_full * 1e6))::BIGINT
+FROM mses
+"""
+
+
+QUERIES["ridge_drop_column_importance"] = ridge_drop_column_importance
+ORACLES["ridge_drop_column_importance"] = ORACLE_RIDGE_IMPORTANCE
