@@ -715,3 +715,49 @@ def test_stateful_page_hinkley_across_batches(spark, tmp_path_factory):
         assert abs(r["ph"] - ph) < 1e-9 and abs(r["max_ph"] - mph) < 1e-9
     # the jump IS detected: PH grows once the mean shifts
     assert rows[-1]["max_ph"] > 50 and rows[4]["max_ph"] < 1.0
+
+
+def test_stateful_sprt_across_batches(spark, tmp_path_factory):
+    """SPRT integer state must carry across micro-batches: a ~50%
+    converting arm crosses the upper Wald bound mid-SECOND-batch with
+    exactly the statistics an integer replay computes, and the stopped
+    flag is sticky from the crossing row onward."""
+    import math
+    import time as _time
+
+    from weatherdatapipeline_spark.streaming.jobs import sprt_stateful
+
+    path = str(tmp_path_factory.mktemp("sprt_in"))
+    # value column doubles as the conversion indicator here
+    b1 = [(i, ts(f"2024-01-01T10:{i:02d}:00"), "u1", float(i % 2)) for i in range(10)]
+    b2 = [(10 + i, ts(f"2024-01-01T11:{i:02d}:00"), "u1", float(i % 2)) for i in range(30)]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    out = sprt_stateful(
+        stream.select("user_id", "ts", "value"), "user_id", "ts", "value"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("sprt_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sprt_sink ORDER BY ts").collect()
+    assert len(rows) == 40
+    l1, l2 = math.log(1.5), math.log(0.85 / 0.9)
+    upper = math.log(0.95 / 0.05)
+    n = c = stopped = 0
+    first_cross = None
+    for i, r in enumerate(rows):
+        n += 1
+        c += int(i % 2 == 1)  # values alternate 0,1 within each batch
+        assert (r["n"], r["c"]) == (n, c)
+        llr = c * l1 + (n - c) * l2
+        assert abs(r["llr"] - llr) < 1e-9
+        if llr >= upper and first_cross is None:
+            first_cross = i
+        stopped = max(stopped, 1 if llr >= upper else 0)
+        assert r["stopped"] == stopped
+    assert first_cross is not None and 10 <= first_cross < 40  # crossed in batch 2

@@ -932,3 +932,87 @@ def page_hinkley_stateful(
     return stream.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def sprt_stateful(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    conv_col: str,
+    p0: float = 0.10,
+    p1: float = 0.15,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+):
+    """Streaming Wald SPRT via applyInPandasWithState — the stateful twin
+    of the batch ``sprt_daily_readout``: per-key state is two integers
+    (observations, conversions) carried across micro-batches; every
+    observation emits the cumulative log-likelihood ratio, the decision
+    (+1 reject H0 / −1 accept / 0 continue), and a sticky stopped flag —
+    so the alerting sink can end an experiment the moment the Wald bound
+    is crossed instead of waiting for a batch readout.
+
+    The LLR is recomputed from the integer state each step (c·ln(p1/p0)
+    + (n−c)·ln((1−p1)/(1−p0))) — no float accumulates in state, so a
+    replayed batch reproduces identical statistics bit-for-bit."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    l1 = math.log(p1 / p0)
+    l2 = math.log((1 - p1) / (1 - p0))
+    upper = math.log((1 - beta) / alpha)
+    lower = math.log(beta / (1 - alpha))
+
+    out_schema = StructType(
+        [
+            stream.schema[key],
+            StructField(ts_col, TimestampType()),
+            StructField("n", LongType()),
+            StructField("c", LongType()),
+            StructField("llr", DoubleType()),
+            StructField("decision", LongType()),
+            StructField("stopped", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("c", LongType()),
+            StructField("stopped", LongType()),
+        ]
+    )
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        n, c, stopped = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            rows = {"n": [], "c": [], "llr": [], "decision": [], "stopped": []}
+            for conv in pdf[conv_col]:
+                n += 1
+                c += int(conv)
+                llr = c * l1 + (n - c) * l2
+                decision = 1 if llr >= upper else (-1 if llr <= lower else 0)
+                stopped = max(stopped, abs(decision))
+                rows["n"].append(n)
+                rows["c"].append(c)
+                rows["llr"].append(llr)
+                rows["decision"].append(decision)
+                rows["stopped"].append(stopped)
+            out = pdf[[key, ts_col]].copy()
+            for col, vals in rows.items():
+                out[col] = vals
+            out[key] = key_tuple[0]
+            yield out[[f.name for f in out_schema.fields]]
+        state.update((n, c, stopped))
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
