@@ -630,3 +630,38 @@ def test_ridge_importance_planted_feature_signal(spark, tmp_path):
     # hour carries all the signal: var(5h) over h=0..23 ≈ 1197
     assert got["drop_hour"]["delta_vs_full_q6"] > 1_000 * 1_000_000
     assert got["drop_day"]["delta_vs_full_q6"] < 10_000  # day adds nothing
+
+
+def test_covariate_balance_flags_planted_imbalance(spark, tmp_path):
+    """Plant a value imbalance correlated with the hash arm: the value
+    covariate must blow past |SMD| = 0.1 while hour stays balanced (all
+    rows share one timestamp → SMD 0 by construction... NaN-safe? no —
+    zero variance makes SMD undefined; use two hours evenly)."""
+    import datetime as _dt
+    import hashlib
+
+    from weatherdatapipeline_spark.queries import covariate_balance_smd
+
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    rows, eid = [], 0
+    for uid in range(200):
+        for h in (9, 15):  # both arms see both hours equally → balanced
+            t = _dt.datetime(2024, 4, 1, h)
+            v = 100.0 if arm(uid) else 10.0  # value tracks the arm → broken
+            rows.append((eid, t, uid, v, "click")); eid += 1
+    df = spark.createDataFrame(
+        [(i, ts_, u, v, ty, "{}") for i, ts_, u, v, ty in rows],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, "
+        "event_type STRING, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["covariate"]: r for r in covariate_balance_smd(spark, str(tmp_path)).collect()}
+    assert got["hour"]["smd_q4"] == 0 and got["hour"]["balanced"] == 1
+    # per-arm value variance is ZERO (degenerate): SMD undefined → NULL,
+    # but the differing means still flag the broken assignment
+    assert got["value"]["smd_q4"] is None
+    assert got["value"]["balanced"] == 0
+    assert got["value"]["mean_treat_q4"] == 100 * 10_000
+    assert got["value"]["mean_control_q4"] == 10 * 10_000

@@ -15596,3 +15596,119 @@ FROM mses
 
 QUERIES["ridge_drop_column_importance"] = ridge_drop_column_importance
 ORACLES["ridge_drop_column_importance"] = ORACLE_RIDGE_IMPORTANCE
+
+
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization-quality audit ('Table 1'): standardized mean
+    difference of each pre-treatment covariate (hour-of-day, weekday
+    index, event value) between the md5 experiment arms — SMD =
+    (x̄_T − x̄_C) / √((s²_T + s²_C)/2). |SMD| < 0.1 is the conventional
+    balance bar; a hash-assignment bug (the classic broken-bucketing
+    incident) shows up here before any outcome readout is trusted.
+
+    One grouped aggregate carries all three covariates' DECIMAL(38,12)
+    moments per arm (long-form via explode, so adding a covariate adds
+    rows, not passes); outputs 1e4-quantized BIGINTs + the balance
+    flag."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    epoch = F.unix_timestamp("ts")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    long = ev.select(
+        arm.alias("t"),
+        F.explode(
+            F.create_map(
+                F.lit("hour"), ((epoch / 3600).cast("bigint") % 24).cast("double"),
+                F.lit("weekday"), ((epoch / 86400).cast("bigint") % 7).cast("double"),
+                F.lit("value"), F.col("value").cast("double"),
+            )
+        ).alias("covariate", "x"),
+    )
+    m = long.groupBy("covariate", "t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("ss"),
+    )
+    tt = m.filter(F.col("t") == 1).select(
+        "covariate", F.col("n").alias("nt"), F.col("s").alias("st"),
+        F.col("ss").alias("sst"),
+    )
+    cc = m.filter(F.col("t") == 0).select(
+        "covariate", F.col("n").alias("nc"), F.col("s").alias("sc"),
+        F.col("ss").alias("ssc"),
+    )
+    j = tt.join(cc, "covariate")
+    mt, mc = F.col("st") / F.col("nt"), F.col("sc") / F.col("nc")
+    vt = (F.col("sst") - F.col("st") * F.col("st") / F.col("nt")) / (F.col("nt") - 1)
+    vc = (F.col("ssc") - F.col("sc") * F.col("sc") / F.col("nc")) / (F.col("nc") - 1)
+    pooled = (vt + vc) / 2.0
+    smd = (mt - mc) / F.sqrt(pooled)
+    # degenerate (zero pooled variance) covariates: SMD is undefined —
+    # report NULL, and call it balanced only if the means agree exactly
+    smd_q = F.when(pooled > 0, F.round(smd * 1e4).cast("bigint"))
+    return j.select(
+        "covariate",
+        F.col("nt").cast("bigint").alias("n_treat"),
+        F.col("nc").cast("bigint").alias("n_control"),
+        F.round(mt * 1e4).cast("bigint").alias("mean_treat_q4"),
+        F.round(mc * 1e4).cast("bigint").alias("mean_control_q4"),
+        smd_q.alias("smd_q4"),
+        F.when(pooled > 0, (F.abs(F.round(smd * 1e4)) < 1000).cast("bigint"))
+        .otherwise((F.round(mt * 1e4) == F.round(mc * 1e4)).cast("bigint"))
+        .alias("balanced"),
+    )
+
+
+ORACLE_COVARIATE_SMD = """
+WITH base AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS t,
+         ((floor(epoch(ts))::BIGINT // 3600) % 24)::DOUBLE AS hour_x,
+         ((floor(epoch(ts))::BIGINT // 86400) % 7)::DOUBLE AS weekday_x,
+         value::DOUBLE AS value_x
+  FROM events WHERE value IS NOT NULL
+),
+long AS (
+  SELECT t, 'hour' AS covariate, hour_x AS x FROM base
+  UNION ALL SELECT t, 'weekday', weekday_x FROM base
+  UNION ALL SELECT t, 'value', value_x FROM base
+),
+m AS (
+  SELECT covariate, t, count(*) AS n,
+         sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS s,
+         sum(CAST(x * x AS DECIMAL(38,12)))::DOUBLE AS ss
+  FROM long GROUP BY 1, 2
+),
+j AS (
+  SELECT a.covariate, a.n AS nt, a.s AS st, a.ss AS sst,
+         b.n AS nc, b.s AS sc, b.ss AS ssc
+  FROM (SELECT * FROM m WHERE t = 1) a
+  JOIN (SELECT * FROM m WHERE t = 0) b USING (covariate)
+)
+SELECT covariate, nt::BIGINT AS n_treat, nc::BIGINT AS n_control,
+       round(st / nt * 1e4)::BIGINT AS mean_treat_q4,
+       round(sc / nc * 1e4)::BIGINT AS mean_control_q4,
+       CASE WHEN (((sst - st * st / nt) / (nt - 1))
+                  + ((ssc - sc * sc / nc) / (nc - 1))) / 2.0 > 0
+            THEN round((st / nt - sc / nc)
+                 / sqrt((((sst - st * st / nt) / (nt - 1))
+                         + ((ssc - sc * sc / nc) / (nc - 1))) / 2.0)
+                 * 1e4)::BIGINT
+       END AS smd_q4,
+       CASE WHEN (((sst - st * st / nt) / (nt - 1))
+                  + ((ssc - sc * sc / nc) / (nc - 1))) / 2.0 > 0
+            THEN (abs(round((st / nt - sc / nc)
+                 / sqrt((((sst - st * st / nt) / (nt - 1))
+                         + ((ssc - sc * sc / nc) / (nc - 1))) / 2.0)
+                 * 1e4)) < 1000)::BIGINT
+            ELSE (round(st / nt * 1e4) = round(sc / nc * 1e4))::BIGINT
+       END AS balanced
+FROM j
+"""
+
+
+QUERIES["covariate_balance_smd"] = covariate_balance_smd
+ORACLES["covariate_balance_smd"] = ORACLE_COVARIATE_SMD
