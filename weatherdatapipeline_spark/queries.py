@@ -1,12 +1,27 @@
 """Driver-contract queries: every implemented operator from SURVEY.md §2 as
 a (Spark callable, DuckDB oracle SQL) pair.
 
-Conventions for oracle-hash stability (the driver sorts columns by name and
-hashes values order-insensitively):
+Conventions for oracle-hash stability (the driver converts both results to
+pandas, sorts columns by name, and hashes values order-insensitively at
+FULL precision — `tools/check_oracle.py --strict` replicates this and
+validate.sh enforces it; the r8 driver reds were all representation drift
+this list now prevents):
 - every computed column is aliased identically on both sides;
 - computed integers are cast to BIGINT on both sides (Spark `hour`/`size`/
-  `row_number` return INT, DuckDB returns BIGINT);
-- floating-point aggregates are rounded (2-6 dp) on both sides;
+  `row_number` return INT, DuckDB returns BIGINT; an UNCAST DuckDB
+  integer `sum()`/window-sum is HUGEINT, which pandas renders float64 —
+  always `::BIGINT` them);
+- floating-point outputs are QUANTIZED to integers where the value is the
+  point (`round(x*1e4/1e6)::BIGINT` both sides) — preferred over rounded
+  doubles, whose text can still drift (`-0.0` vs `0.0`, last-ulp digit
+  flips); when a rounded double must ship, add `+ 0.0` after the round if
+  the input can be a tiny negative (IEEE signed-zero normalization);
+- cross-row float sums accumulate as DECIMAL(38,12) (exact, schedule-
+  independent) before any rounding — `tools/schedule_stability.py`
+  enforces bit-stability across partition counts;
+- shared numeric constants are Python literals injected into BOTH engines
+  (never `ln(...)`/`pow(...)` recomputed per engine — libm builds differ;
+  write `x*x`, not `pow(x, 2)`);
 - timestamps in results are converted to epoch microseconds (BIGINT) or
   date strings — never raw timestamp values (parquet ns vs engine us
   representations differ);
