@@ -19,7 +19,15 @@ Two comparison modes:
   (CORRECTNESS_r08 ``token_budget_admission``). If strict passes, the
   driver's stringified hash has no representation left to disagree on.
 
-Usage: python tools/check_oracle.py [--strict] [sf_dir] [query ...]
+``--emit PATH`` (strict mode) additionally writes a machine-readable
+per-query evidence artifact: {name: {rows, cols, value_hash}} where
+value_hash is the md5 of the sorted strict row multiset of the SPARK
+result (the oracle must have matched for the row to be recorded as ok).
+Committed per round as STRICT_rNN.json, it gives per-query correctness
+evidence for the FULL registry — not just the driver's sampled window —
+and makes cross-round regressions diffable.
+
+Usage: python tools/check_oracle.py [--strict] [--emit PATH] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -135,10 +143,27 @@ def strict_compare(spdf, ddf):
     return problems
 
 
+def spark_multiset_hash(spd) -> str:
+    """md5 of the sorted strict row multiset of a pandas frame."""
+    import hashlib
+
+    cols = sorted(spd.columns)
+    rows = sorted(
+        "\x1f".join(strict_cell(v) for v in row)
+        for row in spd[cols].itertuples(index=False, name=None)
+    )
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
 def main() -> int:
     argv = sys.argv[1:]
     strict = "--strict" in argv
     argv = [a for a in argv if a != "--strict"]
+    emit = None
+    if "--emit" in argv:
+        i = argv.index("--emit")
+        emit = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -153,6 +178,7 @@ def main() -> int:
     qs = e.queries()
     oracles = e.oracle_sql()
     failures = []
+    evidence = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -170,6 +196,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {ex}")
             continue
         if name not in oracles:
+            if emit and strict:
+                evidence[name] = {
+                    "rows": nrows, "cols": sorted(scols),
+                    "value_hash": spark_multiset_hash(spd), "oracle": "rows-only",
+                }
             print(f"ok    {name}: rows-only, {nrows} rows")
             continue
         try:
@@ -203,9 +234,21 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
+            if emit and strict:
+                evidence[name] = {
+                    "rows": nrows, "cols": sorted(scols),
+                    "value_hash": spark_multiset_hash(spd), "oracle": "matched",
+                }
             print(f"ok    {name}: {nrows} rows match" + (" [strict]" if strict else ""))
     n_run = len(only) if only else len(qs)
     print(f"\n{n_run - len(failures)}/{n_run} ok" + (" [strict]" if strict else ""))
+    if emit and strict:
+        import json
+
+        with open(emit, "w") as fh:
+            json.dump(dict(sorted(evidence.items())), fh, indent=1)
+            fh.write("\n")
+        print(f"evidence: {len(evidence)} entries -> {emit}")
     return 1 if failures else 0
 
 

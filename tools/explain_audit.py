@@ -395,6 +395,29 @@ CHECKS = {
         ("no window at all", lambda p: "Window" not in p),
         ("broadcast rank join", r"BroadcastNestedLoopJoin"),
     ],
+    "sprt_daily_readout": [
+        # cumulative over the bounded daily table = broadcast self-join
+        ("no window at all", lambda p: "Window" not in p),
+        ("broadcast cumulative join", r"BroadcastNestedLoopJoin"),
+    ],
+    "merkle_bucket_diff": [
+        # 2x256 fingerprint rows meet in a full-outer bucket join
+        ("full outer fingerprint join", r"FullOuter"),
+        ("no window at all", lambda p: "Window" not in p),
+    ],
+    "covariate_balance_smd": [
+        ("single long-form aggregate, no window", lambda p: "Window" not in p),
+        ("pruned events scan", r"ReadSchema:[^\n]*user_id"),
+    ],
+    "ridge_drop_column_importance": [
+        # one ten-moment aggregate; all three fits are column arithmetic
+        ("no join no window", lambda p: "Join" not in p and "Window" not in p),
+    ],
+    "scd2_point_in_time_join": [
+        # probe and dimension co-partition on user_id
+        ("user-keyed windows only", lambda p: not re.search(
+            r"windowspecdefinition\((?!user_id)", p)),
+    ],
     "bottomk_quantile_sketch": [
         ("partitioned sample window", r"windowspecdefinition\(event_type"),
         ("pushdown value filter", r"PushedFilters: \[.*IsNotNull\(value"),

@@ -12,7 +12,7 @@ echo "== 2/4 oracle differential, driver-strict (sf0.01) =="
 # and asserts pandas dtype parity per column — the surface the driver's
 # hash actually sees (VERDICT r8 items 1/2/7; both r8 driver-red rows
 # passed the loose check and fail only under --strict)
-python tools/check_oracle.py --strict /root/testdata/sf0.01
+python tools/check_oracle.py --strict --emit /tmp/strict_evidence.json /root/testdata/sf0.01
 
 echo "== 2b/4 schedule stability (statistical set) =="
 # bit-identical outputs across shuffle-partition settings — the defense
