@@ -665,3 +665,39 @@ def test_covariate_balance_flags_planted_imbalance(spark, tmp_path):
     assert got["value"]["balanced"] == 0
     assert got["value"]["mean_treat_q4"] == 100 * 10_000
     assert got["value"]["mean_control_q4"] == 10 * 10_000
+
+
+def test_eb_beta_binomial_shrinks_small_sources(spark, tmp_path):
+    """A 4-doc source with 2 dups (raw 50%) must shrink hard toward the
+    corpus prior; a 400-doc source at the same raw rate barely moves;
+    shrinkage never crosses the prior mean side."""
+    from weatherdatapipeline_spark.queries import eb_beta_binomial_dup_rates
+
+    docs = []
+    # big source: 400 docs, 10% dups (each dup = one repeated text)
+    for i in range(360):
+        docs.append((i, f"unique big text {i}", "big"))
+    for i in range(20):  # 20 pairs of identical texts = 40 dup docs
+        docs.append((1000 + 2 * i, f"dup text {i}", "big"))
+        docs.append((1001 + 2 * i, f"dup text {i}", "big"))
+    # small source: 4 docs, 2 of them one dup pair (raw rate 0.5)
+    docs += [(2000, "small a", "small"), (2001, "small b", "small"),
+             (2002, "small dup", "small"), (2003, "small dup", "small")]
+    # several mid sources to give the prior a real spread
+    for s in range(8):
+        for i in range(50):
+            docs.append((3000 + 100 * s + i, f"mid {s} text {i}", f"mid{s}"))
+    _write_documents(spark, str(tmp_path), docs)
+    got = {r["source"]: r for r in eb_beta_binomial_dup_rates(spark, str(tmp_path)).collect()}
+    assert got["small"]["prior_ok"] == 1
+    assert got["small"]["raw_rate_q6"] == 500_000
+    # real shrinkage: the 4-doc source moves meaningfully toward the low
+    # prior (the mid-source spread keeps the prior deliberately weak, so
+    # this is ~0.38 from 0.50, not a collapse)
+    assert got["small"]["shrunk_rate_q6"] < 420_000
+    # the 400-doc source's 10% barely moves
+    big = got["big"]
+    assert big["raw_rate_q6"] == 100_000
+    assert abs(big["shrunk_rate_q6"] - 100_000) < 15_000
+    # shrinkage is toward the prior, never past the raw rate's far side
+    assert got["small"]["shrunk_rate_q6"] > 0

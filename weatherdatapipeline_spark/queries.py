@@ -15727,3 +15727,93 @@ FROM j
 
 QUERIES["covariate_balance_smd"] = covariate_balance_smd
 ORACLES["covariate_balance_smd"] = ORACLE_COVARIATE_SMD
+
+
+def eb_beta_binomial_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage for per-source exact-duplicate RATES
+    (beta-binomial, method-of-moments prior) — the proportions twin of
+    the Gaussian `eb_shrunk_user_means`: small sources' noisy duplicate
+    rates shrink toward the corpus-wide prior, so a 10-doc source with
+    one duplicate doesn't outrank a 10k-doc source at 8% in a curation
+    dashboard. Prior α, β come from the mean/variance of the per-source
+    raw rates (MoM: α+β = m(1−m)/v − 1); posterior rate_i =
+    (x_i + α)/(n_i + α + β).
+
+    One fingerprint aggregate (md5 of trimmed text) → per-source (x, n)
+    → a 1-row MoM prior broadcast back. Degenerate v = 0 (all sources
+    identical) falls back to the raw rate, reported via prior_ok = 0.
+    DECIMAL moment sums; 1e6-quantized outputs."""
+    dec = "decimal(38,12)"
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", F.md5(F.trim("text")).alias("fp")
+    )
+    counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_n"))
+    flagged = fp.join(counts, "fp").select(
+        "source", (F.col("fp_n") > 1).cast("long").alias("is_dup")
+    )
+    per = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_dup").alias("x")
+    )
+    rate = F.col("x").cast("double") / F.col("n")
+    rated = per.select("source", "n", "x", rate.alias("r"))
+    prior = rated.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("r").cast(dec)).cast("double").alias("sr"),
+        F.sum((F.col("r") * F.col("r")).cast(dec)).cast("double").alias("srr"),
+    ).select(
+        (F.col("sr") / F.col("k")).alias("m"),
+        ((F.col("srr") - F.col("sr") * F.col("sr") / F.col("k")) / F.col("k")).alias(
+            "v"
+        ),
+    )
+    j = rated.crossJoin(F.broadcast(prior))
+    ab = F.col("m") * (1.0 - F.col("m")) / F.col("v") - 1.0
+    alpha, beta = F.col("m") * ab, (1.0 - F.col("m")) * ab
+    ok = (F.col("v") > 0) & (ab > 0)
+    post = F.when(
+        ok, (F.col("x") + alpha) / (F.col("n") + alpha + beta)
+    ).otherwise(F.col("r"))
+    return j.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("x").cast("bigint").alias("n_dups"),
+        F.round(F.col("r") * 1e6).cast("bigint").alias("raw_rate_q6"),
+        F.round(post * 1e6).cast("bigint").alias("shrunk_rate_q6"),
+        ok.cast("bigint").alias("prior_ok"),
+    )
+
+
+ORACLE_EB_BETA_BINOMIAL = """
+WITH fp AS (
+  SELECT doc_id, source, md5(trim(text)) AS fp FROM documents
+),
+counts AS (SELECT fp, count(*) AS fp_n FROM fp GROUP BY 1),
+flagged AS (
+  SELECT f.source, (c.fp_n > 1)::BIGINT AS is_dup
+  FROM fp f JOIN counts c USING (fp)
+),
+per AS (
+  SELECT source, count(*) AS n, sum(is_dup) AS x FROM flagged GROUP BY 1
+),
+rated AS (SELECT source, n, x, x::DOUBLE / n AS r FROM per),
+prior AS (
+  SELECT sum(CAST(r AS DECIMAL(38,12)))::DOUBLE / count(*) AS m,
+         (sum(CAST(r * r AS DECIMAL(38,12)))::DOUBLE
+          - sum(CAST(r AS DECIMAL(38,12)))::DOUBLE
+            * sum(CAST(r AS DECIMAL(38,12)))::DOUBLE / count(*)) / count(*) AS v
+  FROM rated
+)
+SELECT source, n::BIGINT AS n_docs, x::BIGINT AS n_dups,
+       round(r * 1e6)::BIGINT AS raw_rate_q6,
+       round(CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+                  THEN (x + m * (m * (1.0 - m) / v - 1.0))
+                       / (n + m * (1.0 - m) / v - 1.0)
+                  ELSE r END * 1e6)::BIGINT AS shrunk_rate_q6,
+       (v > 0 AND m * (1.0 - m) / v - 1.0 > 0)::BIGINT AS prior_ok
+FROM rated CROSS JOIN prior
+"""
+
+
+QUERIES["eb_beta_binomial_dup_rates"] = eb_beta_binomial_dup_rates
+ORACLES["eb_beta_binomial_dup_rates"] = ORACLE_EB_BETA_BINOMIAL
