@@ -701,3 +701,29 @@ def test_eb_beta_binomial_shrinks_small_sources(spark, tmp_path):
     assert abs(big["shrunk_rate_q6"] - 100_000) < 15_000
     # shrinkage is toward the prior, never past the raw rate's far side
     assert got["small"]["shrunk_rate_q6"] > 0
+
+
+def test_journey_trigrams_planted_path(spark, tmp_path):
+    """Three users walking view→click→purchase plus one walking a
+    different path: the dominant trigram wins with the right support."""
+    import datetime as _dt
+
+    from weatherdatapipeline_spark.queries import journey_trigrams_top20
+
+    rows, eid = [], 0
+    for uid in (1, 2, 3):
+        for i, t in enumerate(["view", "click", "purchase"]):
+            rows.append((eid, _dt.datetime(2024, 1, 1, 10, i), uid, 1.0, t)); eid += 1
+    for i, t in enumerate(["error", "error", "signup"]):
+        rows.append((eid, _dt.datetime(2024, 1, 1, 10, i), 9, 1.0, t)); eid += 1
+    df = spark.createDataFrame(
+        [(i, ts_, u, v, t, "{}") for i, ts_, u, v, t in rows],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, "
+        "event_type STRING, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = journey_trigrams_top20(spark, str(tmp_path)).collect()
+    top = got[0]
+    assert (top["a"], top["b"], top["c"]) == ("view", "click", "purchase")
+    assert top["n_paths"] == 3 and top["n_users"] == 3
+    assert len(got) == 2  # only two distinct trigrams exist

@@ -15817,3 +15817,53 @@ FROM rated CROSS JOIN prior
 
 QUERIES["eb_beta_binomial_dup_rates"] = eb_beta_binomial_dup_rates
 ORACLES["eb_beta_binomial_dup_rates"] = ORACLE_EB_BETA_BINOMIAL
+
+
+def journey_trigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 ORDERED user-journey trigrams (a→b→c event sequences) — the
+    second-order path mining behind funnel discovery: where
+    `event_transition_matrix` captures first-order hops and
+    `frequent_triples_events` unordered baskets, this surfaces the
+    actual three-step paths users walk, ranked by frequency with
+    support (distinct users). Two leads from ONE user-partitioned
+    ordered window (Spark reuses the single sort/exchange), a (a,b,c)
+    hash agg bounded by |types|³, TakeOrdered top-20 with the full path
+    as tiebreaker."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        paths.groupBy("a", "b", "c")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_paths"), "a", "b", "c")
+        .limit(20)
+    )
+
+
+ORACLE_JOURNEY_TRIGRAMS = """
+WITH paths AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a, b, c, count(*)::BIGINT AS n_paths,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM paths WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, a, b, c
+LIMIT 20
+"""
+
+
+QUERIES["journey_trigrams_top20"] = journey_trigrams_top20
+ORACLES["journey_trigrams_top20"] = ORACLE_JOURNEY_TRIGRAMS
