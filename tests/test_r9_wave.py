@@ -727,3 +727,31 @@ def test_journey_trigrams_planted_path(spark, tmp_path):
     assert (top["a"], top["b"], top["c"]) == ("view", "click", "purchase")
     assert top["n_paths"] == 3 and top["n_users"] == 3
     assert len(got) == 2  # only two distinct trigrams exist
+
+
+def test_importance_ess_uniform_vs_degenerate(spark, tmp_path):
+    """Uniform weights (all docs identical text, same source) → ESS = n
+    (ratio 1e6); a source where one doc carries all the target-domain
+    mass → ESS collapses toward 1 and is flagged degenerate."""
+    from weatherdatapipeline_spark.queries import importance_weight_ess
+
+    # uniform source: 10 identical non-target docs → identical weights
+    docs = [(i, "same words here", "uniform") for i in range(10)]
+    # skew source: one doc packed with target-only vocabulary, the rest
+    # share an unrelated non-target vocabulary; lang drives the target
+    docs += [(100, " ".join(f"tgt{i}" for i in range(40)), "skew")]
+    docs += [(101 + i, "filler common words", "skew") for i in range(11)]
+    df = spark.createDataFrame(
+        [(i, t, "en" if i == 100 else "fr", s, len(t)) for i, t, s in docs],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["source"]: r for r in importance_weight_ess(spark, str(tmp_path)).collect()}
+    uni = got["uniform"]
+    assert uni["n_docs"] == 10
+    assert uni["ess_ratio_q6"] == 1_000_000  # identical weights → ESS = n
+    assert uni["degenerate"] == 0
+    sk = got["skew"]
+    assert sk["n_docs"] == 12
+    assert sk["ess_ratio_q6"] < 100_000 and sk["degenerate"] == 1
+    assert sk["ess_q4"] < 2 * 10_000  # ESS collapses toward ~1 doc

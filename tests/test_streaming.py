@@ -761,3 +761,53 @@ def test_stateful_sprt_across_batches(spark, tmp_path_factory):
         stopped = max(stopped, 1 if llr >= upper else 0)
         assert r["stopped"] == stopped
     assert first_cross is not None and 10 <= first_cross < 40  # crossed in batch 2
+
+
+def test_streaming_merkle_fingerprints_equal_batch(spark, tmp_path_factory):
+    """Fingerprints folded across two micro-batches must equal the
+    one-shot batch fingerprints over all rows (commutative monoid), stay
+    bounded, and DETECT a divergent replica: dropping one row changes
+    exactly that row's bucket."""
+    import hashlib
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from weatherdatapipeline_spark.streaming.jobs import streaming_merkle_fingerprints
+
+    src = str(tmp_path_factory.mktemp("mk_src"))
+    tbl = str(tmp_path_factory.mktemp("mk_tbl")) + "/fp"
+    ckpt = str(tmp_path_factory.mktemp("mk_ckpt"))
+    schema = "event_id LONG"
+    b1 = [(i,) for i in range(500)]
+    b2 = [(i,) for i in range(500, 900)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = streaming_merkle_fingerprints(
+        stream, tbl, checkpoint=ckpt, buckets=64, available_now=True
+    )
+    q.awaitTermination()
+
+    stored = {r["bucket"]: (r["n"], r["sum_h"])
+              for r in spark.read.parquet(tbl).collect()}
+    assert len(stored) <= 64
+
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+    ref = {
+        r["bucket"]: (r["n"], r["sum_h"])
+        for r in spark.createDataFrame(b1 + b2, schema)
+        .select((h % 64).alias("bucket"), h.alias("word"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("word").alias("sum_h"))
+        .collect()
+    }
+    assert stored == ref
+    # divergence detection: a replica missing row 123 differs ONLY in
+    # the bucket md5(123) hashes to
+    w = int(hashlib.md5(b"123").hexdigest()[:8], 16)
+    replica = dict(ref)
+    replica[w % 64] = (replica[w % 64][0] - 1, replica[w % 64][1] - w)
+    diff = {b for b in ref if ref[b] != replica.get(b)}
+    assert diff == {w % 64}

@@ -15867,3 +15867,106 @@ LIMIT 20
 
 QUERIES["journey_trigrams_top20"] = journey_trigrams_top20
 ORACLES["journey_trigrams_top20"] = ORACLE_JOURNEY_TRIGRAMS
+
+
+def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights per source —
+    the diagnostic that decides whether importance-weighted training is
+    usable or degenerate: ESS = (Σw)²/Σw² collapses toward 1 when a few
+    documents dominate the weight mass (ess_ratio = ESS/n near 1 means
+    near-uniform weights, near 1/n means one doc carries everything).
+    Run BEFORE trusting any weighted loss or resampling step.
+
+    Weights exponentiate the 6dp-rounded DSIR log-ratios CENTERED on the
+    per-source max (softmax-style, so the exponent range is bounded and
+    engine-portable), each w rounds to 9dp before DECIMAL(38,12)
+    summation; outputs are quantized BIGINTs."""
+    dec = "decimal(38,12)"
+    docs = _t(spark, sf_dir, "documents")
+    lw = SA.dsir_logratio_weights(docs, is_target=F.col("lang") == "en").select(
+        "doc_id", F.round("weight", 6).alias("lw")
+    )
+    src = docs.select("doc_id", "source")
+    j = lw.join(src, "doc_id")
+    mx = j.groupBy("source").agg(F.max("lw").alias("mx"))
+    w = j.join(F.broadcast(mx), "source").select(
+        "source", F.round(F.exp(F.col("lw") - F.col("mx")), 9).alias("w")
+    )
+    agg = w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("w").cast(dec)).cast("double").alias("sw"),
+        F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double").alias("sww"),
+    )
+    ess = F.col("sw") * F.col("sw") / F.col("sww")
+    return agg.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(ess * 1e4).cast("bigint").alias("ess_q4"),
+        F.round(ess / F.col("n") * 1e6).cast("bigint").alias("ess_ratio_q6"),
+        (F.round(ess / F.col("n") * 1e6) < 100_000).cast("bigint").alias(
+            "degenerate"
+        ),
+    )
+
+
+ORACLE_IMPORTANCE_ESS = r"""
+WITH lists AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+         string_split_regex(lower(trim(text)), '\s+') AS lst
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, tgt, unnest(lst) AS tok,
+         unnest(range(1, len(lst) + 1)) AS ord
+  FROM lists
+),
+bi AS (
+  SELECT doc_id, tgt,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS feat
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, tgt, tok AS feat FROM toks
+  UNION ALL
+  SELECT doc_id, tgt, feat FROM bi WHERE feat IS NOT NULL
+),
+bkt AS (
+  SELECT doc_id, tgt,
+         ('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024 AS b
+  FROM feats
+),
+counts AS (SELECT b, count(*) AS n_raw, sum(tgt) AS n_tgt FROM bkt GROUP BY 1),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM counts),
+wt AS (
+  SELECT b, ln((n_tgt + 0.01) / (t_tgt + 10.24))
+           - ln((n_raw + 0.01) / (t_raw + 10.24)) AS w
+  FROM counts, tot
+),
+docw AS (
+  SELECT doc_id, round(sum(w), 6) AS lw
+  FROM bkt JOIN wt USING (b) GROUP BY doc_id
+),
+src AS (
+  SELECT d.source, x.lw FROM documents d JOIN docw x USING (doc_id)
+),
+mx AS (SELECT source, max(lw) AS mx FROM src GROUP BY 1),
+ww AS (
+  SELECT s.source, round(exp(s.lw - m.mx), 9) AS w2
+  FROM src s JOIN mx m USING (source)
+),
+agg AS (
+  SELECT source, count(*) AS n,
+         sum(CAST(w2 AS DECIMAL(38,12)))::DOUBLE AS sw,
+         sum(CAST(w2 * w2 AS DECIMAL(38,12)))::DOUBLE AS sww
+  FROM ww GROUP BY 1
+)
+SELECT source, n::BIGINT AS n_docs,
+       round(sw * sw / sww * 1e4)::BIGINT AS ess_q4,
+       round(sw * sw / sww / n * 1e6)::BIGINT AS ess_ratio_q6,
+       (round(sw * sw / sww / n * 1e6) < 100000)::BIGINT AS degenerate
+FROM agg
+"""
+
+
+QUERIES["importance_weight_ess"] = importance_weight_ess
+ORACLES["importance_weight_ess"] = ORACLE_IMPORTANCE_ESS

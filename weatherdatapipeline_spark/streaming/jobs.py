@@ -1016,3 +1016,72 @@ def sprt_stateful(
     return stream.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_merkle_fingerprints(
+    row_stream: DataFrame,
+    table_path: str,
+    checkpoint: str | None = None,
+    id_col: str = "event_id",
+    buckets: int = 256,
+    available_now: bool = False,
+):
+    """Maintain the Merkle reconciliation fingerprints incrementally: each
+    micro-batch's per-bucket (count, Σ 32-bit md5 word) partials ADD
+    cell-wise into the stored table — valid because the fingerprint is a
+    commutative monoid over rows, the same property that lets the batch
+    ``merkle_bucket_diff`` fold per partition. A replica can therefore
+    keep its sync fingerprints current per micro-batch instead of
+    re-scanning the table before every anti-entropy round; state is the
+    ≤``buckets``-row parquet table regardless of stream volume.
+
+    Same foreachBatch read-modify-write contract as the CMS/KMV sketch
+    jobs: ``_last_batch_id`` skips replayed batches; an unreadable store
+    raises rather than silently resetting fingerprints."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        partial = (
+            batch_df.select(h.alias("word"))
+            .select((F.col("word") % buckets).alias("bucket"), "word")
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("word").cast("long").alias("sum_h"),
+            )
+        )
+        import os
+
+        if os.path.exists(table_path):
+            prior = spark.read.parquet(table_path)
+            last = prior.agg(F.max("_last_batch_id")).collect()[0][0]
+            if last is not None and last >= batch_id:
+                return  # replayed batch: already folded in
+            merged = (
+                prior.select("bucket", "n", "sum_h")
+                .unionByName(partial)
+                .groupBy("bucket")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("sum_h").cast("long").alias("sum_h"),
+                )
+            )
+        else:
+            merged = partial
+        out = merged.withColumn("_last_batch_id", F.lit(batch_id))
+        rows = out.collect()  # bounded: <= buckets rows
+        spark.createDataFrame(rows, out.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(table_path)
+
+    writer = row_stream.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
