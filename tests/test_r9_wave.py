@@ -755,3 +755,34 @@ def test_importance_ess_uniform_vs_degenerate(spark, tmp_path):
     assert sk["n_docs"] == 12
     assert sk["ess_ratio_q6"] < 100_000 and sk["degenerate"] == 1
     assert sk["ess_q4"] < 2 * 10_000  # ESS collapses toward ~1 doc
+
+
+def test_dsir_gumbel_resample_deterministic_and_replayable(spark, tmp_path):
+    """The Gumbel key must equal lw − ln(−ln(u)) with u replayed from
+    md5(doc_id||'|gumbel') exactly; two runs select the identical set;
+    the selection differs from the plain lw-top-k ordering (noise
+    actually reshuffles the tail)."""
+    import hashlib
+    import math
+
+    from weatherdatapipeline_spark.queries import dsir_gumbel_resample_top100
+
+    docs = [(i, f"w{i % 7} common text {'en' if i % 3 else 'fr'}", "s")
+            for i in range(150)]
+    df = spark.createDataFrame(
+        [(i, t, "en" if i % 3 else "fr", s, len(t)) for i, t, s in docs],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    a = dsir_gumbel_resample_top100(spark, str(tmp_path)).collect()
+    b = dsir_gumbel_resample_top100(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 100
+    for r in a[:5]:  # replay the key from the hash exactly
+        u = (int(hashlib.md5(f"{r['doc_id']}|gumbel".encode()).hexdigest()[:8], 16)
+             + 0.5) / 4294967296.0
+        want = round(r["lw"] - math.log(-math.log(u)), 6)
+        assert abs(r["gumbel_key"] - want) < 1e-9
+    # noise reshuffles: selection order differs from pure-lw order
+    by_lw = [r["doc_id"] for r in sorted(a, key=lambda r: (-r["lw"], r["doc_id"]))]
+    assert by_lw != [r["doc_id"] for r in a]

@@ -15970,3 +15970,94 @@ FROM agg
 
 QUERIES["importance_weight_ess"] = importance_weight_ess
 ORACLES["importance_weight_ess"] = ORACLE_IMPORTANCE_ESS
+
+
+def dsir_gumbel_resample_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection step — Gumbel-top-k importance RESAMPLING
+    (Xie et al. 2023 §2; Kool et al. 2019): adding independent Gumbel
+    noise g = −ln(−ln(u)) to each log-weight and taking the top-k draws
+    an exact sample WITHOUT replacement from the softmax of the weights,
+    which preserves corpus diversity where the plain top-k
+    (`dsir_select_top200`) deterministically floods the selection with
+    near-duplicate high-weight docs. The Gumbel uniforms come from the
+    portable md5 of doc_id — deterministic, engine-replayable, and
+    auditable like every sampler in this repo.
+
+    One weight pass (bucket-bounded, shared with the DSIR family), one
+    map-only key projection, TakeOrdered top-100 on the 6dp-rounded key
+    with doc_id tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    lw = SA.dsir_logratio_weights(docs, is_target=F.col("lang") == "en").select(
+        "doc_id", F.round("weight", 6).alias("lw")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                          F.lit("|gumbel"))), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / 4294967296.0  # (0,1): +0.5 keeps u strictly inside the interval
+    gumbel = -F.log(-F.log(u))
+    return (
+        lw.select(
+            "doc_id",
+            "lw",
+            F.round(F.col("lw") + gumbel, 6).alias("gumbel_key"),
+        )
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+ORACLE_DSIR_GUMBEL = r"""
+WITH lists AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+         string_split_regex(lower(trim(text)), '\s+') AS lst
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, tgt, unnest(lst) AS tok,
+         unnest(range(1, len(lst) + 1)) AS ord
+  FROM lists
+),
+bi AS (
+  SELECT doc_id, tgt,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS feat
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, tgt, tok AS feat FROM toks
+  UNION ALL
+  SELECT doc_id, tgt, feat FROM bi WHERE feat IS NOT NULL
+),
+bkt AS (
+  SELECT doc_id, tgt,
+         ('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024 AS b
+  FROM feats
+),
+counts AS (SELECT b, count(*) AS n_raw, sum(tgt) AS n_tgt FROM bkt GROUP BY 1),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM counts),
+wt AS (
+  SELECT b, ln((n_tgt + 0.01) / (t_tgt + 10.24))
+           - ln((n_raw + 0.01) / (t_raw + 10.24)) AS w
+  FROM counts, tot
+),
+docw AS (
+  SELECT doc_id, round(sum(w), 6) AS lw
+  FROM bkt JOIN wt USING (b) GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, lw,
+         round(lw - ln(-ln(
+           (('0x' || substr(md5(doc_id::VARCHAR || '|gumbel'), 1, 8))::BIGINT
+            + 0.5) / 4294967296.0)), 6) AS gumbel_key
+  FROM docw
+)
+SELECT doc_id, lw, gumbel_key
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id
+LIMIT 100
+"""
+
+
+QUERIES["dsir_gumbel_resample_top100"] = dsir_gumbel_resample_top100
+ORACLES["dsir_gumbel_resample_top100"] = ORACLE_DSIR_GUMBEL
