@@ -786,3 +786,45 @@ def test_dsir_gumbel_resample_deterministic_and_replayable(spark, tmp_path):
     # noise reshuffles: selection order differs from pure-lw order
     by_lw = [r["doc_id"] for r in sorted(a, key=lambda r: (-r["lw"], r["doc_id"]))]
     assert by_lw != [r["doc_id"] for r in a]
+
+
+def test_negative_edge_samples_exclusions(spark, tmp_path):
+    """On a tiny planted graph, every kept negative must be an existing
+    node, differ from its source, and not be a true edge; drops are
+    accounted, and two runs are identical (pure hash draw)."""
+    import hashlib
+
+    from weatherdatapipeline_spark.queries import negative_edge_samples
+
+    # suppliers 1..6 via parts: edges (1,2), (3,4), (5,6) at quantity 50
+    rows = [(100, 1, 50.0), (100, 2, 50.0),
+            (200, 3, 50.0), (200, 4, 50.0),
+            (300, 5, 50.0), (300, 6, 50.0)]
+    spark.createDataFrame(
+        rows, "l_partkey LONG, l_suppkey LONG, l_quantity DOUBLE"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = negative_edge_samples(spark, str(tmp_path)).collect()
+    assert {r["slot"] for r in got} <= {1, 2, 3}
+    for r in got:
+        assert r["n_requested"] == 3
+        assert r["n_kept"] + r["n_dropped"] == 3
+        assert 0 < r["n_kept"] <= 3
+    # replay one slot by hand to confirm the exclusion rules
+    edges = {(1, 2), (3, 4), (5, 6)}
+    for j in (1, 2, 3):
+        kept_src = kept_neg = 0
+        for a, b in sorted(edges):
+            cand = int(hashlib.md5(f"{a}|{b}|{j}".encode()).hexdigest()[:8], 16) % 6 + 1
+            if cand == a:
+                continue
+            if (min(a, cand), max(a, cand)) in edges:
+                continue
+            kept_src += a
+            kept_neg += cand
+        row = next((r for r in got if r["slot"] == j), None)
+        if row is None:
+            assert kept_src == 0
+        else:
+            assert (row["src_checksum"], row["neg_checksum"]) == (kept_src, kept_neg)
+    again = negative_edge_samples(spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))

@@ -16061,3 +16061,138 @@ LIMIT 100
 
 QUERIES["dsir_gumbel_resample_top100"] = dsir_gumbel_resample_top100
 ORACLES["dsir_gumbel_resample_top100"] = ORACLE_DSIR_GUMBEL
+
+
+_NEG_K = 3
+
+
+def negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for link-prediction training data over the
+    co-supply graph: for every positive edge (a, b), K=3 candidate
+    corruptions (a, b′) with b′ drawn by a deterministic md5 of
+    (a, b, j) over the supplier-key range — the standard corrupt-one-
+    endpoint recipe (TransE et al.) every graph-ML pipeline needs, made
+    reproducible: no RNG, the 'draw' replays in any engine. Candidates
+    that don't exist as nodes, equal the source, or collide with a TRUE
+    edge (undirected anti-join) are dropped — and per the no-silent-caps
+    rule the output is the per-slot audit: requested vs kept counts plus
+    integer checksums of the kept pairs (the hashable fingerprint of the
+    exact training set a downstream fit would consume).
+
+    Shapes: node/edge tables from one distinct pass; existence = semi-
+    join; true-edge exclusion = anti-join on the normalized pair; the
+    max-key range rides a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    edges = (
+        ps.alias("x")
+        .join(ps.alias("y"), "pk")
+        .filter(F.col("x.sk") < F.col("y.sk"))
+        .select(F.col("x.sk").alias("a"), F.col("y.sk").alias("b"))
+        .distinct()
+    )
+    nodes = ps.select(F.col("sk").alias("node")).distinct()
+    mx = nodes.agg(F.max("node").alias("max_sk"))
+    cand = (
+        edges.crossJoin(F.broadcast(mx))
+        .select(
+            "a",
+            "b",
+            F.explode(F.array(*[F.lit(j) for j in range(1, _NEG_K + 1)])).alias("j"),
+            "max_sk",
+        )
+        .select(
+            "a",
+            "b",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws("|", F.col("a"), F.col("b"), F.col("j"))
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("max_sk")
+                + 1
+            ).alias("cand"),
+        )
+        .filter(F.col("cand") != F.col("a"))
+    )
+    exists = cand.join(
+        F.broadcast(nodes), cand["cand"] == nodes["node"], "left_semi"
+    )
+    clean = exists.join(
+        edges.select(
+            F.col("a").alias("_ea"), F.col("b").alias("_eb")
+        ),
+        (F.least("a", "cand") == F.col("_ea"))
+        & (F.greatest("a", "cand") == F.col("_eb")),
+        "left_anti",
+    )
+    requested = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        clean.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("a").cast("bigint").alias("src_checksum"),
+            F.sum("cand").cast("bigint").alias("neg_checksum"),
+        )
+        .crossJoin(F.broadcast(requested))
+        .select(
+            F.col("j").cast("bigint").alias("slot"),
+            F.col("n_edges").cast("bigint").alias("n_requested"),
+            "n_kept",
+            (F.col("n_edges") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
+            "src_checksum",
+            "neg_checksum",
+        )
+    )
+
+
+ORACLE_NEGATIVE_EDGES = f"""
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+            FROM lineitem WHERE l_quantity >= 48),
+edges AS (
+  SELECT DISTINCT x.sk AS a, y.sk AS b
+  FROM ps x JOIN ps y USING (pk) WHERE x.sk < y.sk
+),
+nodes AS (SELECT DISTINCT sk AS node FROM ps),
+mx AS (SELECT max(node) AS max_sk FROM nodes),
+cand AS (
+  SELECT a, b, j,
+         ('0x' || substr(md5(a::VARCHAR || '|' || b::VARCHAR || '|'
+                              || j::VARCHAR), 1, 8))::BIGINT
+           % max_sk + 1 AS cand
+  FROM edges CROSS JOIN mx CROSS JOIN unnest([1, 2, 3]) AS t(j)
+),
+valid AS (
+  SELECT c.a, c.j, c.cand
+  FROM cand c
+  WHERE c.cand <> c.a
+    AND c.cand IN (SELECT node FROM nodes)
+    AND NOT EXISTS (
+      SELECT 1 FROM edges e
+      WHERE e.a = least(c.a, c.cand) AND e.b = greatest(c.a, c.cand)
+    )
+)
+SELECT j::BIGINT AS slot,
+       (SELECT count(*) FROM edges)::BIGINT AS n_requested,
+       count(*)::BIGINT AS n_kept,
+       ((SELECT count(*) FROM edges) - count(*))::BIGINT AS n_dropped,
+       sum(a)::BIGINT AS src_checksum,
+       sum(cand)::BIGINT AS neg_checksum
+FROM valid GROUP BY j
+"""
+
+
+QUERIES["negative_edge_samples"] = negative_edge_samples
+ORACLES["negative_edge_samples"] = ORACLE_NEGATIVE_EDGES
