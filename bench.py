@@ -391,6 +391,28 @@ def main() -> None:
     out["machine"]["loadavg_end"] = round(os.getloadavg()[0], 2)
     _persist_ladder(out)
     print(json.dumps(out))
+    # The driver keeps only a bounded stdout tail, and the full record above
+    # (with scale_check + per-query duckdb times) overflows it — BENCH_r08/r09
+    # both recorded "parsed": null (VERDICT r9 item 1). Print a SECOND, short
+    # final line with the spec-required fields plus the headline summary so
+    # the driver's 2x-baseline gate always has machine-readable input. The
+    # per-query dict is kept (spec requires it) but everything bulky
+    # (scale per-query detail, duckdb per-query, errors text) is collapsed.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": per_query,
+        "sf": out["sf"],
+        "n": len(per_query),
+        "errors": len(errors),
+    }
+    if duck_total is not None:
+        compact["duckdb_same_queries_total"] = duck_total
+    sc = out.get("scale_check")
+    if isinstance(sc, dict) and sc.get("slope") is not None:
+        compact["scale_slope"] = sc["slope"]
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 def ladder_path(

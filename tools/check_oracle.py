@@ -240,7 +240,12 @@ def main() -> int:
                     "value_hash": spark_multiset_hash(spd), "oracle": "matched",
                 }
             print(f"ok    {name}: {nrows} rows match" + (" [strict]" if strict else ""))
-    n_run = len(only) if only else len(qs)
+    # count only names that exist in the registry: a typo'd name is
+    # silently skipped by the loop and must not inflate "N/N ok"
+    n_run = len(only & set(qs)) if only else len(qs)
+    unknown = sorted(only - set(qs)) if only else []
+    if unknown:
+        print(f"WARN  unknown query names (not run): {', '.join(unknown)}")
     print(f"\n{n_run - len(failures)}/{n_run} ok" + (" [strict]" if strict else ""))
     if emit and strict:
         import json

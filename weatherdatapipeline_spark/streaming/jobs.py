@@ -456,6 +456,27 @@ def streaming_quality_gate(
     return writer.start()
 
 
+def _is_replayed_batch(prior: DataFrame, batch_id: int, checkpoint: str | None) -> bool:
+    """Replay guard for the read-modify-write sketch sinks (CMS / KMV /
+    Merkle): a batch is a genuine replay — already merged, skip it —
+    only when the stored ``_last_batch_id`` is >= this batch AND the
+    store was written under the SAME checkpoint. A stream restarted
+    with a NEW checkpoint against an existing store resets batch ids to
+    0, and those batches carry fresh data that must merge (ADVICE r9:
+    the old id-only guard silently dropped them). Stores written before
+    ``_run_id`` existed keep the old id-only semantics."""
+    row = prior.agg(
+        F.max("_last_batch_id").alias("last"),
+        *(
+            [F.max("_run_id").alias("run")]
+            if "_run_id" in prior.columns
+            else [F.lit(None).cast("string").alias("run")]
+        ),
+    ).collect()[0]
+    same_run = "_run_id" not in prior.columns or row["run"] == (checkpoint or "")
+    return same_run and row["last"] is not None and row["last"] >= batch_id
+
+
 def streaming_cms_sketch(
     item_stream: DataFrame,
     sketch_path: str,
@@ -496,8 +517,7 @@ def streaming_cms_sketch(
 
         if os.path.exists(sketch_path):
             prior = spark.read.parquet(sketch_path)
-            last = prior.agg(F.max("_last_batch_id")).collect()[0][0]
-            if last is not None and last >= batch_id:
+            if _is_replayed_batch(prior, batch_id, checkpoint):
                 return  # replayed batch: already merged
             merged = (
                 prior.select("row", "bucket", "cnt")
@@ -507,7 +527,9 @@ def streaming_cms_sketch(
             )
         else:  # first batch: nothing stored yet
             merged = partial
-        out = merged.withColumn("_last_batch_id", F.lit(batch_id))
+        out = merged.withColumn("_last_batch_id", F.lit(batch_id)).withColumn(
+            "_run_id", F.lit(checkpoint or "")
+        )
         # bounded table: collect-and-rewrite avoids reading the file being
         # overwritten (depth*width rows by construction)
         rows = out.collect()
@@ -836,15 +858,16 @@ def streaming_kmv_sketch(
 
         if os.path.exists(sketch_path):
             prior = spark.read.parquet(sketch_path)
-            last = prior.agg(F.max("_last_batch_id")).collect()[0][0]
-            if last is not None and last >= batch_id:
+            if _is_replayed_batch(prior, batch_id, checkpoint):
                 return  # replayed batch: already merged
             both = prior.select(group_col, id_col, "h").unionByName(partial)
             # the merge IS another bottom-k: distinct ids, k smallest
             merged = kmv_bottom_k(both, group_col, id_col, k=k)
         else:  # first batch: nothing stored yet
             merged = partial
-        out = merged.withColumn("_last_batch_id", F.lit(batch_id))
+        out = merged.withColumn("_last_batch_id", F.lit(batch_id)).withColumn(
+            "_run_id", F.lit(checkpoint or "")
+        )
         # bounded table: collect-and-rewrite avoids reading the file being
         # overwritten (k rows per group by construction)
         rows = out.collect()
@@ -906,11 +929,18 @@ def page_hinkley_stateful(
     )
 
     def fn(key_tuple, pdf_iter, state: GroupState):
+        import pandas as pd
+
         n, tot, s, min_s, max_ph = (
             state.get if state.exists else (0.0, 0.0, 0.0, float("inf"), 0.0)
         )
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
+        # concatenate ALL of this key's chunks, then sort ONCE: Spark may
+        # deliver a key's micro-batch rows as several pandas chunks, and
+        # per-chunk sorting would process rows out of event-time order
+        # within the batch, diverging from the batch twin (ADVICE r9)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
             phs, maxes = [], []
             for v in pdf[value_col]:
                 x = float(v)
@@ -991,9 +1021,13 @@ def sprt_stateful(
     )
 
     def fn(key_tuple, pdf_iter, state: GroupState):
+        import pandas as pd
+
         n, c, stopped = state.get if state.exists else (0, 0, 0)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
+        # concat-then-sort-once across chunks (same ordering contract as
+        # page_hinkley_stateful — ADVICE r9)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        for pdf in [pd.concat(chunks, ignore_index=True).sort_values(ts_col)] if chunks else []:
             rows = {"n": [], "c": [], "llr": [], "decision": [], "stopped": []}
             for conv in pdf[conv_col]:
                 n += 1
@@ -1059,8 +1093,7 @@ def streaming_merkle_fingerprints(
 
         if os.path.exists(table_path):
             prior = spark.read.parquet(table_path)
-            last = prior.agg(F.max("_last_batch_id")).collect()[0][0]
-            if last is not None and last >= batch_id:
+            if _is_replayed_batch(prior, batch_id, checkpoint):
                 return  # replayed batch: already folded in
             merged = (
                 prior.select("bucket", "n", "sum_h")
@@ -1073,7 +1106,9 @@ def streaming_merkle_fingerprints(
             )
         else:
             merged = partial
-        out = merged.withColumn("_last_batch_id", F.lit(batch_id))
+        out = merged.withColumn("_last_batch_id", F.lit(batch_id)).withColumn(
+            "_run_id", F.lit(checkpoint or "")
+        )
         rows = out.collect()  # bounded: <= buckets rows
         spark.createDataFrame(rows, out.schema).coalesce(1).write.mode(
             "overwrite"
