@@ -16,7 +16,16 @@ def main() -> int:
     if not lines:
         print(f"no JSON record found in {path}", file=sys.stderr)
         return 1
-    out = json.loads(lines[-1])
+    # bench.py prints the FULL record then a compact driver-tail summary
+    # (no scale_check / machine detail); assert against the last FULL one
+    records = []
+    for l in lines:
+        try:
+            records.append(json.loads(l))
+        except json.JSONDecodeError:
+            continue
+    full = [r for r in records if "machine" in r]
+    out = (full or records)[-1]
     errs = out.get("errors", {})
     if errs:
         print(f"BENCH ERRORS: {errs}", file=sys.stderr)

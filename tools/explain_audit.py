@@ -26,6 +26,15 @@ def plan_of(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def _only_partcap_window(p: str) -> bool:
+    """True when every window in the plan is the shared co-supply
+    part-cap rank (row_number partitioned by pk — queries._cosupply_ps,
+    VERDICT r9 finding #1); any other window operator fails."""
+    return all(
+        m.startswith("pk") for m in re.findall(r"windowspecdefinition\((\w+)", p)
+    )
+
+
 CHECKS = {
     "q1_pricing_summary": [
         ("pushdown", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"),
@@ -289,12 +298,12 @@ CHECKS = {
         # hub cap on wedge CENTERS rides a plain filter before the self-join
         ("hub degree cap filter", r"<= 64\.0"),
         ("top-20 via TakeOrdered", r"TakeOrderedAndProject"),
-        ("no window", lambda p: "Window" not in p),
+        ("only the part-cap rank window", _only_partcap_window),
     ],
     "link_prediction_hub_audit": [
         # graph build (ps self-join) feeds ONE degree agg then ONE 1-row
-        # audit agg — no wedge self-join, no window
-        ("no window", lambda p: "Window" not in p),
+        # audit agg — no wedge self-join, no window beyond the part cap
+        ("only the part-cap rank window", _only_partcap_window),
         ("audit agg", r"HashAggregate"),
     ],
     "kcore_cosupply": [

@@ -14641,48 +14641,63 @@ def ipf_raking_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinning pattern, so DuckDB replays the identical float path);
     margin sums accumulate as DECIMAL(38,12).
 
-    Scale: ONE corpus scan for the |types|×7 counts; the iteration
-    lives entirely on that vocabulary-bounded cell table (broadcast
-    margin joins, no window, no collect). Output: cells with observed
-    count + final 1e6-quantized weight — a pytest asserts both raked
-    margins hit the uniform targets."""
-    dec = "decimal(38,12)"
+    Scale: ONE corpus scan for the |types|×7 counts; the iteration then
+    runs as a SINGLE Arrow ``mapInPandas`` pass over the vocabulary-
+    bounded cell table coalesced to one partition (|event types| × 7
+    rows at ANY corpus size — the same bounded-recurrence pattern as the
+    Kalman/Holt-Winters applyInPandas operators). The previous
+    per-round broadcast-join/localCheckpoint loop spent ~1.8 s of fixed
+    job overhead on 35 rows (~19 tiny jobs, VERDICT r9 item 6); this is
+    2 jobs. The float path replays the engine semantics exactly:
+    margins accumulate as DECIMAL(38,12) (Decimal quantize HALF_UP of
+    each double's shortest repr — what Spark's cast(double→decimal)
+    does), and each half-step rounds HALF_UP at 9dp like F.round, so
+    the trajectory stays bit-identical to the DuckDB oracle. Output:
+    cells with observed count + final 1e6-quantized weight — a pytest
+    asserts both raked margins hit the uniform targets."""
     ev = _t(spark, sf_dir, "events")
     cells = ev.groupBy(
         F.col("event_type").alias("i"), F.weekday("ts").cast("long").alias("j")
     ).agg(F.count(F.lit(1)).alias("n"))
-    tot = cells.agg(
-        F.sum("n").cast("double").alias("total"),
-        F.countDistinct("i").cast("double").alias("ti"),
-        F.countDistinct("j").cast("double").alias("tj"),
-    )
-    # localCheckpoint per round (graph-operator contract): the cell table
-    # is vocabulary-bounded, but 12 stacked join levels make Catalyst
-    # re-optimize a doubling plan each round without truncation
-    w = cells.crossJoin(F.broadcast(tot)).select(
-        "i",
-        "j",
-        "n",
-        F.col("n").cast("double").alias("w"),
-        (F.col("total") / F.col("ti")).alias("rt"),
-        (F.col("total") / F.col("tj")).alias("ct"),
-    ).localCheckpoint(eager=True)
-    for _ in range(_IPF_ROUNDS):
-        rm = w.groupBy("i").agg(
-            F.sum(F.col("w").cast(dec)).cast("double").alias("rs")
-        )
-        w = w.join(F.broadcast(rm), "i").select(
-            "i", "j", "n", F.round(F.col("w") * F.col("rt") / F.col("rs"), 9).alias("w"),
-            "rt", "ct",
-        )
-        cm = w.groupBy("j").agg(
-            F.sum(F.col("w").cast(dec)).cast("double").alias("cs")
-        )
-        w = w.join(F.broadcast(cm), "j").select(
-            "i", "j", "n", F.round(F.col("w") * F.col("ct") / F.col("cs"), 9).alias("w"),
-            "rt", "ct",
-        ).localCheckpoint(eager=True)
-    return w.select(
+
+    rounds = _IPF_ROUNDS
+
+    def rake(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["i", "j"]).reset_index(drop=True)
+        e9, e12 = Decimal("1e-9"), Decimal("1e-12")
+
+        def q9(x: float) -> float:  # Spark round(double, 9): HALF_UP on repr
+            return float(Decimal(repr(x)).quantize(e9, rounding=ROUND_HALF_UP))
+
+        def dsum(vals) -> float:  # Σ cast(double AS DECIMAL(38,12)), exact
+            s = Decimal(0)
+            for v in vals:
+                s += Decimal(repr(v)).quantize(e12, rounding=ROUND_HALF_UP)
+            return float(s)
+
+        total = float(pdf["n"].sum())
+        rt = total / pdf["i"].nunique()
+        ct = total / pdf["j"].nunique()
+        w = [float(v) for v in pdf["n"]]
+        iv, jv = list(pdf["i"]), list(pdf["j"])
+        for _ in range(rounds):
+            rs = {g: dsum(w[k] for k in range(len(w)) if iv[k] == g) for g in set(iv)}
+            w = [q9(w[k] * rt / rs[iv[k]]) for k in range(len(w))]
+            cs = {g: dsum(w[k] for k in range(len(w)) if jv[k] == g) for g in set(jv)}
+            w = [q9(w[k] * ct / cs[jv[k]]) for k in range(len(w))]
+        out = pdf.copy()
+        out["w"] = w
+        yield out
+
+    raked = cells.coalesce(1).mapInPandas(rake, schema="i string, j long, n long, w double")
+    return raked.select(
         "i",
         "j",
         F.col("n").cast("bigint").alias("n"),
@@ -14844,14 +14859,19 @@ def group_sequential_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFra
 
     Shape: one corpus scan bucketed by broadcast quantile literals, a
     5-row-per-arm cumulative (arm-partitioned window over looks), and
-    integer-derived z math quantized to BIGINT. No global window."""
+    integer-derived z math quantized to BIGINT. No global window. The
+    four look thresholds come from ONE array-percentile aggregate —
+    four separate F.percentile aggs each buffer every row independently
+    (measured 0.89 s vs 0.33 s at sf0.1, VERDICT r9 item 6)."""
     ev = _t(spark, sf_dir, "events")
     epoch = F.unix_timestamp("ts")
     probs = [k / _GST_LOOKS for k in range(1, _GST_LOOKS)]
     b = ev.agg(
+        F.percentile(epoch, F.array(*[F.lit(p) for p in probs])).alias("_qs")
+    ).select(
         *[
-            F.round(F.percentile(epoch, F.lit(p)), 4).alias(f"_q{i}")
-            for i, p in enumerate(probs, start=1)
+            F.round(F.element_at("_qs", i), 4).alias(f"_q{i}")
+            for i in range(1, len(probs) + 1)
         ]
     )
     look = F.lit(_GST_LOOKS)
@@ -14870,38 +14890,61 @@ def group_sequential_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFra
     per = tagged.groupBy("look", "arm").agg(
         F.count(F.lit(1)).alias("dn"), F.sum("conv").alias("dc")
     )
-    w = Window.partitionBy("arm").orderBy("look").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = per.select(
-        "look",
-        "arm",
-        F.sum("dn").over(w).alias("n"),
-        F.sum("dc").over(w).alias("c"),
-    )
-    a1 = cum.filter(F.col("arm") == 1).select(
-        "look", F.col("n").alias("n1"), F.col("c").alias("c1")
-    )
-    a0 = cum.filter(F.col("arm") == 0).select(
-        "look", F.col("n").alias("n0"), F.col("c").alias("c0")
-    )
-    j = a1.join(a0, "look")
-    p1 = F.col("c1").cast("double") / F.col("n1")
-    p0 = F.col("c0").cast("double") / F.col("n0")
-    pp = (F.col("c1") + F.col("c0")).cast("double") / (F.col("n1") + F.col("n0"))
-    z = (p1 - p0) / F.sqrt(
-        pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n0"))
-    )
-    bound = F.lit(_GST_OBF_C) * F.sqrt(F.lit(float(_GST_LOOKS)) / F.col("look"))
-    return j.select(
-        "look",
-        F.col("n1").cast("bigint").alias("n_treat"),
-        F.col("n0").cast("bigint").alias("n_control"),
-        F.round(z * 1e4).cast("bigint").alias("z_q4"),
-        F.round(bound * 1e4).cast("bigint").alias("boundary_q4"),
-        (F.abs(F.round(z * 1e4)) >= F.round(bound * 1e4))
-        .cast("bigint")
-        .alias("crossed"),
+
+    # the cumulative/pivot/z readout runs as ONE Arrow mapInPandas pass
+    # over the STRUCTURALLY bounded per-(look, arm) table (5 looks × 2
+    # arms at any corpus size): the window + conditional-agg version
+    # spent two extra shuffle stages on 10 rows (VERDICT r9 item 6).
+    # Float ops replay the engine path exactly: plain IEEE doubles in
+    # the same expression order, HALF_UP rounding at the q4 quantize.
+    obf_c, n_looks = _GST_OBF_C, _GST_LOOKS
+
+    def readout(batches):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+
+        def q0(x: float) -> int:  # Spark round(double): HALF_UP on repr
+            return int(Decimal(repr(x)).quantize(0, rounding=ROUND_HALF_UP))
+
+        pdf = pdf.sort_values(["arm", "look"])
+        cum = {
+            (int(a), int(lk)): (int(n), int(c))
+            for a, lk, n, c in zip(
+                pdf["arm"],
+                pdf["look"],
+                pdf.groupby("arm")["dn"].cumsum(),
+                pdf.groupby("arm")["dc"].cumsum(),
+            )
+        }
+        rows = []
+        for lk in sorted({int(v) for v in pdf["look"]}):
+            if (1, lk) not in cum or (0, lk) not in cum:
+                continue
+            n1, c1 = cum[(1, lk)]
+            n0, c0 = cum[(0, lk)]
+            p1, p0 = c1 / n1, c0 / n0
+            pp = (c1 + c0) / (n1 + n0)
+            z = (p1 - p0) / math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n0))
+            bound = obf_c * math.sqrt(float(n_looks) / lk)
+            zq, bq = q0(z * 1e4), q0(bound * 1e4)
+            rows.append((lk, n1, n0, zq, bq, int(abs(zq) >= bq)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "look", "n_treat", "n_control", "z_q4", "boundary_q4", "crossed"
+            ],
+        )
+
+    return per.coalesce(1).mapInPandas(
+        readout,
+        schema="look long, n_treat long, n_control long, "
+        "z_q4 long, boundary_q4 long, crossed long",
     )
 
 
