@@ -1,0 +1,109 @@
+"""Round-10 wave: semantic assertions beyond oracle parity for the
+Benford screen, JL projection audit, blocked record linkage (+cap
+audit), session-overlap concurrency, and the shared co-supply part-cap
+builder. Oracle hash parity is covered by tools/check_oracle.py; these
+tests pin the MATH the hashes can't see (distribution identities,
+blocking invariants, interval arithmetic)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from weatherdatapipeline_spark.queries import (
+    _BENFORD_P,
+    _COSUPPLY_PART_CAP,
+    _JL_M,
+    _LINKAGE_BLOCK_CAP,
+    _LINKAGE_MAX_DIST,
+    QUERIES,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from weatherdatapipeline_spark.session import get_spark
+
+    return get_spark("r10-wave-tests")
+
+
+def test_benford_digits_and_shares(spark):
+    rows = {r["digit"]: r for r in QUERIES["benford_price_audit"](spark, SF).collect()}
+    assert set(rows) <= set(range(1, 10)) and 1 in rows
+    # shares are parts-per-million of one total
+    assert abs(sum(r["share_q6"] for r in rows.values()) - 1_000_000) <= len(rows)
+    for d, r in rows.items():
+        assert r["benford_q6"] == round(_BENFORD_P[d] * 1e6)
+        assert r["chi2_q4"] >= 0
+        assert r["n"] > 0
+
+
+def test_jl_distortion_concentrates_near_one(spark):
+    rows = QUERIES["jl_projection_distortion"](spark, SF).collect()
+    assert rows
+    n = sum(r["n"] for r in rows)
+    mean_ratio = sum(r["sum_rq4"] for r in rows) / n / 1e4
+    # E[|Pv|^2 / (m*|v|^2)] = 1 for Rademacher projections; the mean over
+    # a few hundred vectors concentrates well inside +-15%
+    assert 0.85 <= mean_ratio <= 1.15
+    for r in rows:
+        # band = rq4 // 1000 by construction
+        assert 0 <= r["band"] <= 10_000
+        assert r["sum_rq4"] >= r["band"] * 1000 * r["n"]
+
+
+def test_linkage_pairs_share_block_and_threshold(spark):
+    rows = QUERIES["record_linkage_part_names"](spark, SF).collect()
+    assert rows
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+    for r in rows:
+        assert r["pk_a"] < r["pk_b"]
+        assert r["dist"] <= _LINKAGE_MAX_DIST
+        assert r["name_a"].split(" ")[-1] == r["name_b"].split(" ")[-1]
+
+
+def test_linkage_cap_audit_consistency(spark):
+    row = QUERIES["linkage_block_cap_audit"](spark, SF).collect()[0]
+    assert row["block_cap"] == _LINKAGE_BLOCK_CAP
+    assert row["n_blocks"] > 0
+    assert 0 <= row["pairs_dropped"] <= row["pairs_total"]
+    # the audit must agree with itself: blocks over cap iff rows dropped
+    assert (row["blocks_capped"] > 0) == (row["rows_dropped"] > 0)
+    if row["max_block_size"] > _LINKAGE_BLOCK_CAP:
+        assert row["blocks_capped"] > 0
+
+
+def test_session_overlap_intervals_positive_and_canonical(spark):
+    rows = QUERIES["session_overlap_pairs"](spark, SF).collect()
+    for r in rows:
+        assert r["user_a"] < r["user_b"]
+        assert r["n_overlaps"] >= 1
+        assert r["overlap_seconds"] >= r["n_overlaps"]  # each overlap > 0s
+    secs = [r["overlap_seconds"] for r in rows]
+    assert secs == sorted(secs, reverse=True)
+
+
+def test_cosupply_part_cap_audit_reads_zero_dropped_on_tpch(spark):
+    # TPC-H bounds suppliers-per-part at 4, far under the cap: the audit
+    # must report the cap NEVER engaging (and totals still counted)
+    row = QUERIES["cosupply_part_cap_audit"](spark, SF).collect()[0]
+    assert row["part_cap"] == _COSUPPLY_PART_CAP
+    assert row["max_suppliers_per_part"] <= _COSUPPLY_PART_CAP
+    assert row["parts_capped"] == 0
+    assert row["edge_pairs_dropped"] == 0
+    assert row["edge_pairs_total"] >= 0
+
+
+def test_jl_sign_matrix_is_deterministic_and_balanced():
+    from weatherdatapipeline_spark.queries import _JL_S, _jl_sign
+
+    assert len(_JL_S) == _JL_M
+    assert all(s in (1.0, -1.0) for row in _JL_S for s in row)
+    assert _JL_S[3][17] == _jl_sign(3, 17)
+    # Rademacher rows should be roughly balanced (md5 is uniform)
+    for row in _JL_S:
+        assert abs(sum(row)) <= len(row) * 0.6

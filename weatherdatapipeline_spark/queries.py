@@ -16278,3 +16278,420 @@ FROM valid GROUP BY j
 
 QUERIES["negative_edge_samples"] = negative_edge_samples
 ORACLES["negative_edge_samples"] = ORACLE_NEGATIVE_EDGES
+
+
+# --- round-10 wave: distribution audits, record linkage, JL projection, ----
+# --- interval concurrency ---------------------------------------------------
+
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over lineitem extended prices —
+    the classic forensic/data-quality audit for fabricated or truncated
+    numeric columns (Benford 1938; Nigrini 2012 popularized it for
+    fraud screens): per leading digit d, observed count and share vs
+    the Benford expectation log10(1 + 1/d), plus that digit's chi-square
+    contribution (obs − exp)²/exp. The nine log10 expectations are
+    PYTHON LITERALS injected into both engines (the repo's shared-
+    constant rule — no per-engine libm).
+
+    Shape: one scan → 9-group hash agg; the 1-row total broadcasts
+    back. Digit extraction stays integer-exact: floor → BIGINT →
+    first character (prices are ≥ 1, so no leading-zero branch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    per = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per.agg(F.sum("n").cast("double").alias("total"))
+    pcol = F.element_at(
+        F.array(*[F.lit(_BENFORD_P[d]) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    nd = F.col("n").cast("double")
+    e = pcol * F.col("total")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(nd / F.col("total") * 1e6).cast("bigint").alias("share_q6"),
+            F.round(pcol * 1e6).cast("bigint").alias("benford_q6"),
+            F.round((nd - e) * (nd - e) / e * 1e4).cast("bigint").alias("chi2_q4"),
+        )
+    )
+
+
+ORACLE_BENFORD = f"""
+WITH per AS (
+  SELECT substr((floor(l_extendedprice)::BIGINT)::VARCHAR, 1, 1)::BIGINT AS digit,
+         count(*) AS n
+  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1
+),
+tot AS (SELECT sum(n)::DOUBLE AS total FROM per),
+p(digit, bp) AS (VALUES {", ".join(f"({d}, {_BENFORD_P[d]!r})" for d in range(1, 10))})
+SELECT per.digit, per.n::BIGINT AS n,
+       round(per.n::DOUBLE / total * 1e6)::BIGINT AS share_q6,
+       round(bp * 1e6)::BIGINT AS benford_q6,
+       round((per.n::DOUBLE - bp * total) * (per.n::DOUBLE - bp * total)
+             / (bp * total) * 1e4)::BIGINT AS chi2_q4
+FROM per CROSS JOIN tot JOIN p USING (digit)
+"""
+
+
+QUERIES["benford_price_audit"] = benford_price_audit
+ORACLES["benford_price_audit"] = ORACLE_BENFORD
+
+
+_JL_M, _JL_D = 16, 64
+
+
+def _jl_sign(k: int, i: int) -> float:
+    """Deterministic ±1 Rademacher entry from md5(k|i) — replayable in
+    any engine; here it is evaluated ONCE in Python and injected into
+    both plans as literals, so neither engine hashes at runtime."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl|{k}|{i}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+_JL_S = [[_jl_sign(k, i) for i in range(_JL_D)] for k in range(_JL_M)]
+
+
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection audit: project every
+    64-d embedding to m=16 dims with a deterministic ±1 Rademacher
+    matrix (Achlioptas 2003 — database-friendly random projections) and
+    report the norm-distortion distribution ‖Pv‖²/(m·‖v‖²), which JL
+    concentrates near 1. The audit a pipeline runs before swapping the
+    full embedding for the cheap projection in ANN recall experiments.
+
+    Shape: map-only — the 16×64 sign matrix rides in the PLAN as
+    literals (bounded broadcast by construction), each row does 16
+    zip_with/aggregate dot products JVM-side, and the only shuffle is
+    the final ~30-band histogram agg. Bands derive from the q4-QUANTIZED
+    ratio via integer division, and per-band sums stay integer (exact),
+    so engine float agreement is only needed within one row — same
+    left-to-right IEEE reduction order in both engines."""
+    em = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    projs = [
+        F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(s) for s in _JL_S[k]]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        for k in range(_JL_M)
+    ]
+    sumsq = F.col("_p0") * F.col("_p0")
+    for k in range(1, _JL_M):
+        sumsq = sumsq + F.col(f"_p{k}") * F.col(f"_p{k}")
+    ratio = (sumsq / float(_JL_M)) / F.col("_n2")
+    rows = (
+        em.select(norm2.alias("_n2"), *[p.alias(f"_p{k}") for k, p in enumerate(projs)])
+        .filter(F.col("_n2") > 0)
+        .select(F.round(ratio * 1e4).cast("bigint").alias("rq4"))
+    )
+    return rows.groupBy(
+        F.floor(F.col("rq4") / F.lit(1000)).cast("bigint").alias("band")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rq4").cast("bigint").alias("sum_rq4"),
+    )
+
+
+def _jl_oracle() -> str:
+    sign_lists = ", ".join(
+        "[" + ", ".join(repr(s) for s in row) + "]" for row in _JL_S
+    )
+    proj = ", ".join(
+        f"list_reduce(list_transform(range(1, {_JL_D + 1}), "
+        f"i -> embedding[i]::DOUBLE * s[{k + 1}][i]), (a, b) -> a + b) AS p{k}"
+        for k in range(_JL_M)
+    )
+    sumsq = " + ".join(f"p{k} * p{k}" for k in range(_JL_M))
+    return f"""
+WITH s_mat AS (SELECT [{sign_lists}] AS s),
+base AS (
+  SELECT list_reduce(list_transform(range(1, {_JL_D + 1}),
+           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
+           (a, b) -> a + b) AS n2,
+         {proj}
+  FROM embeddings CROSS JOIN s_mat
+),
+r AS (
+  SELECT round((({sumsq}) / {float(_JL_M)!r}) / n2 * 1e4)::BIGINT AS rq4
+  FROM base WHERE n2 > 0
+)
+SELECT (rq4 // 1000)::BIGINT AS band, count(*)::BIGINT AS n,
+       sum(rq4)::BIGINT AS sum_rq4
+FROM r GROUP BY 1
+"""
+
+
+QUERIES["jl_projection_distortion"] = jl_projection_distortion
+ORACLES["jl_projection_distortion"] = _jl_oracle()
+
+
+_LINKAGE_BLOCK_CAP = 64
+_LINKAGE_MAX_DIST = 4
+
+
+def record_linkage_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage over part names — the classic
+    entity-resolution shape (Fellegi & Sunter 1969 blocking + edit-
+    distance compare): candidate pairs come from an EQUI-join on the
+    blocking key (the name's last token — the noun), never an all-pairs
+    compare, and each block's membership is deterministically capped at
+    ``_LINKAGE_BLOCK_CAP`` rows (rank by part key) BEFORE the self-join
+    so per-block fan-out is O(cap²) regardless of corpus skew — the
+    same no-silent-caps contract as the co-supply builder, audited by
+    ``linkage_block_cap_audit``. Matches = Levenshtein ≤ 4 (both
+    engines implement the identical Wagner–Fischer distance), top-20 by
+    (distance, key pair) with the unique key tiebreaker."""
+    pt = _t(spark, sf_dir, "part")
+    base = pt.select(
+        "p_partkey", "p_name", F.element_at(F.split("p_name", " "), -1).alias("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("p_partkey")
+    capped = (
+        base.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _LINKAGE_BLOCK_CAP)
+        .drop("_rk")
+    )
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "blk")
+        .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("pk_a"),
+            F.col("b.p_partkey").alias("pk_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein("a.p_name", "b.p_name").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= _LINKAGE_MAX_DIST)
+    )
+    return pairs.orderBy("dist", "pk_a", "pk_b").limit(20)
+
+
+ORACLE_LINKAGE = f"""
+WITH base AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS blk
+  FROM part
+),
+capped AS (
+  SELECT p_partkey, p_name, blk FROM (
+    SELECT *, row_number() OVER (PARTITION BY blk ORDER BY p_partkey) AS _rk
+    FROM base
+  ) WHERE _rk <= {_LINKAGE_BLOCK_CAP}
+),
+pairs AS (
+  SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+         a.p_name AS name_a, b.p_name AS name_b,
+         levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+  FROM capped a JOIN capped b USING (blk)
+  WHERE a.p_partkey < b.p_partkey
+)
+SELECT * FROM pairs WHERE dist <= {_LINKAGE_MAX_DIST}
+ORDER BY dist, pk_a, pk_b LIMIT 20
+"""
+
+
+def linkage_block_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps audit for record_linkage_part_names: one aggregate
+    over the UNCAPPED per-block sizes reporting what the block cap
+    drops — blocks over cap, rows dropped, candidate-pair mass lost
+    (Σ [C(n,2) − C(cap,2)] for n > cap) vs the uncapped total."""
+    pt = _t(spark, sf_dir, "part")
+    bc = (
+        pt.select(F.element_at(F.split("p_name", " "), -1).alias("blk"))
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    cap = float(_LINKAGE_BLOCK_CAP)
+    over = F.col("n") > cap
+    pairs = F.col("n") * (F.col("n") - 1) / 2
+    cap_pairs = F.lit(cap * (cap - 1) / 2)
+    return bc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.max("n").cast("bigint").alias("max_block_size"),
+        F.lit(_LINKAGE_BLOCK_CAP).cast("bigint").alias("block_cap"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("blocks_capped"),
+        F.sum(F.when(over, F.col("n") - cap).otherwise(0.0))
+        .cast("bigint")
+        .alias("rows_dropped"),
+        F.sum(F.when(over, pairs - cap_pairs).otherwise(0.0))
+        .cast("bigint")
+        .alias("pairs_dropped"),
+        F.sum(pairs).cast("bigint").alias("pairs_total"),
+    )
+
+
+ORACLE_LINKAGE_AUDIT = f"""
+WITH bc AS (
+  SELECT string_split(p_name, ' ')[-1] AS blk, count(*)::DOUBLE AS n
+  FROM part GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_blocks,
+       max(n)::BIGINT AS max_block_size,
+       {_LINKAGE_BLOCK_CAP}::BIGINT AS block_cap,
+       sum(CASE WHEN n > {_LINKAGE_BLOCK_CAP} THEN 1 ELSE 0 END)::BIGINT
+         AS blocks_capped,
+       sum(CASE WHEN n > {_LINKAGE_BLOCK_CAP}
+                THEN n - {_LINKAGE_BLOCK_CAP} ELSE 0.0 END)::BIGINT
+         AS rows_dropped,
+       sum(CASE WHEN n > {_LINKAGE_BLOCK_CAP}
+                THEN n * (n - 1) / 2
+                     - {_LINKAGE_BLOCK_CAP} * ({_LINKAGE_BLOCK_CAP} - 1.0) / 2
+                ELSE 0.0 END)::BIGINT AS pairs_dropped,
+       sum(n * (n - 1) / 2)::BIGINT AS pairs_total
+FROM bc
+"""
+
+
+QUERIES["record_linkage_part_names"] = record_linkage_part_names
+ORACLES["record_linkage_part_names"] = ORACLE_LINKAGE
+QUERIES["linkage_block_cap_audit"] = linkage_block_cap_audit
+ORACLES["linkage_block_cap_audit"] = ORACLE_LINKAGE_AUDIT
+
+
+_OVERLAP_TOP_USERS = 40
+_OVERLAP_GAP_S = 1800
+
+
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user session-concurrency audit: sessionize the
+    ``_OVERLAP_TOP_USERS`` most active users (30-minute inactivity gap,
+    the repo's standard sessionization) and report, per user pair, how
+    many of their session intervals genuinely overlap and the total
+    overlap seconds — the interval-overlap JOIN every co-presence /
+    fraud-ring / shared-device analysis needs. Top-20 pairs by overlap
+    mass with the unique (user_a, user_b) tiebreaker.
+
+    Shape: the user slice is an explicit bounded contract (top-K by
+    event count, deterministic tiebreak) that rides a broadcast
+    semi-join into the events scan, so the subsequent interval
+    theta-join compares only the bounded slice's sessions (broadcast
+    NLJ over ≤ K users' session lists) — all-pairs interval output is
+    inherently quadratic in CONCURRENCY, so the operator bounds the
+    population, not silently the result. Interval arithmetic is integer
+    (floored epoch seconds) end-to-end."""
+    ev = _t(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), "user_id")
+        .limit(_OVERLAP_TOP_USERS)
+        .select("user_id")
+    )
+    sliced = ev.join(F.broadcast(top), "user_id", "left_semi")
+    sec = F.unix_timestamp("ts")
+    # (ts, event_id) is a UNIQUE ordering in both engines: same-second
+    # (or same-timestamp) events would otherwise make the cumulative
+    # session id frame-order-dependent and engine-divergent
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = sliced.select(
+        "user_id",
+        "ts",
+        "event_id",
+        sec.alias("s"),
+        F.when(
+            F.lag(sec).over(w).isNull()
+            | ((sec - F.lag(sec).over(w)) > _OVERLAP_GAP_S),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = (
+        flagged.select(
+            "user_id",
+            "s",
+            F.sum("new_s")
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("s").alias("start_s"), F.max("s").alias("end_s"))
+    )
+    a, b = sess.alias("a"), sess.alias("b")
+    ov = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.start_s") <= F.col("b.end_s"))
+            & (F.col("b.start_s") <= F.col("a.end_s")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            (
+                F.least("a.end_s", "b.end_s") - F.greatest("a.start_s", "b.start_s")
+            ).alias("ov_s"),
+        )
+        .filter(F.col("ov_s") > 0)
+    )
+    return (
+        ov.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.sum("ov_s").cast("bigint").alias("overlap_seconds"),
+        )
+        .orderBy(F.col("overlap_seconds").desc(), "user_a", "user_b")
+        .limit(20)
+    )
+
+
+ORACLE_SESSION_OVERLAP = f"""
+WITH top_u AS (
+  SELECT user_id FROM events GROUP BY user_id
+  ORDER BY count(*) DESC, user_id LIMIT {_OVERLAP_TOP_USERS}
+),
+flagged AS (
+  SELECT user_id, ts, event_id, floor(epoch(ts))::BIGINT AS s,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT
+                   - floor(epoch(lag(ts) OVER w))::BIGINT > {_OVERLAP_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events SEMI JOIN top_u USING (user_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, sid, min(s) AS start_s, max(s) AS end_s
+  FROM (
+    SELECT user_id, s,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+    FROM flagged
+  ) GROUP BY 1, 2
+),
+ov AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         least(a.end_s, b.end_s) - greatest(a.start_s, b.start_s) AS ov_s
+  FROM sess a JOIN sess b
+    ON a.user_id < b.user_id
+   AND a.start_s <= b.end_s AND b.start_s <= a.end_s
+)
+SELECT user_a, user_b, count(*)::BIGINT AS n_overlaps,
+       sum(ov_s)::BIGINT AS overlap_seconds
+FROM ov WHERE ov_s > 0
+GROUP BY 1, 2
+ORDER BY overlap_seconds DESC, user_a, user_b LIMIT 20
+"""
+
+
+QUERIES["session_overlap_pairs"] = session_overlap_pairs
+ORACLES["session_overlap_pairs"] = ORACLE_SESSION_OVERLAP
