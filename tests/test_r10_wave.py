@@ -107,3 +107,61 @@ def test_jl_sign_matrix_is_deterministic_and_balanced():
     # Rademacher rows should be roughly balanced (md5 is uniform)
     for row in _JL_S:
         assert abs(sum(row)) <= len(row) * 0.6
+
+
+def test_isotonic_fit_is_monotone_and_mass_preserving(spark):
+    rows = sorted(
+        QUERIES["isotonic_calibration_bins"](spark, SF).collect(),
+        key=lambda r: r["b"],
+    )
+    assert rows
+    fits = [r["iso_rate_q6"] for r in rows]
+    assert fits == sorted(fits)  # the defining monotonicity constraint
+    for r in rows:
+        assert 0 <= r["iso_rate_q6"] <= 1_000_000
+        assert r["purchases"] <= r["n"]
+    # weighted mean is preserved by isotonic regression (projection onto
+    # the monotone cone preserves the weighted total) up to quantization
+    n = sum(r["n"] for r in rows)
+    raw_mass = sum(r["purchases"] for r in rows) / n
+    fit_mass = sum(r["iso_rate_q6"] / 1e6 * r["n"] for r in rows) / n
+    assert abs(raw_mass - fit_mass) < 5e-5
+
+
+def test_isotonic_matches_pav_replay(spark):
+    """The relational minimax fit must equal a direct PAV pool replay."""
+    rows = sorted(
+        QUERIES["isotonic_calibration_bins"](spark, SF).collect(),
+        key=lambda r: r["b"],
+    )
+    pools = [[float(r["purchases"]), float(r["n"])] for r in rows]
+    i = 0
+    while i < len(pools) - 1:
+        if pools[i][0] / pools[i][1] > pools[i + 1][0] / pools[i + 1][1]:
+            pools[i][0] += pools[i + 1][0]
+            pools[i][1] += pools[i + 1][1]
+            del pools[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # expand pool means back onto bins by walking bin weights
+    out, pi, acc = [], 0, 0.0
+    for r in rows:
+        out.append(pools[pi][0] / pools[pi][1])
+        acc += r["n"]
+        if acc >= pools[pi][1] - 1e-9:
+            pi, acc = pi + 1, 0.0
+    got = [r["iso_rate_q6"] for r in rows]
+    want = [round(m * 1e6) for m in out]
+    assert got == want
+
+
+def test_delta_method_ci_brackets_ratio(spark):
+    rows = QUERIES["delta_method_ratio_ci"](spark, SF).collect()
+    assert {r["arm"] for r in rows} == {0, 1}
+    for r in rows:
+        assert r["se_q6"] > 0
+        assert r["ci_lo_q6"] < r["ratio_q6"] < r["ci_hi_q6"]
+        # CI is symmetric around the ratio up to quantization
+        assert abs((r["ratio_q6"] - r["ci_lo_q6"]) - (r["ci_hi_q6"] - r["ratio_q6"])) <= 2
+        assert r["n_users"] > 0 and r["n_events"] >= r["n_users"]

@@ -811,3 +811,61 @@ def test_streaming_merkle_fingerprints_equal_batch(spark, tmp_path_factory):
     replica[w % 64] = (replica[w % 64][0] - 1, replica[w % 64][1] - w)
     diff = {b for b in ref if ref[b] != replica.get(b)}
     assert diff == {w % 64}
+
+
+def test_streaming_bottomk_sample_equals_batch(spark, tmp_path_factory):
+    """The bottom-k row sample maintained across two drained micro-batches
+    must be ROW-IDENTICAL (values included) to a batch bottom-k over the
+    concatenated data, stay bounded at k rows per group, and keep an
+    under-k group's sample equal to the whole group."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from weatherdatapipeline_spark.streaming.jobs import streaming_bottomk_sample
+
+    src = str(tmp_path_factory.mktemp("bks_src"))
+    sk = str(tmp_path_factory.mktemp("bks_sk")) + "/sample"
+    ckpt = str(tmp_path_factory.mktemp("bks_ckpt"))
+    schema = "event_type STRING, event_id LONG, value DOUBLE"
+    b1 = [("click", i, float(i) * 1.5) for i in range(30)] + [
+        ("view", 100 + i, float(i)) for i in range(5)
+    ]
+    b2 = [("click", 20 + i, float(20 + i) * 1.5) for i in range(30)] + [
+        ("view", 103 + i, float(3 + i)) for i in range(4)
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = streaming_bottomk_sample(
+        stream, sk, checkpoint=ckpt, k=16, available_now=True
+    )
+    q.awaitTermination()
+
+    stored = spark.read.parquet(sk).select("event_type", "event_id", "value", "h")
+
+    # batch twin: same hash, same rank, same k over the concatenated rows
+    allrows = spark.createDataFrame(b1 + b2, schema)
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    du = allrows.distinct().withColumn("h", h)
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    ref = (
+        du.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 16)
+        .drop("_rn")
+        .select("event_type", "event_id", "value", "h")
+    )
+    got = {tuple(r) for r in stored.collect()}
+    want = {tuple(r) for r in ref.collect()}
+    assert got == want  # bit-identical sample rows, values carried
+
+    counts = {
+        r["event_type"]: r["n"]
+        for r in stored.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["click"] == 16  # bounded at k
+    assert counts["view"] == 7  # under-k group: the sample IS the group

@@ -16695,3 +16695,233 @@ ORDER BY overlap_seconds DESC, user_a, user_b LIMIT 20
 
 QUERIES["session_overlap_pairs"] = session_overlap_pairs
 ORACLES["session_overlap_pairs"] = ORACLE_SESSION_OVERLAP
+
+
+_ISO_BINS = 20
+
+
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted isotonic regression (monotone calibration) of the
+    purchase rate over equal-width value bins — the calibration step
+    every score-to-probability pipeline runs (Zadrozny & Elkan 2002),
+    computed WITHOUT the sequential pool-adjacent-violators loop via the
+    minimax identity ŷ_i = min_{v≥i} max_{u≤i} avg(y[u..v]) (Robertson,
+    Wright & Dykstra 1988, Thm 1.4.4) — an O(B³) relational fold that
+    is pure joins + aggs on the VOCABULARY-BOUNDED bin table (B=20 at
+    any corpus size), so both engines replay it exactly; range averages
+    are single integer/integer divisions (no float accumulation at
+    all).
+
+    Shape: one scan → B-row (purchases, count) agg; value bounds ride a
+    1-row broadcast; prefix sums via broadcast theta self-join (the
+    repo's no-global-window prefix pattern); the (u,i,v) triple join is
+    ≤ C(B+2,3) rows. Output: per bin, raw rate and the fitted monotone
+    rate (q6), fit monotonicity pytest-pinned."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    b = F.least(
+        F.floor(
+            (F.col("value") - F.col("vmin"))
+            * float(_ISO_BINS)
+            / (F.col("vmax") - F.col("vmin"))
+        ).cast("bigint"),
+        F.lit(_ISO_BINS - 1),
+    )
+    bins = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            b.alias("b"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+        .groupBy("b")
+        .agg(F.sum("y").alias("yy"), F.count(F.lit(1)).alias("ww"))
+    )
+    # prefix sums over the <= B-row table via broadcast theta self-join
+    cum = (
+        bins.alias("l")
+        .join(F.broadcast(bins.alias("r")), F.col("r.b") <= F.col("l.b"))
+        .groupBy(F.col("l.b").alias("b"))
+        .agg(
+            F.sum("r.yy").alias("cy"),
+            F.sum("r.ww").alias("cw"),
+            F.first("l.yy").alias("yy"),
+            F.first("l.ww").alias("ww"),
+        )
+    )
+    lo = cum.select(
+        F.col("b").alias("u"),
+        (F.col("cy") - F.col("yy")).alias("py"),
+        (F.col("cw") - F.col("ww")).alias("pw"),
+    )
+    hi = cum.select(F.col("b").alias("v"), "cy", "cw")
+    ranges = (
+        lo.join(F.broadcast(hi), F.col("u") <= F.col("v"))
+        .select(
+            "u",
+            "v",
+            (
+                (F.col("cy") - F.col("py")).cast("double")
+                / (F.col("cw") - F.col("pw")).cast("double")
+            ).alias("avg_uv"),
+        )
+    )
+    idx = bins.select(F.col("b").alias("i"))
+    triples = ranges.join(
+        F.broadcast(idx), (F.col("u") <= F.col("i")) & (F.col("i") <= F.col("v"))
+    )
+    inner = triples.groupBy("i", "v").agg(F.max("avg_uv").alias("mx"))
+    fit = inner.groupBy(F.col("i").alias("b")).agg(F.min("mx").alias("fit"))
+    return (
+        bins.join(fit, "b")
+        .select(
+            "b",
+            F.col("ww").cast("bigint").alias("n"),
+            F.col("yy").cast("bigint").alias("purchases"),
+            F.round(F.col("yy").cast("double") / F.col("ww").cast("double") * 1e6)
+            .cast("bigint")
+            .alias("raw_rate_q6"),
+            F.round(F.col("fit") * 1e6).cast("bigint").alias("iso_rate_q6"),
+        )
+    )
+
+
+ORACLE_ISOTONIC = f"""
+WITH ev AS (SELECT value, event_type FROM events WHERE value IS NOT NULL),
+bounds AS (SELECT min(value) AS vmin, max(value) AS vmax FROM ev),
+bins AS (
+  SELECT least(floor((value - vmin) * {float(_ISO_BINS)!r}
+                     / (vmax - vmin))::BIGINT, {_ISO_BINS - 1}) AS b,
+         sum((event_type = 'purchase')::BIGINT) AS yy,
+         count(*) AS ww
+  FROM ev CROSS JOIN bounds GROUP BY 1
+),
+cum AS (
+  SELECT l.b, sum(r.yy) AS cy, sum(r.ww) AS cw,
+         first(l.yy) AS yy, first(l.ww) AS ww
+  FROM bins l JOIN bins r ON r.b <= l.b
+  GROUP BY l.b
+),
+ranges AS (
+  SELECT lo.u, hi.v,
+         (hi.cy - lo.py)::DOUBLE / (hi.cw - lo.pw)::DOUBLE AS avg_uv
+  FROM (SELECT b AS u, cy - yy AS py, cw - ww AS pw FROM cum) lo
+  JOIN (SELECT b AS v, cy, cw FROM cum) hi ON lo.u <= hi.v
+),
+inner_mx AS (
+  SELECT i.b AS i, r.v, max(r.avg_uv) AS mx
+  FROM ranges r JOIN (SELECT b FROM bins) i
+    ON r.u <= i.b AND i.b <= r.v
+  GROUP BY 1, 2
+),
+fit AS (SELECT i AS b, min(mx) AS fit FROM inner_mx GROUP BY 1)
+SELECT bins.b, bins.ww::BIGINT AS n, bins.yy::BIGINT AS purchases,
+       round(bins.yy::DOUBLE / bins.ww::DOUBLE * 1e6)::BIGINT AS raw_rate_q6,
+       round(fit.fit * 1e6)::BIGINT AS iso_rate_q6
+FROM bins JOIN fit USING (b)
+"""
+
+
+QUERIES["isotonic_calibration_bins"] = isotonic_calibration_bins
+ORACLES["isotonic_calibration_bins"] = ORACLE_ISOTONIC
+
+
+def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method (linearization) confidence interval for a RATIO
+    metric — revenue per event, Σ purchase value / Σ events — per md5
+    experiment arm, with USERS as the randomization unit: the
+    experimentation platform's standard answer to "sessions aren't
+    independent, users are" (Deng, Knoblich & Lu 2018). Var(R) ≈
+    Σ_u (x_u − R·y_u)² / (Σy)² — the cluster-robust linearized
+    variance — and the 95% CI uses the 1.96 literal shared by both
+    engines. The jackknife_ratio_metric query is the resampling twin;
+    this is the closed form a 100 TB readout actually uses (two passes
+    over the per-user aggregate, no resamples).
+
+    Float discipline: per-user revenue and all cross-row sums
+    accumulate as DECIMAL(38,12) (schedule-independent); the residual
+    square is a per-row double with identical op order in both
+    engines."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    per_u = (
+        ev.select(
+            arm.alias("arm"),
+            "user_id",
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+            .alias("v"),
+        )
+        .groupBy("arm", "user_id")
+        .agg(
+            F.sum(F.col("v").cast(dec)).cast("double").alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+    )
+    tot = per_u.groupBy("arm").agg(
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    r = F.col("sx") / F.col("sy").cast("double")
+    resid = F.col("x") - r * F.col("y").cast("double")
+    s2 = (
+        per_u.join(F.broadcast(tot), "arm")
+        .select("arm", (resid * resid).alias("r2"))
+        .groupBy("arm")
+        .agg(F.sum(F.col("r2").cast(dec)).cast("double").alias("sr2"))
+    )
+    out = tot.join(s2, "arm")
+    se = F.sqrt(F.col("sr2")) / F.col("sy").cast("double")
+    return out.select(
+        "arm",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("sy").cast("bigint").alias("n_events"),
+        F.round(r * 1e6).cast("bigint").alias("ratio_q6"),
+        F.round(se * 1e6).cast("bigint").alias("se_q6"),
+        F.round((r - 1.96 * se) * 1e6).cast("bigint").alias("ci_lo_q6"),
+        F.round((r + 1.96 * se) * 1e6).cast("bigint").alias("ci_hi_q6"),
+    )
+
+
+ORACLE_DELTA_RATIO = """
+WITH per_u AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS arm,
+         user_id,
+         sum((CASE WHEN event_type = 'purchase' THEN value
+                   ELSE 0.0 END)::DECIMAL(38,12))::DOUBLE AS x,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT arm, sum(x::DECIMAL(38,12))::DOUBLE AS sx, sum(y) AS sy,
+         count(*) AS n_users
+  FROM per_u GROUP BY 1
+),
+s2 AS (
+  SELECT p.arm,
+         sum(((p.x - (t.sx / t.sy::DOUBLE) * p.y::DOUBLE)
+              * (p.x - (t.sx / t.sy::DOUBLE) * p.y::DOUBLE))::DECIMAL(38,12)
+             )::DOUBLE AS sr2
+  FROM per_u p JOIN tot t USING (arm)
+  GROUP BY 1
+)
+SELECT t.arm, t.n_users::BIGINT AS n_users, t.sy::BIGINT AS n_events,
+       round(t.sx / t.sy::DOUBLE * 1e6)::BIGINT AS ratio_q6,
+       round(sqrt(s2.sr2) / t.sy::DOUBLE * 1e6)::BIGINT AS se_q6,
+       round((t.sx / t.sy::DOUBLE
+              - 1.96 * (sqrt(s2.sr2) / t.sy::DOUBLE)) * 1e6)::BIGINT AS ci_lo_q6,
+       round((t.sx / t.sy::DOUBLE
+              + 1.96 * (sqrt(s2.sr2) / t.sy::DOUBLE)) * 1e6)::BIGINT AS ci_hi_q6
+FROM tot t JOIN s2 USING (arm)
+"""
+
+
+QUERIES["delta_method_ratio_ci"] = delta_method_ratio_ci
+ORACLES["delta_method_ratio_ci"] = ORACLE_DELTA_RATIO

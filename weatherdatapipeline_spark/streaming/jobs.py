@@ -883,6 +883,87 @@ def streaming_kmv_sketch(
     return writer.start()
 
 
+def streaming_bottomk_sample(
+    row_stream: DataFrame,
+    sample_path: str,
+    checkpoint: str | None = None,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 128,
+    available_now: bool = False,
+):
+    """Maintain per-group bottom-k UNIFORM ROW SAMPLES (values attached)
+    over a stream — the streaming twin of the batch
+    ``bottomk_quantile_sketch`` query: the k rows with the smallest
+    portable md5(id) per group are an order-independent simple random
+    sample, and samples merge exactly like KMV sketches (bottom-k(A∪B)
+    = bottom-k(bottom-k A ∪ bottom-k B), the identity the batch
+    kmv_union_merge_audit pins). Each micro-batch's local bottom-k
+    unions into the stored table and re-ranks — state stays at
+    k·|groups| rows forever, and quantile estimates read from the store
+    are BIT-IDENTICAL to a batch bottom-k over the same rows (pytest
+    pins stream == batch).
+
+    Same foreachBatch read-modify-write contract as the CMS/KMV/Merkle
+    sinks: ``_last_batch_id`` + ``_run_id`` skip only genuine replays
+    within one checkpoint; an unreadable store raises rather than
+    silently resetting the sample."""
+
+    def local_bottomk(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        du = (
+            df.select(group_col, id_col, value_col)
+            .filter(F.col(value_col).isNotNull())
+            .distinct()
+            .withColumn("h", h)
+        )
+        w = Window.partitionBy(group_col).orderBy("h", id_col)
+        return (
+            du.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        partial = local_bottomk(batch_df)
+        import os
+
+        if os.path.exists(sample_path):
+            prior = spark.read.parquet(sample_path)
+            if _is_replayed_batch(prior, batch_id, checkpoint):
+                return  # replayed batch: already merged
+            both = prior.select(group_col, id_col, value_col, "h").unionByName(
+                partial
+            )
+            # the merge IS another bottom-k over the union (dedup by id
+            # first: a row present in both store and batch is one row)
+            merged = local_bottomk(both.drop("h"))
+        else:  # first batch: nothing stored yet
+            merged = partial
+        out = merged.withColumn("_last_batch_id", F.lit(batch_id)).withColumn(
+            "_run_id", F.lit(checkpoint or "")
+        )
+        rows = out.collect()  # bounded: k rows per group by construction
+        spark.createDataFrame(rows, out.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sample_path)
+
+    writer = row_stream.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def page_hinkley_stateful(
     stream: DataFrame,
     key: str,
