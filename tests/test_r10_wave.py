@@ -7,8 +7,6 @@ blocking invariants, interval arithmetic)."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
 from weatherdatapipeline_spark.queries import (
@@ -165,3 +163,69 @@ def test_delta_method_ci_brackets_ratio(spark):
         # CI is symmetric around the ratio up to quantization
         assert abs((r["ratio_q6"] - r["ci_lo_q6"]) - (r["ci_hi_q6"] - r["ratio_q6"])) <= 2
         assert r["n_users"] > 0 and r["n_events"] >= r["n_users"]
+
+
+def test_gbm_stumps_matches_pure_python_replay(spark):
+    """Third-implementation check: replay the whole GBM recurrence in
+    plain pandas/floats and require the IDENTICAL split path (feature,
+    threshold per round) plus matching leaf deltas and monotone SSE."""
+    import pandas as pd
+
+    from weatherdatapipeline_spark.queries import _GBM_LR, _GBM_ROUNDS, _GBM_VBINS
+
+    got = sorted(
+        QUERIES["gbm_stumps_purchase"](spark, SF).collect(), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in got] == list(range(_GBM_ROUNDS + 1))
+    sses = [r["sse_q6"] for r in got]
+    assert sses == sorted(sses, reverse=True)  # boosting only improves SSE
+    assert all(r["gain_q6"] > 0 for r in got[1:])
+
+    df = pd.read_parquet(f"{SF}/events.parquet")
+    df = df[df["value"].notna()].copy()
+    ts = pd.to_datetime(df["ts"])
+    vmin, vmax = float(df["value"].min()), float(df["value"].max())
+    cells = pd.DataFrame(
+        {
+            "h": ts.dt.hour.astype(int),
+            "d": ts.dt.weekday.astype(int),
+            "vb": (
+                ((df["value"] - vmin) * float(_GBM_VBINS) / (vmax - vmin))
+                .pipe(lambda s: s.astype(float))
+                .apply(lambda x: min(int(x // 1), _GBM_VBINS - 1))
+            ),
+            "y": (df["event_type"] == "purchase").astype(int),
+        }
+    )
+    g = cells.groupby(["h", "d", "vb"]).agg(n=("y", "size"), ysum=("y", "sum")).reset_index()
+    f0 = round(g["ysum"].sum() / g["n"].sum(), 9)
+    g["pred"] = f0
+    path = []
+    for _ in range(_GBM_ROUNDS):
+        g["rs"] = g["ysum"] - g["n"] * g["pred"]
+        s_all, n_all = g["rs"].sum(), g["n"].sum()
+        best = None
+        for feat in ("h", "d", "vb"):
+            fv = g.groupby(feat).agg(s=("rs", "sum"), cn=("n", "sum")).sort_index()
+            sl, nl = 0.0, 0
+            for t, row in fv.iterrows():
+                sl, nl = sl + row["s"], nl + row["cn"]
+                nr = n_all - nl
+                if nr <= 0 or nl <= 0:
+                    continue
+                sr = s_all - sl
+                gain = sl * sl / nl + sr * sr / nr - s_all * s_all / n_all
+                key = (round(gain * 1e9), {"h": 0, "d": 1, "vb": 2}[feat], t)
+                # argmax on quantized gain, tiebreak feature asc, t asc:
+                # emulate ORDER BY gq9 DESC, feature, threshold LIMIT 1
+                if best is None or (key[0], -key[1], -key[2]) > (
+                    best[0], -best[1], -best[2]
+                ):
+                    best = (key[0], key[1], key[2], feat, sl, nl, sr, nr)
+        _, _, t, feat, sl, nl, sr, nr = best
+        leaf_l, leaf_r = _GBM_LR * (sl / nl), _GBM_LR * (sr / nr)
+        path.append((feat, int(t)))
+        upd = g[feat] <= t
+        g["pred"] = (g["pred"] + leaf_l * upd + leaf_r * (~upd)).round(9)
+    want_path = [(r["feature"], r["threshold"]) for r in got[1:]]
+    assert path == want_path

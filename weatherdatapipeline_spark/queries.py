@@ -16925,3 +16925,262 @@ FROM tot t JOIN s2 USING (arm)
 
 QUERIES["delta_method_ratio_ci"] = delta_method_ratio_ci
 ORACLES["delta_method_ratio_ci"] = ORACLE_DELTA_RATIO
+
+
+_GBM_ROUNDS = 3
+_GBM_LR = 0.5
+_GBM_VBINS = 20
+
+
+def gbm_stumps_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted STUMPS (squared loss, 3 rounds, lr=0.5) fitting
+    the purchase indicator from three bounded features — hour (24),
+    Monday=0 weekday (7), equal-width value bin (20) — the canonical
+    GBM recurrence (Friedman 2001) made ENGINE-EXACT: all state lives
+    on the vocabulary-bounded feature-cell table (≤ 24·7·20 rows at any
+    corpus size), per-round residual sums accumulate as DECIMAL(38,12)
+    (exact, schedule-independent), cell predictions are 9dp-quantized
+    after every update (the pca_power trajectory-pinning pattern), and
+    the greedy split argmax compares 1e9-quantized gains with a
+    (feature, threshold) tiebreak — so DuckDB's unrolled-CTE replay
+    picks the identical tree path bit-for-bit.
+
+    Shape: ONE corpus scan builds the cell table; each round is a few
+    aggs + broadcast theta cums on ≤ 24-row per-feature tables; the
+    1-row argmax ships back as literals (the logistic_newton driver
+    contract — k rounds = k bounded driver closures, never data on the
+    driver). Output: the 4-row training log (init + one row per round:
+    split chosen, gain, leaf deltas, SSE after)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax")).first()
+    vmin, vmax = float(b["vmin"]), float(b["vmax"])
+    vb = F.least(
+        F.floor(
+            (F.col("value") - F.lit(vmin))
+            * float(_GBM_VBINS)
+            / F.lit(vmax - vmin)
+        ).cast("bigint"),
+        F.lit(_GBM_VBINS - 1),
+    )
+    cells = (
+        ev.select(
+            F.hour("ts").cast("bigint").alias("h"),
+            F.weekday("ts").cast("bigint").alias("d"),
+            vb.alias("vb"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+        .groupBy("h", "d", "vb")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("ysum"))
+        .localCheckpoint(eager=True)
+    )
+    t0 = cells.agg(
+        F.sum("ysum").cast("double").alias("sy"), F.sum("n").cast("double").alias("sn")
+    ).first()
+    f0 = round(t0["sy"] / t0["sn"], 9)
+    cur = cells.withColumn("pred", F.lit(f0))
+
+    def sse_of(df) -> int:
+        p = F.col("pred")
+        per = F.col("ysum").cast("double") * ((1.0 - p) * (1.0 - p)) + (
+            F.col("n") - F.col("ysum")
+        ).cast("double") * (p * p)
+        v = df.agg(F.sum(per.cast(dec)).cast("double").alias("s")).first()["s"]
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(Decimal(repr(v * 1e6)).quantize(0, rounding=ROUND_HALF_UP))
+
+    log_rows = [(0, "<init>", -1, 0, round(f0 * 1e9), round(f0 * 1e9), sse_of(cur))]
+    for rnd in range(1, _GBM_ROUNDS + 1):
+        rs = F.col("ysum") - F.col("n") * F.col("pred")
+        tot = cur.agg(
+            F.sum(rs.cast(dec)).cast("double").alias("s_all"),
+            F.sum("n").alias("n_all"),
+        )
+        cands = []
+        for feat in ("h", "d", "vb"):
+            fv = (
+                cur.select(F.col(feat).alias("t"), rs.alias("rs"), "n")
+                .groupBy("t")
+                .agg(F.sum(F.col("rs").cast(dec)).alias("s_dec"), F.sum("n").alias("cn"))
+            )
+            cum = (
+                fv.alias("a")
+                .join(F.broadcast(fv.alias("b")), F.col("b.t") <= F.col("a.t"))
+                .groupBy(F.col("a.t").alias("threshold"))
+                .agg(
+                    F.sum("b.s_dec").cast("double").alias("sl"),
+                    F.sum("b.cn").alias("nl"),
+                )
+            )
+            cands.append(
+                cum.crossJoin(F.broadcast(tot)).select(
+                    F.lit(feat).alias("feature"),
+                    "threshold",
+                    "sl",
+                    "nl",
+                    (F.col("s_all") - F.col("sl")).alias("sr"),
+                    (F.col("n_all") - F.col("nl")).alias("nr"),
+                    "s_all",
+                    "n_all",
+                )
+            )
+        cand = cands[0].unionByName(cands[1]).unionByName(cands[2]).filter(
+            (F.col("nl") > 0) & (F.col("nr") > 0)
+        )
+        gain = (
+            (F.col("sl") * F.col("sl")) / F.col("nl").cast("double")
+            + (F.col("sr") * F.col("sr")) / F.col("nr").cast("double")
+            - (F.col("s_all") * F.col("s_all")) / F.col("n_all").cast("double")
+        )
+        best = (
+            cand.select(
+                "feature", "threshold", "sl", "nl", "sr", "nr",
+                F.round(gain * 1e9).cast("bigint").alias("gq9"),
+                F.round(gain * 1e6).cast("bigint").alias("gq6"),
+            )
+            .orderBy(F.col("gq9").desc(), "feature", "threshold")
+            .first()
+        )
+        leaf_l = _GBM_LR * (best["sl"] / float(best["nl"]))
+        leaf_r = _GBM_LR * (best["sr"] / float(best["nr"]))
+        cur = cur.withColumn(
+            "pred",
+            F.round(
+                F.col("pred")
+                + F.when(
+                    F.col(best["feature"]) <= F.lit(int(best["threshold"])),
+                    F.lit(leaf_l),
+                ).otherwise(F.lit(leaf_r)),
+                9,
+            ),
+        ).localCheckpoint(eager=True)
+        log_rows.append(
+            (
+                rnd,
+                best["feature"],
+                int(best["threshold"]),
+                int(best["gq6"]),
+                round(leaf_l * 1e9),
+                round(leaf_r * 1e9),
+                sse_of(cur),
+            )
+        )
+    schema = StructType(
+        [
+            StructField("round", LongType()),
+            StructField("feature", StringType()),
+            StructField("threshold", LongType()),
+            StructField("gain_q6", LongType()),
+            StructField("leaf_left_q9", LongType()),
+            StructField("leaf_right_q9", LongType()),
+            StructField("sse_q6", LongType()),
+        ]
+    )
+    return spark.createDataFrame(log_rows, schema)
+
+
+def _gbm_oracle(rounds: int = _GBM_ROUNDS) -> str:
+    lr = _GBM_LR
+    ctes = [
+        """ev AS (
+  SELECT hour(ts) AS h, (isodow(ts) - 1)::BIGINT AS d, value,
+         (event_type = 'purchase')::BIGINT AS y
+  FROM events WHERE value IS NOT NULL
+)""",
+        "bounds AS (SELECT min(value) AS vmin, max(value) AS vmax FROM ev)",
+        f"""cells AS MATERIALIZED (
+  SELECT h, d,
+         least(floor((value - vmin) * {float(_GBM_VBINS)!r}
+                     / (vmax - vmin))::BIGINT, {_GBM_VBINS - 1}) AS vb,
+         count(*) AS n, sum(y) AS ysum
+  FROM ev CROSS JOIN bounds GROUP BY 1, 2, 3
+)""",
+        """p0 AS (SELECT round(sum(ysum)::DOUBLE / sum(n)::DOUBLE, 9) AS f0
+  FROM cells)""",
+        "c0 AS MATERIALIZED (SELECT h, d, vb, n, ysum, f0 AS pred FROM cells CROSS JOIN p0)",
+    ]
+    sse = (
+        "round(sum((ysum::DOUBLE * ((1.0 - pred) * (1.0 - pred))"
+        " + (n - ysum)::DOUBLE * (pred * pred))::DECIMAL(38,12))::DOUBLE"
+        " * 1e6)::BIGINT"
+    )
+    ctes.append(f"sse0 AS (SELECT {sse} AS sse_q6 FROM c0)")
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"""tot{k} AS (
+  SELECT sum((ysum - n * pred)::DECIMAL(38,12))::DOUBLE AS s_all,
+         sum(n) AS n_all
+  FROM c{p})"""
+        )
+        for feat in ("h", "d", "vb"):
+            ctes.append(
+                f"""fv{k}_{feat} AS (
+  SELECT {feat} AS t, sum((ysum - n * pred)::DECIMAL(38,12)) AS s_dec,
+         sum(n) AS cn
+  FROM c{p} GROUP BY 1)"""
+            )
+        blocks = []
+        for feat in ("h", "d", "vb"):
+            blocks.append(
+                f"""  SELECT '{feat}' AS feature, a.t AS threshold,
+         sum(b.s_dec)::DOUBLE AS sl, sum(b.cn) AS nl
+  FROM fv{k}_{feat} a JOIN fv{k}_{feat} b ON b.t <= a.t
+  GROUP BY a.t"""
+            )
+        ctes.append(f"cum{k} AS (\n" + "\n  UNION ALL\n".join(blocks) + "\n)")
+        ctes.append(
+            f"""cand{k} AS (
+  SELECT feature, threshold, sl, nl, s_all - sl AS sr, n_all - nl AS nr,
+         s_all, n_all
+  FROM cum{k} CROSS JOIN tot{k}
+  WHERE nl > 0 AND n_all - nl > 0)"""
+        )
+        gain = (
+            "(sl * sl) / nl::DOUBLE + (sr * sr) / nr::DOUBLE"
+            " - (s_all * s_all) / n_all::DOUBLE"
+        )
+        ctes.append(
+            f"""best{k} AS (
+  SELECT feature, threshold, sl, nl, sr, nr,
+         round(({gain}) * 1e9)::BIGINT AS gq9,
+         round(({gain}) * 1e6)::BIGINT AS gq6
+  FROM cand{k}
+  ORDER BY gq9 DESC, feature, threshold LIMIT 1)"""
+        )
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT h, d, vb, n, ysum,
+         round(pred + CASE WHEN (CASE feature WHEN 'h' THEN h
+                                 WHEN 'd' THEN d ELSE vb END) <= threshold
+                      THEN {lr!r} * (sl / nl::DOUBLE)
+                      ELSE {lr!r} * (sr / nr::DOUBLE) END, 9) AS pred
+  FROM c{p} CROSS JOIN best{k})"""
+        )
+        ctes.append(f"sse{k} AS (SELECT {sse} AS sse_q6 FROM c{k})")
+    selects = [
+        """SELECT 0::BIGINT AS round, '<init>' AS feature, -1::BIGINT AS threshold,
+       0::BIGINT AS gain_q6, round(f0 * 1e9)::BIGINT AS leaf_left_q9,
+       round(f0 * 1e9)::BIGINT AS leaf_right_q9, sse_q6
+FROM p0 CROSS JOIN sse0"""
+    ]
+    for k in range(1, rounds + 1):
+        selects.append(
+            f"""SELECT {k}::BIGINT, feature, threshold::BIGINT, gq6,
+       round({lr!r} * (sl / nl::DOUBLE) * 1e9)::BIGINT,
+       round({lr!r} * (sr / nr::DOUBLE) * 1e9)::BIGINT, sse_q6
+FROM best{k} CROSS JOIN sse{k}"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+QUERIES["gbm_stumps_purchase"] = gbm_stumps_purchase
+ORACLES["gbm_stumps_purchase"] = _gbm_oracle()
