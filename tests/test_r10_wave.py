@@ -229,3 +229,29 @@ def test_gbm_stumps_matches_pure_python_replay(spark):
         g["pred"] = (g["pred"] + leaf_l * upd + leaf_r * (~upd)).round(9)
     want_path = [(r["feature"], r["threshold"]) for r in got[1:]]
     assert path == want_path
+
+
+def test_mutual_information_screen_bounds(spark):
+    rows = {r["feature"]: r for r in QUERIES["mutual_information_screen"](spark, SF).collect()}
+    assert set(rows) == {"h", "d", "vb"}
+    for r in rows.values():
+        assert r["hy_q6"] > 0  # binary label with both classes present
+        assert r["mi_q6"] >= -1  # MI >= 0 up to q6 rounding
+        assert r["mi_q6"] <= r["hy_q6"]  # MI(F;Y) <= H(Y)
+        assert 0 <= r["nmi_q6"] <= 1_000_000
+
+
+def test_feature_hashing_audit_structure(spark):
+    from weatherdatapipeline_spark.queries import _FH_BUCKETS
+
+    rows = QUERIES["feature_hashing_audit"](spark, SF).collect()
+    assert rows
+    occs = [r["occurrences"] for r in rows]
+    assert occs == sorted(occs, reverse=True)
+    for r in rows:
+        assert 0 <= r["bucket"] < _FH_BUCKETS
+        assert r["distinct_tokens"] >= 1
+        assert r["top_token_cnt"] <= r["occurrences"]
+        assert 0 < r["top_share_q6"] <= 1_000_000
+        # share consistency up to quantization
+        assert abs(r["top_share_q6"] - round(r["top_token_cnt"] / r["occurrences"] * 1e6)) <= 1

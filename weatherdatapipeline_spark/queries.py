@@ -17184,3 +17184,200 @@ FROM best{k} CROSS JOIN sse{k}"""
 
 QUERIES["gbm_stumps_purchase"] = gbm_stumps_purchase
 ORACLES["gbm_stumps_purchase"] = _gbm_oracle()
+
+
+def mutual_information_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature screen for the purchase label over the
+    same three bounded features the GBM uses (hour, Monday=0 weekday,
+    equal-width value bin): MI(F; Y) = Σ p(f,y)·ln(p(f,y)/(p(f)p(y)))
+    plus the label entropy H(Y) and the normalized MI/H(Y) — the
+    model-free ranking a feature-selection pass runs before fitting
+    anything. Same ln-of-data-derived-ratios discipline as the KL/PMI
+    queries (both engines compute ln over identical doubles), counts
+    collapse to vocabulary-bounded tables before any float appears.
+
+    Shape: one scan → three ≤24-row (f, y) count tables (one pass per
+    feature over the shared cell agg), label marginals ride a 1-row
+    broadcast."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    vb = F.least(
+        F.floor(
+            (F.col("value") - F.col("vmin"))
+            * float(_GBM_VBINS)
+            / (F.col("vmax") - F.col("vmin"))
+        ).cast("bigint"),
+        F.lit(_GBM_VBINS - 1),
+    )
+    base = ev.crossJoin(F.broadcast(b)).select(
+        F.hour("ts").cast("bigint").alias("h"),
+        F.weekday("ts").cast("bigint").alias("d"),
+        vb.alias("vb"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    cells = base.groupBy("h", "d", "vb", "y").agg(F.count(F.lit(1)).alias("n"))
+    outs = []
+    for feat in ("h", "d", "vb"):
+        fy = cells.groupBy(F.col(feat).alias("f"), "y").agg(F.sum("n").alias("n"))
+        tot = fy.agg(
+            F.sum("n").cast("double").alias("nn"),
+            F.sum(F.when(F.col("y") == 1, F.col("n")).otherwise(0))
+            .cast("double")
+            .alias("n1"),
+        )
+        fm = fy.groupBy("f").agg(F.sum("n").alias("nf"))
+        j = fy.join(F.broadcast(fm), "f").crossJoin(F.broadcast(tot))
+        py = F.when(F.col("y") == 1, F.col("n1") / F.col("nn")).otherwise(
+            1.0 - F.col("n1") / F.col("nn")
+        )
+        pfy = F.col("n").cast("double") / F.col("nn")
+        pf = F.col("nf").cast("double") / F.col("nn")
+        term = pfy * F.log(pfy / (pf * py))
+        hy_term = py * F.log(py)
+        outs.append(
+            j.groupBy()
+            .agg(
+                F.lit(feat).alias("feature"),
+                F.round(F.sum(term.cast("decimal(38,12)")).cast("double") * 1e6)
+                .cast("bigint")
+                .alias("mi_q6"),
+            )
+        )
+    mi = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    # H(Y) from the label marginal alone (independent 1-row aggregate)
+    lab = ev.select(
+        (F.col("event_type") == "purchase").cast("long").alias("y")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum("y").cast("double").alias("n1"),
+    )
+    p1 = F.col("n1") / F.col("nn")
+    hy = -(p1 * F.log(p1) + (1.0 - p1) * F.log(1.0 - p1))
+    hrow = lab.select(F.round(hy * 1e6).cast("bigint").alias("hy_q6"))
+    return mi.crossJoin(F.broadcast(hrow)).select(
+        "feature",
+        "mi_q6",
+        "hy_q6",
+        F.round(F.col("mi_q6").cast("double") / F.col("hy_q6").cast("double") * 1e6)
+        .cast("bigint")
+        .alias("nmi_q6"),
+    )
+
+
+def _mi_oracle() -> str:
+    blocks = []
+    for feat in ("h", "d", "vb"):
+        blocks.append(
+            f"""  SELECT '{feat}' AS feature,
+         round(sum((pfy * ln(pfy / (pf * py)))::DECIMAL(38,12))::DOUBLE
+               * 1e6)::BIGINT AS mi_q6
+  FROM (
+    SELECT fy.n::DOUBLE / t.nn AS pfy, fm.nf::DOUBLE / t.nn AS pf,
+           CASE WHEN fy.y = 1 THEN t.n1 / t.nn ELSE 1.0 - t.n1 / t.nn END AS py
+    FROM (SELECT {feat} AS f, y, sum(n) AS n FROM cells GROUP BY 1, 2) fy
+    JOIN (SELECT {feat} AS f, sum(n) AS nf FROM cells GROUP BY 1) fm USING (f)
+    CROSS JOIN tot t
+  )"""
+        )
+    return f"""
+WITH ev AS (
+  SELECT hour(ts) AS h, (isodow(ts) - 1)::BIGINT AS d, value,
+         (event_type = 'purchase')::BIGINT AS y
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (SELECT min(value) AS vmin, max(value) AS vmax FROM ev),
+cells AS (
+  SELECT h, d,
+         least(floor((value - vmin) * {float(_GBM_VBINS)!r}
+                     / (vmax - vmin))::BIGINT, {_GBM_VBINS - 1}) AS vb,
+         y, count(*) AS n
+  FROM ev CROSS JOIN bounds GROUP BY 1, 2, 3, 4
+),
+tot AS (
+  SELECT sum(n)::DOUBLE AS nn,
+         sum(CASE WHEN y = 1 THEN n ELSE 0 END)::DOUBLE AS n1
+  FROM cells
+),
+mi AS (
+{chr(10).join([b + ("" if i == 2 else "  UNION ALL") for i, b in enumerate(blocks)])}
+),
+hrow AS (
+  SELECT round(-((n1 / nn) * ln(n1 / nn)
+                 + (1.0 - n1 / nn) * ln(1.0 - n1 / nn)) * 1e6)::BIGINT AS hy_q6
+  FROM tot
+)
+SELECT feature, mi_q6, hy_q6,
+       round(mi_q6::DOUBLE / hy_q6::DOUBLE * 1e6)::BIGINT AS nmi_q6
+FROM mi CROSS JOIN hrow
+"""
+
+
+QUERIES["mutual_information_screen"] = mutual_information_screen
+ORACLES["mutual_information_screen"] = _mi_oracle()
+
+
+_FH_BUCKETS = 256
+
+
+def feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer audit (Weinberger et al. 2009): corpus
+    tokens hash into ``_FH_BUCKETS`` buckets (portable md5), and the
+    query reports the collision structure a pipeline checks BEFORE
+    committing to a hashed feature space — per bucket: total token
+    occurrences, DISTINCT tokens sharing the bucket (the collisions
+    that alias features), and the dominant token's share. Top-20
+    heaviest buckets; the audit row a feature store logs next to every
+    hashed column. Map-only until a bucket-keyed agg; the bucket space
+    is a fixed literal, so the output is vocabulary-bounded at any
+    corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("t")
+    ).filter(F.length("t") > 0)
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("bigint")
+        % _FH_BUCKETS
+    )
+    per_tok = tok.groupBy(bkt.alias("bucket"), "t").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_tok.groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_tokens"),
+            F.max("cnt").cast("bigint").alias("top_token_cnt"),
+            F.round(
+                F.max("cnt").cast("double") / F.sum("cnt").cast("double") * 1e6
+            )
+            .cast("bigint")
+            .alias("top_share_q6"),
+        )
+        .orderBy(F.col("occurrences").desc(), "bucket")
+        .limit(20)
+    )
+
+
+ORACLE_FEATURE_HASHING = f"""
+WITH tok AS (
+  SELECT t FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents
+  ) WHERE length(t) > 0
+),
+per_tok AS (
+  SELECT ('0x' || substr(md5(t), 1, 8))::BIGINT % {_FH_BUCKETS} AS bucket,
+         t, count(*) AS cnt
+  FROM tok GROUP BY 1, 2
+)
+SELECT bucket, sum(cnt)::BIGINT AS occurrences,
+       count(*)::BIGINT AS distinct_tokens,
+       max(cnt)::BIGINT AS top_token_cnt,
+       round(max(cnt)::DOUBLE / sum(cnt)::DOUBLE * 1e6)::BIGINT AS top_share_q6
+FROM per_tok GROUP BY 1
+ORDER BY occurrences DESC, bucket LIMIT 20
+"""
+
+
+QUERIES["feature_hashing_audit"] = feature_hashing_audit
+ORACLES["feature_hashing_audit"] = ORACLE_FEATURE_HASHING
