@@ -86,6 +86,13 @@ HEADLINE = [
     "merkle_bucket_diff",          # anti-entropy fingerprint reconciliation
     "group_sequential_obrien_fleming",  # 5-look OBF experiment monitor
     "ipf_raking_type_dow",         # iterative proportional fitting (12 steps)
+    # r10
+    "benford_price_audit",         # first-digit distribution + chi-square
+    "jl_projection_distortion",    # map-only Rademacher projection audit
+    "isotonic_calibration_bins",   # exact isotonic fit (relational minimax)
+    "delta_method_ratio_ci",       # cluster-robust ratio-metric CI
+    "session_overlap_pairs",       # bounded-slice interval overlap join
+    "poisson_bootstrap_mean_ci",   # one-pass B=20 Poisson bootstrap
 ]
 
 
@@ -177,6 +184,16 @@ SCALE_HEADLINE = [
     # (shifted user keys); both are one-or-two hash-agg scans — linear
     "peak_concurrency_daily",
     "hll_distinct_users_explicit",
+    # r10: benford/jl/bootstrap are single-scan map+agg over replicated
+    # rows (linear by construction); isotonic's iteration runs on the
+    # fixed 20-bin table, only its input scan scales; the overlap join's
+    # population is the fixed top-40-user slice — per-copy user shifts
+    # keep each copy's slice independent
+    "benford_price_audit",
+    "jl_projection_distortion",
+    "isotonic_calibration_bins",
+    "poisson_bootstrap_mean_ci",
+    "session_overlap_pairs",
 ]
 
 # bump when build_scale_dir's transform changes so stale caches rebuild
