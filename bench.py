@@ -92,7 +92,7 @@ HEADLINE = [
     "isotonic_calibration_bins",   # exact isotonic fit (relational minimax)
     "delta_method_ratio_ci",       # cluster-robust ratio-metric CI
     "session_overlap_pairs",       # bounded-slice interval overlap join
-    "poisson_bootstrap_mean_ci",   # one-pass B=20 Poisson bootstrap
+    "bootstrap_ci_event_values",   # one-pass B=50 Poisson bootstrap (r6 op)
 ]
 
 
@@ -192,7 +192,7 @@ SCALE_HEADLINE = [
     "benford_price_audit",
     "jl_projection_distortion",
     "isotonic_calibration_bins",
-    "poisson_bootstrap_mean_ci",
+    "bootstrap_ci_event_values",
     "session_overlap_pairs",
 ]
 

@@ -255,42 +255,3 @@ def test_feature_hashing_audit_structure(spark):
         assert 0 < r["top_share_q6"] <= 1_000_000
         # share consistency up to quantization
         assert abs(r["top_share_q6"] - round(r["top_token_cnt"] / r["occurrences"] * 1e6)) <= 1
-
-
-def test_poisson_bootstrap_ci_brackets_mean(spark):
-    rows = QUERIES["poisson_bootstrap_mean_ci"](spark, SF).collect()
-    assert rows
-    for r in rows:
-        assert r["n"] > 0
-        # the percentile interval of replica means must bracket the point
-        # estimate for any reasonably sized group
-        assert r["ci_lo_q4"] <= r["mean_q4"] <= r["ci_hi_q4"]
-        assert r["ci_lo_q4"] < r["ci_hi_q4"]
-        # interval width shrinks with n: crude sanity bound (99% CI of a
-        # mean of n values with bounded variance stays within 50% of mean)
-        width = r["ci_hi_q4"] - r["ci_lo_q4"]
-        assert width < max(4 * abs(r["mean_q4"]), 10_000)
-
-
-def test_poisson_weights_replayable():
-    """The Poisson(1) thresholds must be the true CDF and the md5-driven
-    draw must average ~1 weight per row-replica."""
-    import hashlib
-    import math
-
-    from weatherdatapipeline_spark.queries import _BOOT_CUM
-
-    acc, fact = 0.0, 1.0
-    for k in range(len(_BOOT_CUM)):
-        if k:
-            fact *= k
-        acc += math.exp(-1.0) / fact
-        assert abs(_BOOT_CUM[k] - acc) < 1e-15
-    draws = []
-    for i in range(2000):
-        h = int(hashlib.md5(f"{i}|1".encode()).hexdigest()[:8], 16)
-        u = (h + 0.5) / 4294967296.0
-        w = next((k for k, c in enumerate(_BOOT_CUM) if u < c), len(_BOOT_CUM))
-        draws.append(w)
-    mean_w = sum(draws) / len(draws)
-    assert 0.9 < mean_w < 1.1

@@ -51,6 +51,16 @@ DEFAULT_QUERIES = [
     "holt_winters_daily",
     "kalman_user_values",
     "als_rank1_user_type",
+    # r10: float-path queries added this round (decimal sums, quantized
+    # argmax/bands, mapInPandas recurrences — each must stay bit-stable
+    # across schedules)
+    "delta_method_ratio_ci",
+    "bootstrap_ci_event_values",
+    "gbm_stumps_purchase",
+    "isotonic_calibration_bins",
+    "mutual_information_screen",
+    "jl_projection_distortion",
+    "benford_price_audit",
 ]
 
 

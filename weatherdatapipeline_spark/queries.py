@@ -17382,117 +17382,3 @@ ORDER BY occurrences DESC, bucket LIMIT 20
 QUERIES["feature_hashing_audit"] = feature_hashing_audit
 ORACLES["feature_hashing_audit"] = ORACLE_FEATURE_HASHING
 
-
-_BOOT_B = 20
-# Poisson(1) inverse-CDF thresholds, Python-evaluated ONCE and injected
-# into both engines (shared-constant rule): P(X <= k) = e^-1 Σ 1/i!
-_BOOT_CUM = []
-_acc, _fact = 0.0, 1.0
-for _k in range(9):
-    if _k:
-        _fact *= _k
-    _acc += __import__("math").exp(-1.0) / _fact
-    _BOOT_CUM.append(_acc)
-
-
-def poisson_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson bootstrap CI for the per-type mean value — THE bootstrap
-    that works at 100 TB (Chamandy et al. 2012, "Estimating uncertainty
-    for massive data streams"): instead of resampling n rows with
-    replacement (impossible distributed), each row gets an independent
-    Poisson(1) weight per replica, so every replica is one weighted
-    map-side-combinable aggregation and the whole B=20-replica bootstrap
-    is ONE pass. Weights are DETERMINISTIC — u = md5(event_id|replica)
-    uniform, inverted through Poisson(1) CDF thresholds evaluated once
-    in Python and injected into both engines as literals — so the
-    'resampling' replays bit-for-bit anywhere. Per type: point mean and
-    the [2.5%, 97.5%] percentile interval of the replica means.
-
-    Shape: explode ×B (map-only), one (type, replica) weighted agg with
-    DECIMAL(38,12) sums, then a ≤B-row per-type percentile."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    dec = "decimal(38,12)"
-    u = (
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("|", F.col("event_id"), F.col("b"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            + F.lit(0.5)
-        )
-        / F.lit(4294967296.0)
-    )
-    wexpr = F.lit(len(_BOOT_CUM))
-    for k in range(len(_BOOT_CUM) - 1, -1, -1):
-        wexpr = F.when(u < F.lit(_BOOT_CUM[k]), F.lit(k)).otherwise(wexpr)
-    rep = (
-        ev.select("event_type", "event_id", "value")
-        .withColumn(
-            "b", F.explode(F.array(*[F.lit(i) for i in range(1, _BOOT_B + 1)]))
-        )
-        .select("event_type", "b", wexpr.cast("double").alias("w"), "value")
-    )
-    means = rep.groupBy("event_type", "b").agg(
-        (
-            F.sum((F.col("w") * F.col("value")).cast(dec)).cast("double")
-            / F.sum(F.col("w").cast(dec)).cast("double")
-        ).alias("m")
-    )
-    ci = means.groupBy("event_type").agg(
-        F.round(F.percentile("m", F.lit(0.025)) * 1e4).cast("bigint").alias("ci_lo_q4"),
-        F.round(F.percentile("m", F.lit(0.975)) * 1e4).cast("bigint").alias("ci_hi_q4"),
-    )
-    point = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(
-            F.sum(F.col("value").cast(dec)).cast("double")
-            / F.count(F.lit(1)).cast("double")
-            * 1e4
-        )
-        .cast("bigint")
-        .alias("mean_q4"),
-    )
-    return point.join(ci, "event_type").select(
-        "event_type", "n", "mean_q4", "ci_lo_q4", "ci_hi_q4"
-    )
-
-
-ORACLE_POISSON_BOOT = f"""
-WITH ev AS (
-  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
-),
-rep AS (
-  SELECT event_type, b,
-         (CASE {" ".join(f"WHEN (('0x' || substr(md5(event_id::VARCHAR || '|' || b::VARCHAR), 1, 8))::BIGINT + 0.5) / 4294967296.0 < {c!r} THEN {k}" for k, c in enumerate(_BOOT_CUM))}
-          ELSE {len(_BOOT_CUM)} END)::DOUBLE AS w,
-         value
-  FROM ev CROSS JOIN unnest([{", ".join(str(i) for i in range(1, _BOOT_B + 1))}]) AS t(b)
-),
-means AS (
-  SELECT event_type, b,
-         sum((w * value)::DECIMAL(38,12))::DOUBLE
-           / sum(w::DECIMAL(38,12))::DOUBLE AS m
-  FROM rep GROUP BY 1, 2
-),
-ci AS (
-  SELECT event_type,
-         round(quantile_cont(m, 0.025) * 1e4)::BIGINT AS ci_lo_q4,
-         round(quantile_cont(m, 0.975) * 1e4)::BIGINT AS ci_hi_q4
-  FROM means GROUP BY 1
-),
-point AS (
-  SELECT event_type, count(*)::BIGINT AS n,
-         round(sum(value::DECIMAL(38,12))::DOUBLE / count(*)::DOUBLE
-               * 1e4)::BIGINT AS mean_q4
-  FROM ev GROUP BY 1
-)
-SELECT event_type, n, mean_q4, ci_lo_q4, ci_hi_q4
-FROM point JOIN ci USING (event_type)
-"""
-
-
-QUERIES["poisson_bootstrap_mean_ci"] = poisson_bootstrap_mean_ci
-ORACLES["poisson_bootstrap_mean_ci"] = ORACLE_POISSON_BOOT
