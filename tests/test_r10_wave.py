@@ -255,3 +255,28 @@ def test_feature_hashing_audit_structure(spark):
         assert 0 < r["top_share_q6"] <= 1_000_000
         # share consistency up to quantization
         assert abs(r["top_share_q6"] - round(r["top_token_cnt"] / r["occurrences"] * 1e6)) <= 1
+
+
+def test_grouped_logistic_fits_every_type(spark):
+    rows = {r["event_type"]: r for r in QUERIES["grouped_logistic_by_type"](spark, SF).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["n"] > 0
+        # log-loss of a fitted binary model beats the worst case ln(2)
+        # slightly relaxed for tiny groups
+        assert 0 < r["log_loss"] < 0.75
+        assert abs(r["b0"]) < 10 and abs(r["b1"]) < 10  # converged, not blown up
+
+
+def test_quantile_normalization_aligns_sources(spark):
+    rows = QUERIES["quantile_normalize_by_source"](spark, SF).collect()
+    assert len(rows) >= 2
+    # after normalization the per-source medians must agree much more
+    # tightly than the raw medians (the whole point of the operator)
+    orig = [r["orig_p50_q2"] for r in rows]
+    norm = [r["norm_p50_q2"] for r in rows]
+    spread_orig = max(orig) - min(orig)
+    spread_norm = max(norm) - min(norm)
+    assert spread_norm <= spread_orig
+    for r in rows:
+        assert r["n"] > 0

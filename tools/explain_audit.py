@@ -442,6 +442,65 @@ CHECKS = {
         ("pruned docs scan", lambda p: "text" not in re.search(
             r"ReadSchema:[^\n]*", p).group(0)),
     ],
+    # --- r10 wave ----------------------------------------------------------
+    "benford_price_audit": [
+        # 9-group agg + 1-row total broadcast; price column only
+        ("no window", lambda p: "Window" not in p),
+        ("total broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("pruned lineitem scan", lambda p: "l_comment" not in re.search(
+            r"ReadSchema:[^\n]*", p).group(0)),
+    ],
+    "jl_projection_distortion": [
+        # sign matrix is plan literals: map-only until the band agg
+        ("no join at all", lambda p: "Join" not in p),
+        ("no window", lambda p: "Window" not in p),
+        ("single exchange (band agg)",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+    ],
+    "isotonic_calibration_bins": [
+        # the whole minimax fold is broadcast theta joins on bounded tables
+        ("no window", lambda p: "Window" not in p),
+        ("broadcast minimax joins", r"BroadcastNestedLoopJoin"),
+    ],
+    "record_linkage_part_names": [
+        # block-cap rank is the only window, partitioned by the block key
+        ("block-partitioned rank", r"windowspecdefinition\(blk"),
+        ("top-20 via TakeOrdered", r"TakeOrderedAndProject"),
+    ],
+    "session_overlap_pairs": [
+        # bounded user slice broadcasts; session windows are user-keyed
+        ("user-partitioned session windows", r"windowspecdefinition\(user_id"),
+        ("interval theta join is broadcast", r"BroadcastNestedLoopJoin"),
+        ("no single-partition exchange", lambda p: "SinglePartition" not in p),
+    ],
+    "delta_method_ratio_ci": [
+        # per-user aggregate feeds arm totals; totals broadcast back
+        ("no window", lambda p: "Window" not in p),
+        ("totals broadcast join", r"BroadcastHashJoin|BroadcastExchange"),
+    ],
+    "mutual_information_screen": [
+        ("no window", lambda p: "Window" not in p),
+        ("marginals broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+    ],
+    "feature_hashing_audit": [
+        ("no window", lambda p: "Window" not in p),
+        ("top-20 via TakeOrdered", r"TakeOrderedAndProject"),
+    ],
+    "grouped_logistic_by_type": [
+        # betas stay in-plan: every Newton step joins the |types|-row
+        # beta table back via broadcast — no window anywhere
+        ("no window", lambda p: "Window" not in p),
+        ("beta broadcast joins", r"BroadcastHashJoin"),
+    ],
+    "quantile_normalize_by_source": [
+        # rank window is source-partitioned; pooled quantiles broadcast
+        # (the 1-row pooled array-percentile agg legitimately reduces to
+        # a single partition — it is bounded output, not a corpus sort)
+        ("source-partitioned rank", r"windowspecdefinition\(source"),
+        ("pooled quantiles broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("no global ordered window", lambda p: not re.search(
+            r"windowspecdefinition\((?!source)", p)),
+    ],
 }
 
 

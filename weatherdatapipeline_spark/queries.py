@@ -16455,7 +16455,13 @@ def record_linkage_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     same no-silent-caps contract as the co-supply builder, audited by
     ``linkage_block_cap_audit``. Matches = Levenshtein ≤ 4 (both
     engines implement the identical Wagner–Fischer distance), top-20 by
-    (distance, key pair) with the unique key tiebreaker."""
+    (distance, key pair) with the unique key tiebreaker.
+
+    Complement, not twin, of the r6 ``fuzzy_part_name_pairs``: that
+    query screens DISTINCT NAME pairs (vocabulary-bounded but uncapped
+    within a block), this one links RECORDS by key with an explicit
+    per-block degree cap — the shape that survives a block whose
+    membership grows with the corpus."""
     pt = _t(spark, sf_dir, "part")
     base = pt.select(
         "p_partkey", "p_name", F.element_at(F.split("p_name", " "), -1).alias("blk")
@@ -17320,16 +17326,17 @@ _FH_BUCKETS = 256
 
 
 def feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashing-trick vectorizer audit (Weinberger et al. 2009): corpus
-    tokens hash into ``_FH_BUCKETS`` buckets (portable md5), and the
-    query reports the collision structure a pipeline checks BEFORE
-    committing to a hashed feature space — per bucket: total token
-    occurrences, DISTINCT tokens sharing the bucket (the collisions
-    that alias features), and the dominant token's share. Top-20
-    heaviest buckets; the audit row a feature store logs next to every
-    hashed column. Map-only until a bucket-keyed agg; the bucket space
-    is a fixed literal, so the output is vocabulary-bounded at any
-    corpus size."""
+    """Hashing-trick vectorizer COLLISION audit — the diagnostic
+    companion to ``hashing_trick_features`` (which materializes the
+    per-doc sparse vectors): corpus tokens hash into ``_FH_BUCKETS``
+    buckets (portable md5), and the query reports the collision
+    structure a pipeline checks BEFORE committing to a hashed feature
+    space — per bucket: total token occurrences, DISTINCT tokens
+    sharing the bucket (the collisions that alias features), and the
+    dominant token's share. Top-20 heaviest buckets; the audit row a
+    feature store logs next to every hashed column. Map-only until a
+    bucket-keyed agg; the bucket space is a fixed literal, so the
+    output is vocabulary-bounded at any corpus size."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("t")
@@ -17382,3 +17389,214 @@ ORDER BY occurrences DESC, bucket LIMIT 20
 QUERIES["feature_hashing_audit"] = feature_hashing_audit
 ORACLES["feature_hashing_audit"] = ORACLE_FEATURE_HASHING
 
+
+
+def grouped_logistic_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP Newton logistic — every event type fits its own
+    y ~ sigmoid(b0 + b1·hour_z) model in the SAME k passes: each Newton
+    step is ONE grouped aggregation producing a |types|-row
+    gradient/Hessian table, the 2×2 solve happens IN the plan as
+    expressions on those rows, and the updated betas broadcast-join
+    back for the next pass — the grouped twin of
+    ``logistic_newton_purchase`` with NO driver round-trip (that query
+    solves 1 model on the driver; here |groups| models fit in parallel
+    and betas never leave the cluster — the shape a per-segment
+    churn/propensity fit uses at 100 TB where groups number thousands).
+    Standardization is per-group (grouped moments broadcast back).
+    Newton's quadratic convergence absorbs float-sum order differences
+    well past the 6-dp output rounding — same contract as the global
+    fit."""
+    ev = _t(spark, sf_dir, "events")
+    # label: was the event high-value? (value above the per-type mean) —
+    # a y that VARIES within every group (purchase-vs-type is degenerate
+    # inside one type)
+    raw = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.hour("ts").cast("double").alias("h"),
+        F.col("value").cast("double").alias("val"),
+    )
+    mom = raw.groupBy("event_type").agg(
+        F.avg("h").alias("mu"),
+        F.sqrt(F.avg(F.col("h") * F.col("h")) - F.avg("h") * F.avg("h")).alias("sd"),
+        F.avg("val").alias("vbar"),
+    )
+    base = raw.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        ((F.col("h") - F.col("mu")) / F.col("sd")).alias("x"),
+        (F.col("val") > F.col("vbar")).cast("double").alias("y"),
+    )
+    base = T.persist_scoped(base)
+    betas = mom.select(
+        "event_type", F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(_LOGISTIC_STEPS):
+        j = base.join(F.broadcast(betas), "event_type")
+        p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+        g = j.groupBy("event_type").agg(
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+            F.sum(p - F.col("y")).alias("g0"),
+            F.sum((p - F.col("y")) * F.col("x")).alias("g1"),
+            F.sum(p * (1.0 - p)).alias("h00"),
+            F.sum(p * (1.0 - p) * F.col("x")).alias("h01"),
+            F.sum(p * (1.0 - p) * F.col("x") * F.col("x")).alias("h11"),
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        betas = g.select(
+            "event_type",
+            (F.col("b0") - (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")) / det).alias("b0"),
+            (F.col("b1") - (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")) / det).alias("b1"),
+        )
+    fin = base.join(F.broadcast(betas), "event_type")
+    p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+    return fin.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.first("b0"), 6).alias("b0"),
+        F.round(F.first("b1"), 6).alias("b1"),
+        F.round(
+            -F.avg(F.col("y") * F.log(p) + (1.0 - F.col("y")) * F.log(1.0 - p)), 6
+        ).alias("log_loss"),
+    )
+
+
+def _grouped_logistic_oracle(steps: int = _LOGISTIC_STEPS) -> str:
+    parts = [
+        """WITH raw AS (
+  SELECT event_type, hour(ts)::DOUBLE AS h, value::DOUBLE AS val
+  FROM events WHERE value IS NOT NULL
+),
+mom AS (
+  SELECT event_type, avg(h) AS mu,
+         sqrt(avg(h * h) - avg(h) * avg(h)) AS sd,
+         avg(val) AS vbar
+  FROM raw GROUP BY 1
+),
+base AS (
+  SELECT raw.event_type, (h - mu) / sd AS x,
+         (val > vbar)::INT::DOUBLE AS y
+  FROM raw JOIN mom USING (event_type)
+),
+g0 AS (SELECT event_type, 0.0 AS b0, 0.0 AS b1 FROM mom)"""
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            f""",
+g{i} AS (
+  SELECT event_type,
+         b0 - (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+         b1 - (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+  FROM (
+    SELECT event_type, first(b0) AS b0, first(b1) AS b1,
+           sum(p - y) AS g0, sum((p - y) * x) AS g1,
+           sum(p * (1 - p)) AS h00, sum(p * (1 - p) * x) AS h01,
+           sum(p * (1 - p) * x * x) AS h11
+    FROM (SELECT base.event_type, x, y, b0, b1,
+                 1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p
+          FROM base JOIN g{i - 1} USING (event_type))
+    GROUP BY event_type
+  )
+)"""
+        )
+    parts.append(
+        f"""
+SELECT base.event_type, count(*)::BIGINT AS n,
+       round(first(b0), 6) AS b0, round(first(b1), 6) AS b1,
+       round(-avg(y * ln(1.0 / (1.0 + exp(-(b0 + b1 * x))))
+                 + (1.0 - y) * ln(1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x))))),
+             6) AS log_loss
+FROM base JOIN g{steps} USING (event_type)
+GROUP BY base.event_type"""
+    )
+    return "".join(parts)
+
+
+QUERIES["grouped_logistic_by_type"] = grouped_logistic_by_type
+ORACLES["grouped_logistic_by_type"] = _grouped_logistic_oracle()
+
+
+_QN_BINS = 1000
+
+
+def quantile_normalize_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths — the
+    batch-effect correction (Bolstad et al. 2003, ubiquitous from
+    microarrays to corpus mixing): each source's n_chars distribution
+    maps onto the POOLED distribution by rank, so per-source length
+    biases vanish while within-source order is preserved. Relational
+    form that scales: within-source percent_rank (source-partitioned
+    window with a unique (n_chars, doc_id) ordering), quantized to
+    ``_QN_BINS`` bins, and the pooled quantile for every bin comes from
+    ONE array-percentile aggregate broadcast back — never a row-by-row
+    as-of join against the pooled sort. Output: per source, the
+    p25/p50/p75 of the ORIGINAL and NORMALIZED lengths — the
+    convergence report (normalized quantiles agree across sources).
+
+    Integer outputs: n_chars is integral and pooled quantiles are
+    1e2-quantized, so the hash sees integers only."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.percent_rank().over(w).alias("p")
+    ).select(
+        "source",
+        "n_chars",
+        F.least(
+            F.floor(F.col("p") * _QN_BINS).cast("int"), F.lit(_QN_BINS - 1)
+        ).alias("bin"),
+    )
+    probs = [(i + 0.5) / _QN_BINS for i in range(_QN_BINS)]
+    pooled = docs.agg(
+        F.percentile("n_chars", F.array(*[F.lit(p) for p in probs])).alias("_qs")
+    )
+    norm = ranked.crossJoin(F.broadcast(pooled)).select(
+        "source",
+        "n_chars",
+        F.element_at("_qs", F.col("bin") + 1).alias("nv"),
+    )
+    return norm.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.round(F.percentile("n_chars", F.lit(p)) * 1e2)
+            .cast("bigint")
+            .alias(f"orig_p{int(p * 100)}_q2")
+            for p in (0.25, 0.5, 0.75)
+        ],
+        *[
+            F.round(F.percentile("nv", F.lit(p)) * 1e2)
+            .cast("bigint")
+            .alias(f"norm_p{int(p * 100)}_q2")
+            for p in (0.25, 0.5, 0.75)
+        ],
+    )
+
+
+ORACLE_QUANTILE_NORM = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         least(floor(percent_rank() OVER (PARTITION BY source
+                                          ORDER BY n_chars, doc_id)
+                     * {_QN_BINS})::INT, {_QN_BINS - 1}) AS bin
+  FROM documents
+),
+pooled AS (
+  SELECT quantile_cont(n_chars,
+           [{", ".join(repr((i + 0.5) / _QN_BINS) for i in range(_QN_BINS))}]) AS qs
+  FROM documents
+),
+norm AS (
+  SELECT source, n_chars, qs[bin + 1] AS nv
+  FROM ranked CROSS JOIN pooled
+)
+SELECT source, count(*)::BIGINT AS n,
+       round(quantile_cont(n_chars, 0.25) * 1e2)::BIGINT AS orig_p25_q2,
+       round(quantile_cont(n_chars, 0.5) * 1e2)::BIGINT AS orig_p50_q2,
+       round(quantile_cont(n_chars, 0.75) * 1e2)::BIGINT AS orig_p75_q2,
+       round(quantile_cont(nv, 0.25) * 1e2)::BIGINT AS norm_p25_q2,
+       round(quantile_cont(nv, 0.5) * 1e2)::BIGINT AS norm_p50_q2,
+       round(quantile_cont(nv, 0.75) * 1e2)::BIGINT AS norm_p75_q2
+FROM norm GROUP BY 1
+"""
+
+
+QUERIES["quantile_normalize_by_source"] = quantile_normalize_by_source
+ORACLES["quantile_normalize_by_source"] = ORACLE_QUANTILE_NORM
