@@ -280,3 +280,53 @@ def test_quantile_normalization_aligns_sources(spark):
     assert spread_norm <= spread_orig
     for r in rows:
         assert r["n"] > 0
+
+
+def test_flesch_scores_ordered_and_consistent(spark):
+    rows = QUERIES["flesch_readability_scores"](spark, SF).collect()
+    assert rows
+    scores = [r["flesch_q2"] for r in rows]
+    assert scores == sorted(scores)
+    for r in rows:
+        assert r["words"] > 0 and r["sentences"] >= 1
+        got = round(
+            (206.835
+             - 1.015 * (r["words"] / r["sentences"])
+             - 84.6 * (r["syllables"] / r["words"])) * 100
+        )
+        assert abs(got - r["flesch_q2"]) <= 1
+
+
+def test_grid_density_separates_planted_blobs(spark, tmp_path_factory):
+    """Two dense value blobs far apart plus sparse noise must come out
+    as exactly two clusters with the noise cells excluded."""
+    import datetime
+
+    d = str(tmp_path_factory.mktemp("grid_sf"))
+    rows = []
+    eid = 0
+
+    def add(n, hour, value):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1, hour, 0, 0), 1, "view", float(value), "{}")
+            )
+            eid += 1
+
+    # blob A: hours 1-2, low values; blob B: hours 20-21, high values
+    for h in (1, 2):
+        add(300, h, 5.0)
+    for h in (20, 21):
+        add(300, h, 95.0)
+    add(3, 10, 50.0)  # noise: below the core threshold
+    add(1, 0, 0.0)    # pins vmin
+    add(1, 23, 100.0)  # pins vmax (cell stays sub-threshold)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = QUERIES["grid_density_clusters"](spark, d).collect()
+    assert len(out) == 2  # the two blobs, noise cells dropped
+    assert sum(r["n_points"] for r in out) == 1200
+    assert all(r["n_cells"] >= 2 for r in out)

@@ -17622,3 +17622,203 @@ FROM norm GROUP BY 1
 
 QUERIES["quantile_normalize_by_source"] = quantile_normalize_by_source
 ORACLES["quantile_normalize_by_source"] = ORACLE_QUANTILE_NORM
+
+
+def flesch_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring (Flesch 1948) — the classic corpus
+    quality signal complementing the Gopher/C4 rulesets: per document,
+    words (alnum token runs), sentences ([.!?]+ runs, floored at 1) and
+    syllables (vowel-GROUP runs — separators are consonants/spaces, so
+    one whole-text regexp_count equals the per-word sum), then
+    206.835 − 1.015·(words/sent) − 84.6·(syll/words) with the three
+    published constants as shared literals. Output: the 20
+    hardest-to-read documents (lowest score, doc_id tiebreak) — the
+    screen a curation pass uses to route dense/garbled text to review.
+
+    Map-only JVM regex per doc (patterns in the Java/RE2 common
+    subset), one TakeOrdered top-20; 1e2-quantized scores so the hash
+    sees integers."""
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    words = F.regexp_count(low, F.lit("[a-z0-9]+"))
+    sents = F.greatest(F.regexp_count(low, F.lit("[.!?]+")), F.lit(1))
+    syll = F.regexp_count(low, F.lit("[aeiouy]+"))
+    base = docs.select(
+        "doc_id",
+        words.cast("bigint").alias("words"),
+        sents.cast("bigint").alias("sentences"),
+        syll.cast("bigint").alias("syllables"),
+    ).filter(F.col("words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words").cast("double"))
+    )
+    return (
+        base.select(
+            "doc_id",
+            "words",
+            "sentences",
+            "syllables",
+            F.round(flesch * 1e2).cast("bigint").alias("flesch_q2"),
+        )
+        .orderBy("flesch_q2", "doc_id")
+        .limit(20)
+    )
+
+
+ORACLE_FLESCH = """
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS words,
+         greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)::BIGINT
+           AS sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS syllables
+  FROM documents
+)
+SELECT doc_id, words, sentences, syllables,
+       round((206.835
+              - 1.015 * (words::DOUBLE / sentences::DOUBLE)
+              - 84.6 * (syllables::DOUBLE / words::DOUBLE)) * 1e2)::BIGINT
+         AS flesch_q2
+FROM base WHERE words > 0
+ORDER BY flesch_q2, doc_id LIMIT 20
+"""
+
+
+QUERIES["flesch_readability_scores"] = flesch_readability_scores
+ORACLES["flesch_readability_scores"] = ORACLE_FLESCH
+
+
+_GRID_VBINS = 20
+_GRID_MIN_DIV = 500  # core threshold = max(5, total_points // 500)
+
+
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based density clustering of the (hour, value-bin) point
+    cloud — the GriDBSCAN/STING approximation of DBSCAN that actually
+    scales: points collapse onto a VOCABULARY-BOUNDED grid (24 hours ×
+    20 equal-width value bins at ANY corpus size), a cell is CORE when
+    it holds ≥ max(5, n/500) points (the data-relative minPts), and
+    clusters are connected components of 8-adjacent core cells. The
+    density family (arbitrary-shape clusters, noise cells excluded)
+    that the centroid-based kmeans queries structurally can't express.
+
+    Shape: ONE corpus scan → ≤480-cell count table; the component
+    labeling runs as a single Arrow ``mapInPandas`` union-find over the
+    bounded core-cell set (the IPF/GBM bounded-recurrence pattern);
+    the oracle reaches the identical labels through a recursive
+    min-label CTE (transitive closure on ≤480 nodes). Output: top-10
+    clusters by point mass with integer cell-id labels (h·100+bin)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    vb = F.least(
+        F.floor(
+            (F.col("value") - F.col("vmin"))
+            * float(_GRID_VBINS)
+            / (F.col("vmax") - F.col("vmin"))
+        ).cast("bigint"),
+        F.lit(_GRID_VBINS - 1),
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(b))
+        .select(F.hour("ts").cast("bigint").alias("h"), vb.alias("vb"))
+        .groupBy("h", "vb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(F.sum("n").alias("total"))
+    core = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n")
+            >= F.greatest(
+                F.lit(5), F.floor(F.col("total") / float(_GRID_MIN_DIV)).cast("bigint")
+            )
+        )
+        .select((F.col("h") * 100 + F.col("vb")).alias("cid"), "h", "vb", "n")
+    )
+
+    def label(batches):
+        import pandas as pd
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        cells_l = list(zip(pdf["cid"], pdf["h"], pdf["vb"]))
+        parent = {c: c for c, _, _ in cells_l}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a_, b_):
+            ra, rb = find(a_), find(b_)
+            if ra != rb:
+                # union by MIN id so the component label is deterministic
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+        by_pos = {(h, v): c for c, h, v in cells_l}
+        for c, h, v in cells_l:
+            for dh in (-1, 0, 1):
+                for dv in (-1, 0, 1):
+                    nb = by_pos.get((h + dh, v + dv))
+                    if nb is not None and nb != c:
+                        union(c, nb)
+        pdf["cluster_id"] = [find(c) for c in pdf["cid"]]
+        yield pdf[["cid", "n", "cluster_id"]]
+
+    labeled = core.coalesce(1).mapInPandas(
+        label, schema="cid long, n long, cluster_id long"
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+        )
+        .orderBy(F.col("n_points").desc(), "cluster_id")
+        .limit(10)
+    )
+
+
+ORACLE_GRID_DENSITY = f"""
+WITH RECURSIVE
+ev AS (SELECT hour(ts) AS h, value FROM events WHERE value IS NOT NULL),
+bounds AS (SELECT min(value) AS vmin, max(value) AS vmax FROM ev),
+cells AS (
+  SELECT h,
+         least(floor((value - vmin) * {float(_GRID_VBINS)!r}
+                     / (vmax - vmin))::BIGINT, {_GRID_VBINS - 1}) AS vb,
+         count(*) AS n
+  FROM ev CROSS JOIN bounds GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS total FROM cells),
+core AS (
+  SELECT h * 100 + vb AS cid, h, vb, n
+  FROM cells CROSS JOIN tot
+  WHERE n >= greatest(5, floor(total / {float(_GRID_MIN_DIV)!r})::BIGINT)
+),
+edges AS (
+  SELECT a.cid AS acid, bb.cid AS bcid
+  FROM core a JOIN core bb
+    ON abs(a.h - bb.h) <= 1 AND abs(a.vb - bb.vb) <= 1
+),
+walk(cid, lbl) AS (
+  SELECT cid, cid FROM core
+  UNION
+  SELECT e.acid, walk.lbl FROM walk JOIN edges e ON e.bcid = walk.cid
+),
+lab AS (SELECT cid, min(lbl) AS cluster_id FROM walk GROUP BY 1)
+SELECT lab.cluster_id, count(*)::BIGINT AS n_cells,
+       sum(core.n)::BIGINT AS n_points
+FROM core JOIN lab USING (cid)
+GROUP BY 1
+ORDER BY n_points DESC, cluster_id LIMIT 10
+"""
+
+
+QUERIES["grid_density_clusters"] = grid_density_clusters
+ORACLES["grid_density_clusters"] = ORACLE_GRID_DENSITY
