@@ -330,3 +330,24 @@ def test_grid_density_separates_planted_blobs(spark, tmp_path_factory):
     assert len(out) == 2  # the two blobs, noise cells dropped
     assert sum(r["n_points"] for r in out) == 1200
     assert all(r["n_cells"] >= 2 for r in out)
+
+
+def test_rfm_segmentation_structure(spark):
+    rows = QUERIES["rfm_segmentation"](spark, SF).collect()
+    assert rows
+    total = sum(r["n_users"] for r in rows)
+    for r in rows:
+        assert 1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5
+        assert r["n_users"] > 0
+    # quintile coding puts ~20% of users in each score band per dimension
+    for dim in ("r", "f", "m"):
+        band1 = sum(r["n_users"] for r in rows if r[dim] == 1)
+        assert 0.05 * total <= band1 <= 0.6 * total
+    # monetary score monotonicity: avg revenue rises with m (aggregated)
+    import collections
+    by_m = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        by_m[r["m"]][0] += r["avg_revenue_q2"] * r["n_users"]
+        by_m[r["m"]][1] += r["n_users"]
+    means = [by_m[m][0] / by_m[m][1] for m in sorted(by_m)]
+    assert means == sorted(means)

@@ -17822,3 +17822,117 @@ ORDER BY n_points DESC, cluster_id LIMIT 10
 
 QUERIES["grid_density_clusters"] = grid_density_clusters
 ORACLES["grid_density_clusters"] = ORACLE_GRID_DENSITY
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (Hughes 1994) — the classic
+    recency/frequency/monetary quintile coding every growth/CRM stack
+    computes: per user, seconds since last activity, event count, and
+    purchase revenue (DECIMAL-summed); each dimension scores 1-5 via
+    1 + Σ(v > q_k) against the four quintile boundaries from ONE
+    array-percentile aggregate (boundaries rounded to 4dp and broadcast,
+    so the bucket edges are identical literals in both engines; the
+    boolean-sum coding is tie-robust by construction). Recency scores
+    RAW seconds (5 = longest-dormant; invert downstream as needed).
+    Output: per (r, f, m) segment cell — ≤125 rows at any corpus size —
+    user count and 1e2-quantized mean revenue.
+
+    Shape: one user-keyed agg, a 1-row quantile broadcast, and a
+    bounded segment agg — no window anywhere."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_timestamp("ts")).alias("now_s"))
+    per_u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            (F.first("now_s") - F.max(F.unix_timestamp("ts"))).alias("rec_s"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+                .cast(dec)
+            )
+            .cast("double")
+            .alias("money"),
+        )
+    )
+    qs = per_u.agg(
+        *[
+            F.transform(
+                F.percentile(c, F.array(*[F.lit(p) for p in (0.2, 0.4, 0.6, 0.8)])),
+                lambda x: F.round(x, 4),
+            ).alias(f"_q_{c}")
+            for c in ("rec_s", "freq", "money")
+        ]
+    )
+
+    def score(col: str) -> F.Column:
+        v = F.col(col).cast("double")
+        s = F.lit(1)
+        for k in range(1, 5):
+            s = s + (v > F.element_at(f"_q_{col}", k)).cast("int")
+        return s.cast("bigint")
+
+    scored = per_u.crossJoin(F.broadcast(qs)).select(
+        score("rec_s").alias("r"),
+        score("freq").alias("f"),
+        score("money").alias("m"),
+        "money",
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.col("money").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * 1e2
+        )
+        .cast("bigint")
+        .alias("avg_revenue_q2"),
+    )
+
+
+ORACLE_RFM = """
+WITH mx AS (SELECT max(floor(epoch(ts))::BIGINT) AS now_s FROM events),
+per_u AS (
+  SELECT user_id,
+         first(now_s) - max(floor(epoch(ts))::BIGINT) AS rec_s,
+         count(*) AS freq,
+         sum((CASE WHEN event_type = 'purchase' THEN value
+                   ELSE 0.0 END)::DECIMAL(38,12))::DOUBLE AS money
+  FROM events CROSS JOIN mx GROUP BY 1
+),
+qs AS (
+  SELECT [round(quantile_cont(rec_s, 0.2), 4), round(quantile_cont(rec_s, 0.4), 4),
+          round(quantile_cont(rec_s, 0.6), 4), round(quantile_cont(rec_s, 0.8), 4)]
+           AS q_rec,
+         [round(quantile_cont(freq, 0.2), 4), round(quantile_cont(freq, 0.4), 4),
+          round(quantile_cont(freq, 0.6), 4), round(quantile_cont(freq, 0.8), 4)]
+           AS q_freq,
+         [round(quantile_cont(money, 0.2), 4), round(quantile_cont(money, 0.4), 4),
+          round(quantile_cont(money, 0.6), 4), round(quantile_cont(money, 0.8), 4)]
+           AS q_money
+  FROM per_u
+),
+scored AS (
+  SELECT (1 + (rec_s::DOUBLE > q_rec[1])::INT + (rec_s::DOUBLE > q_rec[2])::INT
+            + (rec_s::DOUBLE > q_rec[3])::INT + (rec_s::DOUBLE > q_rec[4])::INT
+         )::BIGINT AS r,
+         (1 + (freq::DOUBLE > q_freq[1])::INT + (freq::DOUBLE > q_freq[2])::INT
+            + (freq::DOUBLE > q_freq[3])::INT + (freq::DOUBLE > q_freq[4])::INT
+         )::BIGINT AS f,
+         (1 + (money > q_money[1])::INT + (money > q_money[2])::INT
+            + (money > q_money[3])::INT + (money > q_money[4])::INT
+         )::BIGINT AS m,
+         money
+  FROM per_u CROSS JOIN qs
+)
+SELECT r, f, m, count(*)::BIGINT AS n_users,
+       round(sum(money::DECIMAL(38,12))::DOUBLE / count(*)::DOUBLE
+             * 1e2)::BIGINT AS avg_revenue_q2
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+QUERIES["rfm_segmentation"] = rfm_segmentation
+ORACLES["rfm_segmentation"] = ORACLE_RFM
