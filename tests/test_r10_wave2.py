@@ -1,0 +1,130 @@
+"""Round-10 wave 2: semantic assertions for the classical-test battery
+(Jarque-Bera, Durbin-Watson, Brown-Forsythe, Mann-Kendall). Oracle hash
+parity is covered by tools/check_oracle.py; these pin the MATH against
+closed forms and planted synthetic series the hashes can't see."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from weatherdatapipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from weatherdatapipeline_spark.session import get_spark
+
+    return get_spark("r10-wave2-tests")
+
+
+def _synthetic_events(spark, rows):
+    """(ts_str, user_id, event_type, value) rows -> events-shaped df."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, ts, u, t, float(v), "{}") for i, (ts, u, t, v) in enumerate(rows)],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    )
+    return df.withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+
+def _with_events(tmp_path, df):
+    p = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(p + "/events.parquet")
+    return p
+
+
+def test_jarque_bera_matches_scalar_replay(spark):
+    rows = {r["event_type"]: r for r in QUERIES["jarque_bera_normality"](spark, SF).collect()}
+    assert rows
+    # replay one group's moments in pure python at full precision
+    import pyspark.sql.functions as F
+
+    from weatherdatapipeline_spark.queries import _t
+
+    ev = _t(spark, SF, "events").filter(F.col("event_type") == "click")
+    vals = [r["value"] for r in ev.select("value").collect()]
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((v - mu) ** 2 for v in vals) / n
+    m3 = sum((v - mu) ** 3 for v in vals) / n
+    m4 = sum((v - mu) ** 4 for v in vals) / n
+    g1 = m3 / m2**1.5
+    g2 = m4 / m2**2 - 3.0
+    jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    r = rows["click"]
+    assert r["n"] == n
+    # the query computes central moments from raw DECIMAL power sums; the
+    # two formulations agree to well inside one quantization step
+    assert abs(r["skew_q4"] - g1 * 1e4) <= 2
+    assert abs(r["ex_kurt_q4"] - g2 * 1e4) <= 2
+    assert abs(r["jb_q2"] - jb * 1e2) <= 2
+    assert r["reject_5pct"] == int(jb > 5.991465)
+
+
+def test_durbin_watson_planted_series(spark, tmp_path):
+    # alternating +1/-1 residuals: e_t - e_{t-1} = +-2, so
+    # DW = sum(4)*(n-1)/sum(1)*n -> 4*(n-1)/n ~ 4 (max negative autocorr);
+    # a monotone ramp 1..n has DW -> ~0 side; iid should sit near 2.
+    n = 64
+    alt = [(f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", 1, "alt", 10 + (1 if i % 2 == 0 else -1)) for i in range(n)]
+    sf = _with_events(tmp_path, _synthetic_events(spark, alt))
+    r = {x["event_type"]: x for x in QUERIES["durbin_watson_by_type"](spark, sf).collect()}
+    dw = r["alt"]["dw_q6"] / 1e6
+    assert abs(dw - 4.0 * (n - 1) / n) < 1e-9
+    assert r["alt"]["n"] == n
+
+
+def test_durbin_watson_positive_autocorr_low(spark, tmp_path):
+    # slow ramp: adjacent residuals nearly equal -> DW near 0
+    n = 50
+    ramp = [(f"2024-01-01 01:{i // 60:02d}:{i % 60:02d}", 1, "ramp", float(i)) for i in range(n)]
+    sf = _with_events(tmp_path, _synthetic_events(spark, ramp))
+    r = QUERIES["durbin_watson_by_type"](spark, sf).collect()[0]
+    assert r["dw_q6"] / 1e6 < 0.05
+
+
+def test_levene_equal_vs_unequal_variance(spark, tmp_path):
+    # two groups with identical |deviation| pattern -> W == 0;
+    # then one group scaled 5x -> W large
+    base = [-2.0, -1.0, 0.0, 1.0, 2.0] * 8
+    rows_eq = [
+        (f"2024-01-01 02:{i // 60:02d}:{i % 60:02d}", 1, t, 100 + v)
+        for t in ("a", "b")
+        for i, v in enumerate(base)
+    ]
+    sf = _with_events(tmp_path, _synthetic_events(spark, rows_eq))
+    r = QUERIES["levene_brown_forsythe"](spark, sf).collect()[0]
+    assert r["k_groups"] == 2 and r["w_q6"] == 0
+    assert r["df1"] == 1 and r["df2"] == r["n"] - 2
+
+    rows_ne = [
+        (f"2024-01-01 03:{i // 60:02d}:{i % 60:02d}", 1, t, 100 + v * (5 if t == "b" else 1))
+        for t in ("a", "b")
+        for i, v in enumerate(base)
+    ]
+    sf2 = _with_events(tmp_path / "ne", _synthetic_events(spark, rows_ne))
+    r2 = QUERIES["levene_brown_forsythe"](spark, sf2).collect()[0]
+    assert r2["w_q6"] > 10 * 1e6  # strongly rejected
+
+
+def test_mann_kendall_monotone_and_flat(spark, tmp_path):
+    # strictly increasing daily means -> S = n(n-1)/2 (every pair concordant)
+    days = 12
+    inc = [(f"2024-01-{d + 1:02d} 12:00:00", 1, "inc", float(d)) for d in range(days)]
+    flat = [(f"2024-01-{d + 1:02d} 12:00:00", 1, "flat", 7.0) for d in range(days)]
+    sf = _with_events(tmp_path, _synthetic_events(spark, inc + flat))
+    r = {x["event_type"]: x for x in QUERIES["mann_kendall_trend"](spark, sf).collect()}
+    n = days
+    assert r["inc"]["s_stat"] == n * (n - 1) // 2
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0
+    assert r["inc"]["var_s_q2"] == round(var_s * 100)
+    assert abs(r["inc"]["z_q6"] / 1e6 - (r["inc"]["s_stat"] - 1) / math.sqrt(var_s)) < 1e-6
+    # all-tied series: S = 0, z = 0, tie correction zeroes the variance
+    assert r["flat"]["s_stat"] == 0 and r["flat"]["z_q6"] == 0
+    assert r["flat"]["var_s_q2"] == 0

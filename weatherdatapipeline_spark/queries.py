@@ -17936,3 +17936,341 @@ FROM scored GROUP BY 1, 2, 3
 
 QUERIES["rfm_segmentation"] = rfm_segmentation
 ORACLES["rfm_segmentation"] = ORACLE_RFM
+
+
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen per event type (Jarque & Bera 1980)
+    — the moment-based omnibus test every parametric step upstream
+    (t-tests, CUPED, ridge) implicitly assumes away: JB = n/6 *
+    (g1^2 + g2^2/4) from sample skewness g1 and excess kurtosis g2,
+    asymptotically chi-square(2); reject at 5% when JB > 5.991465.
+
+    One grouped aggregate computes exact DECIMAL power sums (value fits
+    38,12 comfortably: v^4 <= ~1e11 per row); central moments, g1, g2
+    and JB are scalar arithmetic on the exact sums, written as the SAME
+    expression sequence in both engines so the doubles agree bitwise.
+    Map-side partial agg, group-count-sized output, no window, no join."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(v.cast(dec)).cast("double").alias("_s1"),
+        F.sum((v * v).cast(dec)).cast("double").alias("_s2"),
+        F.sum((v * v * v).cast(dec)).cast("double").alias("_s3"),
+        F.sum((v * v * v * v).cast(dec)).cast("double").alias("_s4"),
+    )
+    n = F.col("_n")
+    mu = F.col("_s1") / n
+    m2 = F.col("_s2") / n - mu * mu
+    m3 = F.col("_s3") / n - 3.0 * mu * (F.col("_s2") / n) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("_s4") / n
+        - 4.0 * mu * (F.col("_s3") / n)
+        + 6.0 * mu * mu * (F.col("_s2") / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    return agg.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(g1 * 1e4).cast("bigint").alias("skew_q4"),
+        F.round(g2 * 1e4).cast("bigint").alias("ex_kurt_q4"),
+        F.round(jb * 1e2).cast("bigint").alias("jb_q2"),
+        (jb > 5.991465).cast("int").cast("bigint").alias("reject_5pct"),
+    )
+
+
+ORACLE_JARQUE_BERA = """
+WITH agg AS (
+  SELECT event_type,
+         count(*)::DOUBLE AS n,
+         sum((value)::DECIMAL(38,12))::DOUBLE AS s1,
+         sum((value * value)::DECIMAL(38,12))::DOUBLE AS s2,
+         sum((value * value * value)::DECIMAL(38,12))::DOUBLE AS s3,
+         sum((value * value * value * value)::DECIMAL(38,12))::DOUBLE AS s4
+  FROM events GROUP BY 1
+),
+mom AS (
+  SELECT event_type, n,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n)
+           + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM agg
+),
+st AS (
+  SELECT event_type, n,
+         m3 / sqrt(m2 * m2 * m2) AS g1,
+         m4 / (m2 * m2) - 3.0 AS g2
+  FROM mom
+)
+SELECT event_type, n::BIGINT AS n,
+       round(g1 * 1e4)::BIGINT AS skew_q4,
+       round(g2 * 1e4)::BIGINT AS ex_kurt_q4,
+       round(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0) * 1e2)::BIGINT AS jb_q2,
+       (n / 6.0 * (g1 * g1 + g2 * g2 / 4.0) > 5.991465)::INT::BIGINT
+         AS reject_5pct
+FROM st
+"""
+
+
+QUERIES["jarque_bera_normality"] = jarque_bera_normality
+ORACLES["jarque_bera_normality"] = ORACLE_JARQUE_BERA
+
+
+def durbin_watson_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson residual-autocorrelation statistic per event type
+    (Durbin & Watson 1950): demean `value` against the type mean
+    (rounded to 6dp and broadcast back, so both engines subtract the
+    same literal), order the residual series by (ts, event_id), and
+    report DW = sum((e_t - e_{t-1})^2) / sum(e_t^2); DW ~ 2 means no
+    lag-1 autocorrelation, ~0 strong positive, ~4 strong negative.
+
+    Shape: one grouped mean, a broadcast join back, ONE per-type
+    ordered lag window (keyed series — same per-key-fits-a-partition
+    contract as the W1-W5 rolling suite), and a final grouped DECIMAL
+    sum. Never a global sort."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value").cast(dec)).cast("double") / F.count(F.lit(1)), 6)
+        .alias("_mu")
+    )
+    res = ev.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value") - F.col("_mu")).alias("_e"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = res.withColumn("_ep", F.lag("_e").over(w))
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("_ep").isNotNull(),
+                ((F.col("_e") - F.col("_ep")) * (F.col("_e") - F.col("_ep"))).cast(dec),
+            ).otherwise(F.lit(0).cast(dec))
+        )
+        .cast("double")
+        .alias("_num"),
+        F.sum((F.col("_e") * F.col("_e")).cast(dec)).cast("double").alias("_den"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("_num") / F.col("_den") * 1e6).cast("bigint").alias("dw_q6"),
+    )
+
+
+ORACLE_DURBIN_WATSON = """
+WITH mu AS (
+  SELECT event_type,
+         round(sum((value)::DECIMAL(38,12))::DOUBLE / count(*), 6) AS mu
+  FROM events GROUP BY 1
+),
+res AS (
+  SELECT e.event_type, e.ts, e.event_id, e.value - mu.mu AS e
+  FROM events e JOIN mu USING (event_type)
+),
+lagged AS (
+  SELECT event_type, e,
+         lag(e) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS ep
+  FROM res
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(CASE WHEN ep IS NOT NULL
+                  THEN ((e - ep) * (e - ep))::DECIMAL(38,12)
+                  ELSE 0::DECIMAL(38,12) END)::DOUBLE AS num,
+         sum((e * e)::DECIMAL(38,12))::DOUBLE AS den
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, n, round(num / den * 1e6)::BIGINT AS dw_q6
+FROM agg
+"""
+
+
+QUERIES["durbin_watson_by_type"] = durbin_watson_by_type
+ORACLES["durbin_watson_by_type"] = ORACLE_DURBIN_WATSON
+
+
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) homogeneity-of-variance
+    test across event types (Brown & Forsythe 1974) — the guard every
+    pooled-variance step (ANOVA, t-tests, CUPED theta) needs: W =
+    ((N-k)/(k-1)) * sum_t n_t*(zbar_t - zbar)^2 / sum_t sum_i
+    (z_ti - zbar_t)^2 where z = |value - median_type|, F(k-1, N-k)
+    under H0. Medians are exact interpolated percentiles rounded to 4dp
+    and broadcast back so both engines center on identical literals.
+
+    Shape: one per-type percentile aggregate (bounded, broadcast), a
+    map-only |v - med| projection, one per-type DECIMAL moment
+    aggregate, one single-row combine. No window, no global sort."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("_med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("_med")).alias("_z")
+    )
+    per_t = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_nt"),
+        F.sum(F.col("_z").cast(dec)).cast("double").alias("_sz"),
+        F.sum((F.col("_z") * F.col("_z")).cast(dec)).cast("double").alias("_szz"),
+    )
+    comb = per_t.agg(
+        F.sum("_nt").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        F.sum("_sz").alias("_sz_all"),
+        F.sum(F.col("_szz") - F.col("_sz") * F.col("_sz") / F.col("_nt")).alias(
+            "_within"
+        ),
+        F.sum(F.col("_sz") * F.col("_sz") / F.col("_nt")).alias("_bsq"),
+    )
+    between = F.col("_bsq") - F.col("_sz_all") * F.col("_sz_all") / F.col("_n")
+    w_stat = (
+        (F.col("_n") - F.col("_k"))
+        / (F.col("_k") - 1.0)
+        * between
+        / F.col("_within")
+    )
+    return comb.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_k").cast("bigint").alias("k_groups"),
+        F.round(w_stat * 1e6).cast("bigint").alias("w_q6"),
+        (F.col("_k") - 1.0).cast("bigint").alias("df1"),
+        (F.col("_n") - F.col("_k")).cast("bigint").alias("df2"),
+    )
+
+
+ORACLE_LEVENE_BF = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+  FROM events GROUP BY 1
+),
+z AS (
+  SELECT e.event_type, abs(e.value - med.med) AS z
+  FROM events e JOIN med USING (event_type)
+),
+per_t AS (
+  SELECT event_type,
+         count(*)::DOUBLE AS nt,
+         sum((z)::DECIMAL(38,12))::DOUBLE AS sz,
+         sum((z * z)::DECIMAL(38,12))::DOUBLE AS szz
+  FROM z GROUP BY 1
+),
+comb AS (
+  SELECT sum(nt) AS n, count(*)::DOUBLE AS k,
+         sum(sz) AS sz_all,
+         sum(szz - sz * sz / nt) AS within,
+         sum(sz * sz / nt) AS bsq
+  FROM per_t
+)
+SELECT n::BIGINT AS n, k::BIGINT AS k_groups,
+       round((n - k) / (k - 1.0) * (bsq - sz_all * sz_all / n) / within
+             * 1e6)::BIGINT AS w_q6,
+       (k - 1.0)::BIGINT AS df1, (n - k)::BIGINT AS df2
+FROM comb
+"""
+
+
+QUERIES["levene_brown_forsythe"] = levene_brown_forsythe
+ORACLES["levene_brown_forsythe"] = ORACLE_LEVENE_BF
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test per event type (Mann 1945,
+    Kendall 1975) on the DAILY mean value series: S = sum over day
+    pairs i<j of sign(x_j - x_i); tie-corrected Var(S) = [n(n-1)(2n+5)
+    - sum_g t_g(t_g-1)(2t_g+5)]/18; continuity-corrected Z. Completes
+    the trend battery next to Theil-Sen (which estimates the slope MK
+    tests): distribution-free, robust to the heavy tails JB flags.
+
+    Shape: events collapse to a DAY-keyed table first (bounded by the
+    calendar span regardless of corpus size — daily means are exact
+    DECIMAL sums / counts rounded to 6dp), so the pairwise i<j self-join
+    is days^2-bounded per type, never rows^2. One bounded join + two
+    bounded aggregates; no window."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("_d")).agg(
+        F.round(
+            F.sum(F.col("value").cast(dec)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("_x")
+    )
+    a = daily.select("event_type", F.col("_d").alias("_di"), F.col("_x").alias("_xi"))
+    b = daily.select("event_type", F.col("_d").alias("_dj"), F.col("_x").alias("_xj"))
+    pairs = a.join(b, "event_type").filter(F.col("_dj") > F.col("_di"))
+    s_tab = pairs.groupBy("event_type").agg(
+        F.sum(F.signum(F.col("_xj") - F.col("_xi")).cast("bigint")).alias("_s")
+    )
+    ties = (
+        daily.groupBy("event_type", "_x")
+        .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("_t")).alias("_n"),
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1.0) * (2.0 * F.col("_t") + 5.0)
+            ).alias("_tsum"),
+        )
+    )
+    j = s_tab.join(ties, "event_type")
+    var_s = (
+        F.col("_n") * (F.col("_n") - 1.0) * (2.0 * F.col("_n") + 5.0) - F.col("_tsum")
+    ) / 18.0
+    s = F.col("_s").cast("double")
+    z = F.when(s > 0, (s - 1.0) / F.sqrt(var_s)).when(
+        s < 0, (s + 1.0) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "event_type",
+        F.col("_n").cast("bigint").alias("n_days"),
+        F.col("_s").alias("s_stat"),
+        F.round(var_s * 1e2).cast("bigint").alias("var_s_q2"),
+        F.round(z * 1e6).cast("bigint").alias("z_q6"),
+    )
+
+
+ORACLE_MANN_KENDALL = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d,
+         round(sum((value)::DECIMAL(38,12))::DOUBLE / count(*), 6) AS x
+  FROM events GROUP BY 1, 2
+),
+s_tab AS (
+  SELECT a.event_type,
+         sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+                  ELSE 0 END)::BIGINT AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d > a.d
+  GROUP BY 1
+),
+ties AS (
+  SELECT event_type, sum(t) AS n,
+         sum(t * (t - 1.0) * (2.0 * t + 5.0)) AS tsum
+  FROM (SELECT event_type, x, count(*)::DOUBLE AS t
+        FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT s_tab.event_type, n::BIGINT AS n_days, s AS s_stat,
+       round((n * (n - 1.0) * (2.0 * n + 5.0) - tsum) / 18.0 * 1e2)::BIGINT
+         AS var_s_q2,
+       round(CASE WHEN s > 0 THEN (s::DOUBLE - 1.0)
+                    / sqrt((n * (n - 1.0) * (2.0 * n + 5.0) - tsum) / 18.0)
+                  WHEN s < 0 THEN (s::DOUBLE + 1.0)
+                    / sqrt((n * (n - 1.0) * (2.0 * n + 5.0) - tsum) / 18.0)
+                  ELSE 0.0 END * 1e6)::BIGINT AS z_q6
+FROM s_tab JOIN ties USING (event_type)
+"""
+
+
+QUERIES["mann_kendall_trend"] = mann_kendall_trend
+ORACLES["mann_kendall_trend"] = ORACLE_MANN_KENDALL
