@@ -128,3 +128,68 @@ def test_mann_kendall_monotone_and_flat(spark, tmp_path):
     # all-tied series: S = 0, z = 0, tie correction zeroes the variance
     assert r["flat"]["s_stat"] == 0 and r["flat"]["z_q6"] == 0
     assert r["flat"]["var_s_q2"] == 0
+
+
+def test_kruskal_wallis_matches_pure_python(spark, tmp_path):
+    # planted 3-group data with ties; replay pooled mid-ranks in python
+    import itertools
+
+    vals = {"a": [1.0, 2.0, 2.0, 5.0], "b": [2.0, 3.0, 6.0, 6.0], "c": [4.0, 6.0, 7.0, 8.0]}
+    rows = [
+        (f"2024-01-01 04:{i:02d}:00", 1, t, v)
+        for i, (t, v) in enumerate(itertools.chain(*[[(t, v) for v in vs] for t, vs in vals.items()]))
+    ]
+    sf = _with_events(tmp_path, _synthetic_events(spark, rows))
+    r = QUERIES["kruskal_wallis_value_by_type"](spark, sf).collect()[0]
+
+    pooled = sorted(v for vs in vals.values() for v in vs)
+    n = len(pooled)
+
+    def midrank(v):
+        lo = sum(1 for x in pooled if x < v)
+        c = sum(1 for x in pooled if x == v)
+        return lo + (c + 1) / 2.0
+
+    rsq = sum(sum(midrank(v) for v in vs) ** 2 / len(vs) for vs in vals.values())
+    h = 12.0 / (n * (n + 1)) * rsq - 3.0 * (n + 1)
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    cc = 1.0 - sum(c**3 - c for c in cnt.values()) / (n**3 - n)
+    assert r["n"] == n and r["k_groups"] == 3 and r["df"] == 2
+    assert abs(r["h_q6"] / 1e6 - h) < 1e-5
+    assert abs(r["h_tie_q6"] / 1e6 - h / cc) < 1e-5
+
+
+def test_kruskal_wallis_plan_has_no_global_window(spark):
+    plan = QUERIES["kruskal_wallis_value_by_type"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every windowspecdefinition must carry a partition column
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).split(",")[0].strip() != "", plan[:2000]
+    assert "windowspecdefinition(value" not in plan  # ranks are bucket-partitioned
+    assert "windowspecdefinition(_b" in plan
+
+
+def test_wasserstein_identical_halves_zero(spark, tmp_path):
+    # same distribution Sat (weekend) and Mon (weekday) -> W1 == 0
+    vals = [1.0, 2.0, 3.0, 5.0, 8.0] * 4
+    rows = [(f"2024-01-06 05:{i:02d}:00", 1, "t", v) for i, v in enumerate(vals)] + [
+        (f"2024-01-08 05:{i:02d}:00", 1, "t", v) for i, v in enumerate(vals)
+    ]
+    sf = _with_events(tmp_path, _synthetic_events(spark, rows))
+    r = QUERIES["wasserstein_weekend_shift"](spark, sf).collect()[0]
+    assert r["n_weekend"] == len(vals) and r["n_weekday"] == len(vals)
+    assert r["w1_q6"] == 0
+
+
+def test_wasserstein_pure_shift_equals_delta(spark, tmp_path):
+    # weekday = weekend + 2.5 exactly -> W1 == 2.5 (translation identity)
+    vals = [1.0, 2.0, 4.0, 7.0, 11.0]
+    rows = [(f"2024-01-06 06:{i:02d}:00", 1, "t", v) for i, v in enumerate(vals)] + [
+        (f"2024-01-08 06:{i:02d}:00", 1, "t", v + 2.5) for i, v in enumerate(vals)
+    ]
+    sf = _with_events(tmp_path, _synthetic_events(spark, rows))
+    r = QUERIES["wasserstein_weekend_shift"](spark, sf).collect()[0]
+    assert r["w1_q6"] == 2_500_000

@@ -18274,3 +18274,226 @@ FROM s_tab JOIN ties USING (event_type)
 
 QUERIES["mann_kendall_trend"] = mann_kendall_trend
 ORACLES["mann_kendall_trend"] = ORACLE_MANN_KENDALL
+
+
+# width of the value-range buckets the pooled Kruskal-Wallis rank is
+# computed over: the bucket table is bounded by (value range / width),
+# independent of row count — it is the manual range-partitioned rank
+# (per-bucket windows + a bounded bucket-offset join), never a global sort
+_KW_BUCKET_WIDTH = 16.0
+
+
+def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank one-way ANOVA across event types (Kruskal &
+    Wallis 1952): H = 12/(N(N+1)) * sum_t R_t^2/n_t - 3(N+1) on POOLED
+    mid-ranks, divided by the tie correction C = 1 - sum(c^3-c)/(N^3-N);
+    chi-square(k-1) under H0. Completes the battery: ANOVA assumes
+    normality (JB screens it), Mann-Whitney is two-sample — KW is the
+    k-sample distribution-free test.
+
+    Pooled ranks WITHOUT a global sort: distinct values collapse to a
+    dictionary, each lands in a floor(value/width) range bucket; ranks
+    are (bucket offset) + (within-bucket cumulative) - cnt + (cnt+1)/2,
+    where within-bucket cumulatives are BUCKET-partitioned windows and
+    the offsets come from a bounded bucket-total theta join (bucket
+    table size = value range / width, independent of row count) — the
+    classic distributed range-partitioned rank, spelled out. Mid-ranks
+    are exact multiples of 0.5 so DECIMAL rank-sums are exact."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    ptv = ev.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("_c"))
+    pv = ptv.groupBy("value").agg(F.sum("_c").alias("_k")).withColumn(
+        "_b", F.floor(F.col("value") / F.lit(_KW_BUCKET_WIDTH)).cast("long")
+    )
+    btot = pv.groupBy("_b").agg(F.sum("_k").alias("_bk"))
+    b1 = btot.select(F.col("_b").alias("_bb"))
+    off = (
+        b1.join(F.broadcast(btot), F.col("_b") < F.col("_bb"), "left")
+        .groupBy("_bb")
+        .agg(F.coalesce(F.sum("_bk"), F.lit(0)).alias("_off"))
+    )
+    wb = Window.partitionBy("_b").orderBy("value")
+    ranked = (
+        pv.join(F.broadcast(off), pv["_b"] == off["_bb"])
+        .withColumn(
+            "_below",
+            F.col("_off")
+            + F.sum("_k").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("_k"),
+        )
+        .select(
+            "value",
+            "_k",
+            (F.col("_below") + (F.col("_k") + 1) / 2.0).alias("_avg_rank"),
+        )
+    )
+    per_t = (
+        ptv.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("_c").cast("double").alias("_nt"),
+            F.sum((F.col("_c") * F.col("_avg_rank")).cast(dec))
+            .cast("double")
+            .alias("_rt"),
+        )
+    )
+    ties = pv.agg(
+        F.sum("_k").cast("double").alias("_n"),
+        F.sum(F.col("_k") * F.col("_k") * F.col("_k") - F.col("_k"))
+        .cast("double")
+        .alias("_tsum"),
+    )
+    comb = per_t.crossJoin(F.broadcast(ties)).agg(
+        F.first("_n").alias("_n"),
+        F.first("_tsum").alias("_tsum"),
+        F.count(F.lit(1)).cast("double").alias("_kg"),
+        F.sum(F.col("_rt") * F.col("_rt") / F.col("_nt")).alias("_rsq"),
+    )
+    h = 12.0 / (F.col("_n") * (F.col("_n") + 1.0)) * F.col("_rsq") - 3.0 * (
+        F.col("_n") + 1.0
+    )
+    c = 1.0 - F.col("_tsum") / (
+        F.col("_n") * F.col("_n") * F.col("_n") - F.col("_n")
+    )
+    return comb.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_kg").cast("bigint").alias("k_groups"),
+        F.round(h * 1e6).cast("bigint").alias("h_q6"),
+        F.round(h / c * 1e6).cast("bigint").alias("h_tie_q6"),
+        (F.col("_kg") - 1.0).cast("bigint").alias("df"),
+    )
+
+
+ORACLE_KRUSKAL_WALLIS = """
+WITH ptv AS (
+  SELECT value, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+pv AS (SELECT value, sum(c) AS k FROM ptv GROUP BY 1),
+ranked AS (
+  SELECT value, k,
+         sum(k) OVER (ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - k + (k + 1) / 2.0 AS avg_rank
+  FROM pv
+),
+per_t AS (
+  SELECT event_type, sum(c)::DOUBLE AS nt,
+         sum((c * avg_rank)::DECIMAL(38,12))::DOUBLE AS rt
+  FROM ptv JOIN ranked USING (value) GROUP BY 1
+),
+ties AS (
+  SELECT sum(k)::DOUBLE AS n, sum(k * k * k - k)::DOUBLE AS tsum FROM pv
+),
+comb AS (
+  SELECT first(n) AS n, first(tsum) AS tsum,
+         count(*)::DOUBLE AS kg, sum(rt * rt / nt) AS rsq
+  FROM per_t CROSS JOIN ties
+)
+SELECT n::BIGINT AS n, kg::BIGINT AS k_groups,
+       round((12.0 / (n * (n + 1.0)) * rsq - 3.0 * (n + 1.0)) * 1e6)::BIGINT
+         AS h_q6,
+       round((12.0 / (n * (n + 1.0)) * rsq - 3.0 * (n + 1.0))
+             / (1.0 - tsum / (n * n * n - n)) * 1e6)::BIGINT AS h_tie_q6,
+       (kg - 1.0)::BIGINT AS df
+FROM comb
+"""
+
+
+QUERIES["kruskal_wallis_value_by_type"] = kruskal_wallis_value_by_type
+ORACLES["kruskal_wallis_value_by_type"] = ORACLE_KRUSKAL_WALLIS
+
+
+def wasserstein_weekend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the
+    weekend and weekday `value` distributions per event type: W1 =
+    integral |F_weekend(x) - F_weekday(x)| dx over the pooled support —
+    the drift metric that, unlike KS (sup gap) or PSI (binned), weights
+    HOW FAR mass moved, in value units.
+
+    Shape: distinct (type, value) rows carry weekend/weekday counts;
+    one TYPE-partitioned ordered window turns counts into both ECDFs
+    and the gap to the next support point; |dF|*gap terms accumulate
+    as DECIMAL. Support is per-type-partitioned (the dictionary of a
+    2dp-quantized metric), never a global sort; totals ride a bounded
+    broadcast."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    wk = F.dayofweek("ts").isin(1, 7)
+    pv = ev.groupBy("event_type", "value").agg(
+        F.sum(wk.cast("long")).alias("_cw"),
+        F.sum((~wk).cast("long")).alias("_cd"),
+    )
+    tot = pv.groupBy("event_type").agg(
+        F.sum("_cw").cast("double").alias("_nw"),
+        F.sum("_cd").cast("double").alias("_nd"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    curved = (
+        pv.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "_fw",
+            F.sum("_cw").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            / F.col("_nw"),
+        )
+        .withColumn(
+            "_fd",
+            F.sum("_cd").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            / F.col("_nd"),
+        )
+        .withColumn("_gap", F.lead("value").over(w) - F.col("value"))
+    )
+    agg = curved.groupBy("event_type").agg(
+        F.first("_nw").cast("bigint").alias("n_weekend"),
+        F.first("_nd").cast("bigint").alias("n_weekday"),
+        F.sum(
+            F.when(
+                F.col("_gap").isNotNull(),
+                (F.abs(F.col("_fw") - F.col("_fd")) * F.col("_gap")).cast(dec),
+            ).otherwise(F.lit(0).cast(dec))
+        )
+        .cast("double")
+        .alias("_w1"),
+    )
+    return agg.select(
+        "event_type",
+        "n_weekend",
+        "n_weekday",
+        F.round(F.col("_w1") * 1e6).cast("bigint").alias("w1_q6"),
+    )
+
+
+ORACLE_WASSERSTEIN = """
+WITH pv AS (
+  SELECT event_type, value,
+         sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS cw,
+         sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END) AS cd
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(cw)::DOUBLE AS nw, sum(cd)::DOUBLE AS nd
+  FROM pv GROUP BY 1
+),
+curved AS (
+  SELECT pv.event_type, nw, nd,
+         sum(cw) OVER (PARTITION BY pv.event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / nw AS fw,
+         sum(cd) OVER (PARTITION BY pv.event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / nd AS fd,
+         lead(value) OVER (PARTITION BY pv.event_type ORDER BY value)
+           - value AS gap
+  FROM pv JOIN tot USING (event_type)
+)
+SELECT event_type, first(nw)::BIGINT AS n_weekend,
+       first(nd)::BIGINT AS n_weekday,
+       round(sum(CASE WHEN gap IS NOT NULL
+                      THEN (abs(fw - fd) * gap)::DECIMAL(38,12)
+                      ELSE 0::DECIMAL(38,12) END)::DOUBLE * 1e6)::BIGINT
+         AS w1_q6
+FROM curved GROUP BY event_type
+"""
+
+
+QUERIES["wasserstein_weekend_shift"] = wasserstein_weekend_shift
+ORACLES["wasserstein_weekend_shift"] = ORACLE_WASSERSTEIN
