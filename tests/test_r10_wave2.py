@@ -193,3 +193,25 @@ def test_wasserstein_pure_shift_equals_delta(spark, tmp_path):
     sf = _with_events(tmp_path, _synthetic_events(spark, rows))
     r = QUERIES["wasserstein_weekend_shift"](spark, sf).collect()[0]
     assert r["w1_q6"] == 2_500_000
+
+
+def test_brier_murphy_identity(spark):
+    r = QUERIES["brier_decomposition"](spark, SF).collect()[0]
+    # BS = REL - RES + UNC holds exactly for bin-constant forecasts;
+    # quantization allows a few ppm of slack
+    assert abs(r["brier_q6"] - (r["rel_q6"] - r["res_q6"] + r["unc_q6"])) <= 3
+    assert 0 <= r["brier_q6"] <= 1_000_000
+    assert r["rel_q6"] >= 0 and r["res_q6"] >= 0
+    assert 0 <= r["unc_q6"] <= 250_000  # o(1-o) <= 1/4
+    assert r["n_eval"] > 0
+
+
+def test_cronbach_alpha_bounds_and_mean_r(spark):
+    r = QUERIES["cronbachs_alpha_items"](spark, SF).collect()[0]
+    k = r["k_items"]
+    assert k == 4 and r["n"] > 0
+    alpha, mean_r = r["alpha_q6"] / 1e6, r["mean_r_q6"] / 1e6
+    assert alpha <= 1.0 + 1e-6
+    # Spearman-Brown consistency: alpha == k*r / (1 + (k-1)*r) for
+    # standardized items (both derived from the same composite variance)
+    assert abs(alpha - k * mean_r / (1 + (k - 1) * mean_r)) < 1e-4

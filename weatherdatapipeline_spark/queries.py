@@ -18497,3 +18497,248 @@ FROM curved GROUP BY event_type
 
 QUERIES["wasserstein_weekend_shift"] = wasserstein_weekend_shift
 ORACLES["wasserstein_weekend_shift"] = ORACLE_WASSERSTEIN
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for a binary
+    forecast: BS = REL - RES + UNC, where reliability penalizes
+    mis-calibrated forecast bins, resolution rewards bins whose
+    outcome rate departs from base rate, and uncertainty is the
+    irreducible o*(1-o). Forecast: P(purchase | hour-of-day) fit on
+    the FIRST half of the month (rounded to 4dp so both engines score
+    identical literals), evaluated on the SECOND half — a genuine
+    out-of-sample calibration audit (compare the isotonic/calibration
+    queries, which grade IN-sample fits). The identity holds exactly
+    here because forecasts are constant within hour bins.
+
+    Shape: one 24-row training aggregate broadcast onto the eval scan,
+    one hour-keyed eval aggregate (bounded), one single-row combine —
+    no window, no global sort."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    y = (F.col("event_type") == "purchase").cast("double")
+    train = ev.filter(F.col("ts") < cut).groupBy(F.hour("ts").alias("_h")).agg(
+        F.round(F.sum(y.cast(dec)).cast("double") / F.count(F.lit(1)), 4).alias("_p")
+    )
+    base = ev.filter(F.col("ts") < cut).agg(
+        F.round(F.sum(y.cast(dec)).cast("double") / F.count(F.lit(1)), 4).alias("_p0")
+    )
+    ev_eval = (
+        ev.filter(F.col("ts") >= cut)
+        .select(F.hour("ts").alias("_h"), y.alias("_y"))
+        .join(F.broadcast(train), "_h", "left")
+        .crossJoin(F.broadcast(base))
+        .withColumn("_pf", F.coalesce(F.col("_p"), F.col("_p0")))
+    )
+    per_h = ev_eval.groupBy("_pf").agg(
+        F.count(F.lit(1)).cast("double").alias("_nk"),
+        F.sum(F.col("_y").cast(dec)).cast("double").alias("_ok"),
+        F.sum(((F.col("_pf") - F.col("_y")) * (F.col("_pf") - F.col("_y"))).cast(dec))
+        .cast("double")
+        .alias("_bs"),
+    )
+    comb = per_h.agg(
+        F.sum("_nk").alias("_n"),
+        F.sum("_ok").alias("_o"),
+        F.sum("_bs").alias("_bsum"),
+        F.sum(
+            F.col("_nk")
+            * (F.col("_pf") - F.col("_ok") / F.col("_nk"))
+            * (F.col("_pf") - F.col("_ok") / F.col("_nk"))
+        ).alias("_rel"),
+        F.sum(F.col("_ok") * F.col("_ok") / F.col("_nk")).alias("_osq"),
+    )
+    obar = F.col("_o") / F.col("_n")
+    res = (F.col("_osq") - F.col("_o") * obar) / F.col("_n")
+    return comb.select(
+        F.col("_n").cast("bigint").alias("n_eval"),
+        F.round(F.col("_bsum") / F.col("_n") * 1e6).cast("bigint").alias("brier_q6"),
+        F.round(F.col("_rel") / F.col("_n") * 1e6).cast("bigint").alias("rel_q6"),
+        F.round(res * 1e6).cast("bigint").alias("res_q6"),
+        F.round(obar * (1.0 - obar) * 1e6).cast("bigint").alias("unc_q6"),
+    )
+
+
+ORACLE_BRIER = """
+WITH train AS (
+  SELECT hour(ts) AS h,
+         round(sum((CASE WHEN event_type = 'purchase' THEN 1.0
+                         ELSE 0.0 END)::DECIMAL(38,12))::DOUBLE
+               / count(*), 4) AS p
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1
+),
+base AS (
+  SELECT round(sum((CASE WHEN event_type = 'purchase' THEN 1.0
+                         ELSE 0.0 END)::DECIMAL(38,12))::DOUBLE
+               / count(*), 4) AS p0
+  FROM events WHERE ts < TIMESTAMP '2024-01-16'
+),
+ev AS (
+  SELECT coalesce(t.p, b.p0) AS pf,
+         CASE WHEN e.event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events e LEFT JOIN train t ON hour(e.ts) = t.h
+  CROSS JOIN base b
+  WHERE e.ts >= TIMESTAMP '2024-01-16'
+),
+per_h AS (
+  SELECT pf, count(*)::DOUBLE AS nk,
+         sum((y)::DECIMAL(38,12))::DOUBLE AS ok,
+         sum(((pf - y) * (pf - y))::DECIMAL(38,12))::DOUBLE AS bs
+  FROM ev GROUP BY 1
+),
+comb AS (
+  SELECT sum(nk) AS n, sum(ok) AS o, sum(bs) AS bsum,
+         sum(nk * (pf - ok / nk) * (pf - ok / nk)) AS rel,
+         sum(ok * ok / nk) AS osq
+  FROM per_h
+)
+SELECT n::BIGINT AS n_eval,
+       round(bsum / n * 1e6)::BIGINT AS brier_q6,
+       round(rel / n * 1e6)::BIGINT AS rel_q6,
+       round((osq - o * (o / n)) / n * 1e6)::BIGINT AS res_q6,
+       round((o / n) * (1.0 - o / n) * 1e6)::BIGINT AS unc_q6
+FROM comb
+"""
+
+
+QUERIES["brier_decomposition"] = brier_decomposition
+ORACLES["brier_decomposition"] = ORACLE_BRIER
+
+
+def cronbachs_alpha_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient (Cronbach
+    1951) over four standardized lineitem measures (quantity,
+    extendedprice, discount, tax): alpha = k/(k-1) * (1 - sum
+    var(z_i) / var(sum_i z_i)) — the scale-reliability audit run on
+    any composite metric before shipping it; also reports the implied
+    mean inter-item correlation r = (vt/k - 1)/(k - 1) where vt is
+    the composite variance of k unit-variance items.
+
+    Shape: one single-row moment aggregate (means/sds rounded to 6dp)
+    broadcast back as literals, a map-only standardize + row-sum
+    projection, one single-row DECIMAL moment aggregate. Two passes
+    over the scan, no shuffle beyond two 1-row reductions."""
+    dec = "decimal(38,12)"
+    li = _t(spark, sf_dir, "lineitem")
+    items = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    k = float(len(items))
+    stats = li.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        *[
+            F.round(F.sum(F.col(c).cast(dec)).cast("double") / F.count(F.lit(1)), 6)
+            .alias(f"_mu_{c}")
+            for c in items
+        ],
+        *[
+            F.round(
+                F.sqrt(
+                    F.sum((F.col(c) * F.col(c)).cast(dec)).cast("double")
+                    / F.count(F.lit(1))
+                    - (F.sum(F.col(c).cast(dec)).cast("double") / F.count(F.lit(1)))
+                    * (F.sum(F.col(c).cast(dec)).cast("double") / F.count(F.lit(1)))
+                ),
+                6,
+            ).alias(f"_sd_{c}")
+            for c in items
+        ],
+    )
+    z = li.crossJoin(F.broadcast(stats)).select(
+        *[
+            ((F.col(c) - F.col(f"_mu_{c}")) / F.col(f"_sd_{c}")).alias(f"_z{i}")
+            for i, c in enumerate(items)
+        ]
+    )
+    zsum = sum((F.col(f"_z{i}") for i in range(1, len(items))), F.col("_z0"))
+    mo = z.select(*[F.col(f"_z{i}") for i in range(len(items))], zsum.alias("_zt")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        *[
+            F.sum(F.col(f"_z{i}").cast(dec)).cast("double").alias(f"_s{i}")
+            for i in range(len(items))
+        ],
+        *[
+            F.sum((F.col(f"_z{i}") * F.col(f"_z{i}")).cast(dec))
+            .cast("double")
+            .alias(f"_q{i}")
+            for i in range(len(items))
+        ],
+        F.sum(F.col("_zt").cast(dec)).cast("double").alias("_st"),
+        F.sum((F.col("_zt") * F.col("_zt")).cast(dec)).cast("double").alias("_qt"),
+    )
+    n = F.col("_n")
+    var_sum = sum(
+        (
+            F.col(f"_q{i}") / n - (F.col(f"_s{i}") / n) * (F.col(f"_s{i}") / n)
+            for i in range(1, len(items))
+        ),
+        F.col("_q0") / n - (F.col("_s0") / n) * (F.col("_s0") / n),
+    )
+    var_t = F.col("_qt") / n - (F.col("_st") / n) * (F.col("_st") / n)
+    alpha = k / (k - 1.0) * (1.0 - var_sum / var_t)
+    return mo.select(
+        n.cast("bigint").alias("n"),
+        F.lit(int(k)).cast("bigint").alias("k_items"),
+        F.round(alpha * 1e6).cast("bigint").alias("alpha_q6"),
+        F.round((var_t / k - 1.0) / (k - 1.0) * 1e6).cast("bigint").alias(
+            "mean_r_q6"
+        ),
+    )
+
+
+ORACLE_CRONBACH = """
+WITH stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         round(sum((l_quantity)::DECIMAL(38,12))::DOUBLE / count(*), 6) AS mu0,
+         round(sum((l_extendedprice)::DECIMAL(38,12))::DOUBLE / count(*), 6) AS mu1,
+         round(sum((l_discount)::DECIMAL(38,12))::DOUBLE / count(*), 6) AS mu2,
+         round(sum((l_tax)::DECIMAL(38,12))::DOUBLE / count(*), 6) AS mu3,
+         round(sqrt(sum((l_quantity * l_quantity)::DECIMAL(38,12))::DOUBLE / count(*)
+           - (sum((l_quantity)::DECIMAL(38,12))::DOUBLE / count(*))
+             * (sum((l_quantity)::DECIMAL(38,12))::DOUBLE / count(*))), 6) AS sd0,
+         round(sqrt(sum((l_extendedprice * l_extendedprice)::DECIMAL(38,12))::DOUBLE / count(*)
+           - (sum((l_extendedprice)::DECIMAL(38,12))::DOUBLE / count(*))
+             * (sum((l_extendedprice)::DECIMAL(38,12))::DOUBLE / count(*))), 6) AS sd1,
+         round(sqrt(sum((l_discount * l_discount)::DECIMAL(38,12))::DOUBLE / count(*)
+           - (sum((l_discount)::DECIMAL(38,12))::DOUBLE / count(*))
+             * (sum((l_discount)::DECIMAL(38,12))::DOUBLE / count(*))), 6) AS sd2,
+         round(sqrt(sum((l_tax * l_tax)::DECIMAL(38,12))::DOUBLE / count(*)
+           - (sum((l_tax)::DECIMAL(38,12))::DOUBLE / count(*))
+             * (sum((l_tax)::DECIMAL(38,12))::DOUBLE / count(*))), 6) AS sd3
+  FROM lineitem
+),
+z AS (
+  SELECT (l_quantity - mu0) / sd0 AS z0,
+         (l_extendedprice - mu1) / sd1 AS z1,
+         (l_discount - mu2) / sd2 AS z2,
+         (l_tax - mu3) / sd3 AS z3,
+         (l_quantity - mu0) / sd0 + (l_extendedprice - mu1) / sd1
+           + (l_discount - mu2) / sd2 + (l_tax - mu3) / sd3 AS zt
+  FROM lineitem CROSS JOIN stats
+),
+mo AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum((z0)::DECIMAL(38,12))::DOUBLE AS s0,
+         sum((z1)::DECIMAL(38,12))::DOUBLE AS s1,
+         sum((z2)::DECIMAL(38,12))::DOUBLE AS s2,
+         sum((z3)::DECIMAL(38,12))::DOUBLE AS s3,
+         sum((z0 * z0)::DECIMAL(38,12))::DOUBLE AS q0,
+         sum((z1 * z1)::DECIMAL(38,12))::DOUBLE AS q1,
+         sum((z2 * z2)::DECIMAL(38,12))::DOUBLE AS q2,
+         sum((z3 * z3)::DECIMAL(38,12))::DOUBLE AS q3,
+         sum((zt)::DECIMAL(38,12))::DOUBLE AS st,
+         sum((zt * zt)::DECIMAL(38,12))::DOUBLE AS qt
+  FROM z
+)
+SELECT n::BIGINT AS n, 4::BIGINT AS k_items,
+       round(4.0 / 3.0 * (1.0 -
+         ((q0 / n - (s0 / n) * (s0 / n)) + (q1 / n - (s1 / n) * (s1 / n))
+          + (q2 / n - (s2 / n) * (s2 / n)) + (q3 / n - (s3 / n) * (s3 / n)))
+         / (qt / n - (st / n) * (st / n))) * 1e6)::BIGINT AS alpha_q6,
+       round(((qt / n - (st / n) * (st / n)) / 4.0 - 1.0) / 3.0
+             * 1e6)::BIGINT AS mean_r_q6
+FROM mo
+"""
+
+
+QUERIES["cronbachs_alpha_items"] = cronbachs_alpha_items
+ORACLES["cronbachs_alpha_items"] = ORACLE_CRONBACH
