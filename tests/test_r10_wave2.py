@@ -215,3 +215,57 @@ def test_cronbach_alpha_bounds_and_mean_r(spark):
     # Spearman-Brown consistency: alpha == k*r / (1 + (k-1)*r) for
     # standardized items (both derived from the same composite variance)
     assert abs(alpha - k * mean_r / (1 + (k - 1) * mean_r)) < 1e-4
+
+
+def test_fk_audit_star_schema_keys_hold(spark):
+    rows = {r["child"]: r for r in QUERIES["fk_candidate_audit"](spark, SF).collect()}
+    assert len(rows) == 6
+    for true_fk in ("lineitem.l_orderkey", "lineitem.l_partkey",
+                    "lineitem.l_suppkey", "orders.o_custkey",
+                    "customer.c_nationkey"):
+        r = rows[true_fk]
+        assert r["is_inclusion"] == 1 and r["containment_q6"] == 1_000_000
+        assert r["parent_unique"] == 1
+    for r in rows.values():
+        assert 0 <= r["contained"] <= r["child_distinct"]
+
+
+def test_fd_audit_keys_hold_and_fanouts_sane(spark):
+    rows = {r["candidate"]: r for r in QUERIES["functional_dependency_audit"](spark, SF).collect()}
+    assert rows["orders: o_orderkey -> o_orderstatus"]["holds"] == 1
+    assert rows["customer: c_custkey -> c_nationkey"]["holds"] == 1
+    for r in rows.values():
+        assert r["max_fanout"] >= 1
+        assert (r["holds"] == 1) == (r["violating_groups"] == 0)
+        assert r["violating_groups"] <= r["n_groups"]
+
+
+def test_ams_f2_estimates_concentrate(spark):
+    r = QUERIES["ams_f2_sketch"](spark, SF).collect()[0]
+    assert r["reps"] == 32
+    assert r["exact_f2"] > 0
+    # std of one AMS estimate is sqrt(2)*F2; the 32-rep median should land
+    # well within a factor of 2 of the truth on real data
+    assert 0.3 * r["exact_f2"] <= r["median_est"] <= 3.0 * r["exact_f2"]
+    assert abs(r["median_rel_err_q4"]) <= 20_000
+
+
+def test_kendall_tau_planted_orderings(spark, tmp_path):
+    # day d: volume d+1 events, mean value increasing with d -> tau = +1
+    rows = []
+    for d in range(8):
+        for i in range(d + 1):
+            rows.append((f"2024-01-{d + 1:02d} 07:{i:02d}:00", 1, "t", float(10 * d)))
+    sf = _with_events(tmp_path, _synthetic_events(spark, rows))
+    r = QUERIES["kendall_tau_daily"](spark, sf).collect()[0]
+    assert r["n_days"] == 8
+    assert r["discordant"] == 0 and r["concordant"] == 8 * 7 // 2
+    assert r["tau_b_q6"] == 1_000_000
+    # reverse the value ordering -> tau = -1
+    rows2 = []
+    for d in range(8):
+        for i in range(d + 1):
+            rows2.append((f"2024-01-{d + 1:02d} 07:{i:02d}:00", 1, "t", float(-10 * d)))
+    sf2 = _with_events(tmp_path / "rev", _synthetic_events(spark, rows2))
+    r2 = QUERIES["kendall_tau_daily"](spark, sf2).collect()[0]
+    assert r2["tau_b_q6"] == -1_000_000

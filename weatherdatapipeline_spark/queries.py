@@ -18742,3 +18742,371 @@ FROM mo
 
 QUERIES["cronbachs_alpha_items"] = cronbachs_alpha_items
 ORACLES["cronbachs_alpha_items"] = ORACLE_CRONBACH
+
+
+# fixed candidate FK pairs the containment profiler grades:
+# (child table, child col, parent table, parent col) — a mix of true
+# star-schema keys and a negative control (events.user_id is NOT drawn
+# from customer keys)
+_FK_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def fk_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key candidate) profiler over a
+    fixed candidate list — the schema-discovery pass (Papenbrock 2015
+    BINDER-style, on declared candidates) a lake catalog runs before
+    trusting joins: per (child.col -> parent.col) report distinct
+    child values, how many are contained in the parent, the
+    containment ratio, whether containment is TOTAL (a valid FK), and
+    whether the parent side is unique (an actual key, not just a
+    domain).
+
+    Shape: per candidate, two distinct-aggregates and one left-semi
+    join on the distinct dictionaries (never the raw tables); the six
+    bounded audit rows union. Distinct-key shuffles only — raw scans
+    reduce map-side."""
+    rows = []
+    for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
+        child = (
+            _t(spark, sf_dir, child_t)
+            .select(F.col(child_c).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .distinct()
+        )
+        parent = _t(spark, sf_dir, parent_t).select(F.col(parent_c).alias("_v"))
+        pstats = parent.agg(
+            F.count(F.lit(1)).alias("_pn"),
+            F.count_distinct(F.col("_v")).alias("_pd"),
+        )
+        contained = child.join(parent.distinct(), "_v", "left_semi")
+        audit = (
+            child.agg(F.count(F.lit(1)).alias("_cd"))
+            .crossJoin(contained.agg(F.count(F.lit(1)).alias("_in")))
+            .crossJoin(F.broadcast(pstats))
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("child"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent"),
+                F.col("_cd").cast("bigint").alias("child_distinct"),
+                F.col("_in").cast("bigint").alias("contained"),
+                F.round(F.col("_in") / F.col("_cd") * 1e6)
+                .cast("bigint")
+                .alias("containment_q6"),
+                (F.col("_in") == F.col("_cd")).cast("int").cast("bigint").alias(
+                    "is_inclusion"
+                ),
+                (F.col("_pd") == F.col("_pn")).cast("int").cast("bigint").alias(
+                    "parent_unique"
+                ),
+            )
+        )
+        rows.append(audit)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _fk_oracle_one(child_t, child_c, parent_t, parent_c):
+    return f"""
+  SELECT '{child_t}.{child_c}' AS child, '{parent_t}.{parent_c}' AS parent,
+         (SELECT count(DISTINCT {child_c}) FROM {child_t}
+          WHERE {child_c} IS NOT NULL)::BIGINT AS child_distinct,
+         (SELECT count(*) FROM
+            (SELECT DISTINCT {child_c} AS v FROM {child_t}
+             WHERE {child_c} IS NOT NULL) c
+          WHERE EXISTS (SELECT 1 FROM {parent_t} p
+                        WHERE p.{parent_c} = c.v))::BIGINT AS contained,
+         round((SELECT count(*) FROM
+                  (SELECT DISTINCT {child_c} AS v FROM {child_t}
+                   WHERE {child_c} IS NOT NULL) c
+                WHERE EXISTS (SELECT 1 FROM {parent_t} p
+                              WHERE p.{parent_c} = c.v))
+               / (SELECT count(DISTINCT {child_c}) FROM {child_t}
+                  WHERE {child_c} IS NOT NULL)::DOUBLE * 1e6)::BIGINT
+           AS containment_q6,
+         ((SELECT count(*) FROM
+             (SELECT DISTINCT {child_c} AS v FROM {child_t}
+              WHERE {child_c} IS NOT NULL) c
+           WHERE EXISTS (SELECT 1 FROM {parent_t} p
+                         WHERE p.{parent_c} = c.v))
+          = (SELECT count(DISTINCT {child_c}) FROM {child_t}
+             WHERE {child_c} IS NOT NULL))::INT::BIGINT AS is_inclusion,
+         ((SELECT count(DISTINCT {parent_c}) FROM {parent_t})
+          = (SELECT count(*) FROM {parent_t}))::INT::BIGINT AS parent_unique
+"""
+
+
+ORACLE_FK_AUDIT = " UNION ALL ".join(
+    _fk_oracle_one(*cand) for cand in _FK_CANDIDATES
+)
+
+
+QUERIES["fk_candidate_audit"] = fk_candidate_audit
+ORACLES["fk_candidate_audit"] = ORACLE_FK_AUDIT
+
+
+# fixed functional-dependency candidates (table, determinant, dependent):
+# two genuine keys that must hold, four plausible-but-false dependencies
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("events", "user_id", "event_type"),
+    ("customer", "c_custkey", "c_nationkey"),
+]
+
+
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiler over a fixed candidate list
+    (TANE/Papenbrock-style validation on declared candidates): for each
+    X -> Y report determinant-group count, groups violating the FD
+    (more than one distinct Y), the worst group's distinct-Y fan-out,
+    the violation ratio, and whether the FD holds exactly — the
+    prerequisite audit for trusting SCD keys, dedup keys, and
+    dimension conformance.
+
+    Shape: per candidate one (X)-keyed count_distinct aggregate
+    followed by a bounded 1-row summary; six rows union. Map-side
+    partial aggs; group cardinality bounded by the key domain."""
+    rows = []
+    for tbl, det, dep in _FD_CANDIDATES:
+        g = (
+            _t(spark, sf_dir, tbl)
+            .groupBy(F.col(det).alias("_x"))
+            .agg(F.count_distinct(F.col(dep)).alias("_ny"))
+        )
+        audit = g.agg(
+            F.lit(f"{tbl}: {det} -> {dep}").alias("candidate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum((F.col("_ny") > 1).cast("long")).cast("bigint").alias(
+                "violating_groups"
+            ),
+            F.max("_ny").cast("bigint").alias("max_fanout"),
+            F.round(
+                F.sum((F.col("_ny") > 1).cast("long")) / F.count(F.lit(1)) * 1e6
+            )
+            .cast("bigint")
+            .alias("violation_q6"),
+            (F.max("_ny") == 1).cast("int").cast("bigint").alias("holds"),
+        )
+        rows.append(audit)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _fd_oracle_one(tbl, det, dep):
+    return f"""
+  SELECT '{tbl}: {det} -> {dep}' AS candidate,
+         count(*)::BIGINT AS n_groups,
+         sum((ny > 1)::INT)::BIGINT AS violating_groups,
+         max(ny)::BIGINT AS max_fanout,
+         round(sum((ny > 1)::INT) / count(*)::DOUBLE * 1e6)::BIGINT
+           AS violation_q6,
+         (max(ny) = 1)::INT::BIGINT AS holds
+  FROM (SELECT {det} AS x, count(DISTINCT {dep}) AS ny
+        FROM {tbl} GROUP BY 1)
+"""
+
+
+ORACLE_FD_AUDIT = " UNION ALL ".join(_fd_oracle_one(*c) for c in _FD_CANDIDATES)
+
+
+QUERIES["functional_dependency_audit"] = functional_dependency_audit
+ORACLES["functional_dependency_audit"] = ORACLE_FD_AUDIT
+
+
+_AMS_REPS = 32  # independent Rademacher projections in the F2 sketch
+
+
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996)
+    over events.user_id, audited against the exact F2 = sum_u c_u^2
+    (the self-join size / collision mass that prices every equi-join
+    and skew decision): 32 independent Rademacher projections S_r =
+    sum_u c_u * sign(u, r) with sign from the portable md5 parity (same
+    idiom as the MinHash/HLL family — identical literals both engines);
+    each S_r^2 is an unbiased F2 estimate; report the interpolated
+    MEDIAN and MEAN of the 32 estimates and the median's relative
+    error. Everything is integer until the final division, so the
+    sketch is bit-deterministic.
+
+    Shape: one user-keyed count (map-side partial), a x32 rep fan-out
+    of the AGGREGATED user dictionary (never the raw scan), a 32-row
+    sketch table, a 1-row combine. Mergeable across shards by summing
+    S_r — the 100 TB path keeps only 32 counters per partition."""
+    ev = _t(spark, sf_dir, "events")
+    cu = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_c"))
+    reps = cu.select(
+        "user_id", "_c", F.explode(F.sequence(F.lit(0), F.lit(_AMS_REPS - 1))).alias("_r")
+    )
+    sign = (
+        1
+        - 2
+        * (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("user_id"), F.col("_r"))), 1, 1
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+    ).cast("long")
+    sk = reps.groupBy("_r").agg(F.sum(F.col("_c") * sign).alias("_s"))
+    est = sk.select((F.col("_s") * F.col("_s")).cast("double").alias("_e"))
+    exact = cu.agg(F.sum(F.col("_c") * F.col("_c")).alias("_f2"))
+    comb = est.agg(
+        F.count(F.lit(1)).cast("bigint").alias("reps"),
+        F.percentile("_e", F.lit(0.5)).alias("_med"),
+        F.avg("_e").alias("_mean"),
+    ).crossJoin(F.broadcast(exact))
+    return comb.select(
+        "reps",
+        F.col("_f2").cast("bigint").alias("exact_f2"),
+        F.round(F.col("_med")).cast("bigint").alias("median_est"),
+        F.round(F.col("_mean") * 1e2).cast("bigint").alias("mean_est_q2"),
+        F.round((F.col("_med") - F.col("_f2")) / F.col("_f2") * 1e4)
+        .cast("bigint")
+        .alias("median_rel_err_q4"),
+    )
+
+
+ORACLE_AMS_F2 = f"""
+WITH cu AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+reps AS (
+  SELECT user_id, c, r.range AS r
+  FROM cu CROSS JOIN range(0, {_AMS_REPS}) r
+),
+sk AS (
+  SELECT r,
+         sum(c * (1 - 2 * (('0x' || substr(md5(user_id::VARCHAR || '|'
+                   || r::VARCHAR), 1, 1))::BIGINT % 2))) AS s
+  FROM reps GROUP BY 1
+),
+est AS (SELECT (s * s)::DOUBLE AS e FROM sk),
+exact AS (SELECT sum(c * c) AS f2 FROM cu)
+SELECT count(*)::BIGINT AS reps, f2::BIGINT AS exact_f2,
+       round(quantile_cont(e, 0.5))::BIGINT AS median_est,
+       round(avg(e) * 1e2)::BIGINT AS mean_est_q2,
+       round((quantile_cont(e, 0.5) - f2) / f2 * 1e4)::BIGINT
+         AS median_rel_err_q4
+FROM est CROSS JOIN exact
+GROUP BY f2
+"""
+
+
+QUERIES["ams_f2_sketch"] = ams_f2_sketch
+ORACLES["ams_f2_sketch"] = ORACLE_AMS_F2
+
+
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (Kendall 1938) between daily
+    event VOLUME and daily mean VALUE — "do busy days run hot?" — the
+    tie-corrected concordance coefficient that, unlike Pearson (see
+    corr_matrix) or Spearman (see spearman_corr), is a direct
+    probability statement: tau = P(concordant) - P(discordant).
+
+    Shape: events collapse to the calendar-bounded daily table first,
+    so the i<j pair join is days^2-bounded regardless of corpus size
+    (same contract as Mann-Kendall); tie terms come from two bounded
+    dictionary aggregates. No window."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("_d")).agg(
+        F.count(F.lit(1)).cast("long").alias("_x"),
+        F.round(
+            F.sum(F.col("value").cast(dec)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("_y"),
+    )
+    a = daily.select(
+        F.col("_d").alias("_di"), F.col("_x").alias("_xi"), F.col("_y").alias("_yi")
+    )
+    b = daily.select(
+        F.col("_d").alias("_dj"), F.col("_x").alias("_xj"), F.col("_y").alias("_yj")
+    )
+    pairs = a.crossJoin(b).filter(F.col("_dj") > F.col("_di"))
+    cd = pairs.agg(
+        F.sum(
+            (
+                F.signum((F.col("_xj") - F.col("_xi")).cast("double"))
+                * F.signum(F.col("_yj") - F.col("_yi"))
+                == 1.0
+            ).cast("long")
+        ).alias("_c"),
+        F.sum(
+            (
+                F.signum((F.col("_xj") - F.col("_xi")).cast("double"))
+                * F.signum(F.col("_yj") - F.col("_yi"))
+                == -1.0
+            ).cast("long")
+        ).alias("_dd"),
+    )
+    n_tab = daily.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    tx = (
+        daily.groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        .agg(F.sum(F.col("_t") * (F.col("_t") - 1.0) / 2.0).alias("_tx"))
+    )
+    ty = (
+        daily.groupBy("_y")
+        .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        .agg(F.sum(F.col("_t") * (F.col("_t") - 1.0) / 2.0).alias("_ty"))
+    )
+    comb = (
+        cd.crossJoin(F.broadcast(n_tab))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n0 = F.col("_n") * (F.col("_n") - 1.0) / 2.0
+    tau_b = (F.col("_c") - F.col("_dd")) / F.sqrt(
+        (n0 - F.col("_tx")) * (n0 - F.col("_ty"))
+    )
+    return comb.select(
+        F.col("_n").cast("bigint").alias("n_days"),
+        F.col("_c").cast("bigint").alias("concordant"),
+        F.col("_dd").cast("bigint").alias("discordant"),
+        F.round(tau_b * 1e6).cast("bigint").alias("tau_b_q6"),
+    )
+
+
+ORACLE_KENDALL_TAU = """
+WITH daily AS (
+  SELECT ts::DATE AS d, count(*)::BIGINT AS x,
+         round(sum((value)::DECIMAL(38,12))::DOUBLE / count(*), 6) AS y
+  FROM events GROUP BY 1
+),
+cd AS (
+  SELECT sum((CASE WHEN (b.x > a.x AND b.y > a.y)
+                     OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END))
+           AS c,
+         sum((CASE WHEN (b.x > a.x AND b.y < a.y)
+                     OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END))
+           AS dd
+  FROM daily a JOIN daily b ON b.d > a.d
+),
+n_tab AS (SELECT count(*)::DOUBLE AS n FROM daily),
+tx AS (SELECT sum(t * (t - 1.0) / 2.0) AS tx
+       FROM (SELECT count(*)::DOUBLE AS t FROM daily GROUP BY x)),
+ty AS (SELECT sum(t * (t - 1.0) / 2.0) AS ty
+       FROM (SELECT count(*)::DOUBLE AS t FROM daily GROUP BY y))
+SELECT n::BIGINT AS n_days, c::BIGINT AS concordant, dd::BIGINT AS discordant,
+       round((c - dd) / sqrt((n * (n - 1.0) / 2.0 - tx)
+                             * (n * (n - 1.0) / 2.0 - ty)) * 1e6)::BIGINT
+         AS tau_b_q6
+FROM cd CROSS JOIN n_tab CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+QUERIES["kendall_tau_daily"] = kendall_tau_daily
+ORACLES["kendall_tau_daily"] = ORACLE_KENDALL_TAU
