@@ -269,3 +269,75 @@ def test_kendall_tau_planted_orderings(spark, tmp_path):
     sf2 = _with_events(tmp_path / "rev", _synthetic_events(spark, rows2))
     r2 = QUERIES["kendall_tau_daily"](spark, sf2).collect()[0]
     assert r2["tau_b_q6"] == -1_000_000
+
+
+def test_gumbel_return_levels_ordered_and_consistent(spark):
+    from weatherdatapipeline_spark.queries import (
+        _GUMBEL_Y100,
+        _GUMBEL_Y30,
+    )
+
+    for r in QUERIES["evt_gumbel_return_levels"](spark, SF).collect():
+        mu, sig = r["gumbel_mu_q4"] / 1e4, r["gumbel_sigma_q4"] / 1e4
+        assert sig > 0 and r["n_days"] > 1
+        assert abs(r["rl30_q4"] / 1e4 - (mu + sig * _GUMBEL_Y30)) < 4e-4
+        assert abs(r["rl100_q4"] / 1e4 - (mu + sig * _GUMBEL_Y100)) < 4e-4
+        assert r["rl100_q4"] > r["rl30_q4"] > r["gumbel_mu_q4"]
+
+
+def test_theil_decomposition_identity(spark):
+    r = QUERIES["theil_inequality_decomposition"](spark, SF).collect()[0]
+    assert r["theil_total_q6"] >= 0
+    assert r["theil_within_q6"] >= 0 and r["theil_between_q6"] >= -1
+    assert abs(r["theil_total_q6"] - (r["theil_within_q6"] + r["theil_between_q6"])) <= 2
+
+
+def test_df_unit_root_mean_reverting_vs_walk(spark, tmp_path):
+    # strongly mean-reverting daily series (alternating high/low) rejects;
+    # a deterministic pure trend (random-walk-like, gamma ~ 0) does not
+    rows = []
+    for d in range(28):
+        v = 100.0 + (25.0 if d % 2 == 0 else -25.0)
+        rows.append((f"2024-01-{d + 1:02d} 12:00:00", 1, "mr", v))
+        rows.append((f"2024-01-{d + 1:02d} 12:00:00", 1, "rw", 100.0 + 3.0 * d))
+    sf = _with_events(tmp_path, _synthetic_events(spark, rows))
+    r = {x["event_type"]: x for x in QUERIES["df_unit_root_daily"](spark, sf).collect()}
+    assert r["mr"]["mean_reverting_5pct"] == 1
+    assert r["mr"]["gamma_q6"] < -1_500_000  # gamma ~ -2 for alternation
+    assert r["rw"]["mean_reverting_5pct"] == 0
+    assert abs(r["rw"]["gamma_q6"]) < 100_000  # trend: gamma ~ 0
+
+
+def test_rdd_planted_jump(spark, tmp_path):
+    # full factorial (40 positions x 5 outcome slots) each side: outcome
+    # mix identical at every position, so slope = 0 and intercept = rate
+    # exactly; left rate 0.2, right rate 0.8 -> jump = 0.6
+    rows = []
+    for keep, lo in ((1, 150.0), (4, 250.0)):
+        for j in range(200):
+            t = "purchase" if (j % 5) < keep else "view"
+            v = lo + (j // 5) * 2.5
+            rows.append((f"2024-01-01 08:{j // 60:02d}:{j % 60:02d}", 1, t, v))
+    sf = _with_events(tmp_path, _synthetic_events(spark, rows))
+    r = QUERIES["regression_discontinuity_value"](spark, sf).collect()[0]
+    assert r["n_left"] == 200 and r["n_right"] == 200
+    assert abs(r["jump_q6"] / 1e6 - 0.6) < 1e-6
+    assert r["a_left_q6"] == 200_000 and r["a_right_q6"] == 800_000
+    assert abs(r["b_left_q6"]) <= 1 and abs(r["b_right_q6"]) <= 1
+
+
+def test_aipw_recovers_planted_effect(spark, tmp_path):
+    # outcome = 10*hour + 5*weekend: saturated nuisances make AIPW exact
+    rows = []
+    k = 0
+    for day, wk in (("06", True), ("07", True), ("08", False), ("09", False)):
+        for h in (3, 15):
+            for j in range(25):
+                y = 10.0 * h + (5.0 if wk else 0.0) + (j % 5) * 0.01
+                rows.append((f"2024-01-{day} {h:02d}:{j:02d}:00", 1, "t", y))
+                k += 1
+    sf = _with_events(tmp_path, _synthetic_events(spark, rows))
+    r = QUERIES["aipw_doubly_robust_ate"](spark, sf).collect()[0]
+    assert r["n"] == k
+    assert abs(r["ate_q6"] / 1e6 - 5.0) < 1e-3
+    assert r["ci_lo_q6"] <= r["ate_q6"] <= r["ci_hi_q6"]

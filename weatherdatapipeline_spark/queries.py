@@ -19110,3 +19110,453 @@ FROM cd CROSS JOIN n_tab CROSS JOIN tx CROSS JOIN ty
 
 QUERIES["kendall_tau_daily"] = kendall_tau_daily
 ORACLES["kendall_tau_daily"] = ORACLE_KENDALL_TAU
+
+
+# Gumbel method-of-moments constants, injected as identical literals into
+# both engines (never recomputed per-engine libm): sqrt(6)/pi, the
+# Euler-Mascheroni constant, and the reduced variates -ln(-ln(1-1/T))
+_GUMBEL_SQRT6_PI = 0.779696801233676
+_GUMBEL_EULER = 0.5772156649015329
+_GUMBEL_Y30 = 3.3842944934992527
+_GUMBEL_Y100 = 4.600149226776579
+
+
+def evt_gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value block-maxima analysis per event type: fit a Gumbel
+    (EV-I) distribution to the DAILY MAXIMA of `value` by method of
+    moments (scale = s * sqrt(6)/pi, location = m - euler * scale;
+    Gumbel 1958) and report the 30-day and 100-day return levels
+    x_T = mu + sigma * y_T — the "how bad can a day get" question every
+    capacity/weather pipeline answers from block maxima, on one pass.
+
+    Shape: events collapse to the calendar-bounded daily-max table
+    (map-side partial max), moments come from one bounded aggregate
+    with DECIMAL sums, return levels are scalar arithmetic on injected
+    literal constants. No window, no join."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("_d")).agg(
+        F.max("value").alias("_mx")
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("_mx").cast(dec)).cast("double").alias("_s1"),
+        F.sum((F.col("_mx") * F.col("_mx")).cast(dec)).cast("double").alias("_s2"),
+    )
+    m = F.col("_s1") / F.col("_n")
+    var = (F.col("_s2") - F.col("_s1") * m) / (F.col("_n") - 1.0)
+    sigma = F.sqrt(var) * _GUMBEL_SQRT6_PI
+    mu = m - _GUMBEL_EULER * sigma
+    return agg.select(
+        "event_type",
+        F.col("_n").cast("bigint").alias("n_days"),
+        F.round(mu * 1e4).cast("bigint").alias("gumbel_mu_q4"),
+        F.round(sigma * 1e4).cast("bigint").alias("gumbel_sigma_q4"),
+        F.round((mu + sigma * _GUMBEL_Y30) * 1e4).cast("bigint").alias("rl30_q4"),
+        F.round((mu + sigma * _GUMBEL_Y100) * 1e4).cast("bigint").alias("rl100_q4"),
+    )
+
+
+ORACLE_GUMBEL = f"""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, max(value) AS mx
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum((mx)::DECIMAL(38,12))::DOUBLE AS s1,
+         sum((mx * mx)::DECIMAL(38,12))::DOUBLE AS s2
+  FROM daily GROUP BY 1
+),
+fit AS (
+  SELECT event_type, n,
+         s1 / n AS m,
+         sqrt((s2 - s1 * (s1 / n)) / (n - 1.0)) * {_GUMBEL_SQRT6_PI} AS sigma
+  FROM agg
+)
+SELECT event_type, n::BIGINT AS n_days,
+       round((m - {_GUMBEL_EULER} * sigma) * 1e4)::BIGINT AS gumbel_mu_q4,
+       round(sigma * 1e4)::BIGINT AS gumbel_sigma_q4,
+       round((m - {_GUMBEL_EULER} * sigma + sigma * {_GUMBEL_Y30}) * 1e4)::BIGINT
+         AS rl30_q4,
+       round((m - {_GUMBEL_EULER} * sigma + sigma * {_GUMBEL_Y100}) * 1e4)::BIGINT
+         AS rl100_q4
+FROM fit
+"""
+
+
+QUERIES["evt_gumbel_return_levels"] = evt_gumbel_return_levels
+ORACLES["evt_gumbel_return_levels"] = ORACLE_GUMBEL
+
+
+def theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of `value` with its exact between/within
+    decomposition over event types (Theil 1967): T = sum_g s_g * T_g +
+    sum_g s_g * ln(mu_g / mu), where s_g is group g's share of total
+    value — THE additive inequality decomposition (Gini does not
+    decompose), answering "is value concentration driven by differences
+    ACROSS event types or WITHIN them?". Zero values contribute zero
+    mass (lim x->0 of x ln x).
+
+    Shape: T falls out of grouped sums alone — per group (n, sum x,
+    sum x*ln x as DECIMAL), one bounded combine; T_g = (sum x ln x)_g /
+    (n_g mu_g) - ln(mu_g) needs no per-row mean subtraction, so the
+    whole index is one aggregation pass. The within+between=total
+    identity is pinned in a test."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x.cast(dec)).cast("double").alias("_sx"),
+        F.sum(F.when(x > 0, (x * F.log(x)).cast(dec)).otherwise(F.lit(0).cast(dec)))
+        .cast("double")
+        .alias("_sxl"),
+    )
+    comb = g.agg(
+        F.sum("_n").alias("_nn"),
+        F.sum("_sx").alias("_tx"),
+        F.sum("_sxl").alias("_txl"),
+        F.sum(
+            F.col("_sx")
+            * (
+                F.col("_sxl") / F.col("_sx")
+                - F.log(F.col("_sx") / F.col("_n"))
+            )
+        ).alias("_win_num"),
+        F.sum(F.col("_sx") * F.log(F.col("_sx") / F.col("_n"))).alias("_btw_num"),
+    )
+    mu = F.col("_tx") / F.col("_nn")
+    t_total = F.col("_txl") / F.col("_tx") - F.log(mu)
+    t_within = F.col("_win_num") / F.col("_tx")
+    t_between = F.col("_btw_num") / F.col("_tx") - F.log(mu)
+    return comb.select(
+        F.col("_nn").cast("bigint").alias("n"),
+        F.round(t_total * 1e6).cast("bigint").alias("theil_total_q6"),
+        F.round(t_within * 1e6).cast("bigint").alias("theil_within_q6"),
+        F.round(t_between * 1e6).cast("bigint").alias("theil_between_q6"),
+    )
+
+
+ORACLE_THEIL = """
+WITH g AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum((value)::DECIMAL(38,12))::DOUBLE AS sx,
+         sum(CASE WHEN value > 0 THEN (value * ln(value))::DECIMAL(38,12)
+                  ELSE 0::DECIMAL(38,12) END)::DOUBLE AS sxl
+  FROM events GROUP BY 1
+),
+comb AS (
+  SELECT sum(n) AS nn, sum(sx) AS tx, sum(sxl) AS txl,
+         sum(sx * (sxl / sx - ln(sx / n))) AS win_num,
+         sum(sx * ln(sx / n)) AS btw_num
+  FROM g
+)
+SELECT nn::BIGINT AS n,
+       round((txl / tx - ln(tx / nn)) * 1e6)::BIGINT AS theil_total_q6,
+       round(win_num / tx * 1e6)::BIGINT AS theil_within_q6,
+       round((btw_num / tx - ln(tx / nn)) * 1e6)::BIGINT AS theil_between_q6
+FROM comb
+"""
+
+
+QUERIES["theil_inequality_decomposition"] = theil_inequality_decomposition
+ORACLES["theil_inequality_decomposition"] = ORACLE_THEIL
+
+
+def df_unit_root_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test per event type on the daily mean
+    value series (Dickey & Fuller 1979, zero-lag form): regress
+    delta_x_t on (1, x_{t-1}); the t-statistic on the x_{t-1}
+    coefficient rejects a random walk when strongly negative (5%
+    critical value ~ -2.86 for the constant-only case). Completes the
+    time-series battery: Mann-Kendall/Theil-Sen test TREND, DF tests
+    whether shocks are PERMANENT — the mean-reversion question behind
+    every "did the metric recover" readout.
+
+    Shape: calendar-bounded daily table, one TYPE-partitioned lag
+    window, closed-form simple OLS (slope, intercept, residual
+    variance) from one grouped DECIMAL aggregate. Bounded everywhere."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("_d")).agg(
+        F.round(
+            F.sum(F.col("value").cast(dec)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("_x")
+    )
+    w = Window.partitionBy("event_type").orderBy("_d")
+    pairs = (
+        daily.withColumn("_xp", F.lag("_x").over(w))
+        .filter(F.col("_xp").isNotNull())
+        .select("event_type", (F.col("_x") - F.col("_xp")).alias("_dy"), F.col("_xp"))
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("_xp").cast(dec)).cast("double").alias("_sx"),
+        F.sum(F.col("_dy").cast(dec)).cast("double").alias("_sy"),
+        F.sum((F.col("_xp") * F.col("_xp")).cast(dec)).cast("double").alias("_sxx"),
+        F.sum((F.col("_xp") * F.col("_dy")).cast(dec)).cast("double").alias("_sxy"),
+        F.sum((F.col("_dy") * F.col("_dy")).cast(dec)).cast("double").alias("_syy"),
+    )
+    n = F.col("_n")
+    sxx_c = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    sxy_c = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    syy_c = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    gamma = F.coalesce(F.try_divide(sxy_c, sxx_c), F.lit(0.0))
+    ssr = syy_c - gamma * sxy_c
+    se = F.sqrt(ssr / (n - 2.0) / sxx_c)
+    t = F.coalesce(F.try_divide(gamma, se), F.lit(0.0))
+    return agg.select(
+        "event_type",
+        n.cast("bigint").alias("n_diffs"),
+        F.round(gamma * 1e6).cast("bigint").alias("gamma_q6"),
+        F.round(t * 1e4).cast("bigint").alias("t_stat_q4"),
+        (t < -2.86).cast("int").cast("bigint").alias("mean_reverting_5pct"),
+    )
+
+
+ORACLE_DF_UNIT_ROOT = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d,
+         round(sum((value)::DECIMAL(38,12))::DOUBLE / count(*), 6) AS x
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT event_type, x - xp AS dy, xp
+  FROM (SELECT event_type, x,
+               lag(x) OVER (PARTITION BY event_type ORDER BY d) AS xp
+        FROM daily)
+  WHERE xp IS NOT NULL
+),
+agg AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum((xp)::DECIMAL(38,12))::DOUBLE AS sx,
+         sum((dy)::DECIMAL(38,12))::DOUBLE AS sy,
+         sum((xp * xp)::DECIMAL(38,12))::DOUBLE AS sxx,
+         sum((xp * dy)::DECIMAL(38,12))::DOUBLE AS sxy,
+         sum((dy * dy)::DECIMAL(38,12))::DOUBLE AS syy
+  FROM pairs GROUP BY 1
+),
+fit AS (
+  SELECT event_type, n,
+         coalesce((sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0), 0.0)
+           AS gamma,
+         (syy - sy * sy / n)
+           - coalesce((sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0), 0.0)
+             * (sxy - sx * sy / n) AS ssr,
+         sxx - sx * sx / n AS sxx_c
+  FROM agg
+),
+st AS (
+  SELECT event_type, n, gamma,
+         coalesce(gamma / nullif(sqrt(ssr / (n - 2.0) / sxx_c), 0), 0.0) AS t
+  FROM fit
+)
+SELECT event_type, n::BIGINT AS n_diffs,
+       round(gamma * 1e6)::BIGINT AS gamma_q6,
+       round(t * 1e4)::BIGINT AS t_stat_q4,
+       (t < -2.86)::INT::BIGINT AS mean_reverting_5pct
+FROM st
+"""
+
+
+QUERIES["df_unit_root_daily"] = df_unit_root_daily
+ORACLES["df_unit_root_daily"] = ORACLE_DF_UNIT_ROOT
+
+
+_RDD_CUTOFF = 250.0  # running-variable threshold
+_RDD_BANDWIDTH = 100.0  # local-linear estimation window each side
+
+
+def regression_discontinuity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite &
+    Campbell 1960; local linear per Hahn/Todd/van der Klaauw 2001):
+    running variable = event value, cutoff 250, outcome = purchase
+    indicator; fit y = a + b*(value - c) by OLS separately within a
+    +-100 bandwidth on each side and report the intercept jump
+    a_right - a_left — the boundary-effect estimator used whenever
+    treatment switches ON at a threshold (pricing tiers, quotas,
+    alert thresholds).
+
+    Shape: one bandwidth-filtered scan (predicate pushed to parquet),
+    one 2-group closed-form OLS aggregate, one 1-row pivot. No join on
+    data, no window."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    c, h = _RDD_CUTOFF, _RDD_BANDWIDTH
+    win = ev.filter((F.col("value") >= c - h) & (F.col("value") < c + h)).select(
+        (F.col("value") >= c).cast("int").alias("_side"),
+        (F.col("value") - c).alias("_x"),
+        (F.col("event_type") == "purchase").cast("double").alias("_y"),
+    )
+    agg = win.groupBy("_side").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("_x").cast(dec)).cast("double").alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).cast("double").alias("_sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec)).cast("double").alias("_sxx"),
+        F.sum((F.col("_x") * F.col("_y")).cast(dec)).cast("double").alias("_sxy"),
+    )
+    b = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_n")) / (
+        F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n")
+    )
+    a = F.col("_sy") / F.col("_n") - b * (F.col("_sx") / F.col("_n"))
+    fit = agg.select(
+        "_side",
+        F.col("_n").cast("bigint").alias("_nn"),
+        F.round(a * 1e6).cast("bigint").alias("_a_q6"),
+        F.round(b * 1e6).cast("bigint").alias("_b_q6"),
+    )
+    piv = fit.groupBy().pivot("_side", [0, 1]).agg(
+        F.first("_nn").alias("n"),
+        F.first("_a_q6").alias("a"),
+        F.first("_b_q6").alias("b"),
+    )
+    return piv.select(
+        F.col("0_n").alias("n_left"),
+        F.col("1_n").alias("n_right"),
+        F.col("0_a").alias("a_left_q6"),
+        F.col("1_a").alias("a_right_q6"),
+        F.col("0_b").alias("b_left_q6"),
+        F.col("1_b").alias("b_right_q6"),
+        (F.col("1_a") - F.col("0_a")).alias("jump_q6"),
+    )
+
+
+ORACLE_RDD = f"""
+WITH win AS (
+  SELECT (value >= {_RDD_CUTOFF})::INT AS side,
+         value - {_RDD_CUTOFF} AS x,
+         (CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS y
+  FROM events
+  WHERE value >= {_RDD_CUTOFF - _RDD_BANDWIDTH}
+    AND value < {_RDD_CUTOFF + _RDD_BANDWIDTH}
+),
+agg AS (
+  SELECT side, count(*)::DOUBLE AS n,
+         sum((x)::DECIMAL(38,12))::DOUBLE AS sx,
+         sum((y)::DECIMAL(38,12))::DOUBLE AS sy,
+         sum((x * x)::DECIMAL(38,12))::DOUBLE AS sxx,
+         sum((x * y)::DECIMAL(38,12))::DOUBLE AS sxy
+  FROM win GROUP BY 1
+),
+fit AS (
+  SELECT side, n::BIGINT AS nn,
+         round((sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                * (sx / n)) * 1e6)::BIGINT AS a_q6,
+         round((sxy - sx * sy / n) / (sxx - sx * sx / n) * 1e6)::BIGINT AS b_q6
+  FROM agg
+)
+SELECT max(CASE WHEN side = 0 THEN nn END)::BIGINT AS n_left,
+       max(CASE WHEN side = 1 THEN nn END)::BIGINT AS n_right,
+       max(CASE WHEN side = 0 THEN a_q6 END)::BIGINT AS a_left_q6,
+       max(CASE WHEN side = 1 THEN a_q6 END)::BIGINT AS a_right_q6,
+       max(CASE WHEN side = 0 THEN b_q6 END)::BIGINT AS b_left_q6,
+       max(CASE WHEN side = 1 THEN b_q6 END)::BIGINT AS b_right_q6,
+       (max(CASE WHEN side = 1 THEN a_q6 END)
+        - max(CASE WHEN side = 0 THEN a_q6 END))::BIGINT AS jump_q6
+FROM fit
+"""
+
+
+QUERIES["regression_discontinuity_value"] = regression_discontinuity_value
+ORACLES["regression_discontinuity_value"] = ORACLE_RDD
+
+
+def aipw_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust AIPW estimate of the weekend effect on value
+    (Robins, Rotnitzky & Zhao 1994): treatment T = weekend, covariate
+    X = hour-of-day; propensity e(X) and outcome regressions mu1(X),
+    mu0(X) are saturated hour-level tables (rounded to 6dp, broadcast);
+    psi_i = mu1 - mu0 + T(y - mu1)/e - (1-T)(y - mu0)/(1-e); the ATE
+    is mean(psi) and stays consistent if EITHER nuisance model is
+    right — the estimator the propensity-stratified and IPW readouts
+    graduate to.
+
+    Shape: one bounded (24-row) nuisance aggregate broadcast onto the
+    scan, one map-only psi projection, one single-row DECIMAL mean
+    with a variance for the plug-in CI. No window, no data-sized
+    join."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    t_flag = F.dayofweek("ts").isin(1, 7).cast("double")
+    base = ev.select(
+        F.hour("ts").alias("_h"), t_flag.alias("_t"), F.col("value").alias("_y")
+    )
+    nuis = base.groupBy("_h").agg(
+        F.round(F.sum(F.col("_t").cast(dec)).cast("double") / F.count(F.lit(1)), 6)
+        .alias("_e"),
+        F.round(
+            F.sum((F.col("_t") * F.col("_y")).cast(dec)).cast("double")
+            / F.sum(F.col("_t").cast(dec)).cast("double"),
+            6,
+        ).alias("_m1"),
+        F.round(
+            F.sum(((1.0 - F.col("_t")) * F.col("_y")).cast(dec)).cast("double")
+            / F.sum((1.0 - F.col("_t")).cast(dec)).cast("double"),
+            6,
+        ).alias("_m0"),
+    )
+    psi_col = (
+        F.col("_m1")
+        - F.col("_m0")
+        + F.col("_t") * (F.col("_y") - F.col("_m1")) / F.col("_e")
+        - (1.0 - F.col("_t")) * (F.col("_y") - F.col("_m0")) / (1.0 - F.col("_e"))
+    )
+    psi = base.join(F.broadcast(nuis), "_h").select(psi_col.alias("_psi"))
+    agg = psi.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("_psi").cast(dec)).cast("double").alias("_s"),
+        F.sum((F.col("_psi") * F.col("_psi")).cast(dec)).cast("double").alias("_ss"),
+    )
+    ate = F.col("_s") / F.col("_n")
+    var = (F.col("_ss") / F.col("_n") - ate * ate) / F.col("_n")
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(ate * 1e6).cast("bigint").alias("ate_q6"),
+        F.round((ate - 1.959964 * F.sqrt(var)) * 1e6).cast("bigint").alias(
+            "ci_lo_q6"
+        ),
+        F.round((ate + 1.959964 * F.sqrt(var)) * 1e6).cast("bigint").alias(
+            "ci_hi_q6"
+        ),
+    )
+
+
+ORACLE_AIPW = """
+WITH base AS (
+  SELECT hour(ts) AS h,
+         (CASE WHEN dayofweek(ts) IN (0, 6) THEN 1.0 ELSE 0.0 END) AS t,
+         value AS y
+  FROM events
+),
+nuis AS (
+  SELECT h,
+         round(sum((t)::DECIMAL(38,12))::DOUBLE / count(*), 6) AS e,
+         round(sum((t * y)::DECIMAL(38,12))::DOUBLE
+               / sum((t)::DECIMAL(38,12))::DOUBLE, 6) AS m1,
+         round(sum(((1.0 - t) * y)::DECIMAL(38,12))::DOUBLE
+               / sum(((1.0 - t))::DECIMAL(38,12))::DOUBLE, 6) AS m0
+  FROM base GROUP BY 1
+),
+psi AS (
+  SELECT m1 - m0 + t * (y - m1) / e - (1.0 - t) * (y - m0) / (1.0 - e) AS psi
+  FROM base JOIN nuis USING (h)
+),
+agg AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum((psi)::DECIMAL(38,12))::DOUBLE AS s,
+         sum((psi * psi)::DECIMAL(38,12))::DOUBLE AS ss
+  FROM psi
+)
+SELECT n::BIGINT AS n,
+       round(s / n * 1e6)::BIGINT AS ate_q6,
+       round((s / n - 1.959964 * sqrt((ss / n - (s / n) * (s / n)) / n))
+             * 1e6)::BIGINT AS ci_lo_q6,
+       round((s / n + 1.959964 * sqrt((ss / n - (s / n) * (s / n)) / n))
+             * 1e6)::BIGINT AS ci_hi_q6
+FROM agg
+"""
+
+
+QUERIES["aipw_doubly_robust_ate"] = aipw_doubly_robust_ate
+ORACLES["aipw_doubly_robust_ate"] = ORACLE_AIPW
