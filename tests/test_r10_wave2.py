@@ -341,3 +341,60 @@ def test_aipw_recovers_planted_effect(spark, tmp_path):
     assert r["n"] == k
     assert abs(r["ate_q6"] / 1e6 - 5.0) < 1e-3
     assert r["ci_lo_q6"] <= r["ate_q6"] <= r["ci_hi_q6"]
+
+
+def test_heaps_fit_in_natural_text_range(spark):
+    r = QUERIES["heaps_law_fit"](spark, SF).collect()[0]
+    assert r["n_sources"] >= 2
+    beta = r["beta_q6"] / 1e6
+    assert 0.0 < beta < 1.2  # sublinear-ish vocab growth
+    assert 0.0 <= r["r2_q6"] / 1e6 <= 1.0 + 1e-9
+
+
+def test_join_cardinality_fk_exact_skew_underestimates(spark):
+    rows = {r["join_name"]: r for r in QUERIES["join_cardinality_estimate"](spark, SF).collect()}
+    # clean FK joins: every left key appears, |join| == |fact side|;
+    # d_left == n_left (key side) makes the uniform estimate exact
+    for fk in ("orders_x_lineitem", "part_x_lineitem"):
+        r = rows[fk]
+        assert r["exact_rows"] >= max(r["n_left"], r["n_right"])
+        assert r["est_over_exact_q4"] == 10_000  # estimate exact on FK joins
+    # skewed self-join: exact = sum c^2 >= n^2/d (Cauchy-Schwarz), with
+    # equality only under perfect uniformity -> estimate underestimates
+    sj = rows["events_self_user"]
+    assert sj["exact_rows"] * sj["d_left"] >= sj["n_left"] * sj["n_right"]
+    assert sj["est_over_exact_q4"] <= 10_000
+
+
+def test_horvitz_thompson_unbiased_ballpark(spark):
+    rows = QUERIES["horvitz_thompson_total"](spark, SF).collect()
+    assert {r["l_returnflag"] for r in rows} == {"A", "N", "R"}
+    for r in rows:
+        assert 0 < r["n_sampled"] < r["n_pop"]
+        # md5 uniformity: sampling fraction lands near p
+        frac = r["n_sampled"] / r["n_pop"]
+        assert abs(frac - r["p_q6"] / 1e6) < 0.6 * r["p_q6"] / 1e6 + 0.02
+        # HT total is within 40% at sf0.001 sample sizes
+        assert abs(r["rel_err_q4"]) < 4_000
+
+
+def test_poisson_glm_recovers_planted_growth(spark, tmp_path):
+    # plant counts exp(3 + 0.1*day): Poisson GLM on exact lambda data
+    # recovers b1 = 0.1 * sd(day index) after standardization
+    import math as m
+
+    rows = []
+    days = 16
+    for d in range(days):
+        cnt = round(m.exp(3.0 + 0.1 * d))
+        for j in range(cnt):
+            rows.append((f"2024-01-{d + 1:02d} 09:{j // 60:02d}:{j % 60:02d}", 1, "g", 1.0))
+    sf = _with_events(tmp_path, _synthetic_events(spark, rows))
+    r = QUERIES["poisson_glm_daily_trend"](spark, sf).collect()[0]
+    idx = list(range(days))
+    mu = sum(idx) / days
+    sd = (sum(i * i for i in idx) / days - mu * mu) ** 0.5
+    assert r["n_days"] == days
+    # rounding of counts perturbs the fit slightly
+    assert abs(r["b1"] - 0.1 * sd) < 0.01
+    assert r["deviance"] < 1.0  # near-exact exponential counts

@@ -19560,3 +19560,429 @@ FROM agg
 
 QUERIES["aipw_doubly_robust_ate"] = aipw_doubly_robust_ate
 ORACLES["aipw_doubly_robust_ate"] = ORACLE_AIPW
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978): regress
+    ln(vocabulary) on ln(token count) across sources — V = K * n^beta
+    with beta typically 0.4-0.7 for natural text; a corpus whose beta
+    is near 1 is ID-like/templated (every token new), near 0 is
+    degenerate boilerplate. Complements the Zipf slope (frequency
+    decay) with the GROWTH law every tokenizer-budget plan relies on.
+
+    Shape: one source-keyed distinct-token aggregate (the wordcount
+    dictionary, map-side combined), a source-count-sized log-log OLS in
+    one bounded combine. Whitespace tokenization matches the
+    vocabulary/token-stats convention."""
+    dec = "decimal(38,12)"
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("_t")
+    )
+    per_src = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.count_distinct("_t").cast("double").alias("_v"),
+    )
+    pts = per_src.select(
+        F.log("_n").alias("_x"), F.log("_v").alias("_y")
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        F.sum(F.col("_x").cast(dec)).cast("double").alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).cast("double").alias("_sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec)).cast("double").alias("_sxx"),
+        F.sum((F.col("_x") * F.col("_y")).cast(dec)).cast("double").alias("_sxy"),
+        F.sum((F.col("_y") * F.col("_y")).cast(dec)).cast("double").alias("_syy"),
+    )
+    k = F.col("_k")
+    sxx_c = F.col("_sxx") - F.col("_sx") * F.col("_sx") / k
+    sxy_c = F.col("_sxy") - F.col("_sx") * F.col("_sy") / k
+    syy_c = F.col("_syy") - F.col("_sy") * F.col("_sy") / k
+    beta = sxy_c / sxx_c
+    r2 = sxy_c * sxy_c / (sxx_c * syy_c)
+    log_kc = F.col("_sy") / k - beta * (F.col("_sx") / k)
+    return agg.select(
+        k.cast("bigint").alias("n_sources"),
+        F.round(beta * 1e6).cast("bigint").alias("beta_q6"),
+        F.round(log_kc * 1e6).cast("bigint").alias("log_k_q6"),
+        F.round(r2 * 1e6).cast("bigint").alias("r2_q6"),
+    )
+
+
+ORACLE_HEAPS = r"""
+WITH per_src AS (
+  SELECT source, count(*)::DOUBLE AS n, count(DISTINCT t)::DOUBLE AS v
+  FROM (SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        FROM documents)
+  GROUP BY 1
+),
+pts AS (SELECT ln(n) AS x, ln(v) AS y FROM per_src),
+agg AS (
+  SELECT count(*)::DOUBLE AS k,
+         sum((x)::DECIMAL(38,12))::DOUBLE AS sx,
+         sum((y)::DECIMAL(38,12))::DOUBLE AS sy,
+         sum((x * x)::DECIMAL(38,12))::DOUBLE AS sxx,
+         sum((x * y)::DECIMAL(38,12))::DOUBLE AS sxy,
+         sum((y * y)::DECIMAL(38,12))::DOUBLE AS syy
+  FROM pts
+),
+fit AS (
+  SELECT k,
+         (sxy - sx * sy / k) / (sxx - sx * sx / k) AS beta,
+         (sxy - sx * sy / k) * (sxy - sx * sy / k)
+           / ((sxx - sx * sx / k) * (syy - sy * sy / k)) AS r2,
+         sx, sy
+  FROM agg
+)
+SELECT k::BIGINT AS n_sources,
+       round(beta * 1e6)::BIGINT AS beta_q6,
+       round((sy / k - beta * (sx / k)) * 1e6)::BIGINT AS log_k_q6,
+       round(r2 * 1e6)::BIGINT AS r2_q6
+FROM fit
+"""
+
+
+QUERIES["heaps_law_fit"] = heaps_law_fit
+ORACLES["heaps_law_fit"] = ORACLE_HEAPS
+
+
+# the joins the cardinality-estimation audit grades: (name, left table,
+# left key, right table, right key) — two clean FK joins and the skewed
+# events self-join where the uniformity assumption breaks down
+_CARD_JOINS = [
+    ("orders_x_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part_x_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("events_self_user", "events", "user_id", "events", "user_id"),
+]
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics audit: for each candidate equi-join compare
+    the TEXTBOOK cardinality estimate |A||B| / max(d_A, d_B) (uniform
+    key frequencies — what a Selinger-style planner assumes from table
+    stats) against the EXACT join size sum_k c_A(k) * c_B(k) computed
+    from the per-key count dictionaries — WITHOUT materializing the
+    join. The skewed events self-join shows the uniformity assumption
+    under-estimating; the FK joins show it exact — the evidence behind
+    every skew-salting decision in this repo.
+
+    Shape: per join, two key-count aggregates joined dictionary-to-
+    dictionary (distinct-key-sized shuffle, never row-sized), one
+    1-row summary; three bounded rows union."""
+    rows = []
+    for name, lt, lk, rt, rk in _CARD_JOINS:
+        left = _t(spark, sf_dir, lt).groupBy(F.col(lk).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_ca")
+        )
+        right = _t(spark, sf_dir, rt).groupBy(F.col(rk).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_cb")
+        )
+        exact = left.join(right, "_k").agg(
+            F.sum(F.col("_ca") * F.col("_cb")).alias("_exact")
+        )
+        lstat = left.agg(
+            F.sum("_ca").cast("double").alias("_na"),
+            F.count(F.lit(1)).cast("double").alias("_da"),
+        )
+        rstat = right.agg(
+            F.sum("_cb").cast("double").alias("_nb"),
+            F.count(F.lit(1)).cast("double").alias("_db"),
+        )
+        est = F.col("_na") * F.col("_nb") / F.greatest(F.col("_da"), F.col("_db"))
+        rows.append(
+            exact.crossJoin(F.broadcast(lstat))
+            .crossJoin(F.broadcast(rstat))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("_na").cast("bigint").alias("n_left"),
+                F.col("_nb").cast("bigint").alias("n_right"),
+                F.col("_da").cast("bigint").alias("d_left"),
+                F.col("_db").cast("bigint").alias("d_right"),
+                F.col("_exact").cast("bigint").alias("exact_rows"),
+                F.round(est).cast("bigint").alias("est_rows"),
+                F.round(est / F.col("_exact") * 1e4).cast("bigint").alias(
+                    "est_over_exact_q4"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _card_oracle_one(name, lt, lk, rt, rk):
+    return f"""
+  SELECT '{name}' AS join_name,
+         (SELECT count(*) FROM {lt})::BIGINT AS n_left,
+         (SELECT count(*) FROM {rt})::BIGINT AS n_right,
+         (SELECT count(DISTINCT {lk}) FROM {lt})::BIGINT AS d_left,
+         (SELECT count(DISTINCT {rk}) FROM {rt})::BIGINT AS d_right,
+         (SELECT sum(ca * cb) FROM
+            (SELECT {lk} AS k, count(*) AS ca FROM {lt} GROUP BY 1) a
+            JOIN (SELECT {rk} AS k, count(*) AS cb FROM {rt} GROUP BY 1) b
+            USING (k))::BIGINT AS exact_rows,
+         round((SELECT count(*) FROM {lt})::DOUBLE
+               * (SELECT count(*) FROM {rt})::DOUBLE
+               / greatest((SELECT count(DISTINCT {lk}) FROM {lt}),
+                          (SELECT count(DISTINCT {rk}) FROM {rt}))::DOUBLE
+              )::BIGINT AS est_rows,
+         round((SELECT count(*) FROM {lt})::DOUBLE
+               * (SELECT count(*) FROM {rt})::DOUBLE
+               / greatest((SELECT count(DISTINCT {lk}) FROM {lt}),
+                          (SELECT count(DISTINCT {rk}) FROM {rt}))::DOUBLE
+               / (SELECT sum(ca * cb) FROM
+                    (SELECT {lk} AS k, count(*) AS ca FROM {lt} GROUP BY 1) a
+                    JOIN (SELECT {rk} AS k, count(*) AS cb FROM {rt} GROUP BY 1) b
+                    USING (k))::DOUBLE * 1e4)::BIGINT AS est_over_exact_q4
+"""
+
+
+ORACLE_CARD_EST = " UNION ALL ".join(_card_oracle_one(*j) for j in _CARD_JOINS)
+
+
+QUERIES["join_cardinality_estimate"] = join_cardinality_estimate
+ORACLES["join_cardinality_estimate"] = ORACLE_CARD_EST
+
+
+# Horvitz-Thompson design: per-returnflag inclusion probabilities and the
+# corresponding 52-bit integer hash thresholds floor(p * 2^52) — Python
+# literals injected into both engines (the md5 sampling idiom)
+_HT_DESIGN = [("A", 0.10, 450359962737049), ("N", 0.05, 225179981368524),
+              ("R", 0.20, 900719925474099)]
+
+
+def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimator (Horvitz & Thompson 1952) of total
+    lineitem revenue from a deterministic unequal-probability sample:
+    each stratum (returnflag) samples at its own rate via the portable
+    md5 52-bit threshold, and the HT total sum(y_i / pi_i) is audited
+    against the TRUE total — the design-unbiasedness demo behind every
+    sampled pipeline readout (cheap 5-20% scans standing in for full
+    ones). Reports per-stratum population/sample sizes, true vs HT
+    totals, and the relative error.
+
+    Shape: one filtered scan (hash predicate is map-only), two grouped
+    DECIMAL aggregates, bounded per-stratum output. The sample is
+    bit-deterministic — same rows in every engine and at every
+    partitioning."""
+    dec = "decimal(38,12)"
+    li = _t(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    p_col = F.create_map(
+        *[x for flag, p, _ in _HT_DESIGN for x in (F.lit(flag), F.lit(p))]
+    )[F.col("l_returnflag")]
+    thr_col = F.create_map(
+        *[x for flag, _, t in _HT_DESIGN for x in (F.lit(flag), F.lit(t))]
+    )[F.col("l_returnflag")]
+    base = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("_y"),
+        (h < thr_col).cast("int").alias("_in"),
+        p_col.alias("_p"),
+    )
+    agg = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum("_in").cast("bigint").alias("n_sampled"),
+        F.first("_p").alias("_pp"),
+        F.sum(F.col("_y").cast(dec)).cast("double").alias("_true"),
+        F.sum(F.when(F.col("_in") == 1, F.col("_y")).otherwise(0.0).cast(dec))
+        .cast("double")
+        .alias("_samp"),
+    )
+    ht = F.col("_samp") / F.col("_pp")
+    return agg.select(
+        "l_returnflag",
+        "n_pop",
+        "n_sampled",
+        F.round(F.col("_pp") * 1e6).cast("bigint").alias("p_q6"),
+        F.round(F.col("_true") * 1e2).cast("bigint").alias("true_total_q2"),
+        F.round(ht * 1e2).cast("bigint").alias("ht_total_q2"),
+        F.round((ht - F.col("_true")) / F.col("_true") * 1e4)
+        .cast("bigint")
+        .alias("rel_err_q4"),
+    )
+
+
+def _ht_case(field: str) -> str:
+    return (
+        "CASE l_returnflag "
+        + " ".join(
+            f"WHEN '{flag}' THEN {p if field == 'p' else thr}"
+            for flag, p, thr in _HT_DESIGN
+        )
+        + " END"
+    )
+
+
+ORACLE_HT = f"""
+WITH base AS (
+  SELECT l_returnflag, l_extendedprice AS y,
+         (('0x' || substr(md5(l_orderkey::VARCHAR || '|'
+            || l_linenumber::VARCHAR), 1, 13))::BIGINT
+          < {_ht_case('thr')})::INT AS s,
+         {_ht_case('p')} AS p
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n_pop,
+         sum(s)::BIGINT AS n_sampled, first(p) AS pp,
+         sum((y)::DECIMAL(38,12))::DOUBLE AS t,
+         sum((CASE WHEN s = 1 THEN y ELSE 0.0 END)::DECIMAL(38,12))::DOUBLE
+           AS sm
+  FROM base GROUP BY 1
+)
+SELECT l_returnflag, n_pop, n_sampled,
+       round(pp * 1e6)::BIGINT AS p_q6,
+       round(t * 1e2)::BIGINT AS true_total_q2,
+       round(sm / pp * 1e2)::BIGINT AS ht_total_q2,
+       round((sm / pp - t) / t * 1e4)::BIGINT AS rel_err_q4
+FROM agg
+"""
+
+
+QUERIES["horvitz_thompson_total"] = horvitz_thompson_total
+ORACLES["horvitz_thompson_total"] = ORACLE_HT
+
+
+_POISSON_STEPS = 4
+
+
+def poisson_glm_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Poisson GLM of DAILY event counts on a standardized
+    linear day-index (log link): count_d ~ Poisson(exp(b0 + b1 * z_d))
+    fit with 4 in-plan Newton steps — the canonical count-data
+    regression (exposure trends, demand curves) completing the GLM
+    family next to the Gaussian ridge and the logistic fits; b1 is the
+    daily log-growth rate, deviance the fit quality. Same engineering
+    contract as grouped_logistic_by_type: each step is ONE grouped
+    aggregation producing a |types|-row gradient/Hessian table, the
+    2x2 solve happens in the plan, betas broadcast back — no driver
+    round-trip, so thousands of groups fit in the same k passes.
+    Starts at (ln(mean), 0), where one Newton step already lands near
+    the MLE — quadratic convergence absorbs float-order noise well
+    past the 6-dp rounding.
+
+    Shape: events collapse to the calendar-bounded daily table first;
+    all Newton passes run over days-per-type-sized data."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_y"))
+    raw = daily.select(
+        "event_type", F.datediff(F.col("_d"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("_i"), "_y"
+    )
+    mom = raw.groupBy("event_type").agg(
+        F.avg("_i").alias("_mu"),
+        F.sqrt(F.avg(F.col("_i") * F.col("_i")) - F.avg("_i") * F.avg("_i")).alias(
+            "_sd"
+        ),
+        F.log(F.avg("_y")).alias("_lb"),
+    )
+    base = raw.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        ((F.col("_i") - F.col("_mu")) / F.col("_sd")).alias("x"),
+        F.col("_y").alias("y"),
+    )
+    base = T.persist_scoped(base)
+    betas = mom.select("event_type", F.col("_lb").alias("b0"), F.lit(0.0).alias("b1"))
+    for _ in range(_POISSON_STEPS):
+        j = base.join(F.broadcast(betas), "event_type")
+        lam = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+        g = j.groupBy("event_type").agg(
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+            F.sum(lam - F.col("y")).alias("g0"),
+            F.sum((lam - F.col("y")) * F.col("x")).alias("g1"),
+            F.sum(lam).alias("h00"),
+            F.sum(lam * F.col("x")).alias("h01"),
+            F.sum(lam * F.col("x") * F.col("x")).alias("h11"),
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        betas = g.select(
+            "event_type",
+            (
+                F.col("b0")
+                - (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")) / det
+            ).alias("b0"),
+            (
+                F.col("b1")
+                - (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")) / det
+            ).alias("b1"),
+        )
+    fin = base.join(F.broadcast(betas), "event_type")
+    lam = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+    return fin.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.first("b0"), 6).alias("b0"),
+        F.round(F.first("b1"), 6).alias("b1"),
+        F.round(
+            2.0 * F.sum(F.col("y") * F.log(F.col("y") / lam) - (F.col("y") - lam)), 6
+        ).alias("deviance"),
+    )
+
+
+def _poisson_oracle(steps: int = _POISSON_STEPS) -> str:
+    parts = [
+        """WITH daily AS (
+  SELECT event_type, ts::DATE AS d, count(*)::DOUBLE AS y
+  FROM events GROUP BY 1, 2
+),
+raw AS (
+  SELECT event_type, date_diff('day', DATE '2024-01-01', d)::DOUBLE AS i, y
+  FROM daily
+),
+mom AS (
+  SELECT event_type, avg(i) AS mu,
+         sqrt(avg(i * i) - avg(i) * avg(i)) AS sd,
+         ln(avg(y)) AS lb
+  FROM raw GROUP BY 1
+),
+base AS (
+  SELECT raw.event_type, (i - mu) / sd AS x, y
+  FROM raw JOIN mom USING (event_type)
+),
+g0 AS (SELECT event_type, lb AS b0, 0.0 AS b1 FROM mom)"""
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            f""",
+g{i} AS (
+  SELECT event_type,
+         b0 - (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+         b1 - (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+  FROM (
+    SELECT event_type, first(b0) AS b0, first(b1) AS b1,
+           sum(lam - y) AS g0, sum((lam - y) * x) AS g1,
+           sum(lam) AS h00, sum(lam * x) AS h01,
+           sum(lam * x * x) AS h11
+    FROM (SELECT base.event_type, x, y, b0, b1,
+                 exp(b0 + b1 * x) AS lam
+          FROM base JOIN g{i - 1} USING (event_type))
+    GROUP BY event_type
+  )
+)"""
+        )
+    parts.append(
+        f"""
+SELECT base.event_type, count(*)::BIGINT AS n_days,
+       round(first(b0), 6) AS b0, round(first(b1), 6) AS b1,
+       round(2.0 * sum(y * ln(y / exp(b0 + b1 * x)) - (y - exp(b0 + b1 * x))),
+             6) AS deviance
+FROM base JOIN g{steps} USING (event_type)
+GROUP BY base.event_type"""
+    )
+    return "".join(parts)
+
+
+QUERIES["poisson_glm_daily_trend"] = poisson_glm_daily_trend
+ORACLES["poisson_glm_daily_trend"] = _poisson_oracle()
