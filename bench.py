@@ -93,6 +93,11 @@ HEADLINE = [
     "delta_method_ratio_ci",       # cluster-robust ratio-metric CI
     "session_overlap_pairs",       # bounded-slice interval overlap join
     "bootstrap_ci_event_values",   # one-pass B=50 Poisson bootstrap (r6 op)
+    # r10 wave 2
+    "kruskal_wallis_value_by_type",  # pooled rank via range-partitioned windows
+    "wasserstein_weekend_shift",   # exact 1-D EMD from per-type ECDF windows
+    "ams_f2_sketch",               # 32-projection F2 sketch vs exact self-join mass
+    "join_cardinality_estimate",   # dictionary-to-dictionary exact join size
 ]
 
 

@@ -61,6 +61,15 @@ DEFAULT_QUERIES = [
     "mutual_information_screen",
     "jl_projection_distortion",
     "benford_price_audit",
+    # r10 wave 2: classical tests / decompositions on DECIMAL power sums
+    "jarque_bera_normality",
+    "kruskal_wallis_value_by_type",
+    "wasserstein_weekend_shift",
+    "theil_inequality_decomposition",
+    "aipw_doubly_robust_ate",
+    "poisson_glm_daily_trend",
+    "df_unit_root_daily",
+    "brier_decomposition",
 ]
 
 

@@ -19986,3 +19986,308 @@ GROUP BY base.event_type"""
 
 QUERIES["poisson_glm_daily_trend"] = poisson_glm_daily_trend
 ORACLES["poisson_glm_daily_trend"] = _poisson_oracle()
+
+
+# Shapley channel->bit mapping and the n=4 coalition weights
+# |S|!(n-|S|-1)!/n! as Python literals injected into both engines
+_SHAPLEY_CHANNELS = [("view", 1), ("click", 2), ("signup", 4), ("error", 8)]
+_SHAPLEY_W = [0.25, 0.08333333333333333, 0.08333333333333333, 0.25]
+
+
+def shapley_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution (Shapley 1953; data-driven
+    attribution a la Google DDA): channels = non-purchase event types a
+    user touched (a 4-bit coalition mask), outcome = did the user
+    purchase; the characteristic function v(S) is the observed
+    conversion rate of users whose touched-set is EXACTLY S (rounded to
+    6dp; unobserved coalitions contribute v = 0, a documented choice
+    audited by n_coalitions_observed). phi_i = sum over S not
+    containing i of w(|S|) * (v(S+i) - v(S)) with the exact n=4
+    factorial weights as shared literals — the fair-division baseline
+    that position-based attribution (see attribution_position_based)
+    approximates.
+
+    Shape: one user-keyed mask aggregate, a 16-row coalition table
+    (2^channels, a CONSTANT — never grows with data), and a 64-row
+    coalition-pair join evaluated per channel. Everything after the
+    first aggregate is bounded by 2^4."""
+    ev = _t(spark, sf_dir, "events")
+    mask_expr = sum(
+        (
+            F.max((F.col("event_type") == name).cast("int")) * bit
+            for name, bit in _SHAPLEY_CHANNELS[1:]
+        ),
+        F.max((F.col("event_type") == _SHAPLEY_CHANNELS[0][0]).cast("int"))
+        * _SHAPLEY_CHANNELS[0][1],
+    )
+    users = ev.groupBy("user_id").agg(
+        mask_expr.alias("_m"),
+        F.max((F.col("event_type") == "purchase").cast("double")).alias("_c"),
+    )
+    obs = users.groupBy("_m").agg(
+        F.count(F.lit(1)).alias("_nu"),
+        F.round(F.sum("_c") / F.count(F.lit(1)), 6).alias("_v"),
+    )
+    coal = (
+        spark.range(16)
+        .select(F.col("id").cast("int").alias("_s"))
+        .join(F.broadcast(obs), F.col("_s") == F.col("_m"), "left")
+        .select(
+            "_s",
+            F.coalesce(F.col("_v"), F.lit(0.0)).alias("_v"),
+            F.coalesce(F.col("_nu"), F.lit(0)).alias("_nu"),
+        )
+    )
+    n_obs = coal.agg(
+        F.sum((F.col("_nu") > 0).cast("long")).alias("_no")
+    )
+    pop = (
+        F.col("_s").bitwiseAND(1)
+        + F.shiftright(F.col("_s"), 1).bitwiseAND(1)
+        + F.shiftright(F.col("_s"), 2).bitwiseAND(1)
+        + F.shiftright(F.col("_s"), 3).bitwiseAND(1)
+    )
+    w = (
+        F.when(pop == 0, _SHAPLEY_W[0])
+        .when(pop == 1, _SHAPLEY_W[1])
+        .when(pop == 2, _SHAPLEY_W[2])
+        .otherwise(_SHAPLEY_W[3])
+    )
+    chan = spark.createDataFrame(_SHAPLEY_CHANNELS, "channel string, bit int")
+    s_side = coal.select(
+        F.col("_s"), F.col("_v").alias("_vs"), w.alias("_w")
+    )
+    t_side = coal.select(F.col("_s").alias("_t"), F.col("_v").alias("_vt"))
+    pairs = (
+        chan.join(
+            F.broadcast(s_side), F.col("_s").bitwiseAND(F.col("bit")) == 0
+        )
+        .join(
+            F.broadcast(t_side),
+            F.col("_t") == F.col("_s").bitwiseOR(F.col("bit")),
+        )
+    )
+    phi = pairs.groupBy("channel").agg(
+        F.round(F.sum(F.col("_w") * (F.col("_vt") - F.col("_vs"))) * 1e6)
+        .cast("bigint")
+        .alias("phi_q6")
+    )
+    return phi.crossJoin(F.broadcast(n_obs)).select(
+        "channel", "phi_q6", F.col("_no").cast("bigint").alias("n_coalitions_observed")
+    )
+
+
+ORACLE_SHAPLEY = f"""
+WITH users AS (
+  SELECT user_id,
+         max((event_type = 'view')::INT) * 1
+           + max((event_type = 'click')::INT) * 2
+           + max((event_type = 'signup')::INT) * 4
+           + max((event_type = 'error')::INT) * 8 AS m,
+         max((event_type = 'purchase')::INT)::DOUBLE AS c
+  FROM events GROUP BY 1
+),
+obs AS (
+  SELECT m, count(*) AS nu, round(sum(c) / count(*), 6) AS v
+  FROM users GROUP BY 1
+),
+coal AS (
+  SELECT r.range::INT AS s, coalesce(v, 0.0) AS v, coalesce(nu, 0) AS nu
+  FROM range(16) r LEFT JOIN obs ON r.range = obs.m
+),
+n_obs AS (SELECT sum((nu > 0)::INT)::BIGINT AS no FROM coal),
+chan AS (
+  SELECT 'view' AS channel, 1 AS bit UNION ALL
+  SELECT 'click', 2 UNION ALL SELECT 'signup', 4 UNION ALL
+  SELECT 'error', 8
+),
+pairs AS (
+  SELECT chan.channel,
+         (CASE (sc.s & 1) + ((sc.s >> 1) & 1) + ((sc.s >> 2) & 1)
+               + ((sc.s >> 3) & 1)
+            WHEN 0 THEN {_SHAPLEY_W[0]} WHEN 1 THEN {_SHAPLEY_W[1]}
+            WHEN 2 THEN {_SHAPLEY_W[2]} ELSE {_SHAPLEY_W[3]} END) AS w,
+         sc.v AS vs, tc.v AS vt
+  FROM chan
+  JOIN coal sc ON (sc.s & chan.bit) = 0
+  JOIN coal tc ON tc.s = (sc.s | chan.bit)
+)
+SELECT channel,
+       round(sum(w * (vt - vs)) * 1e6)::BIGINT AS phi_q6,
+       first(no)::BIGINT AS n_coalitions_observed
+FROM pairs CROSS JOIN n_obs GROUP BY channel
+"""
+
+
+QUERIES["shapley_attribution_channels"] = shapley_attribution_channels
+ORACLES["shapley_attribution_channels"] = ORACLE_SHAPLEY
+
+
+_SEQPAIR_LOOKAHEAD = 5  # events after the anchor a pattern may span
+
+
+def sequential_pattern_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapped sequential-pattern mining, order-2 (the PrefixSpan/SPADE
+    support counting for length-2 patterns): a -> b is supported by a
+    user if some b FOLLOWS some a within the next 5 events of that
+    user's timeline (gaps allowed — unlike the contiguous journey
+    trigrams, which miss a->x->b). Reports the top 20 patterns by user
+    support with lift vs independence.
+
+    Shape: one USER-partitioned ordered window collects each event's
+    5-event lookahead (bounded list), explode + per-user distinct
+    collapses multiplicity, support is one grouped count, top-k via
+    TakeOrdered with the (a, b) tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, _SEQPAIR_LOOKAHEAD)
+    )
+    nxt = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.collect_list("event_type").over(w).alias("_nl"),
+    )
+    pairs = (
+        nxt.select("user_id", "a", F.explode("_nl").alias("b"))
+        .distinct()
+    )
+    n_users = ev.select("user_id").distinct().count()
+    sup_a = ev.select("user_id", F.col("event_type").alias("a")).distinct().groupBy(
+        "a"
+    ).agg(F.count(F.lit(1)).alias("_na"))
+    sup_b = ev.select("user_id", F.col("event_type").alias("b")).distinct().groupBy(
+        "b"
+    ).agg(F.count(F.lit(1)).alias("_nb"))
+    sup = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    out = (
+        sup.join(F.broadcast(sup_a), "a")
+        .join(F.broadcast(sup_b), "b")
+        .select(
+            "a",
+            "b",
+            F.col("support").cast("bigint").alias("support"),
+            F.round(
+                F.col("support")
+                * F.lit(float(n_users))
+                / (F.col("_na") * F.col("_nb"))
+                * 1e4
+            )
+            .cast("bigint")
+            .alias("lift_q4"),
+        )
+    )
+    return out.orderBy(F.desc("support"), "a", "b").limit(20)
+
+
+ORACLE_SEQPAIRS = f"""
+WITH nxt AS (
+  SELECT user_id, event_type AS a,
+         list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 1 FOLLOWING
+                                AND {_SEQPAIR_LOOKAHEAD} FOLLOWING) AS nl
+  FROM events
+),
+pairs AS (
+  SELECT DISTINCT user_id, a, unnest(nl) AS b FROM nxt
+),
+n_users AS (SELECT count(DISTINCT user_id)::DOUBLE AS nu FROM events),
+sup_a AS (SELECT a, count(*) AS na
+          FROM (SELECT DISTINCT user_id, event_type AS a FROM events)
+          GROUP BY 1),
+sup_b AS (SELECT b, count(*) AS nb
+          FROM (SELECT DISTINCT user_id, event_type AS b FROM events)
+          GROUP BY 1),
+sup AS (SELECT a, b, count(*)::BIGINT AS support FROM pairs GROUP BY 1, 2)
+SELECT a, b, support,
+       round(support * nu / (na * nb) * 1e4)::BIGINT AS lift_q4
+FROM sup JOIN sup_a USING (a) JOIN sup_b USING (b) CROSS JOIN n_users
+ORDER BY support DESC, a, b LIMIT 20
+"""
+
+
+QUERIES["sequential_pattern_pairs"] = sequential_pattern_pairs
+ORACLES["sequential_pattern_pairs"] = ORACLE_SEQPAIRS
+
+
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error (Naeini 2015) of the same
+    out-of-sample hour-of-day purchase forecast the Brier decomposition
+    grades: bin eval events by forecast probability into 10 fixed-width
+    bins, ECE = sum n_k/N * |pbar_k - obar_k|, MCE = max_k gap — the
+    histogram-binning calibration readout every model card quotes.
+
+    Shape: the 24-row training table broadcast onto the eval scan, one
+    bounded bin aggregate, one 1-row combine."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    y = (F.col("event_type") == "purchase").cast("double")
+    train = ev.filter(F.col("ts") < cut).groupBy(F.hour("ts").alias("_h")).agg(
+        F.round(F.sum(y.cast(dec)).cast("double") / F.count(F.lit(1)), 4).alias("_p")
+    )
+    ev_eval = (
+        ev.filter(F.col("ts") >= cut)
+        .select(F.hour("ts").alias("_h"), y.alias("_y"))
+        .join(F.broadcast(train), "_h")
+        .withColumn(
+            "_bin", F.least(F.floor(F.col("_p") * 10.0).cast("int"), F.lit(9))
+        )
+    )
+    per_bin = ev_eval.groupBy("_bin").agg(
+        F.count(F.lit(1)).cast("double").alias("_nk"),
+        F.sum(F.col("_p").cast(dec)).cast("double").alias("_sp"),
+        F.sum(F.col("_y").cast(dec)).cast("double").alias("_sy"),
+    )
+    comb = per_bin.agg(
+        F.sum("_nk").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.abs(F.col("_sp") - F.col("_sy"))).alias("_gap"),
+        F.max(
+            F.abs(F.col("_sp") / F.col("_nk") - F.col("_sy") / F.col("_nk"))
+        ).alias("_mce"),
+    )
+    return comb.select(
+        F.col("_n").cast("bigint").alias("n_eval"),
+        "n_bins",
+        F.round(F.col("_gap") / F.col("_n") * 1e6).cast("bigint").alias("ece_q6"),
+        F.round(F.col("_mce") * 1e6).cast("bigint").alias("mce_q6"),
+    )
+
+
+ORACLE_ECE = """
+WITH train AS (
+  SELECT hour(ts) AS h,
+         round(sum((CASE WHEN event_type = 'purchase' THEN 1.0
+                         ELSE 0.0 END)::DECIMAL(38,12))::DOUBLE
+               / count(*), 4) AS p
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1
+),
+ev AS (
+  SELECT least(floor(p * 10.0)::INT, 9) AS bin, p,
+         CASE WHEN e.event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events e JOIN train t ON hour(e.ts) = t.h
+  WHERE e.ts >= TIMESTAMP '2024-01-16'
+),
+per_bin AS (
+  SELECT bin, count(*)::DOUBLE AS nk,
+         sum((p)::DECIMAL(38,12))::DOUBLE AS sp,
+         sum((y)::DECIMAL(38,12))::DOUBLE AS sy
+  FROM ev GROUP BY 1
+),
+comb AS (
+  SELECT sum(nk) AS n, count(*)::BIGINT AS n_bins,
+         sum(abs(sp - sy)) AS gap,
+         max(abs(sp / nk - sy / nk)) AS mce
+  FROM per_bin
+)
+SELECT n::BIGINT AS n_eval, n_bins,
+       round(gap / n * 1e6)::BIGINT AS ece_q6,
+       round(mce * 1e6)::BIGINT AS mce_q6
+FROM comb
+"""
+
+
+QUERIES["expected_calibration_error"] = expected_calibration_error
+ORACLES["expected_calibration_error"] = ORACLE_ECE
