@@ -921,6 +921,25 @@ def simhash_near_duplicates(
     result independent of the key hash (only ``hash_fn``, the token
     hash, must be portable for oracle checking).
     """
+    n_blocks = _validate_hamming_blocks(max_hamming, n_blocks, key_blocks, 63)
+    sh = simhash(documents, id_col, text_col, hash_fn=hash_fn)
+    return hamming_block_pairs(
+        sh,
+        id_col=id_col,
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        key_blocks=key_blocks,
+        total_bits=63,
+    )
+
+
+def _validate_hamming_blocks(
+    max_hamming: int, n_blocks: int | None, key_blocks: int, total_bits: int
+) -> int:
+    """Shared parameter guard for the pigeonhole block join; returns the
+    resolved block count. Raises BEFORE any signature computation so
+    callers fail fast on recall-breaking configurations."""
     if max_hamming < 0 or max_hamming > 32:
         raise ValueError(f"max_hamming must be in [0, 32], got {max_hamming}")
     if n_blocks is None:
@@ -932,21 +951,41 @@ def simhash_near_duplicates(
             f"key_blocks={key_blocks} > n_blocks-max_hamming="
             f"{n_blocks - max_hamming} breaks the pigeonhole recall guarantee"
         )
-    if n_blocks > 63:
-        # 63 sign bits: more blocks than bits would create zero-width
-        # blocks whose mask is 0 — every doc shares chunk value 0 and the
-        # equi-join silently degenerates into an all-pairs cross join
-        raise ValueError(f"n_blocks={n_blocks} > 63 total bits")
-    total_bits = 63
+    if n_blocks > total_bits:
+        # more blocks than bits would create zero-width blocks whose mask
+        # is 0 — every doc shares chunk value 0 and the equi-join silently
+        # degenerates into an all-pairs cross join
+        raise ValueError(f"n_blocks={n_blocks} > {total_bits} total bits")
+    return n_blocks
+
+
+def hamming_block_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    key_blocks: int = 1,
+    total_bits: int = 63,
+) -> DataFrame:
+    """All id pairs whose ``sig_col`` bit signatures are within Hamming
+    distance ``max_hamming`` — FULL recall via the Manku pigeonhole block
+    join (see :func:`simhash_near_duplicates` for the scheme). Factored
+    out so any 64-bit-or-narrower signature family (SimHash, image
+    aHash/dHash perceptual hashes) shares one candidate-generation plan:
+    split ``total_bits`` into ``n_blocks`` near-equal blocks, equi-join on
+    block (or C(m,k)-combination) keys, verify with ``bit_count(xor)``.
+    Signatures must occupy the LOW ``total_bits`` bits (sign bit unused
+    when total_bits <= 63, so ``shiftright`` is safe)."""
+    n_blocks = _validate_hamming_blocks(max_hamming, n_blocks, key_blocks, total_bits)
     base, rem = divmod(total_bits, n_blocks)
     widths = [base + 1 if i < rem else base for i in range(n_blocks)]
     offsets, off = [], 0
     for w_ in widths:
         offsets.append(off)
         off += w_
-    sh = simhash(documents, id_col, text_col, hash_fn=hash_fn)
     block_vals = [
-        F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+        F.shiftright(F.col(sig_col), offsets[i]).bitwiseAND(
             F.lit((1 << widths[i]) - 1)
         )
         for i in range(n_blocks)
@@ -960,16 +999,16 @@ def simhash_near_duplicates(
             F.xxhash64(*[block_vals[i] for i in combo])
             for combo in itertools.combinations(range(n_blocks), key_blocks)
         ]
-    chunks = sh.select(
+    chunks = sigs.select(
         F.col(id_col),
-        "simhash",
+        sig_col,
         F.posexplode(F.array(*keys)).alias("chunk_id", "chunk"),
     )
     a = chunks.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk"
+        F.col(id_col).alias("doc_a"), F.col(sig_col).alias("sh_a"), "chunk_id", "chunk"
     )
     b = chunks.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk"
+        F.col(id_col).alias("doc_b"), F.col(sig_col).alias("sh_b"), "chunk_id", "chunk"
     )
     return (
         a.join(b, ["chunk_id", "chunk"])

@@ -336,6 +336,140 @@ def audio_frame_features(
     )
 
 
+PNG_BLOB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("blob", BinaryType(), False),
+    ]
+)
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("dhash", LongType(), False),
+    ]
+)
+
+# planted-corpus geometry: 9-wide rows give 8 horizontal gradients per row,
+# 8 rows -> 64 dHash comparisons; the signature keeps the low 63 so it
+# fits a signed BIGINT and reuses the 63-bit Manku block join unchanged
+_DHASH_W, _DHASH_H = 9, 8
+
+
+def _planted_pixels(doc_id: int, group_mod: int) -> bytes:
+    """Deterministic grayscale raster for a doc: base pixels are md5-derived
+    from the doc's GROUP id (doc_id % group_mod), so same-group docs share
+    the image except for ONE perturbed pixel at position doc_id % (w*h).
+    One pixel touches at most 2 horizontal gradients, so same-group dHash
+    pairs sit within Hamming 4 by construction. Pure md5 arithmetic —
+    bit-replicable in SQL, which is what makes the oracle strict."""
+    import hashlib
+
+    gid = doc_id % group_mod
+    n = _DHASH_W * _DHASH_H
+    px = bytearray(n)
+    for r in range(_DHASH_H):
+        for c in range(_DHASH_W):
+            h = hashlib.md5(f"m{gid}:{r}:{c}".encode()).hexdigest()
+            px[r * _DHASH_W + c] = int(h[:2], 16)
+    p = doc_id % n
+    px[p] = (px[p] + doc_id) % 256
+    return bytes(px)
+
+
+def planted_png_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_mod: int = 40,
+    max_doc_id: int = 1024,
+) -> DataFrame:
+    """Encode one REAL grayscale PNG per document (stdlib codec:
+    ``operators/png.py::encode_png`` — zlib deflate, CRC chunks) whose
+    pixels are a deterministic md5 function of the doc id, with planted
+    near-duplicate groups (see :func:`_planted_pixels`). Participation is
+    capped at ``doc_id < max_doc_id`` so the planted pair mass stays
+    bounded at any scale factor — the fixture is for exercising the
+    decode+hash+block-join machinery, whose scale story is carried by the
+    (unbounded) SimHash family sharing the same join. Map-only
+    mapInPandas; no shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import encode_png  # noqa: PLC0415 - executor-side import
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "blob": [
+                        encode_png(
+                            _DHASH_W,
+                            _DHASH_H,
+                            "L",
+                            _planted_pixels(i, group_mod),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .filter(F.col(id_col) < max_doc_id)
+        .mapInPandas(fn, PNG_BLOB_SCHEMA)
+    )
+
+
+def image_dhash(
+    media: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """63-bit dHash (difference hash) perceptual signature per image row:
+    decode the blob with the REAL codec (PIL when installed, else the
+    stdlib PNG decoder — zlib inflate + spec filters), convert to
+    grayscale, resize to the canonical 9x8 grid, and set bit ``r*8+c``
+    when ``pixel[r][c] > pixel[r][c+1]`` (horizontal gradient sign — the
+    standard dHash of Krawetz's "Kind of Like That"). Gradient bits are
+    LOCAL (one pixel touches at most 2 bits), unlike aHash whose global
+    mean couples every bit — that locality is what makes the planted
+    oracle's Hamming bound tight. Bit 63 is dropped so the signature fits
+    a signed BIGINT and feeds :func:`~..dedup.hamming_block_pairs`
+    unchanged. Undecodable blobs are skipped (dropped rows), keeping the
+    operator total over corrupt corpus bytes. Map-only; Arrow-batched."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil_image_module()  # once per task
+        import io
+
+        for pdf in batches:
+            ids: list[int] = []
+            sigs: list[int] = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                try:
+                    img = (
+                        Image.open(io.BytesIO(bytes(blob)))
+                        .convert("L")
+                        .resize((_DHASH_W, _DHASH_H))
+                    )
+                except Exception:
+                    continue
+                px = list(img.getdata())
+                sig = 0
+                for r in range(_DHASH_H):
+                    for c in range(_DHASH_W - 1):
+                        k = r * (_DHASH_W - 1) + c
+                        if k >= 63:
+                            break
+                        if px[r * _DHASH_W + c] > px[r * _DHASH_W + c + 1]:
+                            sig |= 1 << k
+                ids.append(int(mid))
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "dhash": sigs})
+
+    return media.select(id_col, blob_col).mapInPandas(fn, DHASH_SCHEMA)
+
+
 WAV_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

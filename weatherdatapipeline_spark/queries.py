@@ -20291,3 +20291,72 @@ FROM comb
 
 QUERIES["expected_calibration_error"] = expected_calibration_error
 ORACLES["expected_calibration_error"] = ORACLE_ECE
+
+
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over a REAL image lake slice
+    (§2.11 multimodal x dedup, VERDICT r9 item 7): one grayscale PNG per
+    document (stdlib encoder), decoded back through the stdlib PNG codec
+    (zlib inflate + spec filters) on the executors, 63-bit dHash gradient
+    signature, then the SAME Manku pigeonhole block join the SimHash
+    family uses (operators/dedup.py::hamming_block_pairs) at radius 4.
+    Pixels are an md5 function of the doc id with planted near-dup groups
+    (one perturbed pixel -> <=2 gradient bits per doc), so the oracle
+    recomputes the signature bit-for-bit in SQL and brute-forces the pair
+    space — full recall at the radius makes the blocked result equal the
+    brute force by construction. Participation capped at doc_id < 1024
+    (bounded planted fixture); the block join itself is the 100 TB path."""
+    from .operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = M.planted_png_corpus(docs, group_mod=40, max_doc_id=1024)
+    sigs = M.image_dhash(blobs)
+    out = D.hamming_block_pairs(
+        sigs, id_col="doc_id", sig_col="dhash", max_hamming=4
+    )
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+ORACLE_MEDIA_PHASH = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 1024),
+cells AS (
+  SELECT doc_id, doc_id % 40 AS gid, r.r AS r, c.c AS c
+  FROM ids
+  CROSS JOIN unnest(range(0, 8)) AS r(r)
+  CROSS JOIN unnest(range(0, 9)) AS c(c)
+),
+px AS (
+  SELECT doc_id, r, c,
+         CASE WHEN r * 9 + c = doc_id % 72
+              THEN (('0x' || substr(md5('m' || CAST(gid AS VARCHAR) || ':' ||
+                       CAST(r AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 2))::INT
+                    + doc_id) % 256
+              ELSE ('0x' || substr(md5('m' || CAST(gid AS VARCHAR) || ':' ||
+                       CAST(r AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 2))::INT
+         END AS v
+  FROM cells
+),
+bits AS (
+  SELECT a.doc_id, a.r * 8 + a.c AS k,
+         CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < 8 AND a.r * 8 + a.c < 63
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bit = 1
+                       THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 4
+"""
+
+
+QUERIES["media_phash_pairs"] = media_phash_pairs
+ORACLES["media_phash_pairs"] = ORACLE_MEDIA_PHASH
