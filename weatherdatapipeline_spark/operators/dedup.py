@@ -1509,3 +1509,138 @@ def fuzzy_decontaminate_portable(
         .filter(F.col("jaccard") >= threshold)
         .select("corpus_doc", "eval_doc", "jaccard")
     )
+
+
+def passjoin_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 1,
+) -> DataFrame:
+    """All id pairs with Levenshtein edit distance <= ``max_dist`` — FULL
+    recall via the PassJoin segment scheme (Li, Deng & Feng, "PASS-JOIN:
+    a partition-based method for similarity joins", VLDB'11, public):
+
+    partition the SHORTER string of any within-distance pair into
+    ``d+1`` contiguous segments; pigeonhole over an optimal alignment
+    says at least one segment survives every edit untouched and appears
+    EXACTLY in the longer string, start-shifted by at most ``d`` (each
+    indel shifts the alignment by one). So: every string INDEXES its own
+    ``d+1`` segments under key ``(len, seg_i, seg_value)``, and PROBES
+    with every substring that could match a segment of a same-or-shorter
+    string (lengths ``len-d .. len``, all ``d+1`` segment slots, start
+    offsets ``-d .. +d``) — a STATIC ``(d+1)^2 * (2d+1)`` expression
+    fan-out per row (12 at d=1, 45 at d=2), all JVM-side ``substr``
+    columns, no Python. Candidates meet in one equi-join on the composite
+    key (selective: segment values carry ~len/(d+1) chars, far sharper
+    than q-gram blocking on short strings), then verify with the built-in
+    ``levenshtein``. Strings too short to partition (len <= d) are a
+    broadcast residual cross-checked against everything — full recall
+    with no uncapped self-join anywhere.
+
+    vs the q-gram count-filter family: on short small-vocabulary strings
+    (catalog titles, names) q-gram df explodes and the count bound goes
+    slack; PassJoin's keys stay selective because they are position- and
+    length-qualified. The reference has no string-similarity join at all
+    — §2.11 training-data extension surface."""
+    d = max_dist
+    if d < 0:
+        raise ValueError(f"max_dist must be >= 0, got {d}")
+    base = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+        .filter(F.col("_txt").isNotNull())
+        .withColumn("_len", F.length("_txt").cast("int"))
+    )
+    ok = base.filter(F.col("_len") >= d + 1)
+
+    def seg_geom(l_col, i: int):
+        # even (d+1)-way partition of a length-l string: first (l % (d+1))
+        # segments get the extra char; 1-based start of segment i
+        b = F.floor(l_col / (d + 1)).cast("int")
+        r = (l_col % (d + 1)).cast("int")
+        w = (b + F.when(F.lit(i) < r, 1).otherwise(0)).cast("int")
+        p = (F.lit(i) * b + F.least(F.lit(i), r) + 1).cast("int")
+        return w, p
+
+    def key_struct(l_col, i: int, start, width):
+        return F.struct(
+            l_col.cast("int").alias("l"),
+            F.lit(i).cast("int").alias("i"),
+            F.col("_txt").substr(start, width).alias("seg"),
+        )
+
+    idx_keys = []
+    for i in range(d + 1):
+        w, p = seg_geom(F.col("_len"), i)
+        idx_keys.append(F.when(w >= 1, key_struct(F.col("_len"), i, p, w)))
+    idx = ok.select(
+        F.col("_id").alias("_id_s"),
+        F.explode(F.array_compact(F.array(*idx_keys))).alias("k"),
+    ).dropDuplicates(["_id_s", "k"])
+
+    probe_keys = []
+    for dl in range(d + 1):
+        l_col = F.col("_len") - dl
+        for i in range(d + 1):
+            w, p = seg_geom(l_col, i)
+            for off in range(-d, d + 1):
+                q = p + off
+                cond = (
+                    (l_col >= d + 1)
+                    & (w >= 1)
+                    & (q >= 1)
+                    & (q + w - 1 <= F.col("_len"))
+                )
+                probe_keys.append(F.when(cond, key_struct(l_col, i, q, w)))
+    probe = ok.select(
+        F.col("_id").alias("_id_r"),
+        F.explode(F.array_compact(F.array(*probe_keys))).alias("k"),
+    ).dropDuplicates(["_id_r", "k"])
+
+    cand = (
+        probe.join(idx, "k")
+        .filter(F.col("_id_r") != F.col("_id_s"))
+        .select(
+            F.least("_id_r", "_id_s").alias("_a"),
+            F.greatest("_id_r", "_id_s").alias("_b"),
+        )
+        .distinct()
+    )
+    a_side = base.select(
+        F.col("_id").alias("_a"), F.col("_txt").alias("_ta"), F.col("_len").alias("_la")
+    )
+    b_side = base.select(
+        F.col("_id").alias("_b"), F.col("_txt").alias("_tb"), F.col("_len").alias("_lb")
+    )
+    verified = (
+        cand.join(a_side, "_a")
+        .join(b_side, "_b")
+        .filter(F.abs(F.col("_la") - F.col("_lb")) <= d)
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= d)
+        .select("_a", "_b", "dist")
+    )
+    # residual: strings with len <= d cannot be partitioned into d+1
+    # non-empty segments. They are within distance d of ANY string whose
+    # length is <= 2d, so brute-verify them against the length band —
+    # bounded broadcast (at most the tiny len<=d slice of the corpus)
+    residual = base.filter(F.col("_len") <= d).select(
+        F.col("_id").alias("_ra"), F.col("_txt").alias("_rta")
+    )
+    res_pairs = (
+        F.broadcast(residual)
+        .crossJoin(base.filter(F.col("_len") <= 2 * d))
+        .filter(F.col("_ra") != F.col("_id"))
+        .withColumn("dist", F.levenshtein("_rta", "_txt"))
+        .filter(F.col("dist") <= d)
+        .select(
+            F.least("_ra", "_id").alias("_a"),
+            F.greatest("_ra", "_id").alias("_b"),
+            "dist",
+        )
+    )
+    return (
+        verified.unionByName(res_pairs)
+        .dropDuplicates(["_a", "_b"])
+        .select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"), "dist")
+    )

@@ -20360,3 +20360,37 @@ WHERE bit_count(xor(a.s, b.s)) <= 4
 
 QUERIES["media_phash_pairs"] = media_phash_pairs
 ORACLES["media_phash_pairs"] = ORACLE_MEDIA_PHASH
+
+
+def editdist_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join: all part-name pairs within Levenshtein
+    distance 1, via the PassJoin segment scheme
+    (operators/dedup.py::passjoin_near_duplicates — partition the shorter
+    string into d+1 segments, equi-join on (length, segment, value) keys
+    with a +-d shift window, verify with the built-in levenshtein; full
+    recall at the radius, so the blocked result equals the oracle's
+    brute force by construction). Catalog/title near-dup matching is the
+    canonical entity-resolution blocking step; q-gram count filters go
+    slack on short small-vocabulary strings like these, which is exactly
+    the regime PassJoin's position-qualified keys are for."""
+    part = _t(spark, sf_dir, "part")
+    out = D.passjoin_near_duplicates(
+        part, id_col="p_partkey", text_col="p_name", max_dist=1
+    )
+    return out.select(
+        "doc_a", "doc_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
+ORACLE_EDITDIST_PART = """
+SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 1
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+"""
+
+
+QUERIES["editdist_part_name_pairs"] = editdist_part_name_pairs
+ORACLES["editdist_part_name_pairs"] = ORACLE_EDITDIST_PART
