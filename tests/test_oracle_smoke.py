@@ -31,6 +31,16 @@ SMOKE = [
     "kmeans_cluster_assignments",
     "cms_token_frequencies",
     "mmr_diverse_top3",
+    # r10 wave 3
+    "wilcoxon_signed_rank_weekend",
+    "nelson_aalen_churn",
+    "mcnemar_click_purchase",
+    "runs_test_daily_value",
+    "cochran_armitage_hour_trend",
+    "markov_stationary_event_types",
+    "ccf_leadlag_purchase_error",
+    "media_phash_pairs",
+    "editdist_part_name_pairs",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

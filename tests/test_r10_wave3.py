@@ -1,0 +1,201 @@
+"""Round-10 wave 3: semantic assertions for the paired/nonparametric test
+battery, the Nelson-Aalen hazard, the stationary chain, and the CCF.
+Oracle hash parity is covered by tools/check_oracle.py; these pin the MATH
+against pure-Python replays and fixed-point properties the hashes can't
+see."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from decimal import Decimal
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from weatherdatapipeline_spark.queries import QUERIES, _t
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from weatherdatapipeline_spark.session import get_spark
+
+    return get_spark("r10-wave3-tests")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return [
+        (r["user_id"], r["ts"], r["event_type"], r["value"])
+        for r in _t(spark, SF, "events")
+        .select("user_id", "ts", "event_type", "value")
+        .collect()
+    ]
+
+
+def test_wilcoxon_matches_pure_python(spark, events):
+    we_sum: dict = defaultdict(lambda: [Decimal(0), Decimal(0), 0, 0])
+    for u, ts, _t_, v in events:
+        if v is None:
+            continue
+        is_we = ts.weekday() >= 5  # Sat=5, Sun=6 == dayofweek in (1,7)
+        acc = we_sum[u]
+        if is_we:
+            acc[0] += Decimal(repr(v))
+            acc[2] = 1
+        else:
+            acc[1] += Decimal(repr(v))
+            acc[3] = 1
+    diffs = [
+        a[0] - a[1] for a in we_sum.values() if a[2] and a[3] and a[0] != a[1]
+    ]
+    ads = sorted(abs(d) for d in diffs)
+    # mid-ranks under ties
+    rank_of: dict = {}
+    i = 0
+    while i < len(ads):
+        j = i
+        while j < len(ads) and ads[j] == ads[i]:
+            j += 1
+        rank_of[ads[i]] = (i + 1 + j) / 2.0
+        i = j
+    w_plus = sum(rank_of[abs(d)] for d in diffs if d > 0)
+    n = float(len(diffs))
+    tie_counts = defaultdict(int)
+    for d in diffs:
+        tie_counts[abs(d)] += 1
+    t_sum = sum(k**3 - k for k in tie_counts.values())
+    z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - t_sum / 48.0
+    )
+    row = QUERIES["wilcoxon_signed_rank_weekend"](spark, SF).collect()[0]
+    assert row["n_pairs"] == len(diffs)
+    assert row["w_plus_x2"] == round(w_plus * 2)
+    assert row["z_q6"] == round(z * 1e6)
+
+
+def test_mcnemar_matches_pure_python(spark, events):
+    clk, pur = defaultdict(int), defaultdict(int)
+    users = set()
+    for u, _ts, t, _v in events:
+        users.add(u)
+        if t == "click":
+            clk[u] = 1
+        if t == "purchase":
+            pur[u] = 1
+    b = sum(1 for u in users if clk[u] and not pur[u])
+    c = sum(1 for u in users if not clk[u] and pur[u])
+    row = QUERIES["mcnemar_click_purchase"](spark, SF).collect()[0]
+    assert (row["n_users"], row["b_cnt"], row["c_cnt"]) == (len(users), b, c)
+    if b + c > 0:
+        chi = (abs(b - c) - 1.0) ** 2 / (b + c)
+        assert row["chi2_cc_q6"] == round(chi * 1e6)
+
+
+def test_runs_test_matches_pure_python(spark, events):
+    daily: dict = defaultdict(Decimal)
+    for _u, ts, t, v in events:
+        if t == "purchase" and v is not None:
+            daily[ts.date()] += Decimal(repr(v))
+    xs = {d: round(float(v), 6) for d, v in daily.items()}
+    vals = sorted(xs.values())
+    n = len(vals)
+    med = (
+        vals[n // 2]
+        if n % 2 == 1
+        else (vals[n // 2 - 1] + vals[n // 2]) / 2.0
+    )
+    signs = [int(xs[d] > med) for d in sorted(xs) if xs[d] != med]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1, n2 = float(sum(signs)), float(len(signs) - sum(signs))
+    nn = n1 + n2
+    mu = 2 * n1 * n2 / nn + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn * nn * (nn - 1))
+    row = QUERIES["runs_test_daily_value"](spark, SF).collect()[0]
+    assert (row["n_days"], row["n_above"], row["n_below"], row["runs"]) == (
+        int(nn),
+        int(n1),
+        int(n2),
+        runs,
+    )
+    assert row["z_q6"] == round((runs - mu) / math.sqrt(var) * 1e6)
+
+
+def test_cochran_armitage_matches_pure_python(spark, events):
+    ni, ri = defaultdict(int), defaultdict(int)
+    for _u, ts, t, _v in events:
+        ni[ts.hour] += 1
+        ri[ts.hour] += int(t == "purchase")
+    n = sum(ni.values())
+    r = sum(ri.values())
+    pbar = r / n
+    t_stat = sum(w * ri[w] for w in ni) - pbar * sum(w * ni[w] for w in ni)
+    var = (
+        pbar
+        * (1 - pbar)
+        * (sum(w * w * ni[w] for w in ni) - sum(w * ni[w] for w in ni) ** 2 / n)
+    )
+    row = QUERIES["cochran_armitage_hour_trend"](spark, SF).collect()[0]
+    assert (row["n_events"], row["n_purchases"]) == (n, r)
+    assert row["z_q6"] == round(t_stat / math.sqrt(var) * 1e6)
+
+
+def test_markov_stationary_is_fixed_point(spark):
+    """pi P == pi (within quantization): checks the semantics via the
+    independently-computed transition matrix query."""
+    trans = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in QUERIES["event_transition_matrix"](spark, SF).collect()
+    }
+    types = ["click", "error", "purchase", "signup", "view"]
+    row = QUERIES["markov_stationary_event_types"](spark, SF).collect()[0]
+    pi = {t: row[f"pi_{t}_q6"] / 1e6 for t in types}
+    assert abs(sum(pi.values()) - 1.0) < 1e-4
+    row_tot = {a: sum(trans.get((a, b), 0) for b in types) for a in types}
+    for b in types:
+        nxt = sum(
+            pi[a] * trans.get((a, b), 0) / row_tot[a] for a in types if row_tot[a]
+        )
+        assert abs(nxt - pi[b]) < 5e-4, b
+
+
+def test_ccf_lag0_is_pearson(spark, events):
+    x, y = defaultdict(int), defaultdict(int)
+    for _u, ts, t, _v in events:
+        if t == "purchase":
+            x[ts.date()] += 1
+        elif t == "error":
+            y[ts.date()] += 1
+    days = sorted(set(x) | set(y))
+    xs = [x[d] for d in days]
+    ys = [y[d] for d in days]
+    n = len(days)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    r = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    rows = {
+        r_["lag"]: r_ for r_ in QUERIES["ccf_leadlag_purchase_error"](spark, SF).collect()
+    }
+    assert rows[0]["n_days"] == n
+    assert rows[0]["ccf_q6"] == round(r * 1e6)
+    assert set(rows) == set(range(-3, 4))
+
+
+def test_nelson_aalen_monotone_and_bounded(spark):
+    rows = sorted(
+        QUERIES["nelson_aalen_churn"](spark, SF).collect(), key=lambda r: r["t_hours"]
+    )
+    assert rows
+    prev = 0
+    for r in rows:
+        step = round(r["churned"] / r["at_risk"] * 1e9)
+        assert r["cum_hazard_q9"] >= prev
+        assert r["cum_hazard_q9"] >= step
+        prev = r["cum_hazard_q9"]

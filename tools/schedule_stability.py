@@ -70,6 +70,18 @@ DEFAULT_QUERIES = [
     "poisson_glm_daily_trend",
     "df_unit_root_daily",
     "brier_decomposition",
+    # r10 wave 3: paired/nonparametric battery (decimal diffs, bucketed
+    # ranks, integer-quantized hazard steps, unrolled power iteration)
+    "wilcoxon_signed_rank_weekend",
+    "nelson_aalen_churn",
+    "runs_test_daily_value",
+    "cochran_armitage_hour_trend",
+    "markov_stationary_event_types",
+    "ccf_leadlag_purchase_error",
+    "expected_calibration_error",
+    "shapley_attribution_channels",
+    "heaps_law_fit",
+    "evt_gumbel_return_levels",
 ]
 
 

@@ -20394,3 +20394,644 @@ WHERE levenshtein(a.p_name, b.p_name) <= 1
 
 QUERIES["editdist_part_name_pairs"] = editdist_part_name_pairs
 ORACLES["editdist_part_name_pairs"] = ORACLE_EDITDIST_PART
+
+
+# --------------------------------------------------------------------------
+# r10 wave 3: paired/nonparametric test battery + survival hazard +
+# lead-lag + stationary-chain completions of existing families
+# --------------------------------------------------------------------------
+
+
+def wilcoxon_signed_rank_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) on PAIRED per-user
+    weekend-vs-weekday total value: the within-subject twin of
+    mann_whitney_value_shift (independent samples) and the rank-robust
+    twin of yuen_trimmed_weekend_test — zero differences dropped,
+    mid-ranks under ties, tie-corrected normal approximation
+    z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - sum(t^3-t)/48).
+
+    Shape: one per-user aggregate collapses the corpus; differences are
+    EXACT DECIMAL(38,12) (sum-of-values, no division), so rank keys agree
+    bit-for-bit across engines; |d| ranks use the same range-bucketed
+    rank as kruskal_wallis (bucket-partitioned window + bounded offset
+    join — never a global sort). Mid-ranks are multiples of 0.5, so the
+    double rank-sum is exact and order-independent."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    we = F.dayofweek("ts").isin(1, 7)
+    diffs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(we, F.col("value")).otherwise(0.0).cast(dec)).alias("_swe"),
+            F.sum(F.when(~we, F.col("value")).otherwise(0.0).cast(dec)).alias("_swd"),
+            F.max(we.cast("int")).alias("_hwe"),
+            F.max((~we).cast("int")).alias("_hwd"),
+        )
+        .filter((F.col("_hwe") == 1) & (F.col("_hwd") == 1))
+        .select((F.col("_swe") - F.col("_swd")).alias("_diff"))
+        .filter(F.col("_diff") != 0)
+    )
+    grp = (
+        diffs.select(
+            F.abs(F.col("_diff")).alias("_ad"),
+            (F.col("_diff") > 0).cast("long").alias("_pos"),
+        )
+        .groupBy("_ad")
+        .agg(F.count(F.lit(1)).alias("_k"), F.sum("_pos").alias("_kpos"))
+        .withColumn("_b", F.floor(F.col("_ad") / F.lit(64.0)).cast("long"))
+    )
+    btot = grp.groupBy("_b").agg(F.sum("_k").alias("_bk"))
+    off = (
+        btot.select(F.col("_b").alias("_bb"))
+        .join(F.broadcast(btot), F.col("_b") < F.col("_bb"), "left")
+        .groupBy("_bb")
+        .agg(F.coalesce(F.sum("_bk"), F.lit(0)).alias("_off"))
+    )
+    wb = Window.partitionBy("_b").orderBy("_ad")
+    ranked = (
+        grp.join(F.broadcast(off), grp["_b"] == off["_bb"])
+        .withColumn(
+            "_below",
+            F.col("_off")
+            + F.sum("_k").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("_k"),
+        )
+        .select(
+            "_k",
+            "_kpos",
+            (F.col("_below") + (F.col("_k") + 1) / 2.0).alias("_avg_rank"),
+        )
+    )
+    agg = ranked.agg(
+        F.sum("_k").cast("double").alias("_n"),
+        F.sum(F.col("_kpos") * F.col("_avg_rank")).alias("_w"),
+        F.sum(F.col("_k") * F.col("_k") * F.col("_k") - F.col("_k"))
+        .cast("double")
+        .alias("_t"),
+    )
+    n = F.col("_n")
+    mu = n * (n + 1.0) / 4.0
+    var = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col("_t") / 48.0
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n_pairs"),
+        F.round(F.col("_w") * 2.0).cast("bigint").alias("w_plus_x2"),
+        F.round((F.col("_w") - mu) / F.sqrt(var) * 1e6).cast("bigint").alias("z_q6"),
+    )
+
+
+ORACLE_WILCOXON = """
+WITH pu AS (
+  SELECT user_id,
+         sum((CASE WHEN dayofweek(ts) IN (0, 6) THEN value ELSE 0.0 END)::DECIMAL(38,12)) AS swe,
+         sum((CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN value ELSE 0.0 END)::DECIMAL(38,12)) AS swd,
+         max(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS hwe,
+         max(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 ELSE 0 END) AS hwd
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+d AS (
+  SELECT swe - swd AS diff FROM pu
+  WHERE hwe = 1 AND hwd = 1 AND swe - swd != 0
+),
+grp AS (
+  SELECT abs(diff) AS ad, count(*) AS k,
+         sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS kpos
+  FROM d GROUP BY 1
+),
+ranked AS (
+  SELECT k, kpos,
+         sum(k) OVER (ORDER BY ad) - k + (k + 1) / 2.0 AS avg_rank
+  FROM grp
+),
+agg AS (
+  SELECT sum(k)::DOUBLE AS n,
+         sum(kpos * avg_rank) AS w,
+         sum(k * k * k - k)::DOUBLE AS t
+  FROM ranked
+)
+SELECT n::BIGINT AS n_pairs,
+       round(w * 2.0)::BIGINT AS w_plus_x2,
+       round((w - n * (n + 1.0) / 4.0)
+             / sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - t / 48.0)
+             * 1e6)::BIGINT AS z_q6
+FROM agg
+"""
+
+
+QUERIES["wilcoxon_signed_rank_weekend"] = wilcoxon_signed_rank_weekend
+ORACLES["wilcoxon_signed_rank_weekend"] = ORACLE_WILCOXON
+
+
+def nelson_aalen_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator H(t) = sum_{t' <= t} d/n
+    over the SAME user-lifetime/censoring table as
+    kaplan_meier_user_churn (hours first->last event; active in the
+    final 6h = censored) — the additive dual of KM's product-limit
+    survival, preferred when hazards are the modeling target (Aalen
+    1978). Per-step increments are quantized to 1e-9 BEFORE the
+    cumulative sum (round(d/n * 1e9), integer addition), so the running
+    total is exact integer arithmetic — schedule-independent and
+    engine-identical by construction, no float accumulation order in
+    play. Same bounded shapes as KM: one per-user aggregate, then
+    self-joins over the <= calendar-hours-sized lifetime table."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(F.max(F.unix_micros("ts")).alias("_max_us"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.floor((F.col("last_us") - F.col("first_us")) / 3_600_000_000)
+            .alias("t"),
+            (
+                F.col("_max_us") - F.col("last_us") > 6 * 3_600_000_000
+            ).cast("int").alias("observed"),
+        )
+    )
+    lt = users.groupBy("t").agg(
+        F.sum("observed").alias("d"), F.count(F.lit(1)).alias("all_n")
+    )
+    total = users.agg(F.count(F.lit(1)).alias("_total"))
+    prior = (
+        lt.alias("a")
+        .join(lt.alias("b"), F.col("b.t") < F.col("a.t"), "left")
+        .groupBy(F.col("a.t").alias("t"))
+        .agg(F.coalesce(F.sum("b.all_n"), F.lit(0)).alias("ended_before"))
+    )
+    risk = (
+        lt.join(prior, "t")
+        .crossJoin(F.broadcast(total))
+        .select("t", "d", (F.col("_total") - F.col("ended_before")).alias("n"))
+        .withColumn(
+            "_step_q9",
+            F.round(F.col("d") / F.col("n").cast("double") * 1e9).cast("bigint"),
+        )
+    )
+    na = (
+        risk.alias("a")
+        .join(risk.alias("b"), (F.col("b.t") <= F.col("a.t")) & (F.col("b.d") > 0), "left")
+        .groupBy(
+            F.col("a.t").alias("t"), F.col("a.d").alias("d"), F.col("a.n").alias("n")
+        )
+        .agg(F.coalesce(F.sum("b._step_q9"), F.lit(0)).alias("h_q9"))
+    )
+    return na.filter(F.col("d") > 0).select(
+        F.col("t").cast("bigint").alias("t_hours"),
+        F.col("d").cast("bigint").alias("churned"),
+        F.col("n").cast("bigint").alias("at_risk"),
+        F.col("h_q9").cast("bigint").alias("cum_hazard_q9"),
+    )
+
+
+ORACLE_NELSON_AALEN = """
+WITH span AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+users AS (
+  SELECT floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 3600000000) AS t,
+         CASE WHEN (SELECT max_us FROM span) - max(epoch_us(ts)) > 6 * 3600000000
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+lt AS (SELECT t, sum(observed) AS d, count(*) AS all_n FROM users GROUP BY t),
+total AS (SELECT count(*) AS tot FROM users),
+prior AS (
+  SELECT a.t, coalesce(sum(b.all_n), 0) AS ended_before
+  FROM lt a LEFT JOIN lt b ON b.t < a.t GROUP BY a.t
+),
+risk AS (
+  SELECT lt.t, lt.d, (total.tot - prior.ended_before) AS n,
+         round(lt.d / CAST(total.tot - prior.ended_before AS DOUBLE) * 1e9)::BIGINT AS step_q9
+  FROM lt JOIN prior ON lt.t = prior.t, total
+),
+na AS (
+  SELECT a.t, a.d, a.n, coalesce(sum(b.step_q9), 0) AS h_q9
+  FROM risk a LEFT JOIN risk b ON b.t <= a.t AND b.d > 0
+  GROUP BY a.t, a.d, a.n
+)
+SELECT t::BIGINT AS t_hours, d::BIGINT AS churned, n::BIGINT AS at_risk,
+       h_q9::BIGINT AS cum_hazard_q9
+FROM na WHERE d > 0
+"""
+
+
+QUERIES["nelson_aalen_churn"] = nelson_aalen_churn
+ORACLES["nelson_aalen_churn"] = ORACLE_NELSON_AALEN
+
+
+def mcnemar_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (1947) on PAIRED binary outcomes per user — did the
+    user ever click vs ever purchase: the discordant cells b (click only)
+    and c (purchase only) carry all the information, continuity-corrected
+    chi^2 = (|b-c|-1)^2 / (b+c). The within-subject complement of the
+    independent two-proportion z in ab_test_conversion. Integer counts
+    until one final ratio; one per-user aggregate + one 1-row combine."""
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("_clk"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("_pur"),
+    )
+    agg = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(((F.col("_clk") == 1) & (F.col("_pur") == 0)).cast("bigint")).alias("b_cnt"),
+        F.sum(((F.col("_clk") == 0) & (F.col("_pur") == 1)).cast("bigint")).alias("c_cnt"),
+    )
+    b, c = F.col("b_cnt"), F.col("c_cnt")
+    num = (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0)
+    return agg.select(
+        "n_users",
+        b.alias("b_cnt"),
+        c.alias("c_cnt"),
+        F.round(F.try_divide(num, (b + c).cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("chi2_cc_q6"),
+    )
+
+
+ORACLE_MCNEMAR = """
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clk,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pur
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_users,
+         sum(CASE WHEN clk = 1 AND pur = 0 THEN 1 ELSE 0 END)::BIGINT AS b_cnt,
+         sum(CASE WHEN clk = 0 AND pur = 1 THEN 1 ELSE 0 END)::BIGINT AS c_cnt
+  FROM pu
+)
+SELECT n_users, b_cnt, c_cnt,
+       round((abs(b_cnt - c_cnt) - 1.0) * (abs(b_cnt - c_cnt) - 1.0)
+             / (b_cnt + c_cnt)::DOUBLE * 1e6)::BIGINT AS chi2_cc_q6
+FROM agg
+"""
+
+
+QUERIES["mcnemar_click_purchase"] = mcnemar_click_purchase
+ORACLES["mcnemar_click_purchase"] = ORACLE_MCNEMAR
+
+
+def runs_test_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (1940) for randomness of the daily
+    purchase-value series: sign each day's total against the median of
+    the daily totals (exact-median ties dropped), count runs R of equal
+    consecutive signs, z = (R - mu)/sigma with mu = 2 n1 n2/n + 1,
+    sigma^2 = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n-1)). Too few runs =
+    positive serial dependence (trend/clustering), too many = negative
+    (oscillation) — the distribution-free complement of durbin_watson
+    (which needs residual magnitudes) and mann_kendall (monotone trend
+    only).
+
+    Shape: corpus collapses to one calendar-bounded daily table; the
+    day ordering is a days^2 self-join rank (31 rows — same pattern as
+    mann_kendall), adjacency = rank difference 1; no window, no sort."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("_d")).agg(
+        F.round(F.sum(F.col("value").cast(dec)).cast("double"), 6).alias("_x")
+    )
+    med = daily.agg(F.percentile(F.col("_x"), F.lit(0.5)).alias("_med"))
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("_x") != F.col("_med"))
+        .select("_d", (F.col("_x") > F.col("_med")).cast("int").alias("_s"))
+    )
+    rk = (
+        signed.alias("a")
+        .join(signed.alias("b"), F.col("b._d") < F.col("a._d"), "left")
+        .groupBy(F.col("a._d").alias("_d"), F.col("a._s").alias("_s"))
+        .agg(F.count("b._d").alias("_rk"))
+    )
+    adj = (
+        rk.alias("x")
+        .join(rk.alias("y"), F.col("y._rk") == F.col("x._rk") + 1)
+        .agg(
+            F.sum((F.col("y._s") != F.col("x._s")).cast("bigint")).alias("_changes")
+        )
+    )
+    counts = rk.agg(
+        F.sum("_s").cast("double").alias("_n1"),
+        F.sum(1 - F.col("_s")).cast("double").alias("_n2"),
+    )
+    comb = counts.crossJoin(F.broadcast(adj))
+    n1, n2 = F.col("_n1"), F.col("_n2")
+    n = n1 + n2
+    runs = (F.col("_changes") + 1).cast("double")
+    mu = 2.0 * n1 * n2 / n + 1.0
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    return comb.select(
+        n.cast("bigint").alias("n_days"),
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        runs.cast("bigint").alias("runs"),
+        F.round((runs - mu) / F.sqrt(var) * 1e6).cast("bigint").alias("z_q6"),
+    )
+
+
+ORACLE_RUNS_TEST = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         round(sum(value::DECIMAL(38,12))::DOUBLE, 6) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+med AS (SELECT quantile_cont(x, 0.5) AS m FROM daily),
+signed AS (
+  SELECT d, (CASE WHEN x > m THEN 1 ELSE 0 END) AS s FROM daily, med WHERE x != m
+),
+rk AS (
+  SELECT a.d, a.s, count(b.d) AS rk
+  FROM signed a LEFT JOIN signed b ON b.d < a.d GROUP BY a.d, a.s
+),
+adj AS (
+  SELECT sum(CASE WHEN y.s != x.s THEN 1 ELSE 0 END)::BIGINT AS changes
+  FROM rk x JOIN rk y ON y.rk = x.rk + 1
+),
+counts AS (SELECT sum(s)::DOUBLE AS n1, sum(1 - s)::DOUBLE AS n2 FROM rk)
+SELECT (n1 + n2)::BIGINT AS n_days, n1::BIGINT AS n_above, n2::BIGINT AS n_below,
+       (changes + 1)::BIGINT AS runs,
+       round(((changes + 1.0) - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                    / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0)))
+             * 1e6)::BIGINT AS z_q6
+FROM counts, adj
+"""
+
+
+QUERIES["runs_test_daily_value"] = runs_test_daily_value
+ORACLES["runs_test_daily_value"] = ORACLE_RUNS_TEST
+
+
+def cochran_armitage_hour_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (1954/1955): is the purchase PROPORTION
+    monotonically trending across the 24 ordered hour-of-day buckets?
+    T = sum_i w_i (r_i - pbar n_i) with scores w_i = hour,
+    Var(T) = pbar(1-pbar) (sum n_i w_i^2 - (sum n_i w_i)^2 / N).
+    chi_square_type_drift checks ANY deviation across categories; CA
+    spends its one degree of freedom on the ordered-trend alternative —
+    the standard dose-response screen. Integer sums throughout (exact,
+    schedule-independent), one bounded 24-row aggregate, one 1-row
+    combine."""
+    ev = _t(spark, sf_dir, "events")
+    per_hour = ev.groupBy(F.hour("ts").cast("bigint").alias("_w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ni"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("_ri"),
+    )
+    agg = per_hour.agg(
+        F.sum("_ni").alias("_n"),
+        F.sum("_ri").alias("_r"),
+        F.sum(F.col("_w") * F.col("_ri")).alias("_swr"),
+        F.sum(F.col("_w") * F.col("_ni")).alias("_swn"),
+        F.sum(F.col("_w") * F.col("_w") * F.col("_ni")).alias("_swwn"),
+    )
+    nd = F.col("_n").cast("double")
+    pbar = F.col("_r").cast("double") / nd
+    t_stat = F.col("_swr").cast("double") - pbar * F.col("_swn").cast("double")
+    var = (
+        pbar
+        * (1.0 - pbar)
+        * (
+            F.col("_swwn").cast("double")
+            - F.col("_swn").cast("double") * F.col("_swn").cast("double") / nd
+        )
+    )
+    return agg.select(
+        F.col("_n").alias("n_events"),
+        F.col("_r").alias("n_purchases"),
+        F.round(t_stat / F.sqrt(var) * 1e6).cast("bigint").alias("z_q6"),
+    )
+
+
+ORACLE_COCHRAN_ARMITAGE = """
+WITH per_hour AS (
+  SELECT hour(ts)::BIGINT AS w, count(*)::BIGINT AS ni,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS ri
+  FROM events GROUP BY 1
+),
+agg AS (
+  SELECT sum(ni) AS n, sum(ri) AS r, sum(w * ri) AS swr,
+         sum(w * ni) AS swn, sum(w * w * ni) AS swwn
+  FROM per_hour
+)
+SELECT n::BIGINT AS n_events, r::BIGINT AS n_purchases,
+       round((swr::DOUBLE - (r::DOUBLE / n::DOUBLE) * swn::DOUBLE)
+             / sqrt((r::DOUBLE / n::DOUBLE) * (1.0 - r::DOUBLE / n::DOUBLE)
+                    * (swwn::DOUBLE - swn::DOUBLE * swn::DOUBLE / n::DOUBLE))
+             * 1e6)::BIGINT AS z_q6
+FROM agg
+"""
+
+
+QUERIES["cochran_armitage_hour_trend"] = cochran_armitage_hour_trend
+ORACLES["cochran_armitage_hour_trend"] = ORACLE_COCHRAN_ARMITAGE
+
+
+_MK_TYPES = ["click", "error", "purchase", "signup", "view"]
+_MK_ITERS = 16
+
+
+def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order user-journey Markov
+    chain: where does a user's event stream settle in the long run?
+    event_transition_matrix gives one-hop structure and
+    pagerank_event_types a damped variant; this is the UNDAMPED fixed
+    point pi = pi P, computed by 16 unrolled power-iteration steps from
+    the uniform vector (16 doublings of mixing for a 5-state chain is
+    far past convergence at any useful mixing rate).
+
+    Engine-exactness: the 5x5 matrix collapses to ONE wide row
+    (vocabulary-sized conditional aggregate — integer counts, exact);
+    each iteration is a SELECT computing v'_j as the literal
+    left-to-right 5-term product-sum over the previous row's columns, so
+    both engines execute the IDENTICAL IEEE operation sequence — no
+    cross-row float aggregation anywhere, plan growth linear in
+    iterations. Scale: the corpus is touched once (lag window on the
+    user-key shuffle); everything after is constant-size."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select("_prev", F.col("event_type").alias("_cur"))
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_transitions")]
+    for i, a in enumerate(_MK_TYPES):
+        for j, b in enumerate(_MK_TYPES):
+            aggs.append(
+                F.sum(
+                    ((F.col("_prev") == a) & (F.col("_cur") == b)).cast("bigint")
+                ).alias(f"c_{i}_{j}")
+            )
+    wide = pairs.agg(*aggs)
+    p_cols = []
+    for i in range(5):
+        row_tot = (
+            F.col(f"c_{i}_0")
+            + F.col(f"c_{i}_1")
+            + F.col(f"c_{i}_2")
+            + F.col(f"c_{i}_3")
+            + F.col(f"c_{i}_4")
+        ).cast("double")
+        for j in range(5):
+            p_cols.append(
+                (F.col(f"c_{i}_{j}").cast("double") / row_tot).alias(f"p_{i}_{j}")
+            )
+    cur = wide.select(
+        "n_transitions", *p_cols, *[F.lit(0.2).alias(f"v_{j}") for j in range(5)]
+    )
+    p_names = [f"p_{i}_{j}" for i in range(5) for j in range(5)]
+    for _ in range(_MK_ITERS):
+        updates = []
+        for j in range(5):
+            expr = F.col("v_0") * F.col(f"p_0_{j}")
+            for i in range(1, 5):
+                expr = expr + F.col(f"v_{i}") * F.col(f"p_{i}_{j}")
+            updates.append(expr.alias(f"v_{j}"))
+        cur = cur.select("n_transitions", *p_names, *updates)
+    return cur.select(
+        "n_transitions",
+        *[
+            F.round(F.col(f"v_{j}") * 1e6).cast("bigint").alias(f"pi_{t}_q6")
+            for j, t in enumerate(_MK_TYPES)
+        ],
+    )
+
+
+def _mk_oracle() -> str:
+    cells = ",\n         ".join(
+        f"sum(CASE WHEN prev = '{a}' AND event_type = '{b}' THEN 1 ELSE 0 END)"
+        f"::BIGINT AS c_{i}_{j}"
+        for i, a in enumerate(_MK_TYPES)
+        for j, b in enumerate(_MK_TYPES)
+    )
+    probs = ",\n       ".join(
+        f"c_{i}_{j}::DOUBLE / (c_{i}_0 + c_{i}_1 + c_{i}_2 + c_{i}_3 + c_{i}_4)"
+        f"::DOUBLE AS p_{i}_{j}"
+        for i in range(5)
+        for j in range(5)
+    )
+    p_list = ", ".join(f"p_{i}_{j}" for i in range(5) for j in range(5))
+    v0 = ", ".join(f"0.2 AS v_{j}" for j in range(5))
+    its = [
+        f"it0 AS (SELECT n_transitions, {p_list}, {v0} FROM probs)"
+    ]
+    for k in range(1, _MK_ITERS + 1):
+        vs = ", ".join(
+            " + ".join(f"v_{i} * p_{i}_{j}" for i in range(5)) + f" AS v_{j}"
+            for j in range(5)
+        )
+        its.append(
+            f"it{k} AS (SELECT n_transitions, {p_list}, {vs} FROM it{k - 1})"
+        )
+    outs = ", ".join(
+        f"round(v_{j} * 1e6)::BIGINT AS pi_{t}_q6" for j, t in enumerate(_MK_TYPES)
+    )
+    its_sql = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER w AS prev, event_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+wide AS (
+  SELECT count(*)::BIGINT AS n_transitions,
+         {cells}
+  FROM pairs WHERE prev IS NOT NULL
+),
+probs AS (
+  SELECT n_transitions,
+       {probs}
+  FROM wide
+),
+{its_sql}
+SELECT n_transitions, {outs} FROM it{_MK_ITERS}
+"""
+
+
+QUERIES["markov_stationary_event_types"] = markov_stationary_event_types
+ORACLES["markov_stationary_event_types"] = _mk_oracle()
+
+
+def ccf_leadlag_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily purchase-count and
+    error-count series at lags -3..+3: does error volume LEAD purchase
+    volume (negative-lag correlation) or trail it? kendall_tau_daily
+    pins the contemporaneous association; the CCF locates the direction
+    and delay — the standard pre-whitening-free lead-lag screen.
+
+    r(lag) = Pearson over overlapping days of (x_t, y_{t+lag}), computed
+    from INTEGER count sums only (n, Sx, Sy, Sxx, Syy, Sxy — exact,
+    schedule-independent), one double expression at the end. Shape: the
+    corpus collapses to one calendar-bounded daily table; the 7 lags ride
+    a literal-array explode joined back on a shifted date key — bounded
+    fan-out, no window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("_d")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("_x"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("_y"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    left = daily.crossJoin(F.broadcast(lags)).withColumn(
+        "_dj", F.date_add(F.col("_d"), F.col("lag"))
+    )
+    right = daily.select(F.col("_d").alias("_dj"), F.col("_y").alias("_yl"))
+    pairs = left.join(right, "_dj").select("lag", "_x", "_yl")
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_yl").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_yl") * F.col("_yl")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_yl")).alias("_sxy"),
+    )
+    n = F.col("n_days").cast("double")
+    num = n * F.col("_sxy").cast("double") - F.col("_sx").cast("double") * F.col(
+        "_sy"
+    ).cast("double")
+    den = F.sqrt(
+        (
+            n * F.col("_sxx").cast("double")
+            - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+        )
+        * (
+            n * F.col("_syy").cast("double")
+            - F.col("_sy").cast("double") * F.col("_sy").cast("double")
+        )
+    )
+    return agg.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_days",
+        F.round(num / den * 1e6).cast("bigint").alias("ccf_q6"),
+    )
+
+
+ORACLE_CCF = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(range(-3, 4)) AS lag),
+pairs AS (
+  SELECT l.lag, a.x, b.y AS yl
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+),
+agg AS (
+  SELECT lag, count(*)::BIGINT AS n_days,
+         sum(x) AS sx, sum(yl) AS sy,
+         sum(x * x) AS sxx, sum(yl * yl) AS syy, sum(x * yl) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT lag::BIGINT AS lag, n_days,
+       round((n_days::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((n_days::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n_days::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+             * 1e6)::BIGINT AS ccf_q6
+FROM agg
+"""
+
+
+QUERIES["ccf_leadlag_purchase_error"] = ccf_leadlag_purchase_error
+ORACLES["ccf_leadlag_purchase_error"] = ORACLE_CCF
