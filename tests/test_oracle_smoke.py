@@ -41,6 +41,9 @@ SMOKE = [
     "ccf_leadlag_purchase_error",
     "media_phash_pairs",
     "editdist_part_name_pairs",
+    "clustering_coefficient_cosupply",
+    "friedman_daily_types",
+    "ljung_box_daily_value",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -199,3 +199,94 @@ def test_nelson_aalen_monotone_and_bounded(spark):
         assert r["cum_hazard_q9"] >= prev
         assert r["cum_hazard_q9"] >= step
         prev = r["cum_hazard_q9"]
+
+
+def test_local_clustering_on_planted_graph(spark):
+    from weatherdatapipeline_spark.operators.graph import local_clustering
+
+    # K4 on {0,1,2,3} plus a pendant 4-0 and an isolated edge 5-6
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "a LONG, b LONG")
+    got = {r.node: (r.deg, r.triangles, r.lcc) for r in local_clustering(df).collect()}
+    assert got[1] == (3, 3, 1.0)  # inside K4: all neighbor pairs connected
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 3, 1.0)
+    d, t, lcc = got[0]
+    assert (d, t) == (4, 3) and abs(lcc - 0.5) < 1e-12  # 3 of C(4,2)=6 closed
+    assert got[4] == (1, 0, None)  # pendant: lcc undefined
+    assert got[5] == (1, 0, None) and got[6] == (1, 0, None)
+
+
+def test_friedman_matches_pure_python(spark, events):
+    daily: dict = defaultdict(lambda: defaultdict(lambda: [Decimal(0), 0]))
+    for _u, ts, t, v in events:
+        if v is None:
+            continue
+        acc = daily[ts.date()][t]
+        acc[0] += Decimal(repr(v))
+        acc[1] += 1
+    rank_sums: dict = defaultdict(float)
+    n_days = 0
+    tie_sum = 0.0
+    for d, by_type in daily.items():
+        xs = {t: round(float(s) / c, 6) for t, (s, c) in by_type.items()}
+        n_days += 1
+        vals = sorted(xs.values())
+        for t, x in xs.items():
+            below = sum(1 for v2 in vals if v2 < x)
+            k = sum(1 for v2 in vals if v2 == x)
+            rank_sums[t] += below + (k + 1) / 2.0
+        seen = set()
+        for x in xs.values():
+            if x in seen:
+                continue
+            seen.add(x)
+            k = sum(1 for v2 in xs.values() if v2 == x)
+            tie_sum += k**3 - k
+    k = len(rank_sums)
+    n = float(n_days)
+    sr2 = sum(r * r for r in rank_sums.values())
+    raw = 12.0 / (n * k * (k + 1)) * sr2 - 3.0 * n * (k + 1)
+    chi = raw / (1.0 - tie_sum / (n * k * (k * k - 1)))
+    rows = QUERIES["friedman_daily_types"](spark, SF).collect()
+    assert len(rows) == k
+    for r in rows:
+        assert r["n_days"] == n_days and r["n_types"] == k
+        assert r["rank_sum_x2"] == round(rank_sums[r["event_type"]] * 2)
+        assert r["chi2_q6"] == round(chi * 1e6)
+
+
+def test_ljung_box_matches_pure_python(spark, events):
+    daily: dict = defaultdict(lambda: [Decimal(0), 0])
+    for _u, ts, t, v in events:
+        if t == "purchase" and v is not None:
+            daily[ts.date()][0] += Decimal(repr(v))
+            daily[ts.date()][1] += 1
+    xq = {
+        d: round(round(float(s) / c, 6) * 1e4) for d, (s, c) in daily.items()
+    }
+    days = sorted(xq)
+    xs = [xq[d] for d in days]
+    n = len(xs)
+    m = sum(xs)
+    from datetime import timedelta
+
+    def c_scaled(k):
+        pairs = [
+            (xq[d], xq[d + timedelta(days=k)])
+            for d in days
+            if d + timedelta(days=k) in xq
+        ]
+        sp = sum(a * b for a, b in pairs)
+        h = sum(a for a, _ in pairs)
+        t_ = sum(b for _, b in pairs)
+        return n * n * sp - n * m * (h + t_) + (n - k) * m * m
+
+    c0 = c_scaled(0)
+    rhos = [c_scaled(k) / c0 for k in range(1, 6)]
+    lb = sum(r * r / (n - k) for k, r in enumerate(rhos, 1)) * n * (n + 2)
+    row = QUERIES["ljung_box_daily_value"](spark, SF).collect()[0]
+    assert row["n_days"] == n
+    for k, r in enumerate(rhos, 1):
+        assert row[f"rho{k}_q6"] == round(r * 1e6), k
+    assert abs(row["lb_q6"] - round(lb * 1e6)) <= 1

@@ -82,6 +82,8 @@ DEFAULT_QUERIES = [
     "shapley_attribution_channels",
     "heaps_law_fit",
     "evt_gumbel_return_levels",
+    "friedman_daily_types",
+    "ljung_box_daily_value",
 ]
 
 

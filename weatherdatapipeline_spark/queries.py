@@ -21035,3 +21035,309 @@ FROM agg
 
 QUERIES["ccf_leadlag_purchase_error"] = ccf_leadlag_purchase_error
 ORACLES["ccf_leadlag_purchase_error"] = ORACLE_CCF
+
+
+def clustering_coefficient_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier local clustering coefficient on the co-supply graph
+    (operators/graph.py::local_clustering — degree-oriented wedge join,
+    each triangle credits its three corners): which suppliers sit inside
+    tightly-interlocked supply cliques vs open hubs. Node-level
+    refinement of triangle_count_cosupply's global census; same shared
+    degree-capped edge builder."""
+    out = G.local_clustering(_cosupply_edges(spark, sf_dir))
+    return out.select(
+        F.col("node").cast("bigint").alias("supplier"),
+        F.col("deg").cast("bigint").alias("deg"),
+        F.col("triangles").cast("bigint").alias("triangles"),
+        F.round(F.col("lcc") * 1e6).cast("bigint").alias("lcc_q6"),
+    )
+
+
+ORACLE_LOCAL_CLUSTERING = f"""
+WITH {_COSUPPLY_PS_SQL},
+e AS (
+  SELECT DISTINCT x.sk AS a, y.sk AS b
+  FROM ps x JOIN ps y USING (pk) WHERE x.sk < y.sk
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+       ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT node, count(*) AS t FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.node::BIGINT AS supplier, deg.d::BIGINT AS deg,
+       coalesce(corners.t, 0)::BIGINT AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN round(2.0 * coalesce(corners.t, 0)
+                       / (deg.d::DOUBLE * (deg.d - 1.0)) * 1e6)::BIGINT
+       END AS lcc_q6
+FROM deg LEFT JOIN corners USING (node)
+"""
+
+
+QUERIES["clustering_coefficient_cosupply"] = clustering_coefficient_cosupply
+ORACLES["clustering_coefficient_cosupply"] = ORACLE_LOCAL_CLUSTERING
+
+
+def friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (1937) for consistent differences between the 5
+    event types' daily mean values, BLOCKED by day: within each day the
+    types are mid-ranked 1..5, rank sums R_j accumulate across days, and
+    the tie-corrected statistic chi2 = [12/(n k (k+1)) sum R_j^2 -
+    3 n (k+1)] / [1 - sum(t^3-t)/(n k (k^2-1))] is chi-square(k-1) under
+    exchangeability. The blocked (repeated-measures) complement of
+    kruskal_wallis (which pools ranks and loses the day blocking).
+
+    Shape: corpus -> calendar x type table (exact DECIMAL means rounded
+    to 6dp); ranks are DAY-partitioned 5-row windows; rank sums are
+    exact multiples of 0.5 (x2 integer outputs). No global window."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("_d"), "event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast(dec)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("_x")
+    )
+    per_val = daily.groupBy("_d", "_x").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.collect_list("event_type").alias("_types"),
+    )
+    wd = Window.partitionBy("_d").orderBy("_x")
+    ranked = (
+        per_val.withColumn(
+            "_below",
+            F.sum("_k").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("_k"),
+        )
+        .withColumn("_avg_rank", F.col("_below") + (F.col("_k") + 1) / 2.0)
+        .select(
+            F.explode("_types").alias("event_type"),
+            "_avg_rank",
+            # tie mass t^3 - t counted once per BLOCK: spread over the
+            # tied rows so the explode-then-sum recovers it exactly
+            (
+                (F.col("_k") * F.col("_k") * F.col("_k") - F.col("_k")).cast("double")
+                / F.col("_k").cast("double")
+            ).alias("_tie_share"),
+        )
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.sum("_avg_rank").alias("_rj"), F.count(F.lit(1)).alias("_n")
+    )
+    tot = ranked.agg(F.sum("_tie_share").alias("_tsum"))
+    comb = per_type.crossJoin(F.broadcast(tot))
+    stats = comb.agg(
+        F.max("_n").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_kk"),
+        F.sum(F.col("_rj") * F.col("_rj")).alias("_sr2"),
+        F.max("_tsum").alias("_ts"),
+    )
+    n, k = F.col("_n"), F.col("_kk")
+    raw = 12.0 / (n * k * (k + 1.0)) * F.col("_sr2") - 3.0 * n * (k + 1.0)
+    corr = 1.0 - F.col("_ts") / (n * k * (k * k - 1.0))
+    chi = stats.select(
+        n.cast("bigint").alias("n_days"),
+        k.cast("bigint").alias("n_types"),
+        F.round(raw / corr * 1e6).cast("bigint").alias("chi2_q6"),
+    )
+    ranks_out = per_type.select(
+        "event_type", F.round(F.col("_rj") * 2.0).cast("bigint").alias("rank_sum_x2")
+    )
+    return ranks_out.crossJoin(F.broadcast(chi))
+
+
+ORACLE_FRIEDMAN = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         round(sum(value::DECIMAL(38,12))::DOUBLE / count(*), 6) AS x
+  FROM events GROUP BY 1, 2
+),
+per_val AS (
+  SELECT d, x, count(*) AS k FROM daily GROUP BY 1, 2
+),
+ranked AS (
+  SELECT dd.event_type, pv.d,
+         (SELECT coalesce(sum(p2.k), 0) FROM per_val p2
+          WHERE p2.d = pv.d AND p2.x < pv.x) + (pv.k + 1) / 2.0 AS avg_rank,
+         (pv.k * pv.k * pv.k - pv.k)::DOUBLE / pv.k AS tie_share
+  FROM per_val pv JOIN daily dd ON dd.d = pv.d AND dd.x = pv.x
+),
+per_type AS (
+  SELECT event_type, sum(avg_rank) AS rj, count(*) AS n FROM ranked GROUP BY 1
+),
+tot AS (SELECT sum(tie_share) AS ts FROM ranked),
+stats AS (
+  SELECT max(n)::DOUBLE AS n, count(*)::DOUBLE AS k,
+         sum(rj * rj) AS sr2, max(ts) AS ts
+  FROM per_type, tot
+),
+chi AS (
+  SELECT n::BIGINT AS n_days, k::BIGINT AS n_types,
+         round((12.0 / (n * k * (k + 1.0)) * sr2 - 3.0 * n * (k + 1.0))
+               / (1.0 - ts / (n * k * (k * k - 1.0))) * 1e6)::BIGINT AS chi2_q6
+  FROM stats
+)
+SELECT per_type.event_type, round(rj * 2.0)::BIGINT AS rank_sum_x2,
+       chi.n_days, chi.n_types, chi.chi2_q6
+FROM per_type, chi
+"""
+
+
+QUERIES["friedman_daily_types"] = friedman_daily_types
+ORACLES["friedman_daily_types"] = ORACLE_FRIEDMAN
+
+
+def ljung_box_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (1978) for serial correlation of the
+    daily purchase mean-value series at lags 1..5: LB = n(n+2) sum_k
+    rho_k^2/(n-k), chi-square(5) under white noise — the joint
+    complement of durbin_watson (lag-1 only) and the per-lag
+    acf_value_by_type readout.
+
+    Engine-exactness: the daily means are quantized to 1e-4 integers,
+    so every autocovariance reduces to INTEGER sums (scaled by n^2 to
+    clear the mean's denominator: n^2 c_k = n^2 sum(x_t x_{t+k})
+    - n m (H_k + T_k) + (n-k) m^2, all BIGINT-exact) — rho_k is one
+    integer ratio, no float accumulation anywhere. Shape: one calendar-
+    bounded daily table, a 6-literal lag explode joined on the shifted
+    date key, one lag-keyed aggregate, one 1-row pivot."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("_d")).agg(
+        F.round(
+            F.round(
+                F.sum(F.col("value").cast(dec)).cast("double") / F.count(F.lit(1)),
+                6,
+            )
+            * 1e4
+        )
+        .cast("bigint")
+        .alias("_xq")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_xq").alias("_m"),
+    )
+    lags = spark.range(0, 6).select(F.col("id").cast("int").alias("_lag"))
+    left = daily.crossJoin(F.broadcast(lags)).withColumn(
+        "_dj", F.date_add(F.col("_d"), F.col("_lag"))
+    )
+    right = daily.select(F.col("_d").alias("_dj"), F.col("_xq").alias("_xj"))
+    per_lag = (
+        left.join(right, "_dj")
+        .groupBy("_lag")
+        .agg(
+            F.sum(F.col("_xq") * F.col("_xj")).alias("_sp"),
+            F.sum("_xq").alias("_h"),
+            F.sum("_xj").alias("_t"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_lag",
+            "_n",
+            (
+                F.col("_n") * F.col("_n") * F.col("_sp")
+                - F.col("_n") * F.col("_m") * (F.col("_h") + F.col("_t"))
+                + (F.col("_n") - F.col("_lag")) * F.col("_m") * F.col("_m")
+            ).alias("_c"),
+        )
+    )
+    c0 = per_lag.filter(F.col("_lag") == 0).select(
+        F.col("_c").alias("_c0"), F.col("_n").alias("_nn")
+    )
+    rho = (
+        per_lag.filter(F.col("_lag") > 0)
+        .crossJoin(F.broadcast(c0))
+        .select(
+            "_lag",
+            "_nn",
+            (F.col("_c").cast("double") / F.col("_c0").cast("double")).alias("_rho"),
+        )
+    )
+    wide_aggs = [F.max("_nn").cast("double").alias("_n")]
+    for k in range(1, 6):
+        wide_aggs.append(
+            F.max(F.when(F.col("_lag") == k, F.col("_rho"))).alias(f"_r{k}")
+        )
+    wide = rho.agg(*wide_aggs)
+    n = F.col("_n")
+    lb = (
+        F.col("_r1") * F.col("_r1") / (n - 1.0)
+        + F.col("_r2") * F.col("_r2") / (n - 2.0)
+        + F.col("_r3") * F.col("_r3") / (n - 3.0)
+        + F.col("_r4") * F.col("_r4") / (n - 4.0)
+        + F.col("_r5") * F.col("_r5") / (n - 5.0)
+    ) * n * (n + 2.0)
+    return wide.select(
+        n.cast("bigint").alias("n_days"),
+        *[
+            F.round(F.col(f"_r{k}") * 1e6).cast("bigint").alias(f"rho{k}_q6")
+            for k in range(1, 6)
+        ],
+        F.round(lb * 1e6).cast("bigint").alias("lb_q6"),
+    )
+
+
+ORACLE_LJUNG_BOX = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         round(round(sum(value::DECIMAL(38,12))::DOUBLE / count(*), 6)
+               * 1e4)::BIGINT AS xq
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS n, sum(xq)::BIGINT AS m FROM daily),
+lags AS (SELECT unnest(range(0, 6)) AS lag),
+per_lag AS (
+  SELECT l.lag,
+         sum(a.xq * b.xq)::BIGINT AS sp,
+         sum(a.xq)::BIGINT AS h, sum(b.xq)::BIGINT AS t
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+  GROUP BY 1
+),
+cs AS (
+  SELECT lag, tot.n,
+         (tot.n * tot.n * sp - tot.n * tot.m * (h + t)
+          + (tot.n - lag) * tot.m * tot.m)::BIGINT AS c
+  FROM per_lag, tot
+),
+rho AS (
+  SELECT a.lag, a.n, a.c::DOUBLE / b.c::DOUBLE AS r
+  FROM cs a, (SELECT c FROM cs WHERE lag = 0) b
+  WHERE a.lag > 0
+),
+wide AS (
+  SELECT max(n)::DOUBLE AS n,
+         max(CASE WHEN lag = 1 THEN r END) AS r1,
+         max(CASE WHEN lag = 2 THEN r END) AS r2,
+         max(CASE WHEN lag = 3 THEN r END) AS r3,
+         max(CASE WHEN lag = 4 THEN r END) AS r4,
+         max(CASE WHEN lag = 5 THEN r END) AS r5
+  FROM rho
+)
+SELECT n::BIGINT AS n_days,
+       round(r1 * 1e6)::BIGINT AS rho1_q6,
+       round(r2 * 1e6)::BIGINT AS rho2_q6,
+       round(r3 * 1e6)::BIGINT AS rho3_q6,
+       round(r4 * 1e6)::BIGINT AS rho4_q6,
+       round(r5 * 1e6)::BIGINT AS rho5_q6,
+       round((r1 * r1 / (n - 1.0) + r2 * r2 / (n - 2.0) + r3 * r3 / (n - 3.0)
+              + r4 * r4 / (n - 4.0) + r5 * r5 / (n - 5.0))
+             * n * (n + 2.0) * 1e6)::BIGINT AS lb_q6
+FROM wide
+"""
+
+
+QUERIES["ljung_box_daily_value"] = ljung_box_daily_value
+ORACLES["ljung_box_daily_value"] = ORACLE_LJUNG_BOX
