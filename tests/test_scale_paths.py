@@ -260,3 +260,63 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """Runtime Bloom-filter join pruning: when a selective filter lives on
+    the build side of a SHUFFLE join (broadcast disabled — the 100 TB
+    fact-to-large-dim case where DPP doesn't apply because the fact isn't
+    partitioned by the join key), Catalyst injects a bloom filter built
+    from the filtered dim into the fact scan (`might_contain(...)` in the
+    plan), so most fact rows die at the scan instead of riding the full
+    shuffle. Thresholds are lowered to trigger at toy scale; the exact
+    aggregate verifies no rows are wrongly dropped (the filter only
+    prunes, never decides)."""
+    fact = spark.range(200_000).select(
+        F.col("id"), (F.col("id") % 1000).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    fpath = str(tmp_path / "bf_fact")
+    fact.write.parquet(fpath)
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 100 == 7, "keep").otherwise("drop").alias("tag"),
+    )
+    dpath = str(tmp_path / "bf_dim")
+    dim.write.parquet(dpath)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1B",
+        )
+        f = spark.read.parquet(fpath)
+        d = spark.read.parquet(dpath).filter(F.col("tag") == "keep")
+        j = f.join(d, "k").agg(F.sum("v").alias("s"))
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan, plan
+        keep = {k for k in range(1000) if k % 100 == 7}
+        expected = sum(i * 1.5 for i in range(200_000) if i % 1000 in keep)
+        [row] = j.collect()
+        assert abs(row["s"] - expected) < 1e-6
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
