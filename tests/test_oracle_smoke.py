@@ -44,6 +44,7 @@ SMOKE = [
     "clustering_coefficient_cosupply",
     "friedman_daily_types",
     "ljung_box_daily_value",
+    "hurst_rescaled_range",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -290,3 +290,52 @@ def test_ljung_box_matches_pure_python(spark, events):
     for k, r in enumerate(rhos, 1):
         assert row[f"rho{k}_q6"] == round(r * 1e6), k
     assert abs(row["lb_q6"] - round(lb * 1e6)) <= 1
+
+
+def test_hurst_matches_pure_python(spark, events):
+    from weatherdatapipeline_spark.queries import _HURST_LN, _HURST_SIZES
+
+    us = [
+        int(ts.timestamp() * 1e6)
+        for _u, ts, t, _v in events
+        if t == "purchase"
+    ]
+    h0 = min(us) // 3_600_000_000
+    h1 = max(us) // 3_600_000_000
+    counts = defaultdict(int)
+    for u in us:
+        counts[u // 3_600_000_000 - h0] += 1
+    xs = [counts[i] for i in range(h1 - h0 + 1)]
+    ys = {}
+    blocks = {}
+    for m in _HURST_SIZES:
+        lsum, nb = 0, 0
+        for b0 in range(0, len(xs) - m + 1, m):
+            blk = xs[b0 : b0 + m]
+            s = sum(blk)
+            sq = sum(v * v for v in blk)
+            pref = 0
+            mys = []
+            for k, v in enumerate(blk):
+                pref += v
+                mys.append(m * pref - (k + 1) * s)
+            var_scaled = m * sq - s * s
+            if var_scaled <= 0:
+                continue
+            rs = (max(mys) - min(mys)) / math.sqrt(var_scaled)
+            if rs > 0:
+                lsum += round(math.log(rs) * 1e6)
+                nb += 1
+        ys[m] = lsum / (nb * 1e6)
+        blocks[m] = nb
+    lx = [_HURST_LN[m] for m in _HURST_SIZES]
+    mx = sum(lx) / 3.0
+    denom = sum((v - mx) ** 2 for v in lx)
+    slope = sum((_HURST_LN[m] - mx) * ys[m] for m in _HURST_SIZES) / denom
+    row = QUERIES["hurst_rescaled_range"](spark, SF).collect()[0]
+    assert (row["blocks_32"], row["blocks_64"], row["blocks_128"]) == (
+        blocks[32],
+        blocks[64],
+        blocks[128],
+    )
+    assert abs(row["hurst_q4"] - round(slope * 1e4)) <= 1

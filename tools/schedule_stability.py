@@ -84,6 +84,7 @@ DEFAULT_QUERIES = [
     "evt_gumbel_return_levels",
     "friedman_daily_types",
     "ljung_box_daily_value",
+    "hurst_rescaled_range",
 ]
 
 

@@ -21341,3 +21341,204 @@ FROM wide
 
 QUERIES["ljung_box_daily_value"] = ljung_box_daily_value
 ORACLES["ljung_box_daily_value"] = ORACLE_LJUNG_BOX
+
+
+_HURST_SIZES = (32, 64, 128)
+# ln(block size) as shared Python literals injected into BOTH engines (the
+# oracle-hash contract forbids per-engine transcendental recomputation of
+# shared constants)
+_HURST_LN = {32: 3.4657359027997265, 64: 4.1588830833596715, 128: 4.852030263919617}
+
+
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classical rescaled-range analysis (Hurst 1951;
+    Mandelbrot-Wallis 1969) over the HOURLY purchase-count series:
+    H ~ 0.5 = memoryless, H > 0.5 = long-range persistence (bursts beget
+    bursts — the property that decides whether traffic forecasting can
+    use short context), H < 0.5 = mean reversion. Completes the
+    dependence battery: Ljung-Box tests SHORT-lag correlation,
+    Mann-Kendall monotone trend; R/S measures long memory.
+
+    Exactness: counts are integers, so within each size-m block the
+    rescaled range reduces to an INTEGER ratio — m*Y_k = m*prefix_k -
+    k*S is exact, R_scaled = max - min of integers, and m^2*var =
+    m*sumsq - S^2, giving rs = R_scaled / sqrt(m*sumsq - S^2) with no
+    float accumulation; ln(rs) is quantized to 1e-6 per block BEFORE the
+    per-size mean (integer sum / count), and the final H is the 3-point
+    OLS slope against ln(m) literals shared verbatim by both engines.
+    Shape: one corpus aggregate to hourly counts (calendar-bounded), a
+    dense-hour scaffold via sequence-explode, block-partitioned prefix
+    windows (block size <= 128 rows), bounded per-size aggregates."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bounds = ev.agg(
+        F.floor(F.min(F.unix_micros("ts")) / 3_600_000_000).alias("_h0"),
+        F.floor(F.max(F.unix_micros("ts")) / 3_600_000_000).alias("_h1"),
+    )
+    counts = ev.crossJoin(F.broadcast(bounds)).groupBy(
+        (F.floor(F.unix_micros("ts") / 3_600_000_000) - F.col("_h0")).alias("_i")
+    ).agg(F.count(F.lit(1)).alias("_x"))
+    hours = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.col("_h1") - F.col("_h0"))).alias("_i")
+    )
+    series = hours.join(counts, "_i", "left").select(
+        "_i", F.coalesce(F.col("_x"), F.lit(0)).alias("_x")
+    )
+    per_size = []
+    for m in _HURST_SIZES:
+        blk = series.select(
+            F.floor(F.col("_i") / m).cast("long").alias("_blk"),
+            (F.col("_i") % m).alias("_k"),
+            "_x",
+        )
+        sizes = blk.groupBy("_blk").agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum("_x").alias("_s"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sq"),
+        ).filter(F.col("_cnt") == m)
+        wb = Window.partitionBy("_blk").orderBy("_k")
+        pref = blk.withColumn(
+            "_pref", F.sum("_x").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        ext = (
+            pref.join(sizes, "_blk")
+            .select(
+                "_blk",
+                "_s",
+                "_sq",
+                (F.lit(m) * F.col("_pref") - (F.col("_k") + 1) * F.col("_s")).alias(
+                    "_my"
+                ),
+            )
+            .groupBy("_blk", "_s", "_sq")
+            .agg((F.max("_my") - F.min("_my")).alias("_rscaled"))
+        )
+        rs = ext.select(
+            (
+                F.col("_rscaled").cast("double")
+                / F.sqrt(
+                    (F.lit(m) * F.col("_sq") - F.col("_s") * F.col("_s")).cast(
+                        "double"
+                    )
+                )
+            ).alias("_rs")
+        ).filter(F.col("_rs") > 0)
+        per_size.append(
+            rs.agg(
+                F.lit(m).cast("bigint").alias("m"),
+                F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                F.sum(F.round(F.log(F.col("_rs")) * 1e6).cast("bigint")).alias(
+                    "_lsum"
+                ),
+            )
+        )
+    pts = per_size[0]
+    for extra in per_size[1:]:
+        pts = pts.unionByName(extra)
+    pts = pts.select(
+        "m",
+        "n_blocks",
+        (F.col("_lsum").cast("double") / (F.col("n_blocks") * 1e6)).alias("_y"),
+        F.when(F.col("m") == 32, F.lit(_HURST_LN[32]))
+        .when(F.col("m") == 64, F.lit(_HURST_LN[64]))
+        .otherwise(F.lit(_HURST_LN[128]))
+        .alias("_lx"),
+    )
+    wide_aggs = [
+        F.sum(F.when(F.col("m") == m, F.col("_y"))).alias(f"_y{m}")
+        for m in _HURST_SIZES
+    ]
+    wide = pts.agg(*wide_aggs).crossJoin(
+        F.broadcast(
+            pts.groupBy().pivot("m", [str(m) for m in _HURST_SIZES]).sum("n_blocks")
+        )
+    )
+    lx = [_HURST_LN[m] for m in _HURST_SIZES]
+    mx = sum(lx) / 3.0
+    denom = sum((v - mx) ** 2 for v in lx)
+    slope = (
+        (F.col("_y32") * F.lit(lx[0] - mx))
+        + (F.col("_y64") * F.lit(lx[1] - mx))
+        + (F.col("_y128") * F.lit(lx[2] - mx))
+    ) / F.lit(denom)
+    return wide.select(
+        F.col("32").cast("bigint").alias("blocks_32"),
+        F.col("64").cast("bigint").alias("blocks_64"),
+        F.col("128").cast("bigint").alias("blocks_128"),
+        F.round(slope * 1e4).cast("bigint").alias("hurst_q4"),
+    )
+
+
+ORACLE_HURST = f"""
+WITH ev AS (SELECT epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+bounds AS (
+  SELECT floor(min(us) / 3600000000)::BIGINT AS h0,
+         floor(max(us) / 3600000000)::BIGINT AS h1
+  FROM ev
+),
+counts AS (
+  SELECT floor(us / 3600000000)::BIGINT - bounds.h0 AS i, count(*)::BIGINT AS x
+  FROM ev, bounds GROUP BY 1
+),
+hours AS (
+  SELECT unnest(range(0, h1 - h0 + 1))::BIGINT AS i FROM bounds
+),
+series AS (
+  SELECT hours.i, coalesce(counts.x, 0)::BIGINT AS x
+  FROM hours LEFT JOIN counts USING (i)
+),
+pts AS (
+  {{per_size}}
+),
+wide AS (
+  SELECT
+    max(CASE WHEN m = 32 THEN lsum::DOUBLE / (n_blocks * 1e6) END) AS y32,
+    max(CASE WHEN m = 64 THEN lsum::DOUBLE / (n_blocks * 1e6) END) AS y64,
+    max(CASE WHEN m = 128 THEN lsum::DOUBLE / (n_blocks * 1e6) END) AS y128,
+    max(CASE WHEN m = 32 THEN n_blocks END)::BIGINT AS blocks_32,
+    max(CASE WHEN m = 64 THEN n_blocks END)::BIGINT AS blocks_64,
+    max(CASE WHEN m = 128 THEN n_blocks END)::BIGINT AS blocks_128
+  FROM pts
+)
+SELECT blocks_32, blocks_64, blocks_128,
+       round((y32 * {{c32}} + y64 * {{c64}} + y128 * {{c128}}) / {{denom}}
+             * 1e4)::BIGINT AS hurst_q4
+FROM wide
+"""
+
+
+def _hurst_oracle() -> str:
+    size_sqls = []
+    for m in _HURST_SIZES:
+        size_sqls.append(f"""
+  SELECT {m}::BIGINT AS m, count(*)::BIGINT AS n_blocks,
+         sum(round(ln(rs) * 1e6)::BIGINT)::BIGINT AS lsum
+  FROM (
+    SELECT blk,
+           (max(my) - min(my))::DOUBLE
+           / sqrt(({m} * max(sq) - max(s) * max(s))::DOUBLE) AS rs
+    FROM (
+      SELECT floor(i / {m})::BIGINT AS blk, i % {m} AS k, x,
+             {m} * sum(x) OVER (PARTITION BY floor(i / {m})
+                                ORDER BY i % {m}) - (i % {m} + 1)
+             * sum(x) OVER (PARTITION BY floor(i / {m})) AS my,
+             sum(x) OVER (PARTITION BY floor(i / {m})) AS s,
+             sum(x * x) OVER (PARTITION BY floor(i / {m})) AS sq,
+             count(*) OVER (PARTITION BY floor(i / {m})) AS cnt
+      FROM series
+    ) WHERE cnt = {m}
+    GROUP BY blk
+  ) WHERE rs > 0""")
+    lx = [_HURST_LN[m] for m in _HURST_SIZES]
+    mx = sum(lx) / 3.0
+    denom = sum((v - mx) ** 2 for v in lx)
+    return ORACLE_HURST.format(
+        per_size="\n  UNION ALL\n".join(size_sqls),
+        c32=repr(lx[0] - mx),
+        c64=repr(lx[1] - mx),
+        c128=repr(lx[2] - mx),
+        denom=repr(denom),
+    )
+
+
+QUERIES["hurst_rescaled_range"] = hurst_rescaled_range
+ORACLES["hurst_rescaled_range"] = _hurst_oracle()
