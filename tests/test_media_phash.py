@@ -92,3 +92,66 @@ def test_undecodable_blob_rows_are_dropped(spark):
     rows = [(0, b"not a png"), (1, None)]
     df = spark.createDataFrame(rows, "doc_id LONG, blob BINARY")
     assert M.image_dhash(df).count() == 0
+
+
+def test_audio_fingerprint_matches_pure_python(spark):
+    from weatherdatapipeline_spark.operators.multimodal import (
+        _AFP_FRAMES,
+        _AFP_SPF,
+        _planted_samples,
+        audio_fingerprint,
+        planted_pcm_corpus,
+    )
+
+    docs = spark.range(N_DOCS).selectExpr("id AS doc_id")
+    blobs = planted_pcm_corpus(docs, group_mod=GROUP_MOD, max_doc_id=N_DOCS)
+    got = {r.doc_id: r.afp for r in audio_fingerprint(blobs).collect()}
+    assert len(got) == N_DOCS
+    for d in range(N_DOCS):
+        xs = _planted_samples(d, GROUP_MOD)
+        es = [
+            sum(v * v for v in xs[k * _AFP_SPF : (k + 1) * _AFP_SPF])
+            for k in range(_AFP_FRAMES)
+        ]
+        sig = 0
+        for k in range(63):
+            if es[k + 1] > es[k]:
+                sig |= 1 << k
+        assert got[d] == sig, d
+
+
+def test_audio_fingerprint_same_group_within_radius(spark):
+    from weatherdatapipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        planted_pcm_corpus,
+    )
+
+    docs = spark.range(N_DOCS).selectExpr("id AS doc_id")
+    blobs = planted_pcm_corpus(docs, group_mod=GROUP_MOD, max_doc_id=N_DOCS)
+    sigs = {r.doc_id: r.afp for r in audio_fingerprint(blobs).collect()}
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in range(N_DOCS)
+        for b in range(a + 1, N_DOCS)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 4
+    }
+    for a in range(N_DOCS):
+        for b in range(a + 1, N_DOCS):
+            if a % GROUP_MOD == b % GROUP_MOD:
+                assert bin(sigs[a] ^ sigs[b]).count("1") <= 4, (a, b)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.hamming_block_pairs(
+            audio_fingerprint(blobs), id_col="doc_id", sig_col="afp", max_hamming=4
+        ).collect()
+    }
+    assert got == brute
+
+
+def test_audio_fingerprint_short_blob_dropped(spark):
+    from weatherdatapipeline_spark.operators.multimodal import audio_fingerprint
+
+    df = spark.createDataFrame(
+        [(0, b"\x00\x01" * 10), (1, None)], "doc_id LONG, blob BINARY"
+    )
+    assert audio_fingerprint(df).count() == 0

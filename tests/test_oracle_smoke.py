@@ -45,6 +45,7 @@ SMOKE = [
     "friedman_daily_types",
     "ljung_box_daily_value",
     "hurst_rescaled_range",
+    "media_audiofp_pairs",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -554,3 +554,116 @@ def parse_wav_metadata(
             yield pd.DataFrame(rows)
 
     return media.select(id_col, blob_col).mapInPandas(fn, WAV_META_SCHEMA)
+
+
+PCM_BLOB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("blob", BinaryType(), False),
+    ]
+)
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("afp", LongType(), False),
+    ]
+)
+
+# fingerprint geometry: 64 frames x 125 samples = 8000-sample clips; 63
+# consecutive-frame energy deltas -> a 63-bit signature (signed-BIGINT
+# safe, reuses the Manku block join unchanged)
+_AFP_FRAMES, _AFP_SPF = 64, 125
+
+
+def _planted_samples(doc_id: int, group_mod: int) -> list[int]:
+    """Deterministic int16 waveform for a clip: a linear-congruential
+    pattern parameterized by the doc's GROUP id, plus ONE amplitude spike
+    at frame doc_id % 64 — so same-group clips differ in a single frame's
+    energy, flipping at most 2 energy-delta sign bits. Pure integer
+    arithmetic — bit-replicable in SQL, which is what makes the oracle
+    strict (the audio twin of the PNG corpus's md5 pixels)."""
+    gid = doc_id % group_mod
+    a, b = 17 + gid, 97 * gid + 13
+    n = _AFP_FRAMES * _AFP_SPF
+    spike_at = (doc_id % _AFP_FRAMES) * _AFP_SPF
+    out = []
+    for i in range(n):
+        v = (a * i + b) % 4096 - 2048
+        if i == spike_at:
+            v += doc_id % 1024
+        out.append(v)
+    return out
+
+
+def planted_pcm_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_mod: int = 40,
+    max_doc_id: int = 1024,
+) -> DataFrame:
+    """Pack one REAL PCM16-LE audio blob per document (stdlib ``struct``
+    byte packing — the same wire format ``audio_frame_features`` and the
+    WAV parser consume) from the deterministic planted waveform. Map-only
+    mapInPandas; participation capped at ``doc_id < max_doc_id`` so the
+    planted pair mass stays bounded at any scale factor."""
+    import struct as _struct
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "blob": [
+                        _struct.pack(
+                            f"<{_AFP_FRAMES * _AFP_SPF}h",
+                            *_planted_samples(i, group_mod),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .filter(F.col(id_col) < max_doc_id)
+        .mapInPandas(fn, PCM_BLOB_SCHEMA)
+    )
+
+
+def audio_fingerprint(
+    media: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """63-bit acoustic fingerprint per PCM16 clip: decode the raw bytes
+    (numpy ``<i2`` view — REAL byte-level decode, same path as
+    ``audio_frame_features``), frame into 64 windows of 125 samples,
+    compute INTEGER frame energies sum(x^2), and set bit k when
+    energy[k+1] > energy[k] — the energy-delta sign pattern at the heart
+    of Haitsma-Kalker/Chromaprint-style audio hashing, reduced to one
+    band. Integer energies make the signature exact and SQL-replicable.
+    Blobs shorter than a full clip are skipped (dropped rows — total over
+    corrupt corpus bytes). Feeds ``dedup.hamming_block_pairs`` unchanged;
+    map-only, Arrow-batched."""
+    import numpy as np
+
+    n = _AFP_FRAMES * _AFP_SPF
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            sigs: list[int] = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None or len(blob) < 2 * n:
+                    continue
+                x = np.frombuffer(bytes(blob)[: 2 * n], dtype="<i2").astype(np.int64)
+                e = (x * x).reshape(_AFP_FRAMES, _AFP_SPF).sum(axis=1)
+                sig = 0
+                for k in range(_AFP_FRAMES - 1):
+                    if e[k + 1] > e[k]:
+                        sig |= 1 << k
+                ids.append(int(mid))
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "afp": sigs})
+
+    return media.select(id_col, blob_col).mapInPandas(fn, AUDIO_FP_SCHEMA)

@@ -21542,3 +21542,71 @@ def _hurst_oracle() -> str:
 
 QUERIES["hurst_rescaled_range"] = hurst_rescaled_range
 ORACLES["hurst_rescaled_range"] = _hurst_oracle()
+
+
+def media_audiofp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint near-duplicate pairs over a REAL PCM16 audio
+    lake slice — the audio twin of media_phash_pairs (§2.11 multimodal x
+    dedup): one 8000-sample int16-LE clip per document (stdlib struct
+    packing), byte-decoded back on the executors (numpy <i2 view, the
+    same wire path audio_frame_features consumes), 63-bit energy-delta
+    sign fingerprint (Haitsma-Kalker-style), then the SAME Manku
+    pigeonhole block join at radius 4. Waveforms are integer LCG
+    functions of the doc id with planted near-dup groups (one amplitude
+    spike -> <=2 sign bits), so the oracle regenerates every sample in
+    SQL and brute-forces the pair space — full recall at the radius
+    makes the blocked result equal the brute force by construction.
+    Participation capped at doc_id < 1024 (bounded planted fixture)."""
+    from .operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = M.planted_pcm_corpus(docs, group_mod=40, max_doc_id=1024)
+    sigs = M.audio_fingerprint(blobs)
+    out = D.hamming_block_pairs(
+        sigs, id_col="doc_id", sig_col="afp", max_hamming=4
+    )
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+ORACLE_MEDIA_AUDIOFP = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 1024),
+params AS (
+  SELECT doc_id, 17 + doc_id % 40 AS a, 97 * (doc_id % 40) + 13 AS b,
+         (doc_id % 64) * 125 AS spike_at, doc_id % 1024 AS amp
+  FROM ids
+),
+samples AS (
+  SELECT doc_id, (i.i // 125)::BIGINT AS frame,
+         ((a * i.i + b) % 4096 - 2048
+          + CASE WHEN i.i = spike_at THEN amp ELSE 0 END)::BIGINT AS x
+  FROM params CROSS JOIN unnest(range(0, 8000)) AS i(i)
+),
+energies AS (
+  SELECT doc_id, frame, sum(x * x)::BIGINT AS e
+  FROM samples GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.doc_id, a.frame AS k,
+         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM energies a JOIN energies b
+    ON a.doc_id = b.doc_id AND b.frame = a.frame + 1
+  WHERE a.frame < 63
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bit = 1
+                       THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS s
+  FROM bits GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 4
+"""
+
+
+QUERIES["media_audiofp_pairs"] = media_audiofp_pairs
+ORACLES["media_audiofp_pairs"] = ORACLE_MEDIA_AUDIOFP
