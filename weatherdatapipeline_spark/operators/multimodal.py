@@ -667,3 +667,106 @@ def audio_fingerprint(
             yield pd.DataFrame({"doc_id": ids, "afp": sigs})
 
     return media.select(id_col, blob_col).mapInPandas(fn, AUDIO_FP_SCHEMA)
+
+
+AVI_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("valid", IntegerType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("usec_per_frame", IntegerType(), True),
+        StructField("total_frames", LongType(), True),
+        StructField("n_streams", IntegerType(), True),
+        StructField("duration_ms", DoubleType(), True),
+    ]
+)
+
+
+def _parse_avi(blob: bytes | None):
+    """Walk a RIFF/AVI byte stream to the 'avih' main header — stdlib
+    struct only, no codec (the video sibling of ``_parse_wav``: container
+    metadata is parseable everywhere even though frame DECODE genuinely
+    needs a codec library). Returns (width, height, usec_per_frame,
+    total_frames, n_streams, duration_ms) or None when the blob is not a
+    well-formed AVI (wrong magic, truncated chunk, missing hdrl/avih)."""
+    import struct
+
+    if blob is None or len(blob) < 24:
+        return None
+    b = bytes(blob)
+    if b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+
+    def walk(lo: int, hi: int):
+        o = lo
+        while o + 8 <= hi:
+            cid = b[o : o + 4]
+            (size,) = struct.unpack("<I", b[o + 4 : o + 8])
+            body_lo, body_hi = o + 8, o + 8 + size
+            if body_hi > hi:
+                return None
+            if cid == b"LIST":
+                ltype = b[body_lo : body_lo + 4]
+                if ltype == b"hdrl":
+                    found = walk(body_lo + 4, body_hi)
+                    if found is not None:
+                        return found
+            elif cid == b"avih" and size >= 40:
+                return b[body_lo : body_lo + 40]
+            o = body_hi + (size & 1)  # chunks are word-aligned
+        return None
+
+    avih = walk(12, len(b))
+    if avih is None:
+        return None
+    (uspf, _maxbps, _pad, _flags, frames, _init, streams, _buf, w, h) = struct.unpack(
+        "<10I", avih
+    )
+    if w == 0 or h == 0:
+        return None
+    dur = frames * uspf / 1000.0 if uspf else None
+    return w, h, uspf, frames, streams, dur
+
+
+def parse_avi_metadata(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL RIFF/AVI container parsing over opaque binary blobs — the
+    video modality's metadata arm (image has ``png_dimensions``, audio
+    ``parse_wav_metadata``): nested-LIST chunk walk extracting geometry /
+    frame timing / stream count from the 'avih' main header. Frame
+    PIXEL decode still requires a codec library and remains the
+    documented stub; the container layer is what a 100 TB media-lake
+    profiling pass actually scans. Malformed blobs yield valid=0 with
+    NULL fields — total over corrupt corpus bytes. Arrow-batched
+    mapInPandas, map-only."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in AVI_META_SCHEMA.fields}
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                parsed = _parse_avi(blob)
+                rows["media_id"].append(int(mid))
+                rows["valid"].append(1 if parsed else 0)
+                if parsed:
+                    w, h, uspf, frames, streams, dur = parsed
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["usec_per_frame"].append(uspf)
+                    rows["total_frames"].append(frames)
+                    rows["n_streams"].append(streams)
+                    rows["duration_ms"].append(dur)
+                else:
+                    for k in (
+                        "width",
+                        "height",
+                        "usec_per_frame",
+                        "total_frames",
+                        "n_streams",
+                        "duration_ms",
+                    ):
+                        rows[k].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, blob_col).mapInPandas(fn, AVI_META_SCHEMA)

@@ -21610,3 +21610,99 @@ WHERE bit_count(xor(a.s, b.s)) <= 4
 
 QUERIES["media_audiofp_pairs"] = media_audiofp_pairs
 ORACLES["media_audiofp_pairs"] = ORACLE_MEDIA_AUDIOFP
+
+
+def cramer_von_mises_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic per event type (Anderson
+    1962) comparing the weekend vs weekday value distributions:
+    T = n1 n2 / N^2 * sum over the pooled sample of (F1 - F2)^2 — the
+    INTEGRAL of the squared ECDF gap, where KS (ks_drift_by_type) takes
+    only the supremum: CvM accumulates diffuse shape drift KS's single
+    worst point can miss.
+
+    Exactness: per pooled value, d = F1cum*n2 - F2cum*n1 is an integer
+    (no division before the end), the weighted square sum accumulates as
+    DECIMAL (exact at any scale — d^2 <= (n1 n2)^2 needs int128-class
+    arithmetic, which BIGINT lacks at sf >= 1), and T = sum / (N^2 n1 n2)
+    is one double division at the end. Shape: per-(type, value) collapse
+    first, type-partitioned cumulative windows (the mann_whitney
+    pattern), one grouped combine."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    we = F.dayofweek("ts").isin(1, 7)
+    per_value = (
+        ev.select(
+            "event_type",
+            "value",
+            we.cast("int").alias("_w1"),
+            (~we).cast("int").alias("_w2"),
+        )
+        .groupBy("event_type", "value")
+        .agg(F.sum("_w1").alias("_c1"), F.sum("_w2").alias("_c2"))
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    cum = per_value.withColumn(
+        "_f1", F.sum("_c1").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "_f2", F.sum("_c2").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = per_value.groupBy("event_type").agg(
+        F.sum("_c1").alias("_n1"), F.sum("_c2").alias("_n2")
+    )
+    dec19 = "decimal(19,0)"
+    joined = cum.join(F.broadcast(totals), "event_type").withColumn(
+        "_d",
+        (F.col("_f1") * F.col("_n2") - F.col("_f2") * F.col("_n1")).cast(dec19),
+    )
+    agg = joined.groupBy("event_type").agg(
+        F.max("_n1").alias("_n1"),
+        F.max("_n2").alias("_n2"),
+        F.sum(
+            (F.col("_d") * F.col("_d")).cast("decimal(38,0)")
+            * (F.col("_c1") + F.col("_c2")).cast("decimal(9,0)")
+        ).alias("_swd2"),
+    )
+    n1 = F.col("_n1").cast("double")
+    n2 = F.col("_n2").cast("double")
+    nn = n1 + n2
+    t = F.col("_swd2").cast("double") / (nn * nn) / (n1 * n2)
+    return agg.select(
+        "event_type",
+        F.col("_n1").cast("bigint").alias("n_weekend"),
+        F.col("_n2").cast("bigint").alias("n_weekday"),
+        F.round(t * 1e6).cast("bigint").alias("cvm_q6"),
+    )
+
+
+ORACLE_CVM = """
+WITH per_value AS (
+  SELECT event_type, value,
+         sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 ELSE 0 END) AS c2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, c1, c2,
+         sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS f1,
+         sum(c2) OVER (PARTITION BY event_type ORDER BY value) AS f2
+  FROM per_value
+),
+totals AS (
+  SELECT event_type, sum(c1) AS n1, sum(c2) AS n2 FROM per_value GROUP BY 1
+),
+agg AS (
+  SELECT c.event_type, max(t.n1) AS n1, max(t.n2) AS n2,
+         sum((c.f1 * t.n2 - c.f2 * t.n1)::HUGEINT
+             * (c.f1 * t.n2 - c.f2 * t.n1)::HUGEINT
+             * (c.c1 + c.c2)::HUGEINT) AS swd2
+  FROM cum c JOIN totals t ON c.event_type = t.event_type
+  GROUP BY 1
+)
+SELECT event_type, n1::BIGINT AS n_weekend, n2::BIGINT AS n_weekday,
+       round(swd2::DOUBLE / ((n1::DOUBLE + n2::DOUBLE) * (n1::DOUBLE + n2::DOUBLE))
+             / (n1::DOUBLE * n2::DOUBLE) * 1e6)::BIGINT AS cvm_q6
+FROM agg
+"""
+
+
+QUERIES["cramer_von_mises_weekend"] = cramer_von_mises_weekend
+ORACLES["cramer_von_mises_weekend"] = ORACLE_CVM
