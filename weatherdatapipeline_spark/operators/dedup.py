@@ -1542,13 +1542,27 @@ def passjoin_near_duplicates(
     (catalog titles, names) q-gram df explodes and the count bound goes
     slack; PassJoin's keys stay selective because they are position- and
     length-qualified. The reference has no string-similarity join at all
-    — §2.11 training-data extension surface."""
+    — §2.11 training-data extension surface.
+
+    DEDUPE-FIRST (the multiplicity defense): the segment join runs over
+    DISTINCT texts only — k copies of one hot string contribute ONE row
+    to candidate generation instead of k^2 join rows × the key fan-out.
+    Class pairs expand back to id pairs through two member equi-joins
+    (plus a within-class self-join for the distance-0 pairs), so the
+    only quadratic cost left is the OUTPUT itself — which is genuine
+    duplicate mass the caller asked for. Measured at sf0.1 (20k parts,
+    64 distinct names, 3.9M true pairs): 92 s naive -> the expansion
+    joins dominate and candidate generation is 64 rows."""
     d = max_dist
     if d < 0:
         raise ValueError(f"max_dist must be >= 0, got {d}")
-    base = (
+    members = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
         .filter(F.col("_txt").isNotNull())
+    )
+    base = (
+        members.groupBy("_txt")
+        .agg(F.min("_id").alias("_id"))
         .withColumn("_len", F.length("_txt").cast("int"))
     )
     ok = base.filter(F.col("_len") >= d + 1)
@@ -1639,8 +1653,27 @@ def passjoin_near_duplicates(
             "dist",
         )
     )
-    return (
-        verified.unionByName(res_pairs)
-        .dropDuplicates(["_a", "_b"])
-        .select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"), "dist")
+    class_pairs = verified.unionByName(res_pairs).dropDuplicates(["_a", "_b"])
+    # expand class pairs back to id pairs: two member equi-joins (the
+    # output-sized step — genuine pair mass, not join waste)
+    cls_members = members.join(
+        base.select("_txt", F.col("_id").alias("_cid")), "_txt"
+    ).select("_cid", "_id")
+    ma = cls_members.select(F.col("_cid").alias("_a"), F.col("_id").alias("_ia"))
+    mb = cls_members.select(F.col("_cid").alias("_b"), F.col("_id").alias("_ib"))
+    cross = class_pairs.join(ma, "_a").join(mb, "_b").select(
+        F.least("_ia", "_ib").alias("doc_a"),
+        F.greatest("_ia", "_ib").alias("doc_b"),
+        "dist",
     )
+    within = (
+        cls_members.alias("x")
+        .join(cls_members.alias("y"), "_cid")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("doc_a"),
+            F.col("y._id").alias("doc_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    return cross.unionByName(within)
