@@ -98,6 +98,13 @@ HEADLINE = [
     "wasserstein_weekend_shift",   # exact 1-D EMD from per-type ECDF windows
     "ams_f2_sketch",               # 32-projection F2 sketch vs exact self-join mass
     "join_cardinality_estimate",   # dictionary-to-dictionary exact join size
+    # r10 wave 3
+    "media_phash_pairs",           # real PNG decode + dHash + hamming block join
+    "media_audiofp_pairs",         # PCM16 decode + energy-delta fp + block join
+    "editdist_part_name_pairs",    # dedupe-first PassJoin (3.9M true pairs at sf0.1)
+    "wilcoxon_signed_rank_weekend",  # paired ranks via range-bucketed rank
+    "markov_stationary_event_types",  # 16 unrolled power-iteration selects
+    "hurst_rescaled_range",        # integer R/S blocks over the hourly series
 ]
 
 
@@ -199,6 +206,15 @@ SCALE_HEADLINE = [
     "isotonic_calibration_bins",
     "bootstrap_ci_event_values",
     "session_overlap_pairs",
+    # r10 wave 3: wilcoxon is one per-user agg + a diffs-sized rank;
+    # markov is one lag-window scan into a constant 5x5 row; hurst is one
+    # hourly agg + block-bounded windows. All linear by construction.
+    # (media_* fixtures are doc_id-capped by design — constant under
+    # replication; editdist's output is true pair mass, quadratic when
+    # copies share the same 64-name vocabulary — both excluded.)
+    "wilcoxon_signed_rank_weekend",
+    "markov_stationary_event_types",
+    "hurst_rescaled_range",
 ]
 
 # bump when build_scale_dir's transform changes so stale caches rebuild

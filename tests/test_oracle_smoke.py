@@ -46,6 +46,8 @@ SMOKE = [
     "ljung_box_daily_value",
     "hurst_rescaled_range",
     "media_audiofp_pairs",
+    "cramer_von_mises_weekend",
+    "ranking_eval_purchase",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

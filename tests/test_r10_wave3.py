@@ -339,3 +339,36 @@ def test_hurst_matches_pure_python(spark, events):
         blocks[128],
     )
     assert abs(row["hurst_q4"] - round(slope * 1e4)) <= 1
+
+
+def test_ranking_eval_matches_pure_python(spark, events):
+    from datetime import datetime
+
+    cut = datetime(2024, 1, 16)
+    tr_pos, tr_n = defaultdict(Decimal), defaultdict(int)
+    for _u, ts, t, _v in events:
+        if ts < cut:
+            tr_n[ts.hour] += 1
+            tr_pos[ts.hour] += Decimal(int(t == "purchase"))
+    score = {h: round(float(tr_pos[h]) / tr_n[h], 4) for h in tr_n}
+    blocks: dict = defaultdict(lambda: [0, 0])
+    for _u, ts, t, _v in events:
+        if ts >= cut and ts.hour in score:
+            blocks[score[ts.hour]][0 if t == "purchase" else 1] += 1
+    P = sum(p for p, _n in blocks.values())
+    N = sum(n for _p, n in blocks.values())
+    auc_num, ap_q9 = 0, 0
+    for s in blocks:
+        pos, neg = blocks[s]
+        tp_before = sum(blocks[s2][0] for s2 in blocks if s2 > s)
+        k_before = sum(sum(blocks[s2]) for s2 in blocks if s2 > s)
+        neg_below = N - (k_before - tp_before) - neg
+        auc_num += pos * (2 * neg_below + neg)
+        ap_q9 += round(pos * (tp_before + pos) / (P * (k_before + pos + neg)) * 1e9)
+    row = QUERIES["ranking_eval_purchase"](spark, SF).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (P, N)
+    assert row["auc_q6"] == round(auc_num / (2.0 * P * N) * 1e6)
+    assert row["ap_q6"] == round(ap_q9 / 1e3)
+    # sanity: both metrics live in [0, 1]
+    assert 0 <= row["auc_q6"] <= 1_000_000
+    assert 0 <= row["ap_q6"] <= 1_000_000

@@ -85,6 +85,8 @@ DEFAULT_QUERIES = [
     "friedman_daily_types",
     "ljung_box_daily_value",
     "hurst_rescaled_range",
+    "cramer_von_mises_weekend",
+    "ranking_eval_purchase",
 ]
 
 

@@ -21706,3 +21706,140 @@ FROM agg
 
 QUERIES["cramer_von_mises_weekend"] = cramer_von_mises_weekend
 ORACLES["cramer_von_mises_weekend"] = ORACLE_CVM
+
+
+def ranking_eval_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC and average precision of the same out-of-sample
+    hour-of-day purchase forecast the Brier/ECE suite grades — the two
+    ranking metrics every model card quotes and the registry lacked:
+    AUC as the tie-corrected U-statistic P(s+ > s-) + P(s+ = s-)/2, AP
+    as the threshold-stepped sum (R_k - R_{k-1}) * P_k over distinct
+    score blocks (the sklearn definition, which needs no per-item
+    permutation tie-breaking).
+
+    Exactness: eval rows collapse to <=24 (score -> pos/neg count)
+    blocks; block cumulatives come from a 24^2 self-join (no window);
+    the AUC numerator sum pos_k*(2*neg_below + neg_k) is INTEGER-exact
+    (x2 clears the tie half), and each AP block contribution is
+    quantized to 1e-9 before an integer sum. One corpus pass for the
+    24-row training table, one for eval labels."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    y = (F.col("event_type") == "purchase").cast("int")
+    train = ev.filter(F.col("ts") < cut).groupBy(F.hour("ts").alias("_h")).agg(
+        F.round(F.sum(y.cast(dec)).cast("double") / F.count(F.lit(1)), 4).alias("_p")
+    )
+    blocks = (
+        ev.filter(F.col("ts") >= cut)
+        .select(F.hour("ts").alias("_h"), y.alias("_y"))
+        .join(F.broadcast(train), "_h")
+        .groupBy("_p")
+        .agg(
+            F.sum("_y").cast("bigint").alias("_pos"),
+            F.sum(1 - F.col("_y")).cast("bigint").alias("_neg"),
+        )
+    )
+    rel = (
+        blocks.alias("a")
+        .join(
+            F.broadcast(blocks.alias("b")),
+            F.col("b._p") > F.col("a._p"),
+            "left",
+        )
+        .groupBy(
+            F.col("a._p").alias("_p"),
+            F.col("a._pos").alias("_pos"),
+            F.col("a._neg").alias("_neg"),
+        )
+        .agg(
+            F.coalesce(F.sum("b._pos"), F.lit(0)).alias("_tp_before"),
+            F.coalesce(F.sum("b._pos") + F.sum("b._neg"), F.lit(0)).alias("_k_before"),
+        )
+    )
+    tot = blocks.agg(
+        F.sum("_pos").cast("bigint").alias("_tpos"), F.sum("_neg").cast("bigint").alias("_tneg")
+    )
+    per_block = rel.crossJoin(F.broadcast(tot)).select(
+        "_pos",
+        "_neg",
+        "_tpos",
+        "_tneg",
+        (
+            F.col("_pos")
+            * (
+                2 * (F.col("_tneg") - F.col("_k_before") + F.col("_tp_before") - F.col("_neg"))
+                + F.col("_neg")
+            )
+        ).alias("_auc_num"),
+        F.round(
+            F.col("_pos")
+            * (F.col("_tp_before") + F.col("_pos")).cast("double")
+            / (
+                F.col("_tpos")
+                * (F.col("_k_before") + F.col("_pos") + F.col("_neg")).cast("double")
+            )
+            * 1e9
+        )
+        .cast("bigint")
+        .alias("_ap_q9"),
+    )
+    agg = per_block.agg(
+        F.max("_tpos").alias("n_pos"),
+        F.max("_tneg").alias("n_neg"),
+        F.sum("_auc_num").alias("_an"),
+        F.sum("_ap_q9").alias("_ap"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            F.col("_an").cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg"))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("auc_q6"),
+        F.round(F.col("_ap").cast("double") / 1e3).cast("bigint").alias("ap_q6"),
+    )
+
+
+ORACLE_RANKING_EVAL = """
+WITH train AS (
+  SELECT hour(ts) AS h,
+         round(sum((CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END)::DECIMAL(38,12))::DOUBLE / count(*), 4) AS p
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1
+),
+blocks AS (
+  SELECT t.p,
+         sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS pos,
+         sum(CASE WHEN e.event_type = 'purchase' THEN 0 ELSE 1 END)::BIGINT AS neg
+  FROM events e JOIN train t ON hour(e.ts) = t.h
+  WHERE e.ts >= TIMESTAMP '2024-01-16'
+  GROUP BY 1
+),
+rel AS (
+  SELECT a.p, a.pos, a.neg,
+         coalesce(sum(b.pos), 0)::BIGINT AS tp_before,
+         coalesce(sum(b.pos) + sum(b.neg), 0)::BIGINT AS k_before
+  FROM blocks a LEFT JOIN blocks b ON b.p > a.p
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT sum(pos)::BIGINT AS tpos, sum(neg)::BIGINT AS tneg FROM blocks),
+per_block AS (
+  SELECT pos, neg, tpos, tneg,
+         pos * (2 * (tneg - k_before + tp_before - neg) + neg) AS auc_num,
+         round(pos * (tp_before + pos)::DOUBLE
+               / (tpos * (k_before + pos + neg)::DOUBLE) * 1e9)::BIGINT AS ap_q9
+  FROM rel, tot
+)
+SELECT max(tpos)::BIGINT AS n_pos, max(tneg)::BIGINT AS n_neg,
+       round(sum(auc_num)::DOUBLE / (2.0 * max(tpos) * max(tneg)) * 1e6)::BIGINT AS auc_q6,
+       round(sum(ap_q9)::DOUBLE / 1e3)::BIGINT AS ap_q6
+FROM per_block
+"""
+
+
+QUERIES["ranking_eval_purchase"] = ranking_eval_purchase
+ORACLES["ranking_eval_purchase"] = ORACLE_RANKING_EVAL
