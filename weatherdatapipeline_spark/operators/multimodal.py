@@ -583,17 +583,16 @@ def _planted_samples(doc_id: int, group_mod: int) -> list[int]:
     energy, flipping at most 2 energy-delta sign bits. Pure integer
     arithmetic — bit-replicable in SQL, which is what makes the oracle
     strict (the audio twin of the PNG corpus's md5 pixels)."""
+    import numpy as np
+
     gid = doc_id % group_mod
     a, b = 17 + gid, 97 * gid + 13
     n = _AFP_FRAMES * _AFP_SPF
     spike_at = (doc_id % _AFP_FRAMES) * _AFP_SPF
-    out = []
-    for i in range(n):
-        v = (a * i + b) % 4096 - 2048
-        if i == spike_at:
-            v += doc_id % 1024
-        out.append(v)
-    return out
+    i = np.arange(n, dtype=np.int64)
+    v = (a * i + b) % 4096 - 2048
+    v[spike_at] += doc_id % 1024
+    return v.tolist()
 
 
 def planted_pcm_corpus(
@@ -607,19 +606,18 @@ def planted_pcm_corpus(
     WAV parser consume) from the deterministic planted waveform. Map-only
     mapInPandas; participation capped at ``doc_id < max_doc_id`` so the
     planted pair mass stays bounded at any scale factor."""
-    import struct as _struct
-
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415 - executor-side import
+
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "blob": [
-                        _struct.pack(
-                            f"<{_AFP_FRAMES * _AFP_SPF}h",
-                            *_planted_samples(i, group_mod),
-                        )
+                        np.asarray(
+                            _planted_samples(i, group_mod), dtype="<i2"
+                        ).tobytes()
                         for i in ids
                     ],
                 }

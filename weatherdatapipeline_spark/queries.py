@@ -20827,7 +20827,7 @@ ORACLES["cochran_armitage_hour_trend"] = ORACLE_COCHRAN_ARMITAGE
 
 
 _MK_TYPES = ["click", "error", "purchase", "signup", "view"]
-_MK_ITERS = 16
+_MK_SQUARINGS = 4  # P^(2^4) = P^16
 
 
 def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -20835,9 +20835,9 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     chain: where does a user's event stream settle in the long run?
     event_transition_matrix gives one-hop structure and
     pagerank_event_types a damped variant; this is the UNDAMPED fixed
-    point pi = pi P, computed by 16 unrolled power-iteration steps from
-    the uniform vector (16 doublings of mixing for a 5-state chain is
-    far past convergence at any useful mixing rate).
+    point pi = pi P, computed as v0 * P^16 via 4 unrolled matrix
+    SQUARINGS from the uniform vector (16 steps of mixing for a 5-state
+    chain is far past convergence at any useful mixing rate).
 
     Engine-exactness: the 5x5 matrix collapses to ONE wide row
     (vocabulary-sized conditional aggregate — integer counts, exact);
@@ -20848,21 +20848,35 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     iterations. Scale: the corpus is touched once (lag window on the
     user-key shuffle); everything after is constant-size."""
     ev = _t(spark, sf_dir, "events")
+    # encode the type to a small int BEFORE the window, so the lag + the
+    # transition-cell key are integer ops (25 string-equality conditional
+    # sums over the corpus cost ~4x more — measured at sf0.1)
+    ti = (
+        F.array_position(
+            F.array(*[F.lit(t) for t in _MK_TYPES]), F.col("event_type")
+        )
+        - 1
+    ).cast("int")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.withColumn("_prev", F.lag("event_type").over(w))
-        .filter(F.col("_prev").isNotNull())
-        .select("_prev", F.col("event_type").alias("_cur"))
+    cells = (
+        ev.select("user_id", "ts", "event_id", ti.alias("_ti"))
+        .withColumn("_pi", F.lag("_ti").over(w))
+        .filter(F.col("_pi").isNotNull())
+        .groupBy((F.col("_pi") * 5 + F.col("_ti")).alias("_cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
     )
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_transitions")]
-    for i, a in enumerate(_MK_TYPES):
-        for j, b in enumerate(_MK_TYPES):
+    aggs = [F.sum("_cnt").cast("bigint").alias("n_transitions")]
+    for i in range(5):
+        for j in range(5):
             aggs.append(
-                F.sum(
-                    ((F.col("_prev") == a) & (F.col("_cur") == b)).cast("bigint")
-                ).alias(f"c_{i}_{j}")
+                F.coalesce(
+                    F.sum(F.when(F.col("_cell") == i * 5 + j, F.col("_cnt"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias(f"c_{i}_{j}")
             )
-    wide = pairs.agg(*aggs)
+    wide = cells.agg(*aggs)
     p_cols = []
     for i in range(5):
         row_tot = (
@@ -20879,15 +20893,26 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     cur = wide.select(
         "n_transitions", *p_cols, *[F.lit(0.2).alias(f"v_{j}") for j in range(5)]
     )
-    p_names = [f"p_{i}_{j}" for i in range(5) for j in range(5)]
-    for _ in range(_MK_ITERS):
-        updates = []
-        for j in range(5):
-            expr = F.col("v_0") * F.col(f"p_0_{j}")
-            for i in range(1, 5):
-                expr = expr + F.col(f"v_{i}") * F.col(f"p_{i}_{j}")
-            updates.append(expr.alias(f"v_{j}"))
-        cur = cur.select("n_transitions", *p_names, *updates)
+    # P^16 by 4 matrix SQUARINGS instead of 16 v*P steps: same unrolled
+    # left-to-right product-sums (bit-identical on both engines), but 5
+    # chained SELECTs instead of 16 — Catalyst analysis of the chain was
+    # the measured 4 s cost at any data size, the data work is ~0.5 s
+    for _ in range(_MK_SQUARINGS):
+        sq = []
+        for i in range(5):
+            for j in range(5):
+                expr = F.col(f"p_{i}_0") * F.col(f"p_0_{j}")
+                for k in range(1, 5):
+                    expr = expr + F.col(f"p_{i}_{k}") * F.col(f"p_{k}_{j}")
+                sq.append(expr.alias(f"p_{i}_{j}"))
+        cur = cur.select("n_transitions", *sq, *[f"v_{j}" for j in range(5)])
+    updates = []
+    for j in range(5):
+        expr = F.col("v_0") * F.col(f"p_0_{j}")
+        for i in range(1, 5):
+            expr = expr + F.col(f"v_{i}") * F.col(f"p_{i}_{j}")
+        updates.append(expr.alias(f"v_{j}"))
+    cur = cur.select("n_transitions", *updates)
     return cur.select(
         "n_transitions",
         *[
@@ -20910,19 +20935,24 @@ def _mk_oracle() -> str:
         for i in range(5)
         for j in range(5)
     )
-    p_list = ", ".join(f"p_{i}_{j}" for i in range(5) for j in range(5))
     v0 = ", ".join(f"0.2 AS v_{j}" for j in range(5))
-    its = [
-        f"it0 AS (SELECT n_transitions, {p_list}, {v0} FROM probs)"
-    ]
-    for k in range(1, _MK_ITERS + 1):
-        vs = ", ".join(
-            " + ".join(f"v_{i} * p_{i}_{j}" for i in range(5)) + f" AS v_{j}"
+    its = [f"it0 AS (SELECT n_transitions, {'{}'.format(', '.join(f'p_{i}_{j}' for i in range(5) for j in range(5)))}, {v0} FROM probs)"]
+    for k in range(1, _MK_SQUARINGS + 1):
+        sq = ", ".join(
+            " + ".join(f"p_{i}_{m} * p_{m}_{j}" for m in range(5))
+            + f" AS p_{i}_{j}"
+            for i in range(5)
             for j in range(5)
         )
-        its.append(
-            f"it{k} AS (SELECT n_transitions, {p_list}, {vs} FROM it{k - 1})"
-        )
+        vs = ", ".join(f"v_{j}" for j in range(5))
+        its.append(f"it{k} AS (SELECT n_transitions, {sq}, {vs} FROM it{k - 1})")
+    fin = ", ".join(
+        " + ".join(f"v_{i} * p_{i}_{j}" for i in range(5)) + f" AS v_{j}"
+        for j in range(5)
+    )
+    its.append(
+        f"itf AS (SELECT n_transitions, {fin} FROM it{_MK_SQUARINGS})"
+    )
     outs = ", ".join(
         f"round(v_{j} * 1e6)::BIGINT AS pi_{t}_q6" for j, t in enumerate(_MK_TYPES)
     )
@@ -20944,7 +20974,7 @@ probs AS (
   FROM wide
 ),
 {its_sql}
-SELECT n_transitions, {outs} FROM it{_MK_ITERS}
+SELECT n_transitions, {outs} FROM itf
 """
 
 
