@@ -20835,18 +20835,18 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     chain: where does a user's event stream settle in the long run?
     event_transition_matrix gives one-hop structure and
     pagerank_event_types a damped variant; this is the UNDAMPED fixed
-    point pi = pi P, computed as v0 * P^16 via 4 unrolled matrix
-    SQUARINGS from the uniform vector (16 steps of mixing for a 5-state
-    chain is far past convergence at any useful mixing rate).
+    point pi = pi P, computed as v0 * P^16 via 4 matrix SQUARINGS from
+    the uniform vector (16 steps of mixing for a 5-state chain is far
+    past convergence at any useful mixing rate).
 
     Engine-exactness: the 5x5 matrix collapses to ONE wide row
-    (vocabulary-sized conditional aggregate — integer counts, exact);
-    each iteration is a SELECT computing v'_j as the literal
-    left-to-right 5-term product-sum over the previous row's columns, so
-    both engines execute the IDENTICAL IEEE operation sequence — no
-    cross-row float aggregation anywhere, plan growth linear in
-    iterations. Scale: the corpus is touched once (lag window on the
-    user-key shuffle); everything after is constant-size."""
+    (vocabulary-sized integer-cell aggregate — exact); the matrix power
+    is a bounded driver-side closure over those 26 integers, executing
+    the SAME left-to-right 5-term product-sum sequence the oracle's
+    unrolled SQL CTEs execute (IEEE double ops are engine-independent),
+    with the result reinjected as literals — the OBF/IPF pattern. Scale:
+    the corpus is touched once (lag window on the user-key shuffle,
+    integer-encoded types); everything after is constant-size."""
     ev = _t(spark, sf_dir, "events")
     # encode the type to a small int BEFORE the window, so the lag + the
     # transition-cell key are integer ops (25 string-equality conditional
@@ -20877,46 +20877,44 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
                 .alias(f"c_{i}_{j}")
             )
     wide = cells.agg(*aggs)
-    p_cols = []
+    # the 5x5 matrix is a BOUNDED DRIVER-SIDE CLOSURE (26 integers): the
+    # matrix power runs in plain Python doubles with the SAME
+    # left-to-right product-sum sequence the oracle's unrolled SQL uses
+    # (IEEE ops are engine-independent), and the result is reinjected as
+    # literals — the OBF/IPF pattern. Keeping the 16 steps in the plan
+    # was measured at 4-5 s of one-time whole-stage-codegen JIT for a
+    # constant-size computation; the data work is the one corpus pass.
+    row = wide.collect()[0]
+    n_transitions = row["n_transitions"]
+    c = [[row[f"c_{i}_{j}"] for j in range(5)] for i in range(5)]
+    p = []
     for i in range(5):
-        row_tot = (
-            F.col(f"c_{i}_0")
-            + F.col(f"c_{i}_1")
-            + F.col(f"c_{i}_2")
-            + F.col(f"c_{i}_3")
-            + F.col(f"c_{i}_4")
-        ).cast("double")
-        for j in range(5):
-            p_cols.append(
-                (F.col(f"c_{i}_{j}").cast("double") / row_tot).alias(f"p_{i}_{j}")
-            )
-    cur = wide.select(
-        "n_transitions", *p_cols, *[F.lit(0.2).alias(f"v_{j}") for j in range(5)]
-    )
-    # P^16 by 4 matrix SQUARINGS instead of 16 v*P steps: same unrolled
-    # left-to-right product-sums (bit-identical on both engines), but 5
-    # chained SELECTs instead of 16 — Catalyst analysis of the chain was
-    # the measured 4 s cost at any data size, the data work is ~0.5 s
+        tot = float(c[i][0] + c[i][1] + c[i][2] + c[i][3] + c[i][4])
+        p.append([c[i][j] / tot for j in range(5)])
     for _ in range(_MK_SQUARINGS):
-        sq = []
-        for i in range(5):
-            for j in range(5):
-                expr = F.col(f"p_{i}_0") * F.col(f"p_0_{j}")
-                for k in range(1, 5):
-                    expr = expr + F.col(f"p_{i}_{k}") * F.col(f"p_{k}_{j}")
-                sq.append(expr.alias(f"p_{i}_{j}"))
-        cur = cur.select("n_transitions", *sq, *[f"v_{j}" for j in range(5)])
-    updates = []
-    for j in range(5):
-        expr = F.col("v_0") * F.col(f"p_0_{j}")
-        for i in range(1, 5):
-            expr = expr + F.col(f"v_{i}") * F.col(f"p_{i}_{j}")
-        updates.append(expr.alias(f"v_{j}"))
-    cur = cur.select("n_transitions", *updates)
-    return cur.select(
-        "n_transitions",
+        p = [
+            [
+                p[i][0] * p[0][j]
+                + p[i][1] * p[1][j]
+                + p[i][2] * p[2][j]
+                + p[i][3] * p[3][j]
+                + p[i][4] * p[4][j]
+                for j in range(5)
+            ]
+            for i in range(5)
+        ]
+    v = [
+        0.2 * p[0][j]
+        + 0.2 * p[1][j]
+        + 0.2 * p[2][j]
+        + 0.2 * p[3][j]
+        + 0.2 * p[4][j]
+        for j in range(5)
+    ]
+    return spark.range(1).select(
+        F.lit(n_transitions).cast("bigint").alias("n_transitions"),
         *[
-            F.round(F.col(f"v_{j}") * 1e6).cast("bigint").alias(f"pi_{t}_q6")
+            F.round(F.lit(v[j]) * 1e6).cast("bigint").alias(f"pi_{t}_q6")
             for j, t in enumerate(_MK_TYPES)
         ],
     )
