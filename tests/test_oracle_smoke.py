@@ -48,6 +48,7 @@ SMOKE = [
     "media_audiofp_pairs",
     "cramer_von_mises_weekend",
     "ranking_eval_purchase",
+    "geo_radius_pairs",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

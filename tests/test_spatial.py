@@ -1,0 +1,61 @@
+"""Grid-bucketed radius join: brute-force parity on planted point sets,
+including cell-boundary points, coincident points, and a dense hot cell."""
+
+from __future__ import annotations
+
+import pytest
+
+from weatherdatapipeline_spark.operators.spatial import radius_join
+
+
+def brute(pts, r):
+    out = set()
+    for i, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[i + 1 :]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= r * r:
+                a, b = sorted((ia, ib))
+                out.add((a, b, d2))
+    return out
+
+
+def corpus():
+    pts = []
+    k = 0
+    # lattice with spacing just above/below the radius
+    for gx in range(6):
+        for gy in range(6):
+            pts.append((k, gx * 90, gy * 90))
+            k += 1
+    # boundary cases: exactly radius apart, one unit inside/outside
+    pts += [(100, 1000, 1000), (101, 1100, 1000), (102, 1101, 1000),
+            (103, 1000, 1099)]
+    # coincident points and a dense cluster in one cell
+    pts += [(200, 5000, 5000), (201, 5000, 5000)]
+    pts += [(300 + i, 7000 + i, 7000 - i) for i in range(12)]
+    return pts
+
+
+@pytest.mark.parametrize("r", [90, 100, 150])
+def test_radius_join_equals_brute_force(spark, r):
+    pts = corpus()
+    df = spark.createDataFrame(pts, "pid LONG, x LONG, y LONG")
+    got = {
+        (row.pid_a, row.pid_b, row.dist2)
+        for row in radius_join(df, radius=r).collect()
+    }
+    assert got == brute(pts, r)
+
+
+def test_radius_join_exact_radius_inclusive(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 0), (1, 100, 0), (2, 101, 0)], "pid LONG, x LONG, y LONG"
+    )
+    got = {(r.pid_a, r.pid_b): r.dist2 for r in radius_join(df, 100).collect()}
+    assert got == {(0, 1): 10000, (1, 2): 1}
+
+
+def test_radius_join_rejects_bad_radius(spark):
+    df = spark.createDataFrame([(0, 0, 0)], "pid LONG, x LONG, y LONG")
+    with pytest.raises(ValueError):
+        radius_join(df, 0)

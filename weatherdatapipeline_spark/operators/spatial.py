@@ -1,0 +1,86 @@
+"""Spatial operators (§2.11 extension surface): grid-bucketed radius
+join over planar point columns.
+
+Design for 100 TB
+-----------------
+The naive radius join is an all-pairs theta join — quadratic and
+unshuffleable. The standard engine answer (Spark-SQL range-join hints,
+Sedona, PostGIS bounding boxes) is GRID BUCKETING: snap each point to a
+square cell of side >= radius; any within-radius pair then lives in the
+same or an adjacent cell, so candidates come from ONE equi-join on cell
+keys with a 3x3 neighbor fan-out on the probe side (a static x9 — the
+spatial analogue of the Manku block join's pigeonhole). Verification is
+one integer/double distance predicate. Cost: candidates are linear-ish
+in data for any density-bounded point set; a dense hot cell is the
+spatial skew bomb, handled by the same AQE skew-join split the
+relational joins rely on.
+
+The reference has no spatial surface at all — this extends the engine
+the way a training-data pipeline needs it (e.g. geo-dedup of crawl
+records, location-bucketed negative sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def radius_join(
+    points: DataFrame,
+    radius: int,
+    id_col: str = "pid",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """All unordered point pairs within EUCLIDEAN distance ``radius``
+    (planar integer coordinates): returns (pid_a, pid_b, dist2) with
+    dist2 = squared distance — INTEGER-exact, so the result is
+    engine-replayable with no sqrt/trig in play (callers needing the
+    metric distance take one sqrt at the end).
+
+    Full recall by construction: cell side == radius, so a pair within
+    the radius differs by at most one cell index per axis; the probe
+    side emits the 3x3 neighborhood and the index side its own cell, and
+    each unordered pair is found exactly once via the probe-id < index-id
+    orientation (the smaller id's neighborhood always contains the larger
+    id's cell). One equi-join on (cx, cy), no all-pairs anywhere."""
+    if radius <= 0:
+        raise ValueError(f"radius must be positive, got {radius}")
+    base = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    cx = F.floor(F.col("_x") / radius).cast("long")
+    cy = F.floor(F.col("_y") / radius).cast("long")
+    idx = base.select("_id", "_x", "_y", cx.alias("_cx"), cy.alias("_cy"))
+    neighbor_cells = F.array(
+        *[
+            F.struct(
+                (cx + dx).alias("_cx"),
+                (cy + dy).alias("_cy"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = base.select(
+        F.col("_id").alias("_pid"),
+        F.col("_x").alias("_px"),
+        F.col("_y").alias("_py"),
+        F.explode(neighbor_cells).alias("_cell"),
+    ).select("_pid", "_px", "_py", "_cell._cx", "_cell._cy")
+    dx = F.col("_px") - F.col("_x")
+    dy = F.col("_py") - F.col("_y")
+    return (
+        probe.join(idx, ["_cx", "_cy"])
+        .filter(F.col("_pid") < F.col("_id"))
+        .withColumn("dist2", dx * dx + dy * dy)
+        .filter(F.col("dist2") <= radius * radius)
+        .select(
+            F.col("_pid").alias("pid_a"),
+            F.col("_id").alias("pid_b"),
+            "dist2",
+        )
+    )

@@ -21871,3 +21871,68 @@ FROM per_block
 
 QUERIES["ranking_eval_purchase"] = ranking_eval_purchase
 ORACLES["ranking_eval_purchase"] = ORACLE_RANKING_EVAL
+
+
+def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial radius join (operators/spatial.py::
+    radius_join): all customer pairs whose planted planar coordinates lie
+    within Euclidean distance 8000 in a 10^6 x 10^6 space. Coordinates
+    are portable md5 integers of the customer key (replayed bit-for-bit
+    in SQL), so the oracle brute-forces the pair space with band
+    prefilters while Spark runs the 3x3-neighbor cell equi-join — full
+    recall at the radius makes them equal by construction. Squared
+    distances stay INTEGER, no trig/sqrt anywhere."""
+    from .operators import spatial as SP
+
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("gx:"), F.col("c_custkey"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+        ).alias("x"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("gy:"), F.col("c_custkey"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+        ).alias("y"),
+    )
+    out = SP.radius_join(pts, radius=8000)
+    return out.select(
+        F.col("pid_a").cast("bigint").alias("cust_a"),
+        F.col("pid_b").cast("bigint").alias("cust_b"),
+        F.col("dist2").cast("bigint").alias("dist2"),
+    )
+
+
+ORACLE_GEO_RADIUS = """
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         ('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS x,
+         ('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS y
+  FROM customer
+)
+SELECT a.pid::BIGINT AS cust_a, b.pid::BIGINT AS cust_b,
+       ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist2
+FROM pts a JOIN pts b
+  ON a.pid < b.pid
+ AND abs(a.x - b.x) <= 8000 AND abs(a.y - b.y) <= 8000
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 8000 * 8000
+"""
+
+
+QUERIES["geo_radius_pairs"] = geo_radius_pairs
+ORACLES["geo_radius_pairs"] = ORACLE_GEO_RADIUS
