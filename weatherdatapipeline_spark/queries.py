@@ -21884,31 +21884,7 @@ def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances stay INTEGER, no trig/sqrt anywhere."""
     from .operators import spatial as SP
 
-    cust = _t(spark, sf_dir, "customer")
-    pts = cust.select(
-        F.col("c_custkey").alias("pid"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("gx:"), F.col("c_custkey"))), 1, 12
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1_000_000
-        ).alias("x"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("gy:"), F.col("c_custkey"))), 1, 12
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1_000_000
-        ).alias("y"),
-    )
-    out = SP.radius_join(pts, radius=8000)
+    out = SP.radius_join(_geo_points(spark, sf_dir), radius=8000)
     return out.select(
         F.col("pid_a").cast("bigint").alias("cust_a"),
         F.col("pid_b").cast("bigint").alias("cust_b"),
@@ -21936,3 +21912,162 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 8000 * 8000
 
 QUERIES["geo_radius_pairs"] = geo_radius_pairs
 ORACLES["geo_radius_pairs"] = ORACLE_GEO_RADIUS
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted planar coordinates for the spatial family: portable md5
+    integers of the customer key in a 10^6 x 10^6 space (replayed
+    bit-for-bit by the `pts` CTE of the spatial oracles)."""
+    cust = _t(spark, sf_dir, "customer")
+
+    def coord(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("c_custkey"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+        )
+
+    return cust.select(
+        F.col("c_custkey").alias("pid"),
+        coord("gx:").alias("x"),
+        coord("gy:").alias("y"),
+    )
+
+
+_DBSCAN_EPS, _DBSCAN_MINPTS = 30_000, 4
+
+
+def dbscan_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (Ester et al. 1996) over the planted customer coordinates,
+    composed ENTIRELY from existing engine operators: eps-neighborhoods
+    from the grid-bucketed radius join, core points by neighbor count
+    >= minPts, clusters = connected components (min-label propagation,
+    the dedup CC operator) over the core-core edge set, border points
+    assigned to the min cluster among their core neighbors, the rest
+    noise. The density-clustering semantics grid_density_clusters
+    approximates by cell counting, done exactly.
+
+    Shape: one radius join (cell equi-join), one degree aggregate, CC
+    rounds on the (small) core subgraph, one border join — every step a
+    bounded equi-join; no all-pairs anywhere. Deterministic: integer
+    distances, min-based labels and assignment."""
+    from .operators import spatial as SP
+
+    pts = _geo_points(spark, sf_dir)
+    pairs = SP.radius_join(
+        pts, radius=_DBSCAN_EPS, id_col="pid", x_col="x", y_col="y"
+    ).select("pid_a", "pid_b")
+    deg = (
+        pairs.select(F.col("pid_a").alias("pid"))
+        .unionAll(pairs.select(F.col("pid_b").alias("pid")))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("_nbrs"))
+    )
+    core = deg.filter(F.col("_nbrs") >= _DBSCAN_MINPTS).select("pid")
+    core_edges = (
+        pairs.join(core.withColumnRenamed("pid", "pid_a"), "pid_a")
+        .join(core.withColumnRenamed("pid", "pid_b"), "pid_b")
+        .select(F.col("pid_a").alias("doc_a"), F.col("pid_b").alias("doc_b"))
+    )
+    cc = D.connected_components(core_edges)
+    cores_lab = core.join(cc, core["pid"] == cc["node"], "left").select(
+        "pid", F.coalesce(F.col("cluster_id"), F.col("pid")).alias("cluster_id")
+    )
+    nbr = pairs.select(
+        F.col("pid_a").alias("_p"), F.col("pid_b").alias("_q")
+    ).unionAll(pairs.select(F.col("pid_b").alias("_p"), F.col("pid_a").alias("_q")))
+    border = (
+        nbr.join(
+            cores_lab.select(
+                F.col("pid").alias("_q"), F.col("cluster_id").alias("_cl")
+            ),
+            "_q",
+        )
+        .join(core.withColumnRenamed("pid", "_p"), "_p", "left_anti")
+        .groupBy(F.col("_p").alias("pid"))
+        .agg(F.min("_cl").alias("cluster_id"))
+    )
+    labeled = cores_lab.select(
+        "pid", F.lit("core").alias("role"), "cluster_id"
+    ).unionByName(
+        border.select("pid", F.lit("border").alias("role"), "cluster_id")
+    )
+    return (
+        pts.join(labeled, "pid", "left")
+        .select(
+            F.col("pid").cast("bigint").alias("pid"),
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        )
+    )
+
+
+ORACLE_DBSCAN = f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS pid,
+         ('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS x,
+         ('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS y
+  FROM customer
+),
+pairs AS (
+  SELECT a.pid AS pa, b.pid AS pb
+  FROM pts a JOIN pts b
+    ON a.pid < b.pid
+   AND abs(a.x - b.x) <= {_DBSCAN_EPS} AND abs(a.y - b.y) <= {_DBSCAN_EPS}
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {_DBSCAN_EPS} * {_DBSCAN_EPS}
+),
+deg AS (
+  SELECT pid, count(*) AS nbrs FROM (
+    SELECT pa AS pid FROM pairs UNION ALL SELECT pb FROM pairs
+  ) GROUP BY 1
+),
+core AS (SELECT pid FROM deg WHERE nbrs >= {_DBSCAN_MINPTS}),
+core_edges AS (
+  SELECT pa, pb FROM pairs
+  WHERE pa IN (SELECT pid FROM core) AND pb IN (SELECT pid FROM core)
+),
+edges AS (
+  SELECT pa AS a, pb AS b FROM core_edges
+  UNION SELECT pb, pa FROM core_edges
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cc AS (SELECT a AS pid, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+cores_lab AS (
+  SELECT core.pid, coalesce(cc.cluster_id, core.pid) AS cluster_id
+  FROM core LEFT JOIN cc ON core.pid = cc.pid
+),
+nbr AS (
+  SELECT pa AS p, pb AS q FROM pairs UNION ALL SELECT pb, pa FROM pairs
+),
+border AS (
+  SELECT nbr.p AS pid, min(cl.cluster_id) AS cluster_id
+  FROM nbr JOIN cores_lab cl ON nbr.q = cl.pid
+  WHERE nbr.p NOT IN (SELECT pid FROM core)
+  GROUP BY 1
+),
+labeled AS (
+  SELECT pid, 'core' AS role, cluster_id FROM cores_lab
+  UNION ALL
+  SELECT pid, 'border', cluster_id FROM border
+)
+SELECT pts.pid::BIGINT AS pid,
+       coalesce(labeled.role, 'noise') AS role,
+       labeled.cluster_id::BIGINT AS cluster_id
+FROM pts LEFT JOIN labeled ON pts.pid = labeled.pid
+"""
+
+
+QUERIES["dbscan_customer_geo"] = dbscan_customer_geo
+ORACLES["dbscan_customer_geo"] = ORACLE_DBSCAN
