@@ -207,3 +207,105 @@ def test_kmv_merge_identity_property(spark, ids_a, ids_b, k):
     got = sorted(tuple(r) for r in union_merged.collect())
     want = sorted(tuple(r) for r in union_direct.collect())
     assert got == want
+
+
+@SETTINGS
+@given(
+    sigs=st.lists(
+        st.integers(min_value=0, max_value=(1 << 63) - 1),
+        min_size=2,
+        max_size=24,
+    ),
+    max_hamming=st.integers(min_value=0, max_value=8),
+)
+def test_hamming_block_pairs_full_recall(spark, sigs, max_hamming):
+    """The Manku pigeonhole block join must equal brute force for ANY
+    signature multiset and radius — the property every family built on
+    it (SimHash, image dHash, audio fingerprints) inherits."""
+    from weatherdatapipeline_spark.operators.dedup import hamming_block_pairs
+
+    rows = list(enumerate(sigs))
+    df = spark.createDataFrame(rows, "doc_id LONG, sig LONG")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_block_pairs(
+            df, id_col="doc_id", sig_col="sig", max_hamming=max_hamming
+        ).collect()
+    }
+    brute = {
+        (a, b, bin(sa ^ sb).count("1"))
+        for a, sa in rows
+        for b, sb in rows
+        if a < b and bin(sa ^ sb).count("1") <= max_hamming
+    }
+    assert got == brute
+
+
+@SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+    radius=st.integers(min_value=1, max_value=200),
+)
+def test_radius_join_full_recall(spark, pts, radius):
+    from weatherdatapipeline_spark.operators.spatial import radius_join
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "pid LONG, x LONG, y LONG")
+    got = {
+        (r.pid_a, r.pid_b, r.dist2) for r in radius_join(df, radius).collect()
+    }
+    brute = {
+        (a, b, (xa - xb) ** 2 + (ya - yb) ** 2)
+        for a, xa, ya in rows
+        for b, xb, yb in rows
+        if a < b and (xa - xb) ** 2 + (ya - yb) ** 2 <= radius * radius
+    }
+    assert got == brute
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=8),
+        min_size=2,
+        max_size=12,
+    ),
+    d=st.integers(min_value=0, max_value=2),
+)
+def test_passjoin_full_recall_random_strings(spark, texts, d):
+    """PassJoin vs brute-force Levenshtein on adversarially short random
+    strings — exercises zero-width-segment guards, the len<=d residual
+    arm, and the dedupe-first expansion under heavy duplication."""
+    from weatherdatapipeline_spark.operators.dedup import passjoin_near_duplicates
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in passjoin_near_duplicates(df, max_dist=d).collect()
+    }
+    brute = {
+        (a, b, lev(ta, tb))
+        for a, ta in rows
+        for b, tb in rows
+        if a < b and lev(ta, tb) <= d
+    }
+    assert got == brute
