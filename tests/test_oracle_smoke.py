@@ -50,6 +50,7 @@ SMOKE = [
     "ranking_eval_purchase",
     "geo_radius_pairs",
     "dbscan_customer_geo",
+    "label_propagation_cosupply",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

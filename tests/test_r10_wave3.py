@@ -372,3 +372,46 @@ def test_ranking_eval_matches_pure_python(spark, events):
     # sanity: both metrics live in [0, 1]
     assert 0 <= row["auc_q6"] <= 1_000_000
     assert 0 <= row["ap_q6"] <= 1_000_000
+
+
+def test_lpa_planted_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: min-tie LPA must give
+    each clique one community and keep the two communities distinct
+    (a single bridge cannot flip a clique's mode vote)."""
+    from weatherdatapipeline_spark.queries import (
+        _LPA_ROUNDS,
+        QUERIES,  # noqa: F811 - explicit reimport for clarity
+    )
+    from pyspark.sql import functions as F
+
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = k1 + k2 + [(3, 10)]
+    e = spark.createDataFrame(edges, "a LONG, b LONG")
+    bidir = e.select(F.col("a").alias("_src"), F.col("b").alias("_dst")).unionAll(
+        e.select(F.col("b").alias("_src"), F.col("a").alias("_dst"))
+    )
+    labels = bidir.select(F.col("_src").alias("_node")).distinct().select(
+        "_node", F.col("_node").alias("_label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            bidir.join(
+                labels.select(F.col("_node").alias("_dst"), "_label"), "_dst"
+            )
+            .groupBy("_src", "_label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        labels = (
+            votes.groupBy("_src")
+            .agg(
+                F.max(
+                    F.struct(F.col("_cnt").alias("_c"), (-F.col("_label")).alias("_nl"))
+                ).alias("_m")
+            )
+            .select(F.col("_src").alias("_node"), (-F.col("_m._nl")).alias("_label"))
+        )
+    got = {r._node: r._label for r in labels.collect()}
+    c1 = {got[n] for n in range(4)}
+    c2 = {got[n] for n in range(10, 14)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2

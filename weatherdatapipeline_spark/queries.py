@@ -22071,3 +22071,94 @@ FROM pts LEFT JOIN labeled ON pts.pid = labeled.pid
 
 QUERIES["dbscan_customer_geo"] = dbscan_customer_geo
 ORACLES["dbscan_customer_geo"] = ORACLE_DBSCAN
+
+
+_LPA_ROUNDS = 4
+
+
+def label_propagation_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007) on
+    the co-supply graph: every node starts as its own label; each of 4
+    SYNCHRONOUS rounds re-labels every node with the MODE of its
+    neighbors' labels, ties broken by the smallest label — the
+    deterministic variant (classic LPA breaks ties randomly; min-tie
+    LPA is reproducible and oracle-replayable). Communities are denser
+    than connected components (which merge through any single edge) and
+    cheaper than modularity methods — the standard first-cut community
+    assignment. Fixed rounds keep the plan static; LPA on small-diameter
+    graphs is converged or oscillation-locked within a handful.
+
+    Shape: per round ONE neighbor-label equi-join + one (node, label)
+    count + one arg-max aggregate (max of a (count, -label) struct — no
+    window); rounds are unrolled, each over |E| rows. Same capped edge
+    builder as every graph query."""
+    e = _cosupply_edges(spark, sf_dir)
+    bidir = e.select(F.col("a").alias("_src"), F.col("b").alias("_dst")).unionAll(
+        e.select(F.col("b").alias("_src"), F.col("a").alias("_dst"))
+    )
+    labels = bidir.select(F.col("_src").alias("_node")).distinct().select(
+        "_node", F.col("_node").alias("_label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            bidir.join(
+                labels.select(
+                    F.col("_node").alias("_dst"), F.col("_label")
+                ),
+                "_dst",
+            )
+            .groupBy("_src", "_label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        labels = (
+            votes.groupBy("_src")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_cnt").alias("_c"), (-F.col("_label")).alias("_nl")
+                    )
+                ).alias("_m")
+            )
+            .select(
+                F.col("_src").alias("_node"), (-F.col("_m._nl")).alias("_label")
+            )
+        )
+    return labels.select(
+        F.col("_node").cast("bigint").alias("supplier"),
+        F.col("_label").cast("bigint").alias("community"),
+    )
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+v{r} AS (
+  SELECT e.src, l.label, count(*) AS cnt
+  FROM bidir e JOIN l{r - 1} l ON e.dst = l.node GROUP BY 1, 2
+),
+l{r} AS (
+  SELECT src AS node, label FROM (
+    SELECT src, label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM v{r}
+  ) WHERE rn = 1
+)""")
+    return f"""
+WITH {_COSUPPLY_PS_SQL},
+e AS (
+  SELECT DISTINCT x.sk AS a, y.sk AS b
+  FROM ps x JOIN ps y USING (pk) WHERE x.sk < y.sk
+),
+bidir AS (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM bidir),
+{",".join(rounds)}
+SELECT node::BIGINT AS supplier, label::BIGINT AS community FROM l{_LPA_ROUNDS}
+"""
+
+
+QUERIES["label_propagation_cosupply"] = label_propagation_cosupply
+ORACLES["label_propagation_cosupply"] = _lpa_oracle()
