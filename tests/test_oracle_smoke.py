@@ -51,6 +51,7 @@ SMOKE = [
     "geo_radius_pairs",
     "dbscan_customer_geo",
     "label_propagation_cosupply",
+    "geo_knn_customers",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -95,3 +95,34 @@ def test_dbscan_planted_blobs(spark, tmp_path):
     assert len({cc[p] for p in core if p < 10}) == 1
     assert len({cc[p] for p in core if 10 <= p < 20}) == 1
     assert {cc[p] for p in core if p < 10} != {cc[p] for p in core if 10 <= p < 20}
+
+
+def test_knn_join_equals_brute_force(spark):
+    from weatherdatapipeline_spark.operators.spatial import knn_join
+
+    pts = corpus()
+    df = spark.createDataFrame(pts, "pid LONG, x LONG, y LONG")
+    k = 3
+    # small radii force BOTH escalation levels and the brute residual
+    got = {
+        (r.pid, r.rank, r.nbr, r.dist2)
+        for r in knn_join(df, k=k, radii=(50, 200)).collect()
+    }
+    brute = set()
+    for i, (ia, xa, ya) in enumerate(pts):
+        ds = sorted(
+            ((xa - xb) ** 2 + (ya - yb) ** 2, ib)
+            for ib, xb, yb in pts
+            if ib != ia
+        )
+        for rank, (d2, ib) in enumerate(ds[:k], 1):
+            brute.add((ia, rank, ib, d2))
+    assert got == brute
+
+
+def test_knn_join_rejects_bad_k(spark):
+    from weatherdatapipeline_spark.operators.spatial import knn_join
+
+    df = spark.createDataFrame([(0, 0, 0)], "pid LONG, x LONG, y LONG")
+    with pytest.raises(ValueError):
+        knn_join(df, k=0)

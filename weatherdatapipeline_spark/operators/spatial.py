@@ -84,3 +84,113 @@ def radius_join(
             "dist2",
         )
     )
+
+
+def knn_join(
+    points: DataFrame,
+    k: int,
+    radii: tuple[int, ...] = (8_000, 32_000, 128_000),
+    id_col: str = "pid",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """EXACT k-nearest-neighbors for every point, by escalating grid
+    search: at the smallest radius R with >= k neighbors inside, the true
+    kNN are all inside (k points within R bound the k-th distance by R),
+    so each point is resolved at the first escalation level that yields
+    enough candidates — dense regions pay only the small-radius join,
+    and the (exponentially fewer) sparse points re-probe at wider cells.
+    Points still unresolved past the last radius fall back to a
+    broadcast brute-force against all points — a bounded residual, the
+    same pattern as PassJoin's short strings.
+
+    Returns (pid, rank, nbr, dist2) with rank 1..k by (dist2, nbr) —
+    the deterministic tie-break that makes the result engine-replayable.
+    Shape per level: one cell equi-join (probe side only the unresolved
+    points), one per-point count; final ranking is a point-partitioned
+    window over <= the resolved level's candidate list."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+
+    def level_pairs(probe_pts: DataFrame, radius: int) -> DataFrame:
+        cx = F.floor(F.col("_x") / radius).cast("long")
+        cy = F.floor(F.col("_y") / radius).cast("long")
+        idx = base.select("_id", "_x", "_y", cx.alias("_cx"), cy.alias("_cy"))
+        neighbor_cells = F.array(
+            *[
+                F.struct((cx + dx).alias("_cx"), (cy + dy).alias("_cy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+        probe = probe_pts.select(
+            F.col("_id").alias("_pid"),
+            F.col("_x").alias("_px"),
+            F.col("_y").alias("_py"),
+            F.explode(neighbor_cells).alias("_cell"),
+        ).select("_pid", "_px", "_py", "_cell._cx", "_cell._cy")
+        dx = F.col("_px") - F.col("_x")
+        dy = F.col("_py") - F.col("_y")
+        return (
+            probe.join(idx, ["_cx", "_cy"])
+            .filter(F.col("_pid") != F.col("_id"))
+            .withColumn("_d2", dx * dx + dy * dy)
+            .filter(F.col("_d2") <= radius * radius)
+            .select(F.col("_pid"), F.col("_id").alias("_nbr"), "_d2")
+        )
+
+    from pyspark.sql import Window as _W
+
+    unresolved = base
+    resolved_parts = []
+    for radius in radii:
+        pairs = level_pairs(unresolved, radius)
+        counts = pairs.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+        done_ids = counts.filter(F.col("_n") >= k).select("_pid")
+        resolved_parts.append(
+            pairs.join(done_ids, "_pid")
+        )
+        unresolved = unresolved.join(
+            done_ids.select(F.col("_pid").alias("_id")), "_id", "left_anti"
+        )
+        # lineage/replan guard for the data-dependent escalation
+        unresolved = unresolved.localCheckpoint(eager=False)
+    # residual: points sparse past the widest radius — brute force the
+    # (bounded) remainder against everything
+    rest = (
+        F.broadcast(
+            unresolved.select(
+                F.col("_id").alias("_pid"),
+                F.col("_x").alias("_px"),
+                F.col("_y").alias("_py"),
+            )
+        )
+        .crossJoin(base)
+        .filter(F.col("_pid") != F.col("_id"))
+        .withColumn(
+            "_d2",
+            (F.col("_px") - F.col("_x")) * (F.col("_px") - F.col("_x"))
+            + (F.col("_py") - F.col("_y")) * (F.col("_py") - F.col("_y")),
+        )
+        .select("_pid", F.col("_id").alias("_nbr"), "_d2")
+    )
+    allc = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        allc = allc.unionByName(p)
+    allc = allc.unionByName(rest).dropDuplicates(["_pid", "_nbr"])
+    w = _W.partitionBy("_pid").orderBy(F.col("_d2").asc(), F.col("_nbr").asc())
+    return (
+        allc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_pid").alias("pid"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_nbr").alias("nbr"),
+            F.col("_d2").alias("dist2"),
+        )
+    )

@@ -22162,3 +22162,50 @@ SELECT node::BIGINT AS supplier, label::BIGINT AS community FROM l{_LPA_ROUNDS}
 
 QUERIES["label_propagation_cosupply"] = label_propagation_cosupply
 ORACLES["label_propagation_cosupply"] = _lpa_oracle()
+
+
+def geo_knn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-nearest-neighbors for every customer point via the
+    escalating grid search (operators/spatial.py::knn_join): resolved at
+    the first radius level holding >= k candidates (which provably
+    contains the true kNN), sparse stragglers brute-forced as a bounded
+    broadcast residual. Deterministic (dist2, id) ranking; the oracle
+    brute-forces all pairs with the same tie-break."""
+    from .operators import spatial as SP
+
+    out = SP.knn_join(_geo_points(spark, sf_dir), k=3)
+    return out.select(
+        F.col("pid").cast("bigint").alias("pid"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("nbr").cast("bigint").alias("nbr"),
+        F.col("dist2").cast("bigint").alias("dist2"),
+    )
+
+
+ORACLE_GEO_KNN = """
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         ('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS x,
+         ('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS y
+  FROM customer
+),
+dists AS (
+  SELECT a.pid, b.pid AS nbr,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+  FROM pts a JOIN pts b ON a.pid != b.pid
+),
+ranked AS (
+  SELECT pid, nbr, dist2,
+         row_number() OVER (PARTITION BY pid ORDER BY dist2, nbr) AS rank
+  FROM dists
+)
+SELECT pid::BIGINT AS pid, rank::BIGINT AS rank, nbr::BIGINT AS nbr,
+       dist2::BIGINT AS dist2
+FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES["geo_knn_customers"] = geo_knn_customers
+ORACLES["geo_knn_customers"] = ORACLE_GEO_KNN
