@@ -52,6 +52,7 @@ SMOKE = [
     "dbscan_customer_geo",
     "label_propagation_cosupply",
     "geo_knn_customers",
+    "hll_trailing7_distinct",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

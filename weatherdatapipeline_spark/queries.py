@@ -22209,3 +22209,118 @@ FROM ranked WHERE rank <= 3
 
 QUERIES["geo_knn_customers"] = geo_knn_customers
 ORACLES["geo_knn_customers"] = ORACLE_GEO_KNN
+
+
+def hll_trailing7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day via DAILY HLL sketches
+    unioned register-wise — THE mergeability payoff: a 100 TB pipeline
+    keeps one tiny register table per day and answers any window by
+    max-merging 7 of them, never rescanning events (exact windowed
+    count-distinct would re-touch every event 7x). Same explicit
+    portable-md5 HLL as hll_distinct_users_explicit (integer rho, exact
+    BIGINT harmonic sums, linear-counting small-range branch); the
+    per-window exact count rides along as the audit. Full windows only
+    (first 6 days skipped).
+
+    Shape: one corpus pass to (day, register) maxima (calendar x 256
+    rows), a 7-literal offset explode, window-keyed max-merge — all
+    bounded by the calendar, independent of corpus size."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hx = F.md5(F.col("user_id").cast("string"))
+    j = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    daily = (
+        ev.select(F.to_date("ts").alias("_d"), j.alias("j"), rho.alias("rho"))
+        .groupBy("_d", "j")
+        .agg(F.max("rho").alias("r"))
+    )
+    bounds = daily.agg(
+        F.date_add(F.min("_d"), 6).alias("_w0"), F.max("_d").alias("_w1")
+    )
+    offs = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_off")
+    win_regs = (
+        daily.select("_d", "j", "r", offs)
+        .withColumn("_w", F.date_add(F.col("_d"), F.col("_off")))
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("_w") >= F.col("_w0")) & (F.col("_w") <= F.col("_w1")))
+        .groupBy("_w", "j")
+        .agg(F.max("r").alias("r"))
+    )
+    per = win_regs.groupBy("_w").agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("r")).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    du = ev.select(F.to_date("ts").alias("_d"), "user_id").distinct()
+    exact = (
+        du.select("_d", "user_id", offs)
+        .withColumn("_w", F.date_add(F.col("_d"), F.col("_off")))
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("_w") >= F.col("_w0")) & (F.col("_w") <= F.col("_w1")))
+        .groupBy("_w")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    est = _hll_estimate_col(F.col("s"), F.col("present"))
+    return per.join(exact, "_w").select(
+        F.col("_w").cast("string").alias("window_end"),
+        F.round(est, 4).alias("hll_users"),
+        "exact_users",
+        F.round(
+            F.abs(F.round(est, 4) - F.col("exact_users")) / F.col("exact_users"), 4
+        ).alias("rel_err"),
+    )
+
+
+ORACLE_HLL_TRAILING7 = f"""
+WITH b AS (
+  SELECT CAST(ts AS DATE) AS d,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::INT AS j,
+         ('0x' || substr(md5(user_id::VARCHAR), 3, 13))::BIGINT AS w
+  FROM events WHERE user_id IS NOT NULL
+),
+daily AS (
+  SELECT d, j,
+         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
+  FROM b GROUP BY 1, 2
+),
+bounds AS (SELECT min(d) + 6 AS w0, max(d) AS w1 FROM daily),
+win_regs AS (
+  SELECT daily.d + CAST(o.o AS INTEGER) AS wd, j, max(r) AS r
+  FROM daily CROSS JOIN unnest(range(0, 7)) AS o(o), bounds
+  WHERE daily.d + CAST(o.o AS INTEGER) BETWEEN bounds.w0 AND bounds.w1
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT wd, sum((2 ** (53 - r))::BIGINT)::BIGINT AS s,
+         count(*)::BIGINT AS present
+  FROM win_regs GROUP BY 1
+),
+du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+       FROM events WHERE user_id IS NOT NULL),
+ex AS (
+  SELECT du.d + CAST(o.o AS INTEGER) AS wd,
+         count(DISTINCT user_id)::BIGINT AS exact_users
+  FROM du CROSS JOIN unnest(range(0, 7)) AS o(o), bounds
+  WHERE du.d + CAST(o.o AS INTEGER) BETWEEN bounds.w0 AND bounds.w1
+  GROUP BY 1
+),
+est AS (
+  SELECT p.wd, ex.exact_users,
+         CASE WHEN ({_HLL_NUM!r} / (p.s + ({_HLL_M} - p.present) * {2**53})::DOUBLE)
+                   <= {2.5 * _HLL_M}
+               AND ({_HLL_M} - p.present) > 0
+              THEN {float(_HLL_M)!r}
+                   * ln({float(_HLL_M)!r} / ({_HLL_M} - p.present)::DOUBLE)
+              ELSE {_HLL_NUM!r} / (p.s + ({_HLL_M} - p.present) * {2**53})::DOUBLE
+         END AS e
+  FROM per p JOIN ex ON ex.wd = p.wd
+)
+SELECT CAST(wd AS VARCHAR) AS window_end, round(e, 4) AS hll_users,
+       exact_users,
+       round(abs(round(e, 4) - exact_users) / exact_users, 4) AS rel_err
+FROM est
+"""
+
+
+QUERIES["hll_trailing7_distinct"] = hll_trailing7_distinct
+ORACLES["hll_trailing7_distinct"] = ORACLE_HLL_TRAILING7
