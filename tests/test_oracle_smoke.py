@@ -53,6 +53,7 @@ SMOKE = [
     "label_propagation_cosupply",
     "geo_knn_customers",
     "hll_trailing7_distinct",
+    "pareto_customer_revenue",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

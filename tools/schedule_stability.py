@@ -87,6 +87,8 @@ DEFAULT_QUERIES = [
     "hurst_rescaled_range",
     "cramer_von_mises_weekend",
     "ranking_eval_purchase",
+    "pareto_customer_revenue",
+    "hll_trailing7_distinct",
 ]
 
 

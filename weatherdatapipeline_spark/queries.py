@@ -22324,3 +22324,124 @@ FROM est
 
 QUERIES["hll_trailing7_distinct"] = hll_trailing7_distinct
 ORACLES["hll_trailing7_distinct"] = ORACLE_HLL_TRAILING7
+
+
+def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of customer revenue — the 80/20 readout:
+    how many top customers (ranked by revenue, descending) does it take
+    to cover 80% of total revenue, plus the revenue share of the top
+    10% of customers. The classic business-concentration query,
+    complementing gini_concentration_by_type (a scalar) with the actual
+    crossing points.
+
+    Exactness + scale: per-customer revenue is an exact DECIMAL sum
+    quantized to integer cents; the DESCENDING cumulative uses the same
+    range-bucketed rank as kruskal_wallis (bucket-partitioned windows +
+    a bounded bucket-offset join — no global sort); the 80% crossing is
+    an integer comparison (5*cum >= 4*total), so the whole readout is
+    schedule-independent integer arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    dec = "decimal(38,12)"
+    rev = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(dec)
+                ).cast("double")
+                * 100.0
+            )
+            .cast("bigint")
+            .alias("_rq")
+        )
+    )
+    grp = rev.groupBy("_rq").agg(
+        F.count(F.lit(1)).alias("_k"),
+        (F.col("_rq") * F.count(F.lit(1))).alias("_rev"),
+    )
+    grp = grp.withColumn("_b", F.floor(F.col("_rq") / F.lit(1_000_000)).cast("long"))
+    btot = grp.groupBy("_b").agg(
+        F.sum("_k").alias("_bk"), F.sum("_rev").alias("_brev")
+    )
+    off = (
+        btot.select(F.col("_b").alias("_bb"))
+        .join(F.broadcast(btot), F.col("_b") > F.col("_bb"), "left")
+        .groupBy("_bb")
+        .agg(
+            F.coalesce(F.sum("_bk"), F.lit(0)).alias("_offk"),
+            F.coalesce(F.sum("_brev"), F.lit(0)).alias("_offrev"),
+        )
+    )
+    wb = Window.partitionBy("_b").orderBy(F.col("_rq").desc())
+    ranked = (
+        grp.join(F.broadcast(off), grp["_b"] == off["_bb"])
+        .withColumn(
+            "_cumk",
+            F.col("_offk")
+            + F.sum("_k").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "_cumrev",
+            F.col("_offrev")
+            + F.sum("_rev").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    tot = grp.agg(
+        F.sum("_k").alias("_n"), F.sum("_rev").alias("_t")
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    crossing = j.filter(5 * F.col("_cumrev") >= 4 * F.col("_t")).agg(
+        F.min("_cumk").alias("top_for_80pct")
+    )
+    top10 = j.filter(10 * F.col("_cumk") <= F.col("_n")).agg(
+        F.max("_cumrev").alias("_rev10")
+    )
+    return (
+        tot.crossJoin(F.broadcast(crossing))
+        .crossJoin(F.broadcast(top10))
+        .select(
+            F.col("_n").cast("bigint").alias("n_customers"),
+            F.col("top_for_80pct").cast("bigint").alias("top_for_80pct"),
+            F.round(
+                F.col("_rev10").cast("double") / F.col("_t").cast("double") * 1e4
+            )
+            .cast("bigint")
+            .alias("top10pct_share_q4"),
+        )
+    )
+
+
+ORACLE_PARETO = """
+WITH rev AS (
+  SELECT o_custkey,
+         round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(38,12))::DOUBLE
+               * 100.0)::BIGINT AS rq
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+grp AS (SELECT rq, count(*) AS k, rq * count(*) AS r FROM rev GROUP BY 1),
+ranked AS (
+  SELECT rq, k, r,
+         sum(k) OVER (ORDER BY rq DESC) AS cumk,
+         sum(r) OVER (ORDER BY rq DESC) AS cumrev
+  FROM grp
+),
+tot AS (SELECT sum(k) AS n, sum(r) AS t FROM grp),
+crossing AS (
+  SELECT min(cumk) AS top_for_80pct FROM ranked, tot
+  WHERE 5 * cumrev >= 4 * t
+),
+top10 AS (
+  SELECT max(cumrev) AS rev10 FROM ranked, tot WHERE 10 * cumk <= n
+)
+SELECT n::BIGINT AS n_customers,
+       top_for_80pct::BIGINT AS top_for_80pct,
+       round(rev10::DOUBLE / t::DOUBLE * 1e4)::BIGINT AS top10pct_share_q4
+FROM tot, crossing, top10
+"""
+
+
+QUERIES["pareto_customer_revenue"] = pareto_customer_revenue
+ORACLES["pareto_customer_revenue"] = ORACLE_PARETO
