@@ -54,6 +54,7 @@ SMOKE = [
     "geo_knn_customers",
     "hll_trailing7_distinct",
     "pareto_customer_revenue",
+    "textrank_keywords",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

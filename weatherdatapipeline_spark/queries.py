@@ -22445,3 +22445,147 @@ FROM tot, crossing, top10
 
 QUERIES["pareto_customer_revenue"] = pareto_customer_revenue
 ORACLES["pareto_customer_revenue"] = ORACLE_PARETO
+
+
+_TEXTRANK_ITERS = 5
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph (tokens >= 3 chars, undirected edges
+    between tokens within a 2-position window, count-weighted), damping
+    0.85, 5 iterations from uniform, top-20 keywords — the graph x text
+    crossover the keyword-extraction literature standardized on, built
+    on the same machinery as pagerank_event_types.
+
+    Integer-hardened fixed point: ranks live as 1e-12-quantized BIGINTs;
+    each per-edge contribution round(0.85 * pr * w / wdeg) is a
+    deterministic double expression of integers, and the per-node
+    combine is an exact BIGINT sum — no cross-row float accumulation at
+    ANY vocabulary size (pagerank_event_types can sum raw doubles only
+    because its graph has 5 nodes). Shapes: corpus -> positional token
+    table -> vocabulary-bounded edge/degree tables; 5 unrolled
+    join+agg rounds over |E| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos", "tok"),
+    ).filter(F.length("tok") >= 3)
+    a = toks.select("doc_id", F.col("pos").alias("_pa"), F.col("tok").alias("_ta"))
+    b = toks.select("doc_id", F.col("pos").alias("_pb"), F.col("tok").alias("_tb"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("_pb") - F.col("_pa") >= 1)
+            & (F.col("_pb") - F.col("_pa") <= 2)
+            & (F.col("_ta") != F.col("_tb"))
+        )
+        .groupBy("_ta", "_tb")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    edges = (
+        co.select(F.col("_ta").alias("_src"), F.col("_tb").alias("_dst"), "_w")
+        .unionAll(
+            co.select(F.col("_tb").alias("_src"), F.col("_ta").alias("_dst"), "_w")
+        )
+        .groupBy("_src", "_dst")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    wdeg = edges.groupBy("_src").agg(F.sum("_w").alias("_wd"))
+    nodes = toks.select(F.col("tok").alias("_node")).distinct()
+    n_nodes = nodes.count()  # vocabulary-sized driver scalar (bounded)
+    # floor, not round: Python's banker's rounding and SQL's half-away
+    # rounding disagree on exact halves; floor is tie-free on both sides
+    base_q = int(0.15 * 1e12 / n_nodes)
+    pr = nodes.select(
+        "_node", F.lit(int(1e12 / n_nodes)).cast("bigint").alias("_pr")
+    )
+    for _ in range(_TEXTRANK_ITERS):
+        contrib = (
+            edges.join(wdeg, "_src")
+            .join(pr.select(F.col("_node").alias("_src"), "_pr"), "_src")
+            .select(
+                "_dst",
+                F.round(
+                    0.85
+                    * F.col("_pr").cast("double")
+                    * F.col("_w").cast("double")
+                    / F.col("_wd").cast("double")
+                )
+                .cast("bigint")
+                .alias("_c"),
+            )
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        pr = nodes.join(
+            contrib.select(F.col("_dst").alias("_node"), "_s"), "_node", "left"
+        ).select(
+            "_node",
+            (F.lit(base_q).cast("bigint") + F.coalesce(F.col("_s"), F.lit(0))).alias(
+                "_pr"
+            ),
+        )
+    return (
+        pr.orderBy(F.col("_pr").desc(), F.col("_node").asc())
+        .limit(20)
+        .select(F.col("_node").alias("keyword"), F.col("_pr").alias("pr_q12"))
+    )
+
+
+def _textrank_oracle() -> str:
+    its = []
+    for r in range(1, _TEXTRANK_ITERS + 1):
+        its.append(f"""
+pr{r} AS (
+  SELECT nodes.node,
+         (SELECT bq FROM consts) + coalesce(s.c, 0) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node,
+           sum(round(0.85 * p.pr::DOUBLE * e.w::DOUBLE / d.wd::DOUBLE)::BIGINT) AS c
+    FROM e JOIN deg d ON d.src = e.src JOIN pr{r - 1} p ON p.node = e.src
+    GROUP BY 1
+  ) s ON s.node = nodes.node
+)""")
+    return (
+        r"""
+WITH toks AS (
+  SELECT doc_id, tok, ord FROM (
+    SELECT doc_id, unnest(lst) AS tok, unnest(range(1, len(lst) + 1)) AS ord
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS lst
+          FROM documents)
+  ) WHERE length(tok) >= 3
+),
+co AS (
+  SELECT a.tok AS ta, b.tok AS tb, count(*) AS w
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.ord - a.ord BETWEEN 1 AND 2
+   AND a.tok != b.tok
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT src, dst, sum(w) AS w FROM (
+    SELECT ta AS src, tb AS dst, w FROM co
+    UNION ALL SELECT tb, ta, w FROM co
+  ) GROUP BY 1, 2
+),
+deg AS (SELECT src, sum(w) AS wd FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT tok AS node FROM toks),
+consts AS (
+  SELECT floor(0.15 * 1e12 / count(*))::BIGINT AS bq,
+         floor(1e12 / count(*))::BIGINT AS p0
+  FROM nodes
+),
+pr0 AS (SELECT node, (SELECT p0 FROM consts) AS pr FROM nodes),"""
+        + ",".join(its)
+        + f"""
+SELECT node AS keyword, pr::BIGINT AS pr_q12 FROM pr{_TEXTRANK_ITERS}
+ORDER BY pr DESC, node ASC LIMIT 20
+"""
+    )
+
+
+QUERIES["textrank_keywords"] = textrank_keywords
+ORACLES["textrank_keywords"] = _textrank_oracle()
