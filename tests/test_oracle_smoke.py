@@ -55,6 +55,7 @@ SMOKE = [
     "hll_trailing7_distinct",
     "pareto_customer_revenue",
     "textrank_keywords",
+    "streaming_topk_types_per_window",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

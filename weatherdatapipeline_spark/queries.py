@@ -22589,3 +22589,60 @@ ORDER BY pr DESC, node ASC LIMIT 20
 
 QUERIES["textrank_keywords"] = textrank_keywords
 ORACLES["textrank_keywords"] = _textrank_oracle()
+
+
+def streaming_topk_types_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: top-3 event types per tumbling 6-hour
+    window. The stream maintains per-(window, type) counts in append
+    mode (streaming/jobs.py::windowed_type_counts — a rank cannot ride
+    the streaming aggregate, it is only final at window close); the
+    batch finisher ranks each CLOSED window with a deterministic
+    (count desc, type asc) order. Oracle replays the counts plus the
+    append-mode emission rule (window_end <= final watermark) and the
+    same rank."""
+    from .streaming.jobs import windowed_type_counts
+
+    stream, _ = _stage_events_stream(spark, sf_dir)
+    out = windowed_type_counts(
+        stream, "ts", "event_type", window="6 hours", watermark="2 hours"
+    )
+    res = _drain(out, "append")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.unix_micros("window_start").alias("ws_us"),
+            F.col("rank").cast("bigint").alias("rank"),
+            "event_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+    )
+
+
+ORACLE_STREAM_TOPK = """
+WITH m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws, event_type,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+closed AS (
+  SELECT ws, event_type, cnt FROM w, m WHERE ws + INTERVAL 6 HOUR <= wm
+),
+ranked AS (
+  SELECT ws, event_type, cnt,
+         row_number() OVER (PARTITION BY ws
+                            ORDER BY cnt DESC, event_type ASC) AS rank
+  FROM closed
+)
+SELECT epoch_us(ws) AS ws_us, rank::BIGINT AS rank, event_type,
+       cnt::BIGINT AS cnt
+FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES["streaming_topk_types_per_window"] = streaming_topk_types_per_window
+ORACLES["streaming_topk_types_per_window"] = ORACLE_STREAM_TOPK

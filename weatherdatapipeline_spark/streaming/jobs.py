@@ -1201,3 +1201,24 @@ def streaming_merkle_fingerprints(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_type_counts(
+    stream: DataFrame,
+    event_time: str,
+    key_col: str,
+    window: str = "6 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling per-(window, key) counts in append mode — the streaming
+    HALF of a windowed top-k: ranking cannot ride a streaming aggregate
+    in append mode (a rank is only final when the window closes), so the
+    stream maintains the counts and the finisher ranks each CLOSED
+    window downstream (foreachBatch / the drained batch) — the standard
+    two-stage pattern for streaming leaderboards."""
+    return (
+        stream.withWatermark(event_time, watermark)
+        .groupBy(F.window(event_time, window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), key_col, "cnt")
+    )
