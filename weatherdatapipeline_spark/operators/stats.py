@@ -486,26 +486,49 @@ def poisson_bootstrap_ci(
     bootstrap resampling is undistributable (it needs n draws from the
     FULL dataset per replicate); this is the standard scale substitute.
 
-    Deterministic and engine-portable: no RNG anywhere — replicate b of
-    row r reuses portable_hash60(r, b).
+    Deterministic and engine-portable: no RNG anywhere. Hash-bit
+    BUDGETING (the dominant cost is md5 evaluation, measured ~5.5 s at
+    sf0.1 with one hash per (row, replicate)): one 60-bit
+    portable_hash60(r, block) yields FIVE independent 12-bit uniform
+    lanes, so B replicates cost B/5 hashes per row — a 5x cut. The
+    1/4096 uniform granularity perturbs the Poisson cutoffs by < 2.5e-4
+    probability mass, far below bootstrap noise at any B; the lane
+    extraction is integer shift/mask both engines replay exactly.
     """
     from .dedup import portable_hash60
 
-    reps = events.select(
+    if n_reps % 5 != 0:
+        raise ValueError(f"n_reps must be a multiple of 5, got {n_reps}")
+    blocks = events.select(
         key_col,
         value_col,
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("rep"),
-    )
-    u = (portable_hash60(F.col(id_col), F.col("rep")) + 1).cast("double") / float(
-        2**60
-    )
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps // 5 - 1))).alias("_blk"),
+    ).withColumn("_h", portable_hash60(F.col(id_col), F.col("_blk")))
+    lanes = blocks.select(
+        key_col,
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("_blk") * 5 + lane).alias("rep"),
+                        F.shiftright(F.col("_h"), 12 * lane)
+                        .bitwiseAND(F.lit(4095))
+                        .alias("_lv"),
+                    )
+                    for lane in range(5)
+                ]
+            )
+        ).alias("_rl"),
+    ).select(key_col, value_col, "_rl.rep", "_rl._lv")
+    u = (F.col("_lv") + 1).cast("double") / 4096.0
     w = F.when(u < POISSON1_CDF[0], 0)
     for k in range(1, 5):
         w = w.when(u < POISSON1_CDF[k], k)
     w = w.otherwise(5).cast("double")
     rep_means = (
-        reps.withColumn("_w", w)
+        lanes.withColumn("_w", w)
         .groupBy(key_col, "rep")
         .agg(
             F.try_divide(

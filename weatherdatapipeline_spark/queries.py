@@ -5933,21 +5933,26 @@ WHERE nab / n.n >= 0.01
 def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean value per event type
     (operators/stats.py::poisson_bootstrap_ci, B=50) — the distributed
-    bootstrap: per-(row, replicate) Poisson(1) weights from md5 uniforms,
+    bootstrap: Poisson(1) weights from 12-bit md5 uniform LANES (one
+    60-bit hash per (row, block-of-5) — hash-bit budgeting, 5x less md5),
     one explode + one (key, rep) agg + one percentile pass."""
     return ST.poisson_bootstrap_ci(_t(spark, sf_dir, "events"), n_reps=50)
 
 
 ORACLE_BOOTSTRAP_CI = f"""
-WITH reps AS (
-  SELECT event_type, value, event_id, unnest(range(0, 50)) AS rep FROM events
+WITH blocks AS (
+  SELECT event_type, value, event_id, unnest(range(0, 10)) AS blk FROM events
+),
+hs AS (
+  SELECT event_type, value, blk,
+         ('0x' || substr(md5(event_id::VARCHAR || '|' || blk::VARCHAR),
+                         1, 15))::BIGINT AS h
+  FROM blocks
 ),
 uni AS (
-  SELECT event_type, value, rep,
-         (('0x' || substr(md5(event_id::VARCHAR || '|' || rep::VARCHAR),
-                          1, 15))::BIGINT + 1)::DOUBLE
-           / 1152921504606846976.0 AS u
-  FROM reps
+  SELECT event_type, value, blk * 5 + l.l AS rep,
+         (((h >> (12 * CAST(l.l AS INTEGER))) & 4095) + 1)::DOUBLE / 4096.0 AS u
+  FROM hs CROSS JOIN unnest(range(0, 5)) AS l(l)
 ),
 wts AS (
   SELECT event_type, rep, value,
