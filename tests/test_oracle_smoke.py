@@ -56,6 +56,7 @@ SMOKE = [
     "pareto_customer_revenue",
     "textrank_keywords",
     "streaming_topk_types_per_window",
+    "cohort_ltv_curve",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -22651,3 +22651,82 @@ FROM ranked WHERE rank <= 3
 
 QUERIES["streaming_topk_types_per_window"] = streaming_topk_types_per_window
 ORACLES["streaming_topk_types_per_window"] = ORACLE_STREAM_TOPK
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort LTV curves: users grouped by first-event week, and
+    for each cohort the CUMULATIVE purchase revenue per cohort member at
+    week-age 0, 1, 2, ... — the payback-curve readout
+    retention_weekly_cohorts (counts) stops short of. Revenue
+    accumulates as integer cents from exact DECIMAL sums; the cumulative
+    is a cohort-partitioned window over the <= calendar-weeks-sized age
+    table — bounded, exact, schedule-independent.
+
+    Shape: one per-user first-event aggregate (broadcast back), one
+    (cohort, age) revenue aggregate, one bounded window."""
+    dec = "decimal(38,12)"
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("_cw")
+    )
+    sizes = first.groupBy("_cw").agg(F.count(F.lit(1)).alias("_n"))
+    rev = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .join(F.broadcast(first), "user_id")
+        .groupBy(
+            "_cw",
+            F.floor(
+                F.datediff(
+                    F.to_date("ts"), F.col("_cw")
+                )
+                / 7
+            ).cast("bigint").alias("age_weeks"),
+        )
+        .agg(
+            F.round(F.sum(F.col("value").cast(dec)).cast("double") * 100.0)
+            .cast("bigint")
+            .alias("_cents")
+        )
+    )
+    w = Window.partitionBy("_cw").orderBy("age_weeks")
+    cum = rev.withColumn(
+        "_cum", F.sum("_cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return cum.join(F.broadcast(sizes), "_cw").select(
+        F.col("_cw").cast("string").alias("cohort_week"),
+        "age_weeks",
+        F.col("_n").cast("bigint").alias("cohort_users"),
+        F.round(F.col("_cum").cast("double") * 100.0 / F.col("_n"))
+        .cast("bigint")
+        .alias("ltv_per_user_q4"),
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts))::DATE AS cw
+  FROM events GROUP BY 1
+),
+sizes AS (SELECT cw, count(*) AS n FROM first GROUP BY 1),
+rev AS (
+  SELECT f.cw,
+         floor(date_diff('day', f.cw, CAST(e.ts AS DATE)) / 7)::BIGINT AS age_weeks,
+         round(sum(e.value::DECIMAL(38,12))::DOUBLE * 100.0)::BIGINT AS cents
+  FROM events e JOIN first f USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cw, age_weeks,
+         sum(cents) OVER (PARTITION BY cw ORDER BY age_weeks) AS c
+  FROM rev
+)
+SELECT CAST(cum.cw AS VARCHAR) AS cohort_week, age_weeks,
+       sizes.n::BIGINT AS cohort_users,
+       round(c::DOUBLE * 100.0 / sizes.n)::BIGINT AS ltv_per_user_q4
+FROM cum JOIN sizes ON cum.cw = sizes.cw
+"""
+
+
+QUERIES["cohort_ltv_curve"] = cohort_ltv_curve
+ORACLES["cohort_ltv_curve"] = ORACLE_COHORT_LTV
