@@ -57,6 +57,10 @@ SMOKE = [
     "textrank_keywords",
     "streaming_topk_types_per_window",
     "cohort_ltv_curve",
+    "nearest_facility_assignment",
+    "km_greenwood_bands",
+    "cmh_stratified_association",
+    "capture_recapture_users",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -89,6 +89,8 @@ DEFAULT_QUERIES = [
     "ranking_eval_purchase",
     "pareto_customer_revenue",
     "hll_trailing7_distinct",
+    "km_greenwood_bands",
+    "cmh_stratified_association",
 ]
 
 

@@ -22730,3 +22730,384 @@ FROM cum JOIN sizes ON cum.cw = sizes.cw
 
 QUERIES["cohort_ltv_curve"] = cohort_ltv_curve
 ORACLES["cohort_ltv_curve"] = ORACLE_COHORT_LTV
+
+
+def nearest_facility_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility spatial assignment: every customer point mapped
+    to its closest of 25 facility sites (md5-planted like the customer
+    coordinates, keyed by nation) — the broadcast-argmin spatial join
+    (facility set small -> broadcast; per-point argmin via min of a
+    (dist2, facility) struct, no shuffle beyond the scan). Output also
+    carries the assignment's squared distance; integer arithmetic
+    throughout. The small-side complement of the grid radius join."""
+    pts = _geo_points(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation")
+
+    def coord(tag: str, key):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(tag), key)), 1, 12), 16, 10
+            ).cast("long")
+            % 1_000_000
+        )
+
+    fac = nation.select(
+        F.col("n_nationkey").alias("fid"),
+        coord("fx:", F.col("n_nationkey")).alias("fx"),
+        coord("fy:", F.col("n_nationkey")).alias("fy"),
+    )
+    d2 = (F.col("x") - F.col("fx")) * (F.col("x") - F.col("fx")) + (
+        F.col("y") - F.col("fy")
+    ) * (F.col("y") - F.col("fy"))
+    best = (
+        pts.crossJoin(F.broadcast(fac))
+        .select(
+            "pid",
+            F.struct(d2.alias("_d"), F.col("fid").alias("_f")).alias("_c"),
+        )
+        .groupBy("pid")
+        .agg(F.min("_c").alias("_m"))
+    )
+    return best.select(
+        F.col("pid").cast("bigint").alias("pid"),
+        F.col("_m._f").cast("bigint").alias("facility"),
+        F.col("_m._d").cast("bigint").alias("dist2"),
+    )
+
+
+ORACLE_NEAREST_FACILITY = """
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         ('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS x,
+         ('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS y
+  FROM customer
+),
+fac AS (
+  SELECT n_nationkey AS fid,
+         ('0x' || substr(md5('fx:' || CAST(n_nationkey AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS fx,
+         ('0x' || substr(md5('fy:' || CAST(n_nationkey AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS fy
+  FROM nation
+),
+d AS (
+  SELECT pid, fid,
+         (x - fx) * (x - fx) + (y - fy) * (y - fy) AS dist2
+  FROM pts CROSS JOIN fac
+),
+r AS (
+  SELECT pid, fid, dist2,
+         row_number() OVER (PARTITION BY pid ORDER BY dist2, fid) AS rn
+  FROM d
+)
+SELECT pid::BIGINT AS pid, fid::BIGINT AS facility, dist2::BIGINT AS dist2
+FROM r WHERE rn = 1
+"""
+
+
+QUERIES["nearest_facility_assignment"] = nearest_facility_assignment
+ORACLES["nearest_facility_assignment"] = ORACLE_NEAREST_FACILITY
+
+
+def km_greenwood_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival with GREENWOOD standard errors and plain-
+    scale 95% bands: Var(S(t)) = S(t)^2 * sum_{t'<=t} d/(n(n-d)) —
+    the missing uncertainty readout on kaplan_meier_user_churn's point
+    estimates. Same lifetime/censoring table; both the log-survival sum
+    and the Greenwood sum ride the SAME bounded self-join, with each
+    per-step term quantized to a 1e-12 integer first (exact cumulative
+    arithmetic, the nelson_aalen_churn hardening). d == n steps pin
+    S = 0 with NULL bands (Greenwood is undefined there), mirrored."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(F.max(F.unix_micros("ts")).alias("_max_us"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.floor((F.col("last_us") - F.col("first_us")) / 3_600_000_000)
+            .alias("t"),
+            (
+                F.col("_max_us") - F.col("last_us") > 6 * 3_600_000_000
+            ).cast("int").alias("observed"),
+        )
+    )
+    lt = users.groupBy("t").agg(
+        F.sum("observed").alias("d"), F.count(F.lit(1)).alias("all_n")
+    )
+    total = users.agg(F.count(F.lit(1)).alias("_total"))
+    prior = (
+        lt.alias("a")
+        .join(lt.alias("b"), F.col("b.t") < F.col("a.t"), "left")
+        .groupBy(F.col("a.t").alias("t"))
+        .agg(F.coalesce(F.sum("b.all_n"), F.lit(0)).alias("ended_before"))
+    )
+    risk = (
+        lt.join(prior, "t")
+        .crossJoin(F.broadcast(total))
+        .select("t", "d", (F.col("_total") - F.col("ended_before")).alias("n"))
+        .withColumn(
+            "_ln_q12",
+            F.when(
+                F.col("d") < F.col("n"),
+                F.round(
+                    F.log(1.0 - F.col("d") / F.col("n").cast("double")) * 1e12
+                ).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "_gw_q12",
+            F.when(
+                F.col("d") < F.col("n"),
+                F.round(
+                    F.col("d")
+                    / (F.col("n").cast("double") * (F.col("n") - F.col("d")))
+                    * 1e12
+                ).cast("bigint"),
+            ),
+        )
+    )
+    km = (
+        risk.alias("a")
+        .join(
+            risk.alias("b"), (F.col("b.t") <= F.col("a.t")) & (F.col("b.d") > 0), "left"
+        )
+        .groupBy(
+            F.col("a.t").alias("t"), F.col("a.d").alias("d"), F.col("a.n").alias("n")
+        )
+        .agg(
+            F.max((F.col("b.d") >= F.col("b.n")).cast("int")).alias("_dead"),
+            F.coalesce(F.sum("b._ln_q12"), F.lit(0)).alias("_lnsum"),
+            F.coalesce(F.sum("b._gw_q12"), F.lit(0)).alias("_gwsum"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    s = F.exp(F.col("_lnsum").cast("double") / 1e12)
+    se = s * F.sqrt(F.col("_gwsum").cast("double") / 1e12)
+    dead = F.coalesce(F.col("_dead"), F.lit(0)) == 1
+    return km.select(
+        F.col("t").cast("bigint").alias("t_hours"),
+        F.col("d").cast("bigint").alias("churned"),
+        F.col("n").cast("bigint").alias("at_risk"),
+        F.when(dead, F.lit(0.0)).otherwise(F.round(s, 6)).alias("km_survival"),
+        F.when(~dead, F.round(se * 1e6).cast("bigint")).alias("se_q6"),
+        F.when(~dead, F.round(F.greatest(s - 1.96 * se, F.lit(0.0)), 6)).alias(
+            "ci_lo"
+        ),
+        F.when(~dead, F.round(F.least(s + 1.96 * se, F.lit(1.0)), 6)).alias("ci_hi"),
+    )
+
+
+ORACLE_KM_GREENWOOD = """
+WITH span AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+users AS (
+  SELECT floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 3600000000) AS t,
+         CASE WHEN (SELECT max_us FROM span) - max(epoch_us(ts)) > 6 * 3600000000
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+lt AS (SELECT t, sum(observed) AS d, count(*) AS all_n FROM users GROUP BY t),
+total AS (SELECT count(*) AS tot FROM users),
+prior AS (
+  SELECT a.t, coalesce(sum(b.all_n), 0) AS ended_before
+  FROM lt a LEFT JOIN lt b ON b.t < a.t GROUP BY a.t
+),
+risk AS (
+  SELECT lt.t, lt.d, (total.tot - prior.ended_before) AS n,
+         CASE WHEN lt.d < (total.tot - prior.ended_before)
+              THEN round(ln(1.0 - lt.d / CAST(total.tot - prior.ended_before AS DOUBLE))
+                         * 1e12)::BIGINT END AS ln_q12,
+         CASE WHEN lt.d < (total.tot - prior.ended_before)
+              THEN round(lt.d / (CAST(total.tot - prior.ended_before AS DOUBLE)
+                                 * (total.tot - prior.ended_before - lt.d))
+                         * 1e12)::BIGINT END AS gw_q12
+  FROM lt JOIN prior ON lt.t = prior.t, total
+),
+km AS (
+  SELECT a.t, a.d, a.n,
+         max(CASE WHEN b.d >= b.n THEN 1 ELSE 0 END) AS dead,
+         coalesce(sum(b.ln_q12), 0) AS lnsum,
+         coalesce(sum(b.gw_q12), 0) AS gwsum
+  FROM risk a LEFT JOIN risk b ON b.t <= a.t AND b.d > 0
+  GROUP BY a.t, a.d, a.n
+)
+SELECT t::BIGINT AS t_hours, d::BIGINT AS churned, n::BIGINT AS at_risk,
+       CASE WHEN coalesce(dead, 0) = 1 THEN 0.0
+            ELSE round(exp(lnsum::DOUBLE / 1e12), 6) END AS km_survival,
+       CASE WHEN coalesce(dead, 0) = 1 THEN NULL
+            ELSE round(exp(lnsum::DOUBLE / 1e12)
+                       * sqrt(gwsum::DOUBLE / 1e12) * 1e6)::BIGINT END AS se_q6,
+       CASE WHEN coalesce(dead, 0) = 1 THEN NULL
+            ELSE round(greatest(exp(lnsum::DOUBLE / 1e12)
+                 - 1.96 * exp(lnsum::DOUBLE / 1e12) * sqrt(gwsum::DOUBLE / 1e12),
+                 0.0), 6) END AS ci_lo,
+       CASE WHEN coalesce(dead, 0) = 1 THEN NULL
+            ELSE round(least(exp(lnsum::DOUBLE / 1e12)
+                 + 1.96 * exp(lnsum::DOUBLE / 1e12) * sqrt(gwsum::DOUBLE / 1e12),
+                 1.0), 6) END AS ci_hi
+FROM km WHERE d > 0
+"""
+
+
+QUERIES["km_greenwood_bands"] = km_greenwood_bands
+ORACLES["km_greenwood_bands"] = ORACLE_KM_GREENWOOD
+
+
+def cmh_stratified_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test for the (high-value x purchase)
+    association CONTROLLING for hour-of-day: per hour stratum the 2x2
+    cell a = (value >= 250 & purchase), E = n1 m1 / N and
+    V = n1 n0 m1 m0 / (N^2 (N-1)), continuity-corrected
+    CMH = (|sum(a - E)| - 0.5)^2 / sum(V) — the stratified complement of
+    chi_square_type_drift (marginal) and simpsons_paradox_screen (which
+    flags exactly the confounding CMH adjusts for). Per-stratum terms
+    are quantized to 1e-9 integers before the exact cross-stratum sum;
+    everything upstream is integer cell counts from one hash aggregate."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    exp_ = (F.col("value") >= 250).cast("bigint")
+    out_ = (F.col("event_type") == "purchase").cast("bigint")
+    cells = ev.groupBy(F.hour("ts").alias("_h")).agg(
+        F.sum(exp_ * out_).alias("_a"),
+        F.sum(exp_).alias("_n1"),
+        F.sum(1 - exp_).alias("_n0"),
+        F.sum(out_).alias("_m1"),
+        F.sum(1 - out_).alias("_m0"),
+        F.count(F.lit(1)).alias("_nn"),
+    )
+    e_k = F.col("_n1").cast("double") * F.col("_m1") / F.col("_nn")
+    v_k = (
+        F.col("_n1").cast("double")
+        * F.col("_n0")
+        * F.col("_m1")
+        * F.col("_m0")
+        / (
+            F.col("_nn").cast("double")
+            * F.col("_nn")
+            * (F.col("_nn") - 1.0)
+        )
+    )
+    per = cells.select(
+        F.round((F.col("_a") - e_k) * 1e9).cast("bigint").alias("_dq"),
+        F.round(v_k * 1e9).cast("bigint").alias("_vq"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("_dq").alias("_d"),
+        F.sum("_vq").alias("_v"),
+    )
+    num = (F.abs(F.col("_d").cast("double") / 1e9) - 0.5)
+    return agg.select(
+        "n_strata",
+        F.round(F.col("_d").cast("double") / 1e9 * 1e4).cast("bigint").alias(
+            "sum_a_minus_e_q4"
+        ),
+        F.round(num * num / (F.col("_v").cast("double") / 1e9) * 1e6)
+        .cast("bigint")
+        .alias("cmh_q6"),
+    )
+
+
+ORACLE_CMH = """
+WITH cells AS (
+  SELECT hour(ts) AS h,
+         sum(CASE WHEN value >= 250 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN value >= 250 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN value >= 250 THEN 0 ELSE 1 END)::BIGINT AS n0,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS m1,
+         sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)::BIGINT AS m0,
+         count(*)::BIGINT AS nn
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+per AS (
+  SELECT round((a - n1::DOUBLE * m1 / nn) * 1e9)::BIGINT AS dq,
+         round(n1::DOUBLE * n0 * m1 * m0
+               / (nn::DOUBLE * nn * (nn - 1.0)) * 1e9)::BIGINT AS vq
+  FROM cells
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_strata, sum(dq)::BIGINT AS d, sum(vq)::BIGINT AS v
+  FROM per
+)
+SELECT n_strata,
+       round(d::DOUBLE / 1e9 * 1e4)::BIGINT AS sum_a_minus_e_q4,
+       round((abs(d::DOUBLE / 1e9) - 0.5) * (abs(d::DOUBLE / 1e9) - 0.5)
+             / (v::DOUBLE / 1e9) * 1e6)::BIGINT AS cmh_q6
+FROM agg
+"""
+
+
+QUERIES["cmh_stratified_association"] = cmh_stratified_association
+ORACLES["cmh_stratified_association"] = ORACLE_CMH
+
+
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the purchasing-user
+    population: sample 1 = users purchasing in the first 10 days, sample
+    2 = users purchasing in the last 10 days; N_hat = (n1+1)(n2+1)/(m+1)
+    - 1 with Seber variance — the mark-recapture estimator ops teams use
+    to size populations only partially observed per window (e.g. how
+    many distinct entities does a crawl touch), audited here against the
+    TRUE distinct purchaser count the full scan can see. Integer counts
+    from two semi-join-free aggregates; one closed-form row."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w1_end = F.lit("2024-01-11").cast("timestamp")
+    w2_start = F.lit("2024-01-21").cast("timestamp")
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("ts") < w1_end).cast("int")).alias("_s1"),
+        F.max((F.col("ts") >= w2_start).cast("int")).alias("_s2"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_users"),
+        F.sum("_s1").cast("bigint").alias("n1"),
+        F.sum("_s2").cast("bigint").alias("n2"),
+        F.sum(F.col("_s1") * F.col("_s2")).cast("bigint").alias("m"),
+    )
+    n1, n2, m = F.col("n1").cast("double"), F.col("n2").cast("double"), F.col(
+        "m"
+    ).cast("double")
+    n_hat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    var = (
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        "true_users",
+        F.round(n_hat * 1e4).cast("bigint").alias("n_hat_q4"),
+        F.round(F.sqrt(var) * 1e4).cast("bigint").alias("se_q4"),
+    )
+
+
+ORACLE_CAPTURE_RECAPTURE = """
+WITH flags AS (
+  SELECT user_id,
+         max(CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 1 ELSE 0 END) AS s1,
+         max(CASE WHEN ts >= TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END) AS s2
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+agg AS (
+  SELECT count(*)::BIGINT AS true_users, sum(s1)::BIGINT AS n1,
+         sum(s2)::BIGINT AS n2, sum(s1 * s2)::BIGINT AS m
+  FROM flags
+)
+SELECT n1, n2, m, true_users,
+       round(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) * 1e4)::BIGINT AS n_hat_q4,
+       round(sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+                  / ((m + 1.0) * (m + 1.0) * (m + 2.0))) * 1e4)::BIGINT AS se_q4
+FROM agg
+"""
+
+
+QUERIES["capture_recapture_users"] = capture_recapture_users
+ORACLES["capture_recapture_users"] = ORACLE_CAPTURE_RECAPTURE
