@@ -61,6 +61,7 @@ SMOKE = [
     "km_greenwood_bands",
     "cmh_stratified_association",
     "capture_recapture_users",
+    "mh_common_odds_ratio",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

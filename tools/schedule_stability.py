@@ -91,6 +91,7 @@ DEFAULT_QUERIES = [
     "hll_trailing7_distinct",
     "km_greenwood_bands",
     "cmh_stratified_association",
+    "mh_common_odds_ratio",
 ]
 
 

@@ -23111,3 +23111,71 @@ FROM agg
 
 QUERIES["capture_recapture_users"] = capture_recapture_users
 ORACLES["capture_recapture_users"] = ORACLE_CAPTURE_RECAPTURE
+
+
+def mh_common_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio for the (high-value x purchase)
+    association across hour strata — the EFFECT-SIZE companion to
+    cmh_stratified_association's significance test: OR_MH =
+    sum(a d / N) / sum(b c / N), the precision-weighted pooled odds
+    ratio that stays valid when strata are thin. Per-stratum terms
+    quantized to 1e-9 integers before exact sums; cells from the same
+    single hash aggregate as the CMH test."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    exp_ = (F.col("value") >= 250).cast("bigint")
+    out_ = (F.col("event_type") == "purchase").cast("bigint")
+    cells = ev.groupBy(F.hour("ts").alias("_h")).agg(
+        F.sum(exp_ * out_).alias("_a"),
+        F.sum(exp_ * (1 - out_)).alias("_b"),
+        F.sum((1 - exp_) * out_).alias("_c"),
+        F.sum((1 - exp_) * (1 - out_)).alias("_d"),
+        F.count(F.lit(1)).alias("_nn"),
+    )
+    per = cells.select(
+        F.round(F.col("_a").cast("double") * F.col("_d") / F.col("_nn") * 1e9)
+        .cast("bigint")
+        .alias("_num"),
+        F.round(F.col("_b").cast("double") * F.col("_c") / F.col("_nn") * 1e9)
+        .cast("bigint")
+        .alias("_den"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("_num").alias("_sn"),
+        F.sum("_den").alias("_sd"),
+    )
+    return agg.select(
+        "n_strata",
+        F.round(F.col("_sn").cast("double") / F.col("_sd") * 1e6)
+        .cast("bigint")
+        .alias("or_mh_q6"),
+    )
+
+
+ORACLE_MH_OR = """
+WITH cells AS (
+  SELECT hour(ts) AS h,
+         sum(CASE WHEN value >= 250 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN value >= 250 AND event_type != 'purchase'
+                  THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN value < 250 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END)::BIGINT AS c,
+         sum(CASE WHEN value < 250 AND event_type != 'purchase'
+                  THEN 1 ELSE 0 END)::BIGINT AS d,
+         count(*)::BIGINT AS nn
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+per AS (
+  SELECT round(a::DOUBLE * d / nn * 1e9)::BIGINT AS num,
+         round(b::DOUBLE * c / nn * 1e9)::BIGINT AS den
+  FROM cells
+)
+SELECT count(*)::BIGINT AS n_strata,
+       round(sum(num)::DOUBLE / sum(den) * 1e6)::BIGINT AS or_mh_q6
+FROM per
+"""
+
+
+QUERIES["mh_common_odds_ratio"] = mh_common_odds_ratio
+ORACLES["mh_common_odds_ratio"] = ORACLE_MH_OR
