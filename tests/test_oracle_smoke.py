@@ -62,6 +62,7 @@ SMOKE = [
     "cmh_stratified_association",
     "capture_recapture_users",
     "mh_common_odds_ratio",
+    "diebold_mariano_forecasts",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -92,6 +92,7 @@ DEFAULT_QUERIES = [
     "km_greenwood_bands",
     "cmh_stratified_association",
     "mh_common_odds_ratio",
+    "diebold_mariano_forecasts",
 ]
 
 

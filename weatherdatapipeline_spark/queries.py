@@ -23179,3 +23179,81 @@ FROM per
 
 QUERIES["mh_common_odds_ratio"] = mh_common_odds_ratio
 ORACLES["mh_common_odds_ratio"] = ORACLE_MH_OR
+
+
+def diebold_mariano_forecasts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano test (1995) comparing two naive forecasters of the
+    daily purchase count: seasonal-naive (y[t-7]) vs last-value naive
+    (y[t-1]), squared-error loss. DM = dbar / sqrt(s^2/n) on the loss
+    differential d_t — the significance test forecast_mase_backtest's
+    point accuracy stops short of: is the seasonal forecaster BETTER, or
+    just lucky on this window?
+
+    Exactness: counts are integers, so both losses and every d_t are
+    exact BIGINTs; dbar and the variance reduce to integer sums (n^2-
+    scaled, the ljung_box trick): n^2 * sum((d - dbar)^2) = n^2 sum(d^2)
+    - 2 n sum(d) sum(d) + n sum(d)^2 — one double at the end. Shape: one
+    calendar-bounded daily table, two shifted-date self-joins, one 1-row
+    combine."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("_d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_y")
+    )
+    lag1 = daily.select(
+        F.date_add(F.col("_d"), 1).alias("_d"), F.col("_y").alias("_y1")
+    )
+    lag7 = daily.select(
+        F.date_add(F.col("_d"), 7).alias("_d"), F.col("_y").alias("_y7")
+    )
+    joined = daily.join(lag1, "_d").join(lag7, "_d")
+    d_t = (
+        (F.col("_y") - F.col("_y7")) * (F.col("_y") - F.col("_y7"))
+        - (F.col("_y") - F.col("_y1")) * (F.col("_y") - F.col("_y1"))
+    )
+    agg = joined.select(d_t.alias("_dt")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("_dt").alias("_sd"),
+        F.sum(F.col("_dt") * F.col("_dt")).alias("_sdd"),
+    )
+    n = F.col("n_days").cast("double")
+    sd = F.col("_sd").cast("double")
+    sdd = F.col("_sdd").cast("double")
+    # n^2 * sum((d - dbar)^2) = n^2*sdd - n*sd^2 ; s^2 = that / (n^2 (n-1))
+    var_dbar = (n * n * sdd - n * sd * sd) / (n * n * (n - 1.0)) / n
+    return agg.select(
+        "n_days",
+        F.col("_sd").alias("sum_loss_diff"),
+        F.round((sd / n) / F.sqrt(var_dbar) * 1e6).cast("bigint").alias("dm_q6"),
+    )
+
+
+ORACLE_DIEBOLD_MARIANO = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+j AS (
+  SELECT a.d, a.y, b.y AS y1, c.y AS y7
+  FROM daily a
+  JOIN daily b ON b.d = a.d - 1
+  JOIN daily c ON c.d = a.d - 7
+),
+dt AS (
+  SELECT (y - y7) * (y - y7) - (y - y1) * (y - y1) AS dtv FROM j
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n, sum(dtv)::BIGINT AS sd,
+         sum(dtv * dtv)::BIGINT AS sdd
+  FROM dt
+)
+SELECT n AS n_days, sd AS sum_loss_diff,
+       round((sd::DOUBLE / n)
+             / sqrt((n::DOUBLE * n * sdd - n * sd::DOUBLE * sd)
+                    / (n::DOUBLE * n * (n - 1.0)) / n)
+             * 1e6)::BIGINT AS dm_q6
+FROM agg
+"""
+
+
+QUERIES["diebold_mariano_forecasts"] = diebold_mariano_forecasts
+ORACLES["diebold_mariano_forecasts"] = ORACLE_DIEBOLD_MARIANO
