@@ -451,6 +451,27 @@ def main() -> None:
     if isinstance(sc, dict) and sc.get("slope") is not None:
         compact["scale_slope"] = sc["slope"]
     print(json.dumps(compact, separators=(",", ":")))
+    # THIRD, final line (VERDICT r10 item 1): the r9 compact line above still
+    # carries the full per-query dict (~2,240 B at 61 queries), which
+    # overflows the driver's 2,000-byte stdout tail and cut the line's head —
+    # BENCH_r08/r09/r10 all recorded "parsed": null. The tail keeps the END
+    # of stdout, so the LAST line must be the small one: summary fields only,
+    # no per-query dict, ~170 bytes regardless of how many queries register.
+    # Full per-query detail survives in the committed ladder file
+    # (_persist_ladder above) and in the first full-object line.
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n": len(per_query),
+        "errors": len(errors),
+    }
+    if duck_total is not None:
+        summary["duckdb_same_queries_total"] = duck_total
+    if isinstance(sc, dict) and sc.get("slope") is not None:
+        summary["scale_slope"] = sc["slope"]
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 def ladder_path(

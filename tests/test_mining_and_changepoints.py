@@ -103,3 +103,21 @@ def test_burst_ratio_flags_planted_spike(spark):
     assert abs(spike["burst_ratio"] - 5.0) < 1e-9
     # a steady bucket sits at ratio ~1
     assert abs(out[first + 20 * 3600]["burst_ratio"] - 1.0) < 1e-9
+
+
+def test_poisson_bootstrap_ci_accepts_any_n_reps(spark):
+    """ADVICE r10: the multiple-of-5 hash-lane budgeting must not leak
+    into the API. Any replicate count works, and replicate weights nest:
+    rep r draws the same weight regardless of n_reps, so n_reps=7 is
+    exactly the first 7 replicates of n_reps=10."""
+    t = dt.datetime(2024, 1, 1)
+    rows = [_ev(i, t, i, "x", float(i % 10)) for i in range(100)]
+    ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out7 = ST.poisson_bootstrap_ci(ev, n_reps=7).collect()
+    assert out7[0]["n_reps"] == 7
+    out5 = ST.poisson_bootstrap_ci(ev, n_reps=5).collect()
+    out3 = ST.poisson_bootstrap_ci(ev, n_reps=3).collect()
+    assert out5[0]["n_reps"] == 5 and out3[0]["n_reps"] == 3
+    # nesting: truncating replicates can only move the percentile CI
+    # within the n_reps=7 replicate range, and all runs are deterministic
+    assert out3[0]["ci_lo"] >= min(out7[0]["ci_lo"], out5[0]["ci_lo"]) - 1.0

@@ -126,3 +126,71 @@ def test_knn_join_rejects_bad_k(spark):
     df = spark.createDataFrame([(0, 0, 0)], "pid LONG, x LONG, y LONG")
     with pytest.raises(ValueError):
         knn_join(df, k=0)
+
+
+def test_knn_join_all_sparse_adversarial(spark):
+    """ADVICE r10 (medium): every point's k-th neighbor lies beyond the
+    widest fixed radius, so NO point resolves on the ladder — the r10
+    code would broadcast-crossJoin the whole dataset here. The extent
+    level must resolve everything exactly, with no fixture-tuned radii
+    doing the work."""
+    from weatherdatapipeline_spark.operators.spatial import knn_join
+
+    # spacing 10_000 >> widest radius 200: all points fall through
+    pts = [(i, (i * 7919) % 13 * 10_000, (i * 104729) % 11 * 10_000)
+           for i in range(25)]
+    df = spark.createDataFrame(pts, "pid LONG, x LONG, y LONG")
+    k = 4
+    got = {
+        (r.pid, r.rank, r.nbr, r.dist2)
+        for r in knn_join(df, k=k, radii=(50, 200)).collect()
+    }
+    brute = set()
+    for ia, xa, ya in pts:
+        ds = sorted(
+            ((xa - xb) ** 2 + (ya - yb) ** 2, ib)
+            for ib, xb, yb in pts
+            if ib != ia
+        )
+        for rank, (d2, ib) in enumerate(ds[:k], 1):
+            brute.add((ia, rank, ib, d2))
+    assert got == brute
+
+
+def test_knn_join_fewer_points_than_k(spark):
+    """n <= k: every point returns all n-1 neighbors (brute-force
+    semantics), ranks 1..n-1 — the extent level must not drop them."""
+    from weatherdatapipeline_spark.operators.spatial import knn_join
+
+    df = spark.createDataFrame(
+        [(0, 0, 0), (1, 500_000, 0), (2, 0, 900_000)], "pid LONG, x LONG, y LONG"
+    )
+    rows = knn_join(df, k=5, radii=(100,)).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.pid, []).append((r.rank, r.nbr))
+    assert set(per) == {0, 1, 2}
+    for pid, lst in per.items():
+        assert sorted(r for r, _ in lst) == [1, 2]
+
+
+def test_knn_escalation_audit_matches_brute(spark):
+    from weatherdatapipeline_spark.operators.spatial import knn_escalation_audit
+
+    pts = corpus()
+    df = spark.createDataFrame(pts, "pid LONG, x LONG, y LONG")
+    k, radii = 3, (100, 400)
+    got = {r.level: r.points for r in knn_escalation_audit(df, k, radii).collect()}
+    exp = {}
+    for ia, xa, ya in pts:
+        d2s = sorted(
+            (xa - xb) ** 2 + (ya - yb) ** 2 for ib, xb, yb in pts if ib != ia
+        )
+        kth = d2s[k - 1] if len(d2s) >= k else None
+        lvl = "extent"
+        for r in sorted(radii):
+            if kth is not None and kth <= r * r:
+                lvl = f"r{r}"
+                break
+        exp[lvl] = exp.get(lvl, 0) + 1
+    assert got == exp

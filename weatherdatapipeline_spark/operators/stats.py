@@ -497,13 +497,19 @@ def poisson_bootstrap_ci(
     """
     from .dedup import portable_hash60
 
-    if n_reps % 5 != 0:
-        raise ValueError(f"n_reps must be a multiple of 5, got {n_reps}")
+    if n_reps < 1:
+        raise ValueError(f"n_reps must be >= 1, got {n_reps}")
+    # any replicate count is accepted (the r10 multiple-of-5 requirement
+    # broke existing callers, ADVICE r10): the block count rounds UP and
+    # the final partial block's surplus lanes are dropped by the
+    # rep < n_reps filter below — replicate weights for a given (row,
+    # rep) are identical regardless of n_reps, so results nest
+    n_blocks = -(-n_reps // 5)
     blocks = events.select(
         key_col,
         value_col,
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(n_reps // 5 - 1))).alias("_blk"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_blk"),
     ).withColumn("_h", portable_hash60(F.col(id_col), F.col("_blk")))
     lanes = blocks.select(
         key_col,
@@ -521,7 +527,9 @@ def poisson_bootstrap_ci(
                 ]
             )
         ).alias("_rl"),
-    ).select(key_col, value_col, "_rl.rep", "_rl._lv")
+    ).select(key_col, value_col, "_rl.rep", "_rl._lv").filter(
+        F.col("rep") < n_reps
+    )
     u = (F.col("_lv") + 1).cast("double") / 4096.0
     w = F.when(u < POISSON1_CDF[0], 0)
     for k in range(1, 5):

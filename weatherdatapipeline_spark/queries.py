@@ -20895,7 +20895,13 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     p = []
     for i in range(5):
         tot = float(c[i][0] + c[i][1] + c[i][2] + c[i][3] + c[i][4])
-        p.append([c[i][j] / tot for j in range(5)])
+        # a type that never occurs as a transition SOURCE (tiny/filtered
+        # corpora) has row sum 0: fall back to the uniform row instead of
+        # ZeroDivisionError, mirrored in the oracle's CASE (ADVICE r10)
+        if tot == 0.0:
+            p.append([0.2] * 5)
+        else:
+            p.append([c[i][j] / tot for j in range(5)])
     for _ in range(_MK_SQUARINGS):
         p = [
             [
@@ -20933,8 +20939,12 @@ def _mk_oracle() -> str:
         for j, b in enumerate(_MK_TYPES)
     )
     probs = ",\n       ".join(
-        f"c_{i}_{j}::DOUBLE / (c_{i}_0 + c_{i}_1 + c_{i}_2 + c_{i}_3 + c_{i}_4)"
-        f"::DOUBLE AS p_{i}_{j}"
+        # row sum 0 (type never a transition source) -> uniform row,
+        # mirroring the engine's tot == 0 fallback (ADVICE r10)
+        f"CASE WHEN (c_{i}_0 + c_{i}_1 + c_{i}_2 + c_{i}_3 + c_{i}_4) = 0"
+        f" THEN 0.2::DOUBLE ELSE c_{i}_{j}::DOUBLE /"
+        f" (c_{i}_0 + c_{i}_1 + c_{i}_2 + c_{i}_3 + c_{i}_4)::DOUBLE END"
+        f" AS p_{i}_{j}"
         for i in range(5)
         for j in range(5)
     )
@@ -22216,6 +22226,66 @@ QUERIES["geo_knn_customers"] = geo_knn_customers
 ORACLES["geo_knn_customers"] = ORACLE_GEO_KNN
 
 
+def geo_knn_escalation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps audit row for the kNN escalation ladder (VERDICT
+    r10 item 2): how many customers resolve at each fixed radius of
+    geo_knn_customers' ladder and how many fall through to the
+    data-derived extent level (operators/spatial.py::
+    knn_escalation_audit). A corpus whose density mismatches the ladder
+    shows up as a large 'extent' share — visible, not silent. One grid
+    join at the widest radius; smaller-radius counts are conditional
+    sums over the exact integer dist2."""
+    from .operators import spatial as SP
+
+    out = SP.knn_escalation_audit(_geo_points(spark, sf_dir), k=3)
+    return out.select(
+        F.col("level").alias("level"),
+        F.col("points").cast("bigint").alias("points"),
+    )
+
+
+ORACLE_GEO_KNN_AUDIT = """
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         ('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS x,
+         ('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS y
+  FROM customer
+),
+d AS (
+  SELECT a.pid,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+  FROM pts a JOIN pts b
+    ON a.pid != b.pid
+   AND abs(a.x - b.x) <= 128000 AND abs(a.y - b.y) <= 128000
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= 128000::BIGINT * 128000
+),
+cnt AS (
+  SELECT pid,
+         SUM(CASE WHEN dist2 <= 8000 * 8000 THEN 1 ELSE 0 END) AS n8,
+         SUM(CASE WHEN dist2 <= 32000::BIGINT * 32000 THEN 1 ELSE 0 END) AS n32,
+         COUNT(*) AS n128
+  FROM d GROUP BY pid
+),
+lab AS (
+  SELECT p.pid,
+         CASE WHEN COALESCE(c.n8, 0) >= 3 THEN 'r8000'
+              WHEN COALESCE(c.n32, 0) >= 3 THEN 'r32000'
+              WHEN COALESCE(c.n128, 0) >= 3 THEN 'r128000'
+              ELSE 'extent' END AS level
+  FROM pts p LEFT JOIN cnt c USING (pid)
+)
+SELECT level, COUNT(*)::BIGINT AS points
+FROM lab GROUP BY level ORDER BY level
+"""
+
+
+QUERIES["geo_knn_escalation_audit"] = geo_knn_escalation_audit
+ORACLES["geo_knn_escalation_audit"] = ORACLE_GEO_KNN_AUDIT
+
+
 def hll_trailing7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per day via DAILY HLL sketches
     unioned register-wise — THE mergeability payoff: a 100 TB pipeline
@@ -23184,17 +23254,20 @@ ORACLES["mh_common_odds_ratio"] = ORACLE_MH_OR
 def diebold_mariano_forecasts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diebold-Mariano test (1995) comparing two naive forecasters of the
     daily purchase count: seasonal-naive (y[t-7]) vs last-value naive
-    (y[t-1]), squared-error loss. DM = dbar / sqrt(s^2/n) on the loss
-    differential d_t — the significance test forecast_mase_backtest's
-    point accuracy stops short of: is the seasonal forecaster BETTER, or
-    just lucky on this window?
+    (y[t-1]), squared-error loss. DM = dbar / sqrt(lrv/n / n) on the
+    loss differential d_t, where lrv is the Newey-West (Bartlett) HAC
+    long-run variance with h-1 = 6 autocovariance lags — the 7-step
+    seasonal forecaster makes d_t serially correlated, so the naive
+    s^2/n variance overstated significance (ADVICE r10); the HAC
+    estimator is the one the cited test actually requires.
 
-    Exactness: counts are integers, so both losses and every d_t are
-    exact BIGINTs; dbar and the variance reduce to integer sums (n^2-
-    scaled, the ljung_box trick): n^2 * sum((d - dbar)^2) = n^2 sum(d^2)
-    - 2 n sum(d) sum(d) + n sum(d)^2 — one double at the end. Shape: one
-    calendar-bounded daily table, two shifted-date self-joins, one 1-row
-    combine."""
+    Exactness: counts are integers, so both losses, every d_t, and all
+    autocovariance CROSS-SUMS (sum d_t*d_{t-l} via a shifted-date self-
+    join, gap-correct) are exact BIGINTs; the gammas and Bartlett
+    combination run the same left-to-right double sequence in the
+    oracle's SQL. Shape: one calendar-bounded daily table, two shifted-
+    date self-joins, one lag-exploded self-join (6 lags, one equi-join),
+    one 1-row combine."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = ev.groupBy(F.to_date("ts").alias("_d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_y")
@@ -23210,24 +23283,85 @@ def diebold_mariano_forecasts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_y") - F.col("_y7")) * (F.col("_y") - F.col("_y7"))
         - (F.col("_y") - F.col("_y1")) * (F.col("_y") - F.col("_y1"))
     )
-    agg = joined.select(d_t.alias("_dt")).agg(
+    dts = joined.select("_d", d_t.alias("_dt"))
+    agg = dts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("_dt").alias("_sd"),
         F.sum(F.col("_dt") * F.col("_dt")).alias("_sdd"),
     )
+    # lag-l autocovariance raw sums, gap-correct via date arithmetic:
+    # pair (t, t-l) exists only when BOTH days exist in the differential
+    probe = dts.select(
+        F.explode(F.array(*[F.lit(l) for l in _DM_LAGS])).alias("_l"),
+        F.col("_d"),
+        F.col("_dt"),
+    ).withColumn("_dj", F.date_sub(F.col("_d"), F.col("_l")))
+    lagged = probe.join(
+        dts.select(F.col("_d").alias("_dj"), F.col("_dt").alias("_dtl")),
+        "_dj",
+    )
+    per_lag = lagged.groupBy("_l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+        F.sum("_dt").alias("_sa"),
+        F.sum("_dtl").alias("_sb"),
+        F.sum(F.col("_dt") * F.col("_dtl")).alias("_x"),
+    )
+    lag_wide = per_lag.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("_l") == l, F.col(c))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"{c}{l}")
+            for l in _DM_LAGS
+            for c in ("_cnt", "_sa", "_sb", "_x")
+        ]
+    )
+    one = agg.crossJoin(lag_wide)
     n = F.col("n_days").cast("double")
     sd = F.col("_sd").cast("double")
     sdd = F.col("_sdd").cast("double")
-    # n^2 * sum((d - dbar)^2) = n^2*sdd - n*sd^2 ; s^2 = that / (n^2 (n-1))
-    var_dbar = (n * n * sdd - n * sd * sd) / (n * n * (n - 1.0)) / n
-    return agg.select(
+    dbar = sd / n
+    g0 = (sdd - 2.0 * dbar * sd + n * dbar * dbar) / n
+    acc = None
+    for l in _DM_LAGS:
+        gl = (
+            F.col(f"_x{l}")
+            - dbar * (F.col(f"_sa{l}") + F.col(f"_sb{l}"))
+            + F.col(f"_cnt{l}") * dbar * dbar
+        ) / n
+        term = float(_DM_BARTLETT[l]) * gl
+        acc = term if acc is None else acc + term
+    lrv = g0 + 2.0 * acc
+    return one.select(
         "n_days",
         F.col("_sd").alias("sum_loss_diff"),
-        F.round((sd / n) / F.sqrt(var_dbar) * 1e6).cast("bigint").alias("dm_q6"),
+        F.round(dbar / F.sqrt(lrv / n) * 1e6).cast("bigint").alias("dm_q6"),
     )
 
 
-ORACLE_DIEBOLD_MARIANO = """
+# Bartlett (Newey-West) weights for bandwidth h-1 = 6: w_l = 1 - l/7,
+# computed ONCE in Python and injected as repr()-exact double literals
+# into BOTH the Spark plan and the DuckDB oracle
+_DM_LAGS = (1, 2, 3, 4, 5, 6)
+_DM_BARTLETT = {l: 1.0 - l / 7.0 for l in _DM_LAGS}
+
+
+def _dm_oracle() -> str:
+    lag_cols = ",\n         ".join(
+        f"COALESCE(SUM(CASE WHEN l = {l} THEN {c} END), 0)::BIGINT AS {a}{l}"
+        for l in _DM_LAGS
+        for c, a in (("cnt", "cnt"), ("sa", "sa"), ("sb", "sb"), ("x", "x"))
+    )
+    gls = []
+    for l in _DM_LAGS:
+        gls.append(
+            f"(x{l} - dbar * (sa{l} + sb{l}) + cnt{l} * dbar * dbar) / n"
+        )
+    acc = " + ".join(
+        f"{_DM_BARTLETT[l]!r} * ({g})" for l, g in zip(_DM_LAGS, gls)
+    )
+    return f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS y
   FROM events WHERE event_type = 'purchase' GROUP BY 1
@@ -23239,20 +23373,39 @@ j AS (
   JOIN daily c ON c.d = a.d - 7
 ),
 dt AS (
-  SELECT (y - y7) * (y - y7) - (y - y1) * (y - y1) AS dtv FROM j
+  SELECT a.d, (y - y7) * (y - y7) - (y - y1) * (y - y1) AS dtv FROM j a
 ),
 agg AS (
-  SELECT count(*)::BIGINT AS n, sum(dtv)::BIGINT AS sd,
+  SELECT count(*)::BIGINT AS n0, sum(dtv)::BIGINT AS sd,
          sum(dtv * dtv)::BIGINT AS sdd
   FROM dt
+),
+lp AS (
+  SELECT l.l, count(*)::BIGINT AS cnt, sum(a.dtv)::BIGINT AS sa,
+         sum(b.dtv)::BIGINT AS sb, sum(a.dtv * b.dtv)::BIGINT AS x
+  FROM dt a
+  CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6)) l(l)
+  JOIN dt b ON b.d = a.d - l.l
+  GROUP BY l.l
+),
+lw AS (
+  SELECT {lag_cols}
+  FROM lp
+),
+c AS (
+  SELECT n0::DOUBLE AS n, sd::DOUBLE / n0 AS dbar, sd, sdd, lw.*
+  FROM agg CROSS JOIN lw
 )
-SELECT n AS n_days, sd AS sum_loss_diff,
-       round((sd::DOUBLE / n)
-             / sqrt((n::DOUBLE * n * sdd - n * sd::DOUBLE * sd)
-                    / (n::DOUBLE * n * (n - 1.0)) / n)
+SELECT CAST(n AS BIGINT) AS n_days, sd AS sum_loss_diff,
+       round(dbar
+             / sqrt(((sdd - 2.0 * dbar * sd + n * dbar * dbar) / n
+                     + 2.0 * ({acc})) / n)
              * 1e6)::BIGINT AS dm_q6
-FROM agg
+FROM c
 """
+
+
+ORACLE_DIEBOLD_MARIANO = _dm_oracle()
 
 
 QUERIES["diebold_mariano_forecasts"] = diebold_mariano_forecasts
