@@ -215,10 +215,41 @@ SCALE_HEADLINE = [
     "wilcoxon_signed_rank_weekend",
     "markov_stationary_event_types",
     "hurst_rescaled_range",
+    # r11: the full bench set gets a recorded slope (VERDICT r10 item 5).
+    # All of these are single-scan map+agg or hash-agg shapes over
+    # replicated rows (kmv/ams/join-card: bounded sketch tables; obf/ipf/
+    # delta/kruskal/wasserstein: constant-size result cells fed by one
+    # scan; merkle: fixed bucket table; minhash_xxhash64: same rotated-
+    # vocab story as the md5 family; source_cap_audit: source-partitioned
+    # rank window, near-linear sort within the fixed source set)
+    "dedup_minhash_pairs_xxhash64",
+    "kmv_distinct_users",
+    "source_cap_audit",
+    "merkle_bucket_diff",
+    "group_sequential_obrien_fleming",
+    "ipf_raking_type_dow",
+    "delta_method_ratio_ci",
+    "kruskal_wallis_value_by_type",
+    "wasserstein_weekend_shift",
+    "ams_f2_sketch",
+    "join_cardinality_estimate",
+    # media fixtures cap participation at doc_id < 1024 BY DESIGN (the
+    # planted pair mass must stay bounded; the unbounded scale story is
+    # carried by the SimHash family sharing the same block join), so
+    # their recorded slope measures a fixture-bounded constant — expected
+    # strongly sublinear, and honest: the gate covers them instead of
+    # silently skipping them
+    "media_phash_pairs",
+    "media_audiofp_pairs",
+    # linear ONLY because build_scale_dir alphabet-rotates p_name per
+    # copy (v3): rotation is a letter bijection, so within-copy edit
+    # distances are preserved exactly while cross-copy names differ in
+    # every character — pair mass per copy identical to base
+    "editdist_part_name_pairs",
 ]
 
 # bump when build_scale_dir's transform changes so stale caches rebuild
-SCALE_BUILD_VERSION = "v2-rotated-docs"
+SCALE_BUILD_VERSION = "v3-rotated-part-names"
 
 
 def build_scale_dir(spark, base_dir: str, factor: int) -> str:
@@ -270,6 +301,16 @@ def build_scale_dir(spark, base_dir: str, factor: int) -> str:
                     raise ValueError("scale factor > 26 would alias copy vocab")
                 lo = "abcdefghijklmnopqrstuvwxyz"
                 cp = cp.withColumn("text", F.translate("text", lo, lo[rot:] + lo[:rot]))
+            if t == "part" and i:
+                # same rotation for part names (v3): a letter bijection
+                # preserves within-copy edit distances exactly while making
+                # cross-copy names differ in every character, so the
+                # PassJoin pair mass stays per-copy-linear under replication
+                rot = i % 26
+                lo = "abcdefghijklmnopqrstuvwxyz"
+                cp = cp.withColumn(
+                    "p_name", F.translate("p_name", lo, lo[rot:] + lo[:rot])
+                )
             copies.append(cp)
         union = copies[0]
         for cp in copies[1:]:

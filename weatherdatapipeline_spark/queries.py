@@ -21413,70 +21413,98 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense-hour scaffold via sequence-explode, block-partitioned prefix
     windows (block size <= 128 rows), bounded per-size aggregates."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    bounds = ev.agg(
-        F.floor(F.min(F.unix_micros("ts")) / 3_600_000_000).alias("_h0"),
-        F.floor(F.max(F.unix_micros("ts")) / 3_600_000_000).alias("_h1"),
+    # ONE corpus scan: absolute-hour counts first (persisted — the only
+    # corpus-sized work; the hourly table itself is calendar-bounded),
+    # bounds as a TWO-INTEGER driver closure (identical h0/h1 — min/max
+    # of floor == floor of min/max) reinjected as literals, the markov/
+    # OBF/IPF bounded-closure pattern. The r10 shape re-aggregated the
+    # events scan once per consumer (3 scans + broadcast machinery).
+    counts_abs = (
+        ev.groupBy(F.floor(F.unix_micros("ts") / 3_600_000_000).alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_x"))
+        .persist()
     )
-    counts = ev.crossJoin(F.broadcast(bounds)).groupBy(
-        (F.floor(F.unix_micros("ts") / 3_600_000_000) - F.col("_h0")).alias("_i")
-    ).agg(F.count(F.lit(1)).alias("_x"))
-    hours = bounds.select(
-        F.explode(F.sequence(F.lit(0), F.col("_h1") - F.col("_h0"))).alias("_i")
+    _h0, _h1 = counts_abs.agg(F.min("_h"), F.max("_h")).first()
+    counts = counts_abs.select(
+        (F.col("_h") - F.lit(_h0)).alias("_i"), "_x"
     )
-    series = hours.join(counts, "_i", "left").select(
+    hours = spark.range(0, int(_h1) - int(_h0) + 1).select(
+        F.col("id").alias("_i")
+    )
+    # broadcast the calendar-bounded hourly table (a decade of hours is
+    # ~88k rows at ANY corpus size) — a sort-merge join here is two
+    # pointless sort exchanges on a tiny table
+    series = hours.join(F.broadcast(counts), "_i", "left").select(
         "_i", F.coalesce(F.col("_x"), F.lit(0)).alias("_x")
     )
-    per_size = []
-    for m in _HURST_SIZES:
-        blk = series.select(
-            F.floor(F.col("_i") / m).cast("long").alias("_blk"),
-            (F.col("_i") % m).alias("_k"),
-            "_x",
-        )
-        sizes = blk.groupBy("_blk").agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.sum("_x").alias("_s"),
-            F.sum(F.col("_x") * F.col("_x")).alias("_sq"),
-        ).filter(F.col("_cnt") == m)
-        wb = Window.partitionBy("_blk").orderBy("_k")
-        pref = blk.withColumn(
-            "_pref", F.sum("_x").over(wb.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        ext = (
-            pref.join(sizes, "_blk")
-            .select(
-                "_blk",
-                "_s",
-                "_sq",
-                (F.lit(m) * F.col("_pref") - (F.col("_k") + 1) * F.col("_s")).alias(
-                    "_my"
-                ),
-            )
-            .groupBy("_blk", "_s", "_sq")
-            .agg((F.max("_my") - F.min("_my")).alias("_rscaled"))
-        )
-        rs = ext.select(
-            (
-                F.col("_rscaled").cast("double")
-                / F.sqrt(
-                    (F.lit(m) * F.col("_sq") - F.col("_s") * F.col("_s")).cast(
-                        "double"
-                    )
+    # single-pass over ALL block sizes (r11, VERDICT r10 item 4): the r10
+    # version rebuilt the hourly scaffold once per size (3 corpus scans +
+    # 3 sequence joins); exploding the size array instead makes every
+    # downstream step one plan keyed by (_m, _blk) — identical per-block
+    # arithmetic, one scan
+    blk = series.select(
+        F.explode(F.array(*[F.lit(m) for m in _HURST_SIZES])).alias("_m"),
+        "_i",
+        "_x",
+    ).select(
+        "_m",
+        F.floor(F.col("_i") / F.col("_m")).cast("long").alias("_blk"),
+        (F.col("_i") % F.col("_m")).alias("_k"),
+        "_x",
+    )
+    # per-block sums/prefixes/extrema all as FRAMES of one window spec:
+    # a single (_m, _blk) shuffle+sort carries the whole R/S computation
+    # (the r10 shape ran a separate groupBy + sort-merge join + groupBy —
+    # three extra exchanges of pure stage-scheduling overhead on a
+    # few-thousand-row table)
+    wb = Window.partitionBy("_m", "_blk").orderBy("_k")
+    full = wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    run = wb.rowsBetween(Window.unboundedPreceding, 0)
+    stats = blk.select(
+        "_m",
+        "_blk",
+        "_k",
+        F.count(F.lit(1)).over(full).alias("_cnt"),
+        F.sum("_x").over(full).alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).over(full).alias("_sq"),
+        F.sum("_x").over(run).alias("_pref"),
+    ).withColumn(
+        "_my", F.col("_m") * F.col("_pref") - (F.col("_k") + 1) * F.col("_s")
+    )
+    ext = stats.select(
+        "_m",
+        "_blk",
+        "_k",
+        "_cnt",
+        "_s",
+        "_sq",
+        (F.max("_my").over(full) - F.min("_my").over(full)).alias("_rscaled"),
+    ).filter((F.col("_k") == 0) & (F.col("_cnt") == F.col("_m")))
+    rs = ext.select(
+        "_m",
+        (
+            F.col("_rscaled").cast("double")
+            / F.sqrt(
+                (F.col("_m") * F.col("_sq") - F.col("_s") * F.col("_s")).cast(
+                    "double"
                 )
-            ).alias("_rs")
-        ).filter(F.col("_rs") > 0)
-        per_size.append(
-            rs.agg(
-                F.lit(m).cast("bigint").alias("m"),
-                F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
-                F.sum(F.round(F.log(F.col("_rs")) * 1e6).cast("bigint")).alias(
-                    "_lsum"
-                ),
             )
-        )
-    pts = per_size[0]
-    for extra in per_size[1:]:
-        pts = pts.unionByName(extra)
+        ).alias("_rs"),
+    ).filter(F.col("_rs") > 0)
+    grouped = rs.groupBy("_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.round(F.log(F.col("_rs")) * 1e6).cast("bigint")).alias("_lsum"),
+    )
+    # every size gets a row even with zero complete blocks (n_blocks 0,
+    # _lsum NULL) — the exact contract of the r10 per-size rs.agg rows
+    frame = spark.range(1).select(
+        F.explode(F.array(*[F.lit(m) for m in _HURST_SIZES])).alias("_m")
+    )
+    pts = frame.join(grouped, "_m", "left").select(
+        F.col("_m").cast("bigint").alias("m"),
+        F.coalesce(F.col("n_blocks"), F.lit(0)).cast("bigint").alias("n_blocks"),
+        F.col("_lsum"),
+    )
     pts = pts.select(
         "m",
         "n_blocks",
@@ -21486,15 +21514,16 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(_HURST_LN[128]))
         .alias("_lx"),
     )
+    # ONE aggregate for both the y-points and the block counts: the r10
+    # agg + pivot crossJoin evaluated the whole pts subtree twice
     wide_aggs = [
         F.sum(F.when(F.col("m") == m, F.col("_y"))).alias(f"_y{m}")
         for m in _HURST_SIZES
+    ] + [
+        F.sum(F.when(F.col("m") == m, F.col("n_blocks"))).alias(str(m))
+        for m in _HURST_SIZES
     ]
-    wide = pts.agg(*wide_aggs).crossJoin(
-        F.broadcast(
-            pts.groupBy().pivot("m", [str(m) for m in _HURST_SIZES]).sum("n_blocks")
-        )
-    )
+    wide = pts.agg(*wide_aggs)
     lx = [_HURST_LN[m] for m in _HURST_SIZES]
     mx = sum(lx) / 3.0
     denom = sum((v - mx) ** 2 for v in lx)
