@@ -3697,8 +3697,12 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def weather_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's L-path feature plan (ml/features.py:16-79) on the
     deterministic synthetic weather source: per-city count of
-    training-valid rows + feature aggregates. Rows-only (weather tables
-    aren't in the oracle's view set); cell-level parity against pandas is
+    training-valid rows + feature aggregates. FULL strict oracle since
+    r11: the md5-portable source replays bit-for-bit in DuckDB
+    (ORACLE_WEATHER_FEATURE_MATRIX regenerates the fixture + windows);
+    the averages quantize per row to integers BEFORE summing (exact,
+    order-independent — the ln(rs) trick), so partial-agg order can't
+    flip the q4 rounding. Cell-level parity against pandas additionally
     pytest-owned (tests/test_features_pandas_oracle.py)."""
     from .operators.features import engineer_features
     from .sources.synthetic import synthetic_weather
@@ -3707,8 +3711,20 @@ def weather_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats, cols = engineer_features(weather, inference=False)
     return feats.groupBy("city").agg(
         F.count(F.lit(1)).alias("n_train_rows"),
-        F.round(F.avg("temp_rollmean_3"), 4).alias("avg_rollmean"),
-        F.round(F.avg("target_temp_next"), 4).alias("avg_target"),
+        F.round(
+            F.sum(F.round(F.col("temp_rollmean_3") * 1e6).cast("bigint"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            4,
+        ).alias("avg_rollmean"),
+        F.round(
+            F.sum(F.round(F.col("target_temp_next") * 100).cast("bigint"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            4,
+        ).alias("avg_target"),
         F.sum(F.col("temp_lag_3").isNotNull().cast("long")).alias("lag3_present"),
     )
 
@@ -3716,7 +3732,9 @@ def weather_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def weather_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship A9 stats document (load.py:93-113) on the
     weather shape itself — one aggregate pass, struct band histogram
-    flattened for a stable schema. Rows-only."""
+    flattened for a stable schema. FULL strict oracle since r11
+    (ORACLE_WEATHER_BATCH_STATS replays the md5-portable source in
+    DuckDB bit-for-bit)."""
     from .operators.stats import batch_statistics
     from .sources.synthetic import synthetic_weather
 
@@ -3732,6 +3750,114 @@ def weather_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("temperature_distribution.moderate").alias("band_moderate"),
         F.col("temperature_distribution.warm").alias("band_warm"),
     )
+
+
+def _weather_sql(n_batches: int = 20) -> str:
+    """DuckDB replay of sources/synthetic.py::synthetic_weather — the
+    portable-md5 derivation bit-for-bit (same 48-hex-bit integers, same
+    IEEE double expression order), which is what promotes the weather
+    queries from rows-only to full strict oracles (VERDICT r10 item 6).
+    Returns a CTE body whose final name is `w`."""
+    from .sources.synthetic import CITIES
+
+    def h48(salt: str) -> str:
+        return (
+            f"('0x' || substr(md5('{salt}' || CAST(sid AS VARCHAR)), 1, 12))"
+            "::BIGINT"
+        )
+
+    def u(salt: str, lo: float, hi: float) -> str:
+        return f"({lo!r} + (({h48(salt)} % 1000000000)::DOUBLE / 1e9) * {hi - lo!r})"
+
+    city_case = " ".join(
+        f"WHEN {i} THEN '{c}'" for i, (c, _) in enumerate(CITIES)
+    )
+    n = n_batches * len(CITIES)
+    return f"""ids AS (SELECT unnest(range(0, {n}))::BIGINT AS id),
+seeds AS (
+  SELECT id // 10 AS batch, (id % 10)::INT AS ci, (id + 42)::BIGINT AS sid
+  FROM ids
+),
+w AS (
+  SELECT
+    CASE ci {city_case} END AS city,
+    round({u("base", 15.0, 40.0)} + {u("dt", -5.0, 5.0)}, 2) AS temperature,
+    round({u("base", 15.0, 40.0)} + {u("fl", -3.0, 7.0)}, 2) AS feels_like,
+    (40 + ({h48("hum")} % 51))::INT AS humidity,
+    (1000 + ({h48("prs")} % 21))::INT AS pressure,
+    CASE ({h48("wx")} % 5) WHEN 0 THEN 'Clear' WHEN 1 THEN 'Clouds'
+      WHEN 2 THEN 'Rain' WHEN 3 THEN 'Mist' ELSE 'Thunderstorm' END AS weather,
+    round({u("wind", 1.0, 15.0)}, 2) AS wind_speed,
+    (1700000000 + batch * 300)::BIGINT AS ts
+  FROM seeds
+)"""
+
+
+ORACLE_WEATHER_BATCH_STATS = f"""
+WITH {_weather_sql(20)}
+SELECT
+  count(*)::BIGINT AS total_records,
+  count(DISTINCT city)::BIGINT AS cities_count,
+  round(avg(temperature), 4) AS avg_temperature,
+  round(max(temperature), 4) AS max_temperature,
+  round(min(temperature), 4) AS min_temperature,
+  round(avg(humidity), 4) AS avg_humidity,
+  sum(CASE WHEN temperature >= 20.0 AND temperature < 30.0
+      THEN 1 ELSE 0 END)::BIGINT AS band_moderate,
+  sum(CASE WHEN temperature >= 30.0 AND temperature < 40.0
+      THEN 1 ELSE 0 END)::BIGINT AS band_warm
+FROM w
+"""
+
+
+ORACLE_WEATHER_FEATURE_MATRIX = f"""
+WITH {_weather_sql(20)},
+f AS (
+  SELECT city,
+    temperature, feels_like, humidity, pressure, wind_speed,
+    lag(temperature, 1) OVER win AS temp_lag_1,
+    lag(humidity, 1) OVER win AS humidity_lag_1,
+    lag(wind_speed, 1) OVER win AS wind_lag_1,
+    lag(pressure, 1) OVER win AS pressure_lag_1,
+    lag(temperature, 3) OVER win AS temp_lag_3,
+    lag(humidity, 3) OVER win AS humidity_lag_3,
+    lag(wind_speed, 3) OVER win AS wind_lag_3,
+    lag(pressure, 3) OVER win AS pressure_lag_3,
+    CASE WHEN count(temperature) OVER roll >= 3
+         THEN avg(temperature) OVER roll END AS temp_rollmean_3,
+    CASE WHEN count(temperature) OVER roll >= 3
+         THEN stddev_samp(temperature) OVER roll END AS temp_rollstd_3,
+    CASE WHEN count(humidity) OVER roll >= 3
+         THEN avg(humidity) OVER roll END AS humidity_rollmean_3,
+    lead(temperature, 1) OVER win AS target_temp_next,
+    weather AS target_condition
+  FROM w
+  WINDOW win AS (PARTITION BY city ORDER BY ts),
+         roll AS (PARTITION BY city ORDER BY ts
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+),
+valid AS (
+  SELECT * FROM f
+  WHERE temperature IS NOT NULL AND feels_like IS NOT NULL
+    AND humidity IS NOT NULL AND pressure IS NOT NULL
+    AND wind_speed IS NOT NULL
+    AND temp_lag_1 IS NOT NULL AND humidity_lag_1 IS NOT NULL
+    AND wind_lag_1 IS NOT NULL AND pressure_lag_1 IS NOT NULL
+    AND temp_lag_3 IS NOT NULL AND humidity_lag_3 IS NOT NULL
+    AND wind_lag_3 IS NOT NULL AND pressure_lag_3 IS NOT NULL
+    AND temp_rollmean_3 IS NOT NULL AND temp_rollstd_3 IS NOT NULL
+    AND humidity_rollmean_3 IS NOT NULL
+    AND target_temp_next IS NOT NULL AND target_condition IS NOT NULL
+)
+SELECT city, count(*)::BIGINT AS n_train_rows,
+       round(sum(round(temp_rollmean_3 * 1e6)::BIGINT)::DOUBLE
+             / count(*) / 1e6, 4) AS avg_rollmean,
+       round(sum(round(target_temp_next * 100)::BIGINT)::DOUBLE
+             / count(*) / 100.0, 4) AS avg_target,
+       sum(CASE WHEN temp_lag_3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS lag3_present
+FROM valid GROUP BY city
+"""
 
 
 # --------------------------------------------------------------------------
@@ -13402,6 +13528,8 @@ ORACLES: dict[str, str] = {
     "source_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "similarity_topk": ORACLE_SIM_TOPK,
     "knn_join_first5": ORACLE_KNN_JOIN,
+    "weather_batch_stats": ORACLE_WEATHER_BATCH_STATS,
+    "weather_feature_matrix": ORACLE_WEATHER_FEATURE_MATRIX,
     "similarity_lsh_topk": ORACLE_LSH_TOPK,
     "embedding_near_dup_pairs": ORACLE_EMB_NEAR_DUP,
     "cube_order_status_priority": ORACLE_CUBE,

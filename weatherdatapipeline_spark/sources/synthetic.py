@@ -7,14 +7,19 @@ same expression graph generates 540 rows or 54 billion; partition count
 scales with ``n``.
 
 Determinism: every "random" value is a pure function of (seed, row id) via
-xxhash64 — same seed → same dataset, on any cluster size, under any
-partitioning. (rand(seed) is NOT partition-stable; hash-derived values
-are.)
+the repo's PORTABLE md5 integer pattern (48 hex-prefix bits of
+md5(salt || sid) — the same derivation queries._geo_points uses), so the
+same seed gives the same dataset on any cluster size, under any
+partitioning, AND the fixture is bit-replayable in DuckDB SQL — which is
+what lets the weather queries carry full strict oracles instead of
+rows-only checks (VERDICT r10 item 6; previously xxhash64, which DuckDB
+cannot evaluate). (rand(seed) is NOT partition-stable; hash-derived
+values are.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Mirrors the reference's demo city set (demo_pipeline.py:16-17) — value
@@ -35,10 +40,20 @@ CONDITIONS = ["Clear", "Clouds", "Rain", "Mist", "Thunderstorm"]
 INTENSITY = ["light", "heavy", "moderate"]
 
 
+def _h48(seed_col: Column, salt: str) -> Column:
+    """Portable 48-bit integer: first 12 hex chars of md5(salt || sid) —
+    non-negative, identical in DuckDB as
+    ``('0x' || substr(md5(salt || CAST(sid AS VARCHAR)), 1, 12))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), seed_col.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+
+
 def _u(seed_col, salt: str, lo: float, hi: float):
     """Deterministic uniform in [lo, hi): hash → [0,1) → scale."""
-    h = F.xxhash64(seed_col, F.lit(salt))
-    unit = (F.pmod(h, F.lit(1_000_000_000)).cast("double")) / 1e9
+    unit = (F.pmod(_h48(seed_col, salt), F.lit(1_000_000_000)).cast("double")) / 1e9
     return lo + unit * (hi - lo)
 
 
@@ -67,22 +82,22 @@ def synthetic_weather(
         F.element_at(city_arr, F.col("ci") + 1).getField("country").alias("country"),
         F.round(base_temp + _u(F.col("sid"), "dt", -5.0, 5.0), 2).alias("temperature"),
         F.round(base_temp + _u(F.col("sid"), "fl", -3.0, 7.0), 2).alias("feels_like"),
-        (40 + F.pmod(F.xxhash64("sid", F.lit("hum")), F.lit(51))).cast("int").alias("humidity"),
-        (1000 + F.pmod(F.xxhash64("sid", F.lit("prs")), F.lit(21))).cast("int").alias("pressure"),
+        (40 + F.pmod(_h48(F.col("sid"), "hum"), F.lit(51))).cast("int").alias("humidity"),
+        (1000 + F.pmod(_h48(F.col("sid"), "prs"), F.lit(21))).cast("int").alias("pressure"),
         F.element_at(
             F.array(*[F.lit(c) for c in CONDITIONS]),
-            F.pmod(F.xxhash64("sid", F.lit("wx")), F.lit(len(CONDITIONS))).cast("int") + 1,
+            F.pmod(_h48(F.col("sid"), "wx"), F.lit(len(CONDITIONS))).cast("int") + 1,
         ).alias("weather"),
         F.concat_ws(
             " ",
             F.element_at(
                 F.array(*[F.lit(i) for i in INTENSITY]),
-                F.pmod(F.xxhash64("sid", F.lit("in")), F.lit(len(INTENSITY))).cast("int") + 1,
+                F.pmod(_h48(F.col("sid"), "in"), F.lit(len(INTENSITY))).cast("int") + 1,
             ),
             F.lower(
                 F.element_at(
                     F.array(*[F.lit(c) for c in CONDITIONS]),
-                    F.pmod(F.xxhash64("sid", F.lit("wx")), F.lit(len(CONDITIONS))).cast("int") + 1,
+                    F.pmod(_h48(F.col("sid"), "wx"), F.lit(len(CONDITIONS))).cast("int") + 1,
                 )
             ),
         ).alias("description"),
