@@ -93,6 +93,23 @@ DEFAULT_QUERIES = [
     "cmh_stratified_association",
     "mh_common_odds_ratio",
     "diebold_mariano_forecasts",
+    # r11: remaining float-path families (trend/rank statistics, spatial
+    # composition, product analytics, the newly-oracled weather queries)
+    "levene_brown_forsythe",
+    "mann_kendall_trend",
+    "kendall_tau_daily",
+    "mcnemar_click_purchase",
+    "capture_recapture_users",
+    "theil_sen_trend_by_type",
+    "regression_discontinuity_value",
+    "flesch_readability_scores",
+    "textrank_keywords",
+    "cohort_ltv_curve",
+    "rfm_segmentation",
+    "dbscan_customer_geo",
+    "nearest_facility_assignment",
+    "weather_batch_stats",
+    "weather_feature_matrix",
 ]
 
 
