@@ -23567,3 +23567,474 @@ ORACLE_DIEBOLD_MARIANO = _dm_oracle()
 
 QUERIES["diebold_mariano_forecasts"] = diebold_mariano_forecasts
 ORACLES["diebold_mariano_forecasts"] = ORACLE_DIEBOLD_MARIANO
+
+
+# --------------------------------------------------------------------------
+# r11 wave 1: graph mixing, corpus concentration, product stickiness,
+# causal sensitivity, changepoint search, outlier screening
+# --------------------------------------------------------------------------
+
+
+def degree_assortativity_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman (2002) degree assortativity of the supplier co-supply
+    graph: the Pearson correlation of endpoint degrees over directed
+    edge stubs — positive means hubs link to hubs (assortative mixing),
+    negative means hub-leaf structure. Completes the graph battery's
+    structural readouts (triangles measure closure, this measures
+    mixing).
+
+    Exactness: with both directions materialized, Sx = Sy and
+    Sxx = Syy, so r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2) on INTEGER stub
+    sums — one double division at the end. Shape: the shared capped
+    edge builder, one degree aggregate, two broadcast-sized joins of
+    degrees onto stubs, one 1-row combine."""
+    edges = _cosupply_edges(spark, sf_dir)
+    bidir = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    stubs = (
+        bidir.join(F.broadcast(deg), "src")
+        .withColumnRenamed("_d", "_ds")
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("dst"), F.col("_d"))),
+            "dst",
+        )
+        .withColumnRenamed("_d", "_dt")
+    )
+    agg = stubs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_ds").cast("bigint").alias("_sx"),
+        F.sum(F.col("_ds") * F.col("_ds")).cast("bigint").alias("_sxx"),
+        F.sum(F.col("_ds") * F.col("_dt")).cast("bigint").alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    return agg.select(
+        (F.col("_n") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (n * F.col("_sxy") - sx * sx)
+            / (n * F.col("_sxx") - sx * sx)
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("assortativity_q6"),
+    )
+
+
+ORACLE_DEGREE_ASSORTATIVITY = f"""
+WITH {_COSUPPLY_PS_SQL},
+e AS (
+  SELECT DISTINCT x.sk AS a, y.sk AS b
+  FROM ps x JOIN ps y USING (pk) WHERE x.sk < y.sk
+),
+bidir AS (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM bidir GROUP BY src),
+stubs AS (
+  SELECT ds.d AS dsv, dt.d AS dtv
+  FROM bidir
+  JOIN deg ds ON ds.src = bidir.src
+  JOIN deg dt ON dt.src = bidir.dst
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n, sum(dsv)::BIGINT AS sx,
+         sum(dsv * dsv)::BIGINT AS sxx, sum(dsv * dtv)::BIGINT AS sxy
+  FROM stubs
+)
+SELECT (n / 2)::BIGINT AS n_edges,
+       round((n::DOUBLE * sxy - sx::DOUBLE * sx)
+             / (n::DOUBLE * sxx - sx::DOUBLE * sx) * 1e6)::BIGINT
+         AS assortativity_q6
+FROM agg
+"""
+
+
+QUERIES["degree_assortativity_cosupply"] = degree_assortativity_cosupply
+ORACLES["degree_assortativity_cosupply"] = ORACLE_DEGREE_ASSORTATIVITY
+
+
+def herfindahl_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of the corpus across sources,
+    by document count AND by character mass — the one-number mixture-
+    concentration audit (gini_concentration_by_type is the inequality
+    view; HHI is the antitrust-style sum of squared shares a mixture
+    rebalancer thresholds on: 1/HHI = effective source count).
+
+    Exactness: HHI = sum(c_i^2) / (sum c_i)^2 on integer per-source
+    totals — two exact sums, one double division. One hash agg over the
+    corpus, then a source-count-sized combine."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum("n_chars").alias("_m"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum("_c").cast("bigint").alias("_tc"),
+        F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_tcc"),
+        F.sum("_m").cast("bigint").alias("_tm"),
+        F.sum(F.col("_m") * F.col("_m")).cast("bigint").alias("_tmm"),
+    )
+    return agg.select(
+        "n_sources",
+        F.round(
+            F.col("_tcc").cast("double")
+            / (F.col("_tc").cast("double") * F.col("_tc")) * 1e6
+        )
+        .cast("bigint")
+        .alias("hhi_docs_q6"),
+        F.round(
+            F.col("_tmm").cast("double")
+            / (F.col("_tm").cast("double") * F.col("_tm")) * 1e6
+        )
+        .cast("bigint")
+        .alias("hhi_chars_q6"),
+    )
+
+
+ORACLE_HERFINDAHL = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS c, sum(n_chars)::BIGINT AS m
+  FROM documents GROUP BY source
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_sources, sum(c)::BIGINT AS tc,
+         sum(c * c)::BIGINT AS tcc, sum(m)::BIGINT AS tm,
+         sum(m * m)::BIGINT AS tmm
+  FROM per
+)
+SELECT n_sources,
+       round(tcc::DOUBLE / (tc::DOUBLE * tc) * 1e6)::BIGINT AS hhi_docs_q6,
+       round(tmm::DOUBLE / (tm::DOUBLE * tm) * 1e6)::BIGINT AS hhi_chars_q6
+FROM agg
+"""
+
+
+QUERIES["herfindahl_source_concentration"] = herfindahl_source_concentration
+ORACLES["herfindahl_source_concentration"] = ORACLE_HERFINDAHL
+
+
+def stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per calendar week (Monday-start): mean daily
+    active users divided by weekly active users — the engagement ratio
+    product teams track next to retention_weekly_cohorts (repeat
+    intensity WITHIN the week, where retention measures return ACROSS
+    weeks).
+
+    Exactness: both numerators are exact distinct counts (sum of per-day
+    distincts, weekly distinct), one double division, q6. Shape: one
+    (week, day, user) dedup aggregate feeding a per-day distinct and a
+    per-week distinct — two hash aggs, no windows."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    du = ev.select(
+        wk.alias("week"),
+        F.to_date("ts").alias("_day"),
+        F.col("user_id"),
+    ).distinct()
+    daily = du.groupBy("week", "_day").agg(
+        F.count(F.lit(1)).alias("_dau")
+    )
+    dau = daily.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("_dau").cast("bigint").alias("_dau_sum"),
+    )
+    wau = du.groupBy("week").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    out = dau.join(wau, "week")
+    return out.select(
+        "week",
+        "n_days",
+        "wau",
+        F.round(
+            F.col("_dau_sum").cast("double")
+            / F.col("n_days")
+            / F.col("wau")
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("stickiness_q6"),
+    )
+
+
+ORACLE_STICKINESS = """
+WITH du AS (
+  SELECT DISTINCT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         CAST(ts AS DATE) AS day, user_id
+  FROM events
+),
+daily AS (
+  SELECT week, day, count(*)::BIGINT AS dau FROM du GROUP BY week, day
+),
+agg AS (
+  SELECT week, count(*)::BIGINT AS n_days, sum(dau)::BIGINT AS dau_sum
+  FROM daily GROUP BY week
+),
+wk AS (
+  SELECT week, count(DISTINCT user_id)::BIGINT AS wau FROM du GROUP BY week
+)
+SELECT agg.week, n_days, wau,
+       round(dau_sum::DOUBLE / n_days / wau * 1e6)::BIGINT AS stickiness_q6
+FROM agg JOIN wk ON agg.week = wk.week
+"""
+
+
+QUERIES["stickiness_dau_wau"] = stickiness_dau_wau
+ORACLES["stickiness_dau_wau"] = ORACLE_STICKINESS
+
+
+def evalue_sensitivity_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-value sensitivity analysis (VanderWeele & Ding 2017) for the
+    md5-arm purchase-conversion risk ratio: the minimum strength of
+    association an unmeasured confounder would need with BOTH arm and
+    outcome to explain the observed effect away — the standard
+    robustness readout next to the A/B z-test and the propensity/AIPW
+    estimators. E = RR* + sqrt(RR*(RR*-1)) with RR* = max(RR, 1/RR).
+
+    Exactness: one conditional-count aggregate (4 integers), then a
+    fixed double expression both engines evaluate identically."""
+    ev = _t(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    conv_ = (F.col("event_type") == "purchase").cast("long")
+    agg = ev.select(arm.alias("_arm"), conv_.alias("_c")).agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    rr = (
+        F.col("c1").cast("double") / F.col("n1")
+    ) / (F.col("c0").cast("double") / F.col("n0"))
+    rr_star = F.greatest(rr, F.lit(1.0) / rr)
+    ev_ = rr_star + F.sqrt(rr_star * (rr_star - 1.0))
+    return agg.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        F.round(rr * 1e6).cast("bigint").alias("rr_q6"),
+        F.round(ev_ * 1e6).cast("bigint").alias("evalue_q6"),
+    )
+
+
+ORACLE_EVALUE = """
+WITH agg AS (
+  SELECT
+    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+    sum(CASE WHEN arm = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      ::BIGINT AS c0,
+    sum(CASE WHEN arm = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      ::BIGINT AS c1
+  FROM (
+    SELECT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+             AS arm
+    FROM events
+  )
+),
+rrc AS (
+  SELECT n0, n1, c0, c1,
+         (c1::DOUBLE / n1) / (c0::DOUBLE / n0) AS rr
+  FROM agg
+),
+st AS (
+  SELECT *, greatest(rr, 1.0 / rr) AS rr_star FROM rrc
+)
+SELECT n0, n1, c0, c1,
+       round(rr * 1e6)::BIGINT AS rr_q6,
+       round((rr_star + sqrt(rr_star * (rr_star - 1.0))) * 1e6)::BIGINT
+         AS evalue_q6
+FROM st
+"""
+
+
+QUERIES["evalue_sensitivity_purchase"] = evalue_sensitivity_purchase
+ORACLES["evalue_sensitivity_purchase"] = ORACLE_EVALUE
+
+
+def binseg_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint (one split) on the daily count
+    series per event type: the split day maximizing the between-segment
+    SSE reduction — the offline, exact-argmax complement to the online
+    detectors (cusum_changepoint_by_type flags drift as it accumulates;
+    Page-Hinkley streams it; this finds the SINGLE best split in
+    hindsight, the first step of the classical binseg recursion).
+
+    Exactness: with prefix sums P_i over INTEGER daily counts, the
+    sum-of-squares terms cancel and gain_i = P_i^2/i +
+    (P_n-P_i)^2/(n-i) - P_n^2/n — each term one double expression from
+    exact integers, identical bits in both engines, so the argmax
+    (tie-broken by day) is engine-portable. Shape: one daily aggregate,
+    one TYPE-partitioned ordered window (never global), one
+    row_number argmax."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_d")
+    ).agg(F.count(F.lit(1)).alias("_x"))
+    w = Window.partitionBy("event_type").orderBy("_d")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    pref = daily.select(
+        "event_type",
+        "_d",
+        F.row_number().over(w).alias("_i"),
+        F.sum("_x").over(run).alias("_p"),
+        F.count(F.lit(1)).over(full).alias("_n"),
+        F.sum("_x").over(full).alias("_pn"),
+    ).filter(F.col("_i") < F.col("_n"))
+    p = F.col("_p").cast("double")
+    pn = F.col("_pn").cast("double")
+    i = F.col("_i").cast("double")
+    nn = F.col("_n").cast("double")
+    gain = (
+        p * p / i
+        + (pn - p) * (pn - p) / (nn - i)
+        - pn * pn / nn
+    )
+    scored = pref.withColumn("_gain", gain)
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("_gain").desc(), F.col("_d").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "event_type",
+            F.col("_n").cast("bigint").alias("n_days"),
+            F.date_format("_d", "yyyy-MM-dd").alias("split_day"),
+            F.round(F.col("_gain") * 1e6).cast("bigint").alias("gain_q6"),
+        )
+    )
+
+
+ORACLE_BINSEG = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+pref AS (
+  SELECT event_type, d,
+         row_number() OVER w AS i,
+         sum(x) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(x) OVER (PARTITION BY event_type) AS pn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+scored AS (
+  SELECT event_type, d, n,
+         p::DOUBLE * p / i
+           + (pn - p)::DOUBLE * (pn - p) / (n - i)
+           - pn::DOUBLE * pn / n AS gain
+  FROM pref WHERE i < n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY gain DESC, d ASC) AS rk
+  FROM scored
+)
+SELECT event_type, n::BIGINT AS n_days,
+       strftime(d, '%Y-%m-%d') AS split_day,
+       round(gain * 1e6)::BIGINT AS gain_q6
+FROM ranked WHERE rk = 1
+"""
+
+
+QUERIES["binseg_changepoint_by_type"] = binseg_changepoint_by_type
+ORACLES["binseg_changepoint_by_type"] = ORACLE_BINSEG
+
+
+def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs-style outlier screen on the daily count series per event
+    type: the day with the largest standardized deviation from the
+    series mean, and its G statistic max|x - mean| / s — the univariate
+    outlier readout the anomaly family lacked (benford audits digits,
+    cusum finds level SHIFTS; this flags single-day spikes/drops).
+
+    Exactness: the argmax day uses the INTEGER surrogate |n*x - S|
+    (proportional to |x - mean|, exact, tie-broken by day), so no float
+    enters the argmax at all; G then evaluates once from exact sums
+    (S, Q, n, x*) in one fixed double expression. Shape: one daily
+    aggregate, one per-type combine, one argmax window — all
+    type-partitioned."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_d")
+    ).agg(F.count(F.lit(1)).alias("_x"))
+    w = Window.partitionBy("event_type").orderBy("_d")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stats = daily.select(
+        "event_type",
+        "_d",
+        "_x",
+        F.count(F.lit(1)).over(full).alias("_n"),
+        F.sum("_x").over(full).alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).over(full).alias("_q"),
+    )
+    dev = F.abs(F.col("_n") * F.col("_x") - F.col("_s"))
+    wr = Window.partitionBy("event_type").orderBy(
+        dev.desc(), F.col("_d").asc()
+    )
+    top = stats.withColumn("_rk", F.row_number().over(wr)).filter(
+        F.col("_rk") == 1
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    q = F.col("_q").cast("double")
+    x = F.col("_x").cast("double")
+    g = F.abs(x - s / n) / F.sqrt((q - s * s / n) / (n - 1.0))
+    return top.select(
+        "event_type",
+        F.col("_n").cast("bigint").alias("n_days"),
+        F.date_format("_d", "yyyy-MM-dd").alias("peak_day"),
+        F.col("_x").cast("bigint").alias("peak_count"),
+        F.round(g * 1e6).cast("bigint").alias("g_q6"),
+    )
+
+
+ORACLE_GRUBBS = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, d, x,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(x) OVER (PARTITION BY event_type) AS s,
+         sum(x * x) OVER (PARTITION BY event_type) AS q
+  FROM daily
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(n * x - s) DESC, d ASC) AS rk
+  FROM stats
+)
+SELECT event_type, n::BIGINT AS n_days,
+       strftime(d, '%Y-%m-%d') AS peak_day,
+       x::BIGINT AS peak_count,
+       round(abs(x::DOUBLE - s::DOUBLE / n)
+             / sqrt((q::DOUBLE - s::DOUBLE * s / n) / (n - 1.0))
+             * 1e6)::BIGINT AS g_q6
+FROM ranked WHERE rk = 1
+"""
+
+
+QUERIES["grubbs_outlier_daily"] = grubbs_outlier_daily
+ORACLES["grubbs_outlier_daily"] = ORACLE_GRUBBS
