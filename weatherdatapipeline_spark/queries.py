@@ -24038,3 +24038,255 @@ FROM ranked WHERE rk = 1
 
 QUERIES["grubbs_outlier_daily"] = grubbs_outlier_daily
 ORACLES["grubbs_outlier_daily"] = ORACLE_GRUBBS
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the corpus's DECLARED language column
+    and the stopword-vote language-ID heuristic (operators/text.py::
+    language_id) — the label-quality audit a multilingual pipeline runs
+    before trusting either signal for filtering (off-diagonal mass =
+    mislabeled docs or heuristic misses; 'und' = no stopword hit at
+    all). Map-only regex scoring + one (declared, predicted) hash agg.
+
+    The tie-break is part of the contract: language_id takes array_max
+    over (hits, lang) structs, so equal hit counts resolve to the
+    lexicographically LAST language — mirrored in the oracle's
+    row_number(ORDER BY h DESC, l DESC)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.col("lang").alias("lang_declared"),
+            T.language_id(F.col("text")).alias("lang_pred"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+ORACLE_LANG_CONFUSION = r"""
+WITH hits AS (
+  SELECT doc_id, lang,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS h_de,
+    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))   AS h_en,
+    len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|un)\b'))       AS h_es,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un)\b'))     AS h_fr
+  FROM documents
+),
+unp AS (
+  SELECT doc_id, lang, 'de' AS l, h_de AS h FROM hits
+  UNION ALL SELECT doc_id, lang, 'en', h_en FROM hits
+  UNION ALL SELECT doc_id, lang, 'es', h_es FROM hits
+  UNION ALL SELECT doc_id, lang, 'fr', h_fr FROM hits
+),
+ranked AS (
+  SELECT doc_id, lang, l, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, l DESC)
+           AS rk
+  FROM unp
+),
+pred AS (
+  SELECT lang, CASE WHEN h > 0 THEN l ELSE 'und' END AS lang_pred
+  FROM ranked WHERE rk = 1
+)
+SELECT lang AS lang_declared, lang_pred, count(*)::BIGINT AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+
+QUERIES["lang_id_confusion"] = lang_id_confusion
+ORACLES["lang_id_confusion"] = ORACLE_LANG_CONFUSION
+
+
+def perplexity_quintile_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing, generalized to
+    QUINTILES of the corpus-trained bigram LM score (Wenzek et al.
+    2020): exact-percentile cutoffs over the per-doc scores, then the
+    per-bucket mixture table (doc count, bigram mass, mean score) a
+    quality-stratified sampler consumes. Bucket 1 = most probable text.
+
+    Exactness: per-doc scores arrive ROUNDED to 6dp from
+    bigram_logprob_scores; the four cutoffs are one exact-percentile
+    aggregate on those rounded values, also rounded to 6dp, so every
+    bucket comparison is between stable literals; the per-bucket mean
+    re-quantizes to 1e-6 integers before summing (order-independent).
+    Shape: the LM scoring join + one 1-row cutoff broadcast + one
+    5-row hash agg."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = T.bigram_logprob_scores(docs)
+    probs = [0.2, 0.4, 0.6, 0.8]
+    cuts = scores.agg(
+        F.percentile("avg_neg_logprob", F.array(*[F.lit(p) for p in probs])).alias(
+            "_qs"
+        )
+    ).select(
+        *[
+            F.round(F.element_at("_qs", i), 6).alias(f"_q{i}")
+            for i in range(1, len(probs) + 1)
+        ]
+    )
+    bucket = F.lit(5)
+    for i in range(len(probs), 0, -1):
+        bucket = F.when(
+            F.col("avg_neg_logprob") <= F.col(f"_q{i}"), F.lit(i)
+        ).otherwise(bucket)
+    banded = scores.crossJoin(F.broadcast(cuts)).select(
+        bucket.cast("bigint").alias("bucket"),
+        "n_bigrams",
+        F.round(F.col("avg_neg_logprob") * 1e6).cast("bigint").alias("_s6"),
+    )
+    return (
+        banded.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("sum_bigrams"),
+            F.round(
+                F.sum("_s6").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
+ORACLE_PPL_QUINTILES = r"""
+WITH tok AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[CAST(t.i AS INTEGER)] AS w1
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents),
+       unnest(range(1, len(w) + 1)) AS t(i)
+),
+bi AS (
+  SELECT a.doc_id, a.w1, b.w1 AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c_bi AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+c_uni AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+v AS (SELECT count(DISTINCT w1) AS v FROM tok),
+model AS (
+  SELECT c_bi.w1, c_bi.w2,
+         -ln((c12 + 0.5) / (c1 + 0.5 * v.v)) AS nll
+  FROM c_bi JOIN c_uni USING (w1) CROSS JOIN v
+),
+scores AS (
+  SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(m.nll), 6) AS s
+  FROM bi JOIN model m ON m.w1 = bi.w1 AND m.w2 = bi.w2
+  GROUP BY bi.doc_id
+),
+cuts AS (
+  SELECT round(quantile_cont(s, 0.2), 6) AS q1,
+         round(quantile_cont(s, 0.4), 6) AS q2,
+         round(quantile_cont(s, 0.6), 6) AS q3,
+         round(quantile_cont(s, 0.8), 6) AS q4
+  FROM scores
+),
+banded AS (
+  SELECT CASE WHEN s <= q1 THEN 1 WHEN s <= q2 THEN 2 WHEN s <= q3 THEN 3
+              WHEN s <= q4 THEN 4 ELSE 5 END AS bucket,
+         n_bigrams, round(s * 1e6)::BIGINT AS s6
+  FROM scores, cuts
+)
+SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+       sum(n_bigrams)::BIGINT AS sum_bigrams,
+       round(sum(s6)::DOUBLE / count(*) / 1e6, 6) AS avg_nll
+FROM banded GROUP BY bucket
+"""
+
+
+QUERIES["perplexity_quintile_mixture"] = perplexity_quintile_mixture
+ORACLES["perplexity_quintile_mixture"] = ORACLE_PPL_QUINTILES
+
+
+def excess_loss_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardness-aware training-mixture reweighting: the Group-DRO
+    exponentiated-gradient update (Sagawa et al. 2020; the same update
+    DoReMi iterates with a proxy model, Xie et al. 2023) applied to the
+    per-source mean LM loss: w_s ∝ p_s * exp(eta * (L_s - Lbar)),
+    eta = 1 — up-weights sources whose text the corpus LM finds hard,
+    relative to their raw share p_s, the counterpoint to
+    source_mixture_weights' size-only temperature scaling.
+
+    Exactness: per-doc scores are 6dp-rounded, per-source sums
+    re-quantize to 1e-6 integers (exact, order-independent); Lbar is
+    doc-weighted from the same integers; each exp term quantizes to
+    1e-9 BEFORE the normalizing sum so the softmax denominator is an
+    exact integer. Shape: scoring join + source-sized aggregates; all
+    combines ride 1-row broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = T.bigram_logprob_scores(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    per = scores.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.round(F.col("avg_neg_logprob") * 1e6).cast("bigint")).alias(
+            "_s6"
+        ),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("_n"),
+        F.sum("_s6").cast("bigint").alias("_t6"),
+    )
+    loss = F.col("_s6").cast("double") / F.col("n_docs") / 1e6
+    lbar = F.col("_t6").cast("double") / F.col("_n") / 1e6
+    p_s = F.col("n_docs").cast("double") / F.col("_n")
+    term9 = F.round(p_s * F.exp(loss - lbar) * 1e9).cast("bigint")
+    termed = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(loss, 6).alias("loss"),
+        term9.alias("_t9"),
+    )
+    denom = termed.agg(F.sum("_t9").cast("bigint").alias("_d9"))
+    return termed.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        "loss",
+        F.round(F.col("_t9").cast("double") / F.col("_d9"), 6).alias("weight"),
+    )
+
+
+ORACLE_EXCESS_LOSS_MIX = r"""
+WITH tok AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[CAST(t.i AS INTEGER)] AS w1
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents),
+       unnest(range(1, len(w) + 1)) AS t(i)
+),
+bi AS (
+  SELECT a.doc_id, a.w1, b.w1 AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c_bi AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+c_uni AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+v AS (SELECT count(DISTINCT w1) AS v FROM tok),
+model AS (
+  SELECT c_bi.w1, c_bi.w2,
+         -ln((c12 + 0.5) / (c1 + 0.5 * v.v)) AS nll
+  FROM c_bi JOIN c_uni USING (w1) CROSS JOIN v
+),
+scores AS (
+  SELECT bi.doc_id, round(avg(m.nll), 6) AS s
+  FROM bi JOIN model m ON m.w1 = bi.w1 AND m.w2 = bi.w2
+  GROUP BY bi.doc_id
+),
+per AS (
+  SELECT d.source, count(*)::BIGINT AS n_docs,
+         sum(round(s * 1e6)::BIGINT)::BIGINT AS s6
+  FROM scores JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+tot AS (SELECT sum(n_docs)::BIGINT AS n, sum(s6)::BIGINT AS t6 FROM per),
+termed AS (
+  SELECT source, n_docs,
+         round(s6::DOUBLE / n_docs / 1e6, 6) AS loss,
+         round((n_docs::DOUBLE / n)
+               * exp(s6::DOUBLE / n_docs / 1e6 - t6::DOUBLE / n / 1e6)
+               * 1e9)::BIGINT AS t9
+  FROM per, tot
+),
+denom AS (SELECT sum(t9)::BIGINT AS d9 FROM termed)
+SELECT source, n_docs, loss,
+       round(t9::DOUBLE / d9, 6) AS weight
+FROM termed, denom
+"""
+
+
+QUERIES["excess_loss_mixture_weights"] = excess_loss_mixture_weights
+ORACLES["excess_loss_mixture_weights"] = ORACLE_EXCESS_LOSS_MIX
