@@ -869,3 +869,44 @@ def test_streaming_bottomk_sample_equals_batch(spark, tmp_path_factory):
     }
     assert counts["click"] == 16  # bounded at k
     assert counts["view"] == 7  # under-k group: the sample IS the group
+
+
+def test_streaming_funnel_steps_ordered_conversion(spark, tmp_path_factory):
+    """Planted funnel: one user converts in order, one does the steps out
+    of order, one stops at view. The first 24h window closes when the
+    far-future row pushes the watermark; the open final window stays in
+    state (append-mode semantics, like the other windowed jobs)."""
+    from weatherdatapipeline_spark.streaming.jobs import windowed_funnel_steps
+
+    schema = "event_id long, ts timestamp, user_id string, event_type string"
+    rows = [
+        (1, ts("2024-01-01T01:00:00"), "conv", "view"),
+        (2, ts("2024-01-01T02:00:00"), "conv", "click"),
+        (3, ts("2024-01-01T03:00:00"), "conv", "purchase"),
+        (4, ts("2024-01-01T02:00:00"), "ooo", "click"),   # click BEFORE view
+        (5, ts("2024-01-01T03:00:00"), "ooo", "view"),
+        (6, ts("2024-01-01T04:00:00"), "ooo", "purchase"),
+        (7, ts("2024-01-01T05:00:00"), "viewer", "view"),
+        (8, ts("2024-01-05T00:00:00"), "late", "view"),   # watermark pusher
+    ]
+    path = str(tmp_path_factory.mktemp("funnel_in"))
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = windowed_funnel_steps(
+        stream, "ts", "user_id", "event_type",
+        steps=("view", "click", "purchase"),
+        window="24 hours", watermark="1 hours",
+    )
+    run_available_now_to_memory(out, "funnel_sink", "append")
+    rows = spark.sql(
+        "SELECT user_id, t_view, t_click, t_purchase FROM funnel_sink"
+    ).collect()
+    got = {r["user_id"]: r for r in rows}
+    # only the first (closed) window is emitted: 3 users, not 'late'
+    assert set(got) == {"conv", "ooo", "viewer"}
+    c = got["conv"]
+    assert c["t_view"] < c["t_click"] < c["t_purchase"]
+    o = got["ooo"]
+    assert o["t_click"] < o["t_view"]  # order predicate must reject
+    assert got["viewer"]["t_click"] is None
+    assert got["viewer"]["t_purchase"] is None

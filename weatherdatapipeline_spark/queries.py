@@ -24290,3 +24290,272 @@ FROM termed, denom
 
 QUERIES["excess_loss_mixture_weights"] = excess_loss_mixture_weights
 ORACLES["excess_loss_mixture_weights"] = ORACLE_EXCESS_LOSS_MIX
+
+
+def rmst_churn_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013) of user
+    lifetime to tau = 240 h, per md5 experiment arm: the area under the
+    Kaplan-Meier curve up to the horizon — the absolute-time effect
+    readout recommended when the Cox model's proportional-hazards
+    assumption is doubtful (cox_ph_churn_by_arm gives the ratio; this
+    gives 'hours of retention gained per user in 10 days').
+
+    Exactness: the KM curve replays kaplan_meier_user_churn's collapsed
+    self-join construction (risk sets by counting, the cumulative
+    product as exp of a ln-sum) per arm; the step-function integral
+    quantizes each S(t)*(next_t - t) slice to 1e-6 integers before
+    summing (order-independent), and the head slice [0, t_min) at S=1
+    is an exact integer. Shape: one per-user aggregate on the corpus,
+    then everything runs on the <= (2 arms x window-days) collapsed
+    table — no partition-less window anywhere."""
+    tau = 240
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(F.max(F.unix_micros("ts")).alias("_max_us"))
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            arm.alias("_arm"),
+            F.floor(
+                (F.col("last_us") - F.col("first_us")) / 3_600_000_000
+            ).alias("t"),
+            (
+                F.col("_max_us") - F.col("last_us") > 6 * 3_600_000_000
+            ).cast("int").alias("observed"),
+        )
+    )
+    lt = users.groupBy("_arm", "t").agg(
+        F.sum("observed").alias("d"), F.count(F.lit(1)).alias("all_n")
+    )
+    total = users.groupBy("_arm").agg(F.count(F.lit(1)).alias("_total"))
+    prior = (
+        lt.alias("a")
+        .join(
+            lt.alias("b"),
+            (F.col("b._arm") == F.col("a._arm")) & (F.col("b.t") < F.col("a.t")),
+            "left",
+        )
+        .groupBy(F.col("a._arm").alias("_arm"), F.col("a.t").alias("t"))
+        .agg(F.coalesce(F.sum("b.all_n"), F.lit(0)).alias("ended_before"))
+    )
+    risk = (
+        lt.join(prior, ["_arm", "t"])
+        .join(total, "_arm")
+        .select(
+            "_arm", "t", "d", (F.col("_total") - F.col("ended_before")).alias("n")
+        )
+    )
+    km = (
+        risk.alias("a")
+        .join(
+            risk.alias("b"),
+            (F.col("b._arm") == F.col("a._arm"))
+            & (F.col("b.t") <= F.col("a.t"))
+            & (F.col("b.d") > 0),
+            "left",
+        )
+        .groupBy(
+            F.col("a._arm").alias("_arm"),
+            F.col("a.t").alias("t"),
+            F.col("a.d").alias("d"),
+            F.col("a.n").alias("n"),
+        )
+        .agg(
+            F.max((F.col("b.d") >= F.col("b.n")).cast("int")).alias("_dead"),
+            F.sum(
+                F.when(
+                    F.col("b.d") < F.col("b.n"),
+                    F.log(1.0 - F.col("b.d") / F.col("b.n")),
+                )
+            ).alias("_logsum"),
+        )
+        .select(
+            "_arm",
+            "t",
+            F.when(F.col("_dead") == 1, F.lit(0.0))
+            .otherwise(F.coalesce(F.exp("_logsum"), F.lit(1.0)))
+            .alias("_s"),
+        )
+    )
+    nxt = (
+        risk.alias("a")
+        .join(
+            risk.alias("b"),
+            (F.col("b._arm") == F.col("a._arm")) & (F.col("b.t") > F.col("a.t")),
+            "left",
+        )
+        .groupBy(F.col("a._arm").alias("_arm"), F.col("a.t").alias("t"))
+        .agg(F.min("b.t").alias("_next_t"))
+    )
+    dt = F.least(F.coalesce(F.col("_next_t"), F.lit(tau)), F.lit(tau)) - F.col(
+        "t"
+    )
+    terms = (
+        km.join(nxt, ["_arm", "t"])
+        .filter(F.col("t") < tau)
+        .select(
+            "_arm",
+            F.round(F.col("_s") * dt * 1e6).cast("bigint").alias("_term6"),
+        )
+        .groupBy("_arm")
+        .agg(F.sum("_term6").alias("_s6"))
+    )
+    head = risk.groupBy("_arm").agg(
+        (F.least(F.min("t"), F.lit(tau)) * 1_000_000).alias("_head6")
+    )
+    return (
+        total.join(head, "_arm")
+        .join(terms, "_arm", "left")
+        .select(
+            F.col("_arm").cast("bigint").alias("arm"),
+            F.col("_total").cast("bigint").alias("n_users"),
+            F.lit(tau).cast("bigint").alias("tau_h"),
+            (F.col("_head6") + F.coalesce(F.col("_s6"), F.lit(0)))
+            .cast("bigint")
+            .alias("rmst_q6"),
+        )
+    )
+
+
+ORACLE_RMST = """
+WITH span AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+users AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+           AS arm,
+         floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 3600000000) AS t,
+         CASE WHEN (SELECT max_us FROM span) - max(epoch_us(ts))
+                   > 6 * 3600000000
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+lt AS (
+  SELECT arm, t, sum(observed) AS d, count(*) AS all_n
+  FROM users GROUP BY arm, t
+),
+total AS (SELECT arm, count(*) AS tot FROM users GROUP BY arm),
+prior AS (
+  SELECT a.arm, a.t, coalesce(sum(b.all_n), 0) AS ended_before
+  FROM lt a LEFT JOIN lt b ON b.arm = a.arm AND b.t < a.t
+  GROUP BY a.arm, a.t
+),
+risk AS (
+  SELECT lt.arm, lt.t, lt.d, (total.tot - prior.ended_before) AS n
+  FROM lt JOIN prior ON lt.arm = prior.arm AND lt.t = prior.t
+  JOIN total ON total.arm = lt.arm
+),
+km AS (
+  SELECT a.arm, a.t,
+         CASE WHEN max(CASE WHEN b.d >= b.n THEN 1 ELSE 0 END) = 1 THEN 0.0
+              ELSE coalesce(exp(sum(CASE WHEN b.d < b.n
+                   THEN ln(1.0 - b.d / CAST(b.n AS DOUBLE)) END)), 1.0)
+         END AS s
+  FROM risk a LEFT JOIN risk b ON b.arm = a.arm AND b.t <= a.t AND b.d > 0
+  GROUP BY a.arm, a.t, a.d, a.n
+),
+nxt AS (
+  SELECT a.arm, a.t, min(b.t) AS next_t
+  FROM risk a LEFT JOIN risk b ON b.arm = a.arm AND b.t > a.t
+  GROUP BY a.arm, a.t
+),
+terms AS (
+  SELECT km.arm,
+         sum(round(km.s * (least(coalesce(nxt.next_t, 240), 240) - km.t)
+                   * 1e6)::BIGINT) AS s6
+  FROM km JOIN nxt ON km.arm = nxt.arm AND km.t = nxt.t
+  WHERE km.t < 240
+  GROUP BY km.arm
+),
+head AS (
+  SELECT arm, least(min(t), 240) * 1000000 AS head6 FROM risk GROUP BY arm
+)
+SELECT total.arm::BIGINT AS arm, total.tot::BIGINT AS n_users,
+       240::BIGINT AS tau_h,
+       (head.head6 + coalesce(terms.s6, 0))::BIGINT AS rmst_q6
+FROM total
+JOIN head ON head.arm = total.arm
+LEFT JOIN terms ON terms.arm = total.arm
+"""
+
+
+QUERIES["rmst_churn_by_arm"] = rmst_churn_by_arm
+ORACLES["rmst_churn_by_arm"] = ORACLE_RMST
+
+
+def streaming_funnel_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered-funnel conversion per tumbling 24-hour window:
+    users who did view THEN click THEN purchase (strictly increasing
+    first-timestamps) inside the window. The stream maintains one
+    conditional min-timestamp per funnel step per (window, user)
+    (streaming/jobs.py::windowed_funnel_steps, append mode) — the order
+    predicate is only decidable at window close, so the batch finisher
+    applies it to each closed window and counts. Oracle replays the
+    conditional mins, the append-mode emission rule (window_end <=
+    final watermark), and the same strict ordering."""
+    from .streaming.jobs import windowed_funnel_steps
+
+    stream, _ = _stage_events_stream(spark, sf_dir)
+    out = windowed_funnel_steps(
+        stream, "ts", "user_id", "event_type",
+        steps=("view", "click", "purchase"),
+        window="24 hours", watermark="2 hours",
+    )
+    res = _drain(out, "append")
+    converted = (
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_view") < F.col("t_click"))
+        & (F.col("t_click") < F.col("t_purchase"))
+    )
+    return (
+        res.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.col("t_view").isNotNull().cast("long"))
+            .cast("bigint")
+            .alias("n_viewed"),
+            F.sum(converted.cast("long")).cast("bigint").alias("n_converted"),
+        )
+        .select(
+            F.unix_micros("window_start").alias("ws_us"),
+            "n_users",
+            "n_viewed",
+            "n_converted",
+        )
+    )
+
+
+ORACLE_STREAM_FUNNEL = """
+WITH m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+steps AS (
+  SELECT time_bucket(INTERVAL 24 HOUR, ts) AS ws, user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1, 2
+),
+closed AS (
+  SELECT * FROM steps, m WHERE ws + INTERVAL 24 HOUR <= wm
+)
+SELECT epoch_us(ws) AS ws_us, count(*)::BIGINT AS n_users,
+       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_viewed,
+       sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                 AND t_purchase IS NOT NULL
+                 AND t_view < t_click AND t_click < t_purchase
+            THEN 1 ELSE 0 END)::BIGINT AS n_converted
+FROM closed GROUP BY ws
+"""
+
+
+QUERIES["streaming_funnel_per_window"] = streaming_funnel_per_window
+ORACLES["streaming_funnel_per_window"] = ORACLE_STREAM_FUNNEL

@@ -1222,3 +1222,36 @@ def windowed_type_counts(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("win.start").alias("window_start"), key_col, "cnt")
     )
+
+
+def windowed_funnel_steps(
+    stream: DataFrame,
+    event_time: str,
+    user_col: str,
+    type_col: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window: str = "24 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling per-(window, user) FIRST-timestamp-per-funnel-step in
+    append mode — the streaming half of an ordered-funnel conversion
+    count. The ordering predicate (view before click before purchase)
+    cannot ride the streaming aggregate (it is only decidable at window
+    close), so the stream maintains one conditional min-timestamp per
+    step — a plain windowed aggregation every engine scales, the same
+    two-stage split as windowed_type_counts — and the batch finisher
+    applies the step-order test to each CLOSED window.
+
+    Returns (window_start, user, step timestamps...) with one column
+    ``t_<step>`` per step (NULL when the user never performed it in the
+    window)."""
+    aggs = [
+        F.min(F.when(F.col(type_col) == s, F.col(event_time))).alias(f"t_{s}")
+        for s in steps
+    ]
+    return (
+        stream.withWatermark(event_time, watermark)
+        .groupBy(F.window(event_time, window).alias("win"), F.col(user_col))
+        .agg(*aggs)
+        .select(F.col("win.start").alias("window_start"), user_col, *[f"t_{s}" for s in steps])
+    )
