@@ -24559,3 +24559,99 @@ FROM closed GROUP BY ws
 
 QUERIES["streaming_funnel_per_window"] = streaming_funnel_per_window
 ORACLES["streaming_funnel_per_window"] = ORACLE_STREAM_FUNNEL
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup representative selection: within each
+    Jaccard-CC duplicate cluster keep the HIGHEST-quality document
+    (tie-break min doc_id) instead of dedup_keep_canonical's blind
+    min-id — the policy real pretraining pipelines use so dedup never
+    discards the cleanest copy. Reports one row per MULTI-doc cluster
+    (where the policy bites): size, the kept doc + its quality, the
+    min-id doc, and whether the two policies disagree.
+
+    Exactness: quality_score is integer-count arithmetic rounded to 4dp
+    (identical doubles both engines, so the per-cluster argmax is
+    portable); clusters replay through the same recursive-closure
+    oracle as dedup_cluster_assignments. Shape: the df-cut shingle
+    join + CC rounds + ONE cluster-partitioned rank window."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_near_duplicates(docs, threshold=0.2)
+    cc = D.connected_components(pairs)
+    q = docs.select("doc_id", T.quality_score(F.col("text")).alias("_q"))
+    labeled = (
+        q.join(cc, q["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            "_q",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col("doc_id").asc()
+    )
+    ranked = labeled.withColumn("_rk", F.row_number().over(w))
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("_sz"), F.min("doc_id").alias("_min_doc")
+    )
+    return (
+        ranked.filter(F.col("_rk") == 1)
+        .join(sizes, "cluster_id")
+        .filter(F.col("_sz") >= 2)
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("_sz").cast("bigint").alias("size"),
+            F.col("doc_id").cast("bigint").alias("kept_doc"),
+            F.col("_q").alias("kept_quality"),
+            F.col("_min_doc").cast("bigint").alias("min_doc"),
+            (F.col("doc_id") != F.col("_min_doc")).alias("differs_from_min_id"),
+        )
+    )
+
+
+ORACLE_KEEP_BEST_QUALITY = (
+    "WITH RECURSIVE "
+    + _JACCARD_PAIR_CTES
+    + r""",
+cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+qual AS (
+  SELECT doc_id,
+         round(0.4 * least(length(text) / 500.0, 1.0)
+             + 0.4 * (CASE WHEN length(regexp_replace(text, '\s+', '', 'g'))
+                                / len(string_split_regex(trim(text), '\s+')) >= 3.0
+                            AND length(regexp_replace(text, '\s+', '', 'g'))
+                                / len(string_split_regex(trim(text), '\s+')) <= 10.0
+                           THEN 1.0 ELSE 0.5 END)
+             + 0.2 * (1.0 - least(
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   / greatest(len(string_split_regex(trim(text), '\s+')), 1),
+                   1.0)), 4) AS q
+  FROM documents
+),
+labeled AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id, qual.q
+  FROM documents d
+  LEFT JOIN cc ON cc.doc_id = d.doc_id
+  JOIN qual ON qual.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY q DESC, doc_id ASC) AS rk
+  FROM labeled
+),
+csizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS sz, min(doc_id)::BIGINT AS min_doc
+  FROM labeled GROUP BY cluster_id
+)
+SELECT r.cluster_id::BIGINT AS cluster_id, s.sz AS size,
+       r.doc_id::BIGINT AS kept_doc, r.q AS kept_quality,
+       s.min_doc AS min_doc,
+       (r.doc_id != s.min_doc) AS differs_from_min_id
+FROM ranked r JOIN csizes s ON s.cluster_id = r.cluster_id
+WHERE r.rk = 1 AND s.sz >= 2
+"""
+)
+
+
+QUERIES["dedup_keep_best_quality"] = dedup_keep_best_quality
+ORACLES["dedup_keep_best_quality"] = ORACLE_KEEP_BEST_QUALITY
