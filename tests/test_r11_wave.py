@@ -1,0 +1,234 @@
+"""Round-11 wave: semantic assertions for the new analytics queries.
+Oracle hash parity is covered by tools/check_oracle.py; these pin the
+MATH against pure-Python replays and fixed-point properties the hashes
+can't see."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from weatherdatapipeline_spark.queries import QUERIES, _t
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from weatherdatapipeline_spark.session import get_spark
+
+    return get_spark("r11-wave-tests")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return [
+        (r["user_id"], r["ts"], r["event_type"], r["value"])
+        for r in _t(spark, SF, "events")
+        .select("user_id", "ts", "event_type", "value")
+        .collect()
+    ]
+
+
+def _daily_counts(events):
+    daily: dict = defaultdict(lambda: defaultdict(int))
+    for u, ts, t, v in events:
+        daily[t][ts.date()] += 1
+    return daily
+
+
+def test_binseg_matches_pure_python(spark, events):
+    got = {
+        r["event_type"]: (r["n_days"], r["split_day"], r["gain_q6"])
+        for r in QUERIES["binseg_changepoint_by_type"](spark, SF).collect()
+    }
+    for t, days in _daily_counts(events).items():
+        xs = sorted(days.items())
+        n = len(xs)
+        pn = float(sum(c for _, c in xs))
+        best = None
+        p = 0.0
+        for i, (d, c) in enumerate(xs[:-1], 1):
+            p += c
+            gain = p * p / i + (pn - p) * (pn - p) / (n - i) - pn * pn / n
+            key = (-gain, d)
+            if best is None or key < best[0]:
+                best = (key, d, gain)
+        exp = (n, best[1].isoformat(), round(best[2] * 1e6))
+        assert got[t] == exp, (t, got[t], exp)
+
+
+def test_grubbs_matches_pure_python(spark, events):
+    got = {
+        r["event_type"]: (r["n_days"], r["peak_day"], r["peak_count"], r["g_q6"])
+        for r in QUERIES["grubbs_outlier_daily"](spark, SF).collect()
+    }
+    for t, days in _daily_counts(events).items():
+        xs = sorted(days.items())
+        n = len(xs)
+        s = sum(c for _, c in xs)
+        q = sum(c * c for _, c in xs)
+        # integer argmax surrogate |n*x - S|, tie-break day asc
+        peak = min(xs, key=lambda dc: (-abs(n * dc[1] - s), dc[0]))
+        g = abs(peak[1] - s / n) / math.sqrt((q - s * s / n) / (n - 1.0))
+        exp = (n, peak[0].isoformat(), peak[1], round(g * 1e6))
+        assert got[t] == exp, (t, got[t], exp)
+
+
+def test_evalue_matches_pure_python(spark, events):
+    row = QUERIES["evalue_sensitivity_purchase"](spark, SF).collect()[0]
+    n = [0, 0]
+    c = [0, 0]
+    for u, ts, t, v in events:
+        arm = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        n[arm] += 1
+        c[arm] += t == "purchase"
+    rr = (c[1] / n[1]) / (c[0] / n[0])
+    rs = max(rr, 1.0 / rr)
+    ev = rs + math.sqrt(rs * (rs - 1.0))
+    assert (row["n0"], row["n1"], row["c0"], row["c1"]) == (n[0], n[1], c[0], c[1])
+    assert row["rr_q6"] == round(rr * 1e6)
+    assert row["evalue_q6"] == round(ev * 1e6)
+    assert row["evalue_q6"] >= 1_000_000  # E-value is always >= 1
+
+
+def test_stickiness_matches_pure_python(spark, events):
+    import datetime as dt
+
+    got = {
+        r["week"]: (r["n_days"], r["wau"], r["stickiness_q6"])
+        for r in QUERIES["stickiness_dau_wau"](spark, SF).collect()
+    }
+    byweek: dict = defaultdict(lambda: (defaultdict(set), set()))
+    for u, ts, t, v in events:
+        d = ts.date()
+        monday = d - dt.timedelta(days=d.weekday())
+        days, users = byweek[monday.isoformat()]
+        days[d].add(u)
+        users.add(u)
+    for wk, (days, users) in byweek.items():
+        dau_sum = sum(len(s) for s in days.values())
+        exp = (
+            len(days),
+            len(users),
+            round(dau_sum / len(days) / len(users) * 1e6),
+        )
+        assert got[wk] == exp, (wk, got[wk], exp)
+    assert set(got) == set(byweek)
+    # stickiness is a ratio of per-day to per-week actives: (0, 1]
+    assert all(0 < s <= 1_000_000 for _, _, s in got.values())
+
+
+def test_herfindahl_matches_pure_python(spark):
+    docs = [
+        (r["source"], r["n_chars"])
+        for r in _t(spark, SF, "documents").select("source", "n_chars").collect()
+    ]
+    per: dict = defaultdict(lambda: [0, 0])
+    for s, m in docs:
+        per[s][0] += 1
+        per[s][1] += m
+    tc = sum(v[0] for v in per.values())
+    tm = sum(v[1] for v in per.values())
+    hhi_docs = sum(v[0] * v[0] for v in per.values()) / (tc * tc)
+    hhi_chars = sum(v[1] * v[1] for v in per.values()) / (tm * tm)
+    row = QUERIES["herfindahl_source_concentration"](spark, SF).collect()[0]
+    assert row["n_sources"] == len(per)
+    assert row["hhi_docs_q6"] == round(hhi_docs * 1e6)
+    assert row["hhi_chars_q6"] == round(hhi_chars * 1e6)
+    # HHI is bounded by [1/K, 1]
+    assert 1e6 / len(per) <= row["hhi_docs_q6"] <= 1e6
+
+
+def test_assortativity_matches_pure_python(spark):
+    from weatherdatapipeline_spark.queries import _cosupply_edges
+
+    edges = [(r["a"], r["b"]) for r in _cosupply_edges(spark, SF).collect()]
+    deg: dict = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    stubs = [(deg[a], deg[b]) for a, b in edges] + [
+        (deg[b], deg[a]) for a, b in edges
+    ]
+    n = len(stubs)
+    sx = sum(x for x, _ in stubs)
+    sxx = sum(x * x for x, _ in stubs)
+    sxy = sum(x * y for x, y in stubs)
+    r_num = n * sxy - sx * sx
+    r_den = n * sxx - sx * sx
+    row = QUERIES["degree_assortativity_cosupply"](spark, SF).collect()[0]
+    assert row["n_edges"] == len(edges)
+    if r_den == 0:
+        # degree-regular graph: assortativity undefined -> NULL
+        assert row["assortativity_q6"] is None
+    else:
+        assert row["assortativity_q6"] == round(float(r_num) / float(r_den) * 1e6)
+        assert -1_000_000 <= row["assortativity_q6"] <= 1_000_000
+
+
+def test_rmst_bounds_and_population(spark, events):
+    rows = QUERIES["rmst_churn_by_arm"](spark, SF).collect()
+    assert {r["arm"] for r in rows} == {0, 1}
+    users = {u for u, *_ in events}
+    assert sum(r["n_users"] for r in rows) == len(users)
+    for r in rows:
+        assert r["tau_h"] == 240
+        # RMST is an area under a [0,1] curve over [0, tau]
+        assert 0 <= r["rmst_q6"] <= 240 * 1_000_000
+
+
+def test_lang_confusion_totals_and_labels(spark):
+    rows = QUERIES["lang_id_confusion"](spark, SF).collect()
+    n_docs = _t(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert {r["lang_pred"] for r in rows} <= {"de", "en", "es", "fr", "und"}
+
+
+def test_perplexity_quintiles_partition_scored_docs(spark):
+    rows = QUERIES["perplexity_quintile_mixture"](spark, SF).collect()
+    got = {r["bucket"]: r for r in rows}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # quintiles of a near-continuous score split the corpus near-evenly
+    counts = [got[b]["n_docs"] for b in (1, 2, 3, 4, 5)]
+    assert max(counts) - min(counts) <= max(3, 0.05 * sum(counts))
+    # bucket means are monotone non-decreasing in bucket index
+    means = [got[b]["avg_nll"] for b in (1, 2, 3, 4, 5)]
+    assert means == sorted(means)
+
+
+def test_excess_loss_weights_normalize_and_order(spark):
+    rows = QUERIES["excess_loss_mixture_weights"](spark, SF).collect()
+    total = sum(r["weight"] for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    n = sum(r["n_docs"] for r in rows)
+    # relative upweighting w/p = exp(L - Lbar)/Z is monotone in loss
+    ratios = sorted(
+        (r["loss"], r["weight"] / (r["n_docs"] / n)) for r in rows
+    )
+    rs = [x for _, x in ratios]
+    assert rs == sorted(rs)
+
+
+def test_keep_best_quality_beats_min_id(spark):
+    from weatherdatapipeline_spark.operators.text import quality_score
+
+    docs = _t(spark, SF, "documents")
+    qual = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    rows = QUERIES["dedup_keep_best_quality"](spark, SF).collect()
+    for r in rows:
+        assert r["size"] >= 2
+        assert r["kept_quality"] == qual[r["kept_doc"]]
+        # the kept doc's quality dominates the min-id doc's
+        assert r["kept_quality"] >= qual[r["min_doc"]]
+        assert r["differs_from_min_id"] == (r["kept_doc"] != r["min_doc"])

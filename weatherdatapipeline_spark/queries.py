@@ -23610,11 +23610,15 @@ def degree_assortativity_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")
+    # a degree-REGULAR graph has zero degree variance: assortativity is
+    # undefined there (0/0) — NULL on both engines, never an error
     return agg.select(
         (F.col("_n") / 2).cast("bigint").alias("n_edges"),
         F.round(
-            (n * F.col("_sxy") - sx * sx)
-            / (n * F.col("_sxx") - sx * sx)
+            F.try_divide(
+                n * F.col("_sxy") - sx * sx,
+                n * F.col("_sxx") - sx * sx,
+            )
             * 1e6
         )
         .cast("bigint")
@@ -23645,7 +23649,8 @@ agg AS (
 )
 SELECT (n / 2)::BIGINT AS n_edges,
        round((n::DOUBLE * sxy - sx::DOUBLE * sx)
-             / (n::DOUBLE * sxx - sx::DOUBLE * sx) * 1e6)::BIGINT
+             / NULLIF(n::DOUBLE * sxx - sx::DOUBLE * sx, 0.0)
+             * 1e6)::BIGINT
          AS assortativity_q6
 FROM agg
 """
