@@ -232,3 +232,57 @@ def test_keep_best_quality_beats_min_id(spark):
         # the kept doc's quality dominates the min-id doc's
         assert r["kept_quality"] >= qual[r["min_doc"]]
         assert r["differs_from_min_id"] == (r["kept_doc"] != r["min_doc"])
+
+
+def test_randomized_response_matches_pure_python(spark, events):
+    row = QUERIES["randomized_response_estimate"](spark, SF).collect()[0]
+    # replay the integer mechanism: flip iff first-8-hex md5(event_id) % 4 == 0
+    ev = _t(spark, SF, "events").select("event_id", "event_type").collect()
+    n = len(ev)
+    n_true = sum(r["event_type"] == "purchase" for r in ev)
+    n_rep = 0
+    for r in ev:
+        t = int(r["event_type"] == "purchase")
+        f = int(int(hashlib.md5(str(r["event_id"]).encode()).hexdigest()[:8], 16) % 4 == 0)
+        n_rep += abs(t - f)
+    assert (row["n"], row["n_true_yes"], row["n_reported_yes"]) == (n, n_true, n_rep)
+    pi_hat = (n_rep / n + 0.75 - 1.0) / 0.5
+    assert row["pi_hat_q6"] == round(pi_hat * 1e6)
+    # the debiased estimate should land near the true rate (not the noisy one)
+    assert abs(row["pi_hat_q6"] - row["true_pi_q6"]) < abs(
+        round(n_rep / n * 1e6) - row["true_pi_q6"]
+    )
+
+
+def test_ktruss3_matches_pure_python(spark):
+    from weatherdatapipeline_spark.queries import _KTRUSS_ROUNDS, _cosupply_edges
+
+    edges = {(r["a"], r["b"]) for r in _cosupply_edges(spark, SF).collect()}
+    cur = set(edges)
+    prev_n = None
+    for _ in range(_KTRUSS_ROUNDS):
+        adj = defaultdict(set)
+        for a, b in cur:
+            adj[a].add(b)
+            adj[b].add(a)
+        prev_n = len(cur)
+        nxt = {}
+        for a, b in cur:
+            s = len(adj[a] & adj[b])
+            if s >= 1:
+                nxt[(a, b)] = s
+        cur = set(nxt)
+    got = {
+        (r["a"], r["b"]): (r["support"], r["converged"])
+        for r in QUERIES["ktruss3_cosupply"](spark, SF).collect()
+    }
+    assert set(got) == cur
+    for (a, b), (s, conv) in got.items():
+        assert s == nxt[(a, b)]
+        assert conv == (len(cur) == prev_n)
+    # every surviving edge sits in >= 1 triangle WITHIN the truss: closure
+    adj = defaultdict(set)
+    for a, b in cur:
+        adj[a].add(b)
+        adj[b].add(a)
+    assert all(len(adj[a] & adj[b]) >= 1 for a, b in cur)

@@ -24660,3 +24660,167 @@ WHERE r.rk = 1 AND s.sz >= 2
 
 QUERIES["dedup_keep_best_quality"] = dedup_keep_best_quality
 ORACLES["dedup_keep_best_quality"] = ORACLE_KEEP_BEST_QUALITY
+
+
+def randomized_response_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner (1965) randomized response over the purchase indicator:
+    each event reports the TRUTH with probability p = 3/4 and the
+    opposite otherwise (flip decided by a portable md5 draw on the
+    event id — the privacy mechanism is deterministic replayable noise,
+    like the Horvitz-Thompson sample), and the analyst recovers the
+    population rate as pi_hat = (lambda + p - 1) / (2p - 1) from the
+    noisy shares alone. The local-DP counting primitive (epsilon =
+    ln(p/(1-p)) = ln 3) a privacy-bound pipeline uses where raw flags
+    can't leave the source; the true rate rides along as the accuracy
+    audit.
+
+    Exactness: the flip is an INTEGER comparison (h mod 4 == 0 gives
+    exactly 1/4 flip mass — no float in the mechanism), every count is
+    exact, and the estimator is one fixed double expression. One
+    conditional-count scan."""
+    ev = _t(spark, sf_dir, "events")
+    truth = (F.col("event_type") == "purchase").cast("int")
+    flip = (F.pmod(_md5_h32(F.col("event_id")), F.lit(4)) == 0).cast("int")
+    reported = F.abs(truth - flip)  # truth XOR flip
+    agg = ev.select(
+        truth.alias("_t"), reported.alias("_r")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_t").cast("bigint").alias("n_true_yes"),
+        F.sum("_r").cast("bigint").alias("n_reported_yes"),
+    )
+    lam = F.col("n_reported_yes").cast("double") / F.col("n")
+    pi_hat = (lam + 0.75 - 1.0) / 0.5
+    true_pi = F.col("n_true_yes").cast("double") / F.col("n")
+    return agg.select(
+        "n",
+        "n_true_yes",
+        "n_reported_yes",
+        F.round(pi_hat * 1e6).cast("bigint").alias("pi_hat_q6"),
+        F.round(true_pi * 1e6).cast("bigint").alias("true_pi_q6"),
+        F.abs(
+            F.round(pi_hat * 1e6) - F.round(true_pi * 1e6)
+        ).cast("bigint").alias("abs_err_q6"),
+    )
+
+
+ORACLE_RANDOMIZED_RESPONSE = """
+WITH flags AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t,
+         CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 4 = 0
+              THEN 1 ELSE 0 END AS f
+  FROM events
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS n_true_yes,
+         sum(abs(t - f))::BIGINT AS n_reported_yes
+  FROM flags
+)
+SELECT n, n_true_yes, n_reported_yes,
+       round((n_reported_yes::DOUBLE / n + 0.75 - 1.0) / 0.5 * 1e6)::BIGINT
+         AS pi_hat_q6,
+       round(n_true_yes::DOUBLE / n * 1e6)::BIGINT AS true_pi_q6,
+       abs(round((n_reported_yes::DOUBLE / n + 0.75 - 1.0) / 0.5 * 1e6)
+           - round(n_true_yes::DOUBLE / n * 1e6))::BIGINT AS abs_err_q6
+FROM agg
+"""
+
+
+QUERIES["randomized_response_estimate"] = randomized_response_estimate
+ORACLES["randomized_response_estimate"] = ORACLE_RANDOMIZED_RESPONSE
+
+
+_KTRUSS_ROUNDS = 4
+
+
+def ktruss3_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the co-supply graph (Cohen 2008): iteratively peel
+    edges supported by fewer than k-2 = 1 triangles until (bounded)
+    fixpoint — the cohesive-subgraph mining step between triangle
+    counting (a census) and k-core (degree-only cohesion, which keeps
+    hub-and-spoke structure a truss rejects). 4 unrolled synchronous
+    peel rounds (the LPA contract); per the no-silent-caps rule the
+    output carries a `converged` flag (last round removed nothing) so
+    an unconverged truncation is visible, never silent.
+
+    Shape per round: one wedge join on the (degree-capped) adjacency +
+    one pair count + one edge semi-join — all equi-joins; support is
+    recomputed WITHIN the surviving edge set each round, which is what
+    makes it a truss and not a one-shot support filter."""
+    edges = _cosupply_edges(spark, sf_dir)
+
+    def peel(e: DataFrame) -> DataFrame:
+        adj = e.select("a", "b").unionAll(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        wedges = (
+            adj.alias("p")
+            .join(adj.alias("q"), F.col("p.b") == F.col("q.b"))
+            .filter(F.col("p.a") < F.col("q.a"))
+            .select(F.col("p.a").alias("a"), F.col("q.a").alias("b"))
+        )
+        sup = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+        return e.join(sup, ["a", "b"]).filter(F.col("support") >= 1)
+
+    cur = edges
+    counts = []
+    for _ in range(_KTRUSS_ROUNDS):
+        # each round's adjacency feeds the wedge join TWICE (p and q
+        # sides) and the next round builds on it: persist stops the
+        # 2^rounds recompute blowup while keeping lineage recoverable
+        # (the knn_join escalation contract)
+        cur = peel(cur.select("a", "b")).persist()
+        counts.append(cur)
+    last, prev = counts[-1], counts[-2]
+    conv = (
+        last.agg(F.count(F.lit(1)).alias("_n_last"))
+        .crossJoin(prev.agg(F.count(F.lit(1)).alias("_n_prev")))
+        .select((F.col("_n_last") == F.col("_n_prev")).alias("converged"))
+    )
+    return last.crossJoin(F.broadcast(conv)).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("support").cast("bigint").alias("support"),
+        "converged",
+    )
+
+
+def _ktruss_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    for r in range(1, _KTRUSS_ROUNDS + 1):
+        rounds.append(f"""adj{r} AS (
+  SELECT a, b FROM {prev} UNION ALL SELECT b, a FROM {prev}
+),
+sup{r} AS (
+  SELECT p.a AS a, q.a AS b, count(*) AS support
+  FROM adj{r} p JOIN adj{r} q ON p.b = q.b AND p.a < q.a
+  GROUP BY 1, 2
+),
+e{r} AS (
+  SELECT e.a, e.b, s.support
+  FROM {prev} e JOIN sup{r} s ON s.a = e.a AND s.b = e.b
+  WHERE s.support >= 1
+)""")
+        prev = f"e{r}"
+    n = _KTRUSS_ROUNDS
+    return f"""
+WITH {_COSUPPLY_PS_SQL},
+e0 AS (
+  SELECT DISTINCT x.sk AS a, y.sk AS b
+  FROM ps x JOIN ps y USING (pk) WHERE x.sk < y.sk
+),
+{",".join(rounds)},
+conv AS (
+  SELECT (SELECT count(*) FROM e{n}) = (SELECT count(*) FROM e{n - 1})
+    AS converged
+)
+SELECT a::BIGINT AS a, b::BIGINT AS b, support::BIGINT AS support,
+       conv.converged
+FROM e{n}, conv
+"""
+
+
+QUERIES["ktruss3_cosupply"] = ktruss3_cosupply
+ORACLES["ktruss3_cosupply"] = _ktruss_oracle()
