@@ -286,3 +286,45 @@ def test_ktruss3_matches_pure_python(spark):
         adj[a].add(b)
         adj[b].add(a)
     assert all(len(adj[a] & adj[b]) >= 1 for a, b in cur)
+
+
+def test_seasonal_strength_matches_pure_python(spark, events):
+    got = {
+        r["event_type"]: (r["n_days"], r["eta2_q6"])
+        for r in QUERIES["seasonal_strength_dow"](spark, SF).collect()
+    }
+    by_type: dict = defaultdict(lambda: defaultdict(int))
+    for u, ts, t, v in events:
+        by_type[t][ts.date()] += 1
+    for t, days in by_type.items():
+        groups: dict = defaultdict(list)
+        for d, c in days.items():
+            groups[d.weekday()].append(c)
+        n = sum(len(g) for g in groups.values())
+        s = sum(sum(g) for g in groups.values())
+        q = sum(c * c for g in groups.values() for c in g)
+        sb6 = sum(round(sum(g) * sum(g) / len(g) * 1e6) for g in groups.values())
+        ss_total = q - s * s / n
+        ss_between = sb6 / 1e6 - s * s / n
+        exp = None if ss_total == 0 else round(ss_between / ss_total * 1e6)
+        assert got[t] == (n, exp), (t, got[t], (n, exp))
+        if exp is not None:
+            assert -1000 <= exp <= 1_001_000  # eta^2 in [0,1] up to quantization
+
+
+def test_overdispersion_matches_pure_python(spark, events):
+    got = {
+        r["event_type"]: (r["n_days"], r["dispersion_q6"], r["var_mean_ratio_q6"])
+        for r in QUERIES["overdispersion_daily_counts"](spark, SF).collect()
+    }
+    by_type: dict = defaultdict(lambda: defaultdict(int))
+    for u, ts, t, v in events:
+        by_type[t][ts.date()] += 1
+    for t, days in by_type.items():
+        xs = list(days.values())
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        d = (n * q - s * s) / s
+        vm = (q - s * s / n) / (n - 1.0) / (s / n)
+        assert got[t] == (n, round(d * 1e6), round(vm * 1e6)), t
+        # dispersion relates to var/mean by D = (n-1) * var/mean
+        assert abs(d - (n - 1) * vm) < 1e-6 * max(1.0, d)

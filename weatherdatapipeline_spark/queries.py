@@ -24824,3 +24824,142 @@ FROM e{n}, conv
 
 QUERIES["ktruss3_cosupply"] = ktruss3_cosupply
 ORACLES["ktruss3_cosupply"] = _ktruss_oracle()
+
+
+def seasonal_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal strength of the daily count series per event
+    type (Hyndman's F_s, computed as the one-way ANOVA eta^2 of daily
+    counts grouped by weekday — the share of daily variance the weekly
+    cycle explains): near 0 = no weekly seasonality, near 1 = the
+    weekday alone predicts the day's volume. The model-selection dial
+    for the seasonal-naive forecaster diebold_mariano_forecasts tests.
+
+    Exactness: SS_total = Q - S^2/n and SS_between = sum_g S_g^2/n_g -
+    S^2/n are EXACT integer/rational expressions of the per-(type,
+    weekday) sums — n^2-scaled to integers, one double division at the
+    end. Shape: one daily aggregate, one 7-cell-per-type combine."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("_d"),
+        F.weekday("ts").alias("_dow"),
+    ).agg(F.count(F.lit(1)).alias("_x"))
+    per_dow = daily.groupBy("event_type", "_dow").agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum("_x").alias("_sg"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_qg"),
+    )
+    # per-group Sg^2/ng is one deterministic double from exact integers:
+    # quantize it to 1e-6 BEFORE the cross-group sum (order-independent
+    # BIGINT addition — the ln(rs)/softmax house pattern) instead of a
+    # decimal multiply/divide chain whose scale rules differ per engine
+    agg = per_dow.groupBy("event_type").agg(
+        F.sum("_ng").cast("bigint").alias("n_days"),
+        F.sum("_sg").cast("bigint").alias("_s"),
+        F.sum("_qg").cast("bigint").alias("_q"),
+        F.sum(
+            F.round(
+                F.col("_sg").cast("double") * F.col("_sg") / F.col("_ng") * 1e6
+            ).cast("bigint")
+        ).alias("_sb6"),
+    )
+    n = F.col("n_days").cast("double")
+    s = F.col("_s").cast("double")
+    q = F.col("_q").cast("double")
+    sb = F.col("_sb6").cast("double") / 1e6
+    ss_total = q - s * s / n
+    ss_between = sb - s * s / n
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.round(F.try_divide(ss_between, ss_total) * 1e6)
+        .cast("bigint")
+        .alias("eta2_q6"),
+    )
+
+
+ORACLE_SEASONAL_STRENGTH = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         (dayofweek(ts) + 6) % 7 AS dow, count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2, 3
+),
+per_dow AS (
+  SELECT event_type, dow, count(*)::BIGINT AS ng, sum(x)::BIGINT AS sg,
+         sum(x * x)::BIGINT AS qg
+  FROM daily GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, sum(ng)::BIGINT AS n_days, sum(sg)::BIGINT AS s,
+         sum(qg)::BIGINT AS q,
+         sum(round(sg::DOUBLE * sg / ng * 1e6)::BIGINT)::BIGINT AS sb6
+  FROM per_dow GROUP BY event_type
+)
+SELECT event_type, n_days,
+       round((sb6::DOUBLE / 1e6 - s::DOUBLE * s / n_days)
+             / NULLIF(q::DOUBLE - s::DOUBLE * s / n_days, 0.0)
+             * 1e6)::BIGINT AS eta2_q6
+FROM agg
+"""
+
+
+QUERIES["seasonal_strength_dow"] = seasonal_strength_dow
+ORACLES["seasonal_strength_dow"] = ORACLE_SEASONAL_STRENGTH
+
+
+def overdispersion_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion screen on the daily count series per event
+    type: D = (n-1) * s^2 / xbar, chi-square-distributed with n-1 df
+    under a Poisson null (Fisher's dispersion test) — the one-number
+    check that decides whether poisson_glm_daily_trend's equal-mean-
+    variance assumption holds or a negative-binomial family is needed
+    (variance ratio var/mean rides along as the effect size).
+
+    Exactness: n^2-scaled integer identity n*(n-1)*s^2... collapses to
+    (n*Q - S^2) / S — ONE division of exact BIGINTs. Shape: one daily
+    aggregate + a 5-row combine."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_d")
+    ).agg(F.count(F.lit(1)).alias("_x"))
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("_x").cast("bigint").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("_q"),
+    )
+    n = F.col("n_days").cast("double")
+    s = F.col("_s").cast("double")
+    q = F.col("_q").cast("double")
+    # D = (n-1)s^2/xbar with s^2 = (Q - S^2/n)/(n-1), xbar = S/n
+    #   = (n*Q - S^2) / S  — exact integers up to the one division
+    d_stat = (n * q - s * s) / s
+    var_mean = (q - s * s / n) / (n - 1.0) / (s / n)
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.round(d_stat * 1e6).cast("bigint").alias("dispersion_q6"),
+        F.round(var_mean * 1e6).cast("bigint").alias("var_mean_ratio_q6"),
+    )
+
+
+ORACLE_OVERDISPERSION = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_days, sum(x)::BIGINT AS s,
+         sum(x * x)::BIGINT AS q
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       round((n_days::DOUBLE * q - s::DOUBLE * s) / s * 1e6)::BIGINT
+         AS dispersion_q6,
+       round((q::DOUBLE - s::DOUBLE * s / n_days) / (n_days - 1.0)
+             / (s::DOUBLE / n_days) * 1e6)::BIGINT AS var_mean_ratio_q6
+FROM agg
+"""
+
+
+QUERIES["overdispersion_daily_counts"] = overdispersion_daily_counts
+ORACLES["overdispersion_daily_counts"] = ORACLE_OVERDISPERSION
