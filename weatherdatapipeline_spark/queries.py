@@ -23682,17 +23682,22 @@ def herfindahl_source_concentration(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("_m").cast("bigint").alias("_tm"),
         F.sum(F.col("_m") * F.col("_m")).cast("bigint").alias("_tmm"),
     )
+    # an empty corpus has no shares: NULL both engines, never an error
     return agg.select(
         "n_sources",
         F.round(
-            F.col("_tcc").cast("double")
-            / (F.col("_tc").cast("double") * F.col("_tc")) * 1e6
+            F.try_divide(
+                F.col("_tcc").cast("double"),
+                F.col("_tc").cast("double") * F.col("_tc"),
+            ) * 1e6
         )
         .cast("bigint")
         .alias("hhi_docs_q6"),
         F.round(
-            F.col("_tmm").cast("double")
-            / (F.col("_tm").cast("double") * F.col("_tm")) * 1e6
+            F.try_divide(
+                F.col("_tmm").cast("double"),
+                F.col("_tm").cast("double") * F.col("_tm"),
+            ) * 1e6
         )
         .cast("bigint")
         .alias("hhi_chars_q6"),
@@ -23711,8 +23716,10 @@ agg AS (
   FROM per
 )
 SELECT n_sources,
-       round(tcc::DOUBLE / (tc::DOUBLE * tc) * 1e6)::BIGINT AS hhi_docs_q6,
-       round(tmm::DOUBLE / (tm::DOUBLE * tm) * 1e6)::BIGINT AS hhi_chars_q6
+       round(tcc::DOUBLE / NULLIF(tc::DOUBLE * tc, 0.0) * 1e6)::BIGINT
+         AS hhi_docs_q6,
+       round(tmm::DOUBLE / NULLIF(tm::DOUBLE * tm, 0.0) * 1e6)::BIGINT
+         AS hhi_chars_q6
 FROM agg
 """
 
@@ -23822,10 +23829,13 @@ def evalue_sensitivity_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c1"),
     )
-    rr = (
-        F.col("c1").cast("double") / F.col("n1")
-    ) / (F.col("c0").cast("double") / F.col("n0"))
-    rr_star = F.greatest(rr, F.lit(1.0) / rr)
+    # a zero-conversion or empty arm makes RR undefined: NULL on both
+    # engines (try_divide here, NULLIF in the oracle), never an error
+    rr = F.try_divide(
+        F.try_divide(F.col("c1").cast("double"), F.col("n1")),
+        F.try_divide(F.col("c0").cast("double"), F.col("n0")),
+    )
+    rr_star = F.greatest(rr, F.try_divide(F.lit(1.0), rr))
     ev_ = rr_star + F.sqrt(rr_star * (rr_star - 1.0))
     return agg.select(
         "n0",
@@ -23855,11 +23865,12 @@ WITH agg AS (
 ),
 rrc AS (
   SELECT n0, n1, c0, c1,
-         (c1::DOUBLE / n1) / (c0::DOUBLE / n0) AS rr
+         (c1::DOUBLE / NULLIF(n1, 0)) / NULLIF(c0::DOUBLE / NULLIF(n0, 0), 0.0)
+           AS rr
   FROM agg
 ),
 st AS (
-  SELECT *, greatest(rr, 1.0 / rr) AS rr_star FROM rrc
+  SELECT *, greatest(rr, 1.0 / NULLIF(rr, 0.0)) AS rr_star FROM rrc
 )
 SELECT n0, n1, c0, c1,
        round(rr * 1e6)::BIGINT AS rr_q6,
@@ -24004,7 +24015,12 @@ def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.col("_s").cast("double")
     q = F.col("_q").cast("double")
     x = F.col("_x").cast("double")
-    g = F.abs(x - s / n) / F.sqrt((q - s * s / n) / (n - 1.0))
+    # single-day or constant series: G undefined (0/0) -> NULL both
+    # engines, never an ANSI divide error
+    g = F.try_divide(
+        F.abs(x - s / n),
+        F.sqrt(F.try_divide(q - s * s / n, n - 1.0)),
+    )
     return top.select(
         "event_type",
         F.col("_n").cast("bigint").alias("n_days"),
@@ -24035,7 +24051,8 @@ SELECT event_type, n::BIGINT AS n_days,
        strftime(d, '%Y-%m-%d') AS peak_day,
        x::BIGINT AS peak_count,
        round(abs(x::DOUBLE - s::DOUBLE / n)
-             / sqrt((q::DOUBLE - s::DOUBLE * s / n) / (n - 1.0))
+             / NULLIF(sqrt((q::DOUBLE - s::DOUBLE * s / n)
+                           / NULLIF(n - 1.0, 0.0)), 0.0)
              * 1e6)::BIGINT AS g_q6
 FROM ranked WHERE rk = 1
 """
@@ -24932,8 +24949,11 @@ def overdispersion_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.col("_q").cast("double")
     # D = (n-1)s^2/xbar with s^2 = (Q - S^2/n)/(n-1), xbar = S/n
     #   = (n*Q - S^2) / S  — exact integers up to the one division
-    d_stat = (n * q - s * s) / s
-    var_mean = (q - s * s / n) / (n - 1.0) / (s / n)
+    # a single-day series has no variance estimate: NULL both engines
+    d_stat = F.try_divide(n * q - s * s, s)
+    var_mean = F.try_divide(
+        F.try_divide(q - s * s / n, n - 1.0), s / n
+    )
     return agg.select(
         "event_type",
         "n_days",
@@ -24953,10 +24973,12 @@ agg AS (
   FROM daily GROUP BY event_type
 )
 SELECT event_type, n_days,
-       round((n_days::DOUBLE * q - s::DOUBLE * s) / s * 1e6)::BIGINT
-         AS dispersion_q6,
-       round((q::DOUBLE - s::DOUBLE * s / n_days) / (n_days - 1.0)
-             / (s::DOUBLE / n_days) * 1e6)::BIGINT AS var_mean_ratio_q6
+       round((n_days::DOUBLE * q - s::DOUBLE * s) / NULLIF(s, 0) * 1e6)
+         ::BIGINT AS dispersion_q6,
+       round((q::DOUBLE - s::DOUBLE * s / n_days)
+             / NULLIF(n_days - 1.0, 0.0)
+             / NULLIF(s::DOUBLE / n_days, 0.0) * 1e6)::BIGINT
+         AS var_mean_ratio_q6
 FROM agg
 """
 
