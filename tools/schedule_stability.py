@@ -110,6 +110,24 @@ DEFAULT_QUERIES = [
     "nearest_facility_assignment",
     "weather_batch_stats",
     "weather_feature_matrix",
+    # r11 wave: exp/ln softmax weights, double argmaxes, KM integrals,
+    # LM-score quantiles — the full float-path surface added this round
+    "binseg_changepoint_by_type",
+    "grubbs_outlier_daily",
+    "evalue_sensitivity_purchase",
+    "stickiness_dau_wau",
+    "herfindahl_source_concentration",
+    "degree_assortativity_cosupply",
+    "lang_id_confusion",
+    "perplexity_quintile_mixture",
+    "excess_loss_mixture_weights",
+    "rmst_churn_by_arm",
+    "dedup_keep_best_quality",
+    "randomized_response_estimate",
+    "ktruss3_cosupply",
+    "seasonal_strength_dow",
+    "overdispersion_daily_counts",
+    "geo_knn_escalation_audit",
 ]
 
 
