@@ -328,3 +328,64 @@ def test_overdispersion_matches_pure_python(spark, events):
         assert got[t] == (n, round(d * 1e6), round(vm * 1e6)), t
         # dispersion relates to var/mean by D = (n-1) * var/mean
         assert abs(d - (n - 1) * vm) < 1e-6 * max(1.0, d)
+
+
+def test_entropy_rate_matches_pure_python(spark, events):
+    row = QUERIES["entropy_rate_event_chain"](spark, SF).collect()[0]
+    types = ["click", "error", "purchase", "signup", "view"]
+    idx = {t: i for i, t in enumerate(types)}
+    byuser: dict = defaultdict(list)
+    for u, ts, t, v in events:
+        byuser[u].append((ts, t))
+    c = [[0] * 5 for _ in range(5)]
+    n_tr = 0
+    for u, evs in byuser.items():
+        evs.sort()
+        for (_, a), (_, b) in zip(evs, evs[1:]):
+            c[idx[a]][idx[b]] += 1
+            n_tr += 1
+    p0 = []
+    for i in range(5):
+        tot = float(sum(c[i]))
+        p0.append([0.2] * 5 if tot == 0 else [c[i][j] / tot for j in range(5)])
+    p = [r[:] for r in p0]
+    for _ in range(4):
+        p = [
+            [sum(p[i][m] * p[m][j] for m in range(5)) for j in range(5)]
+            for i in range(5)
+        ]
+    pi = [sum(0.2 * p[i][j] for i in range(5)) for j in range(5)]
+    h = -sum(
+        pi[i] * sum(p0[i][j] * math.log(p0[i][j]) for j in range(5) if p0[i][j])
+        for i in range(5)
+    )
+    assert row["n_transitions"] == n_tr
+    assert abs(row["entropy_rate_q6"] - round(h * 1e6)) <= 1
+    # entropy rate of a 5-state chain is bounded by ln 5
+    assert 0 <= row["entropy_rate_q6"] <= round(math.log(5) * 1e6)
+    assert abs(row["branching_factor_q6"] / 1e6 - math.exp(h)) < 1e-4
+
+
+def test_max_drawdown_matches_pure_python(spark, events):
+    got = {
+        r["event_type"]: (r["trough_day"], r["max_drawdown_cents"], r["peak_cents"])
+        for r in QUERIES["max_drawdown_daily_revenue"](spark, SF).collect()
+    }
+    daily: dict = defaultdict(lambda: defaultdict(int))
+    for u, ts, t, v in events:
+        if v is None:
+            continue
+        daily[t][ts.date()] += round(v * 100)
+    for t, days in daily.items():
+        cum, peak = 0, 0
+        best = None
+        for d, cents in sorted(days.items()):
+            cum += cents
+            peak = max(peak, cum)
+            dd = peak - cum
+            key = (-dd, d)
+            if best is None or key < best[0]:
+                best = (key, d, dd, peak)
+        exp = (best[1].isoformat(), best[2], best[3])
+        assert got[t] == exp, (t, got[t], exp)
+        assert got[t][1] >= 0

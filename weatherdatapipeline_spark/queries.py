@@ -24985,3 +24985,252 @@ FROM agg
 
 QUERIES["overdispersion_daily_counts"] = overdispersion_daily_counts
 ORACLES["overdispersion_daily_counts"] = ORACLE_OVERDISPERSION
+
+
+def entropy_rate_event_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order user-journey Markov chain
+    (Shannon/Cover-Thomas H = -sum_i pi_i sum_j p_ij ln p_ij, with pi
+    from the same v0·P^16 squarings as markov_stationary_event_types):
+    how many nats of surprise each next event carries once the journey
+    mixes — the predictability ceiling for any next-event model, with
+    exp(H) riding along as the effective branching factor.
+
+    Engine-exactness: same contract as the stationary query — the 5x5
+    integer cell table is a bounded driver closure, the squaring/
+    entropy arithmetic runs the identical left-to-right IEEE sequence
+    the oracle's unrolled CTEs run (0·ln 0 := 0 via the same CASE), and
+    the result is reinjected as literals. One corpus pass."""
+    import math
+
+    ev = _t(spark, sf_dir, "events")
+    ti = (
+        F.array_position(
+            F.array(*[F.lit(t) for t in _MK_TYPES]), F.col("event_type")
+        )
+        - 1
+    ).cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cells = (
+        ev.select("user_id", "ts", "event_id", ti.alias("_ti"))
+        .withColumn("_pi", F.lag("_ti").over(w))
+        .filter(F.col("_pi").isNotNull())
+        .groupBy((F.col("_pi") * 5 + F.col("_ti")).alias("_cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    )
+    aggs = [F.sum("_cnt").cast("bigint").alias("n_transitions")]
+    for i in range(5):
+        for j in range(5):
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.when(F.col("_cell") == i * 5 + j, F.col("_cnt"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias(f"c_{i}_{j}")
+            )
+    row = cells.agg(*aggs).collect()[0]
+    n_transitions = row["n_transitions"]
+    c = [[row[f"c_{i}_{j}"] for j in range(5)] for i in range(5)]
+    p0 = []
+    for i in range(5):
+        tot = float(c[i][0] + c[i][1] + c[i][2] + c[i][3] + c[i][4])
+        if tot == 0.0:
+            p0.append([0.2] * 5)
+        else:
+            p0.append([c[i][j] / tot for j in range(5)])
+    p = [r[:] for r in p0]
+    for _ in range(_MK_SQUARINGS):
+        p = [
+            [
+                p[i][0] * p[0][j]
+                + p[i][1] * p[1][j]
+                + p[i][2] * p[2][j]
+                + p[i][3] * p[3][j]
+                + p[i][4] * p[4][j]
+                for j in range(5)
+            ]
+            for i in range(5)
+        ]
+    pi = [
+        0.2 * p[0][j]
+        + 0.2 * p[1][j]
+        + 0.2 * p[2][j]
+        + 0.2 * p[3][j]
+        + 0.2 * p[4][j]
+        for j in range(5)
+    ]
+    # H = -sum_i pi_i * sum_j p0_ij ln p0_ij, with 0 ln 0 := 0 — the
+    # j-then-i left-to-right order is the oracle's exact expression order
+    h = 0.0
+    for i in range(5):
+        row_h = 0.0
+        for j in range(5):
+            if p0[i][j] != 0.0:
+                row_h = row_h + p0[i][j] * math.log(p0[i][j])
+        h = h + pi[i] * row_h
+    h = -h
+    return spark.range(1).select(
+        F.lit(n_transitions).cast("bigint").alias("n_transitions"),
+        F.round(F.lit(h) * 1e6).cast("bigint").alias("entropy_rate_q6"),
+        F.round(F.lit(math.exp(h)) * 1e6).cast("bigint").alias(
+            "branching_factor_q6"
+        ),
+    )
+
+
+def _entropy_rate_oracle() -> str:
+    cells = ",\n         ".join(
+        f"sum(CASE WHEN prev = '{a}' AND event_type = '{b}' THEN 1 ELSE 0 END)"
+        f"::BIGINT AS c_{i}_{j}"
+        for i, a in enumerate(_MK_TYPES)
+        for j, b in enumerate(_MK_TYPES)
+    )
+    probs = ",\n       ".join(
+        f"CASE WHEN (c_{i}_0 + c_{i}_1 + c_{i}_2 + c_{i}_3 + c_{i}_4) = 0"
+        f" THEN 0.2::DOUBLE ELSE c_{i}_{j}::DOUBLE /"
+        f" (c_{i}_0 + c_{i}_1 + c_{i}_2 + c_{i}_3 + c_{i}_4)::DOUBLE END"
+        f" AS o_{i}_{j}"
+        for i in range(5)
+        for j in range(5)
+    )
+    all_o = ", ".join(f"o_{i}_{j}" for i in range(5) for j in range(5))
+    v0 = ", ".join(f"0.2 AS v_{j}" for j in range(5))
+    p_init = ", ".join(
+        f"o_{i}_{j} AS p_{i}_{j}" for i in range(5) for j in range(5)
+    )
+    its = [
+        f"it0 AS (SELECT n_transitions, {all_o}, {p_init}, {v0} FROM probs)"
+    ]
+    for k in range(1, _MK_SQUARINGS + 1):
+        sq = ", ".join(
+            " + ".join(f"p_{i}_{m} * p_{m}_{j}" for m in range(5))
+            + f" AS p_{i}_{j}"
+            for i in range(5)
+            for j in range(5)
+        )
+        vs = ", ".join(f"v_{j}" for j in range(5))
+        its.append(
+            f"it{k} AS (SELECT n_transitions, {all_o}, {sq}, {vs}"
+            f" FROM it{k - 1})"
+        )
+    pis = ", ".join(
+        " + ".join(f"v_{i} * p_{i}_{j}" for i in range(5)) + f" AS pi_{j}"
+        for j in range(5)
+    )
+    its.append(
+        f"itf AS (SELECT n_transitions, {all_o}, {pis}"
+        f" FROM it{_MK_SQUARINGS})"
+    )
+    row_hs = []
+    for i in range(5):
+        terms = " + ".join(
+            f"CASE WHEN o_{i}_{j} = 0.0 THEN 0.0"
+            f" ELSE o_{i}_{j} * ln(o_{i}_{j}) END"
+            for j in range(5)
+        )
+        row_hs.append(f"pi_{i} * ({terms})")
+    h_expr = "-(" + " + ".join(row_hs) + ")"
+    return f"""
+WITH lagged AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+agg AS (
+  SELECT count(prev)::BIGINT AS n_transitions,
+         {cells}
+  FROM lagged WHERE prev IS NOT NULL
+),
+probs AS (SELECT n_transitions, {probs} FROM agg),
+{",".join(its)}
+SELECT n_transitions,
+       round(({h_expr}) * 1e6)::BIGINT AS entropy_rate_q6,
+       round(exp({h_expr}) * 1e6)::BIGINT AS branching_factor_q6
+FROM itf
+"""
+
+
+QUERIES["entropy_rate_event_chain"] = entropy_rate_event_chain
+ORACLES["entropy_rate_event_chain"] = _entropy_rate_oracle()
+
+
+def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily `value` total per event
+    type: the deepest peak-to-trough fall of the running total and the
+    day the trough lands — the risk readout the monotone cumulative
+    views (cohort LTV, pareto) don't expose (cumulative revenue only
+    draws down when daily values can be negative or the metric is a
+    NET; here it audits the running-total shape exactly).
+
+    Exactness: daily values sum as integer CENTS; drawdown_i =
+    running_max(cum) - cum is an exact integer per day, and the argmax
+    uses (drawdown desc, day asc) on integers — no float anywhere.
+    Shape: one daily aggregate, one type-partitioned ordered window
+    (prefix sum + running max), one argmax row_number."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("_d")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "event_type", "_d", F.sum("_cents").over(run).alias("_cum")
+    )
+    curved = cum.select(
+        "event_type",
+        "_d",
+        "_cum",
+        F.max("_cum").over(run).alias("_peak"),
+    ).withColumn("_dd", F.col("_peak") - F.col("_cum"))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("_dd").desc(), F.col("_d").asc()
+    )
+    return (
+        curved.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("_d", "yyyy-MM-dd").alias("trough_day"),
+            F.col("_dd").cast("bigint").alias("max_drawdown_cents"),
+            F.col("_peak").cast("bigint").alias("peak_cents"),
+        )
+    )
+
+
+ORACLE_MAX_DRAWDOWN = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         sum(round(value * 100)::BIGINT)::BIGINT AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, d,
+         sum(cents) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM daily
+),
+curved AS (
+  SELECT event_type, d, cum,
+         max(cum) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak
+  FROM cum
+),
+ranked AS (
+  SELECT event_type, d, peak, (peak - cum) AS dd,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY (peak - cum) DESC, d ASC) AS rk
+  FROM curved
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS trough_day,
+       dd::BIGINT AS max_drawdown_cents, peak::BIGINT AS peak_cents
+FROM ranked WHERE rk = 1
+"""
+
+
+QUERIES["max_drawdown_daily_revenue"] = max_drawdown_daily_revenue
+ORACLES["max_drawdown_daily_revenue"] = ORACLE_MAX_DRAWDOWN
