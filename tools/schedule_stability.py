@@ -128,6 +128,8 @@ DEFAULT_QUERIES = [
     "seasonal_strength_dow",
     "overdispersion_daily_counts",
     "geo_knn_escalation_audit",
+    "entropy_rate_event_chain",
+    "max_drawdown_daily_revenue",
 ]
 
 
