@@ -389,3 +389,65 @@ def test_max_drawdown_matches_pure_python(spark, events):
         exp = (best[1].isoformat(), best[2], best[3])
         assert got[t] == exp, (t, got[t], exp)
         assert got[t][1] >= 0
+
+
+def test_hellinger_matches_pure_python(spark, events):
+    row = QUERIES["hellinger_weekend_shift"](spark, SF).collect()[0]
+    per: dict = defaultdict(lambda: [0, 0])
+    for u, ts, t, v in events:
+        per[t][ts.weekday() >= 5] += 1
+    nw = sum(v[True] for v in per.values())
+    nd = sum(v[False] for v in per.values())
+    bc9 = sum(
+        round(math.sqrt((v[True] / nw) * (v[False] / nd)) * 1e9)
+        for v in per.values()
+    )
+    bc = bc9 / 1e9
+    assert (row["n_weekend"], row["n_weekday"]) == (nw, nd)
+    assert row["bc_q6"] == round(bc * 1e6)
+    assert row["hellinger_q6"] == round(math.sqrt(max(1.0 - bc, 0.0)) * 1e6)
+    assert 0 <= row["bc_q6"] <= 1_000_000  # BC is a bounded coefficient
+
+
+def test_propensity_matched_att_matches_pure_python(spark, events):
+    row = QUERIES["propensity_matched_att"](spark, SF).collect()[0]
+    per_user: dict = {}
+    for u, ts, t, v in events:
+        arm = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        st = per_user.setdefault(u, [arm, ts, 0])
+        st[1] = min(st[1], ts)
+        st[2] += t == "purchase"
+    cells: dict = defaultdict(lambda: [0, 0, 0, 0])  # n, nt, yc, nc
+    for arm, first_ts, y in per_user.values():
+        c = cells[first_ts.hour]
+        c[0] += 1
+        c[1] += arm
+        if arm == 0:
+            c[2] += y
+            c[3] += 1
+    p = {h: c[1] / c[0] for h, c in cells.items()}
+    match = {}
+    for th in cells:
+        best = min(
+            ((abs(p[th] - p[ch]), ch) for ch, c in cells.items() if c[3] > 0),
+        )
+        ch = best[1]
+        match[th] = (cells[ch][2] / cells[ch][3], best[0] <= 0.05)
+    terms, n_matched, n_treated = [], 0, 0
+    for arm, first_ts, y in per_user.values():
+        if arm != 1:
+            continue
+        n_treated += 1
+        ybar, ok = match[first_ts.hour]
+        if ok:
+            n_matched += 1
+            terms.append(round((y - ybar) * 1e6))
+    assert row["n_treated"] == n_treated
+    assert (row["n_matched"], row["n_unmatched"]) == (
+        n_matched,
+        n_treated - n_matched,
+    )
+    if n_matched:
+        assert row["att"] == round(sum(terms) / n_matched / 1e6, 6)
+    else:
+        assert row["att"] is None

@@ -130,6 +130,8 @@ DEFAULT_QUERIES = [
     "geo_knn_escalation_audit",
     "entropy_rate_event_chain",
     "max_drawdown_daily_revenue",
+    "propensity_matched_att",
+    "hellinger_weekend_shift",
 ]
 
 

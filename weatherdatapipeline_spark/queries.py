@@ -25234,3 +25234,200 @@ FROM ranked WHERE rk = 1
 
 QUERIES["max_drawdown_daily_revenue"] = max_drawdown_daily_revenue
 ORACLES["max_drawdown_daily_revenue"] = ORACLE_MAX_DRAWDOWN
+
+
+def propensity_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-matched ATT (Rosenbaum & Rubin 1983, coarsened to the
+    saturated hour-of-first-event cells the AIPW/stratification
+    estimators already use): every treated user matches the control
+    CELL whose propensity is nearest its own (caliper 0.05, tie-break
+    lower hour), and ATT = mean over treated of (own purchase count -
+    matched control cell's mean purchase count). Completes the causal
+    battery's estimator triad: stratification (coarse), AIPW (model-
+    based), matching (design-based). Per the no-silent-caps rule the
+    unmatched-treated count (no control cell within the caliper) is
+    part of the output.
+
+    Exactness: propensities are single divisions of exact integers per
+    hour cell (24 values), the nearest-cell argmin orders by
+    (|p_t - p_c|, hour) on identical doubles, and the ATT mean
+    quantizes each treated term to 1e-6 integers before the final sum.
+    Shape: one user aggregate, then everything lives on 24-cell
+    tables."""
+    ev = _t(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    users = ev.groupBy("user_id").agg(
+        F.hour(F.min("ts")).alias("_h"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("_y"),
+    ).select(arm.alias("_arm"), "_h", "_y")
+    cells = users.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_arm").alias("_nt"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_y"))).alias("_yc"),
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("_nc"),
+    ).withColumn("_p", F.col("_nt").cast("double") / F.col("_n"))
+    tcells = cells.select(
+        F.col("_h").alias("_th"), F.col("_p").alias("_tp")
+    )
+    ccells = cells.filter(F.col("_nc") > 0).select(
+        F.col("_h").alias("_ch"),
+        F.col("_p").alias("_cp"),
+        (F.col("_yc").cast("double") / F.col("_nc")).alias("_ybar"),
+    )
+    wm = Window.partitionBy("_th").orderBy(
+        F.abs(F.col("_tp") - F.col("_cp")).asc(), F.col("_ch").asc()
+    )
+    match = (
+        tcells.crossJoin(ccells)
+        .withColumn("_rk", F.row_number().over(wm))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "_th",
+            "_ybar",
+            (F.abs(F.col("_tp") - F.col("_cp")) <= 0.05).alias("_in_caliper"),
+        )
+    )
+    treated = users.filter(F.col("_arm") == 1)
+    joined = treated.join(
+        F.broadcast(match), treated["_h"] == match["_th"], "left"
+    )
+    matched = F.col("_in_caliper")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated"),
+        F.sum(matched.cast("long")).cast("bigint").alias("n_matched"),
+        (F.count(F.lit(1)) - F.sum(matched.cast("long")))
+        .cast("bigint")
+        .alias("n_unmatched"),
+        F.round(
+            F.sum(
+                F.when(
+                    matched,
+                    F.round((F.col("_y") - F.col("_ybar")) * 1e6).cast(
+                        "bigint"
+                    ),
+                )
+            ).cast("double")
+            / F.sum(matched.cast("long"))
+            / 1e6,
+            6,
+        ).alias("att"),
+    )
+
+
+ORACLE_PROPENSITY_MATCHED = """
+WITH users AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+           AS arm,
+         hour(min(ts)) AS h,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS y
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT h, count(*)::BIGINT AS n, sum(arm)::BIGINT AS nt,
+         sum(CASE WHEN arm = 0 THEN y END)::BIGINT AS yc,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
+         sum(arm)::DOUBLE / count(*) AS p
+  FROM users GROUP BY h
+),
+match AS (
+  SELECT th, ybar, in_caliper FROM (
+    SELECT t.h AS th, c.yc::DOUBLE / c.nc AS ybar,
+           abs(t.p - c.p) <= 0.05 AS in_caliper,
+           row_number() OVER (PARTITION BY t.h
+                              ORDER BY abs(t.p - c.p) ASC, c.h ASC) AS rk
+    FROM cells t CROSS JOIN cells c
+    WHERE c.nc > 0
+  ) WHERE rk = 1
+)
+SELECT count(*)::BIGINT AS n_treated,
+       sum(CASE WHEN in_caliper THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+       (count(*) - sum(CASE WHEN in_caliper THEN 1 ELSE 0 END))::BIGINT
+         AS n_unmatched,
+       round(sum(CASE WHEN in_caliper
+                      THEN round((y - ybar) * 1e6)::BIGINT END)::DOUBLE
+             / sum(CASE WHEN in_caliper THEN 1 ELSE 0 END) / 1e6, 6) AS att
+FROM users u LEFT JOIN match ON match.th = u.h
+WHERE u.arm = 1
+"""
+
+
+QUERIES["propensity_matched_att"] = propensity_matched_att
+ORACLES["propensity_matched_att"] = ORACLE_PROPENSITY_MATCHED
+
+
+def hellinger_weekend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance (and Bhattacharyya coefficient) between the
+    weekend and weekday event-TYPE distributions: H^2 = 1 - sum_i
+    sqrt(p_i * q_i) — the bounded, symmetric drift metric beside the
+    family's KL (asymmetric, unbounded), KS (sup gap), PSI (binned) and
+    W1 (value-space) readouts; BC = 1 means identical mixtures.
+
+    Exactness: per-type sqrt(p*q) is one deterministic double from four
+    exact integers, quantized to 1e-9 BEFORE the 5-term sum (the
+    softmax/ln(rs) pattern), so type-summation order can't move the q6
+    output. One conditional-count scan + a 5-row combine."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.dayofweek("ts").isin(1, 7)
+    per = ev.groupBy("event_type").agg(
+        F.sum(wk.cast("long")).alias("_cw"),
+        F.sum((~wk).cast("long")).alias("_cd"),
+    )
+    tot = per.agg(
+        F.sum("_cw").cast("bigint").alias("_nw"),
+        F.sum("_cd").cast("bigint").alias("_nd"),
+    )
+    term9 = F.round(
+        F.sqrt(
+            (F.col("_cw").cast("double") / F.col("_nw"))
+            * (F.col("_cd").cast("double") / F.col("_nd"))
+        )
+        * 1e9
+    ).cast("bigint")
+    agg = (
+        per.crossJoin(F.broadcast(tot))
+        .select(term9.alias("_t9"), "_nw", "_nd")
+        .groupBy("_nw", "_nd")
+        .agg(F.sum("_t9").alias("_bc9"))
+    )
+    bc = F.col("_bc9").cast("double") / 1e9
+    return agg.select(
+        F.col("_nw").alias("n_weekend"),
+        F.col("_nd").alias("n_weekday"),
+        F.round(bc * 1e6).cast("bigint").alias("bc_q6"),
+        F.round(F.sqrt(F.greatest(1.0 - bc, F.lit(0.0))) * 1e6)
+        .cast("bigint")
+        .alias("hellinger_q6"),
+    )
+
+
+ORACLE_HELLINGER = """
+WITH per AS (
+  SELECT event_type,
+         sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)::BIGINT
+           AS cw,
+         sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END)::BIGINT
+           AS cd
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT sum(cw)::BIGINT AS nw, sum(cd)::BIGINT AS nd FROM per),
+agg AS (
+  SELECT nw, nd,
+         sum(round(sqrt((cw::DOUBLE / nw) * (cd::DOUBLE / nd)) * 1e9)
+             ::BIGINT)::BIGINT AS bc9
+  FROM per, tot GROUP BY nw, nd
+)
+SELECT nw AS n_weekend, nd AS n_weekday,
+       round(bc9::DOUBLE / 1e9 * 1e6)::BIGINT AS bc_q6,
+       round(sqrt(greatest(1.0 - bc9::DOUBLE / 1e9, 0.0)) * 1e6)::BIGINT
+         AS hellinger_q6
+FROM agg
+"""
+
+
+QUERIES["hellinger_weekend_shift"] = hellinger_weekend_shift
+ORACLES["hellinger_weekend_shift"] = ORACLE_HELLINGER
