@@ -451,3 +451,37 @@ def test_propensity_matched_att_matches_pure_python(spark, events):
         assert row["att"] == round(sum(terms) / n_matched / 1e6, 6)
     else:
         assert row["att"] is None
+
+
+def test_growth_accounting_identities_and_replay(spark, events):
+    import datetime as dt
+
+    rows = QUERIES["growth_accounting_weekly"](spark, SF).collect()
+    got = {
+        r["week"]: (
+            r["n_active"], r["n_new"], r["n_retained"],
+            r["n_resurrected"], r["n_churned_prev"],
+        )
+        for r in rows
+    }
+    weeks: dict = defaultdict(set)
+    for u, ts, t, v in events:
+        d = ts.date()
+        weeks[d - dt.timedelta(days=d.weekday())].add(u)
+    order = sorted(weeks)
+    first_week: dict = {}
+    for w in order:
+        for u in weeks[w]:
+            first_week.setdefault(u, w)
+    for i, w in enumerate(order):
+        prev = weeks[order[i - 1]] if i and order[i - 1] == w - dt.timedelta(7) else set()
+        new = {u for u in weeks[w] if first_week[u] == w}
+        retained = weeks[w] & prev
+        resurrected = weeks[w] - new - retained
+        churned = len(prev - weeks[w])
+        exp = (len(weeks[w]), len(new), len(retained), len(resurrected), churned)
+        assert got[w.isoformat()] == exp, (w, got[w.isoformat()], exp)
+        # the ledger identities
+        assert exp[1] + exp[2] + exp[3] == exp[0]
+        assert exp[2] + exp[4] == len(prev)
+    assert set(got) == {w.isoformat() for w in order}

@@ -132,6 +132,7 @@ DEFAULT_QUERIES = [
     "max_drawdown_daily_revenue",
     "propensity_matched_att",
     "hellinger_weekend_shift",
+    "growth_accounting_weekly",
 ]
 
 

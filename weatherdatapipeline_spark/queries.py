@@ -25431,3 +25431,110 @@ FROM agg
 
 QUERIES["hellinger_weekend_shift"] = hellinger_weekend_shift
 ORACLES["hellinger_weekend_shift"] = ORACLE_HELLINGER
+
+
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the Reforge/Amplitude active-user
+    decomposition): every week's actives split EXACTLY into new (first
+    week ever), retained (also active the prior week) and resurrected
+    (active before, lapsed at least a week), with the prior week's
+    churn (active then, gone now) riding along — so
+    new + retained + resurrected = active and
+    retained + churned_prev = previous week's active, both identities
+    enforced by construction. retention_weekly_cohorts tracks one
+    cohort's decay; this is the week-over-week flow ledger.
+
+    Exactness: pure distinct-set counts — one (user, week) dedup, one
+    per-user min, two shifted-week self-joins; no floats anywhere.
+    Shape: hash aggs + equi-joins keyed by (user, week)."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        F.col("user_id").alias("_u"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("_w"),
+    ).distinct()
+    first = uw.groupBy("_u").agg(F.min("_w").alias("_fw"))
+    prev = uw.select(
+        "_u", F.date_add(F.col("_w"), 7).alias("_w"), F.lit(1).alias("_inprev")
+    )
+    labeled = (
+        uw.join(first, "_u")
+        .join(prev, ["_u", "_w"], "left")
+        .select(
+            "_w",
+            F.when(F.col("_fw") == F.col("_w"), F.lit("new"))
+            .when(F.col("_inprev").isNotNull(), F.lit("retained"))
+            .otherwise(F.lit("resurrected"))
+            .alias("_k"),
+        )
+    )
+    flows = labeled.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum((F.col("_k") == "new").cast("long")).cast("bigint").alias("n_new"),
+        F.sum((F.col("_k") == "retained").cast("long"))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum((F.col("_k") == "resurrected").cast("long"))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    # churned out of the PRIOR week: active at w-1 and absent at w —
+    # count anti-joined prior members per current week
+    nxt = uw.select("_u", F.date_add(F.col("_w"), 7).alias("_w"))
+    churn = (
+        nxt.join(uw, ["_u", "_w"], "left_anti")
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned_prev"))
+    )
+    return (
+        flows.join(churn, "_w", "left")
+        .na.fill(0, ["n_churned_prev"])
+        .select(
+            F.date_format("_w", "yyyy-MM-dd").alias("week"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_churned_prev",
+        )
+    )
+
+
+ORACLE_GROWTH_ACCOUNTING = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+),
+first AS (SELECT u, min(w) AS fw FROM uw GROUP BY u),
+labeled AS (
+  SELECT uw.w,
+         CASE WHEN f.fw = uw.w THEN 'new'
+              WHEN p.u IS NOT NULL THEN 'retained'
+              ELSE 'resurrected' END AS k
+  FROM uw
+  JOIN first f ON f.u = uw.u
+  LEFT JOIN uw p ON p.u = uw.u AND p.w + 7 = uw.w
+),
+flows AS (
+  SELECT w, count(*)::BIGINT AS n_active,
+         sum(CASE WHEN k = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+         sum(CASE WHEN k = 'retained' THEN 1 ELSE 0 END)::BIGINT
+           AS n_retained,
+         sum(CASE WHEN k = 'resurrected' THEN 1 ELSE 0 END)::BIGINT
+           AS n_resurrected
+  FROM labeled GROUP BY w
+),
+churn AS (
+  SELECT a.w + 7 AS w, count(*)::BIGINT AS n_churned_prev
+  FROM uw a LEFT JOIN uw b ON b.u = a.u AND b.w = a.w + 7
+  WHERE b.u IS NULL
+  GROUP BY a.w + 7
+)
+SELECT strftime(flows.w, '%Y-%m-%d') AS week, n_active, n_new, n_retained,
+       n_resurrected, coalesce(churn.n_churned_prev, 0)::BIGINT
+         AS n_churned_prev
+FROM flows LEFT JOIN churn ON churn.w = flows.w
+"""
+
+
+QUERIES["growth_accounting_weekly"] = growth_accounting_weekly
+ORACLES["growth_accounting_weekly"] = ORACLE_GROWTH_ACCOUNTING
