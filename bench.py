@@ -105,6 +105,16 @@ HEADLINE = [
     "wilcoxon_signed_rank_weekend",  # paired ranks via range-bucketed rank
     "markov_stationary_event_types",  # 16 unrolled power-iteration selects
     "hurst_rescaled_range",        # integer R/S blocks over the hourly series
+    # r12: the heavy r10w3/r11 join surface joins the recorded set
+    # (VERDICT r11 item 1)
+    "geo_knn_customers",           # exact kNN via escalating grid join
+    "dbscan_customer_geo",         # radius join + star-CC density clustering
+    "ktruss3_cosupply",            # 4-round triangle-support edge peeling
+    "label_propagation_cosupply",  # synchronous LPA community rounds
+    "textrank_keywords",           # windowed co-occurrence + power iteration
+    "pagerank_event_types",        # constant-node-set rank iterations
+    "streaming_funnel_per_window", # windowed ordered funnel (stream replay)
+    "dedup_keep_best_quality",     # CC + per-cluster quality argmax
 ]
 
 
@@ -246,6 +256,26 @@ SCALE_HEADLINE = [
     # distances are preserved exactly while cross-copy names differ in
     # every character — pair mass per copy identical to base
     "editdist_part_name_pairs",
+    # r12 heavy join surface (VERDICT r11 item 1). Linear stories:
+    # geo_* — the sqrt(n) plane extent (queries._GEO_SIDE_SQL) keeps the
+    # planted density CONSTANT under replication, so per-point candidate
+    # counts are scale-invariant and radius/kNN pair mass grows with n,
+    # not n^2 (the fixed 10^6 plane of r11 would have been quadratic —
+    # that was a fixture artifact, not the engine slope). ktruss/lpa —
+    # shifted supp keys make each copy's co-supply graph an independent
+    # component: wedge and peel work linear. textrank — per-doc windows
+    # over rotated text. pagerank — the node set is the constant
+    # event-type dictionary; only the edge-extraction scan scales.
+    # funnel — one watermarked scan, per-user-window state. keep_best —
+    # rotated vocab keeps clusters within-copy; CC + argmax linear.
+    "geo_knn_customers",
+    "dbscan_customer_geo",
+    "ktruss3_cosupply",
+    "label_propagation_cosupply",
+    "textrank_keywords",
+    "pagerank_event_types",
+    "streaming_funnel_per_window",
+    "dedup_keep_best_quality",
 ]
 
 # bump when build_scale_dir's transform changes so stale caches rebuild

@@ -139,6 +139,75 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     )
 
 
+def edge_triangle_support(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Per-edge triangle support |N(u) ∩ N(v)| of an undirected simple
+    graph given as canonical edges (``a`` < ``b``): the inner step of
+    k-truss peeling (Cohen 2008). Returns (a, b, support) for every edge
+    participating in >= 1 triangle.
+
+    Same degree orientation as ``triangle_stats`` (Suri-Vassilvitskii):
+    each edge directed low-(deg, id) -> high, out-degrees O(sqrt(|E|)),
+    so the wedge self-join emits O(|E|^1.5) candidates — never the
+    sum(deg^2) a naive adjacency wedge join pays on hubs. Each triangle
+    is enumerated exactly once (its unique two-out-edge pivot), then
+    exploded to its 3 canonical edges and hash-counted: four shuffles
+    total (degree agg, wedge join, closing-edge join, support agg)."""
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d = (
+        e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1 = d.select(F.col("u").alias("p"), F.col("v").alias("x"))
+    w2 = d.select(F.col("u").alias("p"), F.col("v").alias("y"))
+    wedges_dir = w1.join(w2, "p").filter(F.col("x") < F.col("y"))
+    closing = d.select(
+        F.least("u", "v").alias("cx"), F.greatest("u", "v").alias("cy")
+    )
+    tri = wedges_dir.join(
+        closing,
+        (F.least("x", "y") == F.col("cx")) & (F.greatest("x", "y") == F.col("cy")),
+    ).select("p", "x", "y")
+    sides = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("p", "x").alias("ea"),
+                    F.greatest("p", "x").alias("eb"),
+                ),
+                F.struct(
+                    F.least("p", "y").alias("ea"),
+                    F.greatest("p", "y").alias("eb"),
+                ),
+                F.struct(
+                    F.least("x", "y").alias("ea"),
+                    F.greatest("x", "y").alias("eb"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.ea", "s.eb")
+    return sides.groupBy("ea", "eb").agg(
+        F.count(F.lit(1)).alias("support")
+    ).select(F.col("ea").alias(a), F.col("eb").alias(b), "support")
+
+
 def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,

@@ -162,6 +162,7 @@ def knn_join(
 
     unresolved = base
     resolved_parts = []
+    _level_handles = []
     for radius in radii:
         pairs = level_pairs(unresolved, radius)
         counts = pairs.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
@@ -178,6 +179,7 @@ def knn_join(
         # KEEPING lineage (recoverable on executor loss, unlike the r10
         # localCheckpoint whose blocks lived only on executors)
         unresolved = unresolved.persist()
+        _level_handles.append(unresolved)
     # final, data-derived level (no brute-force broadcast): cell side
     # 2*extent puts every point pair in same/adjacent cells AND under the
     # distance cutoff (max pair dist2 = 2*ext^2 <= (2*ext)^2), so every
@@ -225,7 +227,7 @@ def knn_join(
         allc = allc.unionByName(p)
     allc = allc.unionByName(rest).dropDuplicates(["_pid", "_nbr"])
     w = _W.partitionBy("_pid").orderBy(F.col("_d2").asc(), F.col("_nbr").asc())
-    return (
+    result = (
         allc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -235,6 +237,18 @@ def knn_join(
             F.col("_d2").alias("dist2"),
         )
     )
+    # materialize the (output-bounded, n*k-row) final frame, then release
+    # every escalation level's cache (ADVICE r11: the per-level persists
+    # previously lived for the whole session, accumulating executor
+    # storage on repeated calls). The level caches are populated and
+    # consumed inside this one job; afterwards only the final result —
+    # whose size the caller asked for — stays cached, and its kept
+    # lineage still makes an executor loss a recompute, not a failure.
+    result = result.persist()
+    result.count()
+    for _h in _level_handles:
+        _h.unpersist(blocking=False)
+    return result
 
 
 def knn_escalation_audit(

@@ -2777,8 +2777,10 @@ FROM (
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the at-scale variant of A2. Sketch
-    values are engine-specific → rows-only; the pytest suite bounds the
-    relative error against the exact count instead."""
+    values are engine-specific → rows-only BY DESIGN (estimate-only);
+    the strict-oracled ``approx_distinct_error_audit`` twin (r12) pins
+    the estimate's relative error within 3x the configured RSE, and the
+    pytest suite bounds it against the exact count as well."""
     ev = _t(spark, sf_dir, "events")
     return ev.agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
@@ -3675,8 +3677,14 @@ SELECT ss_us, se_us, user_id, cnt FROM s, m WHERE session_end <= wm
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow mapInPandas binary-column path (§2.11 multimodal): documents'
     text bytes stand in as blobs; the deterministic fake extractor returns
-    a fixed-dim feature vector per blob. Rows-only — the mapInPandas batch
-    shape and schema contract are what is being exercised."""
+    a fixed-dim feature vector per blob. FULL strict oracle since r12
+    (VERDICT r11 item 3, the media_phash_pairs precedent): the byte-fold
+    recurrence acc = (acc*31 + byte) % 100003 is linear in modular
+    arithmetic, so the oracle replays it as sum(byte * 31^(n-1-pos)) mod
+    100003 over a recursive power table — the corpus is all-ASCII
+    (strlen == length, checked), so per-character ord() IS the UTF-8
+    byte. The float32 feature lane is replayed exactly too: both sides
+    round-trip the double through REAL/float before the 6dp round."""
     from .operators.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -3689,9 +3697,51 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id",
         "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-        F.round(F.element_at("feature", 2), 6).alias("f1"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"),
     )
+
+
+# Replays operators/multimodal.py::_fake_feature (dim=4, lanes 0 and 1)
+# in SQL: byte i goes to lane i%4 at position i//4; the Horner fold is
+# sum(byte * 31^(n_lane-1-pos)) mod 100003 (modular linearity). The
+# power table is a single-row-per-step recursive CTE bounded by the
+# longest lane actually present. Python emits float32 lanes
+# (FEATURE_SCHEMA), so v/100003.0 is narrowed REAL -> widened DOUBLE
+# before rounding, matching the query's element_at(...).cast(double).
+ORACLE_MULTIMODAL_FEATURES = """
+WITH RECURSIVE d AS (SELECT doc_id, text FROM documents),
+mx AS (SELECT CAST(ceil(max(strlen(text)) / 4.0) AS BIGINT) AS mk FROM d),
+pw AS (
+  SELECT 0::BIGINT AS k, 1::BIGINT AS p
+  UNION ALL
+  SELECT k + 1, (p * 31) % 100003 FROM pw WHERE k < (SELECT mk FROM mx)
+),
+b AS (
+  SELECT doc_id, i.i AS i,
+         ord(substr(text, CAST(i.i + 1 AS INTEGER), 1))::BIGINT AS byte
+  FROM d CROSS JOIN unnest(range(0, strlen(text))) AS i(i)
+),
+cnt AS (
+  SELECT doc_id, i % 4 AS lane, count(*)::BIGINT AS n FROM b GROUP BY 1, 2
+),
+terms AS (
+  SELECT b.doc_id, b.i % 4 AS lane, b.byte * pw.p AS term
+  FROM b
+  JOIN cnt ON cnt.doc_id = b.doc_id AND cnt.lane = b.i % 4
+  JOIN pw ON pw.k = cnt.n - 1 - (b.i // 4)
+),
+lanes AS (SELECT doc_id, lane, sum(term) % 100003 AS v FROM terms GROUP BY 1, 2)
+SELECT d.doc_id::BIGINT AS media_id,
+       strlen(d.text)::BIGINT AS n_bytes,
+       round(CAST(CAST(COALESCE(l0.v, 0) / 100003.0 AS REAL) AS DOUBLE), 6)
+         AS f0,
+       round(CAST(CAST(COALESCE(l1.v, 0) / 100003.0 AS REAL) AS DOUBLE), 6)
+         AS f1
+FROM d
+LEFT JOIN lanes l0 ON l0.doc_id = d.doc_id AND l0.lane = 0
+LEFT JOIN lanes l1 ON l1.doc_id = d.doc_id AND l1.lane = 1
+"""
 
 
 def weather_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3740,10 +3790,26 @@ def weather_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     weather = synthetic_weather(spark, n_batches=20)
     stats = batch_statistics(weather)
-    return stats.select(
+    # avg_temperature quantized-before-sum (ADVICE r11): temperature is
+    # round(·, 2), so summing round(t*100) bigints is partition-order
+    # independent — the plain double F.avg inside batch_statistics can
+    # flip the 4dp rounding vs DuckDB's sequential sum depending on
+    # spark.range default parallelism (same fix weather_feature_matrix
+    # got in r11); the 1-row crossJoin costs one extra pass over a
+    # 200-row synthetic table
+    qavg = weather.agg(
+        F.round(
+            F.sum(F.round(F.col("temperature") * 100).cast("bigint"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            4,
+        ).alias("avg_temperature_q")
+    )
+    return stats.crossJoin(F.broadcast(qavg)).select(
         "total_records",
         "cities_count",
-        F.round("avg_temperature", 4).alias("avg_temperature"),
+        F.col("avg_temperature_q").alias("avg_temperature"),
         F.round("max_temperature", 4).alias("max_temperature"),
         F.round("min_temperature", 4).alias("min_temperature"),
         F.round("avg_humidity", 4).alias("avg_humidity"),
@@ -3798,7 +3864,8 @@ WITH {_weather_sql(20)}
 SELECT
   count(*)::BIGINT AS total_records,
   count(DISTINCT city)::BIGINT AS cities_count,
-  round(avg(temperature), 4) AS avg_temperature,
+  round(sum(round(temperature * 100)::BIGINT)::DOUBLE / count(*) / 100.0, 4)
+    AS avg_temperature,
   round(max(temperature), 4) AS max_temperature,
   round(min(temperature), 4) AS min_temperature,
   round(avg(humidity), 4) AS avg_humidity,
@@ -13530,6 +13597,7 @@ ORACLES: dict[str, str] = {
     "knn_join_first5": ORACLE_KNN_JOIN,
     "weather_batch_stats": ORACLE_WEATHER_BATCH_STATS,
     "weather_feature_matrix": ORACLE_WEATHER_FEATURE_MATRIX,
+    "multimodal_feature_extract": ORACLE_MULTIMODAL_FEATURES,
     "similarity_lsh_topk": ORACLE_LSH_TOPK,
     "embedding_near_dup_pairs": ORACLE_EMB_NEAR_DUP,
     "cube_order_status_priority": ORACLE_CUBE,
@@ -21553,6 +21621,18 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _h0, _h1 = counts_abs.agg(F.min("_h"), F.max("_h")).first()
+    if _h0 is None:
+        # empty/filtered corpus (ADVICE r11): no purchase events → no
+        # hour bounds; return the same shape the oracle degrades to
+        # (0 complete blocks per size, NULL slope) instead of raising
+        # TypeError on int(None)
+        counts_abs.unpersist()
+        return spark.range(1).select(
+            F.lit(0).cast("bigint").alias("blocks_32"),
+            F.lit(0).cast("bigint").alias("blocks_64"),
+            F.lit(0).cast("bigint").alias("blocks_128"),
+            F.lit(None).cast("bigint").alias("hurst_q4"),
+        )
     counts = counts_abs.select(
         (F.col("_h") - F.lit(_h0)).alias("_i"), "_x"
     )
@@ -22045,15 +22125,45 @@ QUERIES["ranking_eval_purchase"] = ranking_eval_purchase
 ORACLES["ranking_eval_purchase"] = ORACLE_RANKING_EVAL
 
 
+# Plane side for n points: area grows linearly with the row count so
+# POINT DENSITY IS CONSTANT across SFs and scale replicas — the 100 TB
+# story for spatial data (more data covers more geography; it does not
+# pack the same plane denser, which would make every radius/kNN join
+# quadratic under replication). Anchored so side = 10^6 exactly at the
+# sf0.1 customer count (15,000): the r11 fixture is unchanged at the
+# bench SF. floor(double) matches DuckDB's floor(...)::BIGINT — every
+# step (BIGINT/DOUBLE divide, multiply, sqrt) is a correctly-rounded
+# IEEE754 op in both engines.
+_GEO_SIDE_SQL = (
+    "floor(1000000 * sqrt(count(*) / 15000.0))::BIGINT"
+)
+
+_GEO_PTS_SQL = f"""ext AS (
+  SELECT greatest({_GEO_SIDE_SQL}, 1) AS side FROM customer
+),
+pts AS (
+  SELECT c_custkey AS pid,
+         ('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           % (SELECT side FROM ext) AS x,
+         ('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           % (SELECT side FROM ext) AS y
+  FROM customer
+)"""
+
+
+
 def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial radius join (operators/spatial.py::
     radius_join): all customer pairs whose planted planar coordinates lie
-    within Euclidean distance 8000 in a 10^6 x 10^6 space. Coordinates
-    are portable md5 integers of the customer key (replayed bit-for-bit
-    in SQL), so the oracle brute-forces the pair space with band
-    prefilters while Spark runs the 3x3-neighbor cell equi-join — full
-    recall at the radius makes them equal by construction. Squared
-    distances stay INTEGER, no trig/sqrt anywhere."""
+    within Euclidean distance 8000 of each other. The plane's side
+    scales as sqrt(n) (constant density — _GEO_SIDE_SQL), so pair mass
+    and join work stay LINEAR in the corpus at every SF and under bench
+    replication. Coordinates are portable md5 integers of the customer
+    key (replayed bit-for-bit in SQL), so the oracle brute-forces the
+    pair space with band prefilters while Spark runs the 3x3-neighbor
+    cell equi-join — full recall at the radius makes them equal by
+    construction. Squared distances stay INTEGER, no trig/sqrt
+    anywhere."""
     from .operators import spatial as SP
 
     out = SP.radius_join(_geo_points(spark, sf_dir), radius=8000)
@@ -22064,15 +22174,8 @@ def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_GEO_RADIUS = """
-WITH pts AS (
-  SELECT c_custkey AS pid,
-         ('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS x,
-         ('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS y
-  FROM customer
-)
+ORACLE_GEO_RADIUS = f"""
+WITH {_GEO_PTS_SQL}
 SELECT a.pid::BIGINT AS cust_a, b.pid::BIGINT AS cust_b,
        ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist2
 FROM pts a JOIN pts b
@@ -22086,11 +22189,22 @@ QUERIES["geo_radius_pairs"] = geo_radius_pairs
 ORACLES["geo_radius_pairs"] = ORACLE_GEO_RADIUS
 
 
+def _geo_side(n: int) -> int:
+    import math
+
+    return max(int(math.floor(1_000_000.0 * math.sqrt(n / 15000.0))), 1)
+
+
 def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted planar coordinates for the spatial family: portable md5
-    integers of the customer key in a 10^6 x 10^6 space (replayed
-    bit-for-bit by the `pts` CTE of the spatial oracles)."""
+    integers of the customer key in a side^2 plane whose side scales as
+    sqrt(n) (constant density at every SF and under bench replication —
+    see _GEO_SIDE_SQL; side = 10^6 exactly at sf0.1). Replayed
+    bit-for-bit by the shared `ext`/`pts` CTEs of the spatial oracles;
+    the count() is a one-integer bounded driver closure (the markov/OBF
+    pattern)."""
     cust = _t(spark, sf_dir, "customer")
+    side = _geo_side(cust.count())
 
     def coord(tag: str):
         return (
@@ -22101,7 +22215,7 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16,
                 10,
             ).cast("long")
-            % 1_000_000
+            % side
         )
 
     return cust.select(
@@ -22111,15 +22225,23 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DBSCAN_EPS, _DBSCAN_MINPTS = 30_000, 4
+# eps tuned to the CONSTANT planted density (1.5e-8 pts/unit^2 at every
+# SF since the sqrt(n) extent, r12): mean eps-degree = rho*pi*eps^2 ~= 3
+# — below the continuum-percolation threshold (~4.5), so the core graph
+# stays a sea of SMALL components at any scale (real core/border/noise
+# mixture; CC rounds and the oracle's reach closure both stay bounded)
+# instead of one plane-spanning percolated cluster. The old eps=30000
+# gave mean degree ~42 = supercritical at every SF.
+_DBSCAN_EPS, _DBSCAN_MINPTS = 8_000, 4
 
 
 def dbscan_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN (Ester et al. 1996) over the planted customer coordinates,
     composed ENTIRELY from existing engine operators: eps-neighborhoods
     from the grid-bucketed radius join, core points by neighbor count
-    >= minPts, clusters = connected components (min-label propagation,
-    the dedup CC operator) over the core-core edge set, border points
+    >= minPts, clusters = connected components (large/small-star
+    contraction, the dedup CC operator) over the core-core edge set,
+    border points
     assigned to the min cluster among their core neighbors, the rest
     noise. The density-clustering semantics grid_density_clusters
     approximates by cell counting, done exactly.
@@ -22146,7 +22268,12 @@ def dbscan_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(core.withColumnRenamed("pid", "pid_b"), "pid_b")
         .select(F.col("pid_a").alias("doc_a"), F.col("pid_b").alias("doc_b"))
     )
-    cc = D.connected_components(core_edges)
+    # star contraction, not min-label (r12): at constant planted density
+    # the core graph PERCOLATES — one plane-spanning component whose hop
+    # diameter grows as side/eps ~ sqrt(n), so min-label rounds would
+    # grow with the corpus while large/small-star converges in O(log^2 n)
+    # rounds on any topology
+    cc = D.connected_components_star(core_edges)
     cores_lab = core.join(cc, core["pid"] == cc["node"], "left").select(
         "pid", F.coalesce(F.col("cluster_id"), F.col("pid")).alias("cluster_id")
     )
@@ -22180,14 +22307,7 @@ def dbscan_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DBSCAN = f"""
-WITH RECURSIVE pts AS (
-  SELECT c_custkey AS pid,
-         ('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS x,
-         ('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS y
-  FROM customer
-),
+WITH RECURSIVE {_GEO_PTS_SQL},
 pairs AS (
   SELECT a.pid AS pa, b.pid AS pb
   FROM pts a JOIN pts b
@@ -22340,9 +22460,12 @@ def geo_knn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-nearest-neighbors for every customer point via the
     escalating grid search (operators/spatial.py::knn_join): resolved at
     the first radius level holding >= k candidates (which provably
-    contains the true kNN), sparse stragglers brute-forced as a bounded
-    broadcast residual. Deterministic (dist2, id) ranking; the oracle
-    brute-forces all pairs with the same tie-break."""
+    contains the true kNN), stragglers resolved by the data-derived
+    extent-level DISTRIBUTED cell join (no broadcast residual, r11).
+    The constant planted density (r12 sqrt(n) extent) keeps per-point
+    candidate counts scale-invariant, so total work is linear in the
+    corpus. Deterministic (dist2, id) ranking; the oracle brute-forces
+    all pairs with the same tie-break."""
     from .operators import spatial as SP
 
     out = SP.knn_join(_geo_points(spark, sf_dir), k=3)
@@ -22354,15 +22477,8 @@ def geo_knn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_GEO_KNN = """
-WITH pts AS (
-  SELECT c_custkey AS pid,
-         ('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS x,
-         ('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS y
-  FROM customer
-),
+ORACLE_GEO_KNN = f"""
+WITH {_GEO_PTS_SQL},
 dists AS (
   SELECT a.pid, b.pid AS nbr,
          (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
@@ -22401,15 +22517,8 @@ def geo_knn_escalation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_GEO_KNN_AUDIT = """
-WITH pts AS (
-  SELECT c_custkey AS pid,
-         ('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS x,
-         ('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS y
-  FROM customer
-),
+ORACLE_GEO_KNN_AUDIT = f"""
+WITH {_GEO_PTS_SQL},
 d AS (
   SELECT a.pid,
          (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
@@ -22969,13 +23078,14 @@ def nearest_facility_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     throughout. The small-side complement of the grid radius join."""
     pts = _geo_points(spark, sf_dir)
     nation = _t(spark, sf_dir, "nation")
+    side = _geo_side(_t(spark, sf_dir, "customer").count())
 
     def coord(tag: str, key):
         return (
             F.conv(
                 F.substring(F.md5(F.concat(F.lit(tag), key)), 1, 12), 16, 10
             ).cast("long")
-            % 1_000_000
+            % side
         )
 
     fac = nation.select(
@@ -23002,21 +23112,14 @@ def nearest_facility_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_NEAREST_FACILITY = """
-WITH pts AS (
-  SELECT c_custkey AS pid,
-         ('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS x,
-         ('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS y
-  FROM customer
-),
+ORACLE_NEAREST_FACILITY = f"""
+WITH {_GEO_PTS_SQL},
 fac AS (
   SELECT n_nationkey AS fid,
          ('0x' || substr(md5('fx:' || CAST(n_nationkey AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS fx,
+           % (SELECT side FROM ext) AS fx,
          ('0x' || substr(md5('fy:' || CAST(n_nationkey AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS fy
+           % (SELECT side FROM ext) AS fy
   FROM nation
 ),
 d AS (
@@ -24761,33 +24864,34 @@ def ktruss3_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     output carries a `converged` flag (last round removed nothing) so
     an unconverged truncation is visible, never silent.
 
-    Shape per round: one wedge join on the (degree-capped) adjacency +
-    one pair count + one edge semi-join — all equi-joins; support is
-    recomputed WITHIN the surviving edge set each round, which is what
-    makes it a truss and not a one-shot support filter."""
+    Shape per round (r12): degree-oriented triangle ENUMERATION
+    (operators/graph.py::edge_triangle_support — O(|E|^1.5) wedge
+    candidates, the triangle_stats orientation) exploded to per-edge
+    support counts, then one edge equi-join. The r11 peel wedge-joined
+    the raw bidirectional adjacency, paying sum(deg^2) on hubs — 60 s at
+    sf0.1 vs ~6 s oriented, same support counts by construction (support
+    = |N(a) cap N(b)| within the surviving edge set either way; the
+    oracle keeps the naive formulation). Support is recomputed WITHIN
+    the surviving edge set each round, which is what makes it a truss
+    and not a one-shot support filter."""
     edges = _cosupply_edges(spark, sf_dir)
 
     def peel(e: DataFrame) -> DataFrame:
-        adj = e.select("a", "b").unionAll(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        wedges = (
-            adj.alias("p")
-            .join(adj.alias("q"), F.col("p.b") == F.col("q.b"))
-            .filter(F.col("p.a") < F.col("q.a"))
-            .select(F.col("p.a").alias("a"), F.col("q.a").alias("b"))
-        )
-        sup = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+        sup = G.edge_triangle_support(e)
         return e.join(sup, ["a", "b"]).filter(F.col("support") >= 1)
 
     cur = edges
     counts = []
     for _ in range(_KTRUSS_ROUNDS):
-        # each round's adjacency feeds the wedge join TWICE (p and q
-        # sides) and the next round builds on it: persist stops the
-        # 2^rounds recompute blowup while keeping lineage recoverable
-        # (the knn_join escalation contract)
-        cur = peel(cur.select("a", "b")).persist()
+        # eager localCheckpoint per round — the connected_components
+        # loop contract, and here it is LOAD-BEARING for the optimizer,
+        # not just recompute: each round references its input ~4 times
+        # (degree agg x2, orientation join, edge join-back), so without
+        # lineage truncation round N's LOGICAL plan embeds ~4^N copies
+        # of the base subtree and Catalyst analysis alone runs for
+        # minutes (measured: persist()-only never finished a 4-round
+        # sf0.1 run; checkpointed rounds finish in seconds each)
+        cur = peel(cur.select("a", "b")).localCheckpoint()
         counts.append(cur)
     last, prev = counts[-1], counts[-2]
     conv = (
@@ -24795,12 +24899,23 @@ def ktruss3_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(prev.agg(F.count(F.lit(1)).alias("_n_prev")))
         .select((F.col("_n_last") == F.col("_n_prev")).alias("converged"))
     )
-    return last.crossJoin(F.broadcast(conv)).select(
+    result = last.crossJoin(F.broadcast(conv)).select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),
         F.col("support").cast("bigint").alias("support"),
         "converged",
     )
+    # materialize the (edge-set-bounded) final frame, then release the
+    # EARLIER rounds' checkpoint blocks (ADVICE r11: round caches
+    # previously outlived the query, leaking executor storage on
+    # repeated calls). The last two rounds stay cached: the returned
+    # plan reads them directly and — their lineage being cut — their
+    # blocks are the only way to re-scan it.
+    result = result.persist()
+    result.count()
+    for _c in counts[:-2]:
+        _c.unpersist(blocking=False)
+    return result
 
 
 def _ktruss_oracle() -> str:
@@ -25295,7 +25410,11 @@ def propensity_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = treated.join(
         F.broadcast(match), treated["_h"] == match["_th"], "left"
     )
-    matched = F.col("_in_caliper")
+    # coalesce to false (ADVICE r11): when no hour cell has a control
+    # user the match table is empty and the left join leaves _in_caliper
+    # NULL for every treated row — sum(NULL.cast) would yield NULL
+    # n_matched where the oracle's CASE WHEN ... ELSE 0 yields 0
+    matched = F.coalesce(F.col("_in_caliper"), F.lit(False))
     return joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_treated"),
         F.sum(matched.cast("long")).cast("bigint").alias("n_matched"),
@@ -25538,3 +25657,42 @@ FROM flows LEFT JOIN churn ON churn.w = flows.w
 
 QUERIES["growth_accounting_weekly"] = growth_accounting_weekly
 ORACLES["growth_accounting_weekly"] = ORACLE_GROWTH_ACCOUNTING
+
+
+def approx_distinct_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Black-box audit twin of ``approx_distinct_users`` (VERDICT r11
+    item 4, the kmv_distinct_users pattern): the HLL++ sketch internals
+    are engine-opaque — that query stays rows-only by design — but the
+    estimate's ERROR is strictly checkable. The relative error must sit
+    within 3x the configured RSE (rsd = 0.02 -> 6%; the 3-sigma tail of
+    HLL++'s near-Gaussian error is < 1%, Heule et al. '13 — and Spark's
+    estimator is deterministic for a fixed input, so this is a pinned
+    regression gate, not a flaky probabilistic one). The oracle pins the
+    exact count and asserts the flag TRUE: estimator drift beyond the
+    bound flips the flag and fails the strict hash with zero sketch
+    internals exposed."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "exact_users",
+        F.lit(0.02).alias("rsd"),
+        (
+            F.abs((F.col("_est") - F.col("exact_users")).cast("double"))
+            <= F.col("exact_users").cast("double") * 0.06
+        ).alias("within_3rse"),
+    )
+
+
+ORACLE_APPROX_DISTINCT_AUDIT = """
+SELECT count(DISTINCT user_id)::BIGINT AS exact_users,
+       0.02 AS rsd,
+       TRUE AS within_3rse
+FROM events
+"""
+
+
+QUERIES["approx_distinct_error_audit"] = approx_distinct_error_audit
+ORACLES["approx_distinct_error_audit"] = ORACLE_APPROX_DISTINCT_AUDIT
