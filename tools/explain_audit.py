@@ -53,6 +53,27 @@ CHECKS = {
     "topk_latest_events": [
         ("TakeOrdered not global sort", r"TakeOrderedAndProject"),
     ],
+    "price_elasticity_loglog": [
+        # one corpus scan into one aggregate: no join, no window, and the
+        # per-row ln terms are quantized before the partial agg
+        ("single aggregate, no join no window", lambda p: "Join" not in p and "Window" not in p),
+        ("pruned lineitem scan", r"ReadSchema:[^\n]*l_extendedprice"),
+    ],
+    "dunning_g2_collocations": [
+        ("top-k is TakeOrdered", r"TakeOrderedAndProject"),
+        ("vocabulary joins broadcast or shuffled-hash", r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)"),
+    ],
+    "topsis_supplier_ranking": [
+        ("top-k is TakeOrdered", r"TakeOrderedAndProject"),
+        ("1-row combines broadcast", r"BroadcastExchange|BroadcastNestedLoopJoin"),
+    ],
+    "double_ml_partial_linear": [
+        ("48-cell nuisance table broadcast", r"BroadcastHashJoin"),
+        ("no window", lambda p: "Window" not in p),
+    ],
+    "chow_test_daily_value": [
+        ("no window (closed-form SSR from power sums)", lambda p: "Window" not in p),
+    ],
     "top_customers_by_revenue": [
         ("TakeOrdered", r"TakeOrderedAndProject"),
         ("join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),

@@ -133,6 +133,27 @@ DEFAULT_QUERIES = [
     "propensity_matched_att",
     "hellinger_weekend_shift",
     "growth_accounting_weekly",
+    # r12 wave: cross-fit residual products, shrinkage factors, per-row
+    # ln quantization, rank statistics, centroid distances, entropy
+    # weights, absorption-probability closures, float32 feature lanes —
+    # the full float-path surface added this round
+    "double_ml_partial_linear",
+    "james_stein_type_dow_means",
+    "chow_test_daily_value",
+    "dunning_g2_collocations",
+    "price_elasticity_loglog",
+    "page_trend_dow",
+    "anderson_darling_weekend",
+    "kmeans_silhouette_simplified",
+    "topsis_supplier_ranking",
+    "markov_removal_effect",
+    "harmonic_centrality_seeds",
+    "multimodal_feature_extract",
+    "approx_distinct_error_audit",
+    "mood_median_by_type",
+    "kendalls_w_dow",
+    "jonckheere_terpstra_hours",
+    "rake_keyword_phrases",
 ]
 
 

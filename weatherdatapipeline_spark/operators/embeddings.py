@@ -635,6 +635,7 @@ def kmeans_lloyd(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_dists: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd k-means with the repo's deterministic seed-row
     init (centroids = the k lowest ids), so every iteration — not just
@@ -693,6 +694,7 @@ def kmeans_lloyd(
             .cast("bigint")
             .alias("cluster"),
             F.array_min("_dists").alias("sq_dist"),
+            F.col("_dists").alias("dists"),
         )
 
     for _ in range(iters):
@@ -708,4 +710,9 @@ def kmeans_lloyd(
             new_c[r["cluster"]][r["dim"]] = r["m"]
         centroids = new_c
 
-    return assigned(centroids).select(id_col, "cluster", "sq_dist")
+    out = assigned(centroids)
+    if return_dists:
+        # full k-distance array per row (silhouette-style readouts need
+        # the runner-up centroid distance, not just the argmin)
+        return out.select(id_col, "cluster", "sq_dist", "dists")
+    return out.select(id_col, "cluster", "sq_dist")

@@ -256,6 +256,53 @@ def bfs_distances(
     return visited
 
 
+def per_seed_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    a: str = "a",
+    b: str = "b",
+    node: str = "node",
+) -> DataFrame:
+    """Per-seed labeled BFS: (seed, n, dist) with dist = minimum hop
+    count from THAT seed, bounded at ``max_hops`` — the primitive under
+    per-node centrality readouts (harmonic/closeness over a seed
+    cohort), where ``bfs_distances``'s any-seed minimum would conflate
+    sources.
+
+    Same frontier shape as ``bfs_distances`` with the seed id carried as
+    a key column: each level is one (n)-keyed equi-join against the
+    symmetrized edges, a distinct, and a (seed, n) anti-join against the
+    visited set — state is |seeds| x |reached| rows, never per-path.
+    localCheckpoint per level keeps plan depth O(1) per level."""
+    und = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    frontier = (
+        seeds.select(F.col(node).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("n"))
+    )
+    visited = frontier.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("seed", "n")
+    for level in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["n"] == und["src"])
+            .select("seed", F.col("dst").alias("n"))
+            .distinct()
+            .join(visited.select("seed", "n"), ["seed", "n"], "left_anti")
+            .withColumn("dist", F.lit(level))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("seed", "n")
+    return visited
+
+
 def minplus_sssp(
     edges: DataFrame,
     seeds: DataFrame,

@@ -343,6 +343,170 @@ def pmi_collocations(
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
 
 
+# RAKE phrase-boundary stopwords: the Gopher screen's core list plus the
+# usual short function words — a FIXED constant so the oracle replays the
+# same boundaries (RAKE's quality depends only mildly on the exact list)
+RAKE_STOPWORDS = (
+    "the", "be", "to", "of", "and", "a", "in", "that", "have", "i", "it",
+    "for", "not", "on", "with", "he", "as", "you", "do", "at", "this",
+    "but", "his", "by", "from", "is", "was", "are", "an", "or",
+)
+
+
+def rake_keywords(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = 15,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = total length of phrases it appears in — rewards words that
+    co-occur in long phrases); a phrase scores the sum of its word
+    scores. The document-frequency-free keyword extractor beside TF-IDF
+    (corpus-relative) and TextRank (graph-relative) — RAKE needs no
+    corpus statistics at all, which is why it survives single-document
+    and streaming settings.
+
+    Exactness: word scores are single doubles from two exact integers,
+    quantized to 1e-6 BEFORE the per-phrase sum; identical phrase texts
+    therefore carry identical scores and the final group-by is exact.
+    Shape: one posexplode, run-ids from a doc-partitioned window,
+    vocabulary-sized score join, TakeOrdered top-k."""
+    from pyspark.sql import Window as _W
+
+    ids = documents.select(
+        F.monotonically_increasing_id().alias("_did"), F.col(text_col)
+    )
+    tok = ids.select(
+        "_did",
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    stop = F.col("w").isin(*RAKE_STOPWORDS) | (F.col("w") == "")
+    w = _W.partitionBy("_did").orderBy("pos")
+    runs = tok.select(
+        "_did",
+        "pos",
+        "w",
+        F.sum(stop.cast("long")).over(
+            w.rowsBetween(_W.unboundedPreceding, 0)
+        ).alias("_run"),
+        stop.alias("_stop"),
+    ).filter(~F.col("_stop"))
+    inst = runs.groupBy("_did", "_run").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("_plen"),
+    )
+    wstats = (
+        runs.join(inst.select("_did", "_run", "_plen"), ["_did", "_run"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("_freq"),
+            F.sum("_plen").alias("_deg"),
+        )
+        .select(
+            "w",
+            F.round(F.col("_deg").cast("double") / F.col("_freq") * 1e6)
+            .cast("bigint")
+            .alias("_s6"),
+        )
+    )
+    iscore = (
+        runs.join(wstats, "w")
+        .groupBy("_did", "_run")
+        .agg(F.sum("_s6").alias("_ps6"))
+    )
+    out = (
+        inst.join(iscore, ["_did", "_run"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("_ps6").cast("bigint").alias("score_q6"),
+        )
+    )
+    return out.orderBy(F.desc("score_q6"), "phrase").limit(k)
+
+
+def llr_collocations(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k bigram collocations by Dunning's log-likelihood ratio
+    (Dunning 1993, "Accurate Methods for the Statistics of Surprise and
+    Coincidence"): G2 = 2 * sum O_ij * ln(O_ij / E_ij) over the 2x2
+    bigram contingency table — the collocation statistic that stays
+    calibrated at LOW counts, where PMI is famously top-heavy on hapax
+    pairs (PMI ranks rare pairs first; G2 weights by evidence mass).
+    The standard complement to ``pmi_collocations``.
+
+    Contingency margins come from the BIGRAM table itself (r1 = bigrams
+    with w1 first, c2 = bigrams with w2 second, N = all bigrams), so the
+    table is exactly 2x2-consistent. Each bigram's G2 is ONE double
+    expression from four exact BIGINT counts — no cross-row float sums
+    anywhere. Same posexplode+lead gram builder and vocabulary-sized
+    joins as PMI; final top-k is a TakeOrdered on (g2_q4 desc, w1, w2).
+    """
+    from pyspark.sql import Window as _W
+
+    ids = documents.select(
+        F.monotonically_increasing_id().alias("_did"), F.col(text_col)
+    )
+    tok = ids.select(
+        "_did",
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "w1"
+        ),
+    )
+    w = _W.partitionBy("_did").orderBy("pos")
+    big = tok.select(
+        F.col("w1"), F.lead("w1").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    pairs = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("o11"))
+    r1 = pairs.groupBy("w1").agg(F.sum("o11").alias("r1"))
+    c2 = pairs.groupBy("w2").agg(F.sum("o11").alias("c2"))
+    n = pairs.agg(F.sum("o11").alias("_n"))
+
+    def term(o, e):
+        return F.when(o > 0, o.cast("double") * F.log(o.cast("double") / e)).otherwise(
+            F.lit(0.0)
+        )
+
+    scored = (
+        pairs.filter(F.col("o11") >= min_count)
+        .join(r1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    o11 = F.col("o11")
+    o12 = F.col("r1") - o11
+    o21 = F.col("c2") - o11
+    o22 = F.col("_n") - F.col("r1") - F.col("c2") + o11
+    nn = F.col("_n").cast("double")
+    e11 = F.col("r1").cast("double") * F.col("c2") / nn
+    e12 = F.col("r1").cast("double") * (nn - F.col("c2")) / nn
+    e21 = (nn - F.col("r1")) * F.col("c2").cast("double") / nn
+    e22 = (nn - F.col("r1")) * (nn - F.col("c2")) / nn
+    g2 = 2.0 * (term(o11, e11) + term(o12, e12) + term(o21, e21) + term(o22, e22))
+    out = scored.select(
+        "w1",
+        "w2",
+        o11.cast("long").alias("pair_cnt"),
+        F.col("r1").cast("long").alias("w1_first"),
+        F.col("c2").cast("long").alias("w2_second"),
+        F.round(g2 * 1e4).cast("long").alias("g2_q4"),
+    )
+    return out.orderBy(F.desc("g2_q4"), "w1", "w2").limit(k)
+
+
 def zipf_slope(
     documents: DataFrame, text_col: str = "text", min_tf: int = 1
 ) -> DataFrame:
