@@ -325,3 +325,56 @@ def test_rake_phrases_stopword_free(spark):
         assert r["n_occurrences"] >= 1
         for w in r["phrase"].split(" "):
             assert w and w not in RAKE_STOPWORDS
+
+
+def test_srm_chi2_matches_counts(spark, events):
+    import hashlib
+
+    row = QUERIES["srm_check_md5_arm"](spark, SF).collect()[0]
+    users = {u for u, *_ in events}
+    n1 = sum(
+        int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        for u in users
+    )
+    n0 = len(users) - n1
+    assert (row["n_arm0"], row["n_arm1"]) == (n0, n1)
+    assert row["srm_chi2_q4"] == round((n0 - n1) ** 2 / (n0 + n1) * 1e4)
+    assert 0 <= row["worst_hour"] <= 23
+
+
+def test_ngram_uniqueness_bounds(spark):
+    rows = QUERIES["ngram_uniqueness_ratio"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_unique"] <= r["n_grams"]
+        assert r["uniqueness_q6"] == round(r["n_unique"] / r["n_grams"] * 1e6)
+
+
+def test_retention_halflife_consistent_sign(spark):
+    row = QUERIES["retention_halflife_fit"](spark, SF).collect()[0]
+    assert row["n_offsets"] >= 2
+    if row["weekly_decay_q6"] < 0:
+        assert row["halflife_weeks_q4"] is not None
+        assert row["halflife_weeks_q4"] > 0
+        # halflife = ln2 / -slope at q4
+        assert row["halflife_weeks_q4"] == round(
+            math.log(2) / -(row["weekly_decay_q6"] / 1e6) * 1e4
+        ) or abs(
+            row["halflife_weeks_q4"]
+            - math.log(2) / -(row["weekly_decay_q6"] / 1e6) * 1e4
+        ) <= 200  # q6 slope rounding propagates into the q4 check
+    else:
+        assert row["halflife_weeks_q4"] is None
+
+
+def test_cluster_size_histogram_accounts_for_all_docs(spark):
+    rows = QUERIES["dedup_cluster_size_histogram"](spark, SF).collect()
+    n_docs = _t(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_clusters"] >= 1
+        if r["log2_size"] == 0:
+            assert r["n_clusters"] == r["n_docs"]  # singletons
+        else:
+            # bucket b holds clusters of size in [2^b, 2^(b+1))
+            assert r["n_docs"] >= r["n_clusters"] * (1 << r["log2_size"])

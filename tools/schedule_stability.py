@@ -154,6 +154,10 @@ DEFAULT_QUERIES = [
     "kendalls_w_dow",
     "jonckheere_terpstra_hours",
     "rake_keyword_phrases",
+    "srm_check_md5_arm",
+    "ngram_uniqueness_ratio",
+    "retention_halflife_fit",
+    "dedup_cluster_size_histogram",
 ]
 
 
