@@ -378,3 +378,39 @@ def test_cluster_size_histogram_accounts_for_all_docs(spark):
         else:
             # bucket b holds clusters of size in [2^b, 2^(b+1))
             assert r["n_docs"] >= r["n_clusters"] * (1 << r["log2_size"])
+
+
+def test_mad_outliers_pure_python(spark, events):
+    from collections import defaultdict as dd
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["mad_robust_outliers_by_type"](spark, SF).collect()
+    }
+    by_t = dd(list)
+    for u, ts, t, v, _ in events:
+        by_t[t].append(v)
+    for t, vs in by_t.items():
+        vs.sort()
+        med = vs[(len(vs) + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in vs)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        r = rows[t]
+        assert r["median"] == round(med, 2)
+        assert r["mad"] == round(mad, 2)
+        n_out = sum(1 for v in vs if abs(0.6745 * (v - med) / mad) > 3.5)
+        assert r["n_outliers"] == n_out
+
+
+def test_quantile_normalize_aligns_sources(spark):
+    rows = QUERIES["quantile_normalize_by_source"](spark, SF).collect()
+    docs = _t(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == docs
+    norm_means = [r["mean_normalized"] for r in rows]
+    raw_means = [r["mean_raw"] for r in rows]
+    # normalization aligns distributions: normalized means are closer
+    # together than the raw ones (strictly, unless raw already aligned)
+    if max(raw_means) - min(raw_means) > 1.0:
+        assert max(norm_means) - min(norm_means) <= max(raw_means) - min(
+            raw_means
+        )

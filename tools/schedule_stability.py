@@ -158,6 +158,8 @@ DEFAULT_QUERIES = [
     "ngram_uniqueness_ratio",
     "retention_halflife_fit",
     "dedup_cluster_size_histogram",
+    "mad_robust_outliers_by_type",
+    "quantile_normalize_by_source",
 ]
 
 
