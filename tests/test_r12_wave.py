@@ -402,8 +402,8 @@ def test_mad_outliers_pure_python(spark, events):
         assert r["n_outliers"] == n_out
 
 
-def test_quantile_normalize_aligns_sources(spark):
-    rows = QUERIES["quantile_normalize_by_source"](spark, SF).collect()
+def test_quantile_normalize_exact_aligns_sources(spark):
+    rows = QUERIES["quantile_normalize_exact_lengths"](spark, SF).collect()
     docs = _t(spark, SF, "documents").count()
     assert sum(r["n_docs"] for r in rows) == docs
     norm_means = [r["mean_normalized"] for r in rows]

@@ -160,6 +160,7 @@ DEFAULT_QUERIES = [
     "dedup_cluster_size_histogram",
     "mad_robust_outliers_by_type",
     "quantile_normalize_by_source",
+    "quantile_normalize_exact_lengths",
 ]
 
 
