@@ -414,3 +414,55 @@ def test_quantile_normalize_exact_aligns_sources(spark):
         assert max(norm_means) - min(norm_means) <= max(raw_means) - min(
             raw_means
         )
+
+
+def test_partial_correlation_bounds(spark):
+    row = QUERIES["partial_correlation_value_hour"](spark, SF).collect()[0]
+    assert -1_000_000 <= row["r_value_hour_q6"] <= 1_000_000
+    assert -1_000_000 <= row["partial_r_given_dow_q6"] <= 1_000_000
+
+
+def test_funnel_time_to_convert_pure_python(spark, events):
+    row = QUERIES["funnel_time_to_convert"](spark, SF).collect()[0]
+    per = {}
+    for u, ts, t, v, _ in events:
+        vv, pp = per.get(u, (None, None))
+        if t == "view" and (vv is None or ts < vv):
+            vv = ts
+        if t == "purchase" and (pp is None or ts < pp):
+            pp = ts
+        per[u] = (vv, pp)
+    durs = sorted(
+        int((pp - vv).total_seconds())
+        for vv, pp in per.values()
+        if vv is not None and pp is not None and pp >= vv
+    )
+    assert row["n_converted"] == len(durs)
+    if durs:
+        n = len(durs)
+        assert row["median_secs"] == durs[(n + 1) // 2 - 1]
+        assert row["p90_secs"] == durs[-(-9 * n // 10) - 1]
+
+
+def test_icc_pure_python(spark, events):
+    from collections import defaultdict as dd
+
+    row = QUERIES["icc_user_values"](spark, SF).collect()[0]
+    by_u = dd(list)
+    for u, ts, t, v, _ in events:
+        by_u[u].append(round(v * 100))
+    g = len(by_u)
+    n = sum(len(vs) for vs in by_u.values())
+    s = sum(sum(vs) for vs in by_u.values())
+    sq = sum(x * x for vs in by_u.values() for x in vs)
+    n2 = sum(len(vs) ** 2 for vs in by_u.values())
+    bs = sum(round(sum(vs) ** 2 / len(vs) * 1e6) for vs in by_u.values()) / 1e6
+    ssb = bs - s * s / n
+    ssw = sq - bs
+    msb = ssb / (g - 1)
+    msw = ssw / (n - g)
+    k0 = (n - n2 / n) / (g - 1)
+    icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    assert (row["n_users"], row["n_events"]) == (g, n)
+    assert row["k0_q4"] == round(k0 * 1e4)
+    assert row["icc1_q6"] == round(icc * 1e6)

@@ -161,6 +161,9 @@ DEFAULT_QUERIES = [
     "mad_robust_outliers_by_type",
     "quantile_normalize_by_source",
     "quantile_normalize_exact_lengths",
+    "partial_correlation_value_hour",
+    "funnel_time_to_convert",
+    "icc_user_values",
 ]
 
 
