@@ -560,6 +560,13 @@ def ladder_path(
     lands in the main file: an idle-but-slower run is a genuine
     regression and belongs in the ladder.
     """
+    # a non-default scale factor is a SIDE PROBE, never a ladder point:
+    # in r12 an idle x10 run silently clobbered the committed x5 ladder
+    # file (base times from a different-purpose session, scale_check at
+    # the wrong factor) — route it to its own -x{factor} sidecar
+    factor = os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "5")
+    if factor != "5":
+        return os.path.join(root, f"bench_local_r{rnd}_x{factor}.json")
     path = os.path.join(root, f"bench_local_r{rnd}.json")
     if os.path.exists(path):
         loaded = loadavg_start > (os.cpu_count() or 8) / 4 or calibration_sec > 2.0

@@ -45,3 +45,13 @@ def test_idle_rerun_overwrites_main_file(tmp_path):
     # an idle regression is real data, not contention noise
     p = ladder_path(str(tmp_path), "09", IDLE_LOAD, 0.1)
     assert p.endswith("bench_local_r09.json")
+
+
+def test_nondefault_scale_factor_routes_to_sidecar(tmp_path, monkeypatch):
+    # an idle x10 probe must never clobber the committed x5 ladder file
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_FACTOR", "10")
+    p = ladder_path(str(tmp_path), "12", 0.1, 0.8)
+    assert p.endswith("bench_local_r12_x10.json")
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_FACTOR", "5")
+    p = ladder_path(str(tmp_path), "12", 0.1, 0.8)
+    assert p.endswith("bench_local_r12.json")
