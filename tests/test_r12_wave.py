@@ -466,3 +466,48 @@ def test_icc_pure_python(spark, events):
     assert (row["n_users"], row["n_events"]) == (g, n)
     assert row["k0_q4"] == round(k0 * 1e4)
     assert row["icc1_q6"] == round(icc * 1e6)
+
+
+def test_hill_estimator_pure_python(spark, events):
+    row = QUERIES["hill_tail_index_values"](spark, SF).collect()[0]
+    vals = sorted((v for _, _, _, v, _ in events), reverse=True)
+    k = 200
+    xk1 = vals[k]
+    inv = sum(
+        round((math.log(v) - math.log(xk1)) * 1e9) for v in vals[:k]
+    ) / 1e9 / k
+    assert row["k_used"] == k
+    assert row["x_k1"] == round(xk1, 2)
+    assert row["hill_alpha_q4"] == round(1.0 / inv * 1e4)
+
+
+def test_frequent_sequences_match_brute(spark, events):
+    from collections import defaultdict as dd
+
+    got = {
+        (r["antecedent"], r["consequent"]): r["n_users"]
+        for r in QUERIES["frequent_sequences_2step"](spark, SF).collect()
+    }
+    per = dd(dict)
+    for u, ts, t, v, _ in events:
+        mn, mx = per[u].get(t, (None, None))
+        per[u][t] = (
+            ts if mn is None or ts < mn else mn,
+            ts if mx is None or ts > mx else mx,
+        )
+    want = dd(int)
+    for u, types in per.items():
+        for a, (amn, _) in types.items():
+            for b, (_, bmx) in types.items():
+                if a != b and amn < bmx:
+                    want[(a, b)] += 1
+    assert got == dict(want)
+
+
+def test_tukey_q_nonnegative_and_pairs(spark):
+    rows = QUERIES["tukey_pairwise_contrasts"](spark, SF).collect()
+    assert len(rows) == 10  # C(5,2) unordered type pairs
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert r["tukey_q_q4"] >= 0
+        assert r["mean_diff"] >= 0

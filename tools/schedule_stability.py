@@ -164,6 +164,9 @@ DEFAULT_QUERIES = [
     "partial_correlation_value_hour",
     "funnel_time_to_convert",
     "icc_user_values",
+    "hill_tail_index_values",
+    "frequent_sequences_2step",
+    "tukey_pairwise_contrasts",
 ]
 
 
