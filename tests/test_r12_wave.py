@@ -511,3 +511,56 @@ def test_tukey_q_nonnegative_and_pairs(spark):
         assert r["type_a"] < r["type_b"]
         assert r["tukey_q_q4"] >= 0
         assert r["mean_diff"] >= 0
+
+
+def test_weibull_fit_sane(spark):
+    row = QUERIES["weibull_fit_time_to_convert"](spark, SF).collect()[0]
+    assert row["n_durations"] >= 2
+    assert row["shape_q4"] > 0  # latencies are positive-hazard
+    assert row["scale_secs"] > 0
+
+
+def test_price_indices_identities(spark):
+    row = QUERIES["price_indices_yearly"](spark, SF).collect()[0]
+    assert row["n_parts"] >= 1
+    l, p, f = row["laspeyres_q6"], row["paasche_q6"], row["fisher_q6"]
+    assert l > 0 and p > 0
+    # Fisher is the geometric mean of the two
+    assert f == round(math.sqrt((l / 1e6) * (p / 1e6)) * 1e6)
+
+
+def test_jsd_pure_python(spark):
+    from collections import defaultdict as dd
+
+    docs = [
+        (r["source"], r["text"])
+        for r in _t(spark, SF, "documents").select("source", "text").collect()
+    ]
+    counts = dd(lambda: dd(int))
+    for s, t in docs:
+        for w in t.strip().lower().split():
+            counts[s][w] += 1
+    # NOTE: python split() collapses whitespace like the engine's \s+
+    probs = {
+        s: {w: c / sum(ws.values()) for w, c in ws.items()}
+        for s, ws in counts.items()
+    }
+    got = {
+        (r["source_a"], r["source_b"]): r["jsd_q6"]
+        for r in QUERIES["jsd_source_pairs"](spark, SF).collect()
+    }
+    srcs = sorted(probs)
+    assert set(got) == {(a, b) for a in srcs for b in srcs if a < b}
+    for (a, b), v in got.items():
+        pa, pb = probs[a], probs[b]
+        ka = sum(
+            round(p * math.log(p / ((p + pb.get(w, 0.0)) / 2)) * 1e12)
+            for w, p in pa.items()
+        )
+        kb = sum(
+            round(p * math.log(p / ((pa.get(w, 0.0) + p) / 2)) * 1e12)
+            for w, p in pb.items()
+        )
+        jsd = (ka / 1e12 + kb / 1e12) / 2
+        assert v == round(jsd * 1e6)
+        assert 0 <= v <= round(math.log(2) * 1e6) + 1

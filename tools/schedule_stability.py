@@ -167,6 +167,9 @@ DEFAULT_QUERIES = [
     "hill_tail_index_values",
     "frequent_sequences_2step",
     "tukey_pairwise_contrasts",
+    "weibull_fit_time_to_convert",
+    "price_indices_yearly",
+    "jsd_source_pairs",
 ]
 
 
