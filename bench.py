@@ -563,13 +563,28 @@ def ladder_path(
     # a non-default scale factor is a SIDE PROBE, never a ladder point:
     # in r12 an idle x10 run silently clobbered the committed x5 ladder
     # file (base times from a different-purpose session, scale_check at
-    # the wrong factor) — route it to its own -x{factor} sidecar
+    # the wrong factor) — route it to its own -x{factor} sidecar.
+    # Exception (ADVICE r12): factor=1 just DISABLES the scale check —
+    # the base-query ladder is identical, so it IS a main-file run.
     factor = os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "5")
-    if factor != "5":
+    if factor not in ("1", "5"):
         return os.path.join(root, f"bench_local_r{rnd}_x{factor}.json")
     path = os.path.join(root, f"bench_local_r{rnd}.json")
     if os.path.exists(path):
-        loaded = loadavg_start > (os.cpu_count() or 8) / 4 or calibration_sec > 2.0
+        # contention gate (VERDICT r12 item 2): a frozen artifact is only
+        # replaceable by a provably-idle run — loadavg must be low in
+        # absolute terms (the r12 clobber ran at 4.23, under the old
+        # cpus/4=8 bar) AND the 1-core calibration loop must not have
+        # drifted >15% from the committed artifact's own recording.
+        loaded = loadavg_start > 2.0 or calibration_sec > 2.0
+        if not loaded:
+            try:
+                with open(path) as fh:
+                    prev = json.load(fh)["machine"]["calibration_sec"]
+                if prev and calibration_sec > prev * 1.15:
+                    loaded = True
+            except Exception:
+                pass
         if loaded:
             path = os.path.join(root, f"bench_local_r{rnd}-contended.json")
     return path

@@ -55,3 +55,34 @@ def test_nondefault_scale_factor_routes_to_sidecar(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SCALE_FACTOR", "5")
     p = ladder_path(str(tmp_path), "12", 0.1, 0.8)
     assert p.endswith("bench_local_r12.json")
+
+
+def test_factor_one_is_a_main_file_run(tmp_path, monkeypatch):
+    # ADVICE r12: factor=1 only disables the scale check — the base
+    # ladder is identical, so an idle base-only rerun must refresh the
+    # main file, not vanish into an _x1 sidecar
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_FACTOR", "1")
+    p = ladder_path(str(tmp_path), "13", IDLE_LOAD, 0.1)
+    assert p.endswith("bench_local_r13.json")
+
+
+def test_moderate_loadavg_routes_to_sidecar(tmp_path):
+    # VERDICT r12 item 2: the r12 clobber ran at loadavg 4.23 — under
+    # the old cpus/4=8 bar but far from idle. Absolute bar is now 2.0.
+    (tmp_path / "bench_local_r13.json").write_text('{"value": 79.6}\n')
+    p = ladder_path(str(tmp_path), "13", 4.23, 0.1)
+    assert p.endswith("bench_local_r13-contended.json")
+
+
+def test_calibration_drift_vs_committed_artifact_routes_to_sidecar(tmp_path):
+    # even an apparently-idle run (low loadavg, calibration under the
+    # absolute 2.0s bar) is contended if its calibration loop drifted
+    # >15% from the value the committed artifact itself recorded
+    (tmp_path / "bench_local_r13.json").write_text(
+        '{"value": 79.6, "machine": {"calibration_sec": 1.0}}\n'
+    )
+    p = ladder_path(str(tmp_path), "13", IDLE_LOAD, 1.2)
+    assert p.endswith("bench_local_r13-contended.json")
+    # within 15%: main file
+    p = ladder_path(str(tmp_path), "13", IDLE_LOAD, 1.1)
+    assert p.endswith("bench_local_r13.json")

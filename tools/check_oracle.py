@@ -250,6 +250,17 @@ def main() -> int:
     if emit and strict:
         import json
 
+        # registry-completeness gate (VERDICT r12 item 1): a full-registry
+        # emit must stamp EVERY registered query — r11 and r12 both
+        # shipped STRICT artifacts smaller than the registry because
+        # queries landed after the last refresh. Fail loudly instead.
+        if not only and len(evidence) != len(qs):
+            missing = sorted(set(qs) - set(evidence))
+            print(
+                f"FAIL  strict emit covers {len(evidence)}/{len(qs)} "
+                f"registered queries; unstamped: {', '.join(missing[:10])}"
+            )
+            return 1
         with open(emit, "w") as fh:
             json.dump(dict(sorted(evidence.items())), fh, indent=1)
             fh.write("\n")

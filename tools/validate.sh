@@ -14,6 +14,11 @@ echo "== 2/4 oracle differential, driver-strict (sf0.01) =="
 # passed the loose check and fail only under --strict)
 python tools/check_oracle.py --strict --emit /tmp/strict_evidence.json /root/testdata/sf0.01
 
+echo "== 2a/4 STRICT artifact completeness (registry == newest stamp) =="
+# VERDICT r12 item 1: a query added after the last STRICT refresh must
+# fail the round, not ship unstamped
+python tools/assert_strict_complete.py
+
 echo "== 2b/4 schedule stability (statistical set) =="
 # bit-identical outputs across shuffle-partition settings — the defense
 # against the r7/r8 partition-order float drift class (VERDICT history)

@@ -25,6 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# previous knn_join result cache — released at the start of the next
+# call (caller-release contract, ADVICE r12); see knn_join's tail
+_PREV_KNN_RESULT: DataFrame | None = None
+
 
 def radius_join(
     points: DataFrame,
@@ -248,6 +252,17 @@ def knn_join(
     result.count()
     for _h in _level_handles:
         _h.unpersist(blocking=False)
+    # caller-release contract (ADVICE r12): the n*k-row result cache of
+    # the PREVIOUS knn_join call is released when the next call starts,
+    # so repeated calls in one session hold at most one result in
+    # executor storage instead of accumulating one per call
+    global _PREV_KNN_RESULT
+    if _PREV_KNN_RESULT is not None:
+        try:
+            _PREV_KNN_RESULT.unpersist(blocking=False)
+        except Exception:
+            pass
+    _PREV_KNN_RESULT = result
     return result
 
 
