@@ -29,9 +29,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["region_revenue"](spark, SMOKE_SF_DIR)
 
 
+def _rotation_order(names: list[str]) -> list[str]:
+    """Deterministic registry ordering that rotates the driver's window.
+
+    The driver samples the FIRST 50 registry entries into each round's
+    CORRECTNESS window (verified against r1–r12 artifacts), so a static
+    order re-samples the same keyhole forever — 353/403 queries had
+    never been driver-checked by r12 (VERDICT r12 item 5). This orders
+    never-yet-sampled queries first (union of all committed
+    CORRECTNESS_r*.json keys = sampled), each group alphabetically and
+    rotated by the current round number so consecutive rounds take
+    consecutive 50-query slices of the unseen pool. Purely a
+    presentation order: the registry contents are unchanged, and the
+    rotation is deterministic given the committed artifacts + round.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    sampled: set[str] = set()
+    rounds = [0]
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        try:
+            with open(f) as fh:
+                sampled.update(json.load(fh))
+            if m:
+                rounds.append(int(m.group(1)))
+        except Exception:
+            continue
+    rnd = int(os.environ.get("SPARK_GRAFT_ROUND", max(rounds) + 1))
+    unseen = sorted(n for n in names if n not in sampled)
+    seen = sorted(n for n in names if n in sampled)
+    if unseen:
+        off = (rnd * 50) % len(unseen)
+        unseen = unseen[off:] + unseen[:off]
+    if seen:
+        off = (rnd * 50) % len(seen)
+        seen = seen[off:] + seen[:off]
+    return unseen + seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the driver's 50-query correctness window rotates across rounds."""
+    return {n: QUERIES[n] for n in _rotation_order(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
