@@ -662,6 +662,24 @@ def kmeans_lloyd(
     wanting them must pre-impute.
 
     Returns the final assignment (id, cluster, sq_dist)."""
+    out, _ = _lloyd_state(embeddings, k, iters, id_col, vec_col)
+    if return_dists:
+        # full k-distance array per row (silhouette-style readouts need
+        # the runner-up centroid distance, not just the argmin)
+        return out.select(id_col, "cluster", "sq_dist", "dists")
+    return out.select(id_col, "cluster", "sq_dist")
+
+
+def _lloyd_state(
+    embeddings: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Core Lloyd recurrence: returns (full assignment frame incl. the
+    k-distance array, final centroid list) — the single implementation
+    behind kmeans_lloyd and kmeans_lloyd_centroids."""
     finite = F.forall(
         F.col(vec_col),
         lambda x: x.isNotNull() & ~F.isnan(x.cast("double")),
@@ -711,8 +729,34 @@ def kmeans_lloyd(
         centroids = new_c
 
     out = assigned(centroids)
-    if return_dists:
-        # full k-distance array per row (silhouette-style readouts need
-        # the runner-up centroid distance, not just the argmin)
-        return out.select(id_col, "cluster", "sq_dist", "dists")
-    return out.select(id_col, "cluster", "sq_dist")
+    return out, centroids
+
+
+def kmeans_lloyd_centroids(
+    spark,
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """kmeans_lloyd plus the FINAL centroid coordinates as a (cluster,
+    dim, val) DataFrame — cluster-quality indices (Davies-Bouldin,
+    Calinski-Harabasz) need the centroid geometry, not just the
+    assignments. Shares the single _lloyd_state recurrence with
+    kmeans_lloyd (no replay); the k*d centroid scalars ship back as a
+    small DataFrame (driver closure bounded by k*d, the pca/centroid
+    contract).
+
+    Returns (assignment_df(id, cluster, sq_dist), centroid_df(cluster,
+    dim, val)) where centroid_df holds the centroids USED for the final
+    assignment (after `iters` updates), including those of empty
+    clusters (seed carry-over)."""
+    out, centroids = _lloyd_state(embeddings, k, iters, id_col, vec_col)
+    rows = [
+        (ci, di, float(v))
+        for ci, c in enumerate(centroids)
+        for di, v in enumerate(c)
+    ]
+    cent_df = spark.createDataFrame(rows, "cluster long, dim long, val double")
+    return out.select(id_col, "cluster", "sq_dist"), cent_df
