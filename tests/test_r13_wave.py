@@ -1,0 +1,567 @@
+"""Round-13 wave: semantic assertions for the new analytics queries.
+Oracle hash parity is covered by tools/check_oracle.py; these pin the
+MATH against pure-Python / numpy replays and brute-force recomputations
+the hashes can't see (e.g. the Pettitt midrank identity vs the O(n^2)
+double sum, the Clark-Evans kNN ladder vs brute-force NN)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from weatherdatapipeline_spark.queries import QUERIES, _geo_side, _t
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from weatherdatapipeline_spark.session import get_spark
+
+    return get_spark("r13-wave-tests")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return [
+        (r["user_id"], r["ts"], r["event_type"], r["value"])
+        for r in _t(spark, SF, "events")
+        .select("user_id", "ts", "event_type", "value")
+        .collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return [
+        (r["source"], r["text"])
+        for r in _t(spark, SF, "documents").select("source", "text").collect()
+    ]
+
+
+def _is_weekend(ts) -> bool:
+    return ts.weekday() >= 5  # Sat=5 Sun=6 == Spark dayofweek in (1, 7)
+
+
+def test_cochrans_q_matches_incidence_replay(spark, events):
+    # subjects are (user, active-day) blocks — non-degenerate on this
+    # corpus (per-user LIFETIME incidence is complete: every user hits
+    # every type, denominator 0; the user-day framing is the real test)
+    row = QUERIES["cochrans_q_event_types"](spark, SF).collect()[0]
+    inc = defaultdict(set)
+    for u, ts, t, _ in events:
+        inc[(u, ts.date())].add(t)
+    k = len({t for s in inc.values() for t in s})
+    c = Counter(t for s in inc.values() for t in s)
+    t_tot = sum(c.values())
+    sr2 = sum(len(s) ** 2 for s in inc.values())
+    assert k * t_tot != sr2  # non-degenerate on user-day subjects
+    q = (k - 1) * (k * sum(v * v for v in c.values()) - t_tot * t_tot) / (
+        k * t_tot - sr2
+    )
+    assert row["df"] == k - 1
+    assert row["n_subjects"] == len(inc)
+    assert abs(row["q_stat_q4"] / 1e4 - q) < 1e-3
+
+
+def test_cliffs_delta_matches_brute_pairs(spark, events):
+    row = QUERIES["cliffs_delta_weekend"](spark, SF).collect()[0]
+    wk = sorted(v for _, ts, _, v in events if _is_weekend(ts))
+    wd = sorted(v for _, ts, _, v in events if not _is_weekend(ts))
+    import bisect
+
+    gt = sum(bisect.bisect_left(wd, v) for v in wk)
+    lt = sum(len(wd) - bisect.bisect_right(wd, v) for v in wk)
+    delta = (gt - lt) / (len(wk) * len(wd))
+    assert row["n_weekend"] == len(wk)
+    assert row["n_weekday"] == len(wd)
+    assert abs(row["delta_q6"] / 1e6 - delta) < 1e-5
+
+
+def test_brunner_munzel_matches_placement_replay(spark, events):
+    row = QUERIES["brunner_munzel_weekend"](spark, SF).collect()[0]
+    wk = [v for _, ts, _, v in events if _is_weekend(ts)]
+    wd = [v for _, ts, _, v in events if not _is_weekend(ts)]
+
+    def midranks(vals, universe_sorted):
+        # midrank of v within universe (1-based)
+        import bisect
+
+        return [
+            (
+                bisect.bisect_left(universe_sorted, v)
+                + bisect.bisect_right(universe_sorted, v)
+                + 1
+            )
+            / 2
+            for v in vals
+        ]
+
+    comb = sorted(wk + wd)
+    rkw = midranks(wk, comb)
+    rkd = midranks(wd, comb)
+    rww = midranks(wk, sorted(wk))
+    rdd = midranks(wd, sorted(wd))
+    nw, nd = len(wk), len(wd)
+    pw = [a - b for a, b in zip(rkw, rww)]
+    pd_ = [a - b for a, b in zip(rkd, rdd)]
+    pbw, pbd = sum(pw) / nw, sum(pd_) / nd
+    sw2 = sum((p - pbw) ** 2 for p in pw) / (nw - 1)
+    sd2 = sum((p - pbd) ** 2 for p in pd_) / (nd - 1)
+    rbw, rbd = sum(rkw) / nw, sum(rkd) / nd
+    w = nd * nw * (rbw - rbd) / (nd + nw) / math.sqrt(nd * sd2 + nw * sw2)
+    assert abs(row["bm_stat_q4"] / 1e4 - w) < 1e-3
+
+
+def _daily_type_cells(events):
+    cells = defaultdict(lambda: [0, 0])  # (type, day) -> [sum_q6, count]
+    for _, ts, t, v in events:
+        c = cells[(t, ts.date())]
+        c[0] += round(v * 1e6)
+        c[1] += 1
+    return cells
+
+
+def test_pettitt_matches_brute_double_sum(spark, events):
+    out = {
+        r["event_type"]: (r["cp_date"], r["k_stat"], r["n_days"])
+        for r in QUERIES["pettitt_changepoint_daily"](spark, SF).collect()
+    }
+    cells = _daily_type_cells(events)
+    series = defaultdict(list)
+    for (t, d), (s, c) in cells.items():
+        series[t].append((d, s, c))
+    for t, rows in series.items():
+        rows.sort()
+        n = len(rows)
+
+        def sgn(i, j):  # sgn(x_j - x_i) via exact cross-multiplication
+            _, si, ci = rows[i]
+            _, sj, cj = rows[j]
+            lhs, rhs = sj * ci, si * cj
+            return (lhs > rhs) - (lhs < rhs)
+
+        best_k, best_d = -1, None
+        for tt in range(1, n + 1):
+            u = sum(
+                sgn(i, j) for i in range(tt) for j in range(tt, n)
+            )
+            if abs(u) > best_k:
+                best_k, best_d = abs(u), rows[tt - 1][0]
+        cp, k_stat, n_days = out[t]
+        assert n_days == n
+        assert k_stat == best_k
+        # the query reports the EARLIEST argmax day; brute scan keeps
+        # the first too (strict > comparison)
+        assert cp == best_d.strftime("%Y-%m-%d")
+
+
+def test_quade_matches_textbook_replay(spark, events):
+    row = QUERIES["quade_test_types_daily"](spark, SF).collect()[0]
+    cells = _daily_type_cells(events)
+    k = len({t for (t, _) in cells})
+    by_day = defaultdict(dict)
+    for (t, d), (s, c) in cells.items():
+        by_day[d][t] = (s, c)
+    days = [d for d, m in by_day.items() if len(m) == k]
+    # within-day midranks by exact cross-multiplied means
+    s4 = {}
+    for d in days:
+        items = list(by_day[d].items())
+        for t, (s, c) in items:
+            less = sum(
+                1 for _, (s2, c2) in items if s2 * c < s * c2
+            )
+            eq = sum(1 for _, (s2, c2) in items if s2 * c == s * c2)
+            s4[(d, t)] = 2 * less + eq + 1  # 2x midrank
+    # block ranks by integer-divided mean range
+    rng = {
+        d: max((s * 1000) // c for s, c in by_day[d].values())
+        - min((s * 1000) // c for s, c in by_day[d].values())
+        for d in days
+    }
+    q2 = {}
+    for d in days:
+        less = sum(1 for d2 in days if rng[d2] < rng[d])
+        eq = sum(1 for d2 in days if rng[d2] == rng[d])
+        q2[d] = 2 * less + eq + 1
+    s4v = {
+        (d, t): q2[d] * (s4[(d, t)] - (k + 1)) for (d, t) in s4 if d in q2
+    }
+    a16 = sum(v * v for v in s4v.values())
+    per_t = defaultdict(int)
+    for (d, t), v in s4v.items():
+        per_t[t] += v
+    b16 = sum(v * v for v in per_t.values())
+    n = len(days)
+    f = (n - 1) * (b16 / n) / (a16 - b16 / n)
+    assert row["n_days"] == n
+    assert row["k_types"] == k
+    assert abs(row["f_stat_q4"] / 1e4 - f) < 1e-3
+
+
+def test_bartlett_welch_match_textbook(spark, events):
+    groups = defaultdict(list)
+    for _, _, t, v in events:
+        groups[t].append(round(v * 1e6) / 1e6)
+    ns = {t: len(v) for t, v in groups.items()}
+    means = {t: sum(v) / len(v) for t, v in groups.items()}
+    s2 = {
+        t: sum((x - means[t]) ** 2 for x in v) / (len(v) - 1)
+        for t, v in groups.items()
+    }
+    k = len(groups)
+    nt = sum(ns.values())
+    sp2 = sum((ns[t] - 1) * s2[t] for t in groups) / (nt - k)
+    c = 1 + (sum(1 / (ns[t] - 1) for t in groups) - 1 / (nt - k)) / (
+        3 * (k - 1)
+    )
+    chi2 = (
+        (nt - k) * math.log(sp2)
+        - sum((ns[t] - 1) * math.log(s2[t]) for t in groups)
+    ) / c
+    row = QUERIES["bartlett_variance_by_type"](spark, SF).collect()[0]
+    assert row["k_types"] == k and row["n_total"] == nt
+    assert abs(row["chi2_q4"] / 1e4 - chi2) < 0.01
+
+    w = {t: ns[t] / s2[t] for t in groups}
+    sw = sum(w.values())
+    xt = sum(w[t] * means[t] for t in groups) / sw
+    a = sum(w[t] * (means[t] - xt) ** 2 for t in groups) / (k - 1)
+    h = sum((1 - w[t] / sw) ** 2 / (ns[t] - 1) for t in groups)
+    f = a / (1 + 2 * (k - 2) / (k * k - 1) * h)
+    row = QUERIES["welch_anova_by_type"](spark, SF).collect()[0]
+    assert abs(row["f_stat_q4"] / 1e4 - f) < 0.01
+    assert abs(row["df2_q2"] / 1e2 - (k * k - 1) / (3 * h)) < 0.5
+
+
+def test_atkinson_matches_replay(spark):
+    rows = [
+        r["o_totalprice"]
+        for r in _t(spark, SF, "orders").select("o_totalprice").collect()
+    ]
+    n = len(rows)
+    mean = sum(round(x * 100) for x in rows) / 100 / n
+    a05 = 1 - (sum(math.sqrt(x) for x in rows) / n) ** 2 / mean
+    a10 = 1 - math.exp(sum(math.log(x) for x in rows) / n) / mean
+    row = QUERIES["atkinson_inequality_orders"](spark, SF).collect()[0]
+    assert row["n_orders"] == n
+    assert abs(row["atkinson_05_q6"] / 1e6 - a05) < 1e-4
+    assert abs(row["atkinson_10_q6"] / 1e6 - a10) < 1e-4
+    # bounds: 0 <= A_0.5 <= A_1 < 1 (more aversion, more inequality felt)
+    assert 0 <= row["atkinson_05_q6"] <= row["atkinson_10_q6"] < 1e6
+
+
+def test_rich_club_is_monotone_in_threshold_filtering(spark):
+    rows = QUERIES["rich_club_cosupply"](spark, SF).collect()
+    byk = {r["k"]: r for r in rows}
+    assert set(byk) == {2, 4, 8, 16}
+    # node and edge counts can only shrink as the threshold rises
+    for lo, hi in [(2, 4), (4, 8), (8, 16)]:
+        assert byk[lo]["n_nodes"] >= byk[hi]["n_nodes"]
+        assert byk[lo]["n_edges"] >= byk[hi]["n_edges"]
+    # density bounded by 1
+    for r in rows:
+        if r["phi_q6"] is not None:
+            assert 0 <= r["phi_q6"] <= 1_000_000
+
+
+def test_yules_k_and_burstiness_match_replays(spark, docs):
+    toks = defaultdict(list)
+    for src, text in docs:
+        toks[src].extend(w for w in text.strip().lower().split() if w)
+    out = {r["source"]: r for r in QUERIES["yules_k_by_source"](spark, SF).collect()}
+    for src, words in toks.items():
+        c = Counter(words)
+        n = len(words)
+        s2 = sum(m * m for m in c.values())
+        k = 1e4 * (s2 - n) / (n * n)
+        assert out[src]["n_tokens"] == n
+        assert out[src]["n_types"] == len(c)
+        assert abs(out[src]["yules_k_q4"] / 1e4 - k) < 1e-3
+
+    # burstiness: replay one term end-to-end
+    rows = QUERIES["term_burstiness_top20"](spark, SF).collect()
+    percol = defaultdict(Counter)
+    ndocs = len(docs)
+    for di, (_, text) in enumerate(docs):
+        for w in text.strip().lower().split():
+            if w:
+                percol[w][di] += 1
+    for r in rows[:3]:
+        cnts = percol[r["term"]]
+        tot = sum(cnts.values())
+        mean = tot / ndocs
+        var = (sum(v * v for v in cnts.values()) - tot * tot / ndocs) / (
+            ndocs - 1
+        )
+        assert r["total_count"] == tot
+        assert abs(r["vmr_q6"] / 1e6 - var / mean) < 1e-4
+
+
+def _geo_xy(pid: int, side: int) -> tuple[int, int]:
+    def h(tag):
+        return (
+            int(hashlib.md5(f"{tag}{pid}".encode()).hexdigest()[:12], 16)
+            % side
+        )
+
+    return h("gx:"), h("gy:")
+
+
+def test_morans_i_and_getis_match_cell_replay(spark):
+    cust = {
+        r["c_custkey"]: r["c_acctbal"]
+        for r in _t(spark, SF, "customer")
+        .select("c_custkey", "c_acctbal")
+        .collect()
+    }
+    side = _geo_side(len(cust))
+    cells = defaultdict(lambda: [0, 0])  # (cx,cy) -> [cents, n]
+    for pid, bal in cust.items():
+        x, y = _geo_xy(pid, side)
+        c = cells[(x * 16 // side, y * 16 // side)]
+        c[0] += round(bal * 100)
+        c[1] += 1
+    means = {k: v[0] / 100 / v[1] for k, v in cells.items()}
+    ncells = len(means)
+    xbar = sum(round(m * 1e6) for m in means.values()) / 1e6 / ncells
+    dev = {k: m - xbar for k, m in means.items()}
+    num = wpairs = 0
+    for (cx, cy), di in dev.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                j = (cx + dx, cy + dy)
+                if j in dev:
+                    num += round(di * dev[j] * 1e6)
+                    wpairs += 1
+    den = sum(round(d * d * 1e6) for d in dev.values())
+    mi = ncells / wpairs * num / den
+    row = QUERIES["morans_i_customer_cells"](spark, SF).collect()[0]
+    assert row["n_cells"] == ncells
+    assert row["w_pairs"] == wpairs
+    assert abs(row["morans_i_q6"] / 1e6 - mi) < 1e-5
+
+
+def test_clark_evans_matches_bruteforce_nn(spark):
+    cust = [
+        r["c_custkey"]
+        for r in _t(spark, SF, "customer").select("c_custkey").collect()
+    ]
+    side = _geo_side(len(cust))
+    pts = [_geo_xy(pid, side) for pid in cust]
+    # brute-force nearest neighbor (spatial-hash to keep the test fast)
+    from collections import defaultdict as dd
+
+    cell = side // 40 + 1
+    grid = dd(list)
+    for x, y in pts:
+        grid[(x // cell, y // cell)].append((x, y))
+    total6 = 0
+    for x, y in pts:
+        best = None
+        ring = 1
+        while best is None or best > ((ring - 1) * cell) ** 2:
+            for gx in range(x // cell - ring, x // cell + ring + 1):
+                for gy in range(y // cell - ring, y // cell + ring + 1):
+                    for (px, py) in grid[(gx, gy)]:
+                        if (px, py) == (x, y):
+                            continue
+                        d2 = (px - x) ** 2 + (py - y) ** 2
+                        if best is None or d2 < best:
+                            best = d2
+            ring += 1
+        total6 += round(math.sqrt(best) * 1e6)
+    n = len(pts)
+    obs = total6 / 1e6 / n
+    exp = 0.5 * side / math.sqrt(n)
+    row = QUERIES["clark_evans_nn_index"](spark, SF).collect()[0]
+    assert row["n_points"] == n
+    assert abs(row["mean_nn_q4"] / 1e4 - obs) < 1e-3
+    assert abs(row["r_index_q6"] / 1e6 - obs / exp) < 1e-5
+
+
+def test_granger_matches_numpy_lstsq(spark, events):
+    import numpy as np
+
+    daily = defaultdict(lambda: [0, 0])
+    for _, ts, t, _ in events:
+        d = ts.date()
+        if t == "purchase":
+            daily[d][0] += 1
+        elif t == "error":
+            daily[d][1] += 1
+    days = sorted(daily)
+    samples = [
+        (daily[d][0], daily[p][0], daily[p][1])
+        for d, p in zip(days[1:], days[:-1])
+        if (d - p).days == 1
+    ]
+    y = np.array([s[0] for s in samples], dtype=float)
+    l = np.array([s[1] for s in samples], dtype=float)
+    x = np.array([s[2] for s in samples], dtype=float)
+    n = len(y)
+    xr = np.column_stack([np.ones(n), l])
+    xu = np.column_stack([np.ones(n), l, x])
+    rss_r = float(np.sum((y - xr @ np.linalg.lstsq(xr, y, rcond=None)[0]) ** 2))
+    bu = np.linalg.lstsq(xu, y, rcond=None)[0]
+    rss_u = float(np.sum((y - xu @ bu) ** 2))
+    f = (rss_r - rss_u) / (rss_u / (n - 3))
+    row = QUERIES["granger_lag1_purchase_error"](spark, SF).collect()[0]
+    assert row["n_samples"] == n
+    assert abs(row["f_stat_q4"] / 1e4 - f) < 1e-2
+    assert abs(row["b_error_lag_q6"] / 1e6 - float(bu[2])) < 1e-4
+
+
+def test_breusch_pagan_matches_numpy(spark, events):
+    import numpy as np
+
+    v = np.array([round(val * 1e6) / 1e6 for _, _, _, val in events])
+    h = np.array([ts.hour for _, ts, _, _ in events], dtype=float)
+    n = len(v)
+    xm = np.column_stack([np.ones(n), h])
+    beta = np.linalg.lstsq(xm, v, rcond=None)[0]
+    e2 = (v - xm @ beta) ** 2
+    # the query quantizes squared residuals to 1e-6 before the aux fit
+    e2q = np.round(e2 * 1e6) / 1e6
+    g = np.linalg.lstsq(xm, e2q, rcond=None)[0]
+    ssr = float(np.sum((xm @ g - e2q.mean()) ** 2))
+    sst = float(np.sum((e2q - e2q.mean()) ** 2))
+    lm = n * ssr / sst
+    row = QUERIES["breusch_pagan_value_hour"](spark, SF).collect()[0]
+    assert row["n_events"] == n
+    assert abs(row["lm_stat_q4"] / 1e4 - lm) < 0.01
+
+
+def test_dft_finds_planted_weekly_cycle_on_synthetic(spark):
+    # construct a pure 7-day cycle; the periodogram must peak at T=7
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for t in range(140):
+        amp = 100 + 50 * math.cos(2 * math.pi * (t % 7) / 7)
+        rows.append((t, base + dt.timedelta(days=t), "view", amp))
+    df = spark.createDataFrame(
+        [(i, ts, et, v) for i, (i2, ts, et, v) in enumerate(rows)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    # inline replay of the query math over the synthetic frame
+    from weatherdatapipeline_spark.queries import _dft_lut
+
+    daily = defaultdict(int)
+    for _, ts, _, v in rows:
+        daily[ts.date()] += round(v * 1e6)
+    days = sorted(daily)
+    vbar = sum(daily[d] for d in days) / 1e6 / len(days)
+    lut = {(t, p): (c, s) for t, p, c, s in _dft_lut()}
+    best_t, best_amp = None, -1.0
+    for t in range(2, 31):
+        a = sum(
+            round((daily[d] / 1e6 - vbar) * lut[(t, i % t)][0] * 1e6)
+            for i, d in enumerate(days)
+        )
+        b = sum(
+            round((daily[d] / 1e6 - vbar) * lut[(t, i % t)][1] * 1e6)
+            for i, d in enumerate(days)
+        )
+        amp = 2 * math.sqrt((a / 1e6) ** 2 + (b / 1e6) ** 2) / len(days)
+        if amp > best_amp:
+            best_t, best_amp = t, amp
+    assert best_t == 7
+    assert abs(best_amp - 50) < 1.0  # recovers the planted amplitude
+
+
+def test_cluster_quality_indices_match_numpy(spark):
+    import numpy as np
+
+    from weatherdatapipeline_spark.operators import embeddings as E
+
+    emb = _t(spark, SF, "embeddings")
+    out, cent = E.kmeans_lloyd_centroids(spark, emb, k=8, iters=2)
+    assign = {
+        r["vec_id"]: (r["cluster"], r["sq_dist"]) for r in out.collect()
+    }
+    cents = np.zeros((8, 64))
+    for r in cent.collect():
+        cents[r["cluster"]][r["dim"]] = r["val"]
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in _t(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    # Davies-Bouldin replay
+    members = defaultdict(list)
+    for vid, (cl, sd) in assign.items():
+        members[cl].append(math.sqrt(sd))
+    sigma = {cl: sum(v) / len(v) for cl, v in members.items()}
+    rows = {
+        r["cluster"]: r
+        for r in QUERIES["davies_bouldin_clusters"](spark, SF).collect()
+    }
+    for i in sigma:
+        rmax = max(
+            (sigma[i] + sigma[j])
+            / float(np.linalg.norm(cents[i] - cents[j]))
+            for j in sigma
+            if j != i
+        )
+        assert abs(rows[i]["r_q6"] / 1e6 - rmax) < 1e-3
+        assert abs(rows[i]["sigma_q4"] / 1e4 - sigma[i]) < 1e-3
+    # Calinski-Harabasz replay
+    n = len(assign)
+    k = len(sigma)
+    w = sum(sd for _, sd in assign.values())
+    gmean = np.mean(np.stack(list(vecs.values())), axis=0)
+    b = sum(
+        len(members[cl]) * float(np.sum((cents[cl] - gmean) ** 2))
+        for cl in sigma
+    )
+    ch = (b / (k - 1)) / (w / (n - k))
+    row = QUERIES["calinski_harabasz_clusters"](spark, SF).collect()[0]
+    assert row["n_points"] == n and row["k_clusters"] == k
+    assert abs(row["ch_q4"] / 1e4 - ch) / ch < 1e-3
+
+
+def test_session_bounce_consistent_with_sessionizer(spark):
+    bounce = QUERIES["session_bounce_by_hour"](spark, SF).collect()
+    sess = QUERIES["sessionize_events_batch"](spark, SF).collect()
+    assert sum(r["n_sessions"] for r in bounce) == len(sess)
+    assert sum(r["n_bounces"] for r in bounce) == sum(
+        1 for s in sess if s["n_events"] == 1
+    )
+    for r in bounce:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+
+
+def test_bray_curtis_and_burrows_properties(spark, docs):
+    bc = QUERIES["bray_curtis_source_pairs"](spark, SF).collect()
+    assert all(0 <= r["bc_q6"] <= 1_000_000 for r in bc)
+    # identical bags -> 0; replay one pair exactly
+    toks = defaultdict(Counter)
+    for src, text in docs:
+        toks[src].update(w for w in text.strip().lower().split() if w)
+    r0 = bc[0]
+    a, b = toks[r0["source_a"]], toks[r0["source_b"]]
+    smin = sum((a & b).values())
+    expect = 1 - 2 * smin / (sum(a.values()) + sum(b.values()))
+    assert abs(r0["bc_q6"] / 1e6 - expect) < 1e-5
+    bd = QUERIES["burrows_delta_sources"](spark, SF).collect()
+    assert len(bd) == len(bc)  # same 190 source pairs
+    assert all(r["delta_q6"] >= 0 for r in bd)
+
+
+def test_active_days_histogram_totals(spark, events):
+    rows = QUERIES["active_days_histogram_monthly"](spark, SF).collect()
+    # sum over histogram = distinct (month, user) pairs
+    mu = {(ts.strftime("%Y-%m"), u) for u, ts, _, _ in events}
+    assert sum(r["n_users"] for r in rows) == len(mu)
+    # weighted sum = distinct (month, user, day) triples
+    mud = {(ts.strftime("%Y-%m"), u, ts.date()) for u, ts, _, _ in events}
+    assert sum(r["active_days"] * r["n_users"] for r in rows) == len(mud)

@@ -170,6 +170,37 @@ DEFAULT_QUERIES = [
     "weibull_fit_time_to_convert",
     "price_indices_yearly",
     "jsd_source_pairs",
+    # r13 wave: nonparametric battery completions, spatial statistics,
+    # regression diagnostics, spectral + stylometric readouts — every
+    # new float-path query (quantized ln/weight/trig/z terms, decimal
+    # power sums, centroid-geometry indices)
+    "cochrans_q_event_types",
+    "cliffs_delta_weekend",
+    "brunner_munzel_weekend",
+    "quade_test_types_daily",
+    "pettitt_changepoint_daily",
+    "bartlett_variance_by_type",
+    "welch_anova_by_type",
+    "atkinson_inequality_orders",
+    "rich_club_cosupply",
+    "yules_k_by_source",
+    "term_burstiness_top20",
+    "burrows_delta_sources",
+    "bray_curtis_source_pairs",
+    "morans_i_customer_cells",
+    "getis_ord_hotspot_cells",
+    "clark_evans_nn_index",
+    "granger_lag1_purchase_error",
+    "breusch_pagan_value_hour",
+    "cooks_distance_daily_revenue",
+    "dominant_period_dft",
+    "davies_bouldin_clusters",
+    "calinski_harabasz_clusters",
+    "session_bounce_by_hour",
+    # r13: BPE strict promotion (unrolled-merge oracles) — the training
+    # loop's argmax must stay schedule-stable too
+    "bpe_learned_merges",
+    "bpe_fertility_by_source",
 ]
 
 
