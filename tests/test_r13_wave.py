@@ -557,6 +557,154 @@ def test_bray_curtis_and_burrows_properties(spark, docs):
     assert all(r["delta_q6"] >= 0 for r in bd)
 
 
+def test_theils_u_matches_entropy_replay(spark, events):
+    cells = Counter((t, ts.hour) for _, ts, t, _ in events)
+    n = sum(cells.values())
+    tm = Counter()
+    hm = Counter()
+    for (t, h), c in cells.items():
+        tm[t] += c
+        hm[h] += c
+    ht = -sum(c / n * math.log(c / n) for c in tm.values())
+    hc = -sum(
+        c / n * math.log(c / hm[h]) for (t, h), c in cells.items()
+    )
+    row = QUERIES["theils_u_type_hour"](spark, SF).collect()[0]
+    assert row["n_cells"] == len(cells)
+    assert abs(row["h_type_q6"] / 1e6 - ht) < 1e-5
+    assert abs(row["theils_u_q6"] / 1e6 - (ht - hc) / ht) < 1e-4
+    assert 0 <= row["theils_u_q6"] <= 1_000_000
+
+
+def test_msttr_matches_replay(spark, docs):
+    per_src = defaultdict(list)
+    for src, text in docs:
+        words = [w for w in text.strip().lower().split() if w]
+        for i in range(0, len(words) - len(words) % 50, 50):
+            seg = words[i : i + 50]
+            per_src[src].append(len(set(seg)) / 50)
+    out = {r["source"]: r for r in QUERIES["msttr_by_source"](spark, SF).collect()}
+    for src, ttrs in per_src.items():
+        assert out[src]["n_segments"] == len(ttrs)
+        assert abs(out[src]["msttr_q6"] / 1e6 - sum(ttrs) / len(ttrs)) < 1e-5
+
+
+def test_brand_lift_matches_replay(spark):
+    li = [
+        (r["l_orderkey"], r["l_partkey"])
+        for r in _t(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ]
+    brand = {
+        r["p_partkey"]: r["p_brand"]
+        for r in _t(spark, SF, "part").select("p_partkey", "p_brand").collect()
+    }
+    baskets = defaultdict(set)
+    for o, p in li:
+        baskets[o].add(brand[p])
+    n_orders = len(baskets)
+    supp = Counter(b for s in baskets.values() for b in s)
+    pair = Counter(
+        (a, b)
+        for s in baskets.values()
+        for a in s
+        for b in s
+        if a < b
+    )
+    rows = QUERIES["brand_basket_lift"](spark, SF).collect()
+    assert len(rows) == len(pair)
+    for r in rows[:5]:
+        key = (r["brand_a"], r["brand_b"])
+        lift = pair[key] * n_orders / (supp[key[0]] * supp[key[1]])
+        assert r["n_both"] == pair[key]
+        assert abs(r["lift_q6"] / 1e6 - lift) < 1e-5
+
+
+def test_spectral_entropy_consistent_with_periodogram(spark):
+    amps = {
+        r["period_days"]: r["amplitude_q4"]
+        for r in QUERIES["dominant_period_dft"](spark, SF).collect()
+    }
+    row = QUERIES["spectral_entropy_daily"](spark, SF).collect()[0]
+    assert row["n_periods"] == 29
+    # the entropy query's argmax period must be the amplitude argmax
+    best = max(amps, key=lambda t: (amps[t], -t))
+    assert row["dominant_period"] == best
+    assert 0 <= row["spectral_entropy_q6"] <= 1_000_000
+
+
+def test_ansari_bradley_matches_rank_replay(spark, events):
+    vals = sorted((v, _is_weekend(ts)) for _, ts, _, v in events)
+    n = len(vals)
+    # midscores over tie blocks of a(r) = min(r, N+1-r)
+    scores = []
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j][0] == vals[i][0]:
+            j += 1
+        block = [min(r + 1, n - r) for r in range(i, j)]
+        mid = sum(block) / len(block)
+        scores.extend((mid, wk) for _, wk in vals[i:j])
+        i = j
+    ab = sum(s for s, wk in scores if wk)
+    sa = sum(s for s, _ in scores)
+    sa2 = sum(s * s for s, _ in scores)
+    nw = sum(1 for _, wk in scores if wk)
+    nd = n - nw
+    e = nw * sa / n
+    var = nw * nd * (n * sa2 - sa * sa) / (n * n * (n - 1))
+    z = (ab - e) / math.sqrt(var)
+    row = QUERIES["ansari_bradley_weekend"](spark, SF).collect()[0]
+    assert row["n_weekend"] == nw and row["n_weekday"] == nd
+    assert abs(row["ab_stat_q4"] / 1e4 - ab) < 0.01
+    assert abs(row["z_q4"] / 1e4 - z) < 1e-3
+
+
+def test_hopkins_matches_bruteforce(spark):
+    cust = [
+        r["c_custkey"]
+        for r in _t(spark, SF, "customer").select("c_custkey").collect()
+    ]
+    side = _geo_side(len(cust))
+    pts = [_geo_xy(pid, side) for pid in cust]
+
+    def md(tag, v):
+        return int(hashlib.md5(f"{tag}{v}".encode()).hexdigest()[:12], 16) % side
+
+    probes = [(md("hx:", j), md("hy:", j)) for j in range(200)]
+    su = sum(
+        min((x - px) ** 2 + (y - py) ** 2 for x, y in pts)
+        for px, py in probes
+    )
+    sel = sorted(
+        cust, key=lambda p: (hashlib.md5(f"hs:{p}".encode()).hexdigest(), p)
+    )[:200]
+    selxy = {p: _geo_xy(p, side) for p in sel}
+    sw = sum(
+        min(
+            (x - sx) ** 2 + (y - sy) ** 2
+            for q, (x, y) in zip(cust, pts)
+            if q != p
+        )
+        for p, (sx, sy) in selxy.items()
+    )
+    row = QUERIES["hopkins_statistic_geo"](spark, SF).collect()[0]
+    assert row["n_points"] == len(pts)
+    assert abs(row["hopkins_q6"] / 1e6 - su / (su + sw)) < 1e-5
+
+
+def test_ripleys_k_consistent_with_radius_join(spark):
+    rows = {r["radius"]: r for r in QUERIES["ripleys_k_customers"](spark, SF).collect()}
+    assert set(rows) == {4000, 8000, 16000}
+    # pair counts only grow with radius
+    assert rows[4000]["n_pairs"] <= rows[8000]["n_pairs"] <= rows[16000]["n_pairs"]
+    # the 8000 count must equal the standalone radius-join query's rows
+    n8000 = QUERIES["geo_radius_pairs"](spark, SF).count()
+    assert rows[8000]["n_pairs"] == n8000
+
+
 def test_active_days_histogram_totals(spark, events):
     rows = QUERIES["active_days_histogram_monthly"](spark, SF).collect()
     # sum over histogram = distinct (month, user) pairs

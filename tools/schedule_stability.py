@@ -201,6 +201,15 @@ DEFAULT_QUERIES = [
     # loop's argmax must stay schedule-stable too
     "bpe_learned_merges",
     "bpe_fertility_by_source",
+    # r13 wave 6/7: entropy ratios, segmental TTR, basket lift, spectral
+    # entropy, closed-form rank scores, exact-integer NN power sums
+    "theils_u_type_hour",
+    "msttr_by_source",
+    "brand_basket_lift",
+    "spectral_entropy_daily",
+    "ansari_bradley_weekend",
+    "hopkins_statistic_geo",
+    "ripleys_k_customers",
 ]
 
 
