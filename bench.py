@@ -115,6 +115,14 @@ HEADLINE = [
     "pagerank_event_types",        # constant-node-set rank iterations
     "streaming_funnel_per_window", # windowed ordered funnel (stream replay)
     "dedup_keep_best_quality",     # CC + per-cluster quality argmax
+    # r13: representatives of the new analytics families (spatial stats,
+    # stylometry, regression diagnostics, dispersion ranks)
+    "clark_evans_nn_index",        # exact-kNN ladder at k=1 + CSR z
+    "ripleys_k_customers",         # 16k-radius grid join, 3 radii
+    "hopkins_statistic_geo",       # 2x200-anchor NN broadcast passes
+    "burrows_delta_sources",       # corpus scan + 20x30 z-score grid
+    "breusch_pagan_value_hour",    # two-pass OLS + aux regression
+    "ansari_bradley_weekend",      # closed-form rank scores on the dict
 ]
 
 
@@ -276,6 +284,21 @@ SCALE_HEADLINE = [
     "pagerank_event_types",
     "streaming_funnel_per_window",
     "dedup_keep_best_quality",
+    # r13. Linear stories: clark_evans/ripleys/hopkins ride the same
+    # constant-density sqrt(n) plane as the r12 geo family (per-point NN
+    # work scale-invariant; the hopkins anchor count is FIXED at 200 so
+    # its pass is one linear scan); burrows_delta is a corpus scan into
+    # a sources x 30 grid (sources constant under replication — the grid
+    # is fixed, only the scan grows); breusch_pagan is two full scans
+    # with scalar moments; ansari_bradley aggregates the value
+    # DICTIONARY, which replication leaves fixed — expected sublinear,
+    # recorded honestly like the media fixtures
+    "clark_evans_nn_index",
+    "ripleys_k_customers",
+    "hopkins_statistic_geo",
+    "burrows_delta_sources",
+    "breusch_pagan_value_hour",
+    "ansari_bradley_weekend",
 ]
 
 # bump when build_scale_dir's transform changes so stale caches rebuild
@@ -546,7 +569,11 @@ def main() -> None:
 
 
 def ladder_path(
-    root: str, rnd: str, loadavg_start: float, calibration_sec: float
+    root: str,
+    rnd: str,
+    loadavg_start: float,
+    calibration_sec: float,
+    sf: float = 0.1,
 ) -> str:
     """Where this run's full bench object belongs.
 
@@ -569,6 +596,11 @@ def ladder_path(
     factor = os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "5")
     if factor not in ("1", "5"):
         return os.path.join(root, f"bench_local_r{rnd}_x{factor}.json")
+    # a non-default SF_DIR run (e.g. an sf0.01 smoke) is a side probe
+    # too — same clobber class as the factor sidecars, different knob
+    if sf != 0.1:
+        tag = str(sf).replace(".", "p")
+        return os.path.join(root, f"bench_local_r{rnd}_sf{tag}.json")
     path = os.path.join(root, f"bench_local_r{rnd}.json")
     if os.path.exists(path):
         # contention gate (VERDICT r12 item 2): a frozen artifact is only
@@ -609,6 +641,7 @@ def _persist_ladder(out: dict) -> None:
             rnd,
             out["machine"]["loadavg_start"],
             out["machine"]["calibration_sec"],
+            float(out.get("sf", 0.1)),
         )
         with open(path, "w") as fh:
             json.dump(out, fh, indent=2)

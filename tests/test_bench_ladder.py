@@ -74,6 +74,14 @@ def test_moderate_loadavg_routes_to_sidecar(tmp_path):
     assert p.endswith("bench_local_r13-contended.json")
 
 
+def test_nondefault_sf_dir_routes_to_sidecar(tmp_path):
+    # an sf0.01 smoke run must never replace the sf0.1 ladder file
+    p = ladder_path(str(tmp_path), "13", IDLE_LOAD, 0.1, sf=0.01)
+    assert p.endswith("bench_local_r13_sf0p01.json")
+    p = ladder_path(str(tmp_path), "13", IDLE_LOAD, 0.1, sf=0.1)
+    assert p.endswith("bench_local_r13.json")
+
+
 def test_calibration_drift_vs_committed_artifact_routes_to_sidecar(tmp_path):
     # even an apparently-idle run (low loadavg, calibration under the
     # absolute 2.0s bar) is contended if its calibration loop drifted
