@@ -705,6 +705,130 @@ def test_ripleys_k_consistent_with_radius_join(spark):
     assert rows[8000]["n_pairs"] == n8000
 
 
+def _daily_series(events):
+    daily = defaultdict(int)
+    for _, ts, _, v in events:
+        daily[ts.date()] += round(v * 1e6)
+    days = sorted(daily)
+    return days, daily
+
+
+def test_pacf_matches_durbin_levinson_replay(spark, events):
+    days, daily = _daily_series(events)
+    n = len(days)
+    vbar = sum(daily[d] for d in days) / 1e6 / n
+    dv = {d: daily[d] / 1e6 - vbar for d in days}
+    import datetime as dt
+
+    c = {0: sum(round(x * x * 1e6) for x in dv.values())}
+    for k in range(1, 6):
+        c[k] = sum(
+            round(dv[d] * dv[d + dt.timedelta(days=k)] * 1e6)
+            for d in days
+            if d + dt.timedelta(days=k) in dv
+        )
+    r = {k: c[k] / c[0] for k in range(1, 6)}
+    # Durbin-Levinson
+    phi = {1: {1: r[1]}}
+    for k in range(2, 6):
+        prev = phi[k - 1]
+        num = r[k] - sum(prev[j] * r[k - j] for j in range(1, k))
+        den = 1 - sum(prev[j] * r[j] for j in range(1, k))
+        pkk = num / den
+        phi[k] = {j: prev[j] - pkk * prev[k - j] for j in range(1, k)}
+        phi[k][k] = pkk
+    out = {
+        r2["lag"]: r2["pacf_q6"]
+        for r2 in QUERIES["pacf_daily_value"](spark, SF).collect()
+    }
+    for k in range(1, 6):
+        assert abs(out[k] / 1e6 - phi[k][k]) < 1e-4, k
+    # lag-1 PACF IS the lag-1 autocorrelation
+    assert abs(out[1] / 1e6 - r[1]) < 1e-5
+
+
+def test_haar_variance_matches_replay(spark, events):
+    days, daily = _daily_series(events)
+    d0 = days[0]
+    t = {d: (d - d0).days for d in days}
+    out = {
+        r["scale_days"]: r
+        for r in QUERIES["haar_wavelet_variance_daily"](spark, SF).collect()
+    }
+    for s in (1, 2, 4, 8):
+        blocks = defaultdict(lambda: [0, 0])
+        for d in days:
+            b = blocks[t[d] // s]
+            b[0] += daily[d]
+            b[1] += 1
+        full = {k: v[0] / v[1] / 1e6 for k, v in blocks.items() if v[1] == s}
+        sq6 = sum(
+            round((full[k + 1] - full[k]) ** 2 * 1e6)
+            for k in full
+            if k + 1 in full
+        )
+        npairs = sum(1 for k in full if k + 1 in full)
+        assert out[s]["n_pairs"] == npairs
+        assert (
+            abs(out[s]["haar_var_q4"] / 1e4 - sq6 / 1e6 / 2 / npairs) < 1e-3
+        )
+
+
+def _daily_mq_by_type(events):
+    cells = defaultdict(lambda: [0, 0])
+    for _, ts, t, v in events:
+        c = cells[(t, ts.date())]
+        c[0] += round(v * 1e6)
+        c[1] += 1
+    series = defaultdict(list)
+    for (t, d), (s, c) in cells.items():
+        series[t].append((d, (s * 1000) // c if s >= 0 else -((-s * 1000) // c)))
+    return series
+
+
+def test_record_highs_matches_replay(spark, events):
+    series = _daily_mq_by_type(events)
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["record_highs_by_type"](spark, SF).collect()
+    }
+    for t, rows in series.items():
+        rows.sort()
+        best = None
+        recs = 0
+        for _, mq in rows:
+            if best is None or mq > best:
+                recs += 1
+                best = mq
+        n = len(rows)
+        h = sum(round(1e12 / i) for i in range(1, n + 1)) / 1e12
+        assert out[t]["n_days"] == n
+        assert out[t]["n_records"] == recs
+        assert abs(out[t]["expected_q4"] / 1e4 - h) < 1e-3
+
+
+def test_turning_points_matches_replay(spark, events):
+    series = _daily_mq_by_type(events)
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["turning_points_by_type"](spark, SF).collect()
+    }
+    for t, rows in series.items():
+        rows.sort()
+        mq = [m for _, m in rows]
+        turns = sum(
+            1
+            for i in range(1, len(mq) - 1)
+            if (mq[i] > mq[i - 1] and mq[i] > mq[i + 1])
+            or (mq[i] < mq[i - 1] and mq[i] < mq[i + 1])
+        )
+        n = len(mq)
+        assert out[t]["n_days"] == n
+        assert out[t]["n_turns"] == turns
+        z = (turns - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
+        assert abs(out[t]["z_q4"] / 1e4 - z) < 1e-3
+
+
 def test_active_days_histogram_totals(spark, events):
     rows = QUERIES["active_days_histogram_monthly"](spark, SF).collect()
     # sum over histogram = distinct (month, user) pairs

@@ -210,6 +210,11 @@ DEFAULT_QUERIES = [
     "ansari_bradley_weekend",
     "hopkins_statistic_geo",
     "ripleys_k_customers",
+    # r13 wave 8: unrolled Durbin-Levinson, wavelet variance, randomness
+    "pacf_daily_value",
+    "haar_wavelet_variance_daily",
+    "record_highs_by_type",
+    "turning_points_by_type",
 ]
 
 
