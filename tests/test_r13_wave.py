@@ -11,6 +11,7 @@ import math
 from collections import Counter, defaultdict
 
 import pytest
+from pyspark.sql import functions as F
 
 from weatherdatapipeline_spark.queries import QUERIES, _geo_side, _t
 
@@ -827,6 +828,279 @@ def test_turning_points_matches_replay(spark, events):
         assert out[t]["n_turns"] == turns
         z = (turns - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
         assert abs(out[t]["z_q4"] / 1e4 - z) < 1e-3
+
+
+def test_embedding_anisotropy_matches_bruteforce_pairs(spark):
+    import numpy as np
+
+    vecs = [
+        np.array(r["embedding"], dtype=float)
+        for r in _t(spark, SF, "embeddings").select("embedding").collect()
+    ]
+    # replicate the quantized unit-vector path, then check the closed
+    # form equals the O(n^2) brute-force mean pairwise cosine
+    us = []
+    for v in vecs:
+        n2 = sum(round(x * x * 1e9) for x in v)
+        if n2 > 0:
+            us.append(v / math.sqrt(n2 / 1e9))
+    n = len(us)
+    m = np.stack(us)
+    gram = m @ m.T
+    brute = (gram.sum() - np.trace(gram)) / (n * (n - 1))
+    row = QUERIES["embedding_anisotropy_cosine"](spark, SF).collect()[0]
+    assert row["n_vectors"] == n
+    assert abs(row["mean_cosine_q6"] / 1e6 - brute) < 1e-4
+
+
+def test_effective_rank_matches_numpy_spectrum(spark):
+    import numpy as np
+
+    vecs = np.stack([
+        np.array(r["embedding"], dtype=float)
+        for r in _t(spark, SF, "embeddings").select("embedding").collect()
+    ])
+    c = np.cov(vecs.T, bias=True)
+    lam = np.linalg.eigvalsh(c)
+    pr = lam.sum() ** 2 / (lam ** 2).sum()
+    row = QUERIES["embedding_effective_rank"](spark, SF).collect()[0]
+    assert abs(row["trace_q6"] / 1e6 - lam.sum()) < 1e-3
+    assert abs(row["effective_rank_q4"] / 1e4 - pr) / pr < 1e-3
+    assert 1 <= row["effective_rank_q4"] / 1e4 <= vecs.shape[1]
+
+
+def test_twonn_matches_numpy_neighbors(spark):
+    import numpy as np
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in _t(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    ids = sorted(vecs)
+    m = np.stack([vecs[i] for i in ids])
+    d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    sl9 = 0
+    used = 0
+    for i in range(len(ids)):
+        m1 = d2[i].min()
+        bigger = d2[i][d2[i] > m1]
+        if m1 > 0 and len(bigger):
+            m2 = bigger.min()
+            sl9 += round(math.log(m2 / m1) / 2 * 1e9)
+            used += 1
+    row = QUERIES["intrinsic_dim_twonn"](spark, SF).collect()[0]
+    assert row["n_used"] == used
+    est = used / (sl9 / 1e9)
+    assert abs(row["intrinsic_dim_q4"] / 1e4 - est) < 1e-3
+
+
+def test_lorenz_deciles_properties_and_replay(spark):
+    rows = sorted(
+        QUERIES["lorenz_curve_deciles"](spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    cust = _t(spark, SF, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == cust
+    # deciles are revenue-ascending: shares must be non-decreasing
+    shares = [r["share_q6"] for r in rows]
+    assert shares == sorted(shares)
+    assert rows[-1]["cum_share_q6"] == 1_000_000
+    # exact replay of the top decile mass
+    orders = _t(spark, SF, "orders").groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("r")
+    )
+    revs = sorted(
+        [r["r"] for r in orders.collect()]
+        + [0] * (cust - orders.count())
+    )
+    n = len(revs)
+    top = revs[(9 * n) // 10 :]
+    assert rows[-1]["n_customers"] == n - (9 * n) // 10
+    assert rows[-1]["revenue_cents"] == sum(top)
+
+
+def _probit(p):
+    """Pure-Python Acklam inverse normal — the replay twin of
+    queries._norminv_sql (same coefficients, same branch structure)."""
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+
+    def horner(cf, q):
+        acc = cf[0]
+        for k in cf[1:]:
+            acc = acc * q + k
+        return acc
+
+    if p < 0.02425:
+        q = math.sqrt(-2 * math.log(p))
+        return horner(c, q) / (horner(d, q) * q + 1)
+    if p <= 0.97575:
+        q = p - 0.5
+        r = q * q
+        return horner(a, r) * q / (horner(b, r) * r + 1)
+    q = math.sqrt(-2 * math.log(1 - p))
+    return -horner(c, q) / (horner(d, q) * q + 1)
+
+
+def test_shapiro_francia_matches_replay(spark, events):
+    norminv = _probit
+    cells = defaultdict(lambda: [0, 0])
+    for _, ts, t, v in events:
+        c = cells[(t, ts.date())]
+        c[0] += round(v * 1e6)
+        c[1] += 1
+    series = defaultdict(list)
+    for (t, d), (s, c) in cells.items():
+        series[t].append((s, c))
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["shapiro_francia_daily_by_type"](spark, SF).collect()
+    }
+    for t, sc in series.items():
+        n = len(sc)
+        xs = []
+        for s, c in sc:
+            less = sum(1 for s2, c2 in sc if s2 * c < s * c2)
+            eq = sum(1 for s2, c2 in sc if s2 * c == s * c2)
+            r2 = 2 * less + eq + 1
+            m = norminv((r2 / 2.0 - 0.375) / (n + 0.25))
+            xs.append((m, s / c / 1e6))
+        smx = sum(m * x for m, x in xs)
+        sm = sum(m for m, _ in xs)
+        sx = sum(x for _, x in xs)
+        smm = sum(m * m for m, _ in xs)
+        sxx = sum(x * x for _, x in xs)
+        num = smx - sm * sx / n
+        den = (smm - sm * sm / n) * (sxx - sx * sx / n)
+        w = num * num / den
+        assert abs(out[t]["w_prime_q6"] / 1e6 - w) < 1e-4
+        assert 0 < out[t]["w_prime_q6"] <= 1_000_000
+
+
+def test_kpss_matches_replay(spark, events):
+    cells = defaultdict(lambda: [0, 0])
+    for _, ts, t, v in events:
+        c = cells[(t, ts.date())]
+        c[0] += round(v * 1e6)
+        c[1] += 1
+    series = defaultdict(list)
+    for (t, d), (s, c) in cells.items():
+        series[t].append((d, round(s / c)))
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["kpss_level_by_type"](spark, SF).collect()
+    }
+    for t, rows in series.items():
+        rows.sort()
+        n = len(rows)
+        xbar = sum(x for _, x in rows) / n
+        e = [round(x - xbar) for _, x in rows]
+        st = []
+        acc = 0
+        for v in e:
+            acc += v
+            st.append(acc)
+        ss2 = sum(round((s / 1e6) ** 2 * 1e2) for s in st)
+        dates = [d for d, _ in rows]
+        dset = {d: i for i, d in enumerate(dates)}
+        import datetime as dt
+
+        g = {}
+        for k in range(0, 5):
+            g[k] = sum(
+                round((e[i] / 1e6) * (e[dset[d + dt.timedelta(days=k)]] / 1e6) * 1e6)
+                for i, d in enumerate(dates)
+                if d + dt.timedelta(days=k) in dset
+            )
+        s2w = round(1.0 * g[0]) + sum(
+            round(2 * (1 - k / 5) * g[k]) for k in range(1, 5)
+        )
+        eta = (ss2 / 1e2 / (n * n)) / (s2w / 1e6 / n)
+        assert abs(out[t]["kpss_q6"] / 1e6 - eta) < 1e-4
+
+
+def test_seasonal_mk_matches_replay(spark, events):
+    cells = defaultdict(lambda: [0, 0])
+    for _, ts, _, v in events:
+        c = cells[(ts.strftime("%Y-%m"), ts.date())]
+        c[0] += round(v * 1e6)
+        c[1] += 1
+    months = defaultdict(list)
+    for (m, d), (s, c) in cells.items():
+        months[m].append((d, s, c))
+    s_stat = 0
+    v18 = 0
+    for m, rows in months.items():
+        rows.sort()
+        nm = len(rows)
+        for i in range(nm):
+            for j in range(i + 1, nm):
+                _, si, ci = rows[i]
+                _, sj, cj = rows[j]
+                s_stat += (sj * ci > si * cj) - (sj * ci < si * cj)
+        ties = Counter((s * 1000) // c for _, s, c in rows)
+        v18 += nm * (nm - 1) * (2 * nm + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+        )
+    row = QUERIES["seasonal_mann_kendall_daily"](spark, SF).collect()[0]
+    assert row["s_stat"] == s_stat
+    assert row["var_x18"] == v18
+    assert row["n_months"] == len(months)
+
+
+def test_fligner_killeen_matches_replay(spark, events):
+    from collections import Counter as C2
+
+    groups = defaultdict(list)
+    for _, _, t, v in events:
+        groups[t].append(v)
+    meds = {}
+    for t, vals in groups.items():
+        sv = sorted(vals)
+        # exact lower median: smallest value whose cumulative count
+        # reaches ceil(n/2)
+        meds[t] = sv[(len(sv) - 1) // 2]
+    devs = []
+    for t, vals in groups.items():
+        for v in vals:
+            devs.append((t, round(abs(v - meds[t]) * 1e6)))
+    pooled = sorted(d for _, d in devs)
+    import bisect
+
+    # midrank scores via the same Acklam probit the query injects (top
+    # ranks push p past 0.97575, so the full branch structure matters)
+    nn = len(pooled)
+    probit = _probit
+    scores = defaultdict(list)
+    for t, d in devs:
+        lo = bisect.bisect_left(pooled, d)
+        hi = bisect.bisect_right(pooled, d)
+        r2 = 2 * lo + (hi - lo) + 1  # 2x midrank
+        p = 0.5 + r2 / (4.0 * (nn + 1))
+        scores[t].append(probit(p))
+    allsc = [s for v in scores.values() for s in v]
+    abar = sum(allsc) / nn
+    v_pool = sum((s - abar) ** 2 for s in allsc) / (nn - 1)
+    chi = sum(
+        len(v) * (sum(v) / len(v) - abar) ** 2 for v in scores.values()
+    ) / v_pool
+    row = QUERIES["fligner_killeen_by_type"](spark, SF).collect()[0]
+    assert row["k_types"] == len(groups)
+    assert row["n_total"] == nn
+    assert abs(row["fk_chi2_q4"] / 1e4 - chi) < 0.01
 
 
 def test_active_days_histogram_totals(spark, events):

@@ -215,6 +215,17 @@ DEFAULT_QUERIES = [
     "haar_wavelet_variance_daily",
     "record_highs_by_type",
     "turning_points_by_type",
+    # r13 wave 9: embedding-health diagnostics, Lorenz deciles, and the
+    # Acklam-probit family (identical inverse-normal expression text in
+    # both engines)
+    "embedding_anisotropy_cosine",
+    "embedding_effective_rank",
+    "intrinsic_dim_twonn",
+    "lorenz_curve_deciles",
+    "shapiro_francia_daily_by_type",
+    "kpss_level_by_type",
+    "seasonal_mann_kendall_daily",
+    "fligner_killeen_by_type",
 ]
 
 
