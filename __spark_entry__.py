@@ -60,7 +60,14 @@ def _rotation_order(names: list[str]) -> list[str]:
                 rounds.append(int(m.group(1)))
         except Exception:
             continue
-    rnd = int(os.environ.get("SPARK_GRAFT_ROUND", max(rounds) + 1))
+    # malformed env (e.g. SPARK_GRAFT_ROUND=bogus) must not crash the
+    # driver's entry surface — fall back to max(rounds)+1 (ADVICE r13).
+    # Note: uncommitted CORRECTNESS_r*.json artifacts in the working
+    # tree shift this rotation; a fresh clone may order differently.
+    try:
+        rnd = int(os.environ.get("SPARK_GRAFT_ROUND", ""))
+    except ValueError:
+        rnd = max(rounds) + 1
     unseen = sorted(n for n in names if n not in sampled)
     seen = sorted(n for n in names if n in sampled)
     if unseen:

@@ -592,10 +592,23 @@ def ladder_path(
     # file (base times from a different-purpose session, scale_check at
     # the wrong factor) — route it to its own -x{factor} sidecar.
     # Exception (ADVICE r12): factor=1 just DISABLES the scale check —
-    # the base-query ladder is identical, so it IS a main-file run.
+    # the base-query ladder is identical, so it IS a main-file run...
+    # UNLESS the committed main file already carries a scale_check
+    # section (ADVICE r13): overwriting it with a factor=1 object would
+    # silently drop the per-query slope evidence COVERAGE.md cites —
+    # the exact clobber class this function exists to prevent. Route
+    # that case to an -x1 sidecar.
     factor = os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "5")
     if factor not in ("1", "5"):
         return os.path.join(root, f"bench_local_r{rnd}_x{factor}.json")
+    if factor == "1":
+        main = os.path.join(root, f"bench_local_r{rnd}.json")
+        try:
+            with open(main) as fh:
+                if "scale_check" in json.load(fh):
+                    return os.path.join(root, f"bench_local_r{rnd}_x1.json")
+        except Exception:
+            pass
     # a non-default SF_DIR run (e.g. an sf0.01 smoke) is a side probe
     # too — same clobber class as the factor sidecars, different knob
     if sf != 0.1:

@@ -94,3 +94,23 @@ def test_calibration_drift_vs_committed_artifact_routes_to_sidecar(tmp_path):
     # within 15%: main file
     p = ladder_path(str(tmp_path), "13", IDLE_LOAD, 1.1)
     assert p.endswith("bench_local_r13.json")
+
+
+def test_factor_one_never_clobbers_scale_check(tmp_path, monkeypatch):
+    # ADVICE r13: factor=1 skips the scale check entirely, so letting it
+    # overwrite a committed main file that CARRIES a scale_check section
+    # would silently drop the per-query slope evidence — route to an
+    # _x1 sidecar in exactly that case
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_FACTOR", "1")
+    (tmp_path / "bench_local_r14.json").write_text(
+        '{"value": 100.0, "scale_check": {"slope": 1.19},'
+        ' "machine": {"calibration_sec": 1.0}}\n'
+    )
+    p = ladder_path(str(tmp_path), "14", IDLE_LOAD, 1.0)
+    assert p.endswith("bench_local_r14_x1.json")
+    # a main file WITHOUT a scale_check is still replaceable by factor=1
+    (tmp_path / "bench_local_r14.json").write_text(
+        '{"value": 100.0, "machine": {"calibration_sec": 1.0}}\n'
+    )
+    p = ladder_path(str(tmp_path), "14", IDLE_LOAD, 1.0)
+    assert p.endswith("bench_local_r14.json")

@@ -25,9 +25,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# previous knn_join result cache — released at the start of the next
-# call (caller-release contract, ADVICE r12); see knn_join's tail
+# previous knn_join result cache — released once the NEXT call has
+# materialized (caller-release contract, ADVICE r12); see knn_join's
+# tail. Keyed on the owning SparkSession (ADVICE r13) so a handle from
+# a torn-down session is dropped, never unpersisted against a dead JVM.
 _PREV_KNN_RESULT: DataFrame | None = None
+_PREV_KNN_SESSION = None
+
+
+def release_knn_cache() -> None:
+    """Explicitly release the retained previous ``knn_join`` result cache
+    (ADVICE r13: the hidden module global needed a public release hook).
+    Safe to call at any time, including after session teardown."""
+    global _PREV_KNN_RESULT, _PREV_KNN_SESSION
+    if _PREV_KNN_RESULT is not None:
+        try:
+            _PREV_KNN_RESULT.unpersist(blocking=False)
+        except Exception:
+            pass
+    _PREV_KNN_RESULT = None
+    _PREV_KNN_SESSION = None
 
 
 def radius_join(
@@ -261,14 +278,22 @@ def knn_join(
     # the old handle there would drop the blocks the new result reads
     # (measured: repeated geo_knn went 3 s cached -> 10 s recompute),
     # so release only when the plans actually differ.
-    global _PREV_KNN_RESULT
+    global _PREV_KNN_RESULT, _PREV_KNN_SESSION
+    session = points.sparkSession
     if _PREV_KNN_RESULT is not None:
-        try:
-            if not result.sameSemantics(_PREV_KNN_RESULT):
-                _PREV_KNN_RESULT.unpersist(blocking=False)
-        except Exception:
-            pass
+        if _PREV_KNN_SESSION is not session:
+            # stale handle from a different / torn-down SparkSession:
+            # just drop the reference (ADVICE r13) — unpersisting it
+            # would talk to a dead JVM, and its blocks died with it
+            _PREV_KNN_RESULT = None
+        else:
+            try:
+                if not result.sameSemantics(_PREV_KNN_RESULT):
+                    _PREV_KNN_RESULT.unpersist(blocking=False)
+            except Exception:
+                pass
     _PREV_KNN_RESULT = result
+    _PREV_KNN_SESSION = session
     return result
 
 
