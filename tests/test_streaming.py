@@ -910,3 +910,153 @@ def test_streaming_funnel_steps_ordered_conversion(spark, tmp_path_factory):
     assert o["t_click"] < o["t_view"]  # order predicate must reject
     assert got["viewer"]["t_click"] is None
     assert got["viewer"]["t_purchase"] is None
+
+
+def test_streaming_ivf_maintenance_drift_refresh(spark, tmp_path_factory):
+    """IVF index maintenance (VERDICT r13 item 6): batch 1 seeds the
+    quantizer and appends below the drift bound; batch 2 pushes a
+    cluster's member mean past the bound, firing a re-seed (version
+    bump, centroids := member means, full reassignment); batch 3 lands
+    under the bound again; a checkpoint-wiped replay is a no-op (the
+    anti-join idempotence idiom)."""
+    import shutil
+
+    from weatherdatapipeline_spark.streaming.jobs import streaming_ivf_maintenance
+
+    src = str(tmp_path_factory.mktemp("ivf_src"))
+    index = str(tmp_path_factory.mktemp("ivf_idx")) + "/index"
+    cents = str(tmp_path_factory.mktemp("ivf_cent")) + "/centroids"
+    stats = str(tmp_path_factory.mktemp("ivf_stats")) + "/stats"
+    ckpt = str(tmp_path_factory.mktemp("ivf_ckpt"))
+    schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = streaming_ivf_maintenance(
+            stream, index, cents, stats,
+            n_clusters=2, drift_q6_bound=100_000,
+            checkpoint=ckpt, available_now=True,
+        )
+        q.awaitTermination()
+
+    batch1 = [
+        (1, [1.0, 0.0]),  # seed -> centroid 0
+        (2, [0.0, 1.0]),  # seed -> centroid 1
+        (3, [0.9, 0.1]),  # joins cluster 0
+        (4, [0.1, 0.9]),  # joins cluster 1
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    c0 = spark.read.parquet(cents)
+    assert c0.agg(F.max("version")).collect()[0][0] == 0  # drift 70711 < bound
+    assert spark.read.parquet(index).count() == 4
+
+    # drifted arrivals: cluster-0 mean moves to (0.9, 0.2333) -> drift
+    # ~253859 q6 > bound -> refresh fires
+    batch2 = [(5, [0.8, 0.6]), (6, [0.6, 0.8])]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    cv = spark.read.parquet(cents)
+    assert cv.agg(F.max("version")).collect()[0][0] == 1
+    got = {
+        r["centroid_id"]: r["centroid_vec"]
+        for r in cv.filter(F.col("version") == 1).collect()
+    }
+    exp0 = [(1.0 + 0.9 + 0.8) / 3, (0.0 + 0.1 + 0.6) / 3]
+    exp1 = [(0.0 + 0.1 + 0.6) / 3, (1.0 + 0.9 + 0.8) / 3]
+    assert got[0] == pytest.approx(exp0, abs=1e-9)
+    assert got[1] == pytest.approx(exp1, abs=1e-9)
+    idx = spark.read.parquet(index)
+    assert idx.filter(F.col("version") != 1).count() == 0  # fully reassigned
+    sizes = {r["centroid_id"]: r["n"] for r in
+             idx.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {0: 3, 1: 3}
+
+    # under-bound arrival: no new version
+    batch3 = [(7, [0.9, 0.2])]
+    spark.createDataFrame(batch3, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert spark.read.parquet(cents).agg(F.max("version")).collect()[0][0] == 1
+    assert spark.read.parquet(index).count() == 7
+
+    # wipe the checkpoint: every file replays, but every id is already
+    # indexed -> the anti-join makes the replay a structural no-op
+    before = sorted(
+        (r["vec_id"], r["centroid_id"], r["version"])
+        for r in spark.read.parquet(index).collect()
+    )
+    shutil.rmtree(ckpt)
+    drain()
+    after = sorted(
+        (r["vec_id"], r["centroid_id"], r["version"])
+        for r in spark.read.parquet(index).collect()
+    )
+    assert after == before
+    assert spark.read.parquet(cents).agg(F.max("version")).collect()[0][0] == 1
+
+
+def test_streaming_ivf_refresh_matches_batch_twin(spark, tmp_path_factory):
+    """Stream==batch parity for the refreshed index: one availableNow
+    batch over the sf0.001 embeddings with bound=0 (always refresh) must
+    land exactly where the batch recomputation lands — same seed
+    quantizer (8 lowest vec_ids = vec_id<8 here), centroids == member
+    means, index == reassignment to those means."""
+    from weatherdatapipeline_spark.operators.similarity import assign_to_centroids
+    from weatherdatapipeline_spark.queries import _t
+    from weatherdatapipeline_spark.streaming.jobs import streaming_ivf_maintenance
+
+    emb = _t(spark, "/root/testdata/sf0.001", "embeddings")
+    src = str(tmp_path_factory.mktemp("ivf2_src"))
+    emb.coalesce(1).write.mode("overwrite").parquet(src)
+    index = str(tmp_path_factory.mktemp("ivf2_idx")) + "/index"
+    cents = str(tmp_path_factory.mktemp("ivf2_cent")) + "/centroids"
+    stats = str(tmp_path_factory.mktemp("ivf2_stats")) + "/stats"
+    ckpt = str(tmp_path_factory.mktemp("ivf2_ckpt"))
+
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label LONG"
+    ).parquet(src)
+    q = streaming_ivf_maintenance(
+        stream.select("vec_id", "embedding"), index, cents, stats,
+        n_clusters=8, drift_q6_bound=0, checkpoint=ckpt, available_now=True,
+    )
+    q.awaitTermination()
+
+    assert spark.read.parquet(cents).agg(F.max("version")).collect()[0][0] == 1
+
+    # batch twin: seed assign -> DECIMAL member means -> reassign
+    dec = "decimal(38,12)"
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    a0 = assign_to_centroids(emb, seeds).join(emb.select("vec_id", "embedding"), "vec_id")
+    means = (
+        a0.select("centroid_id", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("centroid_id", "dim")
+        .agg(F.sum(F.col("x").cast("double").cast(dec)).alias("s"),
+             F.count(F.lit(1)).alias("n"))
+        .withColumn("m", F.col("s").cast("double") / F.col("n"))
+        .groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("p"))
+        .select("centroid_id", F.transform("p", lambda e: e["m"]).alias("centroid_vec"))
+    )
+    got_c = {
+        r["centroid_id"]: r["centroid_vec"]
+        for r in spark.read.parquet(cents).filter(F.col("version") == 1).collect()
+    }
+    exp_c = {r["centroid_id"]: r["centroid_vec"] for r in means.collect()}
+    assert set(got_c) == set(exp_c)
+    for k in exp_c:
+        assert got_c[k] == pytest.approx(exp_c[k], abs=1e-12)
+
+    exp_assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_to_centroids(emb, means).collect()
+    }
+    got_assign = {
+        r["vec_id"]: r["centroid_id"] for r in spark.read.parquet(index).collect()
+    }
+    assert got_assign == exp_assign

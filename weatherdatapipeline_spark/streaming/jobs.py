@@ -383,6 +383,207 @@ def streaming_corpus_ingest(
     return writer.start()
 
 
+def streaming_ivf_maintenance(
+    vec_stream: DataFrame,
+    index_path: str,
+    centroids_path: str,
+    stats_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    drift_q6_bound: int = 100_000,
+    checkpoint: str | None = None,
+    available_now: bool = False,
+    trigger_minutes: int | None = None,
+):
+    """Streaming ANN-index maintenance (VERDICT r13 item 6): the IVF
+    twin of ``streaming_corpus_ingest``. Each micro-batch assigns new
+    vectors to the CURRENT coarse-quantizer centroids and appends them
+    to the index; when the monitored centroid drift — the L2 distance
+    between each cluster's stored centroid and the running mean of its
+    assigned members — exceeds ``drift_q6_bound`` (units: 1e-6), the
+    job re-seeds the quantizer (one Lloyd step: centroids := member
+    means), REASSIGNS the index, and bumps the version. Without this,
+    continuous ingest silently degrades probe recall as the corpus
+    distribution slides away from the centroids it was bucketed under
+    (the batch `embedding_centroid_drift` query measures the same
+    phenomenon; `ivf_refresh_decision` is this job's strict-oracled
+    decision twin).
+
+    Scale design: per batch the work is batch-linear — assignment is a
+    broadcast of k centroids, and the drift monitor reads the STATS
+    table (per-cluster per-dim component sums, k*d rows per batch,
+    DECIMAL-accumulated), never the corpus-sized index. Only a fired
+    refresh touches the full index (one reassignment pass + one stats
+    rebuild), which is the rare amortized event by construction.
+    Exactly-once across restarts: the checkpointed foreachBatch plus an
+    anti-join on already-indexed ids makes replayed batches no-ops
+    (same idempotence idiom as the corpus ingest).
+    """
+    import os
+
+    from ..operators.similarity import assign_to_centroids
+
+    dec = "decimal(38,12)"
+
+    def _has_parquet(path: str) -> bool:
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
+
+    def _write_stats(spark, assigned_vecs: DataFrame, version: int) -> None:
+        """Append per-cluster per-dim component sums for these rows."""
+        comp = assigned_vecs.select(
+            "centroid_id", F.posexplode(vec_col).alias("dim", "x")
+        )
+        stats = comp.groupBy("centroid_id", "dim").agg(
+            F.sum(F.col("x").cast("double").cast(dec)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        stats.withColumn("version", F.lit(version).cast("long")).write.mode(
+            "append"
+        ).parquet(stats_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, vec_col)
+
+        if _has_parquet(centroids_path):
+            cents = spark.read.parquet(centroids_path)
+            version = cents.agg(F.max("version")).collect()[0][0]
+            cents = cents.filter(F.col("version") == version).select(
+                "centroid_id", "centroid_vec"
+            )
+        else:
+            # deterministic seed: the n_clusters lowest-id vectors of the
+            # first batch (bounded k-row driver closure, like the batch
+            # twin's vec_id < k seed)
+            from pyspark.sql import Window as _W
+
+            version = 0
+            seed = batch.orderBy(id_col).limit(n_clusters)
+            # global window over <= k rows (the limit already bounds it)
+            cents = seed.select(
+                (F.row_number().over(_W.orderBy(id_col)) - 1)
+                .cast("long")
+                .alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"),
+            )
+            cents.withColumn("version", F.lit(0).cast("long")).write.mode(
+                "overwrite"
+            ).parquet(centroids_path)
+            cents = spark.read.parquet(centroids_path).select(
+                "centroid_id", "centroid_vec"
+            )
+
+        # idempotent replay: drop ids the index already holds
+        if _has_parquet(index_path):
+            existing = spark.read.parquet(index_path).select(id_col)
+            novel = batch.join(existing, id_col, "left_anti")
+        else:
+            novel = batch
+        # localCheckpoint, not persist: the plan reads index_path (the
+        # anti-join) and the next action runs AFTER the index append — a
+        # cache miss would lazily recompute novel as EMPTY against the
+        # just-appended files (persist() does not truncate lineage)
+        assigned = (
+            assign_to_centroids(novel, cents, id_col=id_col, vec_col=vec_col)
+            .join(novel, id_col)
+            .localCheckpoint(eager=True)
+        )
+        if assigned.isEmpty():
+            return
+        assigned.select(id_col, vec_col, "centroid_id").withColumn(
+            "version", F.lit(version).cast("long")
+        ).write.mode("append").parquet(index_path)
+        _write_stats(spark, assigned, version)
+
+        # drift monitor over the stats table (k*d-bounded, never the index)
+        stats = (
+            spark.read.parquet(stats_path)
+            .filter(F.col("version") == version)
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        )
+        cexp = spark.read.parquet(centroids_path).filter(
+            F.col("version") == version
+        ).select("centroid_id", F.posexplode("centroid_vec").alias("dim", "c"))
+        delta = F.col("s").cast("double") / F.col("n") - F.col("c")
+        drift = (
+            stats.join(cexp, ["centroid_id", "dim"])
+            .select("centroid_id", (delta * delta).cast(dec).alias("d2"))
+            .groupBy("centroid_id")
+            .agg(
+                F.round(F.sqrt(F.sum("d2").cast("double")) * 1e6)
+                .cast("long")
+                .alias("drift_q6")
+            )
+        )
+        worst = drift.agg(F.max("drift_q6")).collect()[0][0]
+        if worst is None or worst <= drift_q6_bound:
+            return
+
+        # refresh: one Lloyd step from the stats means, reassign the index
+        new_version = version + 1
+        new_cents = (
+            stats.withColumn("m", F.col("s").cast("double") / F.col("n"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("p"))
+            .select(
+                "centroid_id",
+                F.transform("p", lambda e: e["m"]).alias("centroid_vec"),
+            )
+        )
+        # same lineage-truncation rationale: new_cents derives from
+        # stats_path, which this branch appends to further down
+        new_cents = new_cents.localCheckpoint(eager=True)
+        try:
+            index = spark.read.parquet(index_path).select(id_col, vec_col)
+            reassigned = assign_to_centroids(
+                index, new_cents, id_col=id_col, vec_col=vec_col
+            ).join(index, id_col)
+            staged = reassigned.select(id_col, vec_col, "centroid_id").withColumn(
+                "version", F.lit(new_version).cast("long")
+            )
+            # localCheckpoint severs the lineage to index_path BEFORE the
+            # overwrite of that same path (an evicted cache partition
+            # would otherwise recompute from the half-overwritten source;
+            # a real lake would write-to-sibling-and-swap instead)
+            staged = staged.localCheckpoint(eager=True)
+            staged.write.mode("overwrite").parquet(index_path)
+            new_cents.withColumn(
+                "version", F.lit(new_version).cast("long")
+            ).write.mode("append").parquet(centroids_path)
+            fresh = spark.read.parquet(index_path).filter(
+                F.col("version") == new_version
+            )
+            # rebuild stats from the reassigned index at the new version
+            comp = fresh.select(
+                "centroid_id", F.posexplode(vec_col).alias("dim", "x")
+            )
+            comp.groupBy("centroid_id", "dim").agg(
+                F.sum(F.col("x").cast("double").cast(dec)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).withColumn("version", F.lit(new_version).cast("long")).write.mode(
+                "append"
+            ).parquet(stats_path)
+        finally:
+            # release the checkpoint blocks (localCheckpoint stores at
+            # the persist layer; unpersist is the matching release)
+            new_cents.unpersist()
+
+    writer = vec_stream.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_minutes:
+        writer = micro_batch_trigger(writer, trigger_minutes)
+    return writer.start()
+
+
 def run_available_now_to_memory(stream_out: DataFrame, name: str, output_mode: str):
     """Test/driver helper: drain all available input through the streaming
     plan into an in-memory sink and block until done."""
