@@ -123,6 +123,62 @@ HEADLINE = [
     "burrows_delta_sources",       # corpus scan + 20x30 z-score grid
     "breusch_pagan_value_hour",    # two-pass OLS + aux regression
     "ansari_bradley_weekend",      # closed-form rank scores on the dict
+    # r14 heavy-tail promotion (VERDICT r13 item 1): the full-registry
+    # sweep (tools/bench_sweep.py, bench_sweep_r14.json) timed all 446
+    # queries; every query whose min-of-2 STEADY-STATE re-probe
+    # (tools/bench_reprobe.py, bench_reprobe_r14.json) read >= 2 s at
+    # sf0.1 joins the recorded ladder — 51 promotions, 75 -> 126.
+    "permutation_test_weekend_value",  # B resample scans, one pass each
+    "streaming_topk_types_per_window", # windowed counts + closed-window rank
+    "cronbachs_alpha_items",       # users x items reliability grid
+    "dedup_incremental_neardup_batch", # band-index probe + append
+    "pq_adc_topk",                 # PQ ADC lookup scan, single query
+    "minhash_recall_audit",        # minhash pairs vs exact jaccard
+    "streaming_left_outer_join_unmatched", # watermarked stream-stream LOJ
+    "streaming_interval_join_pairs",   # time-bounded stream-stream join
+    "bpe_fertility_by_source",     # learned merges applied corpus-wide
+    "bpe_learned_merges",          # 16-round vocab-bounded pair merge
+    "capped_running_balance_by_user",  # per-user recurrence (Arrow)
+    "semdedup_corpus",             # centroid-bucketed embedding near-dup
+    "profile_lineitem_columns",    # full-table column profiler
+    "holt_user_values",            # per-user Holt recurrence (Arrow)
+    "dedup_cluster_assignments_star",  # star-contraction CC variant
+    "leakage_safe_split_sizes",    # CC-aware split assignment
+    "kalman_user_values",          # per-user Kalman recurrence (Arrow)
+    "dedup_cluster_size_histogram",    # CC + size histogram
+    "davies_bouldin_clusters",     # Lloyd k-distance cluster index
+    "knn_label_prediction",        # 5-NN vote vs fixed labeled slice
+    "embedding_pq_codes",          # map-only PQ encode
+    "decontaminate_fuzzy_neardup", # eval-gram fuzzy decontamination
+    "geo_knn_escalation_audit",    # escalating-radius audit trail
+    "dedup_canonical_corpus",      # CC + canonical representative
+    "ewma_user_values",            # per-user EWMA recurrence (Arrow)
+    "dedup_simhash_pairs",         # simhash block join
+    "clustering_coefficient_cosupply", # wedge/triangle ratio
+    "streaming_session_counts",    # session-window stream counts
+    "pacf_daily_value",            # unrolled Durbin-Levinson on DAY series
+    "dedup_simhash_multiblock_pairs",  # multi-block simhash join
+    "dedup_containment_pairs",     # asymmetric containment near-dup
+    "bfs_khop_cosupply",           # k-hop frontier expansion
+    "harmonic_centrality_seeds",   # seeded multi-source BFS
+    "pca_top_component_scores",    # d^2 Gram + power iteration + project
+    "sssp_weighted_cosupply",      # weighted SSSP rounds
+    "gbm_stumps_purchase",         # boosted stumps (iterative ML)
+    "fk_candidate_audit",          # cross-column FK containment audit
+    "importance_weight_ess",       # importance-weight diagnostics
+    "brand_basket_lift",           # brand-pair basket lift grid
+    "topsis_supplier_ranking",     # multi-criteria ranking
+    "sssp_converged_cosupply",     # SSSP to convergence
+    "mad_robust_outliers_by_type", # per-type MAD outlier screen
+    "corpus_heavy_hitters",        # corpus-wide heavy hitters
+    "poisson_glm_daily_trend",     # IRLS Poisson GLM
+    "als_rank1_user_type",         # rank-1 ALS factorization
+    "fligner_killeen_by_type",     # rank-based scale test on the dict
+    "embedding_effective_rank",    # d^2 Gram spectral entropy
+    "spearman_corr_lineitem",      # rank-transform + correlation
+    "calinski_harabasz_clusters",  # Lloyd k-distance cluster index
+    "winnow_shared_spans",         # winnowing fingerprint span join
+    "grouped_logistic_by_type",    # per-type logistic Newton
 ]
 
 
@@ -299,6 +355,84 @@ SCALE_HEADLINE = [
     "burrows_delta_sources",
     "breusch_pagan_value_hour",
     "ansari_bradley_weekend",
+    # r14 heavy-tail promotion — linearity stories by family:
+    # (a) doc-text families ride the alphabet rotation (disjoint
+    # cross-copy shingles/grams; within-copy structure identical):
+    # dedup_* CC/simhash/containment/incremental, decontaminate_fuzzy,
+    # minhash_recall, winnow_shared_spans, bpe_*, corpus_heavy_hitters,
+    # leakage_safe_split_sizes, dedup_canonical.
+    # (b) per-user/id recurrences and sessions ride shifted keys
+    # (independent groups per copy): ewma/holt/kalman, capped_running_
+    # balance, streaming_* (watermarked scans, per-key state).
+    # (c) cosupply graphs ride shifted supplier keys (independent
+    # components): bfs_khop, clustering_coefficient, sssp x2,
+    # harmonic_centrality (fixed seed set -> expected sublinear, honest).
+    # (d) embedding queries are d^2-Gram or broadcast-k shapes with
+    # FIXED seed slices (constant under vec_id shifts): pq_codes,
+    # pq_adc_topk, pca_top_component, effective_rank, davies_bouldin,
+    # calinski_harabasz, knn_label_prediction (labeled side constant).
+    # (e) single-scan statistics over replicated rows: permutation_test
+    # (B passes), cronbachs_alpha (users x fixed items), profile_
+    # lineitem, fk_candidate, importance_weight_ess, topsis, spearman,
+    # mad_robust, poisson_glm, grouped_logistic, als_rank1, gbm_stumps,
+    # brand_basket_lift; fligner_killeen and pacf aggregate the value
+    # dictionary / DAY series (fixed under replication -> sublinear,
+    # recorded honestly like ansari).
+    # EXCLUDED from the scale tier: semdedup_corpus — scale copies
+    # duplicate embedding VECTORS verbatim (only vec_id shifts), so
+    # cross-copy cosine-1.0 dup pairs grow ~factor^2: a fixture
+    # artifact, not an engine slope (the doc-side near-dup families
+    # carry the measured near-dup scale story via rotated text).
+    "permutation_test_weekend_value",
+    "streaming_topk_types_per_window",
+    "cronbachs_alpha_items",
+    "dedup_incremental_neardup_batch",
+    "pq_adc_topk",
+    "minhash_recall_audit",
+    "streaming_left_outer_join_unmatched",
+    "streaming_interval_join_pairs",
+    "bpe_fertility_by_source",
+    "bpe_learned_merges",
+    "capped_running_balance_by_user",
+    "profile_lineitem_columns",
+    "holt_user_values",
+    "dedup_cluster_assignments_star",
+    "leakage_safe_split_sizes",
+    "kalman_user_values",
+    "dedup_cluster_size_histogram",
+    "davies_bouldin_clusters",
+    "knn_label_prediction",
+    "embedding_pq_codes",
+    "decontaminate_fuzzy_neardup",
+    "geo_knn_escalation_audit",
+    "dedup_canonical_corpus",
+    "ewma_user_values",
+    "dedup_simhash_pairs",
+    "clustering_coefficient_cosupply",
+    "streaming_session_counts",
+    "pacf_daily_value",
+    "dedup_simhash_multiblock_pairs",
+    "dedup_containment_pairs",
+    "bfs_khop_cosupply",
+    "harmonic_centrality_seeds",
+    "pca_top_component_scores",
+    "sssp_weighted_cosupply",
+    "gbm_stumps_purchase",
+    "fk_candidate_audit",
+    "importance_weight_ess",
+    "brand_basket_lift",
+    "topsis_supplier_ranking",
+    "sssp_converged_cosupply",
+    "mad_robust_outliers_by_type",
+    "corpus_heavy_hitters",
+    "poisson_glm_daily_trend",
+    "als_rank1_user_type",
+    "fligner_killeen_by_type",
+    "embedding_effective_rank",
+    "spearman_corr_lineitem",
+    "calinski_harabasz_clusters",
+    "winnow_shared_spans",
+    "grouped_logistic_by_type",
 ]
 
 # bump when build_scale_dir's transform changes so stale caches rebuild

@@ -226,6 +226,11 @@ DEFAULT_QUERIES = [
     "kpss_level_by_type",
     "seasonal_mann_kendall_daily",
     "fligner_killeen_by_type",
+    # r14: the IVF refresh monitor (DECIMAL component sums -> quantized
+    # L2) and the re-kerneled TwoNN (cell-keyed numpy minima must merge
+    # to the same global minima under any schedule; twonn itself is
+    # already listed above)
+    "ivf_refresh_decision",
 ]
 
 
