@@ -17,9 +17,59 @@ micro-batches with applyInPandasWithState.
 
 from __future__ import annotations
 
+from collections.abc import Callable, Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, StructField, StructType
+
+_NO_KEY = object()  # cross-batch carry sentinel (never equals a real key)
+
+
+def _keyed_recurrence(
+    df: DataFrame,
+    key: str,
+    sort_cols: list[str],
+    in_cols: list[str],
+    out_schema: StructType,
+    batch_loop: Callable[[pd.DataFrame, list], list[list]],
+    out_keep: list[str],
+):
+    """Single-shuffle executor for the per-key recurrences (r14, guide
+    §2.4/§4): one explicit hash repartition by key + one in-partition
+    sort replaces ``groupBy(key).applyInPandas`` — the same shuffle the
+    groupBy would do, but (a) the partition count is pinned to the
+    cluster parallelism so AQE's small-input coalescing cannot serialize
+    the Python stage (measured: 1500-group applyInPandas over the 3 MB
+    events shuffle coalesced to ~2 partitions — 5.1 s; this path 0.8 s),
+    and (b) one ``mapInPandas`` pass streams whole Arrow batches instead
+    of materializing 1500 per-group pandas frames. Recurrence state is
+    carried across batch boundaries via ``carry``; a key's rows never
+    span partitions (hash partitioning), so results are byte-identical
+    to the per-group loop — same float64 op sequence on the same sorted
+    series.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(*in_cols)
+        .repartition(n, key)
+        .sortWithinPartitions(key, *sort_cols)
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = [_NO_KEY, None]  # [current key, operator state]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = batch_loop(pdf, carry)
+            res = pdf[out_keep].copy()
+            for name, vals in zip(
+                [f.name for f in out_schema.fields[len(out_keep):]], outs
+            ):
+                res[name] = vals
+            yield res
+
+    return base.mapInPandas(fn, out_schema)
 
 
 def ewma(
@@ -42,6 +92,10 @@ def ewma(
     running the IDENTICAL float64 ops — see queries.ORACLE_EWMA) hash
     bitwise-equal instead of staying a rows-only check. Mathematically
     both forms are pandas ewm(adjust=False).
+
+    Executed via the shared single-shuffle recurrence runner
+    (``_keyed_recurrence``) since r14 — same sorted series per key, same
+    float ops, one pinned-width shuffle instead of a coalescible groupBy.
     """
     out_schema = StructType(
         [
@@ -55,18 +109,24 @@ def ewma(
     sort_cols = [ts_col] + ([seq_col] if seq_col else [])
     in_cols = [key, ts_col, value_col] + ([seq_col] if seq_col else [])
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols)
+    def loop(pdf: pd.DataFrame, carry: list) -> list[list]:
+        keys = pdf[key].to_numpy()
         xs = pdf[value_col].astype("float64").to_numpy()
         out = []
-        y = None
-        for x in xs:
-            y = float(x) if y is None else one_minus * y + alpha * float(x)
+        k, y = carry
+        for i in range(len(xs)):
+            x = float(xs[i])
+            if keys[i] != k:
+                k, y = keys[i], x
+            else:
+                y = one_minus * y + alpha * x
             out.append(y)
-        pdf = pdf.assign(ewma=out)
-        return pdf[[key, ts_col, value_col, "ewma"]]
+        carry[0], carry[1] = k, y
+        return [out]
 
-    return df.select(*in_cols).groupBy(key).applyInPandas(fn, out_schema)
+    return _keyed_recurrence(
+        df, key, sort_cols, in_cols, out_schema, loop, [key, ts_col, value_col]
+    )
 
 
 def zscore_anomalies(
@@ -131,21 +191,28 @@ def capped_running_balance(
         ]
     )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols)
-        bal = 0.0
+    def loop(pdf: pd.DataFrame, carry: list) -> list[list]:
+        keys = pdf[key].to_numpy()
+        ds = pdf[delta_col].to_numpy()
         out = []
-        for d in pdf[delta_col].to_numpy():
+        k, bal = carry
+        for i in range(len(ds)):
+            if keys[i] != k:
+                k, bal = keys[i], 0.0
             # same op order as the oracle CTE: add, then floor, then cap
-            bal = min(max(bal + float(d), floor), cap)
+            bal = min(max(bal + float(ds[i]), floor), cap)
             out.append(bal)
-        pdf["balance"] = out
-        return pdf[[key, order_cols[-1], "balance"]]
+        carry[0], carry[1] = k, bal
+        return [out]
 
-    return (
-        df.select(key, *order_cols, delta_col)
-        .groupBy(key)
-        .applyInPandas(fn, out_schema)
+    return _keyed_recurrence(
+        df,
+        key,
+        list(order_cols),
+        [key, *order_cols, delta_col],
+        out_schema,
+        loop,
+        [key, order_cols[-1]],
     )
 
 
@@ -186,25 +253,28 @@ def holt_linear(
     sort_cols = [ts_col] + ([seq_col] if seq_col else [])
     in_cols = [key, ts_col, value_col] + ([seq_col] if seq_col else [])
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols)
+    def loop(pdf: pd.DataFrame, carry: list) -> list[list]:
+        keys = pdf[key].to_numpy()
         xs = pdf[value_col].astype("float64").to_numpy()
         levels, trends = [], []
-        l = b = None
-        for x in xs:
-            x = float(x)
-            if l is None:
-                l, b = x, 0.0
+        k = carry[0]
+        l, b = carry[1] if carry[1] is not None else (None, None)
+        for i in range(len(xs)):
+            x = float(xs[i])
+            if keys[i] != k:
+                k, l, b = keys[i], x, 0.0
             else:
                 lp = l
                 l = alpha * x + one_minus_a * (lp + b)
                 b = beta * (l - lp) + one_minus_b * b
             levels.append(l)
             trends.append(b)
-        pdf = pdf.assign(level=levels, trend=trends)
-        return pdf[[key, ts_col, value_col, "level", "trend"]]
+        carry[0], carry[1] = k, (l, b)
+        return [levels, trends]
 
-    return df.select(*in_cols).groupBy(key).applyInPandas(fn, out_schema)
+    return _keyed_recurrence(
+        df, key, sort_cols, in_cols, out_schema, loop, [key, ts_col, value_col]
+    )
 
 
 def kalman_1d(
@@ -242,14 +312,16 @@ def kalman_1d(
     sort_cols = [ts_col] + ([seq_col] if seq_col else [])
     in_cols = [key, ts_col, value_col] + ([seq_col] if seq_col else [])
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols)
+    def loop(pdf: pd.DataFrame, carry: list) -> list[list]:
+        keys = pdf[key].to_numpy()
         xs = pdf[value_col].astype("float64").to_numpy()
         est, gains = [], []
-        l = var = None
-        for x in xs:
-            x = float(x)
-            if l is None:
+        ck = carry[0]
+        l, var, k = carry[1] if carry[1] is not None else (None, None, None)
+        for i in range(len(xs)):
+            x = float(xs[i])
+            if keys[i] != ck:
+                ck = keys[i]
                 l, var, k = x, r, 0.0
             else:
                 var_pred = var + q
@@ -258,10 +330,12 @@ def kalman_1d(
                 var = (1.0 - k) * var_pred
             est.append(l)
             gains.append(k)
-        pdf = pdf.assign(estimate=est, gain=gains)
-        return pdf[[key, ts_col, value_col, "estimate", "gain"]]
+        carry[0], carry[1] = ck, (l, var, k)
+        return [est, gains]
 
-    return df.select(*in_cols).groupBy(key).applyInPandas(fn, out_schema)
+    return _keyed_recurrence(
+        df, key, sort_cols, in_cols, out_schema, loop, [key, ts_col, value_col]
+    )
 
 
 def holt_winters_additive(
