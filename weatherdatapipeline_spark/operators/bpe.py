@@ -113,7 +113,10 @@ def bpe_train(
     adjacent pair remains). The loop holds only the vocab-bounded
     symbol table; localCheckpoint per round truncates the iterative
     lineage."""
-    vocab = _init_symbols(word_counts(docs, text_col)).localCheckpoint(eager=True)
+    # lazy checkpoints (r14): eager=True ran TWO jobs per round (one to
+    # materialize the rewrite, one for the argmax); lazy materializes on
+    # the argmax's own job — same lineage truncation, 16 fewer jobs
+    vocab = _init_symbols(word_counts(docs, text_col)).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         best = (
@@ -126,7 +129,7 @@ def bpe_train(
             break
         l, r, c = best[0]["left"], best[0]["right"], int(best[0]["pair_count"])
         merges.append((rank, l, r, c))
-        vocab = _merge_round(vocab, l, r).localCheckpoint(eager=True)
+        vocab = _merge_round(vocab, l, r).localCheckpoint(eager=False)
     return merges
 
 

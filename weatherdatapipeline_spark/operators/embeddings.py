@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .litfast import darray, darray2
+
 INT8_MAX = 127
 
 try:  # Arrow variants: measured at sf0.1 x256 (512k rows, 64 dims —
@@ -369,7 +371,7 @@ def pca_project(
     by construction)."""
     rows = []
     for comp in components:
-        lit = F.array(*[F.lit(float(x)) for x in comp])
+        lit = darray(comp)
         rows.append(
             F.aggregate(
                 F.zip_with(F.col(vec_col), lit, lambda a, b: a * b),
@@ -479,24 +481,28 @@ def _pq_code_exprs(codebooks, vec_col: str):
     """One argmin-code Column per subspace: zip_with squared-diff folds
     over the codebook entries as array literals, array_position of the
     min (1-based, FIRST match -> ties to the lowest code, identically in
-    the SQL oracle). Shared by encode and serve paths."""
+    the SQL oracle). Shared by encode and serve paths.
+
+    r14 perf (guide §1.2/§7.2): the distance array per subspace is ONE
+    ``transform`` over the k-entry codebook as a nested array literal
+    instead of k separate ``aggregate(zip_with(...))`` subtrees — the
+    old shape carried m·k (=128) higher-order-function nodes through
+    analysis/optimization and cost ~9 s of pure DRIVER time per run at
+    2000 rows (stage wall was 3.5 s of a 12.5 s query). Per-element
+    float ops and their order are unchanged ((a-b)·(a-b) folds summed
+    left-to-right from 0.0), so codes are bit-identical."""
     m, k, sub_d = _pq_validate(codebooks)
     per_sub = []
     for j, cb in enumerate(codebooks):
         sub = F.slice(F.col(vec_col), j * sub_d + 1, sub_d)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(float(x)) for x in entry]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for entry in cb
-            ]
+        cb_lit = darray2(cb)
+        dists = F.transform(
+            cb_lit,
+            lambda entry: F.aggregate(
+                F.zip_with(sub, entry, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
         per_sub.append((F.array_position(dists, F.array_min(dists)) - 1).cast("long"))
     return per_sub
@@ -600,7 +606,7 @@ def pq_adc_topk(
         qs = q[j * sub_d : (j + 1) * sub_d]
         lut = [float(((np.asarray(c) - qs) ** 2).sum()) for c in cb]
         term = F.element_at(
-            F.array(*[F.lit(v) for v in lut]),
+            darray(lut),
             (F.col(codes_col)[j] + 1).cast("int"),
         )
         dist = term if dist is None else dist + term
@@ -622,7 +628,7 @@ def _sq_dist_to_literal(vec_col: str, centroid: list[float]):
     summed in DIMENSION ORDER (a left fold, matching the oracle's
     position-ordered sum so both engines run the identical IEEE
     addition sequence)."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    lit = darray(centroid)
     diffs = F.zip_with(
         F.col(vec_col), lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
     )

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .litfast import darray
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -125,7 +127,7 @@ def cosine_topk(
 
     Returns (id, cosine) ordered desc with id tiebreak, ranked 1..k.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = darray(query_vec)
     scored = embeddings.select(
         F.col(id_col),
         F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
@@ -171,7 +173,7 @@ def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit i = sign(vec . plane_i), packed to a long."""
     bits = [
-        F.when(_dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1).cast("long"))
+        F.when(_dot(vec, darray(plane)) >= 0, F.lit(1).cast("long"))
         .otherwise(F.lit(0).cast("long"))
         .alias(f"b{i}")
         for i, plane in enumerate(planes)
@@ -211,7 +213,7 @@ def lsh_topk(
         for i in range(bits):
             probes.add(qbits ^ (1 << i))
     cand = bucketed.filter(F.col("_bucket").isin([int(p) for p in probes]))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = darray(query_vec)
     return (
         cand.select(
             F.col(id_col), F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine")
@@ -270,7 +272,7 @@ def ivf_topk(
         :n_probe
     ]
     cand = assigned.filter(F.col("_cluster").isin(probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = darray(query_vec)
     return (
         cand.select(
             F.col(id_col), F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine")

@@ -21,6 +21,8 @@ upserts write through the same TableCatalog paths the batch engine reads.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
@@ -586,15 +588,34 @@ def streaming_ivf_maintenance(
 
 def run_available_now_to_memory(stream_out: DataFrame, name: str, output_mode: str):
     """Test/driver helper: drain all available input through the streaming
-    plan into an in-memory sink and block until done."""
-    q = (
+    plan into an in-memory sink and block until done.
+
+    r14 perf: the checkpoint for this throwaway drain goes to a fresh
+    tmpfs directory when the host has one (`/dev/shm` on Linux) instead
+    of the disk-backed java.io.tmpdir default — state-store delta/commit
+    files are the drain's hottest I/O and their durability is moot for a
+    single-shot availableNow run (a real deployment checkpoints to its
+    own fast durable store; this helper's checkpoint dies with the call).
+    Fresh dir per call — no state ever carries across runs."""
+    import shutil
+    import tempfile
+
+    ckpt = None
+    writer = (
         stream_out.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        ckpt = tempfile.mkdtemp(prefix="wdp_drain_ckpt_", dir="/dev/shm")
+        writer = writer.option("checkpointLocation", ckpt)
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        if ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return q
 
 
