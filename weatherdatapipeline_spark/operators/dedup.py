@@ -852,7 +852,10 @@ def simhash(
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
-    toks = documents.select(
+    # spread() first (r14): same single-file-scan story as
+    # minhash_signatures — the explode + token hash + 63 partial vote
+    # sums otherwise all run inside a 1-task scan stage
+    toks = spread(documents, id_col).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
@@ -1010,14 +1013,23 @@ def hamming_block_pairs(
     b = chunks.select(
         F.col(id_col).alias("doc_b"), F.col(sig_col).alias("sh_b"), "chunk_id", "chunk"
     )
+    # r14 (guide §2.3/§2.5): verify BEFORE the distinct — bit_count is a
+    # per-row expression while distinct is a shuffle, so filtering first
+    # shuffles only true-positive pairs instead of every block-collision
+    # candidate (hamming is a function of the pair: same distinct set).
+    # The block join's shuffle width is pinned: its BYTES are tiny but
+    # its per-bucket fan-out is the real work — AQE's bytes-based
+    # coalescing serialized the whole candidate generation into 1 task.
+    a = a.repartition(
+        sigs.sparkSession.sparkContext.defaultParallelism, "chunk_id", "chunk"
+    )
     return (
         a.join(b, ["chunk_id", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -1082,7 +1094,9 @@ def connected_components(
                 F.min("label").alias("label"),
                 F.max(F.when(F.col("is_own") == 1, F.col("label"))).alias("_old"),
             )
-            .localCheckpoint()
+            # lazy: the changed-count below materializes it in ITS job —
+            # eager ran a separate materialization job per round (r14)
+            .localCheckpoint(eager=False)
         )
         changed = new.filter(F.col("label") < F.col("_old")).limit(1).count()
         labels = new.select("node", "label")
@@ -1157,7 +1171,8 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
-            .localCheckpoint()
+            # lazy: the checksum agg below materializes it in ITS job (r14)
+            .localCheckpoint(eager=False)
         )
         # count + xor-of-hashes: order-independent, cannot overflow
         # (ANSI mode makes sum(xxhash64) a long-overflow error)

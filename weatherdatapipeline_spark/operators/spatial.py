@@ -53,6 +53,7 @@ def radius_join(
     id_col: str = "pid",
     x_col: str = "x",
     y_col: str = "y",
+    pin_width: bool = False,
 ) -> DataFrame:
     """All unordered point pairs within EUCLIDEAN distance ``radius``
     (planar integer coordinates): returns (pid_a, pid_b, dist2) with
@@ -92,6 +93,20 @@ def radius_join(
         F.col("_y").alias("_py"),
         F.explode(neighbor_cells).alias("_cell"),
     ).select("_pid", "_px", "_py", "_cell._cx", "_cell._cy")
+    # pin_width (r14, guide §2.5): at a WIDE radius the plane has few
+    # cells, the shuffled BYTES are tiny, and AQE's bytes-based
+    # coalescing folds the join down blind to its per-cell candidate
+    # fan-out (measured: 64 cells at r=128k ran ~32M distance tests in
+    # 2 partitions — 4.6 s serial). A user-specified repartition on the
+    # join keys is the exchange the join needs anyway, but not
+    # coalescible. OPT-IN because at small radii (many cells, small
+    # fan-out) the pinned width propagates into iterative consumers
+    # (dbscan's CC rounds) and costs more in per-round task overhead
+    # than it saves (A/B: dbscan 6.9→8.2 s pinned, audit 4.4→1.7 s).
+    if pin_width:
+        probe = probe.repartition(
+            points.sparkSession.sparkContext.defaultParallelism, "_cx", "_cy"
+        )
     dx = F.col("_px") - F.col("_x")
     dy = F.col("_py") - F.col("_y")
     return (
@@ -169,6 +184,12 @@ def knn_join(
             F.col("_y").alias("_py"),
             F.explode(neighbor_cells).alias("_cell"),
         ).select("_pid", "_px", "_py", "_cell._cx", "_cell._cy")
+        # pinned width for the same reason as radius_join: wide-radius
+        # levels have few cells and AQE coalesces the tiny shuffle blind
+        # to the per-cell candidate fan-out (r14, guide §2.5)
+        probe = probe.repartition(
+            probe_pts.sparkSession.sparkContext.defaultParallelism, "_cx", "_cy"
+        )
         dx = F.col("_px") - F.col("_x")
         dy = F.col("_py") - F.col("_y")
         return (
@@ -326,7 +347,9 @@ def knn_escalation_audit(
     if not radii:
         raise ValueError("radii must be non-empty")
     rmax = max(radii)
-    pairs = radius_join(points, rmax, id_col=id_col, x_col=x_col, y_col=y_col)
+    pairs = radius_join(
+        points, rmax, id_col=id_col, x_col=x_col, y_col=y_col, pin_width=True
+    )
     directed = pairs.select(
         F.col("pid_a").alias("_pid"), "dist2"
     ).unionAll(pairs.select(F.col("pid_b").alias("_pid"), "dist2"))
