@@ -40,9 +40,15 @@ END_OF_WORD = "</w>"
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Corpus → (word, cnt): lowercase whitespace words, one shuffle."""
+    """Corpus → (word, cnt): lowercase whitespace words, one shuffle.
+
+    spread() first (r14): the single-row-group testdata parquet arrives
+    as ONE scan task, so the explode + partial aggregation ran on one
+    core; at real scale (multi-file input) spread is a no-op."""
+    from .text import spread
+
     return (
-        docs.select(
+        spread(docs).select(
             F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
         )
         .filter(F.col("word") != "")
@@ -83,26 +89,33 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 def _merge_round(vocab: DataFrame, left: str, right: str) -> DataFrame:
     """Rewrite every symbol array, merging adjacent (left, right) pairs
     greedily left-to-right (after a merge the cursor jumps past the new
-    symbol — 'aaa' with ('a','a') → ['aa','a'])."""
+    symbol — 'aaa' with ('a','a') → ['aa','a']).
+
+    r14 (guide §4.1): the rewrite is a pure JVM array fold instead of a
+    pandas UDF — 16 training rounds paid 16 Python worker round-trips of
+    the FULL vocab table for a per-element string comparison. The fold
+    (append, or replace the accumulator's last element with the merged
+    symbol when (last, current) == (left, right)) is EXACTLY the greedy
+    cursor-skip scan: after a merge the new last element is
+    ``left+right``, which can never equal ``left`` (that would need
+    ``right == ''``, and symbols are non-empty), so the freshly merged
+    symbol can never act as the left of a second merge — the same
+    invariant the cursor jump enforces. tests/test_bpe.py replays the
+    pure-Python trainer and asserts equal merge tables either way."""
     merged = left + right
-
-    @F.pandas_udf(ArrayType(StringType()))
-    def rewrite(s: pd.Series) -> pd.Series:
-        def one(syms):
-            out = []
-            i, n = 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            return out
-
-        return s.map(one)
-
-    return vocab.select("word", "cnt", rewrite("syms").alias("syms"))
+    rewrite = F.aggregate(
+        F.col("syms"),
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return vocab.select("word", "cnt", rewrite.alias("syms"))
 
 
 def bpe_train(

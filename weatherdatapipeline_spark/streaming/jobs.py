@@ -586,7 +586,12 @@ def streaming_ivf_maintenance(
     return writer.start()
 
 
-def run_available_now_to_memory(stream_out: DataFrame, name: str, output_mode: str):
+def run_available_now_to_memory(
+    stream_out: DataFrame,
+    name: str,
+    output_mode: str,
+    shuffle_partitions: int | None = None,
+):
     """Test/driver helper: drain all available input through the streaming
     plan into an in-memory sink and block until done.
 
@@ -596,7 +601,14 @@ def run_available_now_to_memory(stream_out: DataFrame, name: str, output_mode: s
     files are the drain's hottest I/O and their durability is moot for a
     single-shot availableNow run (a real deployment checkpoints to its
     own fast durable store; this helper's checkpoint dies with the call).
-    Fresh dir per call — no state ever carries across runs."""
+    Fresh dir per call — no state ever carries across runs.
+
+    ``shuffle_partitions`` (r14, guide §2.2): state-store instances — and
+    per-batch commit costs — scale with the query's shuffle partition
+    count, which a streaming query locks in at START from the session
+    conf (fresh checkpoint here, so no cross-run layout pin). Callers
+    that know the drained volume pass a width sized to it; the session
+    value is restored after the drain."""
     import shutil
     import tempfile
 
@@ -610,10 +622,17 @@ def run_available_now_to_memory(stream_out: DataFrame, name: str, output_mode: s
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         ckpt = tempfile.mkdtemp(prefix="wdp_drain_ckpt_", dir="/dev/shm")
         writer = writer.option("checkpointLocation", ckpt)
+    spark = stream_out.sparkSession
+    prev_sp = None
+    if shuffle_partitions:
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         q = writer.start()
         q.awaitTermination()
     finally:
+        if prev_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         if ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
     return q
