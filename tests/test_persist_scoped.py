@@ -92,3 +92,41 @@ def test_eviction_releases_distinct_plans(spark):
         T.persist_scoped(spark.range(5 + i).selectExpr(f"id * {i + 2} as z"))
     assert old not in T._live_scan_caches
     assert not old.storageLevel.useMemory
+
+
+def test_release_scoped_empties_pool(spark):
+    df = T.persist_scoped(spark.range(33).selectExpr("id as rel_a"))
+    df.count()
+    assert df.storageLevel.useMemory
+    T.release_scoped()
+    assert T._live_scan_caches == []
+    assert not df.storageLevel.useMemory
+
+
+def test_fresh_scope_releases_only_at_top_level(spark):
+    """The registry wrapper must clear the pool once per top-level query
+    build and NOT when a query composes another registry entry."""
+    from weatherdatapipeline_spark import queries as Q
+
+    calls = []
+
+    def inner(s, d):
+        calls.append(("inner", len(T._live_scan_caches)))
+        T.persist_scoped(s.range(7).selectExpr("id as i_inner"))
+        return s.range(1)
+
+    def outer(s, d):
+        T.persist_scoped(s.range(9).selectExpr("id as i_outer"))
+        wrapped_inner(s, d)  # nested registry-style call
+        calls.append(("outer_after_inner", len(T._live_scan_caches)))
+        return s.range(1)
+
+    wrapped_inner = Q._fresh_scope(inner)
+    wrapped_outer = Q._fresh_scope(outer)
+
+    # pre-populate the pool: a top-level call must clear it...
+    T.persist_scoped(spark.range(3).selectExpr("id as stale"))
+    wrapped_outer(spark, "unused")
+    # ...but the nested call must NOT have cleared the outer's substrate
+    assert calls[0] == ("inner", 1)  # outer's entry still live
+    assert calls[1] == ("outer_after_inner", 2)  # outer + inner entries

@@ -73,6 +73,23 @@ def persist_scoped(df):
     return out
 
 
+def release_scoped() -> None:
+    """Drop every live scoped cache. Called at each top-level query
+    build (queries.py wraps the registry) so one query's substrates
+    never occupy storage memory — or survive as implicit cross-run
+    state — while a DIFFERENT query executes. The r14 ladder measured
+    the residue: with six substrates lingering, unrelated statistical
+    queries ran 0.4-0.9 s slower. Within a query the pool still
+    deduplicates every shared branch; across queries each run computes
+    from the parquet inputs alone."""
+    while _live_scan_caches:
+        old = _live_scan_caches.pop()
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def spread(df, *key_cols: str):
     """Fan a NARROW input out to session parallelism before CPU-heavy
     per-row work (gram building, per-shingle md5, regex batteries).
