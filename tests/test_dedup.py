@@ -145,6 +145,44 @@ def test_dedup_incremental_neardup(spark, portable):
     assert novel3.count() == 0
 
 
+def test_dedup_incremental_neardup_precomputed_batch_index(spark):
+    """The r15 ``batch_index`` fast path (a caller-supplied band index of
+    the incoming batch, e.g. from a combined corpus+batch signature pass)
+    must make the identical admit/drop decisions and produce the
+    identical updated index as the build-it-here default."""
+    from weatherdatapipeline_spark.operators.dedup import (
+        dedup_incremental_neardup,
+        minhash_band_index,
+    )
+
+    batch1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    index = minhash_band_index(batch1, portable=True)
+    batch2 = spark.createDataFrame(
+        [
+            (10, "The  quick brown FOX jumps over the lazy dog"),  # dup of 1
+            (11, "completely different text about spark engines here"),
+            (12, "completely different text about spark engines here"),  # dup of 11
+            (13, "zzz yyy xxx www vvv uuu ttt sss"),
+        ],
+        "doc_id long, text string",
+    )
+    pre = minhash_band_index(batch2, portable=True)
+    novel_a, upd_a = dedup_incremental_neardup(batch2, index, portable=True)
+    novel_b, upd_b = dedup_incremental_neardup(
+        batch2, index, portable=True, batch_index=pre
+    )
+    assert {r["doc_id"] for r in novel_b.collect()} == {11, 13}
+    assert {r["doc_id"] for r in novel_a.collect()} == {
+        r["doc_id"] for r in novel_b.collect()
+    }
+    rows_a = {tuple(r) for r in upd_a.collect()}
+    rows_b = {tuple(r) for r in upd_b.collect()}
+    assert rows_a == rows_b
+
+
 def test_decontaminate_drops_colliding_docs(spark):
     from weatherdatapipeline_spark.operators.dedup import decontaminate
 

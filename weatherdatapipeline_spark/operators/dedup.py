@@ -37,6 +37,24 @@ DF_CUT_FLOOR = 100
 DF_CUT_FRACTION = 0.01
 
 
+def _pin_width(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Pin a candidate-pair table's partition width on its join key before
+    the per-doc set/signature verify joins (r15, same class as the
+    hamming_block_pairs fix — guide §2.5): the candidate table's BYTES are
+    tiny (two longs per row), so AQE's bytes-based coalescing folds the
+    verify join down to a handful of tasks blind to the per-row
+    array_intersect cost over ~hundreds-element shingle arrays (measured:
+    minhash_recall_audit ran its two verify joins in 4 tasks, 1.85 s wall
+    each). The repartition IS the exchange a shuffled verify join needs
+    anyway; when AQE would instead broadcast the set table, this adds one
+    narrow shuffle of (long, long) rows — noise against the unlocked
+    parallelism."""
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism,
+        *[F.col(c) for c in key_cols],
+    )
+
+
 def dedup_exact(
     df: DataFrame, keys: list[str], tiebreaker: str, normalize_text_col: str | None = None
 ) -> DataFrame:
@@ -148,8 +166,16 @@ def shingle_pairs(
     """
     if hashed:
         pairs = hashed_gram_rows(documents, id_col, text_col, n).distinct()
-        return _df_cut(pairs, documents, id_col, max_shingle_freq)
-    pairs = gram_rows(documents, id_col, text_col, n).distinct()
+    else:
+        pairs = gram_rows(documents, id_col, text_col, n).distinct()
+    if max_shingle_freq is not None:
+        # persist-scoped (r15, guide §5.3): _df_cut consumes the uncut
+        # gram table TWICE (the df-frequency aggregate and the join-back
+        # left side) — uncached, the tokenize+window+distinct pipeline
+        # (the dominant cost of every shingle-set operator) ran once per
+        # reference; profiles of the cluster family showed 4+ full-width
+        # tokenize stages per query
+        pairs = _persist_scoped(pairs)
     return _df_cut(pairs, documents, id_col, max_shingle_freq)
 
 
@@ -526,7 +552,7 @@ def minhash_near_duplicates(
     a = agg.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
     b = agg.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
     joined = (
-        cands.join(a, "doc_a")
+        _pin_width(cands, "doc_a").join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
@@ -651,7 +677,6 @@ def minhash_near_duplicates_portable(
     via ``portable_shingle_hashes``: no distinct shuffle, no string
     arrays.
     """
-    rows = num_perm // bands
     based = portable_shingle_hashes(documents, id_col, text_col, n).withColumn(
         "_hp", F.col("_h60") % _MH_PRIME
     )
@@ -666,6 +691,23 @@ def minhash_near_duplicates_portable(
             F.collect_list("_h60").alias("_sh"),
         )
     )
+    return portable_lsh_pairs_from_sigs(sigs, id_col, num_perm, bands, threshold)
+
+
+def portable_lsh_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Band -> candidate -> exact-Jaccard-verify tail of the portable
+    MinHash pipeline, over a precomputed signature aggregate carrying the
+    ``h0..h{num_perm-1}`` affine mins and the ``_sh`` hashed shingle set
+    per id. Factored out (r15) so composite queries that need BOTH the
+    LSH pairs and another consumer of the same substrate (e.g. the
+    recall audit's exact ground truth) build the signature pass once."""
+    rows = num_perm // bands
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -690,7 +732,7 @@ def minhash_near_duplicates_portable(
     sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
     sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
     joined = (
-        cands.join(sa, "doc_a")
+        _pin_width(cands, "doc_a").join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
@@ -777,9 +819,16 @@ def dedup_incremental_neardup(
     num_perm: int = 64,
     bands: int = 16,
     portable: bool = False,
+    batch_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup dedup for an append-only corpus: returns
     (novel_rows, updated_band_index).
+
+    ``batch_index`` (r15): a precomputed ``minhash_band_index`` of
+    ``new_docs`` — callers that already hold one (e.g. a combined
+    corpus+batch signature pass split by id parity) pass it here so the
+    batch's tokenize+hash pass is never re-run; the caller owns its
+    lifetime. Without it the index is built here and persist-scoped.
 
     A new doc is dropped if any of its LSH band buckets already exists in
     the index (it near-duplicates an indexed doc at the (bands, rows)
@@ -796,10 +845,21 @@ def dedup_incremental_neardup(
     trades a false-positive rate (tunable via bands x rows) for never
     doing exact verification against corpus text.
     """
-    batch_idx = minhash_band_index(
-        new_docs, id_col, text_col, n, num_perm, bands, portable=portable
-    )
-    batch_idx = batch_idx.persist()
+    if batch_index is not None:
+        batch_idx = batch_index
+    else:
+        # persist-scoped, NOT persist+unpersist-on-return (r15 defect
+        # fix): the old eager unpersist dropped the cache BEFORE the
+        # returned lazy plans ever executed, so the batch signature pass
+        # (the dominant md5 map cost) recomputed once per consuming
+        # branch — profile showed four full-width signature stages in
+        # one dedup_incremental_neardup_batch run. The scoped pool keeps
+        # the entry live until the NEXT top-level query build.
+        batch_idx = _persist_scoped(
+            minhash_band_index(
+                new_docs, id_col, text_col, n, num_perm, bands, portable=portable
+            )
+        )
     # vs the existing corpus: any shared (band, bucket) -> near-dup
     hit_ids = (
         batch_idx.join(
@@ -828,7 +888,6 @@ def dedup_incremental_neardup(
     updated = band_index.unionByName(
         batch_idx.join(novel_ids, id_col, "inner").select("band", "bucket", id_col)
     )
-    batch_idx.unpersist()
     return novel, updated
 
 
@@ -863,8 +922,13 @@ def simhash(
     hashed = counted.withColumn("h", hash_fn(F.col("tok")))
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                -F.col("tf")
+            # branchless ±tf (r15): tf * (2*bit - 1) is the same exact
+            # integer as the when(bit==1, tf, -tf) form without a branch
+            # per (row, bit) — 63 of these run per row
+            F.col("tf")
+            * (
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * F.lit(2)
+                - F.lit(1)
             )
         ).alias(f"v{j}")
         for j in range(63)
@@ -1387,7 +1451,7 @@ def ppjoin_near_duplicates(
         .distinct()
     )
     out = (
-        cand.join(
+        _pin_width(cand, "doc_a").join(
             sets.select(
                 F.col(id_col).alias("doc_a"),
                 F.col("sz").alias("size_a"),
@@ -1496,7 +1560,7 @@ def fuzzy_decontaminate_portable(
         .distinct()
     )
     joined = (
-        cands.join(
+        _pin_width(cands, "corpus_doc").join(
             csigs.select(F.col(id_col).alias("corpus_doc"), F.col("_sh").alias("_sh_a")),
             "corpus_doc",
         )

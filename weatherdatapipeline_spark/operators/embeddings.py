@@ -416,33 +416,48 @@ def pca_power_scores(
     Portability contract: covariance cells round to 6dp, every squared
     matrix and the final vector to ``vec_round`` dp, so cross-engine
     float association noise (~1e-12) cannot fork the trajectory; the
-    oracle applies the same rounding at the same points."""
-    cells = covariance_pairs(embeddings, vec_col, round_digits=6)
-    c = cells.unionByName(
-        cells.where(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
-        )
-    ).localCheckpoint(eager=False)
+    oracle applies the same rounding at the same points.
+
+    r15 (guide §1.2; the r14 pacf precedent): the squaring pyramid runs
+    ON THE DRIVER from the collected d^2 covariance cells. The
+    relational loop spent its time on ~40 tiny AQE stages + 9 rounds of
+    checkpoint bookkeeping over a 4096-row table; the distributed parts
+    that actually touch the corpus (the partial-Gram reduction and the
+    final projection scan) are unchanged. The trajectory-rounding
+    contract above is exactly what makes this safe: every level rounds
+    to ``vec_round`` dp with Spark's HALF_UP-on-shortest-decimal
+    semantics (replicated below via Decimal(repr(x))), so the driver's
+    float64 matmul lands on the identical rounded matrix that the
+    relational join-agg (and the DuckDB oracle) land on — strict
+    oracle-checked at every SF."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def _r(x: float, nd: int) -> float:
+        # Spark round(double, nd): BigDecimal.valueOf (shortest decimal
+        # repr) then setScale(nd, HALF_UP) — bit-identical replica
+        return float(Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+        ))
+
+    # d(d+1)/2 upper-triangle cells: a bounded driver closure of the same
+    # class as the centroid/PQ-codebook LUTs (d^2 is corpus-independent)
+    tri = covariance_pairs(embeddings, vec_col, round_digits=6).collect()
+    d = max(int(r["j"]) for r in tri) + 1
+    C = np.zeros((d, d), dtype="float64")
+    for r in tri:
+        C[int(r["i"]), int(r["j"])] = r["cov"]
+        C[int(r["j"]), int(r["i"])] = r["cov"]
     for _ in range(squarings):
-        a = c.select(F.col("i"), F.col("j").alias("k"), F.col("cov").alias("ca"))
-        b = c.select(F.col("i").alias("k"), F.col("j"), F.col("cov").alias("cb"))
-        prod = (
-            a.join(b, "k")
-            .groupBy("i", "j")
-            .agg(F.sum(F.col("ca") * F.col("cb")).alias("raw"))
-        )
-        mx = prod.agg(F.max(F.abs(F.col("raw"))).alias("mx"))
-        # localCheckpoint: each level references the previous TWICE; without
-        # truncation the logical plan doubles per squaring (2^s copies)
-        c = (
-            prod.crossJoin(F.broadcast(mx))
-            .select("i", "j", F.round(F.col("raw") / F.col("mx"), vec_round).alias("cov"))
-            .localCheckpoint(eager=False)
-        )
-    w = c.groupBy("i").agg(F.round(F.sum("cov"), vec_round).alias("w"))
-    norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    v = w.crossJoin(F.broadcast(norm)).select(
-        "i", F.round(F.col("w") / F.col("nrm"), vec_round).alias("val")
+        P = C @ C
+        mx = float(np.max(np.abs(P)))
+        C = np.vectorize(lambda t: _r(t / mx, vec_round))(P)
+    wv = [_r(s, vec_round) for s in C.sum(axis=1)]
+    nrm = float(np.sqrt(np.sum(np.array(wv) ** 2)))
+    val = [_r(x / nrm, vec_round) for x in wv]
+    v = embeddings.sparkSession.createDataFrame(
+        [(i, val[i]) for i in range(d)], "i long, val double"
     )
     e = embeddings.select(
         id_col, F.posexplode(vec_col).alias("i", "x")

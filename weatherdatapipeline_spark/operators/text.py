@@ -32,7 +32,7 @@ _live_scan_caches: list = []
 _SCOPED_SLOTS = 6
 
 
-def persist_scoped(df):
+def persist_scoped(df, eager: bool = False):
     """Bounded multi-slot scoped cache for an expensive exploded/hashed
     table that feeds multiple plan branches of ONE operator call
     (signatures + verify sets, per-doc counts + probe joins, df-cut +
@@ -61,6 +61,16 @@ def persist_scoped(df):
     Owned here (text) so dedup/sampling/text operators share one pool
     without an import cycle."""
     out = df.persist()
+    if eager:
+        # Materialize the cache NOW (r15, guide §5): when the substrate
+        # feeds several of the consuming plan's independent exchange
+        # subtrees, AQE submits those stages concurrently and each races
+        # to fill the same cache — per-partition locks serialize the
+        # writers but the losers burn task slots waiting (profiles showed
+        # 2-3 full-width signature stages for one persisted index). One
+        # up-front count() runs the substrate exactly once at full
+        # parallelism; every consumer then reads the finished cache.
+        out.count()
     _live_scan_caches.append(out)
     while len(_live_scan_caches) > _SCOPED_SLOTS:
         old = _live_scan_caches.pop(0)
