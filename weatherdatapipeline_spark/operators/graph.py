@@ -41,9 +41,23 @@ def pagerank(
     vocabulary, the same bounded-``collect`` contract as the centroid and
     percentile operators.
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+    from .text import persist_scoped as _persist_scoped
+
+    # persist-scoped (r15, guide §5.3): the edge projection and the node
+    # vocabulary are consumed by EVERY iteration (plus the count action)
+    # — uncached, the caller's edge-extraction pipeline re-ran once per
+    # round; cached, the rounds iterate over the vocabulary-bounded
+    # tables only
+    e = _persist_scoped(
+        edges.select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("node"),
+            F.col(weight).alias("_w"),
+        )
+    )
+    nodes = _persist_scoped(
+        e.select(F.col("_src").alias("node"))
+        .union(e.select("node"))
         .distinct()
     )
     n = nodes.count()
@@ -51,9 +65,6 @@ def pagerank(
         return nodes.withColumn("pr", F.lit(0.0))
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
-    e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("node"), F.col(weight).alias("_w")
-    )
     for _ in range(iters):
         contribs = (
             e.join(ranks.select(F.col("node").alias("_src"), "pr"), "_src")

@@ -1020,8 +1020,13 @@ def exact_shared_spans(
     n_pos = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
     # spread first: one md5 per char position is the dominant map cost
     # and must not run inside a 1-task single-row-group scan stage
-    # persisted: the hashed position table feeds the df-cut aggregate AND
-    # both sides of the self-join — one md5 pass instead of three
+    # persisted EAGER (r15, guide §5): the hashed position table feeds
+    # the df-cut aggregate AND both sides of the self-join; lazily
+    # persisted, those three consumers are submitted concurrently by AQE
+    # and each re-ran the per-char-position md5 pipeline (~30 s task CPU)
+    # while the cache was cold — profile showed the identical
+    # in=12.4MB/shW=15MB stage three times. One up-front count()
+    # materializes it exactly once at full width.
     g = persist_scoped(
         spread(documents, id_col).select(
             F.col(id_col),
@@ -1031,7 +1036,8 @@ def exact_shared_spans(
             F.col(id_col),
             F.col("_i"),
             portable_hash60(text.substr(F.col("_i"), F.lit(k))).alias("_h"),
-        )
+        ),
+        eager=True,
     )
     if max_gram_freq is not None:
         keep = (
