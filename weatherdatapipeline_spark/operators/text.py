@@ -773,11 +773,15 @@ def winnow_shared_span_pairs(
     bounds the pair fan-out per fingerprint to max_fp_freq^2 instead of
     corpus^2. Output: (doc_a, doc_b, shared_fps).
     """
-    fps = winnow_fingerprints(documents, id_col, text_col, k, w)
+    # persist-scoped (r15, guide §5.3): the winnowing sketch (per-char
+    # md5 + window min, the dominant cost) is referenced FOUR times
+    # below (df-frequency agg, cut join-back, and both self-join sides)
+    # — uncached it re-ran once per reference
+    fps = persist_scoped(winnow_fingerprints(documents, id_col, text_col, k, w))
     if max_fp_freq is not None:
         freq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_df"))
         keep = freq.filter(F.col("_df") <= max_fp_freq).select("fingerprint")
-        fps = fps.join(keep, "fingerprint")  # AQE may broadcast `keep`
+        fps = persist_scoped(fps.join(keep, "fingerprint"))
     a = fps.select(F.col(id_col).alias("doc_a"), "fingerprint")
     b = fps.select(F.col(id_col).alias("doc_b"), "fingerprint")
     return (
